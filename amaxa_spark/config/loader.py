@@ -1,0 +1,137 @@
+"""YAML/JSON operation definitions → plan objects.
+
+Keeps the reference's declarative surface (SURVEY §1.3;
+`/root/reference/docs/operations.rst`): an operation is an ordered
+list of table entries with field scope, record-selection rule, lookup
+behaviors, column renames, and transforms. Loading follows the
+reference's staged pipeline (`loader/core.py:56-70`): parse →
+schema-validate → build plan objects; field-existence validation
+happens in the operators against the live DataFrame schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import yaml
+
+from amaxa_spark.config.schema import validate_operation
+from amaxa_spark.plans.plan import (
+    ExtractScope,
+    ExtractStepPlan,
+    LoadStepPlan,
+    OutsideLookupBehavior,
+    SelfLookupBehavior,
+)
+
+
+class ConfigError(ValueError):
+    def __init__(self, errors: list[str]):
+        super().__init__("; ".join(errors))
+        self.errors = errors
+
+
+def _read(path_or_dict) -> dict:
+    if isinstance(path_or_dict, dict):
+        return path_or_dict
+    ext = os.path.splitext(path_or_dict)[1].lower()
+    with open(path_or_dict) as f:
+        if ext == ".json":
+            return json.load(f)
+        return yaml.safe_load(f)
+
+
+def _field_spec(entry: dict) -> tuple[list[str] | None, dict, dict]:
+    """fields list → (names, column_map, transforms)."""
+    fields = entry.get("fields")
+    if fields is None:
+        return None, {}, {}
+    names: list[str] = []
+    column_map: dict[str, str] = {}
+    transforms: dict[str, list] = {}
+    for f in fields:
+        if isinstance(f, str):
+            names.append(f)
+        else:
+            name = f["field"]
+            names.append(name)
+            if f.get("column"):
+                column_map[name] = f["column"]
+            if f.get("transforms"):
+                transforms[name] = f["transforms"]
+    exclude = set(entry.get("exclude-fields", []))
+    names = [n for n in names if n not in exclude]
+    return names, column_map, transforms
+
+
+def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
+    doc = _read(path_or_dict)
+    errors = validate_operation(doc, "extract")
+    if errors:
+        raise ConfigError(errors)
+    steps = []
+    for entry in doc["operation"]:
+        table = entry.get("sobject") or entry.get("table")
+        extract = entry["extract"]
+        if "all" in extract:
+            scope, where, ids = ExtractScope.ALL_RECORDS, None, None
+        elif "query" in extract:
+            scope, where, ids = ExtractScope.QUERY, extract["query"], None
+        elif "ids" in extract:
+            scope, where, ids = ExtractScope.SELECTED_IDS, None, extract["ids"]
+        else:
+            scope, where, ids = ExtractScope.DESCENDENTS, None, None
+        names, column_map, transforms = _field_spec(entry)
+        olb = {}
+        if entry.get("outside-lookup-behavior"):
+            olb["*"] = OutsideLookupBehavior(entry["outside-lookup-behavior"])
+        for f in entry.get("fields", []) or []:
+            if isinstance(f, dict) and f.get("outside-lookup-behavior"):
+                olb[f["field"]] = OutsideLookupBehavior(f["outside-lookup-behavior"])
+        steps.append(
+            ExtractStepPlan(
+                table=table,
+                scope=scope,
+                fields=names,
+                where=where,
+                ids=ids,
+                self_lookup_behavior=SelfLookupBehavior(
+                    entry.get("self-lookup-behavior", "trace-all")
+                ),
+                outside_lookup_behavior=olb,
+                column_map=column_map,
+                transforms=transforms,
+            )
+        )
+    return steps
+
+
+def load_load_config(path_or_dict) -> list[LoadStepPlan]:
+    doc = _read(path_or_dict)
+    errors = validate_operation(doc, "load")
+    if errors:
+        raise ConfigError(errors)
+    steps = []
+    for entry in doc["operation"]:
+        table = entry.get("sobject") or entry.get("table")
+        names, column_map, transforms = _field_spec(entry)
+        olb = {}
+        if entry.get("outside-lookup-behavior"):
+            olb["*"] = OutsideLookupBehavior(entry["outside-lookup-behavior"])
+        for f in entry.get("fields", []) or []:
+            if isinstance(f, dict) and f.get("outside-lookup-behavior"):
+                olb[f["field"]] = OutsideLookupBehavior(f["outside-lookup-behavior"])
+        steps.append(
+            LoadStepPlan(
+                table=table,
+                input_path=entry.get("file"),
+                fields=names,
+                # load direction: column (input) -> field
+                column_map={v: k for k, v in column_map.items()},
+                transforms=transforms,
+                outside_lookup_behavior=olb,
+                input_validation=entry.get("input-validation", "default"),
+            )
+        )
+    return steps

@@ -1,0 +1,104 @@
+"""Lightweight declarative config validation.
+
+The reference validates operation definitions with Cerberus schemas
+(`/root/reference/amaxa/loader/schemas.py:115-502`, 6-stage pipeline
+`loader/core.py:56-70`). Cerberus is not available in this
+environment, so this module implements the small subset the operation
+surface needs — typed keys, allowed values, mutual exclusion,
+duplicate detection — returning *all* errors (not fail-fast), matching
+the reference's error-list style.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+EXTRACT_SCOPES = ("all", "query", "ids", "descendents")
+VALIDATION_MODES = ("none", "default", "strict")
+OUTSIDE_BEHAVIORS = ("include", "drop-field", "error")
+SELF_BEHAVIORS = ("trace-all", "trace-none")
+
+
+def _err(errors: list[str], ctx: str, msg: str) -> None:
+    errors.append(f"{ctx}: {msg}")
+
+
+def validate_operation(doc: dict, kind: str) -> list[str]:
+    """Validate an extract/load operation dict; returns error list."""
+    errors: list[str] = []
+    if not isinstance(doc, dict):
+        return ["operation: must be a mapping"]
+    version = doc.get("version", 1)
+    if version not in (1, 2):
+        _err(errors, "operation", f"unsupported version {version!r}")
+    ops = doc.get("operation")
+    if not isinstance(ops, list) or not ops:
+        _err(errors, "operation", "must contain a non-empty 'operation' list")
+        return errors
+    seen_tables: Counter = Counter()
+    for i, entry in enumerate(ops):
+        ctx = f"operation[{i}]"
+        if not isinstance(entry, dict):
+            _err(errors, ctx, "entry must be a mapping")
+            continue
+        table = entry.get("sobject") or entry.get("table")
+        if not table:
+            _err(errors, ctx, "missing 'sobject'/'table'")
+            continue
+        seen_tables[table] += 1
+        ctx = f"operation[{i}] ({table})"
+
+        fields = entry.get("fields")
+        if fields is not None:
+            if not isinstance(fields, list):
+                _err(errors, ctx, "'fields' must be a list")
+            else:
+                names = [
+                    f if isinstance(f, str) else f.get("field")
+                    for f in fields
+                ]
+                dupes = [n for n, c in Counter(names).items() if c > 1]
+                if dupes:
+                    # duplicate rejection mirrors `loader/core.py:93-131`
+                    _err(errors, ctx, f"duplicate fields {dupes}")
+                columns = [
+                    f.get("column")
+                    for f in fields
+                    if isinstance(f, dict) and f.get("column")
+                ]
+                dupes = [n for n, c in Counter(columns).items() if c > 1]
+                if dupes:
+                    _err(errors, ctx, f"duplicate columns {dupes}")
+        fg = entry.get("field-group")
+        if fg is not None and fg not in ("readable", "writeable", "smart"):
+            _err(errors, ctx, f"invalid field-group {fg!r}")
+        if fg is not None and fields is not None:
+            _err(errors, ctx, "'fields' and 'field-group' are mutually exclusive")
+
+        iv = entry.get("input-validation", "default")
+        if iv not in VALIDATION_MODES:
+            _err(errors, ctx, f"invalid input-validation {iv!r}")
+
+        if kind == "extract":
+            extract = entry.get("extract")
+            if not isinstance(extract, dict):
+                _err(errors, ctx, "missing 'extract' mapping")
+            else:
+                keys = [k for k in EXTRACT_SCOPES if k in extract]
+                # exactly one scope — `loader/schemas.py:412-435`
+                if len(keys) != 1:
+                    _err(
+                        errors,
+                        ctx,
+                        f"'extract' must have exactly one of {EXTRACT_SCOPES}, got {keys}",
+                    )
+        slb = entry.get("self-lookup-behavior")
+        if slb is not None and slb not in SELF_BEHAVIORS:
+            _err(errors, ctx, f"invalid self-lookup-behavior {slb!r}")
+        olb = entry.get("outside-lookup-behavior")
+        if olb is not None and olb not in OUTSIDE_BEHAVIORS:
+            _err(errors, ctx, f"invalid outside-lookup-behavior {olb!r}")
+    dupes = [t for t, c in seen_tables.items() if c > 1]
+    if dupes:
+        _err(errors, "operation", f"duplicate table entries {dupes}")
+    return errors

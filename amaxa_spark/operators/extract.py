@@ -1,0 +1,299 @@
+"""Extract engine — graph-slice extraction as DataFrame joins.
+
+Re-expresses the reference's extraction semantics
+(`/root/reference/amaxa/amaxa.py:541-844`) Spark-first:
+
+- scopes ALL/QUERY/IDS become scans with Catalyst-pushed predicates
+  (S1–S4),
+- the descendent pass (J1) is a ``left_semi`` join of the child table
+  against the union of already-extracted target IDs,
+- dependency resolution (J2) is a semi-join against the required-ID
+  set, with missing IDs detected by ``left_anti``,
+- the self-lookup transitive closure (J3) is an iterate-to-fixpoint
+  driver loop over narrow single-column ID frames with
+  ``localCheckpoint`` per round (lineage truncation) and an
+  ``isEmpty`` frontier test,
+- polymorphic lookups (J5) route by 3-char key prefix against the
+  registry's prefix map,
+- outside references (J6) are ``left_anti`` joins with
+  include/drop-field/error behaviors.
+
+Scale notes: all set algebra happens on *single-column ID frames* —
+narrow shuffles, trivially partitioned by the join key; AQE converts
+small ID sets to broadcast joins at runtime. The wide row data is
+reconstructed once per table at the end with a single semi-join of the
+source scan against the final ID set, so column pruning and filter
+pushdown reach the parquet scan untouched.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amaxa_spark.ids import KEY_PREFIX_LEN
+from amaxa_spark.metadata import SchemaRegistry
+from amaxa_spark.plans.plan import (
+    ExtractScope,
+    ExtractStepPlan,
+    OutsideLookupBehavior,
+    SelfLookupBehavior,
+)
+from amaxa_spark.sources.catalog import TableCatalog
+
+log = logging.getLogger(__name__)
+
+_ID = "__id"
+
+# below this many explicit IDs, use an `isin` literal (pushed into the
+# scan); above it, a broadcast semi-join (mirrors the reference's need
+# to chunk `IN`-lists, `/root/reference/amaxa/api.py:186-191`, which
+# Spark does not share)
+_ISIN_THRESHOLD = 1000
+
+
+class ExtractError(RuntimeError):
+    pass
+
+
+def _id_frame(df: DataFrame, col: str) -> DataFrame:
+    """Distinct non-null values of ``col`` as a 1-column frame."""
+    return df.select(F.col(col).alias(_ID)).where(F.col(_ID).isNotNull()).distinct()
+
+
+def _union_ids(frames: list[DataFrame]) -> DataFrame | None:
+    frames = [f for f in frames if f is not None]
+    if not frames:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), frames).distinct()
+
+
+class ExtractOperation:
+    """Sequential, fail-stop execution of extract steps
+    (`/root/reference/amaxa/amaxa.py:545-567`)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: TableCatalog,
+        registry: SchemaRegistry,
+        steps: list[ExtractStepPlan],
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.registry = registry
+        self.steps = steps
+        self.step_order = [s.table for s in steps]
+        self.classification = registry.classify_lookups(self.step_order)
+        # per-table accumulated state (all single-column ID frames)
+        self.extracted_ids: dict[str, DataFrame] = {}
+        self.required_ids: dict[str, DataFrame] = {}
+        self.results: dict[str, DataFrame] = {}
+        self.errors: list[str] = []
+
+    # ---- scope selection (S1-S4) -------------------------------------
+
+    def _base_ids(self, step: ExtractStepPlan) -> DataFrame:
+        t = self.catalog[step.table]
+        pk = self.registry[step.table].pk
+        if step.scope is ExtractScope.ALL_RECORDS:
+            return _id_frame(t, pk)
+        if step.scope is ExtractScope.QUERY:
+            return _id_frame(t.filter(F.expr(step.where)), pk)
+        if step.scope is ExtractScope.SELECTED_IDS:
+            ids = list(step.ids or [])
+            if len(ids) <= _ISIN_THRESHOLD:
+                found = _id_frame(t.filter(F.col(pk).isin(ids)), pk)
+            else:
+                seed = self.spark.createDataFrame([(i,) for i in ids], [_ID])
+                found = (
+                    t.join(F.broadcast(seed), t[pk] == seed[_ID], "left_semi")
+                    .select(F.col(pk).alias(_ID))
+                    .distinct()
+                )
+            # explicit IDs are *required*: all must exist (S3/J2 error)
+            n_found, n_asked = found.count(), len(set(ids))
+            if n_found != n_asked:
+                raise ExtractError(
+                    f"{step.table}: {n_asked - n_found} of {n_asked} "
+                    "requested IDs do not exist"
+                )
+            return found
+        if step.scope is ExtractScope.DESCENDENTS:
+            cls = self.classification[step.table]
+            meta = self.registry[step.table]
+            branches = []
+            for col in sorted(cls.descendent_lookups):
+                targets = [
+                    tt for tt in meta.lookups[col] if tt in self.extracted_ids
+                ]
+                parent_ids = _union_ids([self.extracted_ids[tt] for tt in targets])
+                if parent_ids is None:
+                    continue
+                # J1: child semi-join against union of extracted target IDs
+                branches.append(
+                    _id_frame(
+                        t.join(parent_ids, t[col] == parent_ids[_ID], "left_semi"),
+                        pk,
+                    )
+                )
+            out = _union_ids(branches)
+            if out is None:
+                # a DESCENDENTS step with no populated parents extracts nothing
+                return _id_frame(t.limit(0), pk)
+            return out
+        raise ExtractError(f"unknown scope {step.scope}")
+
+    # ---- dependency resolution (J2) ----------------------------------
+
+    def _resolve_required(self, step: ExtractStepPlan, ids: DataFrame) -> DataFrame:
+        req = self.required_ids.pop(step.table, None)
+        if req is None:
+            return ids
+        t = self.catalog[step.table]
+        pk = self.registry[step.table].pk
+        found = _id_frame(t.join(req, t[pk] == req[_ID], "left_semi"), pk)
+        missing = req.join(found, _ID, "left_anti")
+        n_missing = missing.count()
+        if n_missing:
+            sample = [r[_ID] for r in missing.limit(5).collect()]
+            raise ExtractError(
+                f"{step.table}: {n_missing} required dependency IDs could not "
+                f"be resolved (sample: {sample})"
+            )
+        return ids.unionByName(found).distinct()
+
+    # ---- self-lookup transitive closure (J3) -------------------------
+
+    def _self_closure(self, step: ExtractStepPlan, ids: DataFrame) -> DataFrame:
+        cls = self.classification[step.table]
+        if (
+            not cls.self_lookups
+            or step.self_lookup_behavior is not SelfLookupBehavior.TRACE_ALL
+        ):
+            return ids
+        t = self.catalog[step.table]
+        pk = self.registry[step.table].pk
+        self_cols = sorted(cls.self_lookups)
+        known = ids.localCheckpoint(eager=True)
+        while True:
+            rows_known = t.join(known, t[pk] == known[_ID], "left_semi")
+            # descendent direction: children whose self-FK is known
+            child_branches = [
+                _id_frame(t.join(known, t[c] == known[_ID], "left_semi"), pk)
+                for c in self_cols
+            ]
+            # dependent direction: parents referenced by known rows
+            parent_branches = [_id_frame(rows_known, c) for c in self_cols]
+            frontier = (
+                _union_ids(child_branches + parent_branches)
+                .join(known, _ID, "left_anti")
+                # parents must actually exist in the table
+                .join(_id_frame(t, pk), _ID, "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                return known
+            known = known.unionByName(frontier).distinct().localCheckpoint(eager=True)
+
+    # ---- dependent-lookup registration (J4 prep, J5 routing) ---------
+
+    def _register_dependencies(self, step: ExtractStepPlan, rows: DataFrame) -> None:
+        cls = self.classification[step.table]
+        meta = self.registry[step.table]
+        later = set(self.step_order[self.step_order.index(step.table) + 1 :])
+        for col in sorted(cls.dependent_lookups):
+            targets = [tt for tt in meta.lookups[col] if tt in later]
+            if not targets:
+                continue
+            vals = _id_frame(rows, col)
+            if len(meta.lookups[col]) > 1:
+                # J5: polymorphic — route by key prefix; refs to targets
+                # outside the operation are ignored
+                # (`/root/reference/amaxa/amaxa.py:756-774`)
+                for tt in targets:
+                    prefix = self.registry[tt].key_prefix
+                    if prefix is None:
+                        continue
+                    routed = vals.filter(
+                        F.substring(F.col(_ID), 1, KEY_PREFIX_LEN) == prefix
+                    )
+                    self._add_required(tt, routed)
+            else:
+                self._add_required(targets[0], vals)
+
+    def _add_required(self, table: str, ids: DataFrame) -> None:
+        cur = self.required_ids.get(table)
+        merged = ids if cur is None else cur.unionByName(ids).distinct()
+        self.required_ids[table] = merged.localCheckpoint(eager=True)
+
+    # ---- outside references (J6) -------------------------------------
+
+    def _apply_outside_behavior(self, step: ExtractStepPlan, rows: DataFrame) -> DataFrame:
+        cls = self.classification[step.table]
+        meta = self.registry[step.table]
+        for col in sorted(cls.descendent_lookups):
+            behavior = step.outside_behavior_for(col)
+            if behavior is OutsideLookupBehavior.INCLUDE:
+                continue
+            targets = [tt for tt in meta.lookups[col] if tt in self.extracted_ids]
+            known = _union_ids([self.extracted_ids[tt] for tt in targets])
+            if known is None:
+                continue
+            if behavior is OutsideLookupBehavior.ERROR:
+                bad = rows.where(F.col(col).isNotNull()).join(
+                    known, rows[col] == known[_ID], "left_anti"
+                )
+                n_bad = bad.count()
+                if n_bad:
+                    raise ExtractError(
+                        f"{step.table}.{col}: {n_bad} values reference records "
+                        "outside the extracted set (outside-lookup-behavior=error)"
+                    )
+            elif behavior is OutsideLookupBehavior.DROP_FIELD:
+                # null the FK where it points outside the extracted set
+                in_set = known.withColumnRenamed(_ID, "__known_id")
+                rows = (
+                    rows.join(
+                        in_set, rows[col] == in_set["__known_id"], "left_outer"
+                    )
+                    .withColumn(
+                        col,
+                        F.when(F.col("__known_id").isNotNull(), F.col(col)),
+                    )
+                    .drop("__known_id")
+                )
+        return rows
+
+    # ---- execution ---------------------------------------------------
+
+    def run(self) -> dict[str, DataFrame]:
+        for step in self.steps:
+            log.info("extract step %s scope=%s", step.table, step.scope)
+            ids = self._base_ids(step)
+            ids = self._resolve_required(step, ids)
+            ids = self._self_closure(step, ids)
+            ids = ids.localCheckpoint(eager=True)
+            self.extracted_ids[step.table] = ids
+
+            t = self.catalog[step.table]
+            pk = self.registry[step.table].pk
+            rows = t.join(ids, t[pk] == ids[_ID], "left_semi")
+            self._register_dependencies(step, rows)
+            self.results[step.table] = rows
+
+        # outside-behaviors and projections are applied after all steps,
+        # when every table's extracted-ID set is final
+        final: dict[str, DataFrame] = {}
+        for step in self.steps:
+            rows = self._apply_outside_behavior(step, self.results[step.table])
+            if step.fields is not None:
+                pk = self.registry[step.table].pk
+                cols = list(dict.fromkeys([pk, *step.fields]))  # Id always kept (P1)
+                rows = rows.select(*cols)
+            final[step.table] = rows
+        self.results = final
+        return final

@@ -1,0 +1,297 @@
+"""Load engine — two-phase FK-cycle-breaking replay with an ID-map.
+
+Re-expresses the reference's load pipeline
+(`/root/reference/amaxa/amaxa.py:262-528`) Spark-first:
+
+- the global old→new ID map (`amaxa/amaxa.py:243-260`) is a 2-column
+  DataFrame per table, broadcast-joined into every FK rewrite (J4),
+- stage INSERTS: per step in topological (list) order — read input →
+  resume-filter (P7, ``left_anti`` vs the ID map) → rename+transforms
+  (F6, F1-F5) → drop dependent/self FK columns (P6) → rewrite
+  descendent FKs through the map (J4, with include/drop-field/error
+  outside behaviors) → primitivize (F7) → synthesize deterministic new
+  IDs → write,
+- stage DEPENDENTS: per step — re-read input, project PK +
+  dependent/self FKs (P6b), rewrite all through the map, keep rows
+  with ≥1 mapped FK (P8), and merge the FK columns into the written
+  table (join-and-replace — the Delta-less MERGE),
+- per-row errors accumulate as DataFrames (never exceptions inside
+  executors), matching the result-file semantics (S8).
+
+Scale notes: ID maps are narrow (old,new) frames — AQE broadcasts them
+when small; when huge they hash-join on the FK, which is the right
+plan. New-ID synthesis is a pure column expression (hash of
+table+old id) — deterministic, distributed, no driver round-trip, no
+window over a global ordering.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amaxa_spark.functions.scalars import primitivize
+from amaxa_spark.functions.transforms import apply_transforms, rename_columns
+from amaxa_spark.metadata import SchemaRegistry
+from amaxa_spark.plans.plan import LoadStepPlan, OutsideLookupBehavior
+from amaxa_spark.sources.catalog import TableCatalog
+
+log = logging.getLogger(__name__)
+
+
+class LoadError(RuntimeError):
+    pass
+
+
+def synthesize_new_id(table: str, old_col: F.Column) -> F.Column:
+    """Deterministic new-ID synthesis for table sinks: where the
+    reference harvests server-assigned IDs from Bulk-API results
+    (`amaxa/amaxa.py:444-454`), a file-backed target derives them as a
+    content hash — distributed, reproducible across resumes."""
+    return F.upper(
+        F.substring(F.sha2(F.concat(F.lit(table + ":"), old_col.cast("string")), 256), 1, 18)
+    )
+
+
+@dataclass
+class LoadResult:
+    id_map: dict[str, DataFrame] = dc_field(default_factory=dict)  # table -> (old_id,new_id)
+    errors: dict[str, DataFrame] = dc_field(default_factory=dict)  # table -> (old_id,error)
+    written: dict[str, DataFrame] = dc_field(default_factory=dict)  # table -> loaded rows
+
+
+class LoadOperation:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: SchemaRegistry,
+        steps: list[LoadStepPlan],
+        inputs: dict[str, DataFrame] | TableCatalog,
+        prior_id_map: dict[str, DataFrame] | None = None,
+        start_stage: str = "inserts",
+    ):
+        self.spark = spark
+        self.registry = registry
+        self.steps = steps
+        self.inputs = inputs
+        self.step_order = [s.table for s in steps]
+        self.classification = registry.classify_lookups(self.step_order)
+        self.result = LoadResult(id_map=dict(prior_id_map or {}))
+        self.start_stage = start_stage
+
+    # ------------------------------------------------------------------
+    def _input(self, step: LoadStepPlan) -> DataFrame:
+        if isinstance(self.inputs, TableCatalog):
+            return self.inputs[step.table]
+        return self.inputs[step.table]
+
+    def _prepared(self, step: LoadStepPlan) -> DataFrame:
+        """Input → renamed → transformed → scope-trimmed rows (P5)."""
+        df = self._input(step)
+        if step.column_map:
+            df = rename_columns(df, step.column_map)
+        if step.transforms:
+            df = apply_transforms(df, step.transforms)
+        if step.fields is not None:
+            pk = self.registry[step.table].pk
+            cols = list(dict.fromkeys([pk, *step.fields]))
+            missing = [c for c in cols if c not in df.columns]
+            if missing and step.input_validation == "strict":
+                raise LoadError(f"{step.table}: missing input columns {missing}")
+            df = df.select(*[c for c in cols if c in df.columns])
+        return df
+
+    def _map_for(self, table: str) -> DataFrame | None:
+        return self.result.id_map.get(table)
+
+    def _combined_map(self, tables: list[str]) -> DataFrame | None:
+        frames = [self._map_for(t) for t in tables if self._map_for(t) is not None]
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _rewrite_fk(
+        self,
+        df: DataFrame,
+        col: str,
+        id_map: DataFrame | None,
+        behavior: OutsideLookupBehavior,
+        errors: list[DataFrame],
+        pk: str,
+    ) -> DataFrame:
+        """J4: FK old→new through the (broadcast) ID map with fallback
+        per outside-lookup behavior (`amaxa/amaxa.py:321-347`).
+        Empty-string lookups short-circuit to null
+        (`amaxa/amaxa.py:322-323`)."""
+        cleaned = F.nullif(F.col(col).cast("string"), F.lit(""))
+        if id_map is None:
+            return df.withColumn(col, cleaned if behavior is not OutsideLookupBehavior.DROP_FIELD else F.lit(None).cast("string"))
+        m = id_map.select(
+            F.col("old_id").alias("__m_old"), F.col("new_id").alias("__m_new")
+        )
+        joined = df.withColumn("__fk", cleaned).join(
+            F.broadcast(m), F.col("__fk") == F.col("__m_old"), "left_outer"
+        )
+        unmapped = F.col("__fk").isNotNull() & F.col("__m_new").isNull()
+        if behavior is OutsideLookupBehavior.ERROR:
+            bad = joined.where(unmapped).select(
+                F.col(pk).cast("string").alias("old_id"),
+                F.lit(f"unmapped reference in {col}").alias("error"),
+            )
+            errors.append(bad)
+            joined = joined.where(~unmapped)
+            out_val = F.col("__m_new")
+        elif behavior is OutsideLookupBehavior.DROP_FIELD:
+            out_val = F.col("__m_new")  # unmapped → null
+        else:  # INCLUDE: keep the original value when unmapped
+            out_val = F.coalesce(F.col("__m_new"), F.col("__fk"))
+        return joined.withColumn(col, out_val).drop("__fk", "__m_old", "__m_new")
+
+    # ------------------------------------------------------------------
+    def _insert_step(self, step: LoadStepPlan) -> None:
+        table = step.table
+        meta = self.registry[table]
+        pk = meta.pk
+        cls = self.classification[table]
+        df = self._prepared(step)
+
+        # P7: resume filter — skip records already mapped
+        prior = self._map_for(table)
+        if prior is not None:
+            df = df.join(
+                prior.select(F.col("old_id")),
+                df[pk].cast("string") == F.col("old_id"),
+                "left_anti",
+            )
+
+        # P6: drop dependent + self lookup columns for the insert pass
+        deferred = sorted((cls.dependent_lookups | cls.self_lookups) & set(df.columns))
+        insert_df = df.drop(*deferred)
+
+        # J4: rewrite descendent FKs through the (already-populated) map
+        errors: list[DataFrame] = []
+        for col in sorted(cls.descendent_lookups & set(insert_df.columns)):
+            targets = [t for t in meta.lookups[col] if t in self.step_order]
+            id_map = self._combined_map(targets)
+            insert_df = self._rewrite_fk(
+                insert_df, col, id_map, step.outside_behavior_for(col), errors, pk
+            )
+
+        # F7: schema-driven primitivize
+        if meta.types:
+            insert_df = insert_df.select(
+                *[
+                    primitivize(F.col(c), meta.types[c]).alias(c)
+                    if c in meta.types
+                    else F.col(c)
+                    for c in insert_df.columns
+                ]
+            )
+
+        # synthesize new IDs; record the map
+        new_id = synthesize_new_id(table, F.col(pk))
+        step_map = insert_df.select(
+            F.col(pk).cast("string").alias("old_id"), new_id.alias("new_id")
+        )
+        written = insert_df.withColumn(pk, new_id)
+
+        merged_map = step_map if prior is None else prior.unionByName(step_map)
+        self.result.id_map[table] = merged_map.localCheckpoint(eager=True)
+        self.result.written[table] = written.localCheckpoint(eager=True)
+        if errors:
+            err = errors[0]
+            for e in errors[1:]:
+                err = err.unionByName(e)
+            self.result.errors[table] = err.localCheckpoint(eager=True)
+
+    def _dependent_step(self, step: LoadStepPlan) -> None:
+        table = step.table
+        meta = self.registry[table]
+        pk = meta.pk
+        cls = self.classification[table]
+        deferred = sorted(cls.dependent_lookups | cls.self_lookups)
+        if not deferred:
+            return
+        df = self._prepared(step)
+        deferred = [c for c in deferred if c in df.columns]
+        if not deferred:
+            return
+        upd = df.select(pk, *deferred)
+
+        errors: list[DataFrame] = []
+        for col in deferred:
+            targets = [t for t in meta.lookups[col] if t in self.step_order]
+            id_map = self._combined_map(targets)
+            upd = self._rewrite_fk(
+                upd, col, id_map, step.outside_behavior_for(col), errors, pk
+            )
+
+        # P8: only rows with at least one non-null rewritten FK
+        upd = upd.where(
+            F.greatest(*[F.col(c).isNotNull() for c in deferred])
+            if len(deferred) > 1
+            else F.col(deferred[0]).isNotNull()
+        )
+
+        # swap old PK -> new id, then merge FK columns into written rows
+        own_map = self._map_for(table)
+        upd = (
+            upd.join(
+                F.broadcast(own_map),
+                upd[pk].cast("string") == own_map["old_id"],
+                "inner",
+            )
+            .drop(pk, "old_id")
+            .withColumnRenamed("new_id", pk)
+        )
+
+        written = self.result.written[table]
+        upd_renamed = upd.select(
+            F.col(pk).alias("__u_pk"),
+            *[F.col(c).alias(f"__u_{c}") for c in deferred],
+        )
+        merged = written.join(
+            upd_renamed, written[pk] == F.col("__u_pk"), "left_outer"
+        )
+        for c in deferred:
+            if c in written.columns:
+                merged = merged.withColumn(
+                    c, F.coalesce(F.col(f"__u_{c}"), F.col(c))
+                )
+            else:
+                merged = merged.withColumn(c, F.col(f"__u_{c}"))
+        merged = merged.drop("__u_pk", *[f"__u_{c}" for c in deferred])
+        self.result.written[table] = merged.localCheckpoint(eager=True)
+        if errors:
+            err = errors[0]
+            for e in errors[1:]:
+                err = err.unionByName(e)
+            cur = self.result.errors.get(table)
+            self.result.errors[table] = (
+                err if cur is None else cur.unionByName(err)
+            ).localCheckpoint(eager=True)
+
+    # ------------------------------------------------------------------
+    def run(self) -> LoadResult:
+        """Two-stage plan (`amaxa/amaxa.py:262-295`): all inserts in
+        list order, then all dependent updates; fail-stop between
+        steps. A resumed operation may skip straight to DEPENDENTS."""
+        if self.start_stage == "inserts":
+            for step in self.steps:
+                log.info("load insert step %s", step.table)
+                self._insert_step(step)
+        else:
+            for step in self.steps:
+                if step.table not in self.result.written:
+                    # resumed past inserts: reconstruct written rows
+                    self._insert_step(step)
+        for step in self.steps:
+            log.info("load dependent step %s", step.table)
+            self._dependent_step(step)
+        return self.result

@@ -1,0 +1,87 @@
+"""Logical plan objects for extract / load operations.
+
+The reference's IR is its `Operation`/`Step` object graph (SURVEY §3.1
+step 4; `/root/reference/amaxa/amaxa.py:116-147,164-232`) — there is no
+separate logical/physical split because execution is literal. Here the
+plan objects are declarative descriptions only; the operators in
+`amaxa_spark.operators` compile them to DataFrame DAGs and let
+Catalyst pick the physical strategy.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+
+class ExtractScope(enum.Enum):
+    """Record-selection rule per step — exactly one per entry
+    (`/root/reference/amaxa/loader/schemas.py:412-435`)."""
+
+    ALL_RECORDS = "all"
+    QUERY = "query"
+    SELECTED_IDS = "ids"
+    DESCENDENTS = "descendents"
+
+
+class SelfLookupBehavior(enum.Enum):
+    """`trace-all` walks the full hierarchy closure; `trace-none`
+    leaves self-lookups as plain columns
+    (`/root/reference/docs/references.rst`)."""
+
+    TRACE_ALL = "trace-all"
+    TRACE_NONE = "trace-none"
+
+
+class OutsideLookupBehavior(enum.Enum):
+    """What to do with FK values pointing outside the extracted set
+    (`/root/reference/amaxa/amaxa.py:776-800`)."""
+
+    INCLUDE = "include"
+    DROP_FIELD = "drop-field"
+    ERROR = "error"
+
+
+@dataclass
+class ExtractStepPlan:
+    table: str
+    scope: ExtractScope
+    fields: list[str] | None = None  # None = all columns
+    where: str | None = None  # SQL predicate text (scope=QUERY)
+    ids: list | None = None  # explicit PK values (scope=SELECTED_IDS)
+    self_lookup_behavior: SelfLookupBehavior = SelfLookupBehavior.TRACE_ALL
+    # per-lookup-column outside behavior; "*" = default for all
+    outside_lookup_behavior: dict[str, OutsideLookupBehavior] = field(
+        default_factory=dict
+    )
+    # column rename map field->column applied at the sink (F6)
+    column_map: dict[str, str] = field(default_factory=dict)
+    # transform names (with options) applied per field at the sink
+    transforms: dict[str, list] = field(default_factory=dict)
+
+    def outside_behavior_for(self, col: str) -> OutsideLookupBehavior:
+        return self.outside_lookup_behavior.get(
+            col,
+            self.outside_lookup_behavior.get("*", OutsideLookupBehavior.INCLUDE),
+        )
+
+
+@dataclass
+class LoadStepPlan:
+    table: str
+    input_path: str | None = None  # CSV input; None = catalog table
+    fields: list[str] | None = None
+    column_map: dict[str, str] = field(default_factory=dict)  # column->field
+    transforms: dict[str, list] = field(default_factory=dict)
+    outside_lookup_behavior: dict[str, OutsideLookupBehavior] = field(
+        default_factory=dict
+    )
+    # input-validation: none | default | strict
+    # (`/root/reference/amaxa/loader/load_operation.py:151-208`)
+    input_validation: str = "default"
+
+    def outside_behavior_for(self, col: str) -> OutsideLookupBehavior:
+        return self.outside_lookup_behavior.get(
+            col,
+            self.outside_lookup_behavior.get("*", OutsideLookupBehavior.INCLUDE),
+        )

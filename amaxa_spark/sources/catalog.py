@@ -1,0 +1,86 @@
+"""Table catalog — the engine's "org".
+
+Where the reference talks to a live Salesforce org through Bulk/REST
+APIs (`/root/reference/amaxa/api.py`), this engine reads and writes
+Spark-native sources. A :class:`TableCatalog` maps table name → a lazily
+loaded DataFrame from a directory of per-table files (parquet by
+default, csv/json supported), and provides the extract/load sinks
+(SURVEY §2.1 S6–S8): per-table CSV outputs with `Id`-first sorted
+headers, result (ID-map + error) sinks, and parquet sinks for
+loaded tables.
+
+Reads are lazy — Catalyst pushes projections and predicates into the
+scan, so a step that selects 3 columns with a filter reads only those
+column chunks (check with ``df.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog:
+    """name → DataFrame over a base directory of table files."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        fmt: str = "parquet",
+        extra: dict[str, DataFrame] | None = None,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.fmt = fmt
+        self._cache: dict[str, DataFrame] = dict(extra or {})
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self._cache[name] = df
+
+    def path_for(self, name: str) -> str:
+        ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}[self.fmt]
+        return os.path.join(self.base_dir, name + ext)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = self.path_for(name)
+            if self.fmt == "parquet":
+                df = self.spark.read.parquet(path)
+            elif self.fmt == "csv":
+                # reference parity: CSV values are all strings
+                # (`amaxa/loader/load_operation.py:83-101`)
+                df = self.spark.read.option("header", True).csv(path)
+            else:
+                df = self.spark.read.json(path)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.table(name)
+
+
+def ordered_output_columns(columns: list[str], pk: str = "Id") -> list[str]:
+    """Extract-sink header order: alphabetical with the PK forced first
+    (reference `/root/reference/amaxa/loader/extract_operation.py:139-145`)."""
+    rest = sorted(c for c in columns if c != pk)
+    return ([pk] if pk in columns else []) + rest
+
+
+def write_extract_csv(df: DataFrame, path: str, pk: str = "Id", single_file: bool = False) -> None:
+    """CSV extract sink (S6). ``single_file`` coalesces for small
+    reference-parity outputs; at scale leave it False so each task
+    writes its own part file."""
+    cols = ordered_output_columns(df.columns, pk)
+    out = df.select(*cols)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_result_csv(df: DataFrame, path: str, append: bool = False) -> None:
+    """Result sink (S8): per-table `Original Id, New Id, Error` rows;
+    append mode on resume (`amaxa/loader/load_operation.py:103-132`)."""
+    mode = "append" if append else "overwrite"
+    df.write.mode(mode).option("header", True).csv(path)

@@ -1,0 +1,72 @@
+"""TPC-H-ish test-catalog wiring (TESTDATA.md tables).
+
+Maps the driver's synthetic star schema onto the engine's metadata
+model: FK edges `lineitem→(orders,part,supplier)`, `orders→customer`,
+`customer/supplier→nation`, `nation→region` play the role of the
+reference's lookup relationships (FIXTURES.md §mapping). ``lineitem``
+has a composite natural key, so the catalog registers a derived
+single-column PK view (``l_lineid``) — the engine's PK abstraction
+stays single-column like the reference's ``Id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from amaxa_spark.metadata import SchemaRegistry, TableMeta
+from amaxa_spark.sources.catalog import TableCatalog
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def tpch_registry() -> SchemaRegistry:
+    return SchemaRegistry(
+        [
+            TableMeta("region", pk="r_regionkey"),
+            TableMeta("nation", pk="n_nationkey", lookups={"n_regionkey": ["region"]}),
+            TableMeta(
+                "customer", pk="c_custkey", lookups={"c_nationkey": ["nation"]}
+            ),
+            TableMeta(
+                "supplier", pk="s_suppkey", lookups={"s_nationkey": ["nation"]}
+            ),
+            TableMeta("part", pk="p_partkey"),
+            TableMeta("orders", pk="o_orderkey", lookups={"o_custkey": ["customer"]}),
+            TableMeta(
+                "lineitem",
+                pk="l_lineid",
+                lookups={
+                    "l_orderkey": ["orders"],
+                    "l_partkey": ["part"],
+                    "l_suppkey": ["supplier"],
+                },
+            ),
+            TableMeta("events", pk="event_id", lookups={}),
+            TableMeta("documents", pk="doc_id"),
+            TableMeta("embeddings", pk="vec_id"),
+        ]
+    )
+
+
+def tpch_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    cat = TableCatalog(spark, sf_dir, fmt="parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cat.register(
+        "lineitem",
+        li.withColumn(
+            "l_lineid", F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")
+        ),
+    )
+    return cat

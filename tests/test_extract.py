@@ -1,0 +1,174 @@
+"""Extract-engine semantics against the sf0.001 TPC-H catalog and
+small in-memory hierarchies. Assertions are unordered row-set
+comparisons (SURVEY §2.4: output order is not semantically
+significant)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amaxa_spark.metadata import SchemaRegistry, TableMeta
+from amaxa_spark.operators.extract import ExtractError, ExtractOperation
+from amaxa_spark.plans.plan import (
+    ExtractScope,
+    ExtractStepPlan,
+    OutsideLookupBehavior,
+    SelfLookupBehavior,
+)
+from amaxa_spark.sources.catalog import TableCatalog
+from amaxa_spark.tpch import tpch_catalog, tpch_registry
+
+
+def run_extract(spark, sf_dir, steps):
+    op = ExtractOperation(spark, tpch_catalog(spark, sf_dir), tpch_registry(), steps)
+    return op.run()
+
+
+def test_query_plus_descendents(spark, sf_dir):
+    steps = [
+        ExtractStepPlan("customer", ExtractScope.QUERY, where="c_mktsegment = 'BUILDING'"),
+        ExtractStepPlan("orders", ExtractScope.DESCENDENTS),
+    ]
+    res = run_extract(spark, sf_dir, steps)
+    custs = {r.c_custkey for r in res["customer"].select("c_custkey").collect()}
+    cat = tpch_catalog(spark, sf_dir)
+    expected_c = {
+        r.c_custkey
+        for r in cat["customer"].filter("c_mktsegment = 'BUILDING'").collect()
+    }
+    assert custs == expected_c
+    ords = {r.o_orderkey for r in res["orders"].select("o_orderkey").collect()}
+    expected_o = {
+        r.o_orderkey
+        for r in cat["orders"].join(
+            cat["customer"].filter("c_mktsegment = 'BUILDING'"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        ).collect()
+    }
+    assert ords == expected_o and len(ords) > 0
+
+
+def test_dependency_resolution_parents(spark, sf_dir):
+    # orders first (root), customer later: o_custkey is a dependent
+    # lookup → customers referenced by extracted orders get fetched
+    steps = [
+        ExtractStepPlan("orders", ExtractScope.QUERY, where="o_totalprice > 400000"),
+        ExtractStepPlan("customer", ExtractScope.DESCENDENTS),
+    ]
+    res = run_extract(spark, sf_dir, steps)
+    cat = tpch_catalog(spark, sf_dir)
+    expected = {
+        r.o_custkey
+        for r in cat["orders"].filter("o_totalprice > 400000").select("o_custkey").collect()
+    }
+    got = {r.c_custkey for r in res["customer"].select("c_custkey").collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_selected_ids_and_missing(spark, sf_dir):
+    steps = [ExtractStepPlan("part", ExtractScope.SELECTED_IDS, ids=[1, 2, 3])]
+    res = run_extract(spark, sf_dir, steps)
+    assert {r.p_partkey for r in res["part"].collect()} == {1, 2, 3}
+
+    bad = [ExtractStepPlan("part", ExtractScope.SELECTED_IDS, ids=[1, 10**9])]
+    with pytest.raises(ExtractError, match="do not exist"):
+        run_extract(spark, sf_dir, bad)
+
+
+def test_field_scope_projection_keeps_pk(spark, sf_dir):
+    steps = [
+        ExtractStepPlan("customer", ExtractScope.ALL_RECORDS, fields=["c_name"]),
+    ]
+    res = run_extract(spark, sf_dir, steps)
+    assert res["customer"].columns == ["c_custkey", "c_name"]
+
+
+def _hier_catalog(spark):
+    """Small Account-style hierarchy: 1 ← 2 ← 3, 4 ← 5; 6 isolated."""
+    rows = [
+        ("1", None),
+        ("2", "1"),
+        ("3", "2"),
+        ("4", None),
+        ("5", "4"),
+        ("6", None),
+    ]
+    df = spark.createDataFrame(rows, "Id: string, ParentId: string")
+    cat = TableCatalog(spark, "/tmp/none")
+    cat.register("Account", df)
+    reg = SchemaRegistry([TableMeta("Account", lookups={"ParentId": ["Account"]})])
+    return cat, reg
+
+
+def test_self_lookup_closure_up_and_down(spark):
+    cat, reg = _hier_catalog(spark)
+    steps = [ExtractStepPlan("Account", ExtractScope.SELECTED_IDS, ids=["2"])]
+    op = ExtractOperation(spark, cat, reg, steps)
+    res = op.run()
+    # closure from 2: parent 1, child 3 — full hierarchy
+    assert {r.Id for r in res["Account"].collect()} == {"1", "2", "3"}
+
+
+def test_self_lookup_trace_none(spark):
+    cat, reg = _hier_catalog(spark)
+    steps = [
+        ExtractStepPlan(
+            "Account",
+            ExtractScope.SELECTED_IDS,
+            ids=["2"],
+            self_lookup_behavior=SelfLookupBehavior.TRACE_NONE,
+        )
+    ]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    assert {r.Id for r in res["Account"].collect()} == {"2"}
+
+
+def test_outside_lookup_drop_field(spark, sf_dir):
+    steps = [
+        ExtractStepPlan("customer", ExtractScope.QUERY, where="c_custkey <= 10"),
+        ExtractStepPlan(
+            "orders",
+            ExtractScope.QUERY,
+            where="o_custkey <= 20",
+            outside_lookup_behavior={"o_custkey": OutsideLookupBehavior.DROP_FIELD},
+        ),
+    ]
+    res = run_extract(spark, sf_dir, steps)
+    rows = res["orders"].select("o_custkey").collect()
+    kept = {r.o_custkey for r in rows if r.o_custkey is not None}
+    assert kept <= set(range(0, 11))
+    assert any(r.o_custkey is None for r in rows)
+
+
+def test_outside_lookup_error(spark, sf_dir):
+    steps = [
+        ExtractStepPlan("customer", ExtractScope.QUERY, where="c_custkey <= 10"),
+        ExtractStepPlan(
+            "orders",
+            ExtractScope.QUERY,
+            where="o_custkey <= 20",
+            outside_lookup_behavior={"o_custkey": OutsideLookupBehavior.ERROR},
+        ),
+    ]
+    with pytest.raises(ExtractError, match="outside"):
+        run_extract(spark, sf_dir, steps)
+
+
+def test_descendent_chain_three_levels(spark, sf_dir):
+    steps = [
+        ExtractStepPlan("customer", ExtractScope.QUERY, where="c_custkey <= 25"),
+        ExtractStepPlan("orders", ExtractScope.DESCENDENTS),
+        ExtractStepPlan("lineitem", ExtractScope.DESCENDENTS),
+    ]
+    res = run_extract(spark, sf_dir, steps)
+    cat = tpch_catalog(spark, sf_dir)
+    expected = (
+        cat["lineitem"]
+        .join(
+            cat["orders"].filter("o_custkey <= 25"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert res["lineitem"].count() == expected > 0

@@ -1,0 +1,144 @@
+"""Load-engine semantics: two-phase insert/dependent plan, ID-map
+rewrite, resume filter, transforms, primitivize — mirroring the
+reference's test_LoadStep.py behavior assertions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amaxa_spark.metadata import SchemaRegistry, TableMeta
+from amaxa_spark.operators.load import LoadOperation, synthesize_new_id
+from amaxa_spark.plans.plan import LoadStepPlan, OutsideLookupBehavior
+
+
+def sf_registry():
+    return SchemaRegistry(
+        [
+            TableMeta(
+                "Account",
+                lookups={"ParentId": ["Account"]},
+                types={"Name": "string", "IsDeleted": "boolean"},
+            ),
+            TableMeta("Contact", lookups={"AccountId": ["Account"]}),
+        ]
+    )
+
+
+def new_id(table, old):
+    import hashlib
+
+    return hashlib.sha256(f"{table}:{old}".encode()).hexdigest()[:18].upper()
+
+
+def test_insert_rewrites_descendent_fk(spark):
+    accounts = spark.createDataFrame(
+        [("A1", "HQ", None, "no"), ("A2", "Branch", "A1", "yes")],
+        "Id: string, Name: string, ParentId: string, IsDeleted: string",
+    )
+    contacts = spark.createDataFrame(
+        [("C1", "A1"), ("C2", "A2"), ("C3", None)],
+        "Id: string, AccountId: string",
+    )
+    steps = [LoadStepPlan("Account"), LoadStepPlan("Contact")]
+    res = LoadOperation(
+        spark, sf_registry(), steps, {"Account": accounts, "Contact": contacts}
+    ).run()
+
+    acc = {r.Id: r for r in res.written["Account"].collect()}
+    assert set(acc) == {new_id("Account", "A1"), new_id("Account", "A2")}
+    # dependent phase rewires self-lookup ParentId to the NEW parent id
+    a2 = acc[new_id("Account", "A2")]
+    assert a2.ParentId == new_id("Account", "A1")
+    # boolean primitivize applied
+    assert acc[new_id("Account", "A1")].IsDeleted is False
+    assert a2.IsDeleted is True
+
+    con = {r.Id: r.AccountId for r in res.written["Contact"].collect()}
+    assert con[new_id("Contact", "C1")] == new_id("Account", "A1")
+    assert con[new_id("Contact", "C3")] is None
+
+
+def test_id_map_contents(spark):
+    accounts = spark.createDataFrame([("A1", "x")], "Id: string, Name: string")
+    res = LoadOperation(
+        spark, sf_registry(), [LoadStepPlan("Account")], {"Account": accounts}
+    ).run()
+    m = {r.old_id: r.new_id for r in res.id_map["Account"].collect()}
+    assert m == {"A1": new_id("Account", "A1")}
+
+
+def test_resume_skips_mapped_records(spark):
+    accounts = spark.createDataFrame(
+        [("A1", "x"), ("A2", "y")], "Id: string, Name: string"
+    )
+    prior = spark.createDataFrame(
+        [("A1", "PRIOR_NEW_ID_000001")], "old_id: string, new_id: string"
+    )
+    res = LoadOperation(
+        spark,
+        sf_registry(),
+        [LoadStepPlan("Account")],
+        {"Account": accounts},
+        prior_id_map={"Account": prior},
+    ).run()
+    written_ids = {r.Id for r in res.written["Account"].collect()}
+    # only A2 inserted; A1 already mapped (P7)
+    assert written_ids == {new_id("Account", "A2")}
+    m = {r.old_id: r.new_id for r in res.id_map["Account"].collect()}
+    assert m["A1"] == "PRIOR_NEW_ID_000001" and "A2" in m
+
+
+def test_unmapped_fk_behaviors(spark):
+    accounts = spark.createDataFrame([("A1", "x")], "Id: string, Name: string")
+    contacts = spark.createDataFrame(
+        [("C1", "A1"), ("C2", "MISSING")], "Id: string, AccountId: string"
+    )
+
+    def run(behavior):
+        steps = [
+            LoadStepPlan("Account"),
+            LoadStepPlan("Contact", outside_lookup_behavior={"*": behavior}),
+        ]
+        return LoadOperation(
+            spark, sf_registry(), steps, {"Account": accounts, "Contact": contacts}
+        ).run()
+
+    res = run(OutsideLookupBehavior.DROP_FIELD)
+    con = {r.Id: r.AccountId for r in res.written["Contact"].collect()}
+    assert con[new_id("Contact", "C2")] is None
+
+    res = run(OutsideLookupBehavior.ERROR)
+    assert res.errors["Contact"].count() == 1
+    written = {r.Id for r in res.written["Contact"].collect()}
+    assert written == {new_id("Contact", "C1")}
+
+    res = run(OutsideLookupBehavior.INCLUDE)
+    con = {r.Id: r.AccountId for r in res.written["Contact"].collect()}
+    assert con[new_id("Contact", "C2")] == "MISSING"
+
+
+def test_transforms_and_rename_on_load(spark):
+    accounts = spark.createDataFrame(
+        [("A1", "  Hello  ")], "Id: string, account_name: string"
+    )
+    steps = [
+        LoadStepPlan(
+            "Account",
+            column_map={"account_name": "Name"},
+            transforms={"Name": ["strip", "lowercase", {"name": "suffix", "suffix": "!"}]},
+        )
+    ]
+    res = LoadOperation(
+        spark, sf_registry(), steps, {"Account": accounts}
+    ).run()
+    rows = res.written["Account"].collect()
+    assert rows[0].Name == "hello!"
+
+
+def test_state_roundtrip(spark, tmp_path):
+    from amaxa_spark.sources.state import load_state, save_state
+
+    m = spark.createDataFrame([("a", "b")], "old_id: string, new_id: string")
+    save_state(str(tmp_path / "st"), "dependents", {"Account": m})
+    stage, id_map = load_state(spark, str(tmp_path / "st"))
+    assert stage == "dependents"
+    assert [(r.old_id, r.new_id) for r in id_map["Account"].collect()] == [("a", "b")]
