@@ -39,7 +39,7 @@ def epoch_ms_to_iso(col: Column) -> Column:
     """Epoch-millis → `yyyy-MM-ddTHH:mm:ss.SSS+0000`
     (`amaxa/api.py:150-164`). Input: long millis."""
     return F.date_format(
-        F.timestamp_millis(col.cast("long")), "yyyy-MM-dd'T'HH:mm:ss.SSS+0000"
+        F.timestamp_millis(col.cast("long")), "yyyy-MM-dd'T'HH:mm:ss.SSS'+0000'"
     )
 
 

@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (the reference has only ID-set dedup, SURVEY
+§2.4 A1): exact hash dedup, word-shingle n-gram Jaccard near-dup,
+MinHash + LSH banding, and SimHash — all expressed as DataFrame
+compositions with deterministic (md5-based) hashing so results are
+reproducible across engines and runs.
+
+Scale notes:
+- exact dedup is a single hash-aggregate on the normalized key —
+  map-side partial aggregation applies, no row explosion;
+- n-gram Jaccard materializes (shingle, doc) pairs and self-joins on
+  the shingle — the classic inverted-index join. Frequency capping
+  (``max_doc_freq``) drops ubiquitous shingles before the join, which
+  is what keeps the pair blow-up bounded at 100 TB;
+- MinHash/LSH replaces the quadratic verify with banded buckets: only
+  documents sharing a band signature meet in the join, so the
+  complexity tracks the number of true near-dup clusters, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Canonical text form shared by all dedup ops: lowercase, trim,
+    collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate grouping: one representative (min id) per
+    normalized text, with the duplicate count.
+
+    Returns columns: ``<id_col>`` (representative), ``n_dups``.
+    """
+    key = normalize_text(F.col(text_col)).alias("__key")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("__key")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(id_col, "n_dups")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    # guard: sequence(1, 0) would generate a DESCENDING sequence
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {n}))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(id_col, F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted-index
+    self-join. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard rounded to 6 decimals.
+
+    ``max_doc_freq`` drops shingles occurring in more than that many
+    documents before pairing (stop-shingle capping — the standard
+    guard against quadratic blow-up on very common shingles).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            freq.where(F.col("__df") <= max_doc_freq).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size").alias("__sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures with deterministic md5-seeded hash family:
+    ``h_i(doc) = min(md5(i || shingle))``. Returns (id, mh_0..mh_{k-1}).
+    Deterministic across engines (md5 is md5 everywhere), unlike
+    engine-native ``xxhash64``."""
+    sh = word_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs: documents sharing any
+    band signature. ``verify_threshold`` optionally verifies candidates
+    with exact n-gram Jaccard (the scale path: cheap banded candidate
+    generation, exact verify only on candidates).
+
+    Returns (id_a, id_b) or (id_a, id_b, jaccard) when verifying.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    buckets = banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b_ = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(b_, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return cand.join(exact, ["id_a", "id_b"]).where(
+        F.col("jaccard") >= verify_threshold
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 56) -> DataFrame:
+    """SimHash fingerprints: per-token md5 → ``bits``-bit integer; each
+    bit position votes +1/−1 weighted by token frequency; the sign
+    pattern is the fingerprint. Deterministic (md5-based, not
+    engine-native hashing). Returns (id, simhash: bigint).
+
+    56 bits keeps the md5-hex→bigint conversion inside signed-64
+    range on every engine.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    tok = df.select(F.col(id_col), F.explode(words).alias("__tok"))
+    counted = tok.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__n"))
+    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 14), 16, 10).cast("long")
+    counted = counted.withColumn("__h", h)
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("__b")
+    votes = (
+        counted.select(id_col, "__n", "__h", bit)
+        .withColumn(
+            "__vote",
+            F.when(F.expr("shiftright(__h, __b) & 1") == 1, F.col("__n")).otherwise(
+                -F.col("__n")
+            ),
+        )
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__vote").alias("__v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("__v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), __b)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface: approximate-nearest-neighbor over the
+``embeddings`` table. Two paths:
+
+- :func:`cosine_topk` — exact brute-force top-k for a (small) query
+  set: broadcast the queries, JVM-side ``zip_with``/``aggregate`` dot
+  products (no Python in the hot path), window top-k per query. The
+  correctness baseline.
+- :func:`lsh_cosine_topk` — the scale path: random-hyperplane (sign)
+  LSH with deterministic md5-derived hyperplanes; candidates share a
+  code bucket with the query (multi-probe across bands), then exact
+  re-rank inside the bucket. At 100 TB the bucket join replaces the
+  full cross product; recall is tunable by bands × bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    Returns (query_id, neighbor_id, sim) with sim rounded to 6
+    decimals; ties broken by neighbor id (deterministic).
+    """
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vecd.alias("__v"))
+    q = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv")
+    )
+    pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    sim = _dot(F.col("__qv"), F.col("__v")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__v"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(sim, 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components derived from
+    md5 — reproducible across runs and engines, no RNG state."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{plane_idx}:{d}".encode()).hexdigest()
+        # map 8 hex chars to [-1, 1)
+        comps.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+    return comps
+
+
+def lsh_code(vec_col, dim: int, bits: int, band: int):
+    """Sign-LSH code: one bit per hyperplane, concatenated to a
+    string bucket key."""
+    bit_cols = []
+    for b in range(bits):
+        plane = _hyperplane(dim, band * bits + b)
+        dot = None
+        for d, w in enumerate(plane):
+            term = F.element_at(vec_col, d + 1).cast("double") * F.lit(w)
+            dot = term if dot is None else dot + term
+        bit_cols.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(F.lit(f"{band}:"), *bit_cols)
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 8,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: sign-LSH banding for candidates, exact cosine
+    re-rank within buckets. Same output shape as :func:`cosine_topk`
+    (a candidate set miss can yield <k rows per query — that is the
+    approximation)."""
+    codes = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(*[lsh_code(F.col(vec_col), dim, bits, b) for b in range(bands)])
+        ).alias("bucket"),
+    )
+    q = codes.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv_raw"),
+        "bucket",
+    )
+    cand = (
+        codes.join(F.broadcast(q), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__qv_raw"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__nv_raw"),
+        )
+        .distinct()
+    )
+    qv = F.transform(F.col("__qv_raw"), lambda x: x.cast("double"))
+    nv = F.transform(F.col("__nv_raw"), lambda x: x.cast("double"))
+    sim = _dot(qv, nv) / (_norm(qv) * _norm(nv))
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(sim, 6).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

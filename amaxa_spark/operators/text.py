@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface over the ``documents`` table: language ID
+(stopword-hit heuristic), quality scoring (length / alpha / stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. Everything is a native Column expression — JVM-side,
+codegen-friendly, no Python UDFs — and deliberately restricted to
+constructs with identical semantics in ANSI SQL so a DuckDB oracle can
+replay each operator exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists for the heuristic language model
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "ein", "zu", "nicht"]
+FR_STOPWORDS = ["le", "la", "les", "et", "est", "un", "une", "dans"]
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space marks
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _norm(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: count tokens hitting each language's
+    stopword list; argmax with ties broken en > de > fr; 'und'
+    (undetermined) when nothing hits."""
+    base = df.select(F.col(id_col), F.split(_norm(F.col(text_col)), " ").alias("__t"))
+    hits = {
+        lang: F.expr(f"size(filter(__t, t -> t in ({_sql_list(words)})))")
+        for lang, words in (
+            ("en", EN_STOPWORDS),
+            ("de", DE_STOPWORDS),
+            ("fr", FR_STOPWORDS),
+        )
+    }
+    en, de, fr = hits["en"], hits["de"], hits["fr"]
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return base.select(
+        F.col(id_col),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting: raw char length, whitespace-token count, and a
+    BPE-ish subword count (regex token runs)."""
+    norm = _norm(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col).alias("__raw"), norm.alias("__n"))
+    ws_tokens = F.when(F.length("__n") == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.col("__n"), " "))
+    )
+    subwords = F.size(F.regexp_extract_all(F.col("__n"), F.lit(TOKEN_RE), 0))
+    return base.select(
+        F.col(id_col),
+        F.length("__raw").alias("n_chars_raw"),
+        ws_tokens.alias("ws_tokens"),
+        subwords.alias("subword_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality signals + composite score in [0, 1]: length band,
+    alphabetic-character ratio, stopword ratio (too few = keyword
+    soup), mean word length sanity."""
+    base = df.select(
+        F.col(id_col),
+        _norm(F.col(text_col)).alias("__n"),
+    ).withColumn("__t", F.split(F.col("__n"), " "))
+    n_chars = F.length("__n")
+    n_words = F.when(n_chars == 0, F.lit(0)).otherwise(F.size("__t"))
+    alpha_chars = F.length(F.regexp_replace(F.col("__n"), "[^a-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    stop_hits = F.expr(f"size(filter(__t, t -> t in ({_sql_list(EN_STOPWORDS)})))")
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0, alpha_chars / n_words).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 5000), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    wlen_ok = F.when((mean_wlen >= 2) & (mean_wlen <= 12), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    score = F.round(
+        (
+            len_ok
+            + wlen_ok
+            + alpha_ratio
+            + F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        )
+        / F.lit(4.0),
+        6,
+    )
+    return base.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_norm"),
+        n_words.alias("n_words"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact-dup key)
+    plus the minimum word-bigram md5 (a 1-hash MinHash — cheap
+    near-dup prefilter)."""
+    base = df.select(
+        F.col(id_col), _norm(F.col(text_col)).alias("__n")
+    ).withColumn("__w", F.split(F.col("__n"), " "))
+    bigrams = F.expr(
+        "CASE WHEN size(__w) >= 2 THEN "
+        "transform(sequence(1, size(__w) - 1), i -> concat_ws(' ', slice(__w, i, 2))) "
+        "ELSE array() END"
+    )
+    return base.select(
+        F.col(id_col),
+        F.md5(F.col("__n")).alias("md5_fp"),
+        F.array_min(F.transform(bigrams, lambda g: F.md5(g))).alias(
+            "min_bigram_hash"
+        ),
+    )

@@ -26,6 +26,10 @@ def get_spark(app_name: str = "amaxa_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver's events table stores TIMESTAMP(NANOS); read the
+        # raw int64 and convert explicitly (timestamp_micros) instead
+        # of failing the scan
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("AMAXA_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -69,4 +69,13 @@ def tpch_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
             "l_lineid", F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")
         ),
     )
+    # events.ts is parquet TIMESTAMP(NANOS) — read as int64 nanos
+    # (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a real
+    # timestamp at µs precision, matching engines that truncate ns→µs
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    cat.register("events", ev)
     return cat
