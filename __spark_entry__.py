@@ -25,8 +25,10 @@ from amaxa_spark.metadata import SchemaRegistry, TableMeta
 from amaxa_spark.operators import dedup as D
 from amaxa_spark.operators import similarity as SIM
 from amaxa_spark.operators import text as TXT
+from amaxa_spark.operators import multimodal as MM
 from amaxa_spark.operators.extract import ExtractOperation
-from amaxa_spark.operators.load import synthesize_new_id
+from amaxa_spark.operators.load import LoadOperation, synthesize_new_id
+from amaxa_spark.plans.plan import LoadStepPlan
 from amaxa_spark.plans.plan import ExtractScope, ExtractStepPlan
 from amaxa_spark.tpch import tpch_catalog, tpch_registry
 
@@ -281,9 +283,70 @@ def q_dedup_idset(spark, sf_dir):
     )
 
 
+def q_load_roundtrip(spark, sf_dir):
+    """S10+J4: full insert-phase load — new-ID synthesis plus
+    descendent-FK rewrite through the ID map (engine LoadOperation)."""
+    reg = SchemaRegistry(
+        [
+            TableMeta("customer", pk="c_custkey"),
+            TableMeta("orders", pk="o_orderkey", lookups={"o_custkey": ["customer"]}),
+        ]
+    )
+    inputs = {
+        "customer": _read(spark, sf_dir, "customer"),
+        "orders": _read(spark, sf_dir, "orders"),
+    }
+    steps = [
+        LoadStepPlan("customer", fields=["c_name"]),
+        LoadStepPlan("orders", fields=["o_custkey", "o_totalprice"]),
+    ]
+    res = LoadOperation(spark, reg, steps, inputs).run()
+    return res.written["orders"].select(
+        F.col("o_orderkey").alias("new_orderkey"),
+        F.col("o_custkey").alias("new_custkey"),
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+    )
+
+
+def q_load_two_phase(spark, sf_dir):
+    """Two-phase cyclic-FK load: self-lookup column is dropped for the
+    insert pass and merged back via the dependent-update pass
+    (engine LoadOperation, stage DEPENDENTS)."""
+    hier = _customer_hier(spark, sf_dir)
+    reg = SchemaRegistry(
+        [
+            TableMeta(
+                "customer_hier",
+                pk="c_custkey",
+                lookups={"c_parent": ["customer_hier"]},
+            )
+        ]
+    )
+    res = LoadOperation(
+        spark,
+        reg,
+        [LoadStepPlan("customer_hier")],
+        {"customer_hier": hier},
+    ).run()
+    return res.written["customer_hier"].select(
+        F.col("c_custkey").alias("new_id"),
+        "c_name",
+        F.col("c_parent").alias("new_parent"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # beyond-reference: training-data pipeline operators
 # ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas
+    (Arrow-batched) metadata extraction with a deterministic fake
+    decoder."""
+    docs = _read(spark, sf_dir, "documents")
+    with_payload = MM.synthesize_payload(docs, "text")
+    return MM.extract_image_meta(with_payload, "payload", "doc_id")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -414,6 +477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_ms_iso": q_epoch_ms_iso,
         "set_union_subtract": q_set_union_subtract,
         "dedup_idset": q_dedup_idset,
+        "load_roundtrip": q_load_roundtrip,
+        "load_two_phase": q_load_two_phase,
+        "multimodal_meta": q_multimodal_meta,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -512,6 +578,28 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey = 5"
         ),
         "dedup_idset": "SELECT DISTINCT o_custkey AS custkey FROM orders",
+        "load_roundtrip": (
+            "SELECT upper(substr(sha256('orders:' || CAST(o_orderkey AS VARCHAR)), 1, 18)) AS new_orderkey, "
+            "CASE WHEN c_custkey IS NOT NULL "
+            "THEN upper(substr(sha256('customer:' || CAST(o_custkey AS VARCHAR)), 1, 18)) "
+            "ELSE CAST(o_custkey AS VARCHAR) END AS new_custkey, "
+            "round(o_totalprice, 4) AS o_totalprice "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
+        ),
+        "load_two_phase": (
+            "SELECT upper(substr(sha256('customer_hier:' || CAST(c_custkey AS VARCHAR)), 1, 18)) AS new_id, "
+            "c_name, "
+            "CASE WHEN c_custkey >= 8 THEN "
+            "upper(substr(sha256('customer_hier:' || CAST(c_custkey // 2 AS VARCHAR)), 1, 18)) "
+            "END AS new_parent FROM customer"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, TRUE AS valid, "
+            "CAST(8 + octet_length(encode(text)) AS INTEGER) AS n_bytes, "
+            "CAST((8 + octet_length(encode(text))) % 640 + 1 AS INTEGER) AS width, "
+            "CAST(((8 + octet_length(encode(text))) * 7) % 480 + 1 AS INTEGER) AS height, "
+            "'fake/v1' AS fmt FROM documents"
+        ),
         "dedup_exact": (
             f"SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM "
             f"(SELECT doc_id, {_NORM_TEXT} AS k FROM documents) GROUP BY k"

@@ -1,0 +1,158 @@
+"""Beyond-reference operators: dedup, similarity, text, multimodal,
+streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amaxa_spark.operators import dedup as D
+from amaxa_spark.operators import multimodal as MM
+from amaxa_spark.operators import similarity as SIM
+from amaxa_spark.tpch import tpch_catalog
+
+
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.n_dups for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    # 1 and 2 normalize to the same key -> representative is min id
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "z y x w v u")],
+        "doc_id: long, text: string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_subset_of_exact(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(d, "text", "doc_id", n=4, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            d, "text", "doc_id", n=4, num_hashes=8, bands=8, verify_threshold=0.3
+        ).collect()
+    }
+    assert lsh <= exact
+    # near-exact recall expected at this corpus's similarity level
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated content here")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.simhash for r in D.simhash(df, "text", "doc_id").collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.cosine_topk(emb, query_ids=[0], k=3).collect()
+    assert len(out) == 3
+    assert all(r.neighbor_id != 0 for r in out)
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_candidates_subset(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = SIM.cosine_topk(emb, query_ids=[0, 1], k=5)
+    approx = SIM.lsh_cosine_topk(emb, query_ids=[0, 1], k=5, dim=64, bits=6, bands=8)
+    # ANN returns <=k ranked rows per query with sims bounded by exact top-1
+    e1 = {r.query_id: r.sim for r in exact.where("rank = 1").collect()}
+    for r in approx.where("rank = 1").collect():
+        assert r.sim <= e1[r.query_id] + 1e-9
+
+
+def test_multimodal_payload_roundtrip(spark, sf_dir):
+    d = docs(spark, sf_dir).limit(50)
+    payloads = MM.synthesize_payload(d, "text")
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    meta = MM.extract_image_meta(payloads, "payload", "doc_id")
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(r.valid for r in rows)
+    assert all(r.n_bytes > 8 for r in rows)
+    assert all(1 <= r.width <= 640 and 1 <= r.height <= 480 for r in rows)
+
+
+def test_multimodal_invalid_payload(spark):
+    df = spark.createDataFrame([(1, bytearray(b"NOTMAGIC"))], "doc_id: long, payload: binary")
+    row = MM.extract_image_meta(df, "payload", "doc_id").collect()[0]
+    assert row.valid is False and row.fmt is None
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(b"x")
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    from amaxa_spark.streaming.incremental import (
+        read_event_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    ev = tpch_catalog(spark, sf_dir)["events"]
+    src = str(tmp_path / "events_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    # complete mode: append would hold back windows the watermark has
+    # not yet closed (the stream ends, so the last windows never emit)
+    run_to_memory(windowed_event_counts(stream), "win_out", output_mode="complete")
+    got = {
+        (r.hour_epoch, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    expected = {
+        (r.hour_epoch, r.event_type): (r.n, r.total_value)
+        for r in ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_sessionize_runs(spark, sf_dir, tmp_path):
+    from amaxa_spark.streaming.incremental import (
+        read_event_stream,
+        run_to_memory,
+        streaming_sessionize,
+    )
+
+    ev = tpch_catalog(spark, sf_dir)["events"]
+    src = str(tmp_path / "events_src2")
+    ev.write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src)
+    run_to_memory(streaming_sessionize(stream), "sess_out")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)
