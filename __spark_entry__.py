@@ -340,6 +340,37 @@ def q_load_two_phase(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_sfid_normalize(spark, sf_dir):
+    """F9: 15→18 Salesforce-ID canonicalization (pure expression
+    chain, no UDF) over deterministically-derived mixed-case IDs."""
+    from amaxa_spark.ids import normalize_sfid_col
+
+    cust = _read(spark, sf_dir, "customer")
+    md5 = F.md5(F.col("c_custkey").cast("string"))
+    id15 = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(F.upper(F.substring(md5, 1, 5)), F.substring(md5, 6, 10)),
+    ).otherwise(F.substring(md5, 1, 15))
+    base = cust.select("c_custkey", id15.alias("id15"))
+    return base.select(
+        "c_custkey", "id15", normalize_sfid_col(F.col("id15")).alias("id18")
+    )
+
+
+def _sfid_suffix_sql(col: str) -> str:
+    """DuckDB expression implementing the 15→18 checksum."""
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345"
+    chunks = []
+    for c in range(3):
+        bits = " + ".join(
+            f"(CASE WHEN substr({col}, {c * 5 + i + 1}, 1) BETWEEN 'A' AND 'Z' "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(5)
+        )
+        chunks.append(f"substr('{alpha}', ({bits}) + 1, 1)")
+    return " || ".join(chunks)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → mapInPandas
     (Arrow-batched) metadata extraction with a deterministic fake
@@ -479,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_idset": q_dedup_idset,
         "load_roundtrip": q_load_roundtrip,
         "load_two_phase": q_load_two_phase,
+        "sfid_normalize": q_sfid_normalize,
         "multimodal_meta": q_multimodal_meta,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -592,6 +624,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN c_custkey >= 8 THEN "
             "upper(substr(sha256('customer_hier:' || CAST(c_custkey // 2 AS VARCHAR)), 1, 18)) "
             "END AS new_parent FROM customer"
+        ),
+        "sfid_normalize": (
+            "SELECT c_custkey, id15, id15 || " + _sfid_suffix_sql("id15") + " AS id18 "
+            "FROM (SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 "
+            "THEN upper(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 5)) || substr(md5(CAST(c_custkey AS VARCHAR)), 6, 10) "
+            "ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) END AS id15 FROM customer)"
         ),
         "multimodal_meta": (
             "SELECT doc_id, TRUE AS valid, "

@@ -1,0 +1,104 @@
+"""CLI — the engine's counterpart of the reference's console entry
+(`/root/reference/amaxa/__main__.py:17-47`).
+
+The "org" is a directory of Spark-readable tables plus a registry
+JSON; credentials do not apply. Usage:
+
+    python -m amaxa_spark extract op.yml --data-dir DIR --registry reg.json --out OUT
+    python -m amaxa_spark load    op.yml --data-dir DIR --registry reg.json --out OUT \
+        [--state STATE_DIR] [--save-state STATE_DIR]
+
+Registry JSON shape (describe-style, SURVEY §1.2):
+    {"tables": [{"name": ..., "pk": ..., "lookups": {col: [targets]},
+                 "types": {col: type}, "key_prefix": ...}]}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+from pyspark.sql import functions as F
+
+from amaxa_spark.config.loader import load_extract_config, load_load_config
+from amaxa_spark.metadata import SchemaRegistry, TableMeta
+from amaxa_spark.operators.extract import ExtractOperation
+from amaxa_spark.operators.load import LoadOperation
+from amaxa_spark.session import get_spark
+from amaxa_spark.sources.catalog import TableCatalog, write_extract_csv, write_result_csv
+from amaxa_spark.sources.state import load_state, save_state
+
+
+def load_registry(path: str) -> SchemaRegistry:
+    with open(path) as f:
+        doc = json.load(f)
+    return SchemaRegistry(
+        [
+            TableMeta(
+                name=t["name"],
+                pk=t.get("pk", "Id"),
+                lookups=t.get("lookups", {}),
+                types=t.get("types", {}),
+                key_prefix=t.get("key_prefix"),
+            )
+            for t in doc["tables"]
+        ]
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="amaxa_spark")
+    p.add_argument("mode", choices=["extract", "load"])
+    p.add_argument("operation", help="operation YAML/JSON file")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--registry", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    p.add_argument("--state", help="resume from this state directory")
+    p.add_argument("--save-state", help="write state here on failure/success")
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
+    spark = get_spark("amaxa_spark_cli")
+    registry = load_registry(args.registry)
+    catalog = TableCatalog(spark, args.data_dir, fmt=args.format)
+
+    if args.mode == "extract":
+        steps = load_extract_config(args.operation)
+        results = ExtractOperation(spark, catalog, registry, steps).run()
+        for table, df in results.items():
+            pk = registry[table].pk
+            write_extract_csv(df, f"{args.out}/{table}.csv", pk=pk)
+            print(f"extracted {table}: {df.count()} records")
+        return 0
+
+    steps = load_load_config(args.operation)
+    prior, stage = None, "inserts"
+    if args.state:
+        stage, prior = load_state(spark, args.state)
+    op = LoadOperation(
+        spark, registry, steps, catalog, prior_id_map=prior, start_stage=stage
+    )
+    try:
+        res = op.run()
+    except Exception:
+        if args.save_state:
+            save_state(args.save_state, "inserts", op.result.id_map)
+            print(f"state saved to {args.save_state}", file=sys.stderr)
+        raise
+    for table, df in res.written.items():
+        df.write.mode("overwrite").parquet(f"{args.out}/{table}.parquet")
+        n_err = res.errors[table].count() if table in res.errors else 0
+        print(f"loaded {table}: {df.count()} records, {n_err} errors")
+        id_map = res.id_map[table].withColumn("error", F.lit(""))
+        write_result_csv(id_map, f"{args.out}/{table}.results.csv")
+    if args.save_state:
+        save_state(args.save_state, "dependents", res.id_map)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -94,6 +94,8 @@ def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
                 table=table,
                 scope=scope,
                 fields=names,
+                field_group=entry.get("field-group"),
+                exclude_fields=list(entry.get("exclude-fields", [])),
                 where=where,
                 ids=ids,
                 self_lookup_behavior=SelfLookupBehavior(
@@ -127,6 +129,8 @@ def load_load_config(path_or_dict) -> list[LoadStepPlan]:
                 table=table,
                 input_path=entry.get("file"),
                 fields=names,
+                field_group=entry.get("field-group"),
+                exclude_fields=list(entry.get("exclude-fields", [])),
                 # load direction: column (input) -> field
                 column_map={v: k for k, v in column_map.items()},
                 transforms=transforms,

@@ -53,6 +53,36 @@ class LookupClass:
         return self.self_lookups | self.descendent_lookups | self.dependent_lookups
 
 
+# compound / binary types excluded from field-group expansion
+# (`/root/reference/amaxa/loader/extract_operation.py:96-108`,
+# `loader/core.py:243-248`, docs/limits.rst)
+EXCLUDED_FIELD_TYPES = {"address", "location", "base64"}
+
+
+def expand_field_group(
+    meta: "TableMeta", all_columns: list[str], group: str
+) -> list[str]:
+    """P2 — `readable` / `writeable` / `smart` field-group expansion.
+
+    With describe-style type metadata, compound/binary columns are
+    excluded; `writeable`/`smart` also drop system columns that are
+    not createable (here: anything flagged type `autonumber` or
+    `calculated`). Columns without type metadata are treated as plain
+    writeable scalars.
+    """
+    if group not in ("readable", "writeable", "smart"):
+        raise ValueError(f"invalid field-group {group!r}")
+    out = []
+    for c in all_columns:
+        t = (meta.types or {}).get(c, "").lower()
+        if t in EXCLUDED_FIELD_TYPES:
+            continue
+        if group in ("writeable", "smart") and t in ("autonumber", "calculated"):
+            continue
+        out.append(c)
+    return out
+
+
 class SchemaRegistry:
     """Catalog of TableMeta; answers classification queries."""
 

@@ -290,10 +290,20 @@ class ExtractOperation:
         final: dict[str, DataFrame] = {}
         for step in self.steps:
             rows = self._apply_outside_behavior(step, self.results[step.table])
-            if step.fields is not None:
-                pk = self.registry[step.table].pk
-                cols = list(dict.fromkeys([pk, *step.fields]))  # Id always kept (P1)
+            pk = self.registry[step.table].pk
+            fields = step.fields
+            if fields is None and step.field_group is not None:
+                from amaxa_spark.metadata import expand_field_group
+
+                fields = expand_field_group(
+                    self.registry[step.table], rows.columns, step.field_group
+                )
+            if fields is not None:
+                fields = [c for c in fields if c not in set(step.exclude_fields)]
+                cols = list(dict.fromkeys([pk, *fields]))  # Id always kept (P1)
                 rows = rows.select(*cols)
+            elif step.exclude_fields:
+                rows = rows.drop(*[c for c in step.exclude_fields if c != pk])
             final[step.table] = rows
         self.results = final
         return final

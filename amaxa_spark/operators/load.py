@@ -95,13 +95,24 @@ class LoadOperation:
             df = rename_columns(df, step.column_map)
         if step.transforms:
             df = apply_transforms(df, step.transforms)
-        if step.fields is not None:
+        fields = step.fields
+        if fields is None and step.field_group is not None:
+            from amaxa_spark.metadata import expand_field_group
+
+            fields = expand_field_group(
+                self.registry[step.table], df.columns, step.field_group
+            )
+        if fields is not None:
+            fields = [c for c in fields if c not in set(step.exclude_fields)]
             pk = self.registry[step.table].pk
-            cols = list(dict.fromkeys([pk, *step.fields]))
+            cols = list(dict.fromkeys([pk, *fields]))
             missing = [c for c in cols if c not in df.columns]
             if missing and step.input_validation == "strict":
                 raise LoadError(f"{step.table}: missing input columns {missing}")
             df = df.select(*[c for c in cols if c in df.columns])
+        elif step.exclude_fields:
+            pk = self.registry[step.table].pk
+            df = df.drop(*[c for c in step.exclude_fields if c != pk])
         return df
 
     def _map_for(self, table: str) -> DataFrame | None:

@@ -47,6 +47,8 @@ class ExtractStepPlan:
     table: str
     scope: ExtractScope
     fields: list[str] | None = None  # None = all columns
+    field_group: str | None = None  # readable | writeable | smart (P2)
+    exclude_fields: list[str] = field(default_factory=list)  # P3
     where: str | None = None  # SQL predicate text (scope=QUERY)
     ids: list | None = None  # explicit PK values (scope=SELECTED_IDS)
     self_lookup_behavior: SelfLookupBehavior = SelfLookupBehavior.TRACE_ALL
@@ -71,6 +73,8 @@ class LoadStepPlan:
     table: str
     input_path: str | None = None  # CSV input; None = catalog table
     fields: list[str] | None = None
+    field_group: str | None = None  # readable | writeable | smart (P2)
+    exclude_fields: list[str] = field(default_factory=list)  # P3
     column_map: dict[str, str] = field(default_factory=dict)  # column->field
     transforms: dict[str, list] = field(default_factory=dict)
     outside_lookup_behavior: dict[str, OutsideLookupBehavior] = field(

@@ -1,0 +1,102 @@
+"""CLI wiring + field-group/exclude-fields expansion — mirrors the
+reference's test_cli.py surface at the file level."""
+
+import json
+
+import yaml
+
+from amaxa_spark.__main__ import load_registry, main
+from amaxa_spark.metadata import TableMeta, expand_field_group
+
+
+def test_expand_field_group_excludes_compound():
+    meta = TableMeta(
+        "Account",
+        types={
+            "Name": "string",
+            "BillingAddress": "address",
+            "Photo": "base64",
+            "Serial": "autonumber",
+        },
+    )
+    cols = ["Id", "Name", "BillingAddress", "Photo", "Serial"]
+    assert expand_field_group(meta, cols, "readable") == ["Id", "Name", "Serial"]
+    assert expand_field_group(meta, cols, "writeable") == ["Id", "Name"]
+
+
+def test_cli_extract_end_to_end(spark, sf_dir, tmp_path):
+    reg = {
+        "tables": [
+            {"name": "customer", "pk": "c_custkey", "lookups": {}},
+            {
+                "name": "orders",
+                "pk": "o_orderkey",
+                "lookups": {"o_custkey": ["customer"]},
+            },
+        ]
+    }
+    reg_path = tmp_path / "registry.json"
+    reg_path.write_text(json.dumps(reg))
+    op = {
+        "version": 2,
+        "operation": [
+            {
+                "table": "customer",
+                "extract": {"query": "c_mktsegment = 'BUILDING'"},
+            },
+            {
+                "table": "orders",
+                "extract": {"descendents": True},
+                "exclude-fields": ["o_orderpriority"],
+            },
+        ],
+    }
+    op_path = tmp_path / "op.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "extract",
+            str(op_path),
+            "--data-dir",
+            sf_dir,
+            "--registry",
+            str(reg_path),
+            "--out",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    cust = spark.read.option("header", True).csv(str(out / "customer.csv"))
+    orders = spark.read.option("header", True).csv(str(out / "orders.csv"))
+    assert cust.count() > 0 and orders.count() > 0
+    assert "o_orderpriority" not in orders.columns
+    # header order: pk first, then alphabetical
+    assert orders.columns[0] == "o_orderkey"
+    assert orders.columns[1:] == sorted(orders.columns[1:])
+    # referential closure
+    dangling = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).count()
+    assert dangling == 0
+
+
+def test_registry_loader(tmp_path):
+    reg_path = tmp_path / "r.json"
+    reg_path.write_text(
+        json.dumps(
+            {
+                "tables": [
+                    {
+                        "name": "Task",
+                        "pk": "Id",
+                        "lookups": {"WhoId": ["Contact", "Lead"]},
+                        "key_prefix": "00T",
+                    }
+                ]
+            }
+        )
+    )
+    reg = load_registry(str(reg_path))
+    assert reg["Task"].key_prefix == "00T"
+    assert reg.prefix_map == {"00T": "Task"}
