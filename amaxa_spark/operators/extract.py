@@ -178,26 +178,42 @@ class ExtractOperation:
         t = self.catalog[step.table]
         pk = self.registry[step.table].pk
         self_cols = sorted(cls.self_lookups)
+        # count-based fixpoint, one localCheckpoint + one count per
+        # round on a narrow ID frame (the count is nearly free on the
+        # checkpointed data); mirrors the reference's termination rule
+        # (`amaxa/amaxa.py:713-726`) without its per-record refetches
         known = ids.localCheckpoint(eager=True)
+        n_known = known.count()
+        # existing-PK set computed once, not per hop
+        all_pks = _id_frame(t, pk).localCheckpoint(eager=True)
+
+        def expand(cur: DataFrame) -> DataFrame:
+            rows_cur = t.join(cur, t[pk] == cur[_ID], "left_semi")
+            branches = [cur]
+            for c in self_cols:
+                # descendent direction: children whose self-FK is known
+                branches.append(
+                    _id_frame(t.join(cur, t[c] == cur[_ID], "left_semi"), pk)
+                )
+                # dependent direction: parents referenced by known rows
+                # — kept only if they exist in the table
+                branches.append(
+                    _id_frame(rows_cur, c).join(all_pks, _ID, "left_semi")
+                )
+            return _union_ids(branches)
+
+        # two expansion hops per materialization round: halves the
+        # number of checkpoint+count synchronization barriers for deep
+        # hierarchies at the cost of a ~3x wider lazy plan per round
+        # (each hop re-references the checkpointed frontier, so no
+        # recomputation of prior rounds occurs)
         while True:
-            rows_known = t.join(known, t[pk] == known[_ID], "left_semi")
-            # descendent direction: children whose self-FK is known
-            child_branches = [
-                _id_frame(t.join(known, t[c] == known[_ID], "left_semi"), pk)
-                for c in self_cols
-            ]
-            # dependent direction: parents referenced by known rows
-            parent_branches = [_id_frame(rows_known, c) for c in self_cols]
-            frontier = (
-                _union_ids(child_branches + parent_branches)
-                .join(known, _ID, "left_anti")
-                # parents must actually exist in the table
-                .join(_id_frame(t, pk), _ID, "left_semi")
-                .localCheckpoint(eager=True)
-            )
-            if frontier.isEmpty():
-                return known
-            known = known.unionByName(frontier).distinct().localCheckpoint(eager=True)
+            cur = expand(expand(known))
+            new_known = cur.distinct().localCheckpoint(eager=True)
+            n_new = new_known.count()
+            if n_new == n_known:
+                return new_known
+            known, n_known = new_known, n_new
 
     # ---- dependent-lookup registration (J4 prep, J5 routing) ---------
 
