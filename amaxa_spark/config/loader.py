@@ -11,6 +11,8 @@ happens in the operators against the live DataFrame schema.
 
 from __future__ import annotations
 
+import importlib
+import importlib.util
 import json
 import os
 
@@ -42,6 +44,24 @@ def _read(path_or_dict) -> dict:
         return yaml.safe_load(f)
 
 
+def load_plugin_modules(doc: dict) -> None:
+    """F11 — the reference's `plugin-modules` hook
+    (`/root/reference/amaxa/loader/schemas.py:37-43,377-380`): each
+    named module (dotted name or file path) is imported; modules
+    register transforms by calling
+    ``amaxa_spark.functions.transforms.register_transform`` at import
+    time (the Spark analogue of TransformProvider subclassing)."""
+    for mod in doc.get("plugin-modules", []) or []:
+        if os.path.sep in mod or mod.endswith(".py"):
+            spec = importlib.util.spec_from_file_location(
+                os.path.splitext(os.path.basename(mod))[0], mod
+            )
+            module = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(module)
+        else:
+            importlib.import_module(mod)
+
+
 def _field_spec(entry: dict) -> tuple[list[str] | None, dict, dict]:
     """fields list → (names, column_map, transforms)."""
     fields = entry.get("fields")
@@ -67,6 +87,7 @@ def _field_spec(entry: dict) -> tuple[list[str] | None, dict, dict]:
 
 def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
     doc = _read(path_or_dict)
+    load_plugin_modules(doc)
     errors = validate_operation(doc, "extract")
     if errors:
         raise ConfigError(errors)
@@ -111,6 +132,7 @@ def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
 
 def load_load_config(path_or_dict) -> list[LoadStepPlan]:
     doc = _read(path_or_dict)
+    load_plugin_modules(doc)
     errors = validate_operation(doc, "load")
     if errors:
         raise ConfigError(errors)

@@ -286,7 +286,32 @@ class ExtractOperation:
 
     # ---- execution ---------------------------------------------------
 
+    def _validate(self) -> None:
+        """Field/table existence validation against the live schema —
+        the engine's version of the reference's post-load validation
+        stage (`loader/core.py:199-248`); all errors reported at once."""
+        errors = []
+        for step in self.steps:
+            if step.table not in self.registry:
+                errors.append(f"{step.table}: unknown table (not in registry)")
+                continue
+            cols = set(self.catalog[step.table].columns)
+            pk = self.registry[step.table].pk
+            if pk not in cols:
+                errors.append(f"{step.table}: primary key {pk!r} not in table")
+            for f in step.fields or []:
+                if f not in cols:
+                    errors.append(f"{step.table}: field {f!r} does not exist")
+            for f in step.exclude_fields:
+                if f not in cols:
+                    errors.append(
+                        f"{step.table}: exclude-field {f!r} does not exist"
+                    )
+        if errors:
+            raise ExtractError("; ".join(errors))
+
     def run(self) -> dict[str, DataFrame]:
+        self._validate()
         for step in self.steps:
             log.info("extract step %s scope=%s", step.table, step.scope)
             ids = self._base_ids(step)
@@ -320,6 +345,16 @@ class ExtractOperation:
                 rows = rows.select(*cols)
             elif step.exclude_fields:
                 rows = rows.drop(*[c for c in step.exclude_fields if c != pk])
+            # sink-side transforms + field→column rename, mirroring the
+            # reference's store_result (`amaxa/amaxa.py:600-613,847-861`)
+            if step.transforms:
+                from amaxa_spark.functions.transforms import apply_transforms
+
+                rows = apply_transforms(rows, step.transforms)
+            if step.column_map:
+                from amaxa_spark.functions.transforms import rename_columns
+
+                rows = rename_columns(rows, step.column_map)
             final[step.table] = rows
         self.results = final
         return final

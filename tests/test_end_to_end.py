@@ -1,0 +1,163 @@
+"""Golden round-trip + polymorphic extraction — the engine analogue of
+the reference's test_end_to_end.py and polymorphic ExtractionStep
+tests (SURVEY §5.3). Assertions are unordered row-set comparisons."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amaxa_spark.metadata import SchemaRegistry, TableMeta
+from amaxa_spark.operators.extract import ExtractOperation
+from amaxa_spark.operators.load import LoadOperation
+from amaxa_spark.plans.plan import (
+    ExtractScope,
+    ExtractStepPlan,
+    LoadStepPlan,
+)
+from amaxa_spark.sources.catalog import TableCatalog, write_extract_csv
+
+
+def sf_graph_registry():
+    return SchemaRegistry(
+        [
+            TableMeta("Account", lookups={"ParentId": ["Account"]}, key_prefix="001"),
+            TableMeta(
+                "Contact",
+                lookups={"AccountId": ["Account"], "ReportsToId": ["Contact"]},
+                key_prefix="003",
+            ),
+            TableMeta(
+                "Task",
+                lookups={"WhatId": ["Account", "Opportunity"], "WhoId": ["Contact", "Lead"]},
+                key_prefix="00T",
+            ),
+            TableMeta("Opportunity", lookups={"AccountId": ["Account"]}, key_prefix="006"),
+        ]
+    )
+
+
+def sf_graph_catalog(spark):
+    accounts = spark.createDataFrame(
+        [
+            ("001000000000001AAA", "Acme", None),
+            ("001000000000002AAA", "Acme Sub", "001000000000001AAA"),
+            ("001000000000003AAA", "Other", None),
+        ],
+        "Id: string, Name: string, ParentId: string",
+    )
+    contacts = spark.createDataFrame(
+        [
+            ("003000000000001AAA", "001000000000001AAA", None, "Ann"),
+            ("003000000000002AAA", "001000000000002AAA", "003000000000001AAA", "Bob"),
+            ("003000000000003AAA", "001000000000003AAA", None, "Cid"),
+        ],
+        "Id: string, AccountId: string, ReportsToId: string, LastName: string",
+    )
+    opps = spark.createDataFrame(
+        [("006000000000001AAA", "001000000000001AAA", "Deal")],
+        "Id: string, AccountId: string, Name: string",
+    )
+    tasks = spark.createDataFrame(
+        [
+            # WhatId polymorphic: one to Account, one to Opportunity
+            ("00T000000000001AAA", "001000000000002AAA", "003000000000002AAA", "call"),
+            ("00T000000000002AAA", "006000000000001AAA", "003000000000001AAA", "mail"),
+            # reference to an account outside the extracted set
+            ("00T000000000003AAA", "001000000000003AAA", "003000000000003AAA", "ping"),
+        ],
+        "Id: string, WhatId: string, WhoId: string, Subject: string",
+    )
+    cat = TableCatalog(spark, "/tmp/none")
+    cat.register("Account", accounts)
+    cat.register("Contact", contacts)
+    cat.register("Opportunity", opps)
+    cat.register("Task", tasks)
+    return cat
+
+
+def test_polymorphic_descendents_and_dependents(spark):
+    """Task sits between Account (earlier) and Opportunity (later):
+    WhatId is both descendent (via Account) and dependent (via
+    Opportunity) — the J5 discrimination by key prefix."""
+    cat = sf_graph_catalog(spark)
+    reg = sf_graph_registry()
+    steps = [
+        ExtractStepPlan("Account", ExtractScope.SELECTED_IDS, ids=["001000000000001AAA"]),
+        ExtractStepPlan("Task", ExtractScope.DESCENDENTS),
+        ExtractStepPlan("Opportunity", ExtractScope.DESCENDENTS),
+    ]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    # Account closure pulls the child account 002
+    accs = {r.Id for r in res["Account"].collect()}
+    assert accs == {"001000000000001AAA", "001000000000002AAA"}
+    # Tasks whose WhatId (prefix 001) is in the extracted accounts
+    tasks = {r.Id for r in res["Task"].collect()}
+    assert "00T000000000001AAA" in tasks
+    assert "00T000000000003AAA" not in tasks  # points at unextracted account
+    # Opportunity extracted two ways: as descendent of Account AND as
+    # dependent target of Task.WhatId (prefix 006)
+    opps = {r.Id for r in res["Opportunity"].collect()}
+    assert opps == {"006000000000001AAA"}
+
+
+def test_golden_roundtrip_csv(spark, tmp_path):
+    """Extract → CSV → load → compare: the reference's end-to-end
+    golden test shape. Name sets must round-trip; FKs must point at
+    the new parents' synthesized IDs."""
+    cat = sf_graph_catalog(spark)
+    reg = sf_graph_registry()
+    steps = [
+        ExtractStepPlan("Account", ExtractScope.ALL_RECORDS),
+        ExtractStepPlan("Contact", ExtractScope.DESCENDENTS),
+    ]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    for t in ("Account", "Contact"):
+        write_extract_csv(res[t], str(tmp_path / f"{t}.csv"), pk="Id", single_file=True)
+
+    inputs = {
+        t: spark.read.option("header", True).csv(str(tmp_path / f"{t}.csv"))
+        for t in ("Account", "Contact")
+    }
+    lres = LoadOperation(
+        spark, reg, [LoadStepPlan("Account"), LoadStepPlan("Contact")], inputs
+    ).run()
+
+    # unordered name-set round-trip (reference asserts on Name sets)
+    src_names = {r.Name for r in cat["Account"].collect()}
+    out_names = {r.Name for r in lres.written["Account"].collect()}
+    assert out_names == src_names
+    src_last = {r.LastName for r in cat["Contact"].collect()}
+    out_last = {r.LastName for r in lres.written["Contact"].collect()}
+    assert out_last == src_last
+
+    # FK integrity in the loaded graph: every Contact.AccountId and
+    # every Account.ParentId resolves to a loaded Account's new ID
+    new_accs = {r.Id for r in lres.written["Account"].collect()}
+    for r in lres.written["Contact"].collect():
+        assert r.AccountId in new_accs
+    for r in lres.written["Account"].collect():
+        assert r.ParentId is None or r.ParentId in new_accs
+    # self-lookup rewired through the two-phase plan
+    parents = [r.ParentId for r in lres.written["Account"].collect() if r.ParentId]
+    assert len(parents) == 1
+
+
+def test_roundtrip_with_transforms_and_rename(spark, tmp_path):
+    """Transform round-trip with column mapping — mirrors the
+    reference's transform end-to-end test (test_end_to_end.py:94-120)."""
+    cat = sf_graph_catalog(spark)
+    reg = sf_graph_registry()
+    steps = [
+        ExtractStepPlan(
+            "Account",
+            ExtractScope.ALL_RECORDS,
+            fields=["Name"],
+            column_map={"Name": "account_name"},
+            transforms={"Name": ["lowercase"]},
+        ),
+    ]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    # transforms + rename are applied by the engine at the sink
+    write_extract_csv(res["Account"], str(tmp_path / "acc.csv"), pk="Id", single_file=True)
+    back = spark.read.option("header", True).csv(str(tmp_path / "acc.csv"))
+    assert back.columns == ["Id", "account_name"]
+    assert {r.account_name for r in back.collect()} == {"acme", "acme sub", "other"}
