@@ -420,6 +420,16 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    return SIM.ivf_cosine_topk(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2],
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
 def q_text_langid(spark, sf_dir):
     return TXT.language_id(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -517,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -683,6 +694,25 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5"
+        ),
+        "ann_ivf_topk": (
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16), "
+            "simc AS (SELECT b.vec_id, c.cid, round(list_cosine_similarity(b.v, c.cv), 6) AS s "
+            "FROM base b, cent c), "
+            "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM simc) WHERE rn = 1), "
+            "probe AS (SELECT vec_id AS query_id, cid FROM (SELECT vec_id, cid, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM simc WHERE vec_id IN (0, 1, 2)) "
+            "WHERE rn <= 4), "
+            "cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id FROM probe p "
+            "JOIN assign a ON p.cid = a.cid WHERE a.vec_id != p.query_id), "
+            "scored AS (SELECT c.query_id, c.neighbor_id, "
+            "round(list_cosine_similarity(q.v, n.v), 6) AS sim FROM cand c "
+            "JOIN base q ON c.query_id = q.vec_id JOIN base n ON c.neighbor_id = n.vec_id) "
+            "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+            "WHERE rank <= 5"
         ),
         "text_langid": (
             f"SELECT doc_id, "

@@ -156,3 +156,22 @@ def test_streaming_sessionize_runs(spark, sf_dir, tmp_path):
     rows = spark.sql("SELECT * FROM sess_out").collect()
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from amaxa_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, query_ids=[0, 1, 2], k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_cosine_topk(
+            emb, query_ids=[0, 1, 2], k=5, n_centroids=16, nprobe=8
+        ).collect()
+    }
+    # probing half the cells should recover a good share of true top-k
+    assert len(ivf & exact) >= 0.4 * len(exact)
+    assert all(qid in (0, 1, 2) for qid, _ in ivf)
