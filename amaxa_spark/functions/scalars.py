@@ -43,6 +43,21 @@ def epoch_ms_to_iso(col: Column) -> Column:
     )
 
 
+def format_errors(
+    code: Column, message: Column, fields: Column | None = None
+) -> Column:
+    """F10 — error formatter: join error struct fields into one
+    message string (`amaxa/amaxa.py:515-528` joins Bulk-API error
+    structs as 'CODE: message (fields)')."""
+    base = F.concat_ws(": ", code, message)
+    if fields is None:
+        return base
+    return F.when(
+        fields.isNotNull() & (F.size(fields) > 0),
+        F.concat(base, F.lit(" ("), F.concat_ws(", ", fields), F.lit(")")),
+    ).otherwise(base)
+
+
 def primitivize(col: Column, type_name: str) -> Column:
     """Schema-driven coercion (F7). ``type_name`` comes from the
     registry's ``TableMeta.types``; unknown types → null

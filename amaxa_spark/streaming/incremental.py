@@ -81,6 +81,21 @@ def streaming_sessionize(
     )
 
 
+def incremental_extract(
+    events: DataFrame, since_epoch_ms: int | None
+) -> DataFrame:
+    """Batch incremental extract: records changed since the last
+    watermark (the engine's changed-since extension of the reference's
+    full-extract scopes). The predicate is a plain Catalyst filter, so
+    it pushes down to the parquet scan / partition pruning; callers
+    persist the new watermark as `max(ts)` of the returned slice."""
+    if since_epoch_ms is None:
+        return events
+    return events.filter(
+        F.unix_millis(F.col("ts")) > F.lit(int(since_epoch_ms))
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive the streaming query over all currently-available input
     and stop; results land in the in-memory table ``name``."""

@@ -1,0 +1,71 @@
+"""Skew utilities, error formatter, incremental extract."""
+
+from pyspark.sql import functions as F
+
+from amaxa_spark.functions.scalars import format_errors
+from amaxa_spark.operators.skew import salted_join, two_stage_agg
+from amaxa_spark.streaming.incremental import incremental_extract
+from amaxa_spark.tpch import tpch_catalog
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = {
+        (r.o_orderkey, r.c_name)
+        for r in orders.join(cust, "o_custkey").collect()
+    }
+    salted = {
+        (r.o_orderkey, r.c_name)
+        for r in salted_join(orders, cust, "o_custkey", salt_buckets=8).collect()
+    }
+    assert salted == plain
+
+
+def test_two_stage_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        (r.l_returnflag, r.cnt, round(r.s, 4))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    staged = {
+        (r.l_returnflag, r.count_l_quantity, round(r.sum_l_quantity, 4))
+        for r in two_stage_agg(li, "l_returnflag", {"l_quantity": "sum"}, 8)
+        .join(
+            two_stage_agg(li, "l_returnflag", {"l_quantity": "count"}, 8),
+            "l_returnflag",
+        )
+        .collect()
+    }
+    assert staged == plain
+
+
+def test_format_errors(spark):
+    df = spark.createDataFrame(
+        [("DUP", "duplicate value", ["Name", "Email"]), ("REQ", "missing", [])],
+        "code: string, message: string, fields: array<string>",
+    )
+    out = [
+        r.e
+        for r in df.select(
+            format_errors(F.col("code"), F.col("message"), F.col("fields")).alias("e")
+        ).collect()
+    ]
+    assert out == ["DUP: duplicate value (Name, Email)", "REQ: missing"]
+
+
+def test_incremental_extract_watermark(spark, sf_dir):
+    ev = tpch_catalog(spark, sf_dir)["events"]
+    full = incremental_extract(ev, None)
+    assert full.count() == ev.count()
+    mid = ev.agg(F.expr("percentile_approx(unix_millis(ts), 0.5)")).collect()[0][0]
+    inc = incremental_extract(ev, mid)
+    n = inc.count()
+    assert 0 < n < ev.count()
+    assert inc.agg(F.min(F.unix_millis("ts"))).collect()[0][0] > mid
