@@ -60,7 +60,16 @@ def tpch_registry() -> SchemaRegistry:
     )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make a caller-provided session safe for this catalog: ns
+    timestamps read as long (converted below) and UTC semantics for
+    time rendering. Both are runtime-settable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def tpch_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
+    ensure_session_confs(spark)
     cat = TableCatalog(spark, sf_dir, fmt="parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     cat.register(
