@@ -22,6 +22,8 @@ import sys
 
 from pyspark.sql import functions as F
 
+from amaxa_spark import constants
+
 from amaxa_spark.config.loader import load_extract_config, load_load_config
 from amaxa_spark.metadata import SchemaRegistry, TableMeta
 from amaxa_spark.operators.extract import ExtractOperation
@@ -93,7 +95,19 @@ def main(argv: list[str] | None = None) -> int:
         df.write.mode("overwrite").parquet(f"{args.out}/{table}.parquet")
         n_err = res.errors[table].count() if table in res.errors else 0
         print(f"loaded {table}: {df.count()} records, {n_err} errors")
-        id_map = res.id_map[table].withColumn("error", F.lit(""))
+        id_map = res.id_map[table].select(
+            F.col("old_id").alias(constants.ORIGINAL_ID),
+            F.col("new_id").alias(constants.NEW_ID),
+            F.lit("").alias(constants.ERROR),
+        )
+        if table in res.errors:
+            id_map = id_map.unionByName(
+                res.errors[table].select(
+                    F.col("old_id").alias(constants.ORIGINAL_ID),
+                    F.lit("").alias(constants.NEW_ID),
+                    F.col("error").alias(constants.ERROR),
+                )
+            )
         write_result_csv(id_map, f"{args.out}/{table}.results.csv")
     if args.save_state:
         save_state(args.save_state, "dependents", res.id_map)

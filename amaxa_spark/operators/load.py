@@ -106,9 +106,22 @@ class LoadOperation:
             fields = [c for c in fields if c not in set(step.exclude_fields)]
             pk = self.registry[step.table].pk
             cols = list(dict.fromkeys([pk, *fields]))
+            # input-validation modes
+            # (`amaxa/loader/load_operation.py:151-208`): none = no
+            # checks; default = warn on out-of-scope input columns
+            # (they are projected away); strict = input must cover the
+            # scope exactly — missing or unexpected columns error
             missing = [c for c in cols if c not in df.columns]
-            if missing and step.input_validation == "strict":
-                raise LoadError(f"{step.table}: missing input columns {missing}")
+            extra = [c for c in df.columns if c not in cols]
+            if step.input_validation == "strict" and (missing or extra):
+                raise LoadError(
+                    f"{step.table}: input columns do not match field scope "
+                    f"(missing {missing}, unexpected {extra})"
+                )
+            if step.input_validation == "default" and extra:
+                log.warning(
+                    "%s: ignoring out-of-scope input columns %s", step.table, extra
+                )
             df = df.select(*[c for c in cols if c in df.columns])
         elif step.exclude_fields:
             pk = self.registry[step.table].pk

@@ -39,8 +39,13 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
     "doc_fingerprint",
+    "load_roundtrip",
+    "load_two_phase",
+    "multimodal_meta",
+    "sfid_normalize",
 ]
 
 
