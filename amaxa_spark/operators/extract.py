@@ -184,16 +184,22 @@ class ExtractOperation:
         # (`amaxa/amaxa.py:713-726`) without its per-record refetches
         known = ids.localCheckpoint(eager=True)
         n_known = known.count()
-        # existing-PK set computed once, not per hop
-        all_pks = _id_frame(t, pk).localCheckpoint(eager=True)
+        # materialize the narrow edge list once — the closure then
+        # iterates over (pk, self-FK...) only, never re-touching the
+        # wide table scan (at 100 TB this is the difference between
+        # one column-pruned scan and one per round per direction)
+        edges = t.select(pk, *self_cols).localCheckpoint(eager=True)
+        all_pks = edges.select(F.col(pk).alias(_ID)).distinct()
 
         def expand(cur: DataFrame) -> DataFrame:
-            rows_cur = t.join(cur, t[pk] == cur[_ID], "left_semi")
+            rows_cur = edges.join(cur, edges[pk] == cur[_ID], "left_semi")
             branches = [cur]
             for c in self_cols:
                 # descendent direction: children whose self-FK is known
                 branches.append(
-                    _id_frame(t.join(cur, t[c] == cur[_ID], "left_semi"), pk)
+                    _id_frame(
+                        edges.join(cur, edges[c] == cur[_ID], "left_semi"), pk
+                    )
                 )
                 # dependent direction: parents referenced by known rows
                 # — kept only if they exist in the table

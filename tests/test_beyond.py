@@ -175,3 +175,43 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # probing half the cells should recover a good share of true top-k
     assert len(ivf & exact) >= 0.4 * len(exact)
     assert all(qid in (0, 1, 2) for qid, _ in ivf)
+
+
+def test_stateful_running_stats(spark, sf_dir, tmp_path):
+    from amaxa_spark.streaming.incremental import read_event_stream
+    from amaxa_spark.streaming.stateful import running_user_stats
+
+    ev = tpch_catalog(spark, sf_dir)["events"]
+    src = str(tmp_path / "events_src3")
+    ev.write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user holds the final running totals
+    import pandas as pd
+
+    got = (
+        spark.sql("SELECT * FROM stateful_out").toPandas()
+        .groupby("user_id").last()
+    )
+    expected = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    for uid in expected.index:
+        assert got.loc[uid, "n_events"] == expected.loc[uid, "n_events"]
+        assert abs(got.loc[uid, "total_value"] - expected.loc[uid, "total_value"]) < 1e-3
