@@ -481,6 +481,46 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped rollup (beyond-reference aggregation showcase).
+    Money math runs in DECIMAL so sums are exact and order-independent
+    — double sums would drift in the last bits between engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_factor = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * disc_factor).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(
+                F.sum("l_quantity") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles of order totals (sorted exact
+    percentile — identical definition to SQL quantile_cont)."""
+    orders = _read(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = orders.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(o_totalprice, {q})"), 4
+            ).alias(f"q{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    return agg
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window (hourly) event aggregation — batch equivalent
     of the streaming windowed agg."""
@@ -538,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
+        "pricing_summary": q_pricing_summary,
+        "quantiles": q_quantiles,
     }
 
 
@@ -769,6 +811,22 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_new FROM "
             "(SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
             "FROM events)) GROUP BY user_id"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc_price, "
+            "count(*) AS count_order, "
+            "round(sum(l_quantity) / count(*), 6) AS avg_qty "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "quantiles": (
+            "SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS q25, "
+            "round(quantile_cont(o_totalprice, 0.50), 4) AS q50, "
+            "round(quantile_cont(o_totalprice, 0.75), 4) AS q75, "
+            "round(quantile_cont(o_totalprice, 0.95), 4) AS q95 FROM orders"
         ),
         "events_hourly": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, "
