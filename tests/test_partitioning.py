@@ -1,0 +1,67 @@
+"""Partition pruning, bucketed co-located joins, JSON source — the
+physical-layout levers the engine relies on at scale."""
+
+from pyspark.sql import functions as F
+
+from amaxa_spark.sources.catalog import TableCatalog
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(df)
+    # the partition filter must appear as PartitionFilters, not a scan filter
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    expected = orders.filter("o_orderstatus = 'F'").count()
+    assert df.count() == expected
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf; managed tables land in the
+    # default spark-warehouse and are dropped (with data) at the end
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_b")
+    cust.withColumnRenamed("c_custkey", "o_custkey").write.bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").mode("overwrite").saveAsTable("cust_b")
+
+    # disable broadcast so the join strategy decision is about shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(spark.table("cust_b"), "o_custkey")
+        plan = _plan(j)
+        # co-located bucketed join: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        n = j.count()
+        plain = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_json_source_roundtrip(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation.json")
+    nation.write.mode("overwrite").json(out)
+    cat = TableCatalog(spark, str(tmp_path), fmt="json")
+    back = cat["nation"]
+    assert back.count() == nation.count()
+    assert {r.n_name for r in back.collect()} == {
+        r.n_name for r in nation.collect()
+    }
