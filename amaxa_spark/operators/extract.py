@@ -316,6 +316,19 @@ class ExtractOperation:
         if errors:
             raise ExtractError("; ".join(errors))
 
+    def _has_consumers(self, step: ExtractStepPlan) -> bool:
+        """True if any step (incl. later ones or outside-behavior
+        passes) joins against this table's extracted-ID frame — only
+        then is eager materialization worth a job."""
+        for other in self.steps:
+            if other.table == step.table:
+                continue
+            meta = self.registry[other.table]
+            for targets in meta.lookups.values():
+                if step.table in targets:
+                    return True
+        return False
+
     def run(self) -> dict[str, DataFrame]:
         self._validate()
         for step in self.steps:
@@ -323,7 +336,10 @@ class ExtractOperation:
             ids = self._base_ids(step)
             ids = self._resolve_required(step, ids)
             ids = self._self_closure(step, ids)
-            ids = ids.localCheckpoint(eager=True)
+            # terminal ID frames (no downstream consumer) stay lazy —
+            # they are read exactly once by the final row semi-join
+            if self._has_consumers(step):
+                ids = ids.localCheckpoint(eager=True)
             self.extracted_ids[step.table] = ids
 
             t = self.catalog[step.table]
