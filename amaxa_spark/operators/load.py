@@ -207,8 +207,39 @@ class LoadOperation:
                 insert_df, col, id_map, step.outside_behavior_for(col), errors, pk
             )
 
-        # F7: schema-driven primitivize
+        # F7: schema-driven primitivize. A non-null input that coerces
+        # to null is a per-row conversion error: the row is excluded
+        # and recorded, mirroring the reference's row-level load errors
+        # (`amaxa/amaxa.py:425-433`)
         if meta.types:
+            # only value-parsing types can *fail* conversion; strings
+            # always succeed and unknown/compound types null silently
+            # (`amaxa/amaxa.py:372`)
+            _COERCIBLE = {
+                "boolean", "xsd:boolean", "int", "xsd:int", "double",
+                "currency", "percent", "xsd:double", "date", "xsd:date",
+                "datetime", "xsd:datetime",
+            }
+            typed = [
+                c
+                for c in insert_df.columns
+                if meta.types.get(c, "").lower() in _COERCIBLE
+            ]
+            fail = None
+            for c in typed:
+                bad_c = F.col(c).cast("string").isNotNull() & (
+                    F.trim(F.col(c).cast("string")) != ""
+                ) & primitivize(F.col(c), meta.types[c]).isNull()
+                fail = bad_c if fail is None else (fail | bad_c)
+            if fail is not None:
+                bad_rows = insert_df.where(fail).select(
+                    F.col(pk).cast("string").alias("old_id"),
+                    F.lit("value could not be converted to the target type").alias(
+                        "error"
+                    ),
+                )
+                errors.append(bad_rows)
+                insert_df = insert_df.where(~F.coalesce(fail, F.lit(False)))
             insert_df = insert_df.select(
                 *[
                     primitivize(F.col(c), meta.types[c]).alias(c)

@@ -142,3 +142,21 @@ def test_state_roundtrip(spark, tmp_path):
     stage, id_map = load_state(spark, str(tmp_path / "st"))
     assert stage == "dependents"
     assert [(r.old_id, r.new_id) for r in id_map["Account"].collect()] == [("a", "b")]
+
+
+def test_primitivize_failure_records_error(spark):
+    accounts = spark.createDataFrame(
+        [("A1", "x", "yes"), ("A2", "y", "maybe"), ("A3", "z", "")],
+        "Id: string, Name: string, IsDeleted: string",
+    )
+    res = LoadOperation(
+        spark, sf_registry(), [LoadStepPlan("Account")], {"Account": accounts}
+    ).run()
+    # A2's unconvertible boolean is a row-level error, not silent null
+    errs = {r.old_id for r in res.errors["Account"].collect()}
+    assert errs == {"A2"}
+    written = {r.Id for r in res.written["Account"].collect()}
+    assert written == {new_id("Account", "A1"), new_id("Account", "A3")}
+    flags = {r.Id: r.IsDeleted for r in res.written["Account"].collect()}
+    assert flags[new_id("Account", "A1")] is True
+    assert flags[new_id("Account", "A3")] is False  # "" -> False equivalence
