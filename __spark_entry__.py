@@ -417,6 +417,17 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_read(spark, sf_dir, "documents"), "text", "doc_id", bits=56)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; LSH-bucketed
+    variant is the scale path, tested separately)."""
+    # this corpus has no planted embedding near-dups (max pair
+    # cosine ~0.51), so the threshold is set where the output is
+    # non-trivial (~60 pairs at sf0.01)
+    return D.embedding_cosine_dups(
+        _read(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(
         _read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
@@ -569,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_langid": q_text_langid,
@@ -730,6 +742,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM hashed, unnest(range(0, 56)) AS t(b) GROUP BY doc_id, b) "
             "SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash "
             "FROM votes GROUP BY doc_id"
+        ),
+        "dedup_embedding_cosine": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"
         ),
         "ann_cosine_topk": (
             "WITH scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "

@@ -182,6 +182,54 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_cosine_dups(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and cosine ≥ threshold.
+
+    ``bucket_bits=0`` is the exact O(n²) baseline (fine for re-ranking
+    candidate sets). At scale set ``bucket_bits>0``: pairs must share
+    a sign-LSH bucket before the exact similarity is computed, which
+    replaces the cross join with a bucket-equality join whose cost
+    tracks cluster sizes. High-similarity pairs share buckets with
+    probability (1 - θ/π)^bits per band, so near-dups (θ≈0) are
+    retained with near-certainty.
+    """
+    from amaxa_spark.operators.similarity import _dot, _norm, lsh_code
+
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vecd.alias("__v"))
+    if bucket_bits > 0:
+        dim = len(emb.select(vec_col).first()[0])
+        coded = base.withColumn(
+            "__bucket", lsh_code(F.col("__v"), dim, bucket_bits, 0)
+        )
+        a = coded.select(
+            F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+        )
+        b = coded.select(
+            F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+        )
+        pairs = a.join(b, "__bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        a = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 56) -> DataFrame:
     """SimHash fingerprints: per-token md5 → ``bits``-bit integer; each
     bit position votes +1/−1 weighted by token frequency; the sign

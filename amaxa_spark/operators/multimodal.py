@@ -81,6 +81,15 @@ def extract_image_meta(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def resize_images(
+    df: DataFrame, payload_col: str = "payload", width: int = 224, height: int = 224
+) -> DataFrame:  # pragma: no cover - stub
+    """STUB: image resize requires PIL/libvips; the distributed shape
+    is identical to :func:`extract_image_meta` (mapInPandas over the
+    binary column, returning a new binary column)."""
+    raise NotImplementedError("image resize: codec libraries not available")
+
+
 def frame_sample(
     df: DataFrame, payload_col: str = "payload", every_n: int = 10
 ) -> DataFrame:  # pragma: no cover - stub

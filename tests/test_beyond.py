@@ -215,3 +215,19 @@ def test_stateful_running_stats(spark, sf_dir, tmp_path):
     for uid in expected.index:
         assert got.loc[uid, "n_events"] == expected.loc[uid, "n_events"]
         assert abs(got.loc[uid, "total_value"] - expected.loc[uid, "total_value"]) < 1e-3
+
+
+def test_embedding_cosine_dups_lsh_subset(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_dups(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_dups(emb, threshold=0.4, bucket_bits=4).collect()
+    }
+    # bucketed candidates are a subset of exact pairs; moderate-sim
+    # pairs (0.4-0.5 cosine) may be missed — that is the approximation
+    assert bucketed <= exact
+    assert len(exact) > 0
