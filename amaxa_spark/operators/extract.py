@@ -182,44 +182,53 @@ class ExtractOperation:
         # round on a narrow ID frame (the count is nearly free on the
         # checkpointed data); mirrors the reference's termination rule
         # (`amaxa/amaxa.py:713-726`) without its per-record refetches
-        known = ids.localCheckpoint(eager=True)
-        n_known = known.count()
         # materialize the narrow edge list once — the closure then
         # iterates over (pk, self-FK...) only, never re-touching the
         # wide table scan (at 100 TB this is the difference between
-        # one column-pruned scan and one per round per direction)
+        # one column-pruned scan and one per round per direction).
+        # Partition count is sized to the edge volume: every round
+        # scans the frame once per direction, so per-task overhead ×
+        # partitions × rounds is the loop's fixed cost.
         edges = t.select(pk, *self_cols).localCheckpoint(eager=True)
+        n_edges = edges.count()
+        p_target = max(4, min(int(n_edges / 2_000_000) + 1, 64))
+        if edges.rdd.getNumPartitions() > p_target * 2:
+            edges = edges.repartition(p_target).localCheckpoint(eager=True)
         all_pks = edges.select(F.col(pk).alias(_ID)).distinct()
 
-        def expand(cur: DataFrame) -> DataFrame:
-            rows_cur = edges.join(cur, edges[pk] == cur[_ID], "left_semi")
-            branches = [cur]
+        # frontier BFS (the Pregel shape): expand only the newest IDs —
+        # anything adjacent to older ones was found in an earlier round
+        # — and union disjoint frontiers without a distinct shuffle
+        known = ids.localCheckpoint(eager=True)
+        frontier = known
+        while True:
+            branches = []
             for c in self_cols:
-                # descendent direction: children whose self-FK is known
+                # descendent direction: children whose self-FK is in
+                # the frontier
                 branches.append(
                     _id_frame(
-                        edges.join(cur, edges[c] == cur[_ID], "left_semi"), pk
+                        edges.join(frontier, edges[c] == frontier[_ID], "left_semi"),
+                        pk,
                     )
                 )
-                # dependent direction: parents referenced by known rows
-                # — kept only if they exist in the table
+                # dependent direction: parents referenced by frontier
+                # rows — kept only if they exist in the table
+                rows_f = edges.join(frontier, edges[pk] == frontier[_ID], "left_semi")
                 branches.append(
-                    _id_frame(rows_cur, c).join(all_pks, _ID, "left_semi")
+                    _id_frame(rows_f, c).join(all_pks, _ID, "left_semi")
                 )
-            return _union_ids(branches)
-
-        # two expansion hops per materialization round: halves the
-        # number of checkpoint+count synchronization barriers for deep
-        # hierarchies at the cost of a ~3x wider lazy plan per round
-        # (each hop re-references the checkpointed frontier, so no
-        # recomputation of prior rounds occurs)
-        while True:
-            cur = expand(expand(known))
-            new_known = cur.distinct().localCheckpoint(eager=True)
-            n_new = new_known.count()
-            if n_new == n_known:
-                return new_known
-            known, n_known = new_known, n_new
+            frontier = (
+                _union_ids(branches)
+                .join(known, _ID, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                return known
+            # frontier is disjoint from known by construction; keep
+            # known as a lazy union of checkpointed frontiers — no
+            # recompute, no extra materialization action per round
+            known = known.unionByName(frontier)
 
     # ---- dependent-lookup registration (J4 prep, J5 routing) ---------
 
