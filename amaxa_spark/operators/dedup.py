@@ -176,9 +176,33 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
-    return cand.join(exact, ["id_a", "id_b"]).where(
-        F.col("jaccard") >= verify_threshold
+    # exact-verify ONLY the candidate pairs: intersect shingle sets
+    # per candidate, never the full pairwise join — this is the whole
+    # point of LSH (cost tracks candidates, not n²)
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size").alias("__sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -61,6 +61,14 @@ class TableCatalog:
         return self.table(name)
 
 
+def register_views(catalog: "TableCatalog", tables: list[str]) -> None:
+    """Expose catalog tables as temp views so users can `spark.sql`
+    directly over the engine's catalog (Catalyst produces the same
+    plans either way)."""
+    for name in tables:
+        catalog[name].createOrReplaceTempView(name)
+
+
 def ordered_output_columns(columns: list[str], pk: str = "Id") -> list[str]:
     """Extract-sink header order: alphabetical with the PK forced first
     (reference `/root/reference/amaxa/loader/extract_operation.py:139-145`)."""

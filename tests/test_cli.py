@@ -100,3 +100,17 @@ def test_registry_loader(tmp_path):
     reg = load_registry(str(reg_path))
     assert reg["Task"].key_prefix == "00T"
     assert reg.prefix_map == {"00T": "Task"}
+
+
+def test_sql_over_catalog_views(spark, sf_dir):
+    from amaxa_spark.sources.catalog import register_views
+    from amaxa_spark.tpch import tpch_catalog
+
+    cat = tpch_catalog(spark, sf_dir)
+    register_views(cat, ["customer", "orders"])
+    out = spark.sql(
+        "SELECT c_mktsegment, count(*) AS n FROM customer "
+        "JOIN orders ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    )
+    assert out.count() == 5
+    assert sum(r.n for r in out.collect()) > 0
