@@ -492,6 +492,33 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull a typed value out of the JSON
+    props column (JVM-side get_json_object, no UDF)."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).where(F.col("k").isNotNull())
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Array-column processing: per-label vector-norm statistics via
+    higher-order functions (aggregate over array<float>)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(vecd, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+    return (
+        emb.select("label", norm.alias("__n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+        )
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-shaped rollup (beyond-reference aggregation showcase).
     Money math runs in DECIMAL so sums are exact and order-independent
@@ -592,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "quantiles": q_quantiles,
+        "json_props": q_json_props,
+        "embedding_norms": q_embedding_norms,
     }
 
 
@@ -829,6 +858,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_new FROM "
             "(SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
             "FROM events)) GROUP BY user_id"
+        ),
+        "json_props": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+            "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"
+        ),
+        "embedding_norms": (
+            "SELECT label, count(*) AS n, "
+            "round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm, "
+            "round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm "
+            "FROM embeddings GROUP BY label"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
