@@ -492,6 +492,22 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_doc_packing(spark, sf_dir):
+    """Sequence packing (applyInPandas grouped map): documents into
+    2048-token packs by whitespace token count. The oracle replays the
+    per-shard greedy next-fit with a recursive CTE."""
+    from amaxa_spark.operators.packing import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    return pack_documents(counted, budget=2048, shard_size=1000)
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: pull a typed value out of the JSON
     props column (JVM-side get_json_object, no UDF)."""
@@ -621,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "json_props": q_json_props,
         "embedding_norms": q_embedding_norms,
+        "doc_packing": q_doc_packing,
     }
 
 
@@ -858,6 +875,21 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_new FROM "
             "(SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
             "FROM events)) GROUP BY user_id"
+        ),
+        "doc_packing": (
+            "WITH counted AS (SELECT doc_id, "
+            r"CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS INTEGER) AS n_tokens, "
+            "doc_id // 1000 AS shard FROM documents), "
+            "rows_n AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM counted), "
+            "st AS (WITH RECURSIVE stepper(shard, rn, doc_id, n_tokens, used, pack) AS ("
+            " SELECT shard, rn, doc_id, n_tokens, n_tokens, 0 FROM rows_n WHERE rn = 1"
+            " UNION ALL"
+            " SELECT r.shard, r.rn, r.doc_id, r.n_tokens,"
+            " CASE WHEN s.used + r.n_tokens > 2048 THEN r.n_tokens ELSE s.used + r.n_tokens END,"
+            " CASE WHEN s.used + r.n_tokens > 2048 THEN s.pack + 1 ELSE s.pack END"
+            " FROM rows_n r JOIN stepper s ON r.shard = s.shard AND r.rn = s.rn + 1"
+            ") SELECT * FROM stepper) "
+            "SELECT doc_id, n_tokens, shard || ':' || pack AS pack_id FROM st"
         ),
         "json_props": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "

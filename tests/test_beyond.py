@@ -231,3 +231,23 @@ def test_embedding_cosine_dups_lsh_subset(spark, sf_dir):
     # pairs (0.4-0.5 cosine) may be missed — that is the approximation
     assert bucketed <= exact
     assert len(exact) > 0
+
+
+def test_packing_invariants(spark, sf_dir):
+    from amaxa_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, 700) for i in range(10)] + [(100, 5000)],
+        "doc_id: long, n_tokens: int",
+    )
+    out = pack_documents(docs, budget=2048, shard_size=1000).collect()
+    assert len(out) == 11  # every doc assigned
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r.n_tokens)
+    for pack, toks in by_pack.items():
+        # no pack exceeds budget unless it is a single oversized doc
+        assert sum(toks) <= 2048 or len(toks) == 1
+    # 700-token docs pack 2 per bin (next-fit)
+    sizes = sorted(len(v) for v in by_pack.values())
+    assert sizes.count(2) >= 4
