@@ -251,3 +251,38 @@ def test_packing_invariants(spark, sf_dir):
     # 700-token docs pack 2 per bin (next-fit)
     sizes = sorted(len(v) for v in by_pack.values())
     assert sizes.count(2) >= 4
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    from amaxa_spark.streaming.dedup_stream import streaming_exact_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = [
+        (1, "Hello  World"), (2, "hello world"), (3, "other"),
+        (4, "HELLO WORLD"), (5, "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    src = str(tmp_path / "docs_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_stream_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {r.doc_id: r for r in spark.sql("SELECT * FROM dedup_stream_out").collect()}
+    assert out[1].is_dup is False
+    assert out[2].is_dup is True and out[2].dup_of == 1
+    assert out[4].is_dup is True and out[4].dup_of == 1
+    assert out[3].is_dup is False and out[5].is_dup is False
+    # agreement with the batch operator: same representatives
+    batch = {r.doc_id: r.n_dups for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert batch == {1: 3, 3: 1, 5: 1}
