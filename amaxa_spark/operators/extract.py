@@ -182,46 +182,59 @@ class ExtractOperation:
         # round on a narrow ID frame (the count is nearly free on the
         # checkpointed data); mirrors the reference's termination rule
         # (`amaxa/amaxa.py:713-726`) without its per-record refetches
-        # materialize the narrow edge list once — the closure then
-        # iterates over (pk, self-FK...) only, never re-touching the
-        # wide table scan (at 100 TB this is the difference between
-        # one column-pruned scan and one per round per direction).
-        # Partition count is sized to the edge volume: every round
-        # scans the frame once per direction, so per-task overhead ×
+        # build a bidirectional adjacency ONCE from the narrow edge
+        # projection — the closure never re-touches the wide table
+        # scan, and each BFS round is a single scan of `adj` instead
+        # of one per direction per self-column. Dangling parent refs
+        # are filtered here (once), not per round. Partition count is
+        # sized to the adjacency volume: per-task overhead ×
         # partitions × rounds is the loop's fixed cost.
         edges = t.select(pk, *self_cols).localCheckpoint(eager=True)
         n_edges = edges.count()
-        p_target = max(4, min(int(n_edges / 2_000_000) + 1, 64))
-        if edges.rdd.getNumPartitions() > p_target * 2:
-            edges = edges.repartition(p_target).localCheckpoint(eager=True)
-        all_pks = edges.select(F.col(pk).alias(_ID)).distinct()
+        # pk is unique by definition — no distinct; a semi-join build
+        # side tolerates duplicates anyway
+        pks = edges.select(F.col(pk).alias("__p"))
+        directions = []
+        for c in self_cols:
+            nn = edges.where(F.col(c).isNotNull())
+            # descendent direction: parent id -> child id
+            directions.append(
+                nn.select(F.col(c).alias("src"), F.col(pk).alias("dst"))
+            )
+            # dependent direction: child id -> (existing) parent id
+            directions.append(
+                nn.select(F.col(pk).alias("src"), F.col(c).alias("dst")).join(
+                    pks, F.col("dst") == F.col("__p"), "left_semi"
+                )
+            )
+        adj = directions[0]
+        for d in directions[1:]:
+            adj = adj.unionByName(d)
+        # size partitions from the edge count (~2 adjacency rows per
+        # edge) in the same single shuffle; one materialization
+        p_target = max(
+            4, min(int(2 * len(self_cols) * n_edges / 2_000_000) + 1, 64)
+        )
+        adj = adj.repartition(p_target).localCheckpoint(eager=True)
 
         # frontier BFS (the Pregel shape): expand only the newest IDs —
         # anything adjacent to older ones was found in an earlier round
-        # — and union disjoint frontiers without a distinct shuffle
         known = ids.localCheckpoint(eager=True)
         frontier = known
         while True:
-            branches = []
-            for c in self_cols:
-                # descendent direction: children whose self-FK is in
-                # the frontier
-                branches.append(
-                    _id_frame(
-                        edges.join(frontier, edges[c] == frontier[_ID], "left_semi"),
-                        pk,
-                    )
+            # explicit broadcast: the frontier is a narrow ID frame
+            # (bounded by one BFS level) — without the hint, size
+            # misestimation flips the probe to a sort-merge join that
+            # shuffles the full adjacency every round
+            neighbors = (
+                adj.join(
+                    F.broadcast(frontier), adj["src"] == frontier[_ID], "left_semi"
                 )
-                # dependent direction: parents referenced by frontier
-                # rows — kept only if they exist in the table
-                rows_f = edges.join(frontier, edges[pk] == frontier[_ID], "left_semi")
-                branches.append(
-                    _id_frame(rows_f, c).join(all_pks, _ID, "left_semi")
-                )
+                .select(F.col("dst").alias(_ID))
+                .distinct()
+            )
             frontier = (
-                _union_ids(branches)
-                .join(known, _ID, "left_anti")
-                .localCheckpoint(eager=True)
+                neighbors.join(known, _ID, "left_anti").localCheckpoint(eager=True)
             )
             if frontier.isEmpty():
                 return known
