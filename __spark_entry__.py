@@ -174,6 +174,15 @@ def q_self_closure(spark, sf_dir):
     return res["customer_hier"].select("c_custkey", "c_name", "c_parent")
 
 
+def q_hierarchy_roots(spark, sf_dir):
+    """Whole-table hierarchy-root assignment via pointer doubling
+    (O(log depth) rounds) over the derived parent edge."""
+    from amaxa_spark.operators.graph import hierarchy_roots
+
+    hier = _customer_hier(spark, sf_dir)
+    return hierarchy_roots(hier, "c_custkey", "c_parent")
+
+
 def q_outside_refs_anti(spark, sf_dir):
     """J6: outside-reference detection — lineitems whose part is NOT in
     the extracted part set (left_anti)."""
@@ -607,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "descendents_chain": q_descendents_chain,
         "dependency_parents": q_dependency_parents,
         "self_closure": q_self_closure,
+        "hierarchy_roots": q_hierarchy_roots,
         "outside_refs_anti": q_outside_refs_anti,
         "idmap_rewrite": q_idmap_rewrite,
         "polymorphic_routing": q_polymorphic_routing,
@@ -683,6 +693,18 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT c.c_custkey, c.c_name, "
             "CASE WHEN c.c_custkey >= 8 THEN c.c_custkey // 2 END AS c_parent "
             "FROM customer c JOIN comp ON c.c_custkey = comp.k"
+        ),
+        "hierarchy_roots": (
+            "WITH hier AS (SELECT c_custkey AS k, "
+            "CASE WHEN c_custkey >= 8 THEN c_custkey // 2 END AS p FROM customer), "
+            "climb AS (WITH RECURSIVE climber(node, cur) AS ("
+            " SELECT k, k FROM hier"
+            " UNION ALL"
+            " SELECT cl.node, h.p FROM climber cl JOIN hier h ON h.k = cl.cur "
+            " WHERE h.p IS NOT NULL"
+            ") SELECT * FROM climber) "
+            "SELECT node AS c_custkey, cur AS root FROM climb cl "
+            "WHERE NOT EXISTS (SELECT 1 FROM hier h WHERE h.k = cl.cur AND h.p IS NOT NULL)"
         ),
         "outside_refs_anti": (
             "SELECT l_orderkey * 10 + l_linenumber AS l_lineid, l_partkey FROM lineitem "

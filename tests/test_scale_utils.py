@@ -69,3 +69,23 @@ def test_incremental_extract_watermark(spark, sf_dir):
     n = inc.count()
     assert 0 < n < ev.count()
     assert inc.agg(F.min(F.unix_millis("ts"))).collect()[0][0] > mid
+
+
+def test_hierarchy_roots_pointer_doubling(spark):
+    from amaxa_spark.operators.graph import component_sizes, hierarchy_roots
+
+    # two trees + an isolated node + a dangling parent ref
+    rows = [
+        ("1", None), ("2", "1"), ("3", "2"), ("4", "2"),
+        ("10", None), ("11", "10"),
+        ("20", None),
+        ("30", "999"),  # dangling parent -> own root
+    ]
+    df = spark.createDataFrame(rows, "Id: string, ParentId: string")
+    roots = {r.Id: r.root for r in hierarchy_roots(df, "Id", "ParentId").collect()}
+    assert roots == {
+        "1": "1", "2": "1", "3": "1", "4": "1",
+        "10": "10", "11": "10", "20": "20", "30": "30",
+    }
+    sizes = {r.root: r.size for r in component_sizes(df, "Id", "ParentId").collect()}
+    assert sizes == {"1": 4, "10": 2, "20": 1, "30": 1}
