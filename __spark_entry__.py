@@ -437,6 +437,16 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_cosine_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: sign-LSH bucket join instead
+    of the cross product. Approximate (bucket misses possible at
+    moderate similarity) — no SQL oracle; subset property is
+    pytest-verified."""
+    return D.embedding_cosine_dups(
+        _read(spark, sf_dir, "embeddings"), threshold=0.4, bucket_bits=4
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(
         _read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
@@ -634,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_langid": q_text_langid,
@@ -812,10 +823,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM votes GROUP BY doc_id"
         ),
         "dedup_embedding_cosine": (
+            "WITH base AS (SELECT vec_id, "
+            "[x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+            "FOR x IN embedding::DOUBLE[]] AS vh FROM embeddings) "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4"
+            "round(list_dot_product(a.vh, b.vh), 6) AS sim "
+            "FROM base a JOIN base b ON a.vec_id < b.vec_id "
+            "WHERE round(list_dot_product(a.vh, b.vh), 6) >= 0.4"
         ),
         "ann_cosine_topk": (
             "WITH scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "

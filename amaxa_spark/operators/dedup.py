@@ -227,7 +227,15 @@ def embedding_cosine_dups(
     from amaxa_spark.operators.similarity import _dot, _norm, lsh_code
 
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col), vecd.alias("__v"))
+    # pre-normalize once per vector: the pairwise similarity is then a
+    # bare dot product — cuts the n² stage's arithmetic by ~3x versus
+    # recomputing both norms per pair
+    base = emb.select(F.col(id_col), vecd.alias("__vr")).select(
+        F.col(id_col),
+        F.transform(
+            F.col("__vr"), lambda x: x / F.sqrt(_dot(F.col("__vr"), F.col("__vr")))
+        ).alias("__v"),
+    )
     if bucket_bits > 0:
         dim = len(emb.select(vec_col).first()[0])
         coded = base.withColumn(
@@ -244,9 +252,7 @@ def embedding_cosine_dups(
         a = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
         b = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    sim = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
-    )
+    sim = _dot(F.col("__va"), F.col("__vb"))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") >= threshold)

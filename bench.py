@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "load_two_phase",
     "multimodal_meta",
     "sfid_normalize",
+    "hierarchy_roots",
+    "doc_packing",
+    "dedup_embedding_cosine_lsh",
+    "pricing_summary",
 ]
 
 
