@@ -443,7 +443,7 @@ def q_dedup_embedding_cosine_lsh(spark, sf_dir):
     moderate similarity) — no SQL oracle; subset property is
     pytest-verified."""
     return D.embedding_cosine_dups(
-        _read(spark, sf_dir, "embeddings"), threshold=0.4, bucket_bits=4
+        _read(spark, sf_dir, "embeddings"), threshold=0.4, bucket_bits=5
     )
 
 
