@@ -229,12 +229,16 @@ def embedding_cosine_dups(
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # pre-normalize once per vector: the pairwise similarity is then a
     # bare dot product — cuts the n² stage's arithmetic by ~3x versus
-    # recomputing both norms per pair
-    base = emb.select(F.col(id_col), vecd.alias("__vr")).select(
-        F.col(id_col),
-        F.transform(
-            F.col("__vr"), lambda x: x / F.sqrt(_dot(F.col("__vr"), F.col("__vr")))
-        ).alias("__v"),
+    # recomputing both norms per pair. The norm is materialized as its
+    # own column first; dividing inside a single transform over the
+    # norm expression would re-evaluate the aggregate per element.
+    base = (
+        emb.select(F.col(id_col), vecd.alias("__vr"))
+        .withColumn("__n", F.sqrt(_dot(F.col("__vr"), F.col("__vr"))))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__vr"), lambda x: x / F.col("__n")).alias("__v"),
+        )
     )
     if bucket_bits > 0:
         dim = len(emb.select(vec_col).first()[0])
@@ -253,10 +257,13 @@ def embedding_cosine_dups(
         b = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     sim = _dot(F.col("__va"), F.col("__vb"))
+    # no distinct: each vector lands in exactly one bucket (single
+    # band) and the cross-join path enumerates each pair once, so
+    # (id_a, id_b) is already unique — a dedup here would only add a
+    # full shuffle of the qualifying pairs
     return (
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") >= threshold)
-        .distinct()
     )
 
 

@@ -194,6 +194,43 @@ class ExtractOperation:
         # pk is unique by definition — no distinct; a semi-join build
         # side tolerates duplicates anyway
         pks = edges.select(F.col(pk).alias("__p"))
+
+        if len(self_cols) == 1:
+            # fast path: a single self-lookup is a parent-pointer
+            # forest, where the up-and-down closure of the seeds is
+            # exactly "all nodes sharing a root with a seed". Pointer
+            # doubling finds every node's root in O(log depth) rounds
+            # versus O(depth) BFS rounds — the round count, not the
+            # per-round volume, is the driver-loop cost at scale. A
+            # parent cycle breaks doubling (pointers never stabilize);
+            # non-convergence falls through to the BFS below.
+            from amaxa_spark.operators.graph import pointer_roots
+
+            c = self_cols[0]
+            resolved = (
+                edges.select(F.col(pk).alias("node"), F.col(c).alias("parent"))
+                .join(pks, F.col("parent") == F.col("__p"), "left_outer")
+                .select(
+                    "node",
+                    F.when(F.col("__p").isNotNull(), F.col("parent")).alias(
+                        "parent"
+                    ),
+                )
+            )
+            ptr, converged = pointer_roots(resolved)
+            if converged:
+                # seed/root sets can be arbitrarily large (seeds are
+                # whatever the scope extracted) — let AQE pick the
+                # join strategy from the materialized sizes
+                seed_roots = (
+                    ptr.join(ids, ptr["node"] == ids[_ID], "left_semi")
+                    .select(F.col("ptr").alias("__r"))
+                    .distinct()
+                )
+                return ptr.join(
+                    seed_roots, ptr["ptr"] == seed_roots["__r"], "left_semi"
+                ).select(F.col("node").alias(_ID))
+
         directions = []
         for c in self_cols:
             nn = edges.where(F.col(c).isNotNull())

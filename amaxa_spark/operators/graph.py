@@ -17,6 +17,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pointer_roots(
+    nodes: DataFrame, max_rounds: int = 40
+) -> tuple[DataFrame, bool]:
+    """Pointer-doubling fixpoint over a (node, parent) frame whose
+    parent values are null or known-existing node ids. Returns
+    ``(ptr_frame(node, ptr), converged)``; when ``converged`` is
+    False (a parent cycle, or depth > 2^max_rounds) the pointers are
+    NOT roots and callers must fall back to BFS."""
+    ptr = (
+        nodes.select("node", F.coalesce("parent", "node").alias("ptr"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_rounds):
+        hop = ptr.select(F.col("node").alias("__n2"), F.col("ptr").alias("__p2"))
+        # carry a per-row moved flag through the doubling join so
+        # convergence is a scan of the checkpointed result, not a
+        # second join against the previous round
+        doubled = (
+            ptr.join(hop, ptr["ptr"] == hop["__n2"], "left_outer")
+            .select(
+                "node",
+                F.coalesce("__p2", "ptr").alias("ptr"),
+                (F.col("__p2").isNotNull() & (F.col("__p2") != F.col("ptr"))).alias(
+                    "__moved"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = doubled.where(F.col("__moved")).limit(1).count()
+        ptr = doubled.drop("__moved")
+        if changed == 0:
+            converged = True
+            break
+    return ptr, converged
+
+
 def hierarchy_roots(
     df: DataFrame, pk: str, parent_col: str, max_rounds: int = 40
 ) -> DataFrame:
@@ -30,31 +67,12 @@ def hierarchy_roots(
         F.col("parent") == F.col("__p"),
         "left_semi",
     ).select("node", "parent")
-    ptr = (
+    resolved = (
         nodes.select("node")
         .join(parents_ok, "node", "left_outer")
-        .select("node", F.coalesce("parent", "node").alias("ptr"))
-        .localCheckpoint(eager=True)
+        .select("node", "parent")
     )
-    for _ in range(max_rounds):
-        hop = ptr.select(F.col("node").alias("__n2"), F.col("ptr").alias("__p2"))
-        doubled = (
-            ptr.join(hop, ptr["ptr"] == hop["__n2"], "left_outer")
-            .select("node", F.coalesce("__p2", "ptr").alias("ptr"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            doubled.join(
-                ptr.select(F.col("node").alias("__n3"), F.col("ptr").alias("__old")),
-                doubled["node"] == F.col("__n3"),
-            )
-            .where(F.col("ptr") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
-        ptr = doubled
-        if changed == 0:
-            break
+    ptr, _ = pointer_roots(resolved, max_rounds)
     return ptr.select(F.col("node").alias(pk), F.col("ptr").alias("root"))
 
 

@@ -178,14 +178,22 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 
 def lsh_code(vec_col, dim: int, bits: int, band: int):
     """Sign-LSH code: one bit per hyperplane, concatenated to a
-    string bucket key."""
+    string bucket key.
+
+    Each hyperplane dot product is ``aggregate(zip_with(vec, plane))``
+    against a literal plane array — a tight JVM loop — rather than a
+    ``dim``-term chained-addition expression, whose tree the optimizer
+    and codegen would otherwise have to walk per bit (bits × dim terms
+    made plan compilation the dominant cost at small scale)."""
     bit_cols = []
     for b in range(bits):
         plane = _hyperplane(dim, band * bits + b)
-        dot = None
-        for d, w in enumerate(plane):
-            term = F.element_at(vec_col, d + 1).cast("double") * F.lit(w)
-            dot = term if dot is None else dot + term
+        plane_arr = F.array(*[F.lit(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane_arr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
         bit_cols.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(F.lit(f"{band}:"), *bit_cols)
 
