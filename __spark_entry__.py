@@ -607,6 +607,61 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment by id hash —
+    reproducible across engines, runs, and partitionings."""
+    from amaxa_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum (language) downsampling — corpus
+    mixing weights applied via hash thresholds, not RNG."""
+    from amaxa_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.1
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing over a derived column with planted emails/phones
+    (the synthetic corpus itself contains none — both engines plant
+    identically, so redaction behavior is fully oracle-checked)."""
+    docs = _read(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("call 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.concat(F.lit("contact "), F.col("source"), F.lit("@example.com"))),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return TXT.pii_redact(
+        docs.select("doc_id", planted.alias("text")), "text", "doc_id"
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: bigram-shingle overlap of
+    each non-src0 document against the src0 'benchmark' corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.benchmark_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=2,
+        threshold=0.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -647,6 +702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "split_assign": q_split_assign,
+        "sample_stratified": q_sample_stratified,
+        "pii_redact": q_pii_redact,
+        "contamination": q_contamination,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -858,6 +917,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        "split_assign": (
+            "SELECT doc_id, bucket, CASE WHEN bucket < 8000 THEN 'train' "
+            "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM "
+            "(SELECT doc_id, CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS bucket "
+            "FROM documents)"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
+            "FROM documents) WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 10000 AS INT)"
+        ),
+        "pii_redact": (
+            r"WITH planted AS (SELECT doc_id, "
+            r"(CASE WHEN doc_id % 3 = 0 THEN 'call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+            r"ELSE 'contact ' || source || '@example.com' END) || ' ' || text AS t FROM documents) "
+            r"SELECT doc_id, "
+            r"regexp_replace(regexp_replace(lower(t), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'), "
+            r"'\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted_text, "
+            r"len(regexp_extract_all(lower(t), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', 0)) AS n_emails, "
+            r"len(regexp_extract_all(lower(t), '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', 0)) AS n_phones "
+            r"FROM planted"
+        ),
+        "contamination": (
+            "WITH sh AS (SELECT DISTINCT doc_id, source, unnest([array_to_string(w[i:i+1], ' ') "
+            "FOR i IN range(1, greatest(len(w) - 0, 1))]) AS s FROM "
+            f"(SELECT doc_id, source, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
+            "bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'), "
+            "corpus AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'), "
+            "totals AS (SELECT doc_id, count(*) AS total_shingles FROM corpus GROUP BY doc_id), "
+            "hits AS (SELECT doc_id, count(*) AS hit_shingles FROM corpus "
+            "WHERE s IN (SELECT s FROM bench) GROUP BY doc_id) "
+            "SELECT t.doc_id, t.total_shingles, coalesce(h.hit_shingles, 0) AS hit_shingles, "
+            "round(coalesce(h.hit_shingles, 0) * 1.0 / t.total_shingles, 6) AS overlap, "
+            "coalesce(h.hit_shingles, 0) * 1.0 / t.total_shingles >= 0.5 AS contaminated "
+            "FROM totals t LEFT JOIN hits h USING (doc_id)"
         ),
         "text_langid": (
             f"SELECT doc_id, "

@@ -116,6 +116,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination detection: for each document, the
+    fraction of its distinct word n-gram shingles that appear anywhere
+    in the benchmark corpus. Returns (id, total_shingles,
+    hit_shingles, overlap, contaminated).
+
+    Scale shape: the benchmark shingle set is one distinct projection
+    (typically ≪ corpus size — AQE broadcasts it); the probe is a
+    semi-join on the shingle key, so cost is linear in corpus shingle
+    volume, never pairwise.
+    """
+    sh = word_shingles(docs, text_col, id_col, n)
+    bench_sh = word_shingles(bench, text_col, id_col, n).select("shingle").distinct()
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_shingles"))
+    hits = (
+        sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hit_shingles"))
+    )
+    overlap = F.round(F.col("hit_shingles") / F.col("total_shingles"), 6)
+    return (
+        totals.join(hits, id_col, "left_outer")
+        .withColumn("hit_shingles", F.coalesce("hit_shingles", F.lit(0)))
+        .withColumn("overlap", overlap)
+        .withColumn("contaminated", F.col("overlap") >= threshold)
+        .select(id_col, "total_shingles", "hit_shingles", "overlap", "contaminated")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:

@@ -1,0 +1,89 @@
+"""Deterministic sampling / split-assignment operators.
+
+Training-data pipelines need reproducible row selection that is stable
+across engines, runs, and cluster sizes — so everything here derives
+its randomness from md5 over the row's stable key, never from an RNG
+or row position. That makes each operator (a) exactly replayable by
+the DuckDB oracle, (b) shuffle-free (a per-row projection + filter,
+no global ordering), and (c) safe at 100 TB: assignment is embarrassingly
+parallel and re-runs assign identical splits even after repartitioning.
+
+The hash fraction is ``int(md5(salt || key)[:8], 16) / 2^32`` — 32 bits
+of the digest mapped to [0, 1). Buckets use the same digest mod 10^4,
+giving 0.01% split granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def _hash_bucket(key_col, salt: str):
+    """Deterministic bucket in [0, 10000) from md5(salt:key)."""
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), key_col.cast("string")))
+    return (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % _BUCKETS).cast(
+        "int"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default)
+    by hashing its id — reproducible, order-independent, and disjoint.
+
+    ``fractions`` maps split name → fraction; fractions must sum to
+    ≤ 1.0 and splits are carved from consecutive bucket ranges in the
+    given order (rows past the last boundary fall into the final
+    split). Returns the input plus (``bucket``, ``split``).
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = _hash_bucket(F.col(id_col), salt)
+    out = df.withColumn("bucket", bucket)
+    expr = None
+    lo = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        lo += int(round(fractions[name] * _BUCKETS))
+        cond = F.col("bucket") < lo
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return out.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    fraction is below its stratum's rate. This is how corpus mixing
+    weights (e.g. upweight books, downsample web crawl) are applied
+    reproducibly — the kept set is identical regardless of
+    partitioning or execution order, unlike ``df.sampleBy`` (seeded
+    per-partition RNG).
+    """
+    bucket = _hash_bucket(F.col(id_col), salt)
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == name
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(
+        F.lit(default_rate)
+    )
+    return df.where(bucket < (rate * _BUCKETS).cast("int"))

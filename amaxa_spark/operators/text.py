@@ -118,6 +118,31 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# PII patterns chosen for cross-engine regex compatibility (Java
+# regex and RE2 agree on these constructs)
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing: replace email addresses and NNN-NNN-NNNN phone
+    numbers with [EMAIL]/[PHONE] placeholders, reporting match counts.
+    Pure regex projection — JVM-side, no shuffle, linear at any scale.
+    """
+    col = F.lower(F.col(text_col))
+    n_emails = F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprints: md5 of normalized text (exact-dup key)
     plus the minimum word-bigram md5 (a 1-hash MinHash — cheap

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "doc_packing",
     "dedup_embedding_cosine_lsh",
     "pricing_summary",
+    "contamination",
+    "split_assign",
 ]
 
 

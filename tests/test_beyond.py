@@ -286,3 +286,79 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     # agreement with the batch operator: same representatives
     batch = {r.doc_id: r.n_dups for r in D.exact_dedup(df, "text", "doc_id").collect()}
     assert batch == {1: 3, 3: 1, 5: 1}
+
+
+def test_hash_split_disjoint_and_stable(spark, sf_dir):
+    from amaxa_spark.operators.sampling import hash_split
+
+    d = docs(spark, sf_dir).select("doc_id")
+    out = hash_split(d, "doc_id")
+    rows = out.collect()
+    assert len(rows) == d.count()  # every row assigned exactly once
+    by_split = {r.doc_id: r.split for r in rows}
+    # stability: a repartitioned re-run assigns identical splits
+    again = {r.doc_id: r.split for r in hash_split(d.repartition(7), "doc_id").collect()}
+    assert by_split == again
+    # fractions roughly honored (hash uniformity)
+    n = len(rows)
+    n_train = sum(1 for s in by_split.values() if s == "train")
+    assert 0.7 * n <= n_train <= 0.9 * n
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from amaxa_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id: long")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.9, "b": 0.3})
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    from amaxa_spark.operators.sampling import stratified_sample
+
+    d = docs(spark, sf_dir).select("doc_id", "lang")
+    kept = stratified_sample(d, "doc_id", "lang", {"en": 1.0, "de": 0.0}, 0.0)
+    langs = {r.lang for r in kept.collect()}
+    assert langs == {"en"}  # rate-1.0 stratum fully kept, others dropped
+    assert kept.count() == d.where(F.col("lang") == "en").count()
+
+
+def test_pii_redact_plants(spark):
+    from amaxa_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at Bob.Smith+x@Example.COM today"),
+            (2, "call 555-123-4567 or 555-999-0000 now"),
+            (3, "nothing here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert out[1].n_emails == 1 and "[EMAIL]" in out[1].redacted_text
+    assert "@" not in out[1].redacted_text
+    assert out[2].n_phones == 2 and out[2].redacted_text.count("[PHONE]") == 2
+    assert out[3].n_emails == 0 and out[3].n_phones == 0
+
+
+def test_contamination_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id: long, text: string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # fully contained
+            (2, "alpha beta zeta eta theta"),  # 1 of 4 bigrams shared
+            (3, "iota kappa"),  # disjoint
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.benchmark_contamination(
+            corpus, bench, "text", "doc_id", n=2, threshold=0.5
+        ).collect()
+    }
+    assert out[1].overlap == 1.0 and out[1].contaminated
+    assert out[2].hit_shingles == 1 and not out[2].contaminated
+    assert out[3].overlap == 0.0 and not out[3].contaminated
