@@ -463,6 +463,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_rerank_ann(spark, sf_dir):
+    """Two-stage retrieval: exact top-20 candidates, then the
+    cross-encoder re-rank hook (mapInPandas boundary with the
+    deterministic stand-in scorer) takes top-5 by the new score."""
+    cands = SIM.cosine_topk(
+        _read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=20
+    ).drop("rank")
+    return SIM.rerank_topk(cands, k=5)
+
+
 def q_text_langid(spark, sf_dir):
     return TXT.language_id(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -702,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "rerank_ann": q_rerank_ann,
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
         "pii_redact": q_pii_redact,
@@ -917,6 +928,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        "rerank_ann": (
+            "WITH scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim "
+            "FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id "
+            "WHERE q.vec_id IN (0, 1, 2)), "
+            "cands AS (SELECT query_id, neighbor_id, sim FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS r "
+            "FROM scored) WHERE r <= 20), "
+            "rescored AS (SELECT *, round((("
+            "('0x' || substr(md5('xenc:' || CAST(query_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR)), 1, 8))::BIGINT "
+            "/ 4294967296.0 + sim) / 2.0), 6) AS rerank_score FROM cands) "
+            "SELECT query_id, neighbor_id, sim, rerank_score, rerank FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id ASC) AS rerank "
+            "FROM rescored) WHERE rerank <= 5"
         ),
         "split_assign": (
             "SELECT doc_id, bucket, CASE WHEN bucket < 8000 THEN 'train' "

@@ -163,6 +163,87 @@ def ivf_cosine_topk(
     )
 
 
+def rerank_topk(
+    candidates: DataFrame,
+    scorer=None,
+    k: int = 5,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Cross-encoder-style re-rank hook: rescore (query, neighbor)
+    candidate pairs with a user-supplied batch scorer, then take the
+    top-k per query by the new score.
+
+    ``scorer(pdf) -> pd.Series`` receives each Arrow batch as a pandas
+    DataFrame with the candidate columns and returns one float score
+    per row — the boundary where a real cross-encoder model would run
+    (model weights broadcast once per executor, batched inference per
+    Arrow batch, never per row). No model ships in this environment,
+    so the default scorer is a deterministic md5-derived pseudo-score
+    blended with the retrieval ``sim`` — exercising the exact same
+    plumbing (schema, batching, per-executor state) a real model uses.
+
+    Scale shape: candidates are already ≪ corpus (k′ per query from
+    the ANN stage); the re-rank is a linear mapInPandas pass over
+    them plus one window top-k partitioned by query.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField
+
+    if scorer is None:
+        scorer = deterministic_pair_scorer(query_col, neighbor_col)
+
+    out_schema = [*candidates.schema.fields, StructField("rerank_score", DoubleType())]
+    from pyspark.sql.types import StructType
+
+    schema = StructType(out_schema)
+
+    def rescore(batches):
+        for pdf in batches:
+            scored = pdf.copy()
+            scored["rerank_score"] = pd.Series(scorer(pdf), index=pdf.index).astype(
+                float
+            )
+            yield scored
+
+    rescored = candidates.mapInPandas(rescore, schema=schema)
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rerank_score").desc(), F.col(neighbor_col).asc()
+    )
+    return (
+        rescored.withColumn("rerank", F.row_number().over(w))
+        .where(F.col("rerank") <= k)
+    )
+
+
+def deterministic_pair_scorer(query_col: str, neighbor_col: str):
+    """Stand-in for a cross-encoder model: md5-derived pseudo-score in
+    [0, 1) blended 50/50 with the retrieval ``sim`` when present.
+    Deterministic per (query, neighbor), so the oracle can replay it."""
+    import hashlib
+    import math
+
+    def score(pdf):
+        # column-wise, not pdf.apply(axis=1): row-apply upcasts mixed
+        # int/float rows to float64 and ids would format as "365.0"
+        keys = (
+            "xenc:"
+            + pdf[query_col].astype(str)
+            + ":"
+            + pdf[neighbor_col].astype(str)
+        )
+        h = keys.map(
+            lambda k: int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+            / float(1 << 32)
+        )
+        base = pdf["sim"].astype(float) if "sim" in pdf.columns else 0.0
+        # half-up rounding to match SQL ROUND (Python's round() is
+        # banker's and would diverge at exact .5 boundaries)
+        return ((h + base) / 2.0).map(lambda x: math.floor(x * 1e6 + 0.5) / 1e6)
+
+    return score
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane components derived from
     md5 — reproducible across runs and engines, no RNG state."""

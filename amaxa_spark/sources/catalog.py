@@ -61,6 +61,35 @@ class TableCatalog:
         return self.table(name)
 
 
+def bucketize(
+    spark: SparkSession,
+    catalog: "TableCatalog",
+    spec: dict[str, tuple[str, int]],
+    suffix: str = "_bkt",
+) -> "TableCatalog":
+    """Materialize bucketed managed-table copies of catalog tables and
+    return a catalog that resolves those names to the bucketed layout
+    (unlisted tables still resolve to the original files).
+
+    ``spec`` maps table name → (bucket column, bucket count). Extract
+    plans run unchanged over the returned catalog, but every join or
+    aggregation keyed on a table's bucket column skips its shuffle:
+    the scan is already hash-partitioned by the key, which Catalyst
+    reads from the table metadata. This is the co-location lever for
+    repeated FK traversals at 100 TB — pay one shuffle at layout time,
+    not one per query. Bucket counts should target ~128 MB per bucket
+    file at the deployed scale.
+    """
+    out = TableCatalog(spark, catalog.base_dir, catalog.fmt)
+    for name, (key, n_buckets) in spec.items():
+        tbl = f"{name}{suffix}"
+        catalog[name].write.bucketBy(n_buckets, key).sortBy(key).mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+        out.register(name, spark.table(tbl))
+    return out
+
+
 def register_views(catalog: "TableCatalog", tables: list[str]) -> None:
     """Expose catalog tables as temp views so users can `spark.sql`
     directly over the engine's catalog (Catalyst produces the same

@@ -362,3 +362,32 @@ def test_contamination_overlap(spark):
     assert out[1].overlap == 1.0 and out[1].contaminated
     assert out[2].hit_shingles == 1 and not out[2].contaminated
     assert out[3].overlap == 0.0 and not out[3].contaminated
+
+
+def test_rerank_topk_deterministic_and_bounded(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cands = SIM.cosine_topk(emb, query_ids=[0, 1], k=10).drop("rank")
+    out1 = SIM.rerank_topk(cands, k=3).collect()
+    out2 = SIM.rerank_topk(cands, k=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    per_q = {}
+    for r in out1:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) == 3
+        ranks = sorted(r.rerank for r in rows)
+        assert ranks == [1, 2, 3]
+        # rerank order follows rerank_score desc
+        by_rank = sorted(rows, key=lambda r: r.rerank)
+        scores = [r.rerank_score for r in by_rank]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rerank_custom_scorer(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cands = SIM.cosine_topk(emb, query_ids=[0], k=5).drop("rank")
+    # a custom scorer that inverts retrieval order
+    out = SIM.rerank_topk(cands, scorer=lambda pdf: -pdf["sim"], k=5).collect()
+    by_rank = sorted(out, key=lambda r: r.rerank)
+    sims = [r.sim for r in by_rank]
+    assert sims == sorted(sims)  # lowest sim now ranks first

@@ -65,3 +65,37 @@ def test_json_source_roundtrip(spark, sf_dir, tmp_path):
     assert {r.n_name for r in back.collect()} == {
         r.n_name for r in nation.collect()
     }
+
+
+def test_bucketize_catalog_preserves_extract(spark, sf_dir):
+    from amaxa_spark.operators.extract import ExtractOperation
+    from amaxa_spark.plans.plan import ExtractScope, ExtractStepPlan
+    from amaxa_spark.sources.catalog import bucketize
+    from amaxa_spark.tpch import tpch_catalog, tpch_registry
+
+    steps = [
+        ExtractStepPlan("customer", ExtractScope.QUERY, where="c_nationkey < 5"),
+        ExtractStepPlan("orders", ExtractScope.DESCENDENTS),
+    ]
+    plain = ExtractOperation(
+        spark, tpch_catalog(spark, sf_dir), tpch_registry(), steps
+    ).run()
+    try:
+        bcat = bucketize(
+            spark,
+            tpch_catalog(spark, sf_dir),
+            {"customer": ("c_custkey", 4), "orders": ("o_custkey", 4)},
+        )
+        bucketed = ExtractOperation(spark, bcat, tpch_registry(), steps).run()
+        for t in ("customer", "orders"):
+            a = {tuple(r) for r in plain[t].collect()}
+            b = {tuple(r) for r in bucketed[t].collect()}
+            assert a == b
+        # the bucketed scan carries its layout into the plan: grouping
+        # orders by its bucket key needs no exchange
+        agg = bcat["orders"].groupBy("o_custkey").count()
+        plan = _plan(agg)
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
