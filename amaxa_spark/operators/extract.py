@@ -196,14 +196,21 @@ class ExtractOperation:
         pks = edges.select(F.col(pk).alias("__p"))
 
         if len(self_cols) == 1:
-            # fast path: a single self-lookup is a parent-pointer
-            # forest, where the up-and-down closure of the seeds is
-            # exactly "all nodes sharing a root with a seed". Pointer
-            # doubling finds every node's root in O(log depth) rounds
+            # accelerator: a single self-lookup is (usually) a
+            # parent-pointer forest, where the up-and-down closure of
+            # the seeds is "all nodes sharing a root with a seed".
+            # Pointer doubling finds roots in O(log depth) rounds
             # versus O(depth) BFS rounds — the round count, not the
-            # per-round volume, is the driver-loop cost at scale. A
-            # parent cycle breaks doubling (pointers never stabilize);
-            # non-convergence falls through to the BFS below.
+            # per-round volume, is the driver-loop cost at scale.
+            # Cycles break doubling: an odd cycle never stabilizes
+            # (converged=False), and an even cycle reaches a period-2
+            # fixed point whose "roots" split the component. The
+            # result is provably complete iff every final pointer is
+            # a TRUE root (null resolved parent) — one narrow
+            # semi-join to check. Every ptr chain follows real parent
+            # edges, so on a failed check the root-match set is still
+            # a SUBSET of the true closure and seeds the BFS below,
+            # which completes it honestly.
             from amaxa_spark.operators.graph import pointer_roots
 
             c = self_cols[0]
@@ -216,6 +223,7 @@ class ExtractOperation:
                         "parent"
                     ),
                 )
+                .localCheckpoint(eager=True)
             )
             ptr, converged = pointer_roots(resolved)
             if converged:
@@ -227,9 +235,22 @@ class ExtractOperation:
                     .select(F.col("ptr").alias("__r"))
                     .distinct()
                 )
-                return ptr.join(
+                members = ptr.join(
                     seed_roots, ptr["ptr"] == seed_roots["__r"], "left_semi"
                 ).select(F.col("node").alias(_ID))
+                non_root_ptrs = (
+                    ptr.select(F.col("ptr").alias("node"))
+                    .join(
+                        resolved.where(F.col("parent").isNotNull()).select("node"),
+                        "node",
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if non_root_ptrs == 0:
+                    return members
+                ids = members
 
         directions = []
         for c in self_cols:

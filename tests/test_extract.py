@@ -172,3 +172,35 @@ def test_descendent_chain_three_levels(spark, sf_dir):
         .count()
     )
     assert res["lineitem"].count() == expected > 0
+
+
+def test_self_closure_parent_cycle_falls_back_to_bfs(spark):
+    """Pointer doubling cannot converge on a parent cycle; the closure
+    must detect that and fall back to BFS, still returning the full
+    mutually-reachable set."""
+    rows = [
+        ("a", "b"),  # a <-> b cycle
+        ("b", "a"),
+        ("c", "a"),  # child of the cycle
+        ("x", None),  # unrelated tree
+        ("y", "x"),
+    ]
+    df = spark.createDataFrame(rows, "Id: string, ParentId: string")
+    cat = TableCatalog(spark, "/tmp/none")
+    cat.register("Account", df)
+    reg = SchemaRegistry([TableMeta("Account", lookups={"ParentId": ["Account"]})])
+    steps = [ExtractStepPlan("Account", ExtractScope.SELECTED_IDS, ids=["c"])]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    assert {r.Id for r in res["Account"].collect()} == {"a", "b", "c"}
+
+
+def test_extract_query_filter_pushed_to_scan(spark, sf_dir):
+    """The QUERY scope's predicate must reach the parquet scan as a
+    pushed filter — at 100 TB this is the difference between reading
+    one row group and reading the table."""
+    cat = tpch_catalog(spark, sf_dir)
+    df = cat["customer"].filter("c_custkey = 7")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1][:200]
+    assert "c_custkey" in pushed
