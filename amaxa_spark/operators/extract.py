@@ -54,6 +54,13 @@ _ID = "__id"
 # Spark does not share)
 _ISIN_THRESHOLD = 1000
 
+# closure accelerator crossover: below this many rows, pointer
+# doubling (O(log depth) whole-table rounds) beats frontier BFS
+# (O(depth) component-sized rounds) because per-round job overhead
+# dominates; above it, whole-table doubling shuffles swamp the win
+# (measured: 10M nodes / 524k component -> BFS 2.7x faster)
+_DOUBLING_MAX_EDGES = 2_000_000
+
 
 class ExtractError(RuntimeError):
     pass
@@ -195,13 +202,18 @@ class ExtractOperation:
         # side tolerates duplicates anyway
         pks = edges.select(F.col(pk).alias("__p"))
 
-        if len(self_cols) == 1:
+        if len(self_cols) == 1 and n_edges <= _DOUBLING_MAX_EDGES:
             # accelerator: a single self-lookup is (usually) a
             # parent-pointer forest, where the up-and-down closure of
             # the seeds is "all nodes sharing a root with a seed".
             # Pointer doubling finds roots in O(log depth) rounds
-            # versus O(depth) BFS rounds — the round count, not the
-            # per-round volume, is the driver-loop cost at scale.
+            # versus O(depth) BFS rounds. The catch: each doubling
+            # round self-joins the WHOLE table, while a BFS round only
+            # touches the current frontier — measured at 10M nodes
+            # with a 5% component, BFS wins 2.7x. So doubling is
+            # gated to tables small enough that per-round fixed
+            # overhead (job scheduling, not data) dominates; above
+            # the threshold the frontier BFS is the scale path.
             # Cycles break doubling: an odd cycle never stabilizes
             # (converged=False), and an even cycle reaches a period-2
             # fixed point whose "roots" split the component. The
