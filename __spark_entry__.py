@@ -463,6 +463,14 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition scoring (Gopher-rules family): max-trigram fraction
+    and distinct ratio per document."""
+    return TXT.repetition_score(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=3
+    )
+
+
 def q_rerank_ann(spark, sf_dir):
     """Two-stage retrieval: exact top-20 candidates, then the
     cross-encoder re-rank hook (mapInPandas boundary with the
@@ -713,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "rerank_ann": q_rerank_ann,
+        "text_repetition": q_text_repetition,
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
         "pii_redact": q_pii_redact,
@@ -928,6 +937,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        "text_repetition": (
+            "WITH g AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') "
+            "FOR i IN range(1, greatest(len(w) - 1, 1))]) AS gram FROM "
+            f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
+            "c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram) "
+            "SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_ngrams, "
+            "round(max(n) * 1.0 / sum(n), 6) AS max_ngram_frac, "
+            "round(count(*) * 1.0 / sum(n), 6) AS distinct_ratio "
+            "FROM c GROUP BY doc_id"
         ),
         "rerank_ann": (
             "WITH scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "

@@ -118,6 +118,36 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_score(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Repetition signals (the Gopher-rules family): per document, the
+    fraction of word n-gram occurrences taken by the single most
+    frequent n-gram, and the distinct-to-total n-gram ratio. High
+    max-fraction / low distinct-ratio marks boilerplate and
+    generation loops. One explode + two-level aggregation — map-side
+    partial agg keeps the shuffle at (doc, gram) granularity.
+
+    Documents with fewer than ``n`` words produce no rows (no n-grams
+    to score)."""
+    words = F.split(_norm(F.col(text_col)), " ")
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {n}))) "
+        f"ELSE array() END"
+    )
+    counted = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(id_col, F.explode(grams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return counted.groupBy(id_col).agg(
+        F.sum("__c").alias("total_ngrams"),
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("max_ngram_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("__c"), 6).alias("distinct_ratio"),
+    )
+
+
 # PII patterns chosen for cross-engine regex compatibility (Java
 # regex and RE2 agree on these constructs)
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"

@@ -90,6 +90,34 @@ def bucketize(
     return out
 
 
+def bucket_spec_for_operation(
+    registry, step_order: list[str], n_buckets: int = 64, by: str = "pk"
+) -> dict[str, tuple[str, int]]:
+    """Derive a :func:`bucketize` spec from an operation's FK graph.
+
+    ``by="pk"`` (default) buckets every table on its primary key: the
+    engine's hot paths — ID-frame distinct, dependency semi-joins, and
+    the final row reconstruction join — are all keyed on pk, so the
+    big table side never shuffles for them. ``by="fk"`` buckets each
+    table on its first descendent lookup instead (root tables still
+    use pk): the right layout when extracted-ID frames are too large
+    to broadcast, making the J1 child probe the dominant shuffle. A
+    table gets exactly one physical layout, so chains (customer ←
+    orders ← lineitem) can't co-locate both of a middle table's roles
+    — pick the axis that matches the operation's biggest join.
+    """
+    spec: dict[str, tuple[str, int]] = {}
+    classification = registry.classify_lookups(step_order)
+    for table in step_order:
+        key = registry[table].pk
+        if by == "fk":
+            desc = sorted(classification[table].descendent_lookups)
+            if desc:
+                key = desc[0]
+        spec[table] = (key, n_buckets)
+    return spec
+
+
 def register_views(catalog: "TableCatalog", tables: list[str]) -> None:
     """Expose catalog tables as temp views so users can `spark.sql`
     directly over the engine's catalog (Catalyst produces the same

@@ -391,3 +391,20 @@ def test_rerank_custom_scorer(spark, sf_dir):
     by_rank = sorted(out, key=lambda r: r.rerank)
     sims = [r.sim for r in by_rank]
     assert sims == sorted(sims)  # lowest sim now ranks first
+
+
+def test_repetition_score_flags_loops(spark):
+    from amaxa_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one trigram repeated
+            (2, "a b c d e f g h"),  # all distinct
+            (3, "x y"),  # too short: no trigrams
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in repetition_score(df, "text", "doc_id", n=3).collect()}
+    assert 3 not in out
+    assert out[1].max_ngram_frac == 1.0 and out[1].distinct_ratio == 0.25
+    assert out[2].max_ngram_frac < 0.2 and out[2].distinct_ratio == 1.0

@@ -99,3 +99,16 @@ def test_bucketize_catalog_preserves_extract(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
+
+
+def test_bucket_spec_for_operation(spark, sf_dir):
+    from amaxa_spark.sources.catalog import bucket_spec_for_operation
+    from amaxa_spark.tpch import tpch_registry
+
+    order = ["customer", "orders", "lineitem"]
+    pk_spec = bucket_spec_for_operation(tpch_registry(), order, n_buckets=8)
+    assert pk_spec["customer"] == ("c_custkey", 8)
+    assert pk_spec["orders"] == ("o_orderkey", 8)
+    fk_spec = bucket_spec_for_operation(tpch_registry(), order, n_buckets=8, by="fk")
+    assert fk_spec["customer"] == ("c_custkey", 8)  # root: pk
+    assert fk_spec["orders"] == ("o_custkey", 8)  # child: descendent FK
