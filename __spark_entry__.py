@@ -426,6 +426,17 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_read(spark, sf_dir, "documents"), "text", "doc_id", bits=56)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: connected components over the
+    exact-Jaccard pair graph; every doc labeled with its component's
+    min id (the canonical keeper). Oracle replays the reachability
+    with a recursive CTE."""
+    pairs = D.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=4, threshold=0.3
+    )
+    return D.cluster_duplicates(pairs)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact baseline; LSH-bucketed
     variant is the scale path, tested separately)."""
@@ -716,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -889,6 +901,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
+            "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
+            f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
+            "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3), "
+            "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "nodes AS (SELECT DISTINCT s AS id FROM edges), "
+            "reach AS (SELECT id, id AS r FROM nodes "
+            "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) "
+            "SELECT id, min(r) AS cluster_id FROM reach GROUP BY id"
         ),
         "dedup_simhash": (
             "WITH tok AS (SELECT doc_id, tokval, count(*) AS n FROM "

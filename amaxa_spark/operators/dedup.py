@@ -307,6 +307,68 @@ def embedding_cosine_dups(
     )
 
 
+def cluster_duplicates(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Resolve pairwise near-dup matches into clusters: connected
+    components over the pair graph, labeling every member with the
+    minimum id in its component (the canonical representative — rows
+    where ``id != cluster_id`` are the drop set).
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels; terminates when no label
+    changes (≤ component diameter rounds — near-dup clusters are
+    almost always shallow). Each round is one join of the label frame
+    against the symmetrized edge list + one min-aggregate, with
+    ``localCheckpoint`` truncating lineage. This runs on the OUTPUT
+    of a pairwise dedup op, so its input tracks the number of real
+    duplicate pairs, not the corpus.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (
+                    F.col("nmin").isNotNull() & (F.col("nmin") < F.col("label"))
+                ).alias("__moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.where(F.col("__moved")).limit(1).count()
+        labels = updated.drop("__moved")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 56) -> DataFrame:
     """SimHash fingerprints: per-token md5 → ``bits``-bit integer; each
     bit position votes +1/−1 weighted by token frequency; the sign

@@ -408,3 +408,21 @@ def test_repetition_score_flags_loops(spark):
     assert 3 not in out
     assert out[1].max_ngram_frac == 1.0 and out[1].distinct_ratio == 0.25
     assert out[2].max_ngram_frac < 0.2 and out[2].distinct_ratio == 1.0
+
+
+def test_cluster_duplicates_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 4)],  # {1,2,3}, {5,6}, {4,9}
+        "id_a: long, id_b: long",
+    )
+    out = {r.id: r.cluster_id for r in D.cluster_duplicates(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 4: 4, 9: 4}
+
+
+def test_cluster_duplicates_chain_diameter(spark):
+    # a long path exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], "id_a: long, id_b: long"
+    )
+    out = {r.id: r.cluster_id for r in D.cluster_duplicates(pairs).collect()}
+    assert set(out.values()) == {10} and len(out) == 11
