@@ -556,6 +556,31 @@ def q_doc_packing(spark, sf_dir):
     return pack_documents(counted, budget=2048, shard_size=1000)
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each click event gains the value of the user's most
+    recent at-or-before purchase (union+window composition — Spark has
+    no native as-of; DuckDB's ASOF JOIN is the oracle)."""
+    from amaxa_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))  # unique (key, ts): deterministic ties
+    )
+    joined = asof_join(clicks, purchases, ts="ts", by="user_id", value_cols=["pval"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+        F.round("pval_r", 4).alias("purchase_value"),
+    )
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: pull a typed value out of the JSON
     props column (JVM-side get_json_object, no UDF)."""
@@ -744,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "topk_per_group": q_topk_per_group,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "quantiles": q_quantiles,
@@ -966,6 +992,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        "events_asof": (
+            "WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events "
+            "WHERE event_type = 'purchase' GROUP BY user_id, ts), "
+            "l AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT l.event_id, l.user_id, epoch_ms(l.ts)::BIGINT AS ts_ms, "
+            "round(l.value, 4) AS value, round(r.pval, 4) AS purchase_value "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "text_repetition": (
             "WITH g AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') "

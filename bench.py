@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "contamination",
     "split_assign",
+    "events_asof",
+    "dedup_clusters",
 ]
 
 

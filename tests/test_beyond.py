@@ -426,3 +426,24 @@ def test_cluster_duplicates_chain_diameter(spark):
     )
     out = {r.id: r.cluster_id for r in D.cluster_duplicates(pairs).collect()}
     assert set(out.values()) == {10} and len(out) == 11
+
+
+def test_asof_join_semantics(spark):
+    from amaxa_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 20), (1, 50, 5), (2, 100, 1)],
+        "k: long, t: long, lv: long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1000), (1, 150, 1500), (2, 300, 9)],
+        "k: long, t: long, rv: long",
+    )
+    out = {
+        (r.k, r.t): r.rv_r
+        for r in asof_join(left, right, ts="t", by="k", value_cols=["rv"]).collect()
+    }
+    assert out[(1, 50)] is None  # nothing at-or-before
+    assert out[(1, 100)] == 1000  # tie included
+    assert out[(1, 200)] == 1500  # most recent prior
+    assert out[(2, 100)] is None  # right row is in the future
