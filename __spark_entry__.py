@@ -581,6 +581,30 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_range_join(spark, sf_dir):
+    """Banded range join: for each error event, the count and mean
+    value of the same user's clicks within ±5 minutes. The band join
+    replaces the per-key cross product; DuckDB replays it as a plain
+    inequality join."""
+    from amaxa_spark.operators.asof import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = interval_join(
+        errors, clicks, by="user_id", left_ts="ts", right_ts="ts",
+        lower_ms=-300_000, upper_ms=300_000,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.avg("value_r"), 4).alias("avg_click_value"),
+    )
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: pull a typed value out of the JSON
     props column (JVM-side get_json_object, no UDF)."""
@@ -770,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "quantiles": q_quantiles,
@@ -992,6 +1017,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        "events_range_join": (
+            "WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'), "
+            "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') "
+            "SELECT e.event_id, e.user_id, CAST(count(*) AS BIGINT) AS n_clicks, "
+            "round(avg(c.value), 4) AS avg_click_value "
+            "FROM e JOIN c ON e.user_id = c.user_id "
+            "AND c.ts BETWEEN e.ts - INTERVAL 300 SECOND AND e.ts + INTERVAL 300 SECOND "
+            "GROUP BY e.event_id, e.user_id"
         ),
         "events_asof": (
             "WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events "

@@ -23,6 +23,65 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+) -> DataFrame:
+    """Range (interval) join: pair each left row with every right row
+    of the same key whose timestamp lies in
+    ``[left_ts + lower_ms, left_ts + upper_ms]``.
+
+    A naive theta-join on the inequality is a per-key cross product.
+    Banding fixes that at scale: both sides are assigned to time bands
+    of width ``upper_ms - lower_ms`` (left rows explode to the ≤2
+    bands their window can overlap), the join runs on the narrow
+    ``(key, band)`` equi-key — which Catalyst executes as a plain
+    hash join — and the exact inequality filters band-collisions
+    afterward. Join fan-out tracks true temporal co-occurrence, never
+    |left|x|right| per key.
+
+    Returns left columns + right columns suffixed ``_r`` (inner join
+    semantics: unmatched left rows are absent).
+    """
+    width = int(upper_ms - lower_ms)
+    if width <= 0:
+        raise ValueError("upper_ms must exceed lower_ms")
+    lt = F.unix_millis(F.col(left_ts))
+    rt = F.unix_millis(F.col(right_ts))
+    l_banded = left.select(
+        *left.columns,
+        lt.alias("__lt"),
+        F.explode(
+            F.sequence(
+                F.floor((lt + F.lit(lower_ms)) / width).cast("long"),
+                F.floor((lt + F.lit(upper_ms)) / width).cast("long"),
+            )
+        ).alias("__bl"),
+    )
+    r_banded = right.select(
+        *[F.col(c).alias(f"{c}_r") for c in right.columns],
+        rt.alias("__rt"),
+        F.floor(rt / width).cast("long").alias("__br"),
+    )
+    joined = l_banded.join(
+        r_banded,
+        (F.col("__bl") == F.col("__br")) & (F.col(by) == F.col(f"{by}_r")),
+        "inner",
+    )
+    exact = joined.where(
+        (F.col("__rt") >= F.col("__lt") + F.lit(lower_ms))
+        & (F.col("__rt") <= F.col("__lt") + F.lit(upper_ms))
+    )
+    return exact.select(
+        *left.columns, *[f"{c}_r" for c in right.columns]
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

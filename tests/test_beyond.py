@@ -447,3 +447,31 @@ def test_asof_join_semantics(spark):
     assert out[(1, 100)] == 1000  # tie included
     assert out[(1, 200)] == 1500  # most recent prior
     assert out[(2, 100)] is None  # right row is in the future
+
+
+def test_interval_join_window(spark):
+    from amaxa_spark.operators.asof import interval_join
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(0)), (2, 1, ts(1000)), (3, 2, ts(0))],
+        "eid: long, k: long, t: timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, ts(-200)), (11, 1, ts(100)), (12, 1, ts(400)), (13, 2, ts(500))],
+        "rid: long, k: long, t: timestamp",
+    )
+    out = interval_join(
+        left, right, by="k", left_ts="t", right_ts="t",
+        lower_ms=-300_000, upper_ms=300_000,
+    )
+    got = {(r.eid, r.rid_r) for r in out.collect()}
+    # eid 1 (t=0): right at -200s, +100s in window; +400s out
+    # eid 2 (t=1000): right at +400s -> 600s away, out of window... wait: |1000-400|=600 > 300 -> out
+    # eid 3 (k=2, t=0): right 13 at +500s -> out
+    assert got == {(1, 10), (1, 11)}
