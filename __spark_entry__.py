@@ -605,6 +605,17 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+def q_events_gapfill(spark, sf_dir):
+    """Hypertable-style rollup: hourly per-type event totals with
+    empty buckets zero-filled from each series' span."""
+    from amaxa_spark.operators.timeseries import time_bucket_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    return time_bucket_rollup(
+        ev, ts="ts", key="event_type", value="value", width_s=3600
+    )
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: pull a typed value out of the JSON
     props column (JVM-side get_json_object, no UDF)."""
@@ -795,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "events_gapfill": q_events_gapfill,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "quantiles": q_quantiles,
@@ -1017,6 +1029,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        "events_gapfill": (
+            "WITH rolled AS (SELECT event_type, "
+            "(floor(epoch(ts))::BIGINT // 3600) * 3600 AS bucket_start, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total "
+            "FROM events GROUP BY 1, 2), "
+            "spine AS (SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS bucket_start "
+            "FROM (SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi "
+            "FROM rolled GROUP BY event_type)) "
+            "SELECT s.event_type, s.bucket_start, coalesce(r.n, 0) AS n, "
+            "coalesce(r.total, 0.0) AS total FROM spine s "
+            "LEFT JOIN rolled r USING (event_type, bucket_start)"
         ),
         "events_range_join": (
             "WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'), "

@@ -475,3 +475,24 @@ def test_interval_join_window(spark):
     # eid 2 (t=1000): right at +400s -> 600s away, out of window... wait: |1000-400|=600 > 300 -> out
     # eid 3 (k=2, t=0): right 13 at +500s -> out
     assert got == {(1, 10), (1, 11)}
+
+
+def test_time_bucket_rollup_gapfill(spark):
+    from amaxa_spark.operators.timeseries import time_bucket_rollup
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 30, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(hours=3), 2.0),  # hours 1-2 are gaps
+        ("b", t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k: string, ts: timestamp, v: double")
+    out = time_bucket_rollup(df, "ts", "k", "v", width_s=3600)
+    a = sorted(
+        (r.bucket_start, r.n, r.total) for r in out.where("k = 'a'").collect()
+    )
+    assert len(a) == 4  # dense span incl. two zero-filled hours
+    assert [x[1] for x in a] == [1, 0, 0, 1]
+    assert [x[2] for x in a] == [1.0, 0.0, 0.0, 2.0]
+    assert out.where("k = 'b'").count() == 1
