@@ -392,6 +392,22 @@ def q_multimodal_meta(spark, sf_dir):
     return MM.extract_image_meta(with_payload, "payload", "doc_id")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing: mapInPandas demux emitting one
+    row per sampled frame (row multiplicity changes inside the UDF);
+    frames decoded to text so the oracle can replay with substring
+    arithmetic."""
+    docs = _read(spark, sf_dir, "documents")
+    wp = MM.synthesize_payload(docs, "text")
+    fr = MM.frame_sample(wp, "payload", "doc_id", frame_bytes=16, every_n=4)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        F.decode("frame", "UTF-8").alias("frame_text"),
+        "n_frames_total",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -783,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_two_phase": q_load_two_phase,
         "sfid_normalize": q_sfid_normalize,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -931,6 +948,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 "
             "THEN upper(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 5)) || substr(md5(CAST(c_custkey AS VARCHAR)), 6, 10) "
             "ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) END AS id15 FROM customer)"
+        ),
+        "multimodal_frames": (
+            "WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents), "
+            "idx AS (SELECT doc_id, text, L, "
+            "unnest(range(0, CAST(ceil(L / 16.0) AS INT), 4)) AS frame_idx FROM f) "
+            "SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, "
+            "substring(text, frame_idx * 16 + 1, 16) AS frame_text, "
+            "CAST(ceil(L / 16.0) AS INTEGER) AS n_frames_total FROM idx"
         ),
         "multimodal_meta": (
             "SELECT doc_id, TRUE AS valid, "

@@ -81,17 +81,153 @@ def extract_image_meta(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resizer: keeps the magic header and
+    truncates/pads the body to width*height//64 bytes — a stand-in
+    with the same in/out contract as a real thumbnailer."""
+    body_len = max(1, width * height // 64)
+    body = payload[8 : 8 + body_len]
+    return _MAGIC + body + b"\x00" * (body_len - len(body))
+
+
 def resize_images(
-    df: DataFrame, payload_col: str = "payload", width: int = 224, height: int = 224
-) -> DataFrame:  # pragma: no cover - stub
-    """STUB: image resize requires PIL/libvips; the distributed shape
-    is identical to :func:`extract_image_meta` (mapInPandas over the
-    binary column, returning a new binary column)."""
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+    codec=None,
+) -> DataFrame:
+    """Image resize plumbing: mapInPandas over the binary column,
+    returning (id, resized payload, out_bytes). ``codec(payload,
+    width, height) -> bytes`` is the injection point for a real
+    thumbnailer (PIL/libvips — not in this environment, so the
+    default is the deterministic :func:`_resize_stub`; pass
+    ``codec=multimodal.resize_real`` when the library exists).
+
+    Scale notes: only (id, payload) is selected, so parquet column
+    pruning skips every other column; Arrow moves the bytes to one
+    Python worker per core in batches; output payload size is fixed
+    by (width, height), so downstream partition sizing is
+    predictable.
+    """
+    codec = codec or _resize_stub
+    schema = f"{id_col} long, resized binary, out_bytes int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                None if p is None else codec(bytes(p), width, height)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": resized,
+                    "out_bytes": [0 if r is None else len(r) for r in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def resize_real(payload: bytes, width: int, height: int) -> bytes:  # pragma: no cover
+    """STUB: real image resize requires PIL/libvips, not present in
+    this environment."""
     raise NotImplementedError("image resize: codec libraries not available")
 
 
+def _frames_stub(payload: bytes, frame_bytes: int) -> list[bytes]:
+    """Deterministic fake demuxer: the payload body is a sequence of
+    fixed-size frames (last one ragged)."""
+    body = payload[8:]
+    return [body[i : i + frame_bytes] for i in range(0, len(body), frame_bytes)]
+
+
 def frame_sample(
-    df: DataFrame, payload_col: str = "payload", every_n: int = 10
-) -> DataFrame:  # pragma: no cover - stub
-    """STUB: video frame sampling requires ffmpeg bindings."""
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 16,
+    every_n: int = 4,
+    codec=None,
+) -> DataFrame:
+    """Video frame-sampling plumbing: mapInPandas demux returning one
+    row per SAMPLED frame — (id, frame_idx, frame, n_frames_total).
+    Row multiplicity changes inside the UDF (the part a scalar
+    pandas_udf cannot do). ``codec(payload, frame_bytes) ->
+    list[bytes]`` is the injection point for a real demuxer (ffmpeg —
+    not in this environment; default is the fixed-size-chunk fake).
+
+    At scale the output is ~1/every_n of the demuxed volume; sampling
+    happens inside the Python worker so unsampled frames never cross
+    back over Arrow.
+    """
+    codec = codec or _frames_stub
+    schema = f"{id_col} long, frame_idx int, frame binary, n_frames_total int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, totals = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                fs = codec(bytes(p), frame_bytes)
+                for j in range(0, len(fs), every_n):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(fs[j])
+                    totals.append(len(fs))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "n_frames_total": pd.Series(totals, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def frame_sample_real(payload: bytes, frame_bytes: int):  # pragma: no cover
+    """STUB: real video demux requires ffmpeg bindings, not present
+    in this environment."""
     raise NotImplementedError("video frame sampling: codec libraries not available")
+
+
+def embed_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    dim: int = 8,
+) -> DataFrame:
+    """Feature-extraction plumbing: payload → fixed-dim float vector
+    (id, embedding array<double>). The fake featurizer hashes the
+    payload per dimension (deterministic); a real model swaps in at
+    the same mapInPandas boundary with weights broadcast per
+    executor."""
+    import hashlib
+
+    schema = f"{id_col} long, embedding array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    embs.append(None)
+                    continue
+                b = bytes(p)
+                embs.append(
+                    [
+                        int(
+                            hashlib.md5(b + bytes([d])).hexdigest()[:8], 16
+                        )
+                        / float(1 << 32)
+                        for d in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "embedding": embs})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

@@ -496,3 +496,39 @@ def test_time_bucket_rollup_gapfill(spark):
     assert [x[1] for x in a] == [1, 0, 0, 1]
     assert [x[2] for x in a] == [1.0, 0.0, 0.0, 2.0]
     assert out.where("k = 'b'").count() == 1
+
+
+def test_resize_plumbing(spark, sf_dir):
+    d = docs(spark, sf_dir).limit(20)
+    wp = MM.synthesize_payload(d, "text")
+    out = MM.resize_images(wp, "payload", "doc_id", width=32, height=32).collect()
+    assert len(out) == 20
+    want = max(1, 32 * 32 // 64)
+    for r in out:
+        assert r.out_bytes == len(r.resized)
+        assert bytes(r.resized)[:8] == b"FAKEIMG1"
+        assert len(r.resized) == 8 + want  # fixed output size
+
+
+def test_frame_sample_multiplicity(spark):
+    df = spark.createDataFrame([(1, "x" * 100), (2, "y" * 10)], "doc_id: long, text: string")
+    wp = MM.synthesize_payload(df, "text")
+    out = MM.frame_sample(wp, "payload", "doc_id", frame_bytes=16, every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r)
+    # doc 1: 100 bytes -> 7 frames -> sampled 0,2,4,6
+    assert sorted(r.frame_idx for r in by_id[1]) == [0, 2, 4, 6]
+    assert all(r.n_frames_total == 7 for r in by_id[1])
+    # doc 2: 10 bytes -> 1 frame -> sampled 0
+    assert [r.frame_idx for r in by_id[2]] == [0]
+    assert bytes(by_id[2][0].frame) == b"y" * 10
+
+
+def test_embed_payload_deterministic(spark, sf_dir):
+    d = docs(spark, sf_dir).limit(5)
+    wp = MM.synthesize_payload(d, "text")
+    a = {r.doc_id: r.embedding for r in MM.embed_payload(wp).collect()}
+    b = {r.doc_id: r.embedding for r in MM.embed_payload(wp).collect()}
+    assert a == b
+    assert all(len(v) == 8 and all(0 <= x < 1 for x in v) for v in a.values())
