@@ -699,6 +699,67 @@ def q_quantiles(spark, sf_dir):
     return agg
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped 3-way join + agg + top-k: revenue of unshipped
+    orders for one market segment. Dims broadcast (customer filter
+    first), fact joins shuffle on their keys, decimal revenue for
+    exact cross-engine sums."""
+    cat = tpch_catalog(spark, sf_dir)
+    cust = cat["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = cat["orders"].where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = cat["lineitem"].where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+    )
+    agg = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H-Q5-shaped 5-way join: revenue by nation for one region,
+    customer and supplier in the same nation. region/nation broadcast
+    (tiny dims), the fact-side joins shuffle on their keys."""
+    cat = tpch_catalog(spark, sf_dir)
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)"))
+    joined = (
+        cat["lineitem"]
+        .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            cat["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(cat["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat["region"]).where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window (hourly) event aggregation — batch equivalent
     of the streaming windowed agg."""
@@ -825,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_gapfill": q_events_gapfill,
         "events_hourly": q_events_hourly,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
         "pricing_summary": q_pricing_summary,
         "quantiles": q_quantiles,
         "json_props": q_json_props,
@@ -1054,6 +1117,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "o_orderpriority, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1995-03-15' "
+            "AND l_shipdate > '1995-03-15' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "regional_revenue": (
+            "SELECT n_name, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
         ),
         "events_gapfill": (
             "WITH rolled AS (SELECT event_type, "

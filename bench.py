@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "split_assign",
     "events_asof",
     "dedup_clusters",
+    "shipping_priority",
+    "regional_revenue",
 ]
 
 
