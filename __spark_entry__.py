@@ -793,6 +793,24 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_token_budget(spark, sf_dir):
+    """Per-language token-budget fill: hash-ordered docs kept while
+    each language's running whitespace-token total stays under 5000."""
+    from amaxa_spark.operators.sampling import token_budget_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    return token_budget_sample(
+        counted, "doc_id", "n_tokens", budget=5000, stratum_col="lang"
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing over a derived column with planted emails/phones
     (the synthetic corpus itself contains none — both engines plant
@@ -874,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
+        "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
         "text_langid": q_text_langid,
@@ -1204,6 +1223,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
             "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
             "FROM documents) WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 10000 AS INT)"
+        ),
+        "token_budget": (
+            r"WITH c AS (SELECT doc_id, lang, "
+            r"len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens "
+            r"FROM documents), "
+            r"h AS (SELECT *, CAST(('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b FROM c) "
+            r"SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens FROM "
+            r"(SELECT doc_id, lang, n_tokens, b, coalesce(sum(n_tokens) OVER "
+            r"(PARTITION BY lang ORDER BY b ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM h) "
+            r"WHERE prev < 5000"
         ),
         "pii_redact": (
             r"WITH planted AS (SELECT doc_id, "

@@ -15,7 +15,7 @@ giving 0.01% split granularity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 10_000
@@ -61,6 +61,42 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return out.withColumn("split", expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    stratum_col: str | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Fill a token budget deterministically: rank rows by id hash
+    (a reproducible shuffle), take the running token total in that
+    order, and keep every row whose PREVIOUS cumulative total is
+    still under the budget — so the budget is crossed at most once,
+    by the final kept row. With ``stratum_col``, each stratum fills
+    its own budget (how "10B tokens at these mixture weights" is
+    actually cut).
+
+    Scale shape: one window (cumulative sum) partitioned by stratum —
+    a per-stratum sort. For a single global budget the sort is
+    global; shard the budget across strata when that matters (that is
+    also the statistically better cut).
+    """
+    order = _hash_bucket(F.col(id_col), salt)
+    part = [stratum_col] if stratum_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(order.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_total = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__prev", prev_total)
+        .where(F.col("__prev") < budget)
+        .drop("__prev")
+    )
 
 
 def stratified_sample(

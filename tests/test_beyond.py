@@ -532,3 +532,20 @@ def test_embed_payload_deterministic(spark, sf_dir):
     b = {r.doc_id: r.embedding for r in MM.embed_payload(wp).collect()}
     assert a == b
     assert all(len(v) == 8 and all(0 <= x < 1 for x in v) for v in a.values())
+
+
+def test_token_budget_sample(spark):
+    from amaxa_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "s", 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id: long, stratum: string, n: long")
+    kept = token_budget_sample(df, "doc_id", "n", budget=1000, stratum_col="stratum")
+    got = kept.collect()
+    # 100-token docs against a 1000 budget: exactly 10 kept (last one
+    # crosses the boundary, prev total 900 < 1000)
+    assert len(got) == 10
+    # determinism under repartition
+    again = token_budget_sample(
+        df.repartition(7), "doc_id", "n", budget=1000, stratum_col="stratum"
+    ).collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in again}
