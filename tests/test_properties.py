@@ -6,6 +6,7 @@ import string
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from amaxa_spark.ids import normalize_sfid
 
@@ -88,3 +89,110 @@ def test_closure_matches_bfs(spark, forest):
     ).run()
     got = {int(r.Id) for r in res["T"].collect()}
     assert got == _python_closure(n, parents, 0)
+
+
+def _rand_rows(seed, n, key_range, t_range, v_range=1000):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (i, rng.randrange(key_range), rng.randrange(t_range), float(rng.randrange(v_range)))
+        for i in range(n)
+    ]
+
+
+def test_asof_join_matches_naive(spark):
+    """Randomized cross-check: the union+window as-of join equals the
+    per-row 'latest right at-or-before' reference computation."""
+    import datetime as dt
+
+    from amaxa_spark.operators.asof import asof_join
+
+    base = dt.datetime(2026, 1, 1)
+
+    for seed in (1, 2, 3):
+        lrows = _rand_rows(seed, 60, 5, 50)
+        rrows = _rand_rows(seed + 100, 40, 5, 50)
+        left = spark.createDataFrame(
+            [(i, k, base + dt.timedelta(seconds=t)) for i, k, t, _ in lrows],
+            "eid: long, k: long, t: timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, base + dt.timedelta(seconds=t), v) for _, k, t, v in rrows],
+            "k: long, t: timestamp, v: double",
+        )
+        # right side must be unique per (k, t) for a deterministic answer
+        right = right.groupBy("k", "t").agg(F.max("v").alias("v"))
+        got = {
+            r.eid: r.v_r
+            for r in asof_join(left, right, ts="t", by="k", value_cols=["v"]).collect()
+        }
+        rd = {}
+        for row in right.collect():
+            rd.setdefault(row.k, []).append((row.t, row.v))
+        for i, k, t, _ in lrows:
+            lt = base + dt.timedelta(seconds=t)
+            cands = [(rt, v) for rt, v in rd.get(k, []) if rt <= lt]
+            want = max(cands)[1] if cands else None
+            assert got[i] == want, (seed, i)
+
+
+def test_interval_join_matches_naive(spark):
+    import datetime as dt
+
+    from amaxa_spark.operators.asof import interval_join
+
+    base = dt.datetime(2026, 1, 1)
+    for seed in (7, 8):
+        lrows = _rand_rows(seed, 50, 4, 3600)
+        rrows = _rand_rows(seed + 50, 50, 4, 3600)
+        left = spark.createDataFrame(
+            [(i, k, base + dt.timedelta(seconds=t)) for i, k, t, _ in lrows],
+            "eid: long, k: long, t: timestamp",
+        )
+        right = spark.createDataFrame(
+            [(i, k, base + dt.timedelta(seconds=t)) for i, k, t, _ in rrows],
+            "rid: long, k: long, t: timestamp",
+        )
+        got = {
+            (r.eid, r.rid_r)
+            for r in interval_join(
+                left, right, by="k", left_ts="t", right_ts="t",
+                lower_ms=-120_000, upper_ms=60_000,
+            ).collect()
+        }
+        want = set()
+        for i, k, t, _ in lrows:
+            for j, k2, t2, _ in rrows:
+                if k == k2 and -120 <= t2 - t <= 60:
+                    want.add((i, j))
+        assert got == want, seed
+
+
+def test_cluster_duplicates_matches_union_find(spark):
+    import random
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        pairs = {(rng.randrange(30), rng.randrange(30)) for _ in range(25)}
+        pairs = [(a, b) for a, b in pairs if a != b]
+        from amaxa_spark.operators.dedup import cluster_duplicates
+
+        df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+        got = {r.id: r.cluster_id for r in cluster_duplicates(df).collect()}
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        assert got == want, seed
