@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--registry", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    p.add_argument(
+        "--atomic",
+        action="store_true",
+        help="extract: commit all tables via the manifest protocol "
+        "(all-or-nothing across tables)",
+    )
     p.add_argument("--state", help="resume from this state directory")
     p.add_argument("--save-state", help="write state here on failure/success")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -71,6 +77,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "extract":
         steps = load_extract_config(args.operation)
         results = ExtractOperation(spark, catalog, registry, steps).run()
+        if args.atomic:
+            from amaxa_spark.sources.catalog import atomic_extract_write
+
+            manifest = atomic_extract_write(
+                results,
+                args.out,
+                pk={t: registry[t].pk for t in results},
+                record_counts=True,
+            )
+            for table, entry in manifest["tables"].items():
+                print(f"extracted {table}: {entry['rows']} records")
+            print(f"committed generation {manifest['token']}")
+            return 0
         for table, df in results.items():
             pk = registry[table].pk
             write_extract_csv(df, f"{args.out}/{table}.csv", pk=pk)

@@ -144,6 +144,123 @@ def write_extract_csv(df: DataFrame, path: str, pk: str = "Id", single_file: boo
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def atomic_extract_write(
+    outputs: dict[str, DataFrame],
+    out_dir: str,
+    pk: str | dict[str, str] = "Id",
+    single_file: bool = False,
+    record_counts: bool = False,
+) -> dict:
+    """Atomic multi-table extract commit (manifest protocol).
+
+    The reference writes one CSV per sObject as it streams and leaves
+    partial files behind on failure (`/root/reference/amaxa/loader/
+    extract_operation.py:125-158`); a resumed run appends. At cluster
+    scale a multi-table extract must instead be all-or-nothing: a
+    consumer must never see table A from the new run next to table B
+    from the old one.
+
+    Protocol (rename-free, object-store friendly):
+
+    1. every table is written under a fresh generation token,
+       ``<out_dir>/<table>-<token>.csv`` — unique names, so no task
+       ever overwrites a committed file and no directory rename is
+       needed (renames are copies on S3-style stores);
+    2. only after *every* table write succeeds, ``_MANIFEST.json`` is
+       published via write-temp + ``os.replace`` (atomic on POSIX) —
+       the manifest IS the commit: it names the token and per-table
+       paths;
+    3. readers (:func:`read_committed_extract`) resolve paths through
+       the manifest only. A crashed run leaves orphan data files but
+       no manifest update — invisible. Re-publishing replaces the
+       manifest in one atomic step (snapshot isolation, last writer
+       wins); superseded generations are reclaimed by
+       :func:`vacuum_extract`.
+
+    ``record_counts=True`` adds per-table row counts to the manifest
+    (one extra count job per table — skip at 100 TB unless audit
+    requires it). Returns the manifest dict.
+    """
+    import json
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    os.makedirs(out_dir, exist_ok=True)
+    tables: dict[str, dict] = {}
+    try:
+        for name, df in outputs.items():
+            rel = f"{name}-{token}.csv"
+            table_pk = pk.get(name, "Id") if isinstance(pk, dict) else pk
+            write_extract_csv(
+                df, os.path.join(out_dir, rel), pk=table_pk, single_file=single_file
+            )
+            entry: dict = {"path": rel}
+            if record_counts:
+                entry["rows"] = df.count()
+            tables[name] = entry
+    except Exception:
+        # best-effort reclaim of this generation's partial output;
+        # the previous manifest (if any) is untouched either way
+        import shutil
+
+        for name in outputs:
+            shutil.rmtree(
+                os.path.join(out_dir, f"{name}-{token}.csv"), ignore_errors=True
+            )
+        raise
+    manifest = {"token": token, "format": "csv", "pk": pk, "tables": tables}
+    tmp = os.path.join(out_dir, f".{MANIFEST_NAME}.{token}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+    return manifest
+
+
+def read_committed_extract(
+    spark: SparkSession, out_dir: str
+) -> dict[str, DataFrame]:
+    """Open the committed generation of an atomic extract: resolves
+    table paths through ``_MANIFEST.json`` (the commit marker). Raises
+    ``FileNotFoundError`` if no extract ever committed here."""
+    import json
+
+    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    return {
+        name: spark.read.option("header", True).csv(
+            os.path.join(out_dir, entry["path"])
+        )
+        for name, entry in manifest["tables"].items()
+    }
+
+
+def vacuum_extract(out_dir: str) -> list[str]:
+    """Delete data directories not referenced by the current manifest
+    (orphans from crashed or superseded generations). Returns the
+    removed paths. Safe to run any time after commit: readers resolve
+    through the manifest, never by listing."""
+    import json
+    import shutil
+
+    try:
+        with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+            live = {e["path"] for e in json.load(f)["tables"].values()}
+    except FileNotFoundError:
+        live = set()
+    removed = []
+    for entry in os.listdir(out_dir):
+        if entry == MANIFEST_NAME or entry in live or entry.startswith("."):
+            continue
+        full = os.path.join(out_dir, entry)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+            removed.append(entry)
+    return removed
+
+
 def write_result_csv(df: DataFrame, path: str, append: bool = False) -> None:
     """Result sink (S8): per-table `Original Id, New Id, Error` rows;
     append mode on resume (`amaxa/loader/load_operation.py:103-132`)."""

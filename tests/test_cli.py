@@ -114,3 +114,49 @@ def test_sql_over_catalog_views(spark, sf_dir):
     )
     assert out.count() == 5
     assert sum(r.n for r in out.collect()) > 0
+
+
+def test_cli_extract_atomic(spark, sf_dir, tmp_path):
+    reg = {
+        "tables": [
+            {"name": "region", "pk": "r_regionkey", "lookups": {}},
+            {
+                "name": "nation",
+                "pk": "n_nationkey",
+                "lookups": {"n_regionkey": ["region"]},
+            },
+        ]
+    }
+    reg_path = tmp_path / "registry.json"
+    reg_path.write_text(json.dumps(reg))
+    op = {
+        "version": 2,
+        "operation": [
+            {"table": "region", "extract": {"all": True}},
+            {"table": "nation", "extract": {"descendents": True}},
+        ],
+    }
+    op_path = tmp_path / "op.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "extract",
+            str(op_path),
+            "--data-dir",
+            sf_dir,
+            "--registry",
+            str(reg_path),
+            "--out",
+            str(out),
+            "--atomic",
+        ]
+    )
+    assert rc == 0
+    from amaxa_spark.sources.catalog import read_committed_extract
+
+    got = read_committed_extract(spark, str(out))
+    assert got["region"].count() == 5
+    assert got["nation"].count() == 25
+    # pk-first header order holds through the manifest sink
+    assert got["nation"].columns[0] == "n_nationkey"

@@ -161,3 +161,61 @@ def test_roundtrip_with_transforms_and_rename(spark, tmp_path):
     back = spark.read.option("header", True).csv(str(tmp_path / "acc.csv"))
     assert back.columns == ["Id", "account_name"]
     assert {r.account_name for r in back.collect()} == {"acme", "acme sub", "other"}
+
+
+def test_atomic_extract_commit_and_read(spark, tmp_path):
+    """Manifest protocol: commit is all-or-nothing across tables; a
+    failed generation is invisible; vacuum reclaims its orphans."""
+    from amaxa_spark.sources.catalog import (
+        atomic_extract_write,
+        read_committed_extract,
+        vacuum_extract,
+    )
+
+    cat = sf_graph_catalog(spark)
+    reg = sf_graph_registry()
+    steps = [
+        ExtractStepPlan("Account", ExtractScope.ALL_RECORDS),
+        ExtractStepPlan("Contact", ExtractScope.DESCENDENTS),
+    ]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    out = str(tmp_path / "atomic")
+
+    # no commit yet → reader refuses
+    with pytest.raises(FileNotFoundError):
+        read_committed_extract(spark, out)
+
+    m1 = atomic_extract_write(res, out, single_file=True, record_counts=True)
+    got = read_committed_extract(spark, out)
+    assert set(got) == {"Account", "Contact"}
+    assert {r.Id for r in got["Account"].collect()} == {
+        r.Id for r in res["Account"].collect()
+    }
+    assert m1["tables"]["Account"]["rows"] == res["Account"].count()
+
+    # a generation that fails mid-write must not disturb the committed one
+    class Boom(Exception):
+        pass
+
+    class FailingDF:
+        columns = ["Id"]
+
+        def select(self, *a, **k):
+            raise Boom()
+
+    with pytest.raises(Boom):
+        atomic_extract_write(
+            {"Account": res["Account"], "Contact": FailingDF()}, out, single_file=True
+        )
+    got2 = read_committed_extract(spark, out)
+    assert {r.Id for r in got2["Contact"].collect()} == {
+        r.Id for r in res["Contact"].collect()
+    }
+
+    # second successful commit supersedes; vacuum removes generation 1
+    m2 = atomic_extract_write(res, out, single_file=True)
+    assert m2["token"] != m1["token"]
+    removed = vacuum_extract(out)
+    assert any(m1["token"] in p for p in removed)
+    assert all(m2["token"] not in p for p in removed)
+    assert set(read_committed_extract(spark, out)) == {"Account", "Contact"}
