@@ -846,6 +846,36 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_group_cap(spark, sf_dir):
+    """Per-source quota (domain cap): at most 40 docs per source,
+    chosen deterministically by id-hash order."""
+    from amaxa_spark.operators.sampling import group_cap
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_cap(docs, "doc_id", "source", 40)
+
+
+def q_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle + 8-way sharding: (shard, pos)
+    defines a reproducible permutation for training-shard output."""
+    from amaxa_spark.operators.sampling import shuffle_shard
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shard(docs, "doc_id", 8)
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-50 by (count desc, token asc)."""
+    return TXT.vocab_topk(_read(spark, sf_dir, "documents"), "text", 50)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Posting lists (token → sorted doc ids) for tokens in ≥100 docs."""
+    return TXT.inverted_index(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", min_df=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -895,6 +925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
+        "group_cap": q_group_cap,
+        "shuffle_shard": q_shuffle_shard,
+        "vocab_topk": q_vocab_topk,
+        "inverted_index": q_inverted_index,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -1258,6 +1292,35 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(h.hit_shingles, 0) * 1.0 / t.total_shingles, 6) AS overlap, "
             "coalesce(h.hit_shingles, 0) * 1.0 / t.total_shingles >= 0.5 AS contaminated "
             "FROM totals t LEFT JOIN hits h USING (doc_id)"
+        ),
+        "group_cap": (
+            "WITH b AS (SELECT doc_id, source, "
+            "CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS bucket "
+            "FROM documents) "
+            "SELECT doc_id, source FROM "
+            "(SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY bucket, doc_id) AS rn FROM b) "
+            "WHERE rn <= 40"
+        ),
+        "shuffle_shard": (
+            "WITH h AS (SELECT doc_id, "
+            "('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv "
+            "FROM documents) "
+            "SELECT doc_id, CAST(hv % 8 AS INT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT) AS pos "
+            "FROM h"
+        ),
+        "vocab_topk": (
+            f"SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split({_NORM_TEXT}, ' ')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token "
+            "ORDER BY cnt DESC, token ASC LIMIT 50"
+        ),
+        "inverted_index": (
+            f"WITH pairs AS (SELECT DISTINCT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS token "
+            "FROM documents) "
+            "SELECT token, count(*) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+            "FROM pairs WHERE token <> '' GROUP BY token HAVING count(*) >= 100"
         ),
         "text_langid": (
             f"SELECT doc_id, "

@@ -123,3 +123,51 @@ def stratified_sample(
         F.lit(default_rate)
     )
     return df.where(bucket < (rate * _BUCKETS).cast("int"))
+
+
+def group_cap(
+    df: DataFrame, id_col: str, by: str, k: int, salt: str = "cap"
+) -> DataFrame:
+    """Per-group quota (RefinedWeb-style domain cap): keep at most
+    ``k`` rows per ``by`` group, chosen deterministically by id-hash
+    order — so the survivors are a reproducible "random" sample,
+    independent of partitioning, and a re-crawl that adds rows can
+    only swap members, never inflate a group past its cap.
+
+    Scale shape: one window sort per group (hash order, id tiebreak).
+    Groups are independent, so skewed sources cost only their own
+    partition's sort; no global ordering exists anywhere.
+    """
+    order = _hash_bucket(F.col(id_col), salt)
+    w = Window.partitionBy(by).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def shuffle_shard(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training output:
+    assign every row a shard (id-hash mod ``n_shards``) and a position
+    within its shard (rank in 60-bit-hash order). Together (shard,
+    pos) define a reproducible random permutation of the corpus that
+    any engine can replay — the standard final step before writing
+    training shards, without ``ORDER BY rand()``'s nondeterminism.
+
+    Scale shape: the only sort is per-shard; shards are written
+    independently (``partitionBy(shard)``), so the permutation never
+    materializes globally.
+    """
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    # 60 bits: fits int64 in both engines, ~no ties at trillions of rows
+    h = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )

@@ -192,3 +192,51 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "min_bigram_hash"
         ),
     )
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Corpus vocabulary: whitespace tokens of the normalized text,
+    counted corpus-wide, top-``k`` by (count desc, token asc).
+
+    Scale shape: explode → two-level hash aggregation with map-side
+    combine (token cardinality ≪ token instances), then a k-row
+    TakeOrdered — no global sort of the vocabulary.
+    """
+    toks = df.select(
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def inverted_index(
+    df: DataFrame, text_col: str, id_col: str, min_df: int = 2
+) -> DataFrame:
+    """Posting-list build: token → comma-joined sorted distinct doc
+    ids, for tokens appearing in ≥ ``min_df`` documents. The posting
+    list is stringified *after* sorting so the result is a stable,
+    engine-comparable value (and a realistic shard-able index row).
+
+    Scale shape: per-doc distinct tokens first (explode + distinct —
+    caps each doc's contribution), then one grouped collect per
+    token. Hot tokens ("the") concentrate on single reducers; at
+    100 TB apply :func:`group_cap`-style df ceilings or drop
+    stop-tokens above a document-frequency threshold before the
+    collect — min_df prunes the long uninformative tail instead.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(",", F.sort_array(F.collect_set("doc"))).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

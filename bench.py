@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "contamination",
     "split_assign",
+    "group_cap",
+    "vocab_topk",
     "events_asof",
     "dedup_clusters",
     "shipping_priority",

@@ -549,3 +549,61 @@ def test_token_budget_sample(spark):
         df.repartition(7), "doc_id", "n", budget=1000, stratum_col="stratum"
     ).collect()
     assert {r.doc_id for r in got} == {r.doc_id for r in again}
+
+
+def test_group_cap(spark):
+    from amaxa_spark.operators.sampling import group_cap
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    kept = group_cap(df, "doc_id", "source", 30)
+    by_src = {}
+    for r in kept.collect():
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 30  # capped
+    assert len(by_src["small"]) == 20  # under cap: untouched
+    # deterministic under repartition
+    again = group_cap(df.repartition(5), "doc_id", "source", 30)
+    assert {r.doc_id for r in again.collect()} == {
+        r.doc_id for r in kept.collect()
+    }
+
+
+def test_shuffle_shard_is_permutation(spark):
+    from amaxa_spark.operators.sampling import shuffle_shard
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id: long")
+    out = shuffle_shard(df, "doc_id", 4).collect()
+    assert len(out) == 200 and {r.doc_id for r in out} == set(range(200))
+    assert {r.shard for r in out} == {0, 1, 2, 3}
+    # positions within each shard are 1..n_shard, no gaps or dupes
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # hash order is not insertion order (it actually shuffles)
+    first = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
+    assert first != sorted(first)
+
+
+def test_vocab_and_inverted_index(spark):
+    from amaxa_spark.operators.text import inverted_index, vocab_topk
+
+    rows = [
+        (0, "spark joins data"),
+        (1, "spark shuffles data fast"),
+        (2, "spark spark spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    vocab = vocab_topk(df, "text", 3).collect()
+    assert [(r.token, r.cnt) for r in vocab] == [
+        ("spark", 5),
+        ("data", 2),
+        ("fast", 1),  # count ties broken by token asc
+    ]
+    idx = {r.token: (r.df, r.postings) for r in inverted_index(
+        df, "text", "doc_id", min_df=2
+    ).collect()}
+    # df counts distinct docs (doc 2's triple "spark" counts once)
+    assert idx == {"spark": (3, "0,1,2"), "data": (2, "0,1")}
