@@ -846,6 +846,44 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP (region → nation → ALL): one pass produces
+    every level of the hierarchy; Spark's Expand feeds a single hash
+    aggregation, so the cost is ~levels x one agg, not one job per
+    level. grouping_id labels the level for consumers."""
+    cat = tpch_catalog(spark, sf_dir)
+    joined = (
+        cat["customer"]
+        .join(F.broadcast(cat["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.grouping_id().alias("lvl"),
+        )
+    )
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Per-user 5-row moving average over event values (window frame
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) — the classic smoothing
+    shape; one shuffle on user_id, per-partition sort."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg5"),
+    )
+
+
 def q_group_cap(spark, sf_dir):
     """Per-source quota (domain cap): at most 40 docs per source,
     chosen deterministically by id-hash order."""
@@ -925,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
+        "rollup_revenue": q_rollup_revenue,
+        "events_moving_avg": q_events_moving_avg,
         "group_cap": q_group_cap,
         "shuffle_shard": q_shuffle_shard,
         "vocab_topk": q_vocab_topk,
@@ -1292,6 +1332,19 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(h.hit_shingles, 0) * 1.0 / t.total_shingles, 6) AS overlap, "
             "coalesce(h.hit_shingles, 0) * 1.0 / t.total_shingles >= 0.5 AS contaminated "
             "FROM totals t LEFT JOIN hits h USING (doc_id)"
+        ),
+        "rollup_revenue": (
+            "SELECT r_name, n_name, count(*) AS n_cust, "
+            "round(sum(c_acctbal), 2) AS total_bal, "
+            "GROUPING(r_name, n_name) AS lvl "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "events_moving_avg": (
+            "SELECT event_id, user_id, round(avg(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5 FROM events"
         ),
         "group_cap": (
             "WITH b AS (SELECT doc_id, source, "

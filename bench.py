@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "split_assign",
     "group_cap",
     "vocab_topk",
+    "events_moving_avg",
     "events_asof",
     "dedup_clusters",
     "shipping_priority",
