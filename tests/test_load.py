@@ -160,3 +160,43 @@ def test_primitivize_failure_records_error(spark):
     flags = {r.Id: r.IsDeleted for r in res.written["Account"].collect()}
     assert flags[new_id("Account", "A1")] is True
     assert flags[new_id("Account", "A3")] is False  # "" -> False equivalence
+
+
+def test_state_save_is_atomic_and_v1_compatible(spark, tmp_path):
+    """A save that dies mid-write must leave the previous snapshot
+    intact (marker-last protocol); v1 fixed-layout snapshots load."""
+    import os
+
+    import yaml
+
+    from amaxa_spark.sources.state import load_state, save_state
+
+    st = str(tmp_path / "st")
+    m1 = spark.createDataFrame([("a", "b")], "old_id: string, new_id: string")
+    save_state(st, "inserts", {"Account": m1})
+
+    # crash during the second save's table write: marker never moves
+    class BoomDF:
+        class write:  # noqa: N801
+            def parquet(self, *_):
+                raise RuntimeError("disk full")
+
+        write = write()
+
+    m2 = spark.createDataFrame([("c", "d")], "old_id: string, new_id: string")
+    try:
+        save_state(st, "dependents", {"Account": m2, "Contact": BoomDF()})
+    except RuntimeError:
+        pass
+    stage, id_map = load_state(spark, st)
+    assert stage == "inserts"
+    assert [(r.old_id, r.new_id) for r in id_map["Account"].collect()] == [("a", "b")]
+
+    # v1 snapshot layout (fixed file names, `tables` list) still loads
+    v1 = str(tmp_path / "v1")
+    os.makedirs(v1)
+    m1.write.parquet(os.path.join(v1, "idmap_Account.parquet"))
+    with open(os.path.join(v1, "state.yaml"), "w") as f:
+        yaml.safe_dump({"version": 1, "stage": "dependents", "tables": ["Account"]}, f)
+    stage, id_map = load_state(spark, v1)
+    assert stage == "dependents" and id_map["Account"].count() == 1
