@@ -846,6 +846,52 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_large_orders(spark, sf_dir):
+    """TPC-H-Q18-shaped: orders whose total lineitem quantity ≥ 250 —
+    an aggregate-then-semi-join (HAVING pushed into a pre-agg on the
+    fact table, so the wide joins only touch qualifying orders)."""
+    cat = tpch_catalog(spark, sf_dir)
+    big = (
+        cat["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("tot_qty"))
+        .where(F.col("tot_qty") >= 250)
+    )
+    return (
+        big.join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "tot_qty",
+        )
+    )
+
+
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H-Q10-shaped: top-20 customers by revenue of returned items
+    in 1996H1 — selective fact filters first, dims broadcast, decimal
+    sums for exact cross-engine totals."""
+    cat = tpch_catalog(spark, sf_dir)
+    li = cat["lineitem"].where(F.col("l_returnflag") == "R")
+    orders = cat["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)"))
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical ROLLUP (region → nation → ALL): one pass produces
     every level of the hierarchy; Spark's Expand feeds a single hash
@@ -963,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
+        "large_orders": q_large_orders,
+        "returned_revenue": q_returned_revenue,
         "rollup_revenue": q_rollup_revenue,
         "events_moving_avg": q_events_moving_avg,
         "group_cap": q_group_cap,
@@ -1332,6 +1380,26 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(h.hit_shingles, 0) * 1.0 / t.total_shingles, 6) AS overlap, "
             "coalesce(h.hit_shingles, 0) * 1.0 / t.total_shingles >= 0.5 AS contaminated "
             "FROM totals t LEFT JOIN hits h USING (doc_id)"
+        ),
+        "large_orders": (
+            "WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS tot_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) >= 250) "
+            "SELECT o_orderkey, c_name, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "round(o_totalprice, 2) AS o_totalprice, tot_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "returned_revenue": (
+            "SELECT c_custkey, c_name, n_name, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' AND o_orderdate >= '1996-01-01' "
+            "AND o_orderdate < '1996-07-01' "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
         ),
         "rollup_revenue": (
             "SELECT r_name, n_name, count(*) AS n_cust, "

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "shipping_priority",
     "regional_revenue",
+    "large_orders",
+    "returned_revenue",
 ]
 
 
