@@ -961,6 +961,344 @@ def q_inverted_index(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped analytics batch 2: subquery / outer-join / conditional-agg
+# plan shapes (beyond-reference; the reference has no SQL surface at all —
+# SURVEY §2.4 "not present" list — so these prove the Spark engine covers
+# the analytics a reference user would reach for next)
+# ---------------------------------------------------------------------------
+
+
+def _rev_dec():
+    """Exact decimal revenue term, identical on both engines (same
+    idiom as q_pricing_summary — double→decimal cast per factor, then
+    exact decimal multiply, so sums are order-independent)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(1.0 - l_discount AS DECIMAL(18,2))"
+)
+
+
+def q_exists_late_ship(spark, sf_dir):
+    """TPC-H-Q4-shaped EXISTS: orders having ≥1 lineitem shipped after
+    the order date, counted per priority. The correlated EXISTS is a
+    left-semi join with a non-equi residual predicate — Catalyst keeps
+    the equi part as the join key and evaluates the date comparison as
+    a join residual, so the probe side streams without duplication."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_cust_order_dist(spark, sf_dir):
+    """TPC-H-Q13-shaped distribution: left-outer join preserves
+    zero-order customers (count(o_orderkey) skips nulls → 0), then a
+    second aggregation over the first's output — two shuffles, the
+    second tiny because the first collapsed to one row per customer."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H-Q14-shaped conditional aggregation: promo share of one
+    month's revenue. part broadcasts against the date-pruned lineitem
+    scan; both sums are exact decimals so the final double division is
+    bit-identical across engines."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = _rev_dec()
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias(
+            "promo"
+        ),
+        F.sum(rev).alias("total"),
+    )
+    return agg.select(
+        F.round(
+            (F.lit(100.0) * F.col("promo").cast("double"))
+            / F.col("total").cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H-Q17-shaped correlated scalar subquery: lineitems of one
+    brand whose quantity is below 20% of that part's average. The
+    correlated avg is decorrelated by hand into a per-part aggregate
+    joined back on partkey (exactly Catalyst's own rewrite); quantities
+    are integer-valued doubles so the avg is exact either way."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    branded = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    filtered = branded.join(
+        thresh, F.col("l_partkey") == F.col("t_partkey")
+    ).where(F.col("l_quantity") < F.col("qty_thresh"))
+    return filtered.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.lit(7.0),
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-shaped scalar-max subquery: supplier(s) with the
+    maximum revenue over one quarter. The revenue aggregate is reused
+    for both the ranking and the max — the scalar max broadcasts as a
+    1-row join, and equality on exact decimals makes the tie-set
+    deterministic (double revenue would make 'equals max' fragile)."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supplier = _read(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_dec()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+    return (
+        top.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_cust_no_orders(spark, sf_dir):
+    """TPC-H-Q22-shaped anti-join + scalar subquery: per nation, the
+    count and balance of above-average customers who never ordered.
+    The average test is written multiply-form (bal*n > total) in exact
+    decimals — no division, so no float-boundary row flips between
+    engines. The NOT EXISTS is a left-anti join against recent orders
+    ("dormant" customers — every customer here has *some* order, so
+    the anti-join needs the date predicate to select anything)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = cust.where(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum(bal).alias("total_pos")
+    )
+    no_orders = cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    rich = no_orders.crossJoin(F.broadcast(stats)).where(
+        bal * F.col("n_pos") > F.col("total_pos")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(bal).cast("double"), 2).alias("totacctbal"),
+    )
+
+
+def q_nation_volume(spark, sf_dir):
+    """TPC-H-Q7-shaped bidirectional nation-pair trade volume by ship
+    year. Both nation dims broadcast; the OR-of-pairs filter lands
+    after the joins (it references both sides) but the tiny dim joins
+    keep the fact table on one shuffle-free broadcast path."""
+    cat = tpch_catalog(spark, sf_dir)
+    n_supp = cat["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = cat["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        cat["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(cat["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.round(F.sum(_rev_dec()).cast("double"), 2).alias("volume"))
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H-Q8-shaped market share: NATION_8 suppliers' share of
+    ECONOMY-part revenue sold into ASIA, per order year. Conditional
+    sum over exact decimals; the share division happens once per year
+    row on identical doubles."""
+    cat = tpch_catalog(spark, sf_dir)
+    asia_nations = (
+        cat["nation"]
+        .join(
+            F.broadcast(cat["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("an_key"))
+    )
+    n_supp = cat["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _rev_dec()
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = (
+        cat["lineitem"]
+        .join(
+            F.broadcast(cat["part"].where(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("an_key"))
+        .join(cat["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_8", rev).otherwise(zero)
+        ).alias("nation_rev"),
+        F.sum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+def q_or_predicate_revenue(spark, sf_dir):
+    """TPC-H-Q19-shaped OR-of-ANDs join predicate: three disjunctive
+    brand/size/quantity windows. Catalyst extracts the common
+    p_partkey equi-key so the join stays hash-based, pushes the
+    part-only disjuncts to the broadcast side scan, and leaves the
+    mixed terms as join residuals."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.where(cond).agg(
+        F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue")
+    )
+
+
+def q_distinct_suppliers(spark, sf_dir):
+    """TPC-H-Q16-shaped NOT-IN + COUNT DISTINCT: suppliers per
+    (brand, size) class, excluding one brand and low-balance suppliers.
+    The NOT IN is a left-anti join (keys are non-null so anti-join ≡
+    NOT IN); distinct-count shuffles once on the group keys with
+    partial distinct aggregation map-side."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad_supp = (
+        _read(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return joined.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q_events_running_total(spark, sf_dir):
+    """Cumulative (running) sum per event type over a deterministic
+    total order — the unbounded-preceding window frame. One shuffle on
+    event_type, then a sorted in-partition scan."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.sum("value").over(w), 4).alias("running_total"),
+    )
+
+
+def q_events_lag_delta(spark, sf_dir):
+    """LAG window: per-type delta of consecutive event values in
+    (ts, event_id) order. First event per type keeps a null delta —
+    both engines agree nulls sort nowhere (no frame beyond lag-1)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1034,6 +1372,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "embedding_norms": q_embedding_norms,
         "doc_packing": q_doc_packing,
+        "exists_late_ship": q_exists_late_ship,
+        "cust_order_dist": q_cust_order_dist,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "top_supplier": q_top_supplier,
+        "cust_no_orders": q_cust_no_orders,
+        "nation_volume": q_nation_volume,
+        "market_share": q_market_share,
+        "or_predicate_revenue": q_or_predicate_revenue,
+        "distinct_suppliers": q_distinct_suppliers,
+        "events_running_total": q_events_running_total,
+        "events_lag_delta": q_events_lag_delta,
     }
 
 
@@ -1541,5 +1891,107 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, "
             "count(*) AS n, round(sum(value), 4) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "exists_late_ship": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+            "GROUP BY o_orderpriority"
+        ),
+        "cust_order_dist": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) t GROUP BY c_count"
+        ),
+        "promo_revenue": (
+            "SELECT round((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' "
+            f"THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)) "
+            f"/ CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"
+        ),
+        "small_qty_revenue": (
+            "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) "
+            "AS avg_yearly FROM lineitem, part "
+            "WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' "
+            "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) "
+            "FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"
+        ),
+        "top_supplier": (
+            f"WITH revenue AS (SELECT l_suppkey, sum({_REV_SQL}) AS total_rev "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue "
+            "FROM supplier JOIN revenue ON s_suppkey = l_suppkey "
+            "WHERE total_rev = (SELECT max(total_rev) FROM revenue)"
+        ),
+        "cust_no_orders": (
+            "SELECT c_nationkey, count(*) AS numcust, "
+            "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal "
+            "FROM customer WHERE "
+            "NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') "
+            "AND CAST(c_acctbal AS DECIMAL(18,2)) * "
+            "(SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0) > "
+            "(SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c3 "
+            "WHERE c3.c_acctbal > 0) "
+            "GROUP BY c_nationkey"
+        ),
+        "nation_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year, "
+            f"round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS volume "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "market_share": (
+            "SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year, "
+            "round(CAST(sum(CASE WHEN n1.n_name = 'NATION_8' "
+            f"THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) "
+            f"/ CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS mkt_share "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON n2.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' "
+            "GROUP BY 1"
+        ),
+        "or_predicate_revenue": (
+            f"SELECT round(CAST(sum({_REV_SQL}) AS DOUBLE), 2) AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE "
+            "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"
+        ),
+        "distinct_suppliers": (
+            "SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000) "
+            "GROUP BY p_brand, p_size"
+        ),
+        "events_running_total": (
+            "SELECT event_id, event_type, "
+            "round(sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total "
+            "FROM events"
+        ),
+        "events_lag_delta": (
+            "SELECT event_id, event_type, "
+            "round(value - lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id), 4) "
+            "AS delta FROM events"
         ),
     }

@@ -1,0 +1,88 @@
+"""Plan-shape assertions for the batch-2 analytics queries
+(subquery / outer-join / conditional-agg shapes, SURVEY §2.4's
+"not present in the reference" list — beyond-parity coverage).
+
+Correctness vs DuckDB is enforced by tools/check_correctness.py; these
+tests pin the *physical plan* properties that matter at 100 TB: semi/
+anti joins stay semi/anti (no row duplication), small sides broadcast,
+and filters reach the parquet scan.
+"""
+
+import __spark_entry__ as entry
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exists_is_semi_join_with_residual(spark, sf_dir):
+    df = entry.q_exists_late_ship(spark, sf_dir)
+    plan = _plan(df)
+    # EXISTS must compile to a semi join (one output row per order, no
+    # duplication from multi-lineitem matches) with the date residual
+    assert "LeftSemi" in plan
+    assert plan.count("Join") >= 1
+    rows = {r["o_orderpriority"]: r["order_count"] for r in df.collect()}
+    assert len(rows) == 5 and all(v > 0 for v in rows.values())
+
+
+def test_cust_order_dist_preserves_zero_customers(spark, sf_dir):
+    df = entry.q_cust_order_dist(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    dist = {r["c_count"]: r["custdist"] for r in df.collect()}
+    # every customer appears exactly once in the distribution
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(dist.values()) == n_cust
+
+
+def test_or_predicate_join_stays_hash_based(spark, sf_dir):
+    df = entry.q_or_predicate_revenue(spark, sf_dir)
+    plan = _plan(df)
+    # the common p_partkey equi-key must be extracted: hash join, not
+    # BroadcastNestedLoopJoin (which would be O(n*m) at scale)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_distinct_suppliers_not_in_is_anti_join(spark, sf_dir):
+    df = entry.q_distinct_suppliers(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    # both dims broadcast; lineitem must not shuffle before the joins
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_top_supplier_scalar_max_broadcasts(spark, sf_dir):
+    df = entry.q_top_supplier(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) >= 1
+    # decimal-exact max: every returned supplier carries the same revenue
+    assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_promo_revenue_prunes_scan(spark, sf_dir):
+    df = entry.q_promo_revenue(spark, sf_dir)
+    plan = _plan(df)
+    # the one-month window must reach the lineitem parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    val = df.collect()[0]["promo_revenue"]
+    assert 0.0 <= val <= 100.0
+
+
+def test_small_qty_correlated_avg_decorrelates(spark, sf_dir):
+    df = entry.q_small_qty_revenue(spark, sf_dir)
+    plan = _plan(df)
+    # hand-decorrelated: per-part aggregate joined back, brand dim broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_running_total_single_shuffle(spark, sf_dir):
+    df = entry.q_events_running_total(spark, sf_dir)
+    plan = _plan(df)
+    # one exchange on event_type feeds the window sort; no second shuffle
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
