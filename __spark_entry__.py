@@ -1298,6 +1298,57 @@ def q_events_lag_delta(spark, sf_dir):
     )
 
 
+def q_cube_orders(spark, sf_dir):
+    """CUBE over (priority, status): all four grouping combinations in
+    one Expand + single hash aggregation (4x the input to the agg, not
+    four jobs). grouping_id labels which slice a row belongs to."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_price"),
+        F.grouping_id().alias("lvl"),
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """PIVOT: order-status columns per priority. The value list is
+    given explicitly so the plan is a single pass (no extra distinct
+    job to discover pivot values — at 100 TB that discovery scan would
+    double the cost); unpivoted it's just conditional aggregation."""
+    orders = _read(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    pv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(price))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.round(F.col("O").cast("double"), 2).alias("open_total"),
+        F.round(F.col("F").cast("double"), 2).alias("filled_total"),
+        F.round(F.col("P").cast("double"), 2).alias("partial_total"),
+    )
+
+
+def q_set_ops_records(spark, sf_dir):
+    """Record-level INTERSECT / EXCEPT (the reference only has them
+    over ID sets — SURVEY §2.4): BUILDING-segment customers vs
+    high-balance customers, tagged by which set operation produced the
+    row. Both compile to aggregate-based set ops, one shuffle each."""
+    cust = _read(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_nationkey"
+    )
+    rich = cust.where(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_nationkey"
+    )
+    both = building.intersect(rich).withColumn("op", F.lit("intersect"))
+    only = building.exceptAll(rich).withColumn("op", F.lit("except"))
+    return both.unionByName(only)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1384,6 +1435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_suppliers": q_distinct_suppliers,
         "events_running_total": q_events_running_total,
         "events_lag_delta": q_events_lag_delta,
+        "cube_orders": q_cube_orders,
+        "pivot_status": q_pivot_status,
+        "set_ops_records": q_set_ops_records,
     }
 
 
@@ -1993,5 +2047,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, "
             "round(value - lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id), 4) "
             "AS delta FROM events"
+        ),
+        "cube_orders": (
+            "SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders, "
+            "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price, "
+            "GROUPING(o_orderpriority, o_orderstatus) AS lvl "
+            "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"
+        ),
+        "pivot_status": (
+            "SELECT o_orderpriority, "
+            "round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS open_total, "
+            "round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS filled_total, "
+            "round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS partial_total "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "set_ops_records": (
+            "SELECT c_custkey, c_nationkey, 'intersect' AS op FROM ("
+            "SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "INTERSECT "
+            "SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000) "
+            "UNION ALL "
+            "SELECT c_custkey, c_nationkey, 'except' AS op FROM ("
+            "SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "EXCEPT ALL "
+            "SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000)"
         ),
     }

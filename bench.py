@@ -61,6 +61,13 @@ BENCH_QUERIES = [
     "regional_revenue",
     "large_orders",
     "returned_revenue",
+    "exists_late_ship",
+    "cust_order_dist",
+    "distinct_suppliers",
+    "market_share",
+    "small_qty_revenue",
+    "cube_orders",
+    "events_running_total",
 ]
 
 
