@@ -1332,6 +1332,43 @@ def q_pivot_status(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ distinct users with a 4σ error-bound check. The approx
+    value itself is engine-specific, so the gate pins (exact, bound
+    holds) — a deterministic contract. At scale the HLL sketch makes
+    the shuffle O(registers) instead of O(distinct values)."""
+    from amaxa_spark.operators.approx import distinct_with_bound_check
+
+    ev = _read(spark, sf_dir, "events")
+    return distinct_with_bound_check(ev, "user_id", rsd=0.05)
+
+
+def q_approx_quantile_rank(spark, sf_dir):
+    """Greenwald-Khanna approximate quantiles of order totals, checked
+    by exact rank: the approx value's true rank must sit within the
+    documented ±1/accuracy envelope of the target rank. One sketch
+    pass + one conditional-count pass, both mergeable map-side."""
+    from amaxa_spark.operators.approx import quantile_rank_check
+
+    orders = _read(spark, sf_dir, "orders")
+    return quantile_rank_check(
+        orders, "o_totalprice", [0.25, 0.5, 0.75, 0.95], accuracy=1000
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch point estimates for ten hot customers, checked
+    against the CMS guarantee exact ≤ est ≤ exact + eps·n. Counter-grid
+    merges are exact element-wise sums, so the estimate is
+    deterministic for a fixed seed and safely gate-pinnable."""
+    from amaxa_spark.operators.approx import heavy_hitters_cms
+
+    orders = _read(spark, sf_dir, "orders")
+    return heavy_hitters_cms(
+        orders, "o_custkey", keys=list(range(10)), eps=0.001
+    )
+
+
 def q_set_ops_records(spark, sf_dir):
     """Record-level INTERSECT / EXCEPT (the reference only has them
     over ID sets — SURVEY §2.4): BUILDING-segment customers vs
@@ -1438,6 +1475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": q_cube_orders,
         "pivot_status": q_pivot_status,
         "set_ops_records": q_set_ops_records,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantile_rank": q_approx_quantile_rank,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -2060,6 +2100,20 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS filled_total, "
             "round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS partial_total "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "approx_distinct": (
+            "SELECT count(DISTINCT user_id) AS exact_distinct, "
+            "TRUE AS within_bound FROM events"
+        ),
+        "approx_quantile_rank": (
+            "SELECT CAST(p AS DOUBLE) AS prob, TRUE AS rank_ok "
+            "FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(p)"
+        ),
+        "heavy_hitters": (
+            "SELECT CAST(k AS BIGINT) AS key, "
+            "(SELECT count(*) FROM orders WHERE o_custkey = k) AS exact_count, "
+            "TRUE AS within_bound "
+            "FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9)) AS t(k)"
         ),
         "set_ops_records": (
             "SELECT c_custkey, c_nationkey, 'intersect' AS op FROM ("
