@@ -1369,6 +1369,40 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Salted fact-dim join (operators/skew.py): fact side salted,
+    dim side replicated per salt, join on (key, salt) — the manual
+    fallback when a hot key defeats AQE's skew splitting and the dim
+    is too big to broadcast. Result must equal the plain join."""
+    from amaxa_spark.operators.skew import salted_join
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, "o_custkey", salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_price"),
+    )
+
+
+def q_skew_two_stage_agg(spark, sf_dir):
+    """Explicit two-stage (salted) aggregation: partial agg on
+    (key, salt), merge on key — the fallback for composed aggregates
+    where map-side combine can't collapse a hot key. Quantities are
+    integer-valued so the re-merged sum is exact."""
+    from amaxa_spark.operators.skew import two_stage_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    res = two_stage_agg(li, "l_returnflag", {"l_quantity": "sum"}, salt_buckets=8)
+    return res.select(
+        "l_returnflag", F.round("sum_l_quantity", 2).alias("sum_qty")
+    )
+
+
 def q_set_ops_records(spark, sf_dir):
     """Record-level INTERSECT / EXCEPT (the reference only has them
     over ID sets — SURVEY §2.4): BUILDING-segment customers vs
@@ -1478,6 +1512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "approx_quantile_rank": q_approx_quantile_rank,
         "heavy_hitters": q_heavy_hitters,
+        "skew_salted_join": q_skew_salted_join,
+        "skew_two_stage_agg": q_skew_two_stage_agg,
     }
 
 
@@ -2100,6 +2136,16 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS filled_total, "
             "round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS partial_total "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "skew_salted_join": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "skew_two_stage_agg": (
+            "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "approx_distinct": (
             "SELECT count(DISTINCT user_id) AS exact_distinct, "

@@ -5,7 +5,15 @@ Runs every ``__spark_entry__.queries()`` entry and its
 count, sorted column names, and an order-insensitive value hash
 (columns sorted by name, floats rounded, rows sorted, md5).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--stream] [sf_dir] [query ...]
+
+``--stream`` switches to the constant-memory comparison for large
+scale factors (the sf>=1 path): instead of materializing and sorting
+both result sets, rows stream through a COMMUTATIVE hash — per-row
+md5 summed mod 2^127 — so multiset equality is checked with O(chunk)
+memory on both engines (Spark ``toLocalIterator``, DuckDB
+``fetchmany``). Canonicalization (float rounding, null/bool forms) is
+byte-identical to the sorted path.
 """
 
 from __future__ import annotations
@@ -47,9 +55,61 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(rows), sorted(df.columns), h
 
 
+_MOD = (1 << 127) - 1  # Mersenne-ish modulus; sum of row hashes mod this
+
+
+def _canon_row(vals) -> str:
+    out = []
+    for v in vals:
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            out.append("")
+        elif isinstance(v, float):
+            out.append(f"{round(v, 6):.6f}")
+        elif isinstance(v, bool):
+            out.append("T" if v else "F")
+        else:
+            out.append(str(v))
+    return "\x01".join(out)
+
+
+def canon_stream(row_iter, cols: list[str]):
+    """(count, sorted cols, commutative hash) without holding rows.
+    Columns are value-reordered to sorted(cols) per row so both engines
+    canonicalize identically regardless of projection order."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    total = 0
+    n = 0
+    for row in row_iter:
+        vals = [row[i] for i in order]
+        h = int.from_bytes(
+            hashlib.md5(_canon_row(vals).encode()).digest(), "big"
+        )
+        total = (total + h) % _MOD
+        n += 1
+    return n, sorted(c.lower() for c in cols), f"{total:032x}"
+
+
+def _spark_rows(df):
+    # toLocalIterator streams one partition at a time to the driver
+    for row in df.toLocalIterator():
+        yield tuple(row)
+
+
+def _duck_rows(cur, chunk: int = 8192):
+    while True:
+        batch = cur.fetchmany(chunk)
+        if not batch:
+            return
+        yield from batch
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    stream = "--stream" in argv
+    if stream:
+        argv.remove("--stream")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
@@ -65,23 +125,36 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_df = fn(spark, sf_dir)
+            if stream:
+                sc, scols, sh = canon_stream(
+                    _spark_rows(sdf_df), list(sdf_df.columns)
+                )
+            else:
+                sdf = sdf_df.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
             n_bad += 1
             continue
         if name not in oracles:
-            print(f"WEAK  {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            nrows = sc if stream else len(sdf)
+            print(f"WEAK  {name}: rows={nrows} (no oracle) [{time.time()-t0:.1f}s]")
             n_weak += 1
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            if stream:
+                cur = con.execute(oracles[name])
+                ocols_raw = [d[0] for d in cur.description]
+                oc, ocols, oh = canon_stream(_duck_rows(cur), ocols_raw)
+            else:
+                odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0][:160]}")
             n_bad += 1
             continue
-        sc, scols, sh = canon(sdf)
-        oc, ocols, oh = canon(odf)
+        if not stream:
+            sc, scols, sh = canon(sdf)
+            oc, ocols, oh = canon(odf)
         if scols != ocols:
             print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
             n_bad += 1
@@ -90,8 +163,6 @@ def main():
             n_bad += 1
         elif sh != oh:
             print(f"FAIL  {name}: value hash mismatch (rows={sc})")
-            # show a diff sample
-            s_set = set(map(tuple, sdf[sorted(sdf.columns.str.lower())].head(0).itertuples(index=False)))
             n_bad += 1
         else:
             print(f"OK    {name}: rows={sc} [{time.time()-t0:.1f}s]")
