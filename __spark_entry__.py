@@ -1369,6 +1369,37 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance matching (record linkage): customer-name
+    pairs within Levenshtein 1, candidates generated only inside a
+    shared-prefix block (all but the last 2 chars) — per-block n²,
+    never global n². The exact-verify step makes the result
+    deterministic; blocking recall is the documented trade."""
+    from amaxa_spark.operators.dedup import fuzzy_pairs
+
+    cust = _read(spark, sf_dir, "customer")
+    return fuzzy_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        "substring({c}, 1, length({c}) - 2)",
+        max_dist=1,
+    )
+
+
+def q_unpivot_status(spark, sf_dir):
+    """UNPIVOT (melt): the pivot query's wide totals back to long
+    (priority, status, total) form — Spark's unpivot is a single
+    Expand (one pass, no shuffle beyond the source agg)."""
+    pv = q_pivot_status(spark, sf_dir)
+    return pv.unpivot(
+        "o_orderpriority",
+        ["open_total", "filled_total", "partial_total"],
+        "status_bucket",
+        "total",
+    ).where(F.col("total").isNotNull())
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Salted fact-dim join (operators/skew.py): fact side salted,
     dim side replicated per salt, join on (key, salt) — the manual
@@ -1514,6 +1545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "skew_salted_join": q_skew_salted_join,
         "skew_two_stage_agg": q_skew_two_stage_agg,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "unpivot_status": q_unpivot_status,
     }
 
 
@@ -2136,6 +2169,28 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS filled_total, "
             "round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS partial_total "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "fuzzy_pairs": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "levenshtein(a.c_name, b.c_name) AS dist "
+            "FROM customer a JOIN customer b "
+            "ON substr(a.c_name, 1, length(a.c_name) - 2) = "
+            "substr(b.c_name, 1, length(b.c_name) - 2) "
+            "AND a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
+        ),
+        "unpivot_status": (
+            "WITH pv AS ("
+            "SELECT o_orderpriority, "
+            "round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS open_total, "
+            "round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS filled_total, "
+            "round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS partial_total "
+            "FROM orders GROUP BY o_orderpriority) "
+            "SELECT o_orderpriority, status_bucket, total FROM ("
+            "SELECT o_orderpriority, 'open_total' AS status_bucket, open_total AS total FROM pv "
+            "UNION ALL SELECT o_orderpriority, 'filled_total', filled_total FROM pv "
+            "UNION ALL SELECT o_orderpriority, 'partial_total', partial_total FROM pv) "
+            "WHERE total IS NOT NULL"
         ),
         "skew_salted_join": (
             "SELECT c_mktsegment, count(*) AS n_orders, "

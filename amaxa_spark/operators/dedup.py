@@ -406,3 +406,40 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 56) -> DataFr
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_expr: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance fuzzy matching via blocked self-join: candidates
+    are generated only WITHIN a block (``block_expr``, a SQL expression
+    over the text column — e.g. a prefix), then verified with exact
+    Levenshtein. Output: (id_a, id_b, dist), id_a < id_b.
+
+    Scale contract: the join cost is Σ per-block n_i², never global
+    n² — the block key must be chosen so blocks stay bounded (same
+    discipline as LSH banding). Pairs whose edits fall inside the
+    blocking key are missed by design; recall is the blocking
+    function's property, and the verify step is exact.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        F.expr(block_expr.format(c=text_col)).alias("_blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        F.expr(block_expr.format(c=text_col)).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -86,3 +86,34 @@ def test_running_total_single_shuffle(spark, sf_dir):
     # one exchange on event_type feeds the window sort; no second shuffle
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_fuzzy_pairs_blocked_linkage(spark, sf_dir):
+    from amaxa_spark.operators.dedup import fuzzy_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pairs = fuzzy_pairs(
+        cust, "c_custkey", "c_name",
+        "substring({c}, 1, length({c}) - 2)", max_dist=1,
+    )
+    rows = pairs.collect()
+    assert rows, "prefix blocks must yield distance-1 candidates"
+    assert all(r["id_a"] < r["id_b"] and r["dist"] <= 1 for r in rows)
+    # verify one pair really is edit-distance <= 1
+    names = {r["c_custkey"]: r["c_name"] for r in cust.collect()}
+    a, b = rows[0]["id_a"], rows[0]["id_b"]
+    diff = sum(x != y for x, y in zip(names[a], names[b]))
+    assert diff <= 1 and len(names[a]) == len(names[b])
+
+
+def test_unpivot_roundtrips_pivot(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    long = entry.q_unpivot_status(spark, sf_dir)
+    wide = entry.q_pivot_status(spark, sf_dir)
+    # every non-null wide cell appears exactly once in long form
+    n_cells = sum(
+        sum(r[c] is not None for c in ("open_total", "filled_total", "partial_total"))
+        for r in wide.collect()
+    )
+    assert long.count() == n_cells
