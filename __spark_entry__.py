@@ -1400,6 +1400,18 @@ def q_unpivot_status(spark, sf_dir):
     ).where(F.col("total").isNotNull())
 
 
+def q_group_median(spark, sf_dir):
+    """Exact per-group percentiles (median + p90 of balance per market
+    segment) — sort-based aggregate per group, one shuffle on the
+    group key. Unlike the global `quantiles` query this exercises the
+    grouped percentile shuffle shape."""
+    cust = _read(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+    )
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Salted fact-dim join (operators/skew.py): fact side salted,
     dim side replicated per salt, join on (key, salt) — the manual
@@ -1547,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_two_stage_agg": q_skew_two_stage_agg,
         "fuzzy_pairs": q_fuzzy_pairs,
         "unpivot_status": q_unpivot_status,
+        "group_median": q_group_median,
     }
 
 
@@ -2169,6 +2182,12 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS filled_total, "
             "round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS partial_total "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "group_median": (
+            "SELECT c_mktsegment, "
+            "round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal, "
+            "round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal "
+            "FROM customer GROUP BY c_mktsegment"
         ),
         "fuzzy_pairs": (
             "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "

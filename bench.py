@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "small_qty_revenue",
     "cube_orders",
     "events_running_total",
+    "fuzzy_pairs",
+    "approx_distinct",
 ]
 
 
