@@ -1400,6 +1400,30 @@ def q_unpivot_status(spark, sf_dir):
     ).where(F.col("total").isNotNull())
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall contract for the sign-LSH ANN path: per query, the
+    LSH top-5 must recover >55% of the exact cosine top-5 (measured
+    min across sf0.001/0.01/0.1 is 0.6 at 3 bits x 12 bands — wide
+    buckets + OR-construction, the honest setting for arbitrary top-k
+    over unclustered embeddings). Both sides are deterministic
+    (md5-derived hyperplanes, id-tiebroken ranks), so the boolean is
+    gate-stable — same pattern as the approx aggregates: pin the
+    error contract, not the approximate values."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    exact = SIM.cosine_topk(emb, qids, k=5)
+    approx = SIM.lsh_cosine_topk(emb, qids, k=5, bits=3, bands=12).select(
+        "query_id", "neighbor_id", F.lit(1).alias("m")
+    )
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    per_q = marked.groupBy("query_id").agg(
+        (F.coalesce(F.sum("m"), F.lit(0)) / F.lit(5.0)).alias("recall")
+    )
+    return per_q.select(
+        "query_id", (F.col("recall") >= 0.55).alias("recall_ok")
+    )
+
+
 def q_group_median(spark, sf_dir):
     """Exact per-group percentiles (median + p90 of balance per market
     segment) — sort-based aggregate per group, one shuffle on the
@@ -1560,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "unpivot_status": q_unpivot_status,
         "group_median": q_group_median,
+        "ann_lsh_recall": q_ann_lsh_recall,
     }
 
 
@@ -2182,6 +2207,10 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS filled_total, "
             "round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS partial_total "
             "FROM orders GROUP BY o_orderpriority"
+        ),
+        "ann_lsh_recall": (
+            "SELECT CAST(q AS BIGINT) AS query_id, TRUE AS recall_ok "
+            "FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS t(q)"
         ),
         "group_median": (
             "SELECT c_mktsegment, "
