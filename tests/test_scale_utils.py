@@ -89,3 +89,33 @@ def test_hierarchy_roots_pointer_doubling(spark):
     }
     sizes = {r.root: r.size for r in component_sizes(df, "Id", "ParentId").collect()}
     assert sizes == {"1": 4, "10": 2, "20": 1, "30": 1}
+
+
+def test_canon_stream_order_independent_and_sensitive():
+    # the --stream comparator must be a pure multiset hash: invariant
+    # under row order, sensitive to any value change, and aligned with
+    # the sorted-path canonicalization rules (floats, bools, nulls)
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "ccheck",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "check_correctness.py"),
+    )
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    rows = [(1, 2.5, True, None), (2, 3.5, False, "x"), (3, 0.1 + 0.2, True, "y")]
+    cols = ["b_num", "a_val", "flag", "note"]
+    n1, c1, h1 = cc.canon_stream(iter(rows), cols)
+    n2, c2, h2 = cc.canon_stream(iter(reversed(rows)), cols)
+    assert (n1, c1, h1) == (n2, c2, h2)
+    assert c1 == sorted(x.lower() for x in cols)
+    mutated = [rows[0], rows[1], (3, 0.1 + 0.2 + 1e-4, True, "y")]
+    assert cc.canon_stream(iter(mutated), cols)[2] != h1
+    # float canon matches the sorted path: 6-decimal fixed format
+    tiny = [(0.3000000001,)]
+    same = [(0.3,)]
+    assert (
+        cc.canon_stream(iter(tiny), ["v"])[2]
+        == cc.canon_stream(iter(same), ["v"])[2]
+    )
