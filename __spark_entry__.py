@@ -1298,6 +1298,35 @@ def q_events_lag_delta(spark, sf_dir):
     )
 
 
+def q_events_ntile(spark, sf_dir):
+    """NTILE quartile assignment per event type over a deterministic
+    total order — equal-height bucketing for downstream stratification
+    (same shuffle shape as rank/row_number: one exchange + sort)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+def q_events_first_last(spark, sf_dir):
+    """FIRST_VALUE / LAST_VALUE over the full partition frame: each
+    event tagged with its type's earliest and latest value in one
+    windowed pass (no self-join back to min/max rows)."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.first("value").over(w), 4).alias("first_val"),
+        F.round(F.last("value").over(w), 4).alias("last_val"),
+    )
+
+
 def q_cube_orders(spark, sf_dir):
     """CUBE over (priority, status): all four grouping combinations in
     one Expand + single hash aggregation (4x the input to the agg, not
@@ -1585,6 +1614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_status": q_unpivot_status,
         "group_median": q_group_median,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "events_ntile": q_events_ntile,
+        "events_first_last": q_events_first_last,
     }
 
 
@@ -2211,6 +2242,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": (
             "SELECT CAST(q AS BIGINT) AS query_id, TRUE AS recall_ok "
             "FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS t(q)"
+        ),
+        "events_ntile": (
+            "SELECT event_id, event_type, "
+            "ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile "
+            "FROM events"
+        ),
+        "events_first_last": (
+            "SELECT event_id, event_type, "
+            "round(first_value(value) OVER w, 4) AS first_val, "
+            "round(last_value(value) OVER w, 4) AS last_val "
+            "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
         ),
         "group_median": (
             "SELECT c_mktsegment, "
