@@ -8,10 +8,10 @@ emitted with ``is_dup`` and the representative it duplicates.
 
 Scale notes: state is one row per *distinct* document (fingerprint →
 first id), partitioned by fingerprint across the state store — the
-same key distribution as the batch hash-aggregate. A near-dup variant
-swaps the fingerprint for MinHash band keys and keeps per-band
-signature lists (bounded by band collision rates); the exact variant
-here is the deterministic, test-checkable core.
+same key distribution as the batch hash-aggregate. The near-dup
+variant (:mod:`amaxa_spark.streaming.minhash_stream`) swaps the
+fingerprint for MinHash band keys and keeps bounded per-band
+signature lists; the exact variant here is the deterministic core.
 """
 
 from __future__ import annotations

@@ -607,3 +607,62 @@ def test_vocab_and_inverted_index(spark):
     ).collect()}
     # df counts distinct docs (doc 2's triple "spark" counts once)
     assert idx == {"spark": (3, "0,1,2"), "data": (2, "0,1")}
+
+
+def test_streaming_minhash_near_dup_across_batches(spark, tmp_path):
+    from amaxa_spark.streaming.minhash_stream import (
+        _sig_columns,
+        streaming_minhash_dedup,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batch1 = [(1, base), (2, "completely different words in this tiny document here")]
+    # doc 3 arrives in a LATER micro-batch and must still match doc 1
+    batch2 = [(3, base.replace("today", "tonight")), (4, "yet another unrelated text body with many words")]
+    src = str(tmp_path / "mh_src")
+    spark.createDataFrame(batch1, "doc_id: long, text: string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes so the file source orders batches
+    spark.createDataFrame(batch2, "doc_id: long, text: string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_minhash_dedup(stream, threshold=0.5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mh_stream_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM mh_stream_out").collect()
+    verdict = {}
+    for r in rows:
+        if r.is_dup:
+            prev = verdict.get(r.doc_id)
+            verdict[r.doc_id] = min(prev, r.dup_of) if prev is not None else r.dup_of
+    # cross-batch: doc 3 (batch 2) near-dups doc 1 (batch 1)
+    assert verdict.get(3) == 1
+    assert 1 not in verdict and 2 not in verdict and 4 not in verdict
+
+    # signature parity: per-row streaming signature == batch agg signature
+    static = spark.createDataFrame(batch1 + batch2, "doc_id: long, text: string")
+    w, sh, mh = _sig_columns("text", 3, 8)
+    stream_sig = (
+        static.select("doc_id", w)
+        .select("doc_id", "__w", sh)
+        .select("doc_id", *mh)
+    )
+    batch_sig = D.minhash_signatures(static, "text", "doc_id", n=3, num_hashes=8)
+    a = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in stream_sig.collect()}
+    b = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in batch_sig.collect()}
+    assert a == b
