@@ -196,3 +196,48 @@ def test_cluster_duplicates_matches_union_find(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         want = {x: find(x) for x in parent}
         assert got == want, seed
+
+
+def test_fuzzy_pairs_matches_naive(spark):
+    """Randomized cross-check: blocked fuzzy_pairs equals the brute
+    -force 'all pairs sharing a block, Levenshtein <= d' reference."""
+    import random
+
+    from amaxa_spark.operators.dedup import fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for seed in (7, 8):
+        rng = random.Random(seed)
+        # clustered strings: shared 4-char block prefix + noisy tail
+        rows = [
+            (
+                i,
+                f"{rng.choice('abc')}{rng.choice('xy')}pre"
+                + "".join(rng.choice("mnop") for _ in range(3)),
+            )
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "rid: long, name: string")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_pairs(
+                df, "rid", "name", "substring({c}, 1, 5)", max_dist=2
+            ).collect()
+        }
+        want = set()
+        for ia, na in rows:
+            for ib, nb in rows:
+                if ia < ib and na[:5] == nb[:5]:
+                    d = lev(na, nb)
+                    if d <= 2:
+                        want.add((ia, ib, d))
+        assert got == want, seed
