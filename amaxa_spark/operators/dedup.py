@@ -252,6 +252,7 @@ def embedding_cosine_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_bits: int = 0,
+    bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     id_a < id_b and cosine ≥ threshold.
@@ -261,8 +262,14 @@ def embedding_cosine_dups(
     a sign-LSH bucket before the exact similarity is computed, which
     replaces the cross join with a bucket-equality join whose cost
     tracks cluster sizes. High-similarity pairs share buckets with
-    probability (1 - θ/π)^bits per band, so near-dups (θ≈0) are
-    retained with near-certainty.
+    probability (1 - θ/π)^bits per band; ``bands>1`` is the standard
+    OR-construction — a pair is a candidate if it collides in ANY
+    band, lifting recall to 1 - (1 - p^bits)^bands at the cost of a
+    distinct over the candidate pairs. Candidate generation is
+    separated from verification: bands are exploded to (id, code)
+    rows, pair ids are deduplicated FIRST, and vectors are re-joined
+    by id afterwards — so the wide embedding column is never
+    replicated per band through the shuffle.
     """
     from amaxa_spark.operators.similarity import _dot, _norm, lsh_code
 
@@ -280,7 +287,28 @@ def embedding_cosine_dups(
             F.transform(F.col("__vr"), lambda x: x / F.col("__n")).alias("__v"),
         )
     )
-    if bucket_bits > 0:
+    if bucket_bits > 0 and bands > 1:
+        dim = len(emb.select(vec_col).first()[0])
+        codes = F.array(
+            *[lsh_code(F.col("__v"), dim, bucket_bits, bd) for bd in range(bands)]
+        )
+        keyed = base.select(
+            F.col(id_col), F.explode(codes).alias("__bucket")
+        )
+        cand = (
+            keyed.alias("a")
+            .join(keyed.alias("b"), "__bucket")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        va = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+        vb = base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
+    elif bucket_bits > 0:
         dim = len(emb.select(vec_col).first()[0])
         coded = base.withColumn(
             "__bucket", lsh_code(F.col("__v"), dim, bucket_bits, 0)
