@@ -34,12 +34,12 @@ from amaxa_spark.tpch import tpch_catalog, tpch_registry
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from amaxa_spark.tpch import ensure_session_confs
+    from amaxa_spark.tpch import ensure_session_confs, tz_normalize
 
     ensure_session_confs(spark)  # driver-provided sessions may differ
     if name == "events":  # ns-timestamp conversion lives in the catalog
         return tpch_catalog(spark, sf_dir)["events"]
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _extract(spark, sf_dir, steps, extra_tables=None):

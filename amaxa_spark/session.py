@@ -30,6 +30,11 @@ def get_spark(app_name: str = "amaxa_spark", cpus: int | None = None) -> SparkSe
         # raw int64 and convert explicitly (timestamp_micros) instead
         # of failing the scan
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamps without a timezone annotation read as
+        # TIMESTAMP (LTZ, classic behavior) rather than TIMESTAMP_NTZ,
+        # so unix_millis/unix_timestamp work and values line up with
+        # the DuckDB oracle's naive timestamps under the UTC session tz
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("AMAXA_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

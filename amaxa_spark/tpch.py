@@ -62,10 +62,23 @@ def tpch_registry() -> SchemaRegistry:
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make a caller-provided session safe for this catalog: ns
-    timestamps read as long (converted below) and UTC semantics for
-    time rendering. Both are runtime-settable."""
+    timestamps read as long (converted below), µs timestamps without a
+    timezone annotation read as TIMESTAMP (not TIMESTAMP_NTZ, which
+    unix_millis/unix_timestamp reject), and UTC semantics for time
+    rendering. All are runtime-settable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def tz_normalize(df):
+    """Defensive NTZ→LTZ cast for DataFrames read before the session
+    confs applied: under the UTC session timezone the naive wall-clock
+    is reinterpreted as the identical UTC instant."""
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
 
 
 def tpch_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
@@ -86,5 +99,5 @@ def tpch_catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
         ev = ev.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
         )
-    cat.register("events", ev)
+    cat.register("events", tz_normalize(ev))
     return cat
