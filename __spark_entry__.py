@@ -466,11 +466,38 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 def q_dedup_embedding_cosine_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: sign-LSH bucket join instead
-    of the cross product. Approximate (bucket misses possible at
-    moderate similarity) — no SQL oracle; subset property is
-    pytest-verified."""
+    of the cross product. Approximate relative to the exact answer
+    (bucket misses possible at moderate similarity), but fully
+    deterministic — the hyperplanes are md5-derived constants — so the
+    oracle replays the same bucket-join in SQL with the plane
+    components inlined as literals."""
     return D.embedding_cosine_dups(
         _read(spark, sf_dir, "embeddings"), threshold=0.4, bucket_bits=5
+    )
+
+
+def _lsh_bucket_oracle_sql(dim: int = 64, bits: int = 5, threshold: float = 0.4) -> str:
+    """DuckDB twin of the sign-LSH bucket join: same md5-derived
+    hyperplanes (inlined as double literals), same normalize-then-dot
+    arithmetic, same rounded-similarity threshold."""
+    from amaxa_spark.operators.similarity import _hyperplane
+
+    bit_exprs = []
+    for b in range(bits):
+        arr = "[" + ", ".join(repr(w) for w in _hyperplane(dim, b)) + "]"
+        bit_exprs.append(
+            f"CASE WHEN list_dot_product(vh, {arr}) >= 0 THEN '1' ELSE '0' END"
+        )
+    bucket = "concat('0:', " + ", ".join(bit_exprs) + ")"
+    return (
+        "WITH base AS (SELECT vec_id, "
+        "[x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+        "FOR x IN embedding::DOUBLE[]] AS vh FROM embeddings), "
+        f"coded AS (SELECT vec_id, vh, {bucket} AS bucket FROM base) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_dot_product(a.vh, b.vh), 6) AS sim "
+        "FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        f"WHERE round(list_dot_product(a.vh, b.vh), 6) >= {threshold}"
     )
 
 
@@ -1881,6 +1908,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FROM base a JOIN base b ON a.vec_id < b.vec_id "
             "WHERE round(list_dot_product(a.vh, b.vh), 6) >= 0.4"
         ),
+        "dedup_embedding_cosine_lsh": _lsh_bucket_oracle_sql(),
         "ann_cosine_topk": (
             "WITH scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
             "round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim "
