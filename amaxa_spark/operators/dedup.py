@@ -355,12 +355,16 @@ def cluster_duplicates(
     of a pairwise dedup op, so its input tracks the number of real
     duplicate pairs, not the corpus.
     """
+    # hash-partitioned by src ONCE: with the label side broadcast,
+    # the per-round neighbor-min aggregate inherits this partitioning
+    # through the map-side join, so a round runs with no shuffle at all
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -369,12 +373,20 @@ def cluster_duplicates(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # label/neighbor-min frames are bounded by the number of nodes
+    # that appear in a duplicate pair — usually tiny relative to the
+    # corpus. Broadcast them while that holds (counted once on the
+    # checkpointed frame); huge pair graphs fall back to shuffle joins.
+    bcast = labels.count() <= 2_000_000
     for _ in range(max_rounds):
+        lab = F.broadcast(labels) if bcast else labels
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(lab, edges["dst"] == lab["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        if bcast:
+            neighbor_min = F.broadcast(neighbor_min)
         updated = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
@@ -464,10 +476,16 @@ def fuzzy_pairs(
         F.col(text_col).alias("_tb"),
         F.expr(block_expr.format(c=text_col)).alias("_blk"),
     )
+    # length prefilter is free and prunes most in-block candidates;
+    # the threshold form of levenshtein early-exits the DP (returns
+    # -1 past the bound) instead of computing the full distance
     return (
         a.join(b, "_blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("_ta", "_tb"))
-        .where(F.col("dist") <= max_dist)
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("_ta") - F.length("_tb")) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein("_ta", "_tb", max_dist))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
     )
