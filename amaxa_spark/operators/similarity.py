@@ -70,6 +70,82 @@ def cosine_topk(
     )
 
 
+def cosine_topk_pandas(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors via a vectorized Pandas UDF —
+    the scale path for brute-force scoring. Same output contract as
+    :func:`cosine_topk` (query_id, neighbor_id, sim, rank).
+
+    Where :func:`cosine_topk` evaluates the dot product with
+    interpreted higher-order functions per pair, this path streams
+    the corpus through ``mapInPandas`` in Arrow batches and scores
+    each batch against the (broadcast-small) query matrix with one
+    numpy matmul — BLAS throughput instead of per-element lambda
+    interpretation. Each batch emits only its local top-k per query
+    under the final total order (sim desc, neighbor asc), so the
+    shuffle into the global window top-k carries ≤ k·n_queries rows
+    per batch, never the corpus.
+    """
+    import numpy as np
+
+    q_rows = (
+        emb.where(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("no query vectors found for the given ids")
+    qids_l = [r[0] for r in q_rows]
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            # Arrow hands each cell over as a numpy array already —
+            # np.stack is a C-level copy; building Python lists per
+            # row would dominate the whole batch cost
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T  # (batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids_l):
+                # round BEFORE the partial top-k so batch-local and
+                # global selection use the identical total order
+                s = np.round(S[:, j], 6)
+                mask = ids != qid
+                s_j, id_j = s[mask], ids[mask]
+                order = np.lexsort((id_j, -s_j))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(id_j[order].tolist())
+                out_s.extend(s_j[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     query_ids: list,

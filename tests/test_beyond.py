@@ -74,6 +74,23 @@ def test_cosine_topk_self_excluded_and_ranked(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_cosine_topk_pandas_matches_hof_path(spark, sf_dir):
+    """The vectorized Pandas-UDF scorer must be byte-identical to the
+    JVM HOF path — same rounding, same (sim desc, id asc) tie-break,
+    including across Arrow batch boundaries (partial top-k per batch)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = SIM.cosine_topk(emb, query_ids=[0, 1, 2], k=5).sort("query_id", "rank")
+    b = SIM.cosine_topk_pandas(emb, query_ids=[0, 1, 2], k=5).sort(
+        "query_id", "rank"
+    )
+    assert a.collect() == b.collect()
+    # many small batches: repartitioning must not change the result
+    c = SIM.cosine_topk_pandas(
+        emb.repartition(16), query_ids=[0, 1, 2], k=5
+    ).sort("query_id", "rank")
+    assert a.collect() == c.collect()
+
+
 def test_lsh_ann_candidates_subset(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = SIM.cosine_topk(emb, query_ids=[0, 1], k=5)
