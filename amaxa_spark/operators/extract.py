@@ -60,6 +60,10 @@ _ISIN_THRESHOLD = 1000
 # dominates; above it, whole-table doubling shuffles swamp the win
 # (measured: 10M nodes / 524k component -> BFS 2.7x faster)
 _DOUBLING_MAX_EDGES = 2_000_000
+# BFS-frontier broadcast gate: same 2M-row threshold as the pointer-
+# doubling hop frame (graph.py) and the cluster label frames (dedup.py)
+# — a frontier above it is shuffled, not shipped to every executor
+_FRONTIER_BROADCAST_MAX = 2_000_000
 
 
 class ExtractError(RuntimeError):
@@ -291,22 +295,30 @@ class ExtractOperation:
         # anything adjacent to older ones was found in an earlier round
         known = ids.localCheckpoint(eager=True)
         frontier = known
+        frontier_n = frontier.count()
         while True:
-            # explicit broadcast: the frontier is a narrow ID frame
-            # (bounded by one BFS level) — without the hint, size
-            # misestimation flips the probe to a sort-merge join that
-            # shuffles the full adjacency every round
+            # broadcast hint only while the frontier is genuinely small
+            # (counted on the checkpointed frame, so the count is a
+            # cheap scan): a narrow ID frame under the gate avoids the
+            # size-misestimated sort-merge join that would shuffle the
+            # full adjacency every round. On a 100×-scale hierarchy a
+            # BFS level can be 10⁸ rows — above the gate fall back to a
+            # plain semi-join and let AQE plan from real sizes.
+            probe = (
+                F.broadcast(frontier)
+                if frontier_n <= _FRONTIER_BROADCAST_MAX
+                else frontier
+            )
             neighbors = (
-                adj.join(
-                    F.broadcast(frontier), adj["src"] == frontier[_ID], "left_semi"
-                )
+                adj.join(probe, adj["src"] == frontier[_ID], "left_semi")
                 .select(F.col("dst").alias(_ID))
                 .distinct()
             )
             frontier = (
                 neighbors.join(known, _ID, "left_anti").localCheckpoint(eager=True)
             )
-            if frontier.isEmpty():
+            frontier_n = frontier.count()
+            if frontier_n == 0:
                 return known
             # frontier is disjoint from known by construction; keep
             # known as a lazy union of checkpointed frontiers — no

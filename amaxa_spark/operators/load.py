@@ -4,7 +4,8 @@ Re-expresses the reference's load pipeline
 (`/root/reference/amaxa/amaxa.py:262-528`) Spark-first:
 
 - the global old→new ID map (`amaxa/amaxa.py:243-260`) is a 2-column
-  DataFrame per table, broadcast-joined into every FK rewrite (J4),
+  DataFrame per table, joined into every FK rewrite (J4) — broadcast
+  only under a counted size gate, shuffle hash-join above it,
 - stage INSERTS: per step in topological (list) order — read input →
   resume-filter (P7, ``left_anti`` vs the ID map) → rename+transforms
   (F6, F1-F5) → drop dependent/self FK columns (P6) → rewrite
@@ -40,6 +41,14 @@ from amaxa_spark.plans.plan import LoadStepPlan, OutsideLookupBehavior
 from amaxa_spark.sources.catalog import TableCatalog
 
 log = logging.getLogger(__name__)
+
+# The old→new ID map has one row per loaded record — at 100 TB it is the
+# size of the loaded table, so a forced broadcast is a driver/executor
+# OOM. Broadcast only under a counted threshold (counts are nearly free
+# on the localCheckpoint'ed map frames); above it, fall through to a
+# plain join and let AQE pick the strategy from real sizes. Mirrors the
+# counted gates in graph.pointer_roots and dedup.cluster_duplicates.
+_BROADCAST_MAP_MAX = 2_000_000
 
 
 class LoadError(RuntimeError):
@@ -81,6 +90,9 @@ class LoadOperation:
         self.classification = registry.classify_lookups(self.step_order)
         self.result = LoadResult(id_map=dict(prior_id_map or {}))
         self.start_stage = start_stage
+        # per-table ID-map row counts, maintained as maps are built so
+        # the broadcast gate never re-counts un-checkpointed lineage
+        self._map_counts: dict[str, int] = {}
 
     # ------------------------------------------------------------------
     def _input(self, step: LoadStepPlan) -> DataFrame:
@@ -131,14 +143,23 @@ class LoadOperation:
     def _map_for(self, table: str) -> DataFrame | None:
         return self.result.id_map.get(table)
 
-    def _combined_map(self, tables: list[str]) -> DataFrame | None:
+    def _map_count(self, table: str) -> int:
+        """Row count of a table's ID map; counted once (the map frames
+        are localCheckpoint'ed, so the count is a cheap scan)."""
+        if table not in self._map_counts:
+            m = self._map_for(table)
+            self._map_counts[table] = 0 if m is None else m.count()
+        return self._map_counts[table]
+
+    def _combined_map(self, tables: list[str]) -> tuple[DataFrame | None, int]:
         frames = [self._map_for(t) for t in tables if self._map_for(t) is not None]
         if not frames:
-            return None
+            return None, 0
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return out
+        n = sum(self._map_count(t) for t in tables if self._map_for(t) is not None)
+        return out, n
 
     def _rewrite_fk(
         self,
@@ -148,9 +169,11 @@ class LoadOperation:
         behavior: OutsideLookupBehavior,
         errors: list[DataFrame],
         pk: str,
+        map_rows: int = 0,
     ) -> DataFrame:
-        """J4: FK old→new through the (broadcast) ID map with fallback
-        per outside-lookup behavior (`amaxa/amaxa.py:321-347`).
+        """J4: FK old→new through the ID map (broadcast only under the
+        counted `_BROADCAST_MAP_MAX` gate) with fallback per
+        outside-lookup behavior (`amaxa/amaxa.py:321-347`).
         Empty-string lookups short-circuit to null
         (`amaxa/amaxa.py:322-323`)."""
         cleaned = F.nullif(F.col(col).cast("string"), F.lit(""))
@@ -159,8 +182,10 @@ class LoadOperation:
         m = id_map.select(
             F.col("old_id").alias("__m_old"), F.col("new_id").alias("__m_new")
         )
+        if map_rows <= _BROADCAST_MAP_MAX:
+            m = F.broadcast(m)
         joined = df.withColumn("__fk", cleaned).join(
-            F.broadcast(m), F.col("__fk") == F.col("__m_old"), "left_outer"
+            m, F.col("__fk") == F.col("__m_old"), "left_outer"
         )
         unmapped = F.col("__fk").isNotNull() & F.col("__m_new").isNull()
         if behavior is OutsideLookupBehavior.ERROR:
@@ -202,9 +227,10 @@ class LoadOperation:
         errors: list[DataFrame] = []
         for col in sorted(cls.descendent_lookups & set(insert_df.columns)):
             targets = [t for t in meta.lookups[col] if t in self.step_order]
-            id_map = self._combined_map(targets)
+            id_map, map_rows = self._combined_map(targets)
             insert_df = self._rewrite_fk(
-                insert_df, col, id_map, step.outside_behavior_for(col), errors, pk
+                insert_df, col, id_map, step.outside_behavior_for(col), errors, pk,
+                map_rows,
             )
 
         # F7: schema-driven primitivize. A non-null input that coerces
@@ -258,6 +284,7 @@ class LoadOperation:
 
         merged_map = step_map if prior is None else prior.unionByName(step_map)
         self.result.id_map[table] = merged_map.localCheckpoint(eager=True)
+        self._map_counts.pop(table, None)  # recount lazily on next use
         self.result.written[table] = written.localCheckpoint(eager=True)
         if errors:
             err = errors[0]
@@ -282,9 +309,10 @@ class LoadOperation:
         errors: list[DataFrame] = []
         for col in deferred:
             targets = [t for t in meta.lookups[col] if t in self.step_order]
-            id_map = self._combined_map(targets)
+            id_map, map_rows = self._combined_map(targets)
             upd = self._rewrite_fk(
-                upd, col, id_map, step.outside_behavior_for(col), errors, pk
+                upd, col, id_map, step.outside_behavior_for(col), errors, pk,
+                map_rows,
             )
 
         # P8: only rows with at least one non-null rewritten FK
@@ -296,9 +324,14 @@ class LoadOperation:
 
         # swap old PK -> new id, then merge FK columns into written rows
         own_map = self._map_for(table)
+        own_side = (
+            F.broadcast(own_map)
+            if self._map_count(table) <= _BROADCAST_MAP_MAX
+            else own_map
+        )
         upd = (
             upd.join(
-                F.broadcast(own_map),
+                own_side,
                 upd[pk].cast("string") == own_map["old_id"],
                 "inner",
             )

@@ -204,3 +204,18 @@ def test_extract_query_filter_pushed_to_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1][:200]
     assert "c_custkey" in pushed
+
+
+def test_closure_correct_under_frontier_shuffle_fallback(spark, monkeypatch):
+    """J3 scale contract: with the frontier broadcast gate forced off,
+    the BFS falls back to plain semi-joins and produces the identical
+    closure (and the pointer-doubling accelerator disabled too, so the
+    BFS path itself is exercised)."""
+    import amaxa_spark.operators.extract as ex_mod
+
+    monkeypatch.setattr(ex_mod, "_FRONTIER_BROADCAST_MAX", -1)
+    monkeypatch.setattr(ex_mod, "_DOUBLING_MAX_EDGES", -1)
+    cat, reg = _hier_catalog(spark)
+    steps = [ExtractStepPlan("Account", ExtractScope.SELECTED_IDS, ids=["2"])]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    assert {r.Id for r in res["Account"].collect()} == {"1", "2", "3"}

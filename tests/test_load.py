@@ -200,3 +200,54 @@ def test_state_save_is_atomic_and_v1_compatible(spark, tmp_path):
         yaml.safe_dump({"version": 1, "stage": "dependents", "tables": ["Account"]}, f)
     stage, id_map = load_state(spark, v1)
     assert stage == "dependents" and id_map["Account"].count() == 1
+
+
+def test_map_broadcast_gated_by_counted_size(spark):
+    """J4 scale contract: the ID-map join carries a broadcast hint only
+    when the counted map is under _BROADCAST_MAP_MAX; a huge map must
+    fall through to a plain join (AQE/shuffle hash-join at scale)."""
+    import amaxa_spark.operators.load as load_mod
+
+    df = spark.createDataFrame([("C1", "A1")], "Id: string, AccountId: string")
+    m = spark.createDataFrame([("A1", "N1")], "old_id: string, new_id: string")
+    op = LoadOperation(
+        spark, sf_registry(), [LoadStepPlan("Contact")], {"Contact": df}
+    )
+
+    def analyzed(d):
+        return d._jdf.queryExecution().analyzed().toString()
+
+    small = op._rewrite_fk(
+        df, "AccountId", m, OutsideLookupBehavior.INCLUDE, [], "Id", map_rows=1
+    )
+    big = op._rewrite_fk(
+        df, "AccountId", m, OutsideLookupBehavior.INCLUDE, [], "Id",
+        map_rows=load_mod._BROADCAST_MAP_MAX + 1,
+    )
+    assert "broadcast" in analyzed(small).lower()
+    assert "broadcast" not in analyzed(big).lower()
+
+
+def test_load_correct_under_shuffle_join_fallback(spark, monkeypatch):
+    """Force every map join down the no-hint (shuffle) path and assert
+    the two-phase load still produces identical results."""
+    import amaxa_spark.operators.load as load_mod
+
+    monkeypatch.setattr(load_mod, "_BROADCAST_MAP_MAX", -1)
+    accounts = spark.createDataFrame(
+        [("A1", "HQ", None), ("A2", "Branch", "A1")],
+        "Id: string, Name: string, ParentId: string",
+    )
+    contacts = spark.createDataFrame(
+        [("C1", "A1"), ("C2", "A2"), ("C3", None)],
+        "Id: string, AccountId: string",
+    )
+    steps = [LoadStepPlan("Account"), LoadStepPlan("Contact")]
+    res = LoadOperation(
+        spark, sf_registry(), steps, {"Account": accounts, "Contact": contacts}
+    ).run()
+    acc = {r.Id: r for r in res.written["Account"].collect()}
+    assert acc[new_id("Account", "A2")].ParentId == new_id("Account", "A1")
+    con = {r.Id: r.AccountId for r in res.written["Contact"].collect()}
+    assert con[new_id("Contact", "C2")] == new_id("Account", "A2")
+    assert con[new_id("Contact", "C3")] is None
