@@ -97,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     steps = load_load_config(args.operation)
+    result_paths = {s.table: s.result_path for s in steps}
     prior, stage = None, "inserts"
     if args.state:
         stage, prior = load_state(spark, args.state)
@@ -119,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
             F.col("new_id").alias(constants.NEW_ID),
             F.lit("").alias(constants.ERROR),
         )
+        if args.state and prior and table in prior:
+            # resume appends only results NOT already recorded by the
+            # interrupted run (`amaxa/loader/load_operation.py:103-119`
+            # opens result files in "a" mode under state)
+            done = prior[table].select(
+                F.col("old_id").alias(constants.ORIGINAL_ID)
+            )
+            id_map = id_map.join(done, constants.ORIGINAL_ID, "left_anti")
         if table in res.errors:
             id_map = id_map.unionByName(
                 res.errors[table].select(
@@ -127,7 +136,11 @@ def main(argv: list[str] | None = None) -> int:
                     F.col("error").alias(constants.ERROR),
                 )
             )
-        write_result_csv(id_map, f"{args.out}/{table}.results.csv")
+        # `result-file:` names the per-step sink
+        # (`amaxa/loader/schemas.py:289-293`); default mirrors the
+        # reference's `<sobject>-results.csv` under --out
+        path = result_paths.get(table) or f"{args.out}/{table}.results.csv"
+        write_result_csv(id_map, path, append=bool(args.state))
     if args.save_state:
         save_state(args.save_state, "dependents", res.id_map)
     return 0

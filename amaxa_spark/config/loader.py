@@ -150,6 +150,8 @@ def load_load_config(path_or_dict) -> list[LoadStepPlan]:
             LoadStepPlan(
                 table=table,
                 input_path=entry.get("file"),
+                result_path=entry.get("result-file"),
+                options=dict(entry.get("options", {}) or {}),
                 fields=names,
                 field_group=entry.get("field-group"),
                 exclude_fields=list(entry.get("exclude-fields", [])),

@@ -79,6 +79,13 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
         if iv not in VALIDATION_MODES:
             _err(errors, ctx, f"invalid input-validation {iv!r}")
 
+        # per-step `file:` / `result-file:` sinks
+        # (`loader/schemas.py:285-293`) must be path strings
+        for key in ("file", "result-file"):
+            val = entry.get(key)
+            if val is not None and not isinstance(val, str):
+                _err(errors, ctx, f"'{key}' must be a string path")
+
         if kind == "extract":
             extract = entry.get("extract")
             if not isinstance(extract, dict):

@@ -96,8 +96,11 @@ class LoadOperation:
 
     # ------------------------------------------------------------------
     def _input(self, step: LoadStepPlan) -> DataFrame:
-        if isinstance(self.inputs, TableCatalog):
-            return self.inputs[step.table]
+        if step.input_path is not None:
+            # reference parity: a step's `file:` key names its CSV
+            # input (`amaxa/loader/load_operation.py:83-101`) — header
+            # row, all-string columns, exactly like the CSV catalog
+            return self.spark.read.option("header", True).csv(step.input_path)
         return self.inputs[step.table]
 
     def _prepared(self, step: LoadStepPlan) -> DataFrame:

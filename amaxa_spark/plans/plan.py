@@ -71,7 +71,13 @@ class ExtractStepPlan:
 @dataclass
 class LoadStepPlan:
     table: str
-    input_path: str | None = None  # CSV input; None = catalog table
+    input_path: str | None = None  # `file:` CSV input; None = catalog table
+    # `result-file:` per-step result sink path; None = CLI default
+    # (`/root/reference/amaxa/loader/schemas.py:285-293`)
+    result_path: str | None = None
+    # step-level `options` — advisory API-tuning knobs mapped to Spark
+    # equivalents (`/root/reference/amaxa/loader/schemas.py:72-93`)
+    options: dict = field(default_factory=dict)
     fields: list[str] | None = None
     field_group: str | None = None  # readable | writeable | smart (P2)
     exclude_fields: list[str] = field(default_factory=list)  # P3

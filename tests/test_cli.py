@@ -160,3 +160,105 @@ def test_cli_extract_atomic(spark, sf_dir, tmp_path):
     assert got["nation"].count() == 25
     # pk-first header order holds through the manifest sink
     assert got["nation"].columns[0] == "n_nationkey"
+
+
+def _load_fixture(tmp_path):
+    reg = {
+        "tables": [
+            {"name": "Account", "pk": "Id", "lookups": {"ParentId": ["Account"]}},
+            {"name": "Contact", "pk": "Id", "lookups": {"AccountId": ["Account"]}},
+        ]
+    }
+    reg_path = tmp_path / "registry.json"
+    reg_path.write_text(json.dumps(reg))
+    acc_csv = tmp_path / "inputs" / "my_accounts.csv"
+    con_csv = tmp_path / "inputs" / "my_contacts.csv"
+    acc_csv.parent.mkdir(exist_ok=True)
+    acc_csv.write_text("Id,Name,ParentId\nA1,HQ,\nA2,Branch,A1\n")
+    con_csv.write_text("Id,AccountId\nC1,A1\nC2,A2\n")
+    return reg_path, acc_csv, con_csv
+
+
+def test_cli_load_honors_file_and_result_file_keys(spark, tmp_path):
+    """Reference-style operation file with per-step `file:` inputs and
+    a custom `result-file:` sink (`amaxa/loader/load_operation.py:83-119`).
+    The data-dir catalog holds NO tables — inputs must come from the
+    named CSVs, or the load fails."""
+    reg_path, acc_csv, con_csv = _load_fixture(tmp_path)
+    res_path = tmp_path / "custom-account-results.csv"
+    op = {
+        "version": 1,
+        "operation": [
+            {
+                "sobject": "Account",
+                "file": str(acc_csv),
+                "result-file": str(res_path),
+            },
+            {"sobject": "Contact", "file": str(con_csv)},
+        ],
+    }
+    op_path = tmp_path / "load.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    out = tmp_path / "out"
+    empty = tmp_path / "empty-data-dir"
+    empty.mkdir()
+    rc = main(
+        [
+            "load", str(op_path),
+            "--data-dir", str(empty),
+            "--registry", str(reg_path),
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    acc = spark.read.parquet(str(out / "Account.parquet"))
+    assert acc.count() == 2
+    # custom result-file used for Account; default path for Contact
+    res = spark.read.option("header", True).csv(str(res_path))
+    assert {r["Original Id"] for r in res.collect()} == {"A1", "A2"}
+    con_res = spark.read.option("header", True).csv(
+        str(out / "Contact.results.csv")
+    )
+    assert {r["Original Id"] for r in con_res.collect()} == {"C1", "C2"}
+
+
+def test_cli_load_resume_appends_results(spark, tmp_path):
+    """A resumed run appends only NEW results to the result sink
+    (reference opens result files in 'a' mode under state:
+    `amaxa/loader/load_operation.py:103-119`)."""
+    reg_path, acc_csv, _ = _load_fixture(tmp_path)
+    res_path = tmp_path / "acc-results.csv"
+    op = {
+        "version": 1,
+        "operation": [
+            {
+                "sobject": "Account",
+                "file": str(acc_csv),
+                "result-file": str(res_path),
+            }
+        ],
+    }
+    op_path = tmp_path / "load.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    out = tmp_path / "out"
+    empty = tmp_path / "empty-data-dir"
+    empty.mkdir()
+    state = tmp_path / "state"
+    base = [
+        "load", str(op_path),
+        "--data-dir", str(empty),
+        "--registry", str(reg_path),
+        "--out", str(out),
+    ]
+    rc = main(base + ["--save-state", str(state)])
+    assert rc == 0
+    first = spark.read.option("header", True).csv(str(res_path)).collect()
+    assert {r["Original Id"] for r in first} == {"A1", "A2"}
+
+    # new record appears in the input; resume appends ONLY its result
+    acc_csv.write_text("Id,Name,ParentId\nA1,HQ,\nA2,Branch,A1\nA3,New,\n")
+    rc = main(base + ["--state", str(state)])
+    assert rc == 0
+    rows = spark.read.option("header", True).csv(str(res_path)).collect()
+    ids = sorted(r["Original Id"] for r in rows)
+    assert ids == ["A1", "A2", "A3"]  # no duplicates re-appended
