@@ -33,6 +33,37 @@ from amaxa_spark.sources.catalog import TableCatalog, write_extract_csv, write_r
 from amaxa_spark.sources.state import load_state, save_state
 
 
+log = logging.getLogger(__name__)
+
+
+def apply_advisory_options(df, options: dict, table: str):
+    """Map the reference's bulk-API tuning `options`
+    (`/root/reference/amaxa/loader/schemas.py:72-114`) onto their Spark
+    equivalents — batch size caps rows per output file, Serial mode
+    forces a single-partition write. They are ADVISORY: accepted,
+    validated, and visibly logged, never silently dropped."""
+    write_opts: dict = {}
+    if not options:
+        return df, write_opts
+    batch = options.get("bulk-api-batch-size")
+    if batch:
+        log.info(
+            "%s: advisory bulk-api-batch-size=%d -> maxRecordsPerFile",
+            table, batch,
+        )
+        write_opts["maxRecordsPerFile"] = batch
+    if options.get("bulk-api-mode") == "Serial":
+        log.info("%s: advisory bulk-api-mode=Serial -> single-partition write", table)
+        df = df.coalesce(1)
+    for k in ("bulk-api-timeout", "bulk-api-poll-interval", "api-version"):
+        if k in options:
+            log.info(
+                "%s: option %s=%r accepted (advisory; no Spark-side effect)",
+                table, k, options[k],
+            )
+    return df, write_opts
+
+
 def load_registry(path: str) -> SchemaRegistry:
     with open(path) as f:
         doc = json.load(f)
@@ -90,9 +121,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"extracted {table}: {entry['rows']} records")
             print(f"committed generation {manifest['token']}")
             return 0
+        step_options = {s.table: s.options for s in steps}
         for table, df in results.items():
             pk = registry[table].pk
-            write_extract_csv(df, f"{args.out}/{table}.csv", pk=pk)
+            df, write_opts = apply_advisory_options(
+                df, step_options.get(table, {}), table
+            )
+            write_extract_csv(
+                df, f"{args.out}/{table}.csv", pk=pk, write_options=write_opts
+            )
             print(f"extracted {table}: {df.count()} records")
         return 0
 
@@ -111,8 +148,15 @@ def main(argv: list[str] | None = None) -> int:
             save_state(args.save_state, "inserts", op.result.id_map)
             print(f"state saved to {args.save_state}", file=sys.stderr)
         raise
+    step_options = {s.table: s.options for s in steps}
     for table, df in res.written.items():
-        df.write.mode("overwrite").parquet(f"{args.out}/{table}.parquet")
+        df, write_opts = apply_advisory_options(
+            df, step_options.get(table, {}), table
+        )
+        w = df.write.mode("overwrite")
+        for k, v in write_opts.items():
+            w = w.option(k, v)
+        w.parquet(f"{args.out}/{table}.parquet")
         n_err = res.errors[table].count() if table in res.errors else 0
         print(f"loaded {table}: {df.count()} records, {n_err} errors")
         id_map = res.id_map[table].select(

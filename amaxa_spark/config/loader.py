@@ -62,6 +62,22 @@ def load_plugin_modules(doc: dict) -> None:
             importlib.import_module(mod)
 
 
+def _validate_transform_specs(doc: dict, errors: list[str]) -> None:
+    """Config-time transform validation (names + options; column-type
+    gating happens in the operators where live schemas exist) —
+    mirrors the reference's per-transform Cerberus option schemas
+    (`/root/reference/amaxa/loader/schemas.py:46-68`)."""
+    from amaxa_spark.functions.transforms import validate_transforms
+
+    for i, entry in enumerate(doc.get("operation") or []):
+        if not isinstance(entry, dict):
+            continue
+        _, _, transforms = _field_spec(entry)
+        for e in validate_transforms(transforms):
+            table = entry.get("sobject") or entry.get("table") or "?"
+            errors.append(f"operation[{i}] ({table}): {e}")
+
+
 def _field_spec(entry: dict) -> tuple[list[str] | None, dict, dict]:
     """fields list → (names, column_map, transforms)."""
     fields = entry.get("fields")
@@ -89,9 +105,11 @@ def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
     doc = _read(path_or_dict)
     load_plugin_modules(doc)
     errors = validate_operation(doc, "extract")
+    _validate_transform_specs(doc, errors)
     if errors:
         raise ConfigError(errors)
     steps = []
+    op_options = dict(doc.get("options", {}) or {})
     for entry in doc["operation"]:
         table = entry.get("sobject") or entry.get("table")
         extract = entry["extract"]
@@ -125,6 +143,9 @@ def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
                 outside_lookup_behavior=olb,
                 column_map=column_map,
                 transforms=transforms,
+                # operation-level options are step defaults
+                # (`loader/schemas.py:96-114`)
+                options={**op_options, **dict(entry.get("options", {}) or {})},
             )
         )
     return steps
@@ -134,9 +155,11 @@ def load_load_config(path_or_dict) -> list[LoadStepPlan]:
     doc = _read(path_or_dict)
     load_plugin_modules(doc)
     errors = validate_operation(doc, "load")
+    _validate_transform_specs(doc, errors)
     if errors:
         raise ConfigError(errors)
     steps = []
+    op_options = dict(doc.get("options", {}) or {})
     for entry in doc["operation"]:
         table = entry.get("sobject") or entry.get("table")
         names, column_map, transforms = _field_spec(entry)
@@ -151,7 +174,7 @@ def load_load_config(path_or_dict) -> list[LoadStepPlan]:
                 table=table,
                 input_path=entry.get("file"),
                 result_path=entry.get("result-file"),
-                options=dict(entry.get("options", {}) or {}),
+                options={**op_options, **dict(entry.get("options", {}) or {})},
                 fields=names,
                 field_group=entry.get("field-group"),
                 exclude_fields=list(entry.get("exclude-fields", [])),

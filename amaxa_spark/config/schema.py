@@ -18,6 +18,41 @@ VALIDATION_MODES = ("none", "default", "strict")
 OUTSIDE_BEHAVIORS = ("include", "drop-field", "error")
 SELF_BEHAVIORS = ("trace-all", "trace-none")
 
+# step/operation-level API-tuning `options`
+# (`/root/reference/amaxa/loader/schemas.py:72-114`): accepted and
+# validated, then mapped to ADVISORY Spark knobs (batch size →
+# maxRecordsPerFile, Serial mode → single-partition write) — never
+# silently dropped
+OPTION_RULES: dict[str, tuple] = {
+    # name -> (type, min, max, allowed)
+    "bulk-api-batch-size": (int, 0, 10000, None),
+    "bulk-api-timeout": (int, 0, None, None),
+    "bulk-api-poll-interval": (int, 0, 60, None),
+    "bulk-api-mode": (str, None, None, ("Serial", "Parallel")),
+}
+
+
+def _validate_options(options, ctx: str, errors: list[str], top: bool = False) -> None:
+    if options is None:
+        return
+    if not isinstance(options, dict):
+        _err(errors, ctx, "'options' must be a mapping")
+        return
+    rules = dict(OPTION_RULES)
+    if top:
+        rules["api-version"] = (str, None, None, None)
+    for k, v in options.items():
+        if k not in rules:
+            _err(errors, ctx, f"unknown option {k!r}")
+            continue
+        typ, lo, hi, allowed = rules[k]
+        if not isinstance(v, typ) or isinstance(v, bool):
+            _err(errors, ctx, f"option {k!r} must be {typ.__name__}")
+        elif lo is not None and v < lo or hi is not None and v > hi:
+            _err(errors, ctx, f"option {k!r} out of range [{lo}, {hi}]")
+        elif allowed is not None and v not in allowed:
+            _err(errors, ctx, f"option {k!r} must be one of {allowed}")
+
 
 def _err(errors: list[str], ctx: str, msg: str) -> None:
     errors.append(f"{ctx}: {msg}")
@@ -31,6 +66,7 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
     version = doc.get("version", 1)
     if version not in (1, 2):
         _err(errors, "operation", f"unsupported version {version!r}")
+    _validate_options(doc.get("options"), "operation", errors, top=True)
     ops = doc.get("operation")
     if not isinstance(ops, list) or not ops:
         _err(errors, "operation", "must contain a non-empty 'operation' list")
@@ -85,6 +121,8 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
             val = entry.get(key)
             if val is not None and not isinstance(val, str):
                 _err(errors, ctx, f"'{key}' must be a string path")
+
+        _validate_options(entry.get("options"), ctx, errors)
 
         if kind == "extract":
             extract = entry.get("extract")

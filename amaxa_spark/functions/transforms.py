@@ -20,55 +20,150 @@ from pyspark.sql import functions as F
 TransformBuilder = Callable[[Column, dict], Column]
 
 TRANSFORMS: dict[str, TransformBuilder] = {}
+# per-transform metadata: name -> (allowed_types, options_schema).
+# allowed_types uses registry type names ("string", date", ...; the
+# reference's soapType spelling "xsd:string" is normalized away);
+# options_schema maps option -> {"type": py_type, "required": bool}
+# mirroring the reference's Cerberus per-transform schemas
+# (`/root/reference/amaxa/transforms.py:30-49,95-96,108-109`);
+# None = options unvalidated (plugin default, matching the reference's
+# empty get_options_schema()).
+TRANSFORM_META: dict[str, tuple[list[str] | None, dict | None]] = {}
 
 
-def register_transform(name: str) -> Callable[[TransformBuilder], TransformBuilder]:
+class TransformError(ValueError):
+    """All validation errors at once (error-list style, matching the
+    reference's `loader/schemas.py:46-68` option validation)."""
+
+    def __init__(self, errors: list[str]):
+        super().__init__("; ".join(errors))
+        self.errors = errors
+
+
+def register_transform(
+    name: str,
+    allowed_types: list[str] | None = None,
+    options_schema: dict | None = None,
+) -> Callable[[TransformBuilder], TransformBuilder]:
     """Decorator — the Spark analogue of TransformProvider subclass
-    auto-registration (`/root/reference/amaxa/transforms.py:11-27`)."""
+    auto-registration (`/root/reference/amaxa/transforms.py:11-27`).
+    ``allowed_types=None`` means any column type (plugin default)."""
 
     def deco(fn: TransformBuilder) -> TransformBuilder:
         TRANSFORMS[name] = fn
+        TRANSFORM_META[name] = (allowed_types, options_schema)
         return fn
 
     return deco
 
 
-@register_transform("lowercase")
+def _norm_type(t: str) -> str:
+    t = t.lower()
+    return t[4:] if t.startswith("xsd:") else t
+
+
+def validate_transforms(
+    spec: dict[str, list],
+    types: dict[str, str] | None = None,
+    registry: dict[str, TransformBuilder] | None = None,
+) -> list[str]:
+    """Validate a per-field transform spec: unknown transform names,
+    missing/unknown/badly-typed options, and `allowed_types` gating
+    against the column's declared registry type. Returns ALL errors."""
+    registry = registry or TRANSFORMS
+    errors: list[str] = []
+    for col, chain in spec.items():
+        for entry in chain:
+            if isinstance(entry, str):
+                name, options = entry, {}
+            else:
+                options = dict(entry)
+                name = options.pop("name", None)
+                if name is None:
+                    errors.append(f"{col}: transform entry missing 'name'")
+                    continue
+            if name not in registry:
+                errors.append(f"{col}: unknown transform {name!r}")
+                continue
+            allowed, schema = TRANSFORM_META.get(name, (None, None))
+            if schema is not None:
+                for opt, rule in schema.items():
+                    if rule.get("required") and opt not in options:
+                        errors.append(
+                            f"{col}: transform {name!r} requires option {opt!r}"
+                        )
+                    elif opt in options and not isinstance(
+                        options[opt], rule.get("type", object)
+                    ):
+                        errors.append(
+                            f"{col}: transform {name!r} option {opt!r} must be "
+                            f"{rule['type'].__name__}"
+                        )
+                for opt in options:
+                    if opt not in schema:
+                        errors.append(
+                            f"{col}: transform {name!r} got unknown option {opt!r}"
+                        )
+            if allowed and types and col in types:
+                if _norm_type(types[col]) not in [_norm_type(a) for a in allowed]:
+                    errors.append(
+                        f"{col}: transform {name!r} is not available for "
+                        f"fields of type {types[col]!r}"
+                    )
+    return errors
+
+
+@register_transform("lowercase", allowed_types=["string"])
 def _lowercase(col: Column, options: dict) -> Column:  # F1
     return F.lower(col)
 
 
-@register_transform("uppercase")
+@register_transform("uppercase", allowed_types=["string"])
 def _uppercase(col: Column, options: dict) -> Column:  # F2
     return F.upper(col)
 
 
-@register_transform("strip")
+@register_transform("strip", allowed_types=["string"])
 def _strip(col: Column, options: dict) -> Column:  # F3
     return F.trim(col)
 
 
-@register_transform("prefix")
+@register_transform(
+    "prefix",
+    allowed_types=["string"],
+    options_schema={"prefix": {"type": str, "required": True}},
+)
 def _prefix(col: Column, options: dict) -> Column:  # F4
     return F.concat(F.lit(options["prefix"]), col)
 
 
-@register_transform("suffix")
+@register_transform(
+    "suffix",
+    allowed_types=["string"],
+    options_schema={"suffix": {"type": str, "required": True}},
+)
 def _suffix(col: Column, options: dict) -> Column:  # F5
     return F.concat(col, F.lit(options["suffix"]))
 
 
 def apply_transforms(
-    df: DataFrame, spec: dict[str, list], registry: dict[str, TransformBuilder] | None = None
+    df: DataFrame,
+    spec: dict[str, list],
+    registry: dict[str, TransformBuilder] | None = None,
+    types: dict[str, str] | None = None,
 ) -> DataFrame:
     """Apply per-field transform chains.
 
     ``spec`` maps column name → list of transform entries, each either a
     name string or ``{"name": ..., **options}``. Chains compose in
     order, mirroring the reference's ``functools.reduce``
-    (`/root/reference/amaxa/amaxa.py:860-861`).
-    """
+    (`/root/reference/amaxa/amaxa.py:860-861`). Options and (when
+    ``types`` is provided) `allowed_types` are validated up front —
+    every problem reported at once, not fail-fast."""
     registry = registry or TRANSFORMS
+    errors = validate_transforms(spec, types, registry)
+    if errors:
+        raise TransformError(errors)
     exprs = []
     for c in df.columns:
         col = F.col(c)

@@ -476,7 +476,10 @@ class ExtractOperation:
             if step.transforms:
                 from amaxa_spark.functions.transforms import apply_transforms
 
-                rows = apply_transforms(rows, step.transforms)
+                rows = apply_transforms(
+                    rows, step.transforms,
+                    types=self.registry[step.table].types,
+                )
             if step.column_map:
                 from amaxa_spark.functions.transforms import rename_columns
 

@@ -109,7 +109,9 @@ class LoadOperation:
         if step.column_map:
             df = rename_columns(df, step.column_map)
         if step.transforms:
-            df = apply_transforms(df, step.transforms)
+            df = apply_transforms(
+                df, step.transforms, types=self.registry[step.table].types
+            )
         fields = step.fields
         if fields is None and step.field_group is not None:
             from amaxa_spark.metadata import expand_field_group

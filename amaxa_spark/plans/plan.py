@@ -60,6 +60,9 @@ class ExtractStepPlan:
     column_map: dict[str, str] = field(default_factory=dict)
     # transform names (with options) applied per field at the sink
     transforms: dict[str, list] = field(default_factory=dict)
+    # step-level `options` — advisory API-tuning knobs
+    # (`/root/reference/amaxa/loader/schemas.py:72-114`)
+    options: dict = field(default_factory=dict)
 
     def outside_behavior_for(self, col: str) -> OutsideLookupBehavior:
         return self.outside_lookup_behavior.get(

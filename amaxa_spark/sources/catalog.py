@@ -133,15 +133,25 @@ def ordered_output_columns(columns: list[str], pk: str = "Id") -> list[str]:
     return ([pk] if pk in columns else []) + rest
 
 
-def write_extract_csv(df: DataFrame, path: str, pk: str = "Id", single_file: bool = False) -> None:
+def write_extract_csv(
+    df: DataFrame,
+    path: str,
+    pk: str = "Id",
+    single_file: bool = False,
+    write_options: dict | None = None,
+) -> None:
     """CSV extract sink (S6). ``single_file`` coalesces for small
     reference-parity outputs; at scale leave it False so each task
-    writes its own part file."""
+    writes its own part file. ``write_options`` carries advisory knobs
+    (e.g. ``maxRecordsPerFile`` from `bulk-api-batch-size`)."""
     cols = ordered_output_columns(df.columns, pk)
     out = df.select(*cols)
     if single_file:
         out = out.coalesce(1)
-    out.write.mode("overwrite").option("header", True).csv(path)
+    w = out.write.mode("overwrite").option("header", True)
+    for k, v in (write_options or {}).items():
+        w = w.option(k, v)
+    w.csv(path)
 
 
 MANIFEST_NAME = "_MANIFEST.json"

@@ -56,3 +56,110 @@ def test_plugin_composes_with_builtins(spark, tmp_path):
     df = spark.createDataFrame([("abc",)], "s: string")
     out = apply_transforms(df, {"s": ["uppercase", "reverse"]})
     assert out.collect()[0].s == "CBA"
+
+
+def test_transform_validation_reports_all_errors(spark):
+    """Invalid option / unknown transform / type gating surface as one
+    error-list exception (reference: `amaxa/transforms.py:42-49`,
+    `amaxa/loader/schemas.py:46-68`)."""
+    import pytest
+
+    from amaxa_spark.functions.transforms import TransformError, validate_transforms
+
+    df = spark.createDataFrame([("x", 1)], "s: string, n: bigint")
+    spec = {
+        "s": [{"name": "prefix"}, "nosuch"],       # missing option + unknown
+        "n": [{"name": "suffix", "suffix": "!"}],  # wrong column type
+    }
+    errs = validate_transforms(spec, types={"s": "string", "n": "int"})
+    assert len(errs) == 3
+    assert any("requires option 'prefix'" in e for e in errs)
+    assert any("unknown transform 'nosuch'" in e for e in errs)
+    assert any("not available for fields of type" in e for e in errs)
+
+    with pytest.raises(TransformError) as exc:
+        apply_transforms(df, spec, types={"s": "string", "n": "int"})
+    assert len(exc.value.errors) == 3
+
+    # unknown option on a schema'd transform; wrong option type
+    errs = validate_transforms(
+        {"s": [{"name": "prefix", "prefix": 7, "oops": 1}]}
+    )
+    assert any("must be str" in e for e in errs)
+    assert any("unknown option 'oops'" in e for e in errs)
+
+
+def test_config_load_rejects_bad_transform_options(tmp_path):
+    import pytest
+
+    from amaxa_spark.config.loader import ConfigError
+
+    with pytest.raises(ConfigError) as exc:
+        load_extract_config(
+            {
+                "version": 2,
+                "operation": [
+                    {
+                        "table": "t",
+                        "extract": {"all": True},
+                        "fields": [
+                            {"field": "v", "transforms": [{"name": "prefix"}]}
+                        ],
+                    }
+                ],
+            }
+        )
+    assert any("requires option 'prefix'" in e for e in exc.value.errors)
+
+
+def test_step_options_validated_and_advisory(spark, tmp_path):
+    import pytest
+
+    from amaxa_spark.config.loader import ConfigError, load_load_config
+
+    # valid options parse and merge operation-level defaults
+    steps = load_load_config(
+        {
+            "version": 1,
+            "options": {"bulk-api-batch-size": 500},
+            "operation": [
+                {"sobject": "Account", "options": {"bulk-api-mode": "Serial"}}
+            ],
+        }
+    )
+    assert steps[0].options == {
+        "bulk-api-batch-size": 500,
+        "bulk-api-mode": "Serial",
+    }
+
+    # invalid values are rejected with the full error list
+    with pytest.raises(ConfigError) as exc:
+        load_load_config(
+            {
+                "version": 1,
+                "operation": [
+                    {
+                        "sobject": "Account",
+                        "options": {
+                            "bulk-api-batch-size": 99999,
+                            "bulk-api-mode": "Turbo",
+                            "warp-speed": True,
+                        },
+                    }
+                ],
+            }
+        )
+    msgs = exc.value.errors
+    assert any("out of range" in e for e in msgs)
+    assert any("must be one of" in e for e in msgs)
+    assert any("unknown option 'warp-speed'" in e for e in msgs)
+
+    # advisory mapping: Serial -> 1 partition, batch-size -> write opt
+    from amaxa_spark.__main__ import apply_advisory_options
+
+    df = spark.range(10).repartition(4)
+    out, write_opts = apply_advisory_options(
+        df, {"bulk-api-mode": "Serial", "bulk-api-batch-size": 500}, "Account"
+    )
+    assert out.rdd.getNumPartitions() == 1
+    assert write_opts == {"maxRecordsPerFile": 500}
