@@ -464,6 +464,24 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# Shared ANN/embedding constants — the Spark queries and their DuckDB
+# oracles BOTH read these, so a parameter change cannot desynchronize
+# the two sides. _EMB_DIM is asserted against the fixture at oracle
+# build time (see _lsh_bucket_oracle_sql).
+_EMB_DIM = 64
+_EMB_LSH_BITS = 5
+_EMB_COS_THRESHOLD = 0.4
+_ANN_QUERY_IDS = (0, 1, 2)
+_ANN_K = 5
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 4
+_IVF_ITERS = 3
+
+
+def _ann_ids_sql() -> str:
+    return ", ".join(str(i) for i in _ANN_QUERY_IDS)
+
+
 def q_dedup_embedding_cosine_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: sign-LSH bucket join instead
     of the cross product. Approximate relative to the exact answer
@@ -471,8 +489,13 @@ def q_dedup_embedding_cosine_lsh(spark, sf_dir):
     deterministic — the hyperplanes are md5-derived constants — so the
     oracle replays the same bucket-join in SQL with the plane
     components inlined as literals."""
+    emb = _read(spark, sf_dir, "embeddings")
+    # the oracle inlines _EMB_DIM-sized hyperplanes; a fixture with a
+    # different width must fail loudly, not hash-mismatch mysteriously
+    dim = len(emb.select("embedding").head()[0])
+    assert dim == _EMB_DIM, f"fixture embedding dim {dim} != _EMB_DIM {_EMB_DIM}"
     return D.embedding_cosine_dups(
-        _read(spark, sf_dir, "embeddings"), threshold=0.4, bucket_bits=5
+        emb, threshold=_EMB_COS_THRESHOLD, bucket_bits=_EMB_LSH_BITS
     )
 
 
@@ -480,14 +503,84 @@ _ANN_COSINE_TOPK_SQL = (
     "WITH scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
     "round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim "
     "FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id "
-    "WHERE q.vec_id IN (0, 1, 2)), "
+    f"WHERE q.vec_id IN ({_ann_ids_sql()})), "
     "ranked AS (SELECT *, row_number() OVER "
     "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
-    "SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5"
+    f"SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {_ANN_K}"
 )
 
 
-def _lsh_bucket_oracle_sql(dim: int = 64, bits: int = 5, threshold: float = 0.4) -> str:
+def _ivf_oracle_sql(
+    n_centroids: int = _IVF_CENTROIDS,
+    nprobe: int = _IVF_NPROBE,
+    iters: int = _IVF_ITERS,
+    k: int = _ANN_K,
+) -> str:
+    """DuckDB twin of ivf_cosine_topk with a k-means codebook: the
+    Lloyd iterations are unrolled as chained CTEs — seed = lowest-id
+    vectors, assignment by round(cosine, 6) with cid tiebreak, update
+    = element-wise mean rounded per component to 6 decimals (so both
+    engines enter the next round from byte-identical codebooks),
+    empty cells keep their previous centroid."""
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {n_centroids})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i-1}"
+        ctes.append(
+            f"a{i} AS (SELECT cid, v FROM (SELECT b.v, c.cid, row_number() OVER "
+            f"(PARTITION BY b.vec_id ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cid ASC) AS rn "
+            f"FROM base b, {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT cid, pos, round(avg(val), 6) AS m FROM "
+            f"(SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a{i}) "
+            f"GROUP BY cid, pos)"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT cid, array_agg(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv "
+            f"FROM {prev} c LEFT JOIN n{i} n USING (cid))"
+        )
+    cent = f"cent{iters}"
+    ctes.append(
+        f"simc AS (SELECT b.vec_id, c.cid, round(list_cosine_similarity(b.v, c.cv), 6) AS s "
+        f"FROM base b, {cent} c)"
+    )
+    ctes.append(
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM simc) WHERE rn = 1)"
+    )
+    ctes.append(
+        "probe AS (SELECT vec_id AS query_id, cid FROM (SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM simc "
+        f"WHERE vec_id IN ({_ann_ids_sql()})) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id FROM probe p "
+        "JOIN assign a ON p.cid = a.cid WHERE a.vec_id != p.query_id)"
+    )
+    ctes.append(
+        "scored AS (SELECT c.query_id, c.neighbor_id, "
+        "round(list_cosine_similarity(q.v, n.v), 6) AS sim FROM cand c "
+        "JOIN base q ON c.query_id = q.vec_id JOIN base n ON c.neighbor_id = n.vec_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) +
+        " SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def _lsh_bucket_oracle_sql(
+    dim: int = _EMB_DIM,
+    bits: int = _EMB_LSH_BITS,
+    threshold: float = _EMB_COS_THRESHOLD,
+) -> str:
     """DuckDB twin of the sign-LSH bucket join: same md5-derived
     hyperplanes (inlined as double literals), same normalize-then-dot
     arithmetic, same rounded-similarity threshold."""
@@ -514,7 +607,9 @@ def _lsh_bucket_oracle_sql(dim: int = 64, bits: int = 5, threshold: float = 0.4)
 
 def q_ann_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(
-        _read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=list(_ANN_QUERY_IDS),
+        k=_ANN_K,
     )
 
 
@@ -524,17 +619,23 @@ def q_ann_cosine_topk_pandas(spark, sf_dir):
     global window top-k. Same output contract and oracle; 2.8x faster
     than the HOF dot at 500k vectors (SCALE_NOTES)."""
     return SIM.cosine_topk_pandas(
-        _read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=5
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=list(_ANN_QUERY_IDS),
+        k=_ANN_K,
     )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with a deterministic k-means codebook (3 Lloyd
+    iterations as DataFrame aggs); the oracle unrolls the identical
+    iterations as chained CTEs (_ivf_oracle_sql)."""
     return SIM.ivf_cosine_topk(
         _read(spark, sf_dir, "embeddings"),
-        query_ids=[0, 1, 2],
-        k=5,
-        n_centroids=16,
-        nprobe=4,
+        query_ids=list(_ANN_QUERY_IDS),
+        k=_ANN_K,
+        n_centroids=_IVF_CENTROIDS,
+        nprobe=_IVF_NPROBE,
+        kmeans_iters=_IVF_ITERS,
     )
 
 
@@ -1936,25 +2037,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         # same oracle on purpose: the Pandas-UDF path must produce the
         # byte-identical result to the JVM HOF path
         "ann_cosine_topk_pandas": _ANN_COSINE_TOPK_SQL,
-        "ann_ivf_topk": (
-            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-            "cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16), "
-            "simc AS (SELECT b.vec_id, c.cid, round(list_cosine_similarity(b.v, c.cv), 6) AS s "
-            "FROM base b, cent c), "
-            "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER "
-            "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM simc) WHERE rn = 1), "
-            "probe AS (SELECT vec_id AS query_id, cid FROM (SELECT vec_id, cid, row_number() OVER "
-            "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM simc WHERE vec_id IN (0, 1, 2)) "
-            "WHERE rn <= 4), "
-            "cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id FROM probe p "
-            "JOIN assign a ON p.cid = a.cid WHERE a.vec_id != p.query_id), "
-            "scored AS (SELECT c.query_id, c.neighbor_id, "
-            "round(list_cosine_similarity(q.v, n.v), 6) AS sim FROM cand c "
-            "JOIN base q ON c.query_id = q.vec_id JOIN base n ON c.neighbor_id = n.vec_id) "
-            "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
-            "WHERE rank <= 5"
-        ),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "shipping_priority": (
             "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
             "o_orderpriority, "

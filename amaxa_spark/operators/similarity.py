@@ -146,12 +146,85 @@ def cosine_topk_pandas(
     )
 
 
+def kmeans_codebook(
+    base: DataFrame,
+    n_centroids: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    train_mod: int | None = None,
+) -> DataFrame:
+    """Deterministic k-means codebook as DataFrame aggregations.
+
+    ``base`` carries ``(id_col, __v: array<double>)``. Seeds are the
+    ``n_centroids`` lowest-id vectors; each Lloyd iteration assigns
+    every (training) vector to its nearest centroid by cosine rounded
+    to 6 decimals (ties by cid) and replaces each centroid with the
+    element-wise mean of its members, rounded per component to 6
+    decimals so both engines compute the next round from byte-identical
+    codebooks. A centroid whose cell empties keeps its previous value.
+    Returns ``(cid, __cv)``.
+
+    Scale shape: assignment is a broadcast join against the K-row
+    codebook; the mean is posexplode → (cid, pos) partial avg — the
+    shuffle carries only K×dim partial aggregates per partition, never
+    vectors. ``train_mod`` trains on the deterministic ``id % mod = 0``
+    subsample — at 100 TB the codebook needs a sliver of the corpus,
+    and the oracle can replay the same WHERE clause.
+    """
+    train = base if train_mod is None else base.where(
+        F.col(id_col) % train_mod == 0
+    )
+    cent = (
+        base.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("__v").alias("__cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        sim_c = F.round(
+            _dot(F.col("__v"), F.col("__cv"))
+            / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
+            6,
+        )
+        w_assign = Window.partitionBy(id_col).orderBy(
+            F.col("__sim_c").desc(), F.col("cid").asc()
+        )
+        assign = (
+            train.join(F.broadcast(cent))
+            .select(id_col, "__v", "cid", sim_c.alias("__sim_c"))
+            .withColumn("__rn", F.row_number().over(w_assign))
+            .where(F.col("__rn") == 1)
+            .select("cid", "__v")
+        )
+        means = (
+            assign.select("cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("__new")
+            )
+        )
+        cent = (
+            cent.join(means, "cid", "left")
+            .select(
+                "cid", F.coalesce(F.col("__new"), F.col("__cv")).alias("__cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     query_ids: list,
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    kmeans_iters: int = 3,
+    train_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -159,11 +232,11 @@ def ivf_cosine_topk(
     nearest centroid, probe only the ``nprobe`` cells nearest each
     query, exact re-rank inside them.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — a
-    deterministic stand-in for a k-means codebook (the cell/probe
-    machinery, which is the scale-path part, is identical). Cell
-    assignment and probing round similarities to 6 decimals and break
-    ties by centroid id, so results are reproducible across engines.
+    The codebook is a real (deterministic) k-means — see
+    :func:`kmeans_codebook`; ``kmeans_iters=0`` recovers the old
+    lowest-id-seed behavior. Cell assignment and probing round
+    similarities to 6 decimals and break ties by centroid id, so
+    results are reproducible across engines.
 
     At 100 TB: the assignment is a broadcast join against the codebook
     (K rows); the probe join hits only nprobe/K of the corpus, which
@@ -171,10 +244,10 @@ def ivf_cosine_topk(
     """
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), vecd.alias("__v"))
-    cent = (
-        base.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col("__v").alias("__cv"))
-    )
+    cent = kmeans_codebook(
+        base, n_centroids, iters=kmeans_iters, id_col=id_col,
+        train_mod=train_mod,
+    ).select("cid", "__cv")
     sim_c = F.round(
         _dot(F.col("__v"), F.col("__cv")) / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
         6,

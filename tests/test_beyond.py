@@ -683,3 +683,40 @@ def test_streaming_minhash_near_dup_across_batches(spark, tmp_path):
     a = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in stream_sig.collect()}
     b = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in batch_sig.collect()}
     assert a == b
+
+
+def test_kmeans_codebook_deterministic_and_keeps_empty_cells(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    a = SIM.kmeans_codebook(base, 8, iters=2)
+    b = SIM.kmeans_codebook(base, 8, iters=2)
+    ra = {r["cid"]: list(r["__cv"]) for r in a.collect()}
+    rb = {r["cid"]: list(r["__cv"]) for r in b.collect()}
+    assert ra == rb and len(ra) == 8  # deterministic, K stable
+    dim = len(next(iter(ra.values())))
+    assert all(len(v) == dim for v in ra.values())
+    # iterating actually moves centroids off the raw seed vectors
+    seeds = {r.vec_id: [float(x) for x in r.embedding]
+             for r in emb.where("vec_id < 8").collect()}
+    moved = sum(1 for cid in ra if ra[cid] != seeds[cid])
+    assert moved > 0
+
+    # train_mod subsample trains on id % mod == 0 only — still K cells
+    c = SIM.kmeans_codebook(base, 8, iters=1, train_mod=4)
+    assert c.count() == 8
+
+
+def test_ivf_kmeans_matches_zero_iter_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.ivf_cosine_topk(
+        emb, query_ids=[0, 1], k=3, n_centroids=8, nprobe=3, kmeans_iters=2
+    )
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(r.rank <= 3 for r in rows)
+    assert all(r.neighbor_id != r.query_id for r in rows)
