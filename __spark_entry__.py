@@ -1687,9 +1687,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   40-44 pipeline ops (splits, sampling, packing, vocab)
 #   45-50 analytics shapes (sessionize, as-of join, TPC-H Q1, CUBE,
 #         approx-distinct contract, skew-salted join)
-# Entries 51+ are equally real and oracle-gated — run
-# `python tools/check_correctness.py /root/testdata/sf0.01` for the full
-# 88-query evidence (committed as CORRECTNESS_SELF_FULL.json).
+# Entries 51+ are equally real and oracle-gated — the committed
+# CORRECTNESS_SELF_FULL.json is the full-gate evidence, regenerated by
+# `python tools/check_correctness.py --json CORRECTNESS_SELF_FULL.json
+#  /root/testdata/sf0.01`.
 QUERY_ORDER = [
     # --- amaxa parity core ---
     "scan_project", "scan_filter", "scan_ids",

@@ -3,8 +3,12 @@
 Beyond-reference surface (the reference has only ID-set dedup, SURVEY
 §2.4 A1): exact hash dedup, word-shingle n-gram Jaccard near-dup,
 MinHash + LSH banding, and SimHash — all expressed as DataFrame
-compositions with deterministic (md5-based) hashing so results are
-reproducible across engines and runs.
+compositions with deterministic hashing, reproducible across runs.
+Cross-ENGINE reproducibility (md5-based hashing an oracle can replay)
+holds for ``minhash_signatures`` and every verified path; the bare
+MinHash-LSH candidate set (``verify_threshold=None``) uses
+engine-native xxhash64 for speed and is reproducible across runs of
+this engine only.
 
 Scale notes:
 - exact dedup is a single hash-aggregate on the normalized key —

@@ -298,6 +298,17 @@ class LoadOperation:
             self.result.errors[table] = err.localCheckpoint(eager=True)
 
     def _dependent_step(self, step: LoadStepPlan) -> None:
+        """Stage DEPENDENTS for one table: the Delta-less MERGE.
+
+        The FK columns of rows with ≥1 mapped FK (P8) are merged into
+        the written rows by a left join-and-replace — one rewrite of
+        the table per DEPENDENT stage (each table passes through here
+        exactly once). At 100 TB this is one shuffle-join + full
+        rewrite of the sink; see SCALE_NOTES "Dependent-update MERGE
+        at 100 TB" for the partition-scoped variant (restrict the
+        replace to partitions containing updated rows via dynamic
+        partition overwrite) and when a table format with real MERGE
+        (Delta/Iceberg) is the right sink instead."""
         table = step.table
         meta = self.registry[table]
         pk = meta.pk

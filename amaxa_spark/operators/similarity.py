@@ -121,8 +121,13 @@ def cosine_topk_pandas(
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(qids_l):
                 # round BEFORE the partial top-k so batch-local and
-                # global selection use the identical total order
-                s = np.round(S[:, j], 6)
+                # global selection use the identical total order.
+                # Half-AWAY-FROM-ZERO to match SQL ROUND / F.round —
+                # np.round is banker's and diverges at .5e-6
+                # boundaries (residual last-ulp summation differences
+                # vs the JVM fold are only probabilistically absorbed)
+                raw = S[:, j]
+                s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
                 mask = ids != qid
                 s_j, id_j = s[mask], ids[mask]
                 order = np.lexsort((id_j, -s_j))[:k]

@@ -89,7 +89,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = queries[name]
         best = None
-        for _ in range(2):  # best-of-2: damp local-mode scheduler noise
+        # best-of-3, report min: round-3 review showed ambient load
+        # inflating single measurements up to 3x (three phantom
+        # regressions); min-of-3 reproduces within ~20% across runs
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0

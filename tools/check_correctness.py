@@ -108,8 +108,14 @@ def main():
     stream = "--stream" in argv
     if stream:
         argv.remove("--stream")
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    report: dict[str, dict] = {}
     spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
@@ -134,11 +140,13 @@ def main():
                 sdf = sdf_df.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
+            report[name] = {"status": "fail", "err": str(e).splitlines()[0][:200]}
             n_bad += 1
             continue
         if name not in oracles:
             nrows = sc if stream else len(sdf)
             print(f"WEAK  {name}: rows={nrows} (no oracle) [{time.time()-t0:.1f}s]")
+            report[name] = {"status": "weak_no_oracle", "rows": int(nrows)}
             n_weak += 1
             continue
         try:
@@ -150,6 +158,7 @@ def main():
                 odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0][:160]}")
+            report[name] = {"status": "fail", "err": "oracle: " + str(e).splitlines()[0][:200]}
             n_bad += 1
             continue
         if not stream:
@@ -157,17 +166,39 @@ def main():
             oc, ocols, oh = canon(odf)
         if scols != ocols:
             print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
+            report[name] = {"status": "fail", "err": f"columns spark={scols} oracle={ocols}"}
             n_bad += 1
         elif sc != oc:
             print(f"FAIL  {name}: rows spark={sc} oracle={oc}")
+            report[name] = {"status": "fail", "err": f"rows spark={sc} oracle={oc}"}
             n_bad += 1
         elif sh != oh:
             print(f"FAIL  {name}: value hash mismatch (rows={sc})")
+            report[name] = {"status": "fail", "err": f"value hash mismatch (rows={sc})"}
             n_bad += 1
         else:
             print(f"OK    {name}: rows={sc} [{time.time()-t0:.1f}s]")
+            report[name] = {
+                "status": "ok", "rows": int(sc),
+                "rows_match": True, "schema_match": True, "hash_match": True,
+            }
             n_ok += 1
     print(f"\n{n_ok} ok, {n_weak} weak (no oracle), {n_bad} failed")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_ok": n_ok,
+                    "n_weak_no_oracle": n_weak,
+                    "n_failed": n_bad,
+                    "queries": report,
+                },
+                f,
+                indent=1,
+            )
     return 1 if n_bad else 0
 
 
