@@ -673,6 +673,23 @@ def q_doc_fingerprint(spark, sf_dir):
     return TXT.fingerprint(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_text_unigram_lm(spark, sf_dir):
+    """Corpus-trained unigram LM score per doc (perplexity-filter
+    primitive): mean + min token probability under the corpus's own
+    unigram distribution."""
+    return TXT.unigram_prob_score(
+        _read(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_dedup_repeated_spans(spark, sf_dir):
+    """Cross-document repeated 5-gram span fraction — the word-level
+    approximation of suffix-array substring dedup."""
+    return D.repeated_ngram_spans(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=5
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer by totalprice (window top-k)."""
     orders = _read(spark, sf_dir, "orders")
@@ -1708,7 +1725,8 @@ QUERY_ORDER = [
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_recall", "rerank_ann",
     # --- text analysis ---
     "text_langid", "text_tokens", "text_quality", "text_repetition",
-    "doc_fingerprint", "pii_redact",
+    "doc_fingerprint", "pii_redact", "text_unigram_lm",
+    "dedup_repeated_spans",
     # --- pipeline ops ---
     "split_assign", "sample_stratified", "fuzzy_pairs", "doc_packing",
     "vocab_topk",
@@ -1791,6 +1809,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
+        "text_unigram_lm": q_text_unigram_lm,
+        "dedup_repeated_spans": q_dedup_repeated_spans,
         "doc_fingerprint": q_doc_fingerprint,
         "topk_per_group": q_topk_per_group,
         "events_sessionize": q_events_sessionize,
@@ -2257,6 +2277,32 @@ def _oracle_sql_raw() -> dict[str, str]:
             f"THEN len(list_filter(t, x -> x IN ({_EN}))) * 1.0 / len(t) ELSE 0.0 END) * 4.0, 1.0)"
             ") / 4.0, 6) AS quality "
             f"FROM (SELECT doc_id, {_NORM_TEXT} AS n, string_split({_NORM_TEXT}, ' ') AS t FROM documents)"
+        ),
+        "text_unigram_lm": (
+            f"WITH toks AS (SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS token "
+            "FROM documents), "
+            "t2 AS (SELECT doc_id, token FROM toks WHERE token != ''), "
+            "vocab AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY token), "
+            "total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "round(avg(cnt / tot), 6) AS mean_p, "
+            "round(min(cnt / tot), 9) AS min_p "
+            "FROM t2 JOIN vocab USING (token) CROSS JOIN total GROUP BY doc_id"
+        ),
+        "dedup_repeated_spans": (
+            f"WITH base AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents), "
+            "spans AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5 THEN "
+            "[array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)] "
+            "ELSE [] END) AS shingle FROM base), "
+            "shared AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS df "
+            "FROM spans GROUP BY shingle) WHERE df >= 2), "
+            "dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans "
+            "FROM spans JOIN shared USING (shingle) GROUP BY doc_id), "
+            "totals AS (SELECT doc_id, greatest(len(w) - 4, 0) AS n_spans FROM base) "
+            "SELECT t.doc_id, t.n_spans, coalesce(d.dup_spans, 0) AS dup_spans, "
+            "round(CASE WHEN t.n_spans > 0 THEN coalesce(d.dup_spans, 0) * 1.0 / t.n_spans "
+            "ELSE 0.0 END, 6) AS dup_frac "
+            "FROM totals t LEFT JOIN dup d USING (doc_id)"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, md5(n) AS md5_fp, "

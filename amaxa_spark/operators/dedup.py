@@ -495,3 +495,69 @@ def fuzzy_pairs(
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the distributed
+    primitive behind suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    approximated at word n-gram granularity: a span (one of a doc's
+    ``n``-gram start positions) is DUPLICATED when the same n-gram
+    occurs in at least one other document. Per document this returns
+    how much of it is boilerplate shared with the rest of the corpus.
+
+    Output: (id, n_spans, dup_spans, dup_frac) — ``dup_frac`` rounded
+    to 6 decimals; documents shorter than ``n`` words have 0 spans and
+    dup_frac 0.0.
+
+    Scale shape: spans are counted WITH multiplicity per doc (cheap
+    per-doc arithmetic), but the cross-doc check joins each doc's
+    DISTINCT shingles (explode+distinct, the materialization point the
+    MinHash pipeline shares) against the shared-shingle set — shingles
+    with ≥2 distinct docs, a self-derived hash-aggregate. Both sides
+    shuffle on the shingle hash once; no quadratic pair blow-up, and
+    the hot-shingle cap story from :func:`ngram_jaccard_pairs` applies
+    unchanged if the corpus has mega-frequent boilerplate.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("__w"))
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {n}))) "
+        f"ELSE array() END"
+    )
+    spans = base.select(id_col, F.explode(grams).alias("shingle"))
+    distinct_spans = spans.distinct()
+    shared = (
+        distinct_spans.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") >= 2)
+        .select("shingle")
+    )
+    dup = (
+        spans.join(shared, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_spans"))
+    )
+    totals = base.select(
+        id_col,
+        F.greatest(F.size("__w") - (n - 1), F.lit(0)).alias("n_spans"),
+    )
+    return (
+        totals.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.when(
+                    F.col("n_spans") > 0,
+                    F.coalesce("dup_spans", F.lit(0)) / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -304,11 +304,12 @@ class LoadOperation:
         the written rows by a left join-and-replace — one rewrite of
         the table per DEPENDENT stage (each table passes through here
         exactly once). At 100 TB this is one shuffle-join + full
-        rewrite of the sink; see SCALE_NOTES "Dependent-update MERGE
-        at 100 TB" for the partition-scoped variant (restrict the
-        replace to partitions containing updated rows via dynamic
-        partition overwrite) and when a table format with real MERGE
-        (Delta/Iceberg) is the right sink instead."""
+        rewrite of the sink; the partition-scoped variant (rewrite
+        only the PK-hash buckets containing updated rows) is
+        implemented as ``catalog.write_partitioned_table`` +
+        ``catalog.merge_into_partitioned`` — see SCALE_NOTES
+        "Dependent-update MERGE at 100 TB" for when that, or a real
+        MERGE table format (Delta/Iceberg), is the right sink."""
         table = step.table
         meta = self.registry[table]
         pk = meta.pk

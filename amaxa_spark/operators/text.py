@@ -240,3 +240,58 @@ def inverted_index(
         )
         .where(F.col("df") >= min_df)
     )
+
+
+def unigram_prob_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    distributional half of a perplexity filter (CCNet/Gopher-style
+    quality signals) without shipping a model: train the unigram LM on
+    the corpus itself (token → count / total), then score each
+    document by the mean and minimum probability of its tokens.
+    Common-word documents score high; documents full of corpus-rare
+    tokens score low and are filter candidates.
+
+    Output: (id, n_tokens, mean_p, min_p), probabilities as exact
+    count/total doubles, mean rounded to 6 decimals (min is
+    order-independent, rounded to 9 to keep rare-token resolution).
+
+    Scale shape: the corpus is tokenized ONCE into per-(doc, token)
+    counts — that grouped exchange is the materialization point both
+    the LM training aggregate and the scoring join read (identical
+    subplans → ReusedExchange, the SCALE_NOTES
+    shuffle-once-read-many rule), and it is the smallest frame that
+    still carries multiplicity. Vocab and the corpus total derive
+    from it by further aggregation; scoring joins it back against the
+    vocab (AQE broadcasts a small vocab, shuffle-hash-joins on token
+    otherwise) and re-aggregates per doc with the token-count weights.
+    No Python anywhere.
+    """
+    doc_tok = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("__k"))
+    )
+    vocab = doc_tok.groupBy("token").agg(F.sum("__k").alias("__cnt"))
+    # corpus total as a 1-row aggregate broadcast-crossed in (the
+    # scalar-subquery shape) — no eager driver action, single plan
+    total = vocab.agg(F.sum("__cnt").cast("double").alias("__total"))
+    scored = (
+        doc_tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("__k"),
+            (F.col("__cnt") / F.col("__total")).alias("__p"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__k").alias("n_tokens"),
+        F.round(F.sum(F.col("__k") * F.col("__p")) / F.sum("__k"), 6).alias(
+            "mean_p"
+        ),
+        F.round(F.min("__p"), 9).alias("min_p"),
+    )

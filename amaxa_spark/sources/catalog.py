@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class TableCatalog:
@@ -276,3 +277,76 @@ def write_result_csv(df: DataFrame, path: str, append: bool = False) -> None:
     append mode on resume (`amaxa/loader/load_operation.py:103-132`)."""
     mode = "append" if append else "overwrite"
     df.write.mode(mode).option("header", True).csv(path)
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped merge sink — the Delta-less MERGE that does NOT
+# rewrite the whole table (SCALE_NOTES "Dependent-update MERGE at
+# 100 TB"). The table is laid out partitioned by a PK-hash bucket;
+# merging updates rewrites ONLY the buckets that contain updated rows,
+# via dynamic partition overwrite.
+
+MERGE_BUCKET_COL = "__mb"
+
+
+def write_partitioned_table(
+    df: DataFrame, path: str, pk: str, n_buckets: int = 64
+) -> None:
+    """Initial write of a merge-able table: rows land in
+    ``n_buckets`` directories keyed by a deterministic PK hash, so a
+    later merge can address exactly the buckets its updates touch.
+    At 100 TB pick n_buckets so one bucket ≈ the rewrite unit you can
+    afford (buckets rewrite independently and in parallel)."""
+    out = df.withColumn(
+        MERGE_BUCKET_COL,
+        F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets)).cast("int"),
+    )
+    out.write.mode("overwrite").partitionBy(MERGE_BUCKET_COL).parquet(path)
+
+
+def merge_into_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    pk: str,
+    set_cols: list[str],
+    n_buckets: int = 64,
+) -> list[int]:
+    """MERGE ... WHEN MATCHED THEN UPDATE against a
+    :func:`write_partitioned_table` layout, rewriting only affected
+    buckets. Returns the bucket ids that were rewritten.
+
+    Shape: (1) bucket each update row by the same PK hash; (2) the
+    distinct bucket list is tiny (≤ n_buckets) — collect it; (3) read
+    ONLY those partitions (partition pruning keeps untouched buckets
+    off the scan entirely); (4) left join-and-replace inside them;
+    (5) write with ``partitionOverwriteMode=dynamic`` so untouched
+    bucket directories are left in place byte-for-byte.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets)).cast(
+        "int"
+    )
+    upd = updates.withColumn(MERGE_BUCKET_COL, bucket)
+    affected = sorted(
+        r[0] for r in upd.select(MERGE_BUCKET_COL).distinct().collect()
+    )
+    if not affected:
+        return []
+    table = spark.read.parquet(path).where(
+        F.col(MERGE_BUCKET_COL).isin(affected)
+    )
+    upd_renamed = upd.select(
+        F.col(pk).alias("__u_pk"),
+        *[F.col(c).alias(f"__u_{c}") for c in set_cols],
+    )
+    merged = table.join(upd_renamed, table[pk] == F.col("__u_pk"), "left_outer")
+    for c in set_cols:
+        merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+    merged = merged.drop("__u_pk", *[f"__u_{c}" for c in set_cols])
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(MERGE_BUCKET_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "events_running_total",
     "fuzzy_pairs",
     "approx_distinct",
+    "text_unigram_lm",
+    "dedup_repeated_spans",
 ]
 
 

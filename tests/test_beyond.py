@@ -720,3 +720,43 @@ def test_ivf_kmeans_matches_zero_iter_shape(spark, sf_dir):
     assert {r.query_id for r in rows} == {0, 1}
     assert all(r.rank <= 3 for r in rows)
     assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_unigram_prob_score_basics(spark):
+    from amaxa_spark.operators import text as TXT
+
+    df = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the zyzzyva")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in
+           TXT.unigram_prob_score(df, "text", "doc_id").collect()}
+    # corpus: the x4, cat x1, zyzzyva x1 -> total 6
+    assert out[1].n_tokens == 4
+    assert abs(out[1].mean_p - round((3 * (4 / 6) + 1 / 6) / 4, 6)) < 1e-9
+    assert abs(out[1].min_p - round(1 / 6, 9)) < 1e-12
+    # doc 2 is rarer-worded -> lower mean probability
+    assert out[2].mean_p < out[1].mean_p
+
+
+def test_repeated_ngram_spans_detects_shared_substring(spark):
+    from amaxa_spark.operators import dedup as D
+
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "x y z " + shared),
+            (3, "totally different words here entirely now"),
+            (4, "tiny"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in
+           D.repeated_ngram_spans(df, "text", "doc_id", n=5).collect()}
+    # docs 1 and 2 share the 5-gram "alpha beta gamma delta epsilon"
+    assert out[1].dup_spans >= 1 and out[2].dup_spans >= 1
+    assert out[3].dup_spans == 0 and out[3].n_spans > 0
+    # doc 4 is shorter than n words: zero spans, frac 0
+    assert out[4].n_spans == 0 and out[4].dup_frac == 0.0
+    assert 0 < out[1].dup_frac <= 1.0
