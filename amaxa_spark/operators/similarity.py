@@ -170,11 +170,16 @@ def kmeans_codebook(
     Returns ``(cid, __cv)``.
 
     Scale shape: assignment is a broadcast join against the K-row
-    codebook; the mean is posexplode → (cid, pos) partial avg — the
-    shuffle carries only K×dim partial aggregates per partition, never
-    vectors. ``train_mod`` trains on the deterministic ``id % mod = 0``
-    subsample — at 100 TB the codebook needs a sliver of the corpus,
-    and the oracle can replay the same WHERE clause.
+    codebook followed by a ``max_by`` argmax aggregation — the ×K
+    expansion collapses in map-side partial aggregation (same input
+    partition), so the shuffle carries each training vector ONCE, with
+    no per-vector sort (a window row_number would shuffle and sort all
+    K candidate rows per vector). The mean is posexplode → (cid, pos)
+    partial avg — that shuffle carries only K×dim partial aggregates
+    per partition, never vectors. ``train_mod`` trains on the
+    deterministic ``id % mod = 0`` subsample — at 100 TB the codebook
+    needs a sliver of the corpus, and the oracle can replay the same
+    WHERE clause.
     """
     train = base if train_mod is None else base.where(
         F.col(id_col) % train_mod == 0
@@ -190,15 +195,20 @@ def kmeans_codebook(
             / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
             6,
         )
-        w_assign = Window.partitionBy(id_col).orderBy(
-            F.col("__sim_c").desc(), F.col("cid").asc()
-        )
         assign = (
             train.join(F.broadcast(cent))
             .select(id_col, "__v", "cid", sim_c.alias("__sim_c"))
-            .withColumn("__rn", F.row_number().over(w_assign))
-            .where(F.col("__rn") == 1)
-            .select("cid", "__v")
+            .groupBy(id_col)
+            # argmax: max sim, ties to the LOWEST cid (hence -cid in
+            # the ordering struct) — identical to the oracle's
+            # row_number ... ORDER BY s DESC, cid ASC ... rn = 1
+            .agg(
+                F.max_by(
+                    F.struct("cid", "__v"),
+                    F.struct(F.col("__sim_c"), (-F.col("cid")).alias("__nc")),
+                ).alias("__b")
+            )
+            .select(F.col("__b.cid").alias("cid"), F.col("__b.__v").alias("__v"))
         )
         means = (
             assign.select("cid", F.posexplode("__v").alias("pos", "val"))
@@ -257,15 +267,24 @@ def ivf_cosine_topk(
         _dot(F.col("__v"), F.col("__cv")) / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
         6,
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("__sim_c").desc(), F.col("cid").asc()
-    )
+    # corpus→cell assignment via max_by argmax (see kmeans_codebook:
+    # one shuffled row per vector, no per-vector sort); ties to the
+    # lowest cid, matching the oracle's row_number ordering
     assign = (
         base.join(F.broadcast(cent))
         .select(id_col, "__v", "cid", sim_c.alias("__sim_c"))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "__v", "cid")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("cid", "__v"),
+                F.struct(F.col("__sim_c"), (-F.col("cid")).alias("__nc")),
+            ).alias("__b")
+        )
+        .select(
+            id_col,
+            F.col("__b.__v").alias("__v"),
+            F.col("__b.cid").alias("cid"),
+        )
     )
     probe = (
         assign.where(F.col(id_col).isin(query_ids))
