@@ -174,6 +174,35 @@ def q_self_closure(spark, sf_dir):
     return res["customer_hier"].select("c_custkey", "c_name", "c_parent")
 
 
+def q_self_closure_downward(spark, sf_dir):
+    """J3 with a per-field trace-none override
+    (`amaxa/amaxa.py:638-646`): upward (parent) tracing is suppressed
+    for c_parent, so the closure from seed 10 is its DESCENDANTS only
+    — the children pass still runs every round."""
+    from amaxa_spark.plans.plan import SelfLookupBehavior
+
+    hier = _customer_hier(spark, sf_dir)
+    meta = TableMeta(
+        "customer_hier", pk="c_custkey", lookups={"c_parent": ["customer_hier"]}
+    )
+    res = _extract(
+        spark,
+        sf_dir,
+        [
+            ExtractStepPlan(
+                "customer_hier",
+                ExtractScope.SELECTED_IDS,
+                ids=[10],
+                self_lookup_overrides={
+                    "c_parent": SelfLookupBehavior.TRACE_NONE
+                },
+            )
+        ],
+        extra_tables={"customer_hier": (hier, meta)},
+    )
+    return res["customer_hier"].select("c_custkey", "c_name", "c_parent")
+
+
 def q_hierarchy_roots(spark, sf_dir):
     """Whole-table hierarchy-root assignment via pointer doubling
     (O(log depth) rounds) over the derived parent edge."""
@@ -1712,7 +1741,8 @@ QUERY_ORDER = [
     # --- amaxa parity core ---
     "scan_project", "scan_filter", "scan_ids",
     "descendents_semijoin", "descendents_chain", "dependency_parents",
-    "self_closure", "hierarchy_roots", "outside_refs_anti",
+    "self_closure", "self_closure_downward", "hierarchy_roots",
+    "outside_refs_anti",
     "idmap_rewrite", "polymorphic_routing", "transforms_chain",
     "primitivize_bool", "epoch_ms_iso", "set_union_subtract",
     "dedup_idset", "load_roundtrip", "load_two_phase", "sfid_normalize",
@@ -1767,6 +1797,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "descendents_chain": q_descendents_chain,
         "dependency_parents": q_dependency_parents,
         "self_closure": q_self_closure,
+        "self_closure_downward": q_self_closure_downward,
         "hierarchy_roots": q_hierarchy_roots,
         "outside_refs_anti": q_outside_refs_anti,
         "idmap_rewrite": q_idmap_rewrite,
@@ -1898,6 +1929,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             " SELECT CASE WHEN e.a = c.k THEN e.b ELSE e.a END"
             " FROM (SELECT c_custkey AS a, c_custkey // 2 AS b FROM customer WHERE c_custkey >= 8) e, comp c"
             " WHERE e.a = c.k OR e.b = c.k"
+            ") SELECT c.c_custkey, c.c_name, "
+            "CASE WHEN c.c_custkey >= 8 THEN c.c_custkey // 2 END AS c_parent "
+            "FROM customer c JOIN comp ON c.c_custkey = comp.k"
+        ),
+        "self_closure_downward": (
+            "WITH RECURSIVE comp(k) AS ("
+            " SELECT 10"
+            " UNION"
+            " SELECT e.b FROM "
+            "(SELECT c_custkey // 2 AS a, c_custkey AS b FROM customer WHERE c_custkey >= 8) e, "
+            "comp c WHERE e.a = c.k"
             ") SELECT c.c_custkey, c.c_name, "
             "CASE WHEN c.c_custkey >= 8 THEN c.c_custkey // 2 END AS c_parent "
             "FROM customer c JOIN comp ON c.c_custkey = comp.k"

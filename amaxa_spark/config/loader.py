@@ -123,11 +123,16 @@ def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
             scope, where, ids = ExtractScope.DESCENDENTS, None, None
         names, column_map, transforms = _field_spec(entry)
         olb = {}
+        slb_overrides = {}
         if entry.get("outside-lookup-behavior"):
             olb["*"] = OutsideLookupBehavior(entry["outside-lookup-behavior"])
         for f in entry.get("fields", []) or []:
             if isinstance(f, dict) and f.get("outside-lookup-behavior"):
                 olb[f["field"]] = OutsideLookupBehavior(f["outside-lookup-behavior"])
+            if isinstance(f, dict) and f.get("self-lookup-behavior"):
+                slb_overrides[f["field"]] = SelfLookupBehavior(
+                    f["self-lookup-behavior"]
+                )
         steps.append(
             ExtractStepPlan(
                 table=table,
@@ -140,6 +145,7 @@ def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
                 self_lookup_behavior=SelfLookupBehavior(
                     entry.get("self-lookup-behavior", "trace-all")
                 ),
+                self_lookup_overrides=slb_overrides,
                 outside_lookup_behavior=olb,
                 column_map=column_map,
                 transforms=transforms,

@@ -105,6 +105,23 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
                 dupes = [n for n, c in Counter(columns).items() if c > 1]
                 if dupes:
                     _err(errors, ctx, f"duplicate columns {dupes}")
+                for f in fields:
+                    if not isinstance(f, dict):
+                        continue
+                    fo = f.get("outside-lookup-behavior")
+                    if fo is not None and fo not in OUTSIDE_BEHAVIORS:
+                        _err(
+                            errors, ctx,
+                            f"field {f.get('field')}: invalid "
+                            f"outside-lookup-behavior {fo!r}",
+                        )
+                    fs = f.get("self-lookup-behavior")
+                    if fs is not None and fs not in SELF_BEHAVIORS:
+                        _err(
+                            errors, ctx,
+                            f"field {f.get('field')}: invalid "
+                            f"self-lookup-behavior {fs!r}",
+                        )
         fg = entry.get("field-group")
         if fg is not None and fg not in ("readable", "writeable", "smart"):
             _err(errors, ctx, f"invalid field-group {fg!r}")

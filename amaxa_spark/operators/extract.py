@@ -189,6 +189,14 @@ class ExtractOperation:
         t = self.catalog[step.table]
         pk = self.registry[step.table].pk
         self_cols = sorted(cls.self_lookups)
+        # per-field trace-none (`amaxa/amaxa.py:638-646,735-745`): the
+        # field is excluded from UPWARD (parent) tracing only; the
+        # downward children pass still covers every self-lookup
+        up_cols = [
+            c
+            for c in self_cols
+            if step.self_behavior_for(c) is SelfLookupBehavior.TRACE_ALL
+        ]
         # count-based fixpoint, one localCheckpoint + one count per
         # round on a narrow ID frame (the count is nearly free on the
         # checkpointed data); mirrors the reference's termination rule
@@ -206,7 +214,12 @@ class ExtractOperation:
         # side tolerates duplicates anyway
         pks = edges.select(F.col(pk).alias("__p"))
 
-        if len(self_cols) == 1 and n_edges <= _DOUBLING_MAX_EDGES:
+        if (
+            len(self_cols) == 1
+            and up_cols == self_cols  # overrides break the symmetric-
+            # component equivalence the root-matching argument needs
+            and n_edges <= _DOUBLING_MAX_EDGES
+        ):
             # accelerator: a single self-lookup is (usually) a
             # parent-pointer forest, where the up-and-down closure of
             # the seeds is "all nodes sharing a root with a seed".
@@ -271,16 +284,18 @@ class ExtractOperation:
         directions = []
         for c in self_cols:
             nn = edges.where(F.col(c).isNotNull())
-            # descendent direction: parent id -> child id
+            # descendent direction: parent id -> child id (always)
             directions.append(
                 nn.select(F.col(c).alias("src"), F.col(pk).alias("dst"))
             )
-            # dependent direction: child id -> (existing) parent id
-            directions.append(
-                nn.select(F.col(pk).alias("src"), F.col(c).alias("dst")).join(
-                    pks, F.col("dst") == F.col("__p"), "left_semi"
+            # dependent direction: child id -> (existing) parent id —
+            # only for fields whose effective behavior traces up
+            if c in up_cols:
+                directions.append(
+                    nn.select(F.col(pk).alias("src"), F.col(c).alias("dst")).join(
+                        pks, F.col("dst") == F.col("__p"), "left_semi"
+                    )
                 )
-            )
         adj = directions[0]
         for d in directions[1:]:
             adj = adj.unionByName(d)

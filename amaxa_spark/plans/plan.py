@@ -52,6 +52,12 @@ class ExtractStepPlan:
     where: str | None = None  # SQL predicate text (scope=QUERY)
     ids: list | None = None  # explicit PK values (scope=SELECTED_IDS)
     self_lookup_behavior: SelfLookupBehavior = SelfLookupBehavior.TRACE_ALL
+    # per-field overrides (`/root/reference/amaxa/amaxa.py:638-646`):
+    # a trace-none field skips UPWARD dependency registration only —
+    # the downward children pass still covers every self-lookup
+    self_lookup_overrides: dict[str, SelfLookupBehavior] = field(
+        default_factory=dict
+    )
     # per-lookup-column outside behavior; "*" = default for all
     outside_lookup_behavior: dict[str, OutsideLookupBehavior] = field(
         default_factory=dict
@@ -69,6 +75,9 @@ class ExtractStepPlan:
             col,
             self.outside_lookup_behavior.get("*", OutsideLookupBehavior.INCLUDE),
         )
+
+    def self_behavior_for(self, col: str) -> SelfLookupBehavior:
+        return self.self_lookup_overrides.get(col, self.self_lookup_behavior)
 
 
 @dataclass

@@ -219,3 +219,44 @@ def test_closure_correct_under_frontier_shuffle_fallback(spark, monkeypatch):
     steps = [ExtractStepPlan("Account", ExtractScope.SELECTED_IDS, ids=["2"])]
     res = ExtractOperation(spark, cat, reg, steps).run()
     assert {r.Id for r in res["Account"].collect()} == {"1", "2", "3"}
+
+
+def test_per_field_self_lookup_trace_none_skips_upward_only(spark):
+    """Reference parity (`amaxa/amaxa.py:638-646,735-745`): a
+    field-level trace-none excludes that self-lookup from UPWARD
+    (parent) tracing, while the downward children pass still runs."""
+    cat, reg = _hier_catalog(spark)
+    steps = [
+        ExtractStepPlan(
+            "Account",
+            ExtractScope.SELECTED_IDS,
+            ids=["2"],
+            self_lookup_overrides={
+                "ParentId": SelfLookupBehavior.TRACE_NONE
+            },
+        )
+    ]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    # from 2: child 3 found (downward), parent 1 NOT traced (upward off)
+    assert {r.Id for r in res["Account"].collect()} == {"2", "3"}
+
+
+def test_per_field_self_lookup_behavior_parses_from_config(spark):
+    from amaxa_spark.config.loader import load_extract_config
+
+    steps = load_extract_config(
+        {
+            "version": 2,
+            "operation": [
+                {
+                    "table": "Account",
+                    "extract": {"all": True},
+                    "fields": [
+                        {"field": "ParentId", "self-lookup-behavior": "trace-none"}
+                    ],
+                }
+            ],
+        }
+    )
+    assert steps[0].self_behavior_for("ParentId") is SelfLookupBehavior.TRACE_NONE
+    assert steps[0].self_behavior_for("Other") is SelfLookupBehavior.TRACE_ALL
