@@ -62,6 +62,22 @@ def _norm_type(t: str) -> str:
     return t[4:] if t.startswith("xsd:") else t
 
 
+def parse_transform_entry(entry) -> tuple[str | None, dict]:
+    """Normalize a transform-chain entry to ``(name, options)``.
+
+    Accepts the v1 string form (``"strip"``), the inline form
+    (``{"name": "prefix", "prefix": "x"}``), and the reference's v2
+    nested form ``{"name": "prefix", "options": {"prefix": "x"}}``
+    (`/root/reference/amaxa/loader/schemas.py:30-34,445-452`)."""
+    if isinstance(entry, str):
+        return entry, {}
+    d = dict(entry)
+    name = d.pop("name", None)
+    if set(d) == {"options"} and isinstance(d["options"], dict):
+        return name, dict(d["options"])
+    return name, d
+
+
 def validate_transforms(
     spec: dict[str, list],
     types: dict[str, str] | None = None,
@@ -74,14 +90,10 @@ def validate_transforms(
     errors: list[str] = []
     for col, chain in spec.items():
         for entry in chain:
-            if isinstance(entry, str):
-                name, options = entry, {}
-            else:
-                options = dict(entry)
-                name = options.pop("name", None)
-                if name is None:
-                    errors.append(f"{col}: transform entry missing 'name'")
-                    continue
+            name, options = parse_transform_entry(entry)
+            if name is None:
+                errors.append(f"{col}: transform entry missing 'name'")
+                continue
             if name not in registry:
                 errors.append(f"{col}: unknown transform {name!r}")
                 continue
@@ -154,8 +166,9 @@ def apply_transforms(
 ) -> DataFrame:
     """Apply per-field transform chains.
 
-    ``spec`` maps column name → list of transform entries, each either a
-    name string or ``{"name": ..., **options}``. Chains compose in
+    ``spec`` maps column name → list of transform entries, each a name
+    string, an inline ``{"name": ..., **options}``, or the reference's
+    nested ``{"name": ..., "options": {...}}`` form. Chains compose in
     order, mirroring the reference's ``functools.reduce``
     (`/root/reference/amaxa/amaxa.py:860-861`). Options and (when
     ``types`` is provided) `allowed_types` are validated up front —
@@ -168,11 +181,7 @@ def apply_transforms(
     for c in df.columns:
         col = F.col(c)
         for entry in spec.get(c, []):
-            if isinstance(entry, str):
-                name, options = entry, {}
-            else:
-                options = dict(entry)
-                name = options.pop("name")
+            name, options = parse_transform_entry(entry)
             col = registry[name](col, options)
         exprs.append(col.alias(c))
     return df.select(*exprs)

@@ -163,3 +163,20 @@ def test_step_options_validated_and_advisory(spark, tmp_path):
     )
     assert out.rdd.getNumPartitions() == 1
     assert write_opts == {"maxRecordsPerFile": 500}
+
+
+def test_reference_style_nested_transform_options(spark):
+    """The reference's v2 entry form nests options under an `options:`
+    key (`amaxa/loader/schemas.py:445-452`); both forms must work."""
+    df = spark.createDataFrame([("a",)], "s: string")
+    nested = {"s": [{"name": "prefix", "options": {"prefix": "X-"}}]}
+    inline = {"s": [{"name": "prefix", "prefix": "X-"}]}
+    assert apply_transforms(df, nested).collect()[0].s == "X-a"
+    assert apply_transforms(df, inline).collect()[0].s == "X-a"
+
+    from amaxa_spark.functions.transforms import validate_transforms
+
+    # nested options are validated too
+    errs = validate_transforms({"s": [{"name": "prefix", "options": {"oops": 1}}]})
+    assert any("requires option 'prefix'" in e for e in errs)
+    assert any("unknown option 'oops'" in e for e in errs)
