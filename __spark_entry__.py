@@ -719,6 +719,32 @@ def q_dedup_repeated_spans(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: 32-token windows, 8-token overlap —
+    pure projection (sequence/slice/posexplode), no shuffle."""
+    from amaxa_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        max_tokens=32, overlap=8,
+    )
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff (incremental re-crawl bookkeeping): old = docs
+    without id%7==3; new = docs without id%11==5, with id%13==1 texts
+    rewritten — all derivations the oracle replays."""
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 3)
+    new = docs.where(F.col("doc_id") % 11 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 1, F.concat(F.lit("edited "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return D.corpus_diff(old, new, "text", "doc_id")
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer by totalprice (window top-k)."""
     orders = _read(spark, sf_dir, "orders")
@@ -1756,7 +1782,7 @@ QUERY_ORDER = [
     # --- text analysis ---
     "text_langid", "text_tokens", "text_quality", "text_repetition",
     "doc_fingerprint", "pii_redact", "text_unigram_lm",
-    "dedup_repeated_spans",
+    "dedup_repeated_spans", "doc_chunks", "corpus_diff",
     # --- pipeline ops ---
     "split_assign", "sample_stratified", "fuzzy_pairs", "doc_packing",
     "vocab_topk",
@@ -1842,6 +1868,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_unigram_lm": q_text_unigram_lm,
         "dedup_repeated_spans": q_dedup_repeated_spans,
+        "doc_chunks": q_doc_chunks,
+        "corpus_diff": q_corpus_diff,
         "doc_fingerprint": q_doc_fingerprint,
         "topk_per_group": q_topk_per_group,
         "events_sessionize": q_events_sessionize,
@@ -2345,6 +2373,29 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(CASE WHEN t.n_spans > 0 THEN coalesce(d.dup_spans, 0) * 1.0 / t.n_spans "
             "ELSE 0.0 END, 6) AS dup_frac "
             "FROM totals t LEFT JOIN dup d USING (doc_id)"
+        ),
+        "doc_chunks": (
+            f"WITH base AS (SELECT doc_id, string_split(n, ' ') AS w FROM "
+            f"(SELECT doc_id, {_NORM_TEXT} AS n FROM documents) WHERE n != ''), "
+            "st AS (SELECT doc_id, w, range(1, greatest(1, "
+            "(ceil((len(w) - 32) / 24.0)::BIGINT) * 24 + 1) + 1, 24) AS starts FROM base), "
+            "ex AS (SELECT doc_id, w, generate_subscripts(starts, 1) AS i, "
+            "unnest(starts) AS s FROM st) "
+            "SELECT doc_id, i - 1 AS chunk_id, "
+            "array_to_string(w[s:s+31], ' ') AS chunk_text, "
+            "len(w[s:s+31]) AS n_chunk_tokens FROM ex"
+        ),
+        "corpus_diff": (
+            f"WITH o AS (SELECT doc_id, md5({_NORM_TEXT}) AS h FROM documents "
+            "WHERE doc_id % 7 != 3), "
+            "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 1 THEN "
+            r"regexp_replace(lower(trim('edited ' || text)), '\s+', ' ', 'g') "
+            f"ELSE {_NORM_TEXT} END) AS h FROM documents WHERE doc_id % 11 != 5) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed' "
+            "WHEN o.h != n.h THEN 'changed' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
+            "WHERE o.h IS NULL OR n.h IS NULL OR o.h != n.h"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, md5(n) AS md5_fp, "

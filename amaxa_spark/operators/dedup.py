@@ -561,3 +561,37 @@ def repeated_ngram_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the incremental-
+    crawl bookkeeping step: which documents were added, removed, or
+    changed (by normalized content hash) between snapshots. Returns
+    (id, status) for status in added | removed | changed; unchanged
+    rows are omitted (at 100 TB they are almost the whole corpus and
+    carrying them defeats the point).
+
+    Scale shape: each side reduces to (id, md5) — narrow frames — then
+    one full outer join on id. Content never crosses the shuffle, only
+    32-byte hashes; the join is the standard re-crawl delta shape.
+    """
+    oh = old.select(
+        F.col(id_col).alias("__id"),
+        F.md5(normalize_text(F.col(text_col))).alias("__oh"),
+    )
+    nh = new.select(
+        F.col(id_col).alias("__id"),
+        F.md5(normalize_text(F.col(text_col))).alias("__nh"),
+    )
+    j = oh.join(nh, "__id", "full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col("__id").alias(id_col), status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )

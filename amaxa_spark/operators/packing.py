@@ -53,3 +53,56 @@ def pack_documents(
     )
     schema = f"{id_col} long, {token_col} int, pack_id string"
     return sharded.groupBy("__shard").applyInPandas(pack_shard, schema=schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Context-window chunking: split each document's whitespace
+    tokens into fixed-size windows with overlap — the standard
+    pre-embedding / pre-training step for documents longer than the
+    model context. Returns (id, chunk_id, chunk_text, n_chunk_tokens);
+    chunk starts advance by ``max_tokens - overlap`` and every token
+    lands in at least one chunk (a shorter-than-window doc is one
+    chunk; empty text yields none).
+
+    Scale shape: a pure per-row projection — ``sequence`` generates
+    the window starts, ``slice`` cuts each window, ``posexplode``
+    emits chunk rows. No shuffle, no Python, and the blow-up factor is
+    bounded by max_tokens/(max_tokens - overlap).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = df.select(F.col(id_col), words.alias("__w")).where(
+        (F.size("__w") > 0) & (F.concat_ws("", "__w") != "")
+    )
+    # starts: 1, 1+stride, ... covering the final token; a doc shorter
+    # than one window gets the single start 1
+    n = F.size("__w")
+    last_start = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(max_tokens)) / F.lit(stride))).cast("int")
+        * F.lit(stride)
+        + F.lit(1),
+    )
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    chunks = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(F.col("__w"), s, max_tokens))
+        ).alias("chunk_id", "__c"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", "__c").alias("chunk_text"),
+        F.size("__c").alias("n_chunk_tokens"),
+    )

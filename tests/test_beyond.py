@@ -760,3 +760,54 @@ def test_repeated_ngram_spans_detects_shared_substring(spark):
     # doc 4 is shorter than n words: zero spans, frac 0
     assert out[4].n_spans == 0 and out[4].dup_frac == 0.0
     assert 0 < out[1].dup_frac <= 1.0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from amaxa_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short text"), (3, "   "), (4, None)],
+        "doc_id: long, text: string",
+    )
+    out = chunk_documents(df, "text", "doc_id", max_tokens=16, overlap=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 50 tokens, window 16, stride 12 -> starts 1,13,25,37 (37+15=52>=50)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert len(c1) == 4
+    assert c1[0].n_chunk_tokens == 16 and c1[-1].n_chunk_tokens == 50 - 36
+    # every token covered, consecutive chunks overlap by 4
+    toks = [c.chunk_text.split(" ") for c in c1]
+    assert toks[0][12:] == toks[1][:4]
+    covered = set()
+    for t in toks:
+        covered.update(t)
+    assert covered == {f"w{i}" for i in range(50)}
+    # doc 2 shorter than window: single whole chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short text"
+    # blank/null text: no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", max_tokens=8, overlap=8)
+
+
+def test_corpus_diff_statuses(spark):
+    from amaxa_spark.operators import dedup as D
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish"), (5, "Same  WS")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new"), (5, "same ws")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.status for r in D.corpus_diff(old, new, "text", "doc_id").collect()}
+    # 1 unchanged (omitted); 5 unchanged after normalization (omitted)
+    assert out == {2: "changed", 3: "removed", 4: "added"}
