@@ -97,6 +97,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--state", help="resume from this state directory")
     p.add_argument("--save-state", help="write state here on failure/success")
+    p.add_argument(
+        "--merge-buckets",
+        type=int,
+        help="load: write tables partitioned by a PK-hash bucket "
+        "(catalog.write_partitioned_table) so later dependent updates "
+        "can rewrite only affected buckets via merge_into_partitioned",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -153,10 +160,20 @@ def main(argv: list[str] | None = None) -> int:
         df, write_opts = apply_advisory_options(
             df, step_options.get(table, {}), table
         )
-        w = df.write.mode("overwrite")
-        for k, v in write_opts.items():
-            w = w.option(k, v)
-        w.parquet(f"{args.out}/{table}.parquet")
+        if args.merge_buckets:
+            from amaxa_spark.sources.catalog import write_partitioned_table
+
+            write_partitioned_table(
+                df,
+                f"{args.out}/{table}.parquet",
+                pk=registry[table].pk,
+                n_buckets=args.merge_buckets,
+            )
+        else:
+            w = df.write.mode("overwrite")
+            for k, v in write_opts.items():
+                w = w.option(k, v)
+            w.parquet(f"{args.out}/{table}.parquet")
         n_err = res.errors[table].count() if table in res.errors else 0
         print(f"loaded {table}: {df.count()} records, {n_err} errors")
         id_map = res.id_map[table].select(

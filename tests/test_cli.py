@@ -262,3 +262,39 @@ def test_cli_load_resume_appends_results(spark, tmp_path):
     rows = spark.read.option("header", True).csv(str(res_path)).collect()
     ids = sorted(r["Original Id"] for r in rows)
     assert ids == ["A1", "A2", "A3"]  # no duplicates re-appended
+
+
+def test_cli_load_merge_buckets_layout(spark, tmp_path):
+    """--merge-buckets writes loaded tables in the PK-hash bucket
+    layout so later dependent updates can use merge_into_partitioned."""
+    from amaxa_spark.sources.catalog import MERGE_BUCKET_COL
+
+    reg_path, acc_csv, _ = _load_fixture(tmp_path)
+    op = {
+        "version": 1,
+        "operation": [{"sobject": "Account", "file": str(acc_csv)}],
+    }
+    op_path = tmp_path / "load.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    out = tmp_path / "out"
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = main(
+        [
+            "load", str(op_path),
+            "--data-dir", str(empty),
+            "--registry", str(reg_path),
+            "--out", str(out),
+            "--merge-buckets", "4",
+        ]
+    )
+    assert rc == 0
+    import os
+
+    dirs = [
+        d for d in os.listdir(out / "Account.parquet")
+        if d.startswith(f"{MERGE_BUCKET_COL}=")
+    ]
+    assert 1 <= len(dirs) <= 4
+    got = spark.read.parquet(str(out / "Account.parquet"))
+    assert got.count() == 2 and MERGE_BUCKET_COL in got.columns
