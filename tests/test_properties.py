@@ -241,3 +241,62 @@ def test_fuzzy_pairs_matches_naive(spark):
                     if d <= 2:
                         want.add((ia, ib, d))
         assert got == want, seed
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(min_value=1, max_value=120),
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=0, max_value=20),
+)
+def test_chunk_documents_properties(spark, n_words, max_tokens, overlap):
+    """For arbitrary doc length / window / overlap: every token lands
+    in at least one chunk, chunk order reassembles the doc (dedup'd
+    overlap), and all chunks except the last are full windows."""
+    from amaxa_spark.operators.packing import chunk_documents
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    words = [f"t{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id: long, text: string")
+    out = sorted(
+        chunk_documents(df, "text", "doc_id", max_tokens, overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    stride = max_tokens - overlap
+    # reconstruct: chunk i starts at token i*stride
+    rebuilt = []
+    for r in out:
+        toks = r.chunk_text.split(" ")
+        start = r.chunk_id * stride
+        assert toks == words[start : start + max_tokens]
+        rebuilt[start:] = toks
+    assert rebuilt == words
+    for r in out[:-1]:
+        assert r.n_chunk_tokens == max_tokens
+
+
+def test_corpus_diff_identity_and_partition(spark):
+    """diff(X, X) is empty; statuses partition the symmetric
+    difference + changed set exactly."""
+    from amaxa_spark.operators import dedup as D
+
+    rows = [(i, f"text {i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    assert D.corpus_diff(df, df, "text", "doc_id").count() == 0
+
+    old = df.where("doc_id % 5 != 0")        # ids 0,5,... missing
+    new = df.where("doc_id % 3 != 0")        # ids 0,3,... missing
+    out = {r.doc_id: r.status for r in D.corpus_diff(old, new, "text", "doc_id").collect()}
+    for i in range(40):
+        in_old, in_new = i % 5 != 0, i % 3 != 0
+        if in_old and not in_new:
+            assert out[i] == "removed"
+        elif in_new and not in_old:
+            assert out[i] == "added"
+        else:
+            assert i not in out  # same text -> unchanged, omitted
