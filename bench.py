@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "approx_distinct",
     "text_unigram_lm",
     "dedup_repeated_spans",
+    "doc_chunks",
+    "corpus_diff",
 ]
 
 
