@@ -730,6 +730,25 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_audio_meta(spark, sf_dir):
+    """REAL audio metadata: deterministic WAV payloads are synthesized
+    closed-form from doc_id, then the RIFF/WAVE header is genuinely
+    parsed back (stdlib struct) — the oracle replays the closed form
+    with pure arithmetic."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return MM.wav_meta(MM.synthesize_wav(docs, "doc_id"), "audio", "doc_id")
+
+
+def q_audio_energy(spark, sf_dir):
+    """REAL PCM DSP: windowed sum-of-squares + RMS over the synthetic
+    WAV payloads (numpy over Arrow batches); the oracle recomputes the
+    integer sawtooth arithmetic in SQL."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return MM.pcm_energy(
+        MM.synthesize_wav(docs, "doc_id"), "audio", "doc_id", window=256
+    )
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff (incremental re-crawl bookkeeping): old = docs
     without id%7==3; new = docs without id%11==5, with id%13==1 texts
@@ -1783,6 +1802,7 @@ QUERY_ORDER = [
     "text_langid", "text_tokens", "text_quality", "text_repetition",
     "doc_fingerprint", "pii_redact", "text_unigram_lm",
     "dedup_repeated_spans", "doc_chunks", "corpus_diff",
+    "audio_meta", "audio_energy",
     # --- pipeline ops ---
     "split_assign", "sample_stratified", "fuzzy_pairs", "doc_packing",
     "vocab_topk",
@@ -1870,6 +1890,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "doc_chunks": q_doc_chunks,
         "corpus_diff": q_corpus_diff,
+        "audio_meta": q_audio_meta,
+        "audio_energy": q_audio_energy,
         "doc_fingerprint": q_doc_fingerprint,
         "topk_per_group": q_topk_per_group,
         "events_sessionize": q_events_sessionize,
@@ -2396,6 +2418,23 @@ def _oracle_sql_raw() -> dict[str, str]:
             "WHEN o.h != n.h THEN 'changed' END AS status "
             "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
             "WHERE o.h IS NULL OR n.h IS NULL OR o.h != n.h"
+        ),
+        "audio_meta": (
+            "SELECT doc_id, true AS valid, 1 AS n_channels, 8000 AS sample_rate, "
+            "16 AS bits_per_sample, "
+            "CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_frames, "
+            "CAST((800 + (doc_id % 5) * 160) * 1000 // 8000 AS BIGINT) AS duration_ms "
+            "FROM documents"
+        ),
+        "audio_energy": (
+            "WITH p AS (SELECT doc_id, 1 + doc_id % 7 AS f, "
+            "800 + (doc_id % 5) * 160 AS n FROM documents), "
+            "s AS (SELECT doc_id, f, n, unnest(range(0, n)) AS i FROM p), "
+            "v AS (SELECT doc_id, CAST(i // 256 AS INT) AS window_id, "
+            "(i * f) % 2000 - 1000 AS x, n FROM s) "
+            "SELECT doc_id, window_id, CAST(sum(x * x) AS BIGINT) AS sum_sq, "
+            "round(sqrt(sum(x * x) / 256.0), 4) AS rms "
+            "FROM v WHERE window_id < n // 256 GROUP BY doc_id, window_id, n"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, md5(n) AS md5_fp, "

@@ -231,3 +231,157 @@ def embed_payload(
             yield pd.DataFrame({id_col: pdf[id_col].values, "embedding": embs})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL operators (no codec library needed). WAV/RIFF headers
+# parse with stdlib struct; PCM16 DSP runs on numpy inside Arrow
+# batches. Synthesis is closed-form from the row id, so the DuckDB
+# oracle replays metadata and energy with pure arithmetic while the
+# Spark path builds genuine WAV bytes and parses them back — the
+# parser is tested against a real byte format, not a fake.
+
+_WAV_RATE = 8000
+
+
+def synthesize_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV payloads: for row id ``d``,
+    an integer sawtooth ``sample[i] = (i * (1 + d % 7)) % 2000 - 1000``
+    over ``800 + (d % 5) * 160`` frames at 8 kHz, wrapped in a
+    canonical 44-byte RIFF/WAVE header. Closed-form in the id — no
+    RNG, no transcendentals — so oracles can replay every derived
+    quantity."""
+    import struct
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                f = 1 + d % 7
+                n = 800 + (d % 5) * 160
+                i = np.arange(n, dtype=np.int64)
+                data = ((i * f) % 2000 - 1000).astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                outs.append(hdr + data)
+            out = pdf.copy()
+            out[out_col] = outs
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    # fresh StructType — StructType.add mutates the receiver, which
+    # would corrupt df's own resolved schema
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def _parse_wav(payload: bytes):
+    """Minimal canonical-layout RIFF/WAVE parser (stdlib struct)."""
+    import struct
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt_tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[20:36])
+    data_len = struct.unpack("<I", payload[40:44])[0]
+    if fmt_tag != 1 or bits % 8 or n_ch == 0:
+        return None
+    n_frames = data_len // (n_ch * bits // 8)
+    return n_ch, rate, bits, n_frames, payload[44 : 44 + data_len]
+
+
+def wav_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """REAL audio metadata: parse each payload's RIFF/WAVE header —
+    (id, n_channels, sample_rate, bits_per_sample, n_frames,
+    duration_ms). Malformed payloads yield a row of nulls with
+    ``valid = false`` (row-level errors, never executor exceptions).
+
+    Scale shape: payloads stay in their own parquet column (pruned
+    unless touched); the parse is an Arrow-batched mapInPandas
+    projection, no shuffle."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_wav(payload)
+                if parsed is None:
+                    rows.append((did, False, None, None, None, None, None))
+                    continue
+                n_ch, rate, bits, n_frames, _ = parsed
+                rows.append(
+                    (
+                        did, True, n_ch, rate, bits, n_frames,
+                        n_frames * 1000 // rate,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "valid", "n_channels", "sample_rate",
+                    "bits_per_sample", "n_frames", "duration_ms",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        meta,
+        schema=f"{id_col} long, valid boolean, n_channels int, "
+        "sample_rate int, bits_per_sample int, n_frames long, duration_ms long",
+    )
+
+
+def pcm_energy(
+    df: DataFrame, payload_col: str, id_col: str, window: int = 256
+) -> DataFrame:
+    """REAL PCM DSP: windowed energy over mono 16-bit WAV payloads —
+    one row per FULL ``window``-sample window with the exact integer
+    sum of squares (hash-stable) and the RMS rounded to 4 decimals.
+    The vectorized path: bytes → int16 numpy view → reshape(-1,
+    window) → per-row int64 reduction, one BLAS-free pass per Arrow
+    batch.
+
+    Scale shape: mapInPandas projection; output multiplicity is
+    n_frames/window per payload, bounded and known up front."""
+    import numpy as np
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, sums, rms = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_wav(payload)
+                if parsed is None or parsed[0] != 1 or parsed[2] != 16:
+                    continue
+                data = parsed[4]
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n_full = len(samples) // window
+                if n_full == 0:
+                    continue
+                sq = (samples[: n_full * window].reshape(n_full, window) ** 2).sum(
+                    axis=1
+                )
+                ids.extend([did] * n_full)
+                wins.extend(range(n_full))
+                sums.extend(sq.tolist())
+                rms.extend(
+                    (np.floor(np.sqrt(sq / window) * 1e4 + 0.5) / 1e4).tolist()
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "window_id": wins, "sum_sq": sums, "rms": rms}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        energy,
+        schema=f"{id_col} long, window_id int, sum_sq long, rms double",
+    )

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dedup_repeated_spans",
     "doc_chunks",
     "corpus_diff",
+    "audio_energy",
 ]
 
 
