@@ -232,8 +232,11 @@ def q_idmap_rewrite(spark, sf_dir):
         synthesize_new_id("customer", F.col("c_custkey")).alias("new_id"),
     )
     orders = _read(spark, sf_dir, "orders")
+    # no broadcast hint: the ID map is customer-sized (scales with
+    # SF); AQE broadcasts it while small, shuffle-joins when not —
+    # same contract as the load engine's gated _rewrite_fk
     joined = orders.join(
-        F.broadcast(id_map),
+        id_map,
         orders.o_custkey.cast("string") == id_map.old_id,
         "left_outer",
     )
@@ -1269,9 +1272,7 @@ def q_promo_revenue(spark, sf_dir):
     part = _read(spark, sf_dir, "part")
     rev = _rev_dec()
     zero = F.lit(0).cast("decimal(18,2)")
-    joined = li.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
-    )
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias(
             "promo"
@@ -1298,7 +1299,7 @@ def q_small_qty_revenue(spark, sf_dir):
     thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
     )
-    branded = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    branded = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     filtered = branded.join(
         thresh, F.col("l_partkey") == F.col("t_partkey")
     ).where(F.col("l_quantity") < F.col("qty_thresh"))
@@ -1326,7 +1327,7 @@ def q_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total_rev").alias("mx"))
     top = rev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
     return (
-        top.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        top.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1424,7 +1425,7 @@ def q_market_share(spark, sf_dir):
     joined = (
         cat["lineitem"]
         .join(
-            F.broadcast(cat["part"].where(F.col("p_type") == "ECONOMY")),
+            cat["part"].where(F.col("p_type") == "ECONOMY"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(cat["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1456,7 +1457,7 @@ def q_or_predicate_revenue(spark, sf_dir):
     mixed terms as join residuals."""
     li = _read(spark, sf_dir, "lineitem")
     part = _read(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -1496,9 +1497,9 @@ def q_distinct_suppliers(spark, sf_dir):
         .select("s_suppkey")
     )
     joined = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
