@@ -7,7 +7,8 @@ idiomatic Spark DataFrame operations:
 - every per-table record stream is a DataFrame,
 - every lookup ("foreign key") pass is a semi/anti/left join,
 - the self-lookup recursion is an iterate-to-fixpoint driver loop,
-- the load-time ID map is a broadcast join,
+- the load-time ID map is a join (broadcast under a counted size
+  gate, shuffle hash-join above it),
 - Catalyst/AQE supply pushdown, pruning and join planning.
 
 Beyond reference parity, the package ships large-scale training-data
