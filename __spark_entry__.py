@@ -671,6 +671,25 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk_pandas(spark, sf_dir):
+    """BLAS twin of ann_ivf_topk: every nearest-centroid assignment
+    (k-means iterations + final corpus assignment) runs as one numpy
+    GEMM per Arrow batch instead of K interpreted HOF cosines per
+    vector (similarity.assign_cells). Identical rounded-argmax
+    contract, so it shares ann_ivf_topk's oracle; 2.9x faster corpus
+    assignment / 2x faster end-to-end index build at 500k vectors
+    (SCALE_NOTES)."""
+    return SIM.ivf_cosine_topk(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=list(_ANN_QUERY_IDS),
+        k=_ANN_K,
+        n_centroids=_IVF_CENTROIDS,
+        nprobe=_IVF_NPROBE,
+        kmeans_iters=_IVF_ITERS,
+        assign_impl="pandas",
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Repetition scoring (Gopher-rules family): max-trigram fraction
     and distinct ratio per document."""
@@ -1829,7 +1848,7 @@ QUERY_ORDER = [
     "returned_revenue", "rollup_revenue", "pivot_status",
     "unpivot_status", "set_ops_records", "approx_quantile_rank",
     "heavy_hitters", "skew_two_stage_agg", "group_median",
-    "ann_cosine_topk_pandas",
+    "ann_cosine_topk_pandas", "ann_ivf_topk_pandas",
 ]
 
 
@@ -1874,6 +1893,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_topk_pandas": q_ann_ivf_topk_pandas,
         "rerank_ann": q_rerank_ann,
         "text_repetition": q_text_repetition,
         "split_assign": q_split_assign,
@@ -2157,6 +2177,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         # byte-identical result to the JVM HOF path
         "ann_cosine_topk_pandas": _ANN_COSINE_TOPK_SQL,
         "ann_ivf_topk": _ivf_oracle_sql(),
+        # same oracle on purpose: the BLAS assignment twin must
+        # reproduce the HOF path's rounded-argmax result exactly
+        "ann_ivf_topk_pandas": _ivf_oracle_sql(),
         "shipping_priority": (
             "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
             "o_orderpriority, "

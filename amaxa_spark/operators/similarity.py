@@ -151,12 +151,109 @@ def cosine_topk_pandas(
     )
 
 
+def assign_cells(
+    base: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    impl: str = "hof",
+) -> DataFrame:
+    """Nearest-centroid assignment: for every row of ``base``
+    (``id_col``, ``__v: array<double>``) pick the centroid from
+    ``cent`` (``cid``, ``__cv``) with the highest cosine, rounded to
+    6 decimals, ties to the LOWEST cid. Returns (``id_col``, ``__v``,
+    ``cid``). Both impls honor the identical rounded-argmax contract:
+
+    - ``hof`` — broadcast join vs the K-row codebook, JVM
+      ``aggregate``/``zip_with`` cosine per (vector, centroid),
+      ``max_by`` argmax. The cross-engine determinism baseline (the
+      DuckDB oracle replays it as row_number over a cross join).
+    - ``pandas`` — one Arrow-batched ``mapInPandas`` pass; each batch
+      scores against the K×dim centroid matrix with a single numpy
+      matmul (BLAS), half-up-rounds at 1e-6, and takes the row argmax
+      (first max ⇒ lowest cid, matching the ``hof`` tiebreak). K×N
+      interpreted lambda evaluations collapse into one GEMM — this is
+      the index-build scale path. Residual last-ulp summation
+      differences vs the JVM fold are only probabilistically absorbed
+      by the rounding, exactly as documented on
+      :func:`cosine_topk_pandas`.
+
+    Scale shape (both): the codebook is K rows (collected/broadcast —
+    bounded by K×dim, never the corpus); the corpus streams through
+    once, and the output carries one row per vector.
+    """
+    if impl == "hof":
+        sim_c = F.round(
+            _dot(F.col("__v"), F.col("__cv"))
+            / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
+            6,
+        )
+        return (
+            base.join(F.broadcast(cent))
+            .select(id_col, "__v", "cid", sim_c.alias("__sim_c"))
+            .groupBy(id_col)
+            # argmax: max sim, ties to the LOWEST cid (hence -cid in
+            # the ordering struct) — identical to the oracle's
+            # row_number ... ORDER BY s DESC, cid ASC ... rn = 1
+            .agg(
+                F.max_by(
+                    F.struct("cid", "__v"),
+                    F.struct(F.col("__sim_c"), (-F.col("cid")).alias("__nc")),
+                ).alias("__b")
+            )
+            .select(
+                id_col,
+                F.col("__b.__v").alias("__v"),
+                F.col("__b.cid").alias("cid"),
+            )
+        )
+    if impl != "pandas":
+        raise ValueError(f"unknown assign impl {impl!r}")
+
+    import numpy as np
+
+    cent_rows = sorted(cent.select("cid", "__cv").collect(), key=lambda r: r[0])
+    if not cent_rows:
+        raise ValueError("empty codebook")
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            raw = Mn @ Cn.T  # (batch, K)
+            # round half-AWAY-FROM-ZERO before the argmax so the
+            # selection order is byte-identical to the hof path
+            S = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            # np.argmax returns the FIRST max; columns are sorted by
+            # ascending cid, so ties resolve to the lowest cid
+            best = cids[np.argmax(S, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__v": pdf["__v"],
+                    "cid": best,
+                }
+            )
+
+    return base.select(id_col, "__v").mapInPandas(
+        assign, schema=f"{id_col} long, __v array<double>, cid long"
+    )
+
+
 def kmeans_codebook(
     base: DataFrame,
     n_centroids: int,
     iters: int = 3,
     id_col: str = "vec_id",
     train_mod: int | None = None,
+    assign_impl: str = "hof",
 ) -> DataFrame:
     """Deterministic k-means codebook as DataFrame aggregations.
 
@@ -179,7 +276,10 @@ def kmeans_codebook(
     per partition, never vectors. ``train_mod`` trains on the
     deterministic ``id % mod = 0`` subsample — at 100 TB the codebook
     needs a sliver of the corpus, and the oracle can replay the same
-    WHERE clause.
+    WHERE clause. ``assign_impl="pandas"`` swaps each iteration's
+    assignment for the BLAS twin (see :func:`assign_cells`) — same
+    rounded-argmax contract, so the trained codebook is identical
+    modulo last-ulp rounding edges.
     """
     train = base if train_mod is None else base.where(
         F.col(id_col) % train_mod == 0
@@ -190,25 +290,8 @@ def kmeans_codebook(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        sim_c = F.round(
-            _dot(F.col("__v"), F.col("__cv"))
-            / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
-            6,
-        )
-        assign = (
-            train.join(F.broadcast(cent))
-            .select(id_col, "__v", "cid", sim_c.alias("__sim_c"))
-            .groupBy(id_col)
-            # argmax: max sim, ties to the LOWEST cid (hence -cid in
-            # the ordering struct) — identical to the oracle's
-            # row_number ... ORDER BY s DESC, cid ASC ... rn = 1
-            .agg(
-                F.max_by(
-                    F.struct("cid", "__v"),
-                    F.struct(F.col("__sim_c"), (-F.col("cid")).alias("__nc")),
-                ).alias("__b")
-            )
-            .select(F.col("__b.cid").alias("cid"), F.col("__b.__v").alias("__v"))
+        assign = assign_cells(train, cent, id_col, impl=assign_impl).select(
+            "cid", "__v"
         )
         means = (
             assign.select("cid", F.posexplode("__v").alias("pos", "val"))
@@ -242,6 +325,7 @@ def ivf_cosine_topk(
     train_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_impl: str = "hof",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into cells by
     nearest centroid, probe only the ``nprobe`` cells nearest each
@@ -261,31 +345,12 @@ def ivf_cosine_topk(
     base = emb.select(F.col(id_col), vecd.alias("__v"))
     cent = kmeans_codebook(
         base, n_centroids, iters=kmeans_iters, id_col=id_col,
-        train_mod=train_mod,
+        train_mod=train_mod, assign_impl=assign_impl,
     ).select("cid", "__cv")
-    sim_c = F.round(
-        _dot(F.col("__v"), F.col("__cv")) / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
-        6,
-    )
-    # corpus→cell assignment via max_by argmax (see kmeans_codebook:
-    # one shuffled row per vector, no per-vector sort); ties to the
-    # lowest cid, matching the oracle's row_number ordering
-    assign = (
-        base.join(F.broadcast(cent))
-        .select(id_col, "__v", "cid", sim_c.alias("__sim_c"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.struct("cid", "__v"),
-                F.struct(F.col("__sim_c"), (-F.col("cid")).alias("__nc")),
-            ).alias("__b")
-        )
-        .select(
-            id_col,
-            F.col("__b.__v").alias("__v"),
-            F.col("__b.cid").alias("cid"),
-        )
-    )
+    # corpus→cell assignment (see assign_cells: hof = broadcast join +
+    # max_by argmax, one shuffled row per vector; pandas = one GEMM
+    # per Arrow batch — the index-build scale path)
+    assign = assign_cells(base, cent, id_col, impl=assign_impl)
     probe = (
         assign.where(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"))

@@ -722,6 +722,40 @@ def test_ivf_kmeans_matches_zero_iter_shape(spark, sf_dir):
     assert all(r.neighbor_id != r.query_id for r in rows)
 
 
+def test_ivf_pandas_assignment_matches_hof(spark, sf_dir):
+    """The BLAS assignment twin (assign_impl='pandas') must reproduce
+    the HOF path byte-identically: same k-means codebook, same cell
+    assignment, same final top-k."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    cb_hof = SIM.kmeans_codebook(base, 8, iters=2)
+    cb_pd = SIM.kmeans_codebook(base, 8, iters=2, assign_impl="pandas")
+    assert {r["cid"]: list(r["__cv"]) for r in cb_hof.collect()} == {
+        r["cid"]: list(r["__cv"]) for r in cb_pd.collect()
+    }
+
+    cells_hof = SIM.assign_cells(base, cb_hof, "vec_id", impl="hof")
+    cells_pd = SIM.assign_cells(base, cb_hof, "vec_id", impl="pandas")
+    assert {(r.vec_id, r.cid) for r in cells_hof.collect()} == {
+        (r.vec_id, r.cid) for r in cells_pd.collect()
+    }
+
+    a = SIM.ivf_cosine_topk(
+        emb, query_ids=[0, 1, 2], k=5, n_centroids=16, nprobe=4,
+        kmeans_iters=3,
+    )
+    b = SIM.ivf_cosine_topk(
+        emb, query_ids=[0, 1, 2], k=5, n_centroids=16, nprobe=4,
+        kmeans_iters=3, assign_impl="pandas",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_unigram_prob_score_basics(spark):
     from amaxa_spark.operators import text as TXT
 
