@@ -401,6 +401,126 @@ def ivf_cosine_topk(
     )
 
 
+def knn_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "query_id",
+    right_id: str = "neighbor_id",
+    left_vec: str = "__qv_raw",
+    right_vec: str = "__nv_raw",
+) -> DataFrame:
+    """Exact k-NN JOIN: for every row of ``left`` (a query TABLE, not
+    a fixed id list — the RAG-retrieval / corpus-linkage shape), the
+    top-k cosine neighbors from ``right``. Returns (``left_id``,
+    ``right_id``, sim, rank); self-pairs (equal ids) are excluded.
+
+    Scale shape: ``right`` streams once through a join against
+    ``left`` — with a small query table AQE broadcasts it and the scan
+    stays single-pass (the hint is deliberately NOT forced: a large
+    ``left`` must fall back to a shuffle join, not OOM the
+    executors). The window top-k shuffles |left|×|right| scored rows;
+    this is the documented O(n·q) baseline — :func:`knn_join_lsh` is
+    the path where q itself is corpus-sized.
+    """
+    q = left.select(
+        F.col(left_id),
+        F.transform(F.col(left_vec), lambda x: x.cast("double")).alias("__qv"),
+    )
+    c = right.select(
+        F.col(right_id),
+        F.transform(F.col(right_vec), lambda x: x.cast("double")).alias("__nv"),
+    )
+    pairs = c.join(q, F.col(left_id) != F.col(right_id))
+    sim = _dot(F.col("__qv"), F.col("__nv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__nv"))
+    )
+    scored = pairs.select(left_id, right_id, F.round(sim, 6).alias("sim"))
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("sim").desc(), F.col(right_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 8,
+    bands: int = 4,
+    left_id: str = "query_id",
+    right_id: str = "neighbor_id",
+    left_vec: str = "__qv_raw",
+    right_vec: str = "__nv_raw",
+) -> DataFrame:
+    """Approximate k-NN JOIN at corpus×corpus scale: sign-LSH band
+    codes on BOTH sides, candidates meet on shared buckets, exact
+    cosine re-rank, window top-k per left row. A bucket miss can
+    yield <k rows for a query — that is the approximation (recall
+    tunable by bands × bits, same hyperplane family as
+    :func:`lsh_cosine_topk` so the oracle can replay the codes).
+
+    Scale shape — why this survives where the exact join cannot:
+
+    - the band explosion carries only (id, bucket) — vectors do NOT
+      replicate ×bands through the shuffle;
+    - the bucket join's fan-out tracks true near-neighbor density,
+      not |left|×|right|;
+    - candidate (left, right) id pairs are de-duplicated ACROSS bands
+      before the two vector re-joins, so each survivor pair scores
+      exactly once and the wide embeddings cross the network once per
+      side (the dedup_embedding_cosine_lsh pattern, dedup.py).
+
+    No broadcast is forced anywhere: both sides may be 100 TB; every
+    join is a hash join on bucket / id keys that AQE may downgrade to
+    broadcast when a side measures small.
+    """
+    def codes(df, id_col, vec_col):
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[lsh_code(F.col(vec_col), dim, bits, b) for b in range(bands)]
+                )
+            ).alias("bucket"),
+        )
+
+    cand = (
+        codes(left, left_id, left_vec)
+        .join(codes(right, right_id, right_vec), "bucket")
+        .where(F.col(left_id) != F.col(right_id))
+        .select(left_id, right_id)
+        .distinct()
+    )
+    q = left.select(
+        F.col(left_id),
+        F.transform(F.col(left_vec), lambda x: x.cast("double")).alias("__qv"),
+    )
+    c = right.select(
+        F.col(right_id),
+        F.transform(F.col(right_vec), lambda x: x.cast("double")).alias("__nv"),
+    )
+    sim = _dot(F.col("__qv"), F.col("__nv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__nv"))
+    )
+    scored = (
+        cand.join(q, left_id)
+        .join(c, right_id)
+        .select(left_id, right_id, F.round(sim, 6).alias("sim"))
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("sim").desc(), F.col(right_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def rerank_topk(
     candidates: DataFrame,
     scorer=None,
