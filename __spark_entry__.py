@@ -1154,6 +1154,19 @@ def q_split_assign(spark, sf_dir):
     return hash_split(docs, "doc_id")
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-scaled source mixing (alpha=0.5): keep rates are
+    derived from per-source counts INSIDE the plan (count agg →
+    scalar total → rate dim join → hash filter), so the identical
+    query runs at any corpus size. Oracle replays the same
+    arithmetic: pow(n,.5) shares, round-6 rates, floor(rate·10^4)
+    hash threshold."""
+    from amaxa_spark.operators.sampling import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs, "doc_id", "source", target_rows=300, alpha=0.5)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-stratum (language) downsampling — corpus
     mixing weights applied via hash thresholds, not RNG."""
@@ -1948,7 +1961,7 @@ QUERY_ORDER = [
     "cube_orders", "knn_join_exact",
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
-    "sample_stratified",
+    "sample_stratified", "mixture_sample",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2016,6 +2029,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
+        "mixture_sample": q_mixture_sample,
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
@@ -2386,6 +2400,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
             "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
             "FROM documents) WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 10000 AS INT)"
+        ),
+        "mixture_sample": (
+            "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
+            "w AS (SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS wt FROM c), "
+            "r AS (SELECT source, n, wt / (SELECT sum(wt) FROM w) AS share FROM w), "
+            "t AS (SELECT source, CAST(floor(round(least(1.0, 300.0 * share / n), 6) * 10000) AS INT) AS thr FROM r) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN t ON d.source = t.source "
+            "WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) < t.thr"
         ),
         "token_budget": (
             r"WITH c AS (SELECT doc_id, lang, "

@@ -125,6 +125,74 @@ def stratified_sample(
     return df.where(bucket < (rate * _BUCKETS).cast("int"))
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    target_rows: int,
+    weights: dict[str, float] | None = None,
+    alpha: float | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixing with DATA-DERIVED keep rates: resample each
+    stratum (source/domain/language) so the output approximates
+    ``target_rows`` rows distributed by the target mixture — either
+    explicit ``weights`` (normalized) or temperature scaling
+    ``alpha`` (share_s = n_s^alpha / Σ n^alpha, the multilingual
+    upsampling rule: alpha<1 flattens the source distribution, 1
+    keeps it, 0 makes it uniform). Exactly one of ``weights`` /
+    ``alpha`` must be given.
+
+    Where :func:`stratified_sample` applies rates the caller already
+    knows, this derives them from the corpus itself inside the plan —
+    no driver-side counts, so the same query runs unchanged at 100 TB:
+    per-stratum keep rate = min(1, target_rows·share_s / n_s), rounded
+    to 6 decimals, applied as a hash threshold (floor(rate·10⁴) over
+    the md5 bucket), so membership stays deterministic and
+    engine-replayable.
+
+    Scale shape: one count aggregation (map-side combine, result is
+    #strata rows), a scalar total (one-row aggregate joined via the
+    cross-join-of-one-row pattern), a join of the corpus against the
+    #strata-row rate dim (AQE broadcasts it — not forced), and the
+    embarrassingly-parallel hash filter. No global sort anywhere.
+    """
+    if (weights is None) == (alpha is None):
+        raise ValueError("pass exactly one of weights= / alpha=")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    if weights is not None:
+        total = float(sum(weights.values()))
+        share = None
+        for name, wv in weights.items():
+            cond = F.col(stratum_col) == name
+            lit = F.lit(wv / total)
+            share = F.when(cond, lit) if share is None else share.when(cond, lit)
+        rates = counts.select(
+            stratum_col, "__n", share.otherwise(F.lit(0.0)).alias("__share")
+        )
+    else:
+        w = counts.select(
+            stratum_col,
+            "__n",
+            F.pow(F.col("__n").cast("double"), F.lit(float(alpha))).alias("__w"),
+        )
+        tot = w.agg(F.sum("__w").alias("__tw"))
+        rates = w.crossJoin(tot).select(
+            stratum_col, "__n", (F.col("__w") / F.col("__tw")).alias("__share")
+        )
+    rate = F.round(
+        F.least(
+            F.lit(1.0), F.lit(float(target_rows)) * F.col("__share") / F.col("__n")
+        ),
+        6,
+    )
+    dim = rates.select(
+        stratum_col, F.floor(rate * _BUCKETS).cast("int").alias("__thr")
+    )
+    bucket = _hash_bucket(F.col(id_col), salt)
+    return df.join(dim, stratum_col).where(bucket < F.col("__thr")).drop("__thr")
+
+
 def group_cap(
     df: DataFrame, id_col: str, by: str, k: int, salt: str = "cap"
 ) -> DataFrame:

@@ -568,6 +568,51 @@ def test_token_budget_sample(spark):
     assert {r.doc_id for r in got} == {r.doc_id for r in again}
 
 
+def test_mixture_sample_temperature_and_weights(spark, sf_dir):
+    import pytest
+    from collections import Counter
+    from amaxa_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    src_counts = Counter(r.source for r in docs.collect())
+
+    # alpha=1 keeps the natural distribution; output lands near target
+    out1 = mixture_sample(docs, "doc_id", "source", target_rows=200, alpha=1.0)
+    c1 = Counter(r.source for r in out1.collect())
+    assert abs(sum(c1.values()) - 200) <= 40
+
+    # alpha=0 targets a UNIFORM mixture: the rarest source keeps a
+    # larger fraction of itself than the dominant one does
+    out0 = mixture_sample(docs, "doc_id", "source", target_rows=200, alpha=0.0)
+    c0 = Counter(r.source for r in out0.collect())
+    rare = min(src_counts, key=src_counts.get)
+    dominant = max(src_counts, key=src_counts.get)
+    if src_counts[rare] < src_counts[dominant]:
+        assert (
+            c0[rare] / src_counts[rare] > c0[dominant] / src_counts[dominant]
+        )
+
+    # explicit-weights path: zero-weight strata drop out entirely
+    some = sorted(src_counts)[0]
+    outw = mixture_sample(
+        docs, "doc_id", "source", target_rows=100, weights={some: 1.0}
+    )
+    assert {r.source for r in outw.collect()} == {some}
+
+    # deterministic: identical output on re-run
+    again = mixture_sample(docs, "doc_id", "source", target_rows=200, alpha=1.0)
+    assert sorted(r.doc_id for r in out1.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "source", 100)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "source", 100, weights={"a": 1}, alpha=0.5)
+
+
 def test_group_cap(spark):
     from amaxa_spark.operators.sampling import group_cap
 
