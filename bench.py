@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "doc_chunks",
     "corpus_diff",
     "audio_energy",
+    "knn_join_lsh",
+    "mixture_sample",
+    "ann_ivf_topk_pandas",
 ]
 
 
