@@ -1167,6 +1167,23 @@ def q_mixture_sample(spark, sf_dir):
     return mixture_sample(docs, "doc_id", "source", target_rows=300, alpha=0.5)
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label class prototypes (long form): posexplode →
+    (label,pos) aggregation; the shuffle carries partial sums only,
+    never vectors."""
+    return SIM.label_centroids(_read(spark, sf_dir, "embeddings"))
+
+
+def q_text_bigram_lm(spark, sf_dir):
+    """Corpus-trained interpolated bigram LM (lam=0.7): the rung
+    above text_unigram_lm on the perplexity-filter ladder. Bigrams
+    are built by slice+zip projection (no self-join); the (doc,w1,w2)
+    count exchange is read by both trainer and scorer."""
+    return TXT.bigram_prob_score(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", lam=0.7
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-stratum (language) downsampling — corpus
     mixing weights applied via hash thresholds, not RNG."""
@@ -1961,7 +1978,8 @@ QUERY_ORDER = [
     "cube_orders", "knn_join_exact",
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
-    "sample_stratified", "mixture_sample",
+    "sample_stratified", "mixture_sample", "text_bigram_lm",
+    "embedding_centroids",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2030,6 +2048,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
         "mixture_sample": q_mixture_sample,
+        "text_bigram_lm": q_text_bigram_lm,
+        "embedding_centroids": q_embedding_centroids,
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
@@ -2400,6 +2420,30 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
             "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
             "FROM documents) WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 10000 AS INT)"
+        ),
+        "embedding_centroids": (
+            "SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS c, "
+            "count(*) AS n FROM (SELECT label, "
+            "unnest(embedding::DOUBLE[]) AS v, "
+            "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+            "GROUP BY label, pos"
+        ),
+        "text_bigram_lm": (
+            r"WITH t AS (SELECT doc_id, list_filter(string_split("
+            r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x != '') AS toks FROM documents), "
+            r"b AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, "
+            r"unnest(toks[2:len(toks)]) AS w2 FROM t WHERE len(toks) >= 2), "
+            r"dt AS (SELECT doc_id, w1, w2, count(*) AS k FROM b GROUP BY doc_id, w1, w2), "
+            r"bg AS (SELECT w1, w2, sum(k) AS cb FROM dt GROUP BY w1, w2), "
+            r"u AS (SELECT w, count(*) AS cnt FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w), "
+            r"tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM u), "
+            r"scored AS (SELECT dt.doc_id, dt.k, "
+            r"0.7 * (CAST(bg.cb AS DOUBLE) / u1.cnt) + 0.3 * (u2.cnt / (SELECT total FROM tot)) AS p "
+            r"FROM dt JOIN bg ON dt.w1 = bg.w1 AND dt.w2 = bg.w2 "
+            r"JOIN u u1 ON dt.w1 = u1.w JOIN u u2 ON dt.w2 = u2.w) "
+            r"SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, "
+            r"round(sum(k*p)/sum(k), 6) AS mean_p, round(min(p), 9) AS min_p "
+            r"FROM scored GROUP BY doc_id"
         ),
         "mixture_sample": (
             "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "

@@ -401,6 +401,48 @@ def ivf_cosine_topk(
     )
 
 
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class prototype vectors in LONG form: one row per (label,
+    position) with the component mean rounded to 6 decimals and the
+    class size. The class-prototype primitive behind centroid-based
+    classification, k-means seeding, per-class drift monitoring, and
+    outlier scoring (distance-to-own-centroid).
+
+    Long form (label, pos, c, n) rather than re-assembled arrays on
+    purpose: the output stays a plain aggregatable table (joins,
+    diffs, and the DuckDB oracle all read it directly), and
+    re-assembly is one ``array_sort(collect_list(...))`` away when a
+    vector is wanted (see :func:`kmeans_codebook`'s mean step, which
+    is this exact aggregation shape).
+
+    Scale shape: posexplode → (label, pos) partial aggregation —
+    map-side combine collapses each partition to |labels|×dim partial
+    sums, so the one shuffle carries aggregates, never vectors. ``n``
+    is per-(label,pos) count, equal to the class size for uniform
+    dims (a ragged corpus would surface as differing n within a
+    label — a data-quality signal, not hidden).
+    """
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "__val"),
+        )
+        # 1-based positions to match SQL generate_subscripts
+        .select("label", (F.col("pos") + 1).cast("int").alias("pos"), "__val")
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("__val"), 6).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def knn_join_exact(
     left: DataFrame,
     right: DataFrame,

@@ -295,3 +295,75 @@ def unigram_prob_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         F.round(F.min("__p"), 9).alias("min_p"),
     )
+
+
+def bigram_prob_score(
+    df: DataFrame, text_col: str, id_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Corpus-trained interpolated bigram LM score per document — the
+    next rung of the perplexity-filter ladder above
+    :func:`unigram_prob_score`: each adjacent token pair (w1, w2) gets
+    P = lam·P(w2|w1) + (1-lam)·P(w2), with both distributions trained
+    on the corpus itself (c(w1,w2)/c(w1) and c(w2)/total). Documents
+    whose transitions are corpus-typical score high; word salad that
+    passes a unigram filter (common words, nonsense order) scores low.
+
+    Output: (id, n_bigrams, mean_p, min_p) — mean rounded to 6
+    decimals, min to 9 (order-independent), matching the unigram
+    operator's contract. Documents with <2 tokens produce no row
+    (they have no transitions to judge).
+
+    Scale shape: bigram construction is a pure projection — the token
+    array is sliced and zipped JVM-side (no self-join, no window) and
+    explodes straight into a (doc, w1, w2) count aggregate, the one
+    exchange whose grouped result both the bigram-count trainer and
+    the scoring join read (ReusedExchange, as in the unigram op). The
+    context/unigram counts are a second tokenize pass aggregated to
+    vocab size; total is a 1-row broadcast. Scoring joins on (w1, w2)
+    then twice on the (small) vocab — AQE broadcasts the vocab side
+    when it fits, shuffle-hash-joins otherwise. No Python anywhere.
+    """
+    toks = F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    pair_len = F.greatest(F.size("__toks") - 1, F.lit(0))
+    pairs = (
+        base.select(
+            F.col(id_col),
+            F.slice("__toks", F.lit(1), pair_len).alias("__a"),
+            F.slice("__toks", F.lit(2), pair_len).alias("__b"),
+        )
+        .select(F.col(id_col), F.explode(F.arrays_zip("__a", "__b")).alias("__z"))
+        .select(
+            F.col(id_col),
+            F.col("__z.__a").alias("w1"),
+            F.col("__z.__b").alias("w2"),
+        )
+    )
+    doc_bg = pairs.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__k"))
+    bg = doc_bg.groupBy("w1", "w2").agg(F.sum("__k").alias("__cb"))
+    uni = (
+        base.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    total = uni.agg(F.sum("__cnt").cast("double").alias("__total"))
+    p = (
+        F.lit(float(lam)) * (F.col("__cb") / F.col("__c1"))
+        + F.lit(1.0 - float(lam)) * (F.col("__c2") / F.col("__total"))
+    )
+    scored = (
+        doc_bg.join(bg, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("__cnt").alias("__c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("__cnt").alias("__c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.col("__k"), p.alias("__p"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__k").alias("n_bigrams"),
+        F.round(F.sum(F.col("__k") * F.col("__p")) / F.sum("__k"), 6).alias(
+            "mean_p"
+        ),
+        F.round(F.min("__p"), 9).alias("min_p"),
+    )

@@ -869,6 +869,59 @@ def test_knn_join_lsh_subset_and_recall(spark, sf_dir):
     assert recall >= 0.9, recall
 
 
+def test_bigram_prob_score_basics(spark):
+    from amaxa_spark.operators import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"),
+            (4, "one"),
+            (5, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in
+           TXT.bigram_prob_score(df, "text", "doc_id").collect()}
+    # <2-token docs have no transitions and no row
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_bigrams == 5
+    # identical docs score identically
+    assert out[1].mean_p == out[2].mean_p and out[1].min_p == out[2].min_p
+    # scrambled doc 3: its bigrams occur once each while doc 1/2's
+    # occur twice — corpus-typical transitions must score higher
+    assert out[1].mean_p > out[3].mean_p
+
+    # hand-check one probability: bigram "the cat" occurs 2x,
+    # context "the" occurs 6x across the corpus, "cat" occurs 3x,
+    # total tokens 19
+    p = 0.7 * (2 / 6) + 0.3 * (3 / 19)
+    assert abs(out[1].min_p - round(p, 9)) < 1e-9
+
+
+def test_label_centroids_long_form(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.label_centroids(emb).collect()
+    rows = emb.select("label", "embedding").collect()
+    labels = {r.label for r in rows}
+    dim = len(rows[0].embedding)
+    assert len(out) == len(labels) * dim
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    got = {(r.label, r.pos): (r.c, r.n) for r in out}
+    for lab, vs in by_label.items():
+        M = np.stack(vs)
+        means = M.mean(axis=0)
+        for pos in (1, dim // 2, dim):
+            c, n = got[(lab, pos)]
+            assert n == len(vs)
+            assert abs(c - round(means[pos - 1], 6)) < 2e-6
+
+
 def test_unigram_prob_score_basics(spark):
     from amaxa_spark.operators import text as TXT
 
