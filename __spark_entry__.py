@@ -1184,6 +1184,25 @@ def q_text_bigram_lm(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): step i+1 counts only
+    strictly after the user's first qualifying step i. One
+    conditional aggregation per step, all on the user key."""
+    from amaxa_spark.operators.timeseries import funnel
+
+    out = funnel(
+        _read(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+    return out.select(
+        "user_id",
+        "steps_completed",
+        F.unix_millis("t1").alias("t1_ms"),
+        F.unix_millis("t2").alias("t2_ms"),
+        F.unix_millis("t3").alias("t3_ms"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-stratum (language) downsampling — corpus
     mixing weights applied via hash thresholds, not RNG."""
@@ -1984,7 +2003,7 @@ QUERY_ORDER = [
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
     "events_moving_avg", "events_running_total", "events_lag_delta",
-    "events_ntile", "events_first_last",
+    "events_ntile", "events_first_last", "events_funnel",
     "shipping_priority", "regional_revenue", "quantiles", "json_props",
     "embedding_norms", "exists_late_ship", "cust_order_dist",
     "promo_revenue", "small_qty_revenue", "top_supplier",
@@ -2050,6 +2069,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "text_bigram_lm": q_text_bigram_lm,
         "embedding_centroids": q_embedding_centroids,
+        "events_funnel": q_events_funnel,
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
@@ -2420,6 +2440,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
             "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
             "FROM documents) WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 10000 AS INT)"
+        ),
+        "events_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT s1.user_id, s1.t1, "
+            "min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2 "
+            "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id "
+            "AND e.event_type = 'click' GROUP BY s1.user_id, s1.t1), "
+            "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, "
+            "min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3 "
+            "FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id "
+            "AND e.event_type = 'purchase' GROUP BY s2.user_id, s2.t1, s2.t2) "
+            "SELECT user_id, "
+            "(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END + "
+            "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END + "
+            "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed, "
+            "epoch_ms(t1)::BIGINT AS t1_ms, epoch_ms(t2)::BIGINT AS t2_ms, "
+            "epoch_ms(t3)::BIGINT AS t3_ms FROM s3"
         ),
         "embedding_centroids": (
             "SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS c, "

@@ -69,3 +69,63 @@ def time_bucket_rollup(
             F.coalesce("total", F.lit(0.0)).alias("total"),
         )
     )
+
+
+def funnel(
+    df,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+):
+    """Ordered funnel analysis: per user, how far through ``steps``
+    they progressed, where step i+1 counts only when it occurs
+    STRICTLY AFTER the user's first qualifying step i (the product
+    analytics "signup → activate → purchase" question, which a plain
+    per-type min-timestamp gets wrong when events arrive out of
+    order).
+
+    Output: one row per user that reached step 1, with
+    ``steps_completed`` and the first qualifying timestamp per step
+    (``t1..tk``, null past the drop-off point).
+
+    Scale shape: one conditional aggregation per funnel step, each
+    grouped on the user key — the iterative dependency (t_{i+1} needs
+    t_i) is inherent to the semantics, but every stage aggregates the
+    SAME user-partitioned exchange of the events scan, and each
+    intermediate result is one row per qualifying user (monotonically
+    shrinking). The events table is scanned once per step with only
+    (user, ts) columns for that step's type — pushdown keeps each
+    scan narrow; no window sort over full history anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    cur = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col))
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = df.where(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(user_col, *[f"t{j}" for j in range(1, i)])
+            # min over only the qualifying (strictly-later) events;
+            # a user with none keeps the row with a null t_i — the
+            # drop-off point, not a dropped row
+            .agg(
+                F.min(
+                    F.when(F.col("__ts") > F.col(f"t{i-1}"), F.col("__ts"))
+                ).alias(f"t{i}")
+            )
+        )
+    k = len(steps)
+    completed = sum(
+        F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0) for i in range(1, k + 1)
+    )
+    return cur.select(
+        user_col, completed.alias("steps_completed"),
+        *[f"t{i}" for i in range(1, k + 1)],
+    )

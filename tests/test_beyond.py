@@ -466,6 +466,35 @@ def test_asof_join_semantics(spark):
     assert out[(2, 100)] is None  # right row is in the future
 
 
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+    from amaxa_spark.operators.timeseries import funnel
+
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # clicked BEFORE first view -> credit stops at view
+        (2, T(5), "click"), (2, T(6), "view"),
+        (3, T(1), "view"),
+        # never viewed -> no funnel row at all
+        (4, T(1), "purchase"),
+        # early click doesn't count, the later one does
+        (5, T(1), "click"), (5, T(2), "view"), (5, T(3), "click"),
+        # purchase between view and click doesn't count for step 3
+        (6, T(1), "view"), (6, T(2), "purchase"), (6, T(3), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_type: string")
+    out = {r.user_id: r for r in
+           funnel(df, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5, 6}
+    assert out[1].steps_completed == 3 and out[1].t3 == T(3)
+    assert out[2].steps_completed == 1 and out[2].t1 == T(6)
+    assert out[3].steps_completed == 1
+    assert out[5].steps_completed == 2 and out[5].t2 == T(3)
+    assert out[6].steps_completed == 2 and out[6].t3 is None
+
+
 def test_interval_join_window(spark):
     from amaxa_spark.operators.asof import interval_join
     import datetime as dt
