@@ -73,16 +73,19 @@ def hierarchy_roots(
     by following ``parent_col`` (nodes with null parent are their own
     root). Dangling parent references are treated as roots."""
     nodes = df.select(F.col(pk).alias("node"), F.col(parent_col).alias("parent"))
-    # dangling parents (no matching node) behave as if null
-    parents_ok = nodes.join(
-        nodes.select(F.col("node").alias("__p")),
-        F.col("parent") == F.col("__p"),
-        "left_semi",
-    ).select("node", "parent")
+    # dangling parents (no matching node) behave as if null — ONE
+    # left join with an existence flag (the old left_semi +
+    # left_outer pair re-derived the same rows in two joins)
     resolved = (
-        nodes.select("node")
-        .join(parents_ok, "node", "left_outer")
-        .select("node", "parent")
+        nodes.join(
+            nodes.select(F.col("node").alias("__p")),
+            F.col("parent") == F.col("__p"),
+            "left_outer",
+        )
+        .select(
+            "node",
+            F.when(F.col("__p").isNotNull(), F.col("parent")).alias("parent"),
+        )
     )
     ptr, _ = pointer_roots(resolved, max_rounds)
     return ptr.select(F.col("node").alias(pk), F.col("ptr").alias("root"))

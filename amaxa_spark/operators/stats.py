@@ -1,0 +1,76 @@
+"""Corpus-level distribution statistics.
+
+Complements the content-level snapshot ops (``dedup.corpus_diff``
+tells you WHICH documents changed; these tell you whether the
+corpus's *shape* moved): drift of a categorical distribution between
+two snapshots, the monitoring primitive behind "did the
+source/language/domain mix shift under us" alarms on a recurring
+crawl.
+
+Everything is native Column algebra over grouped counts — exact, no
+sketches (those live in ``approx.py``), no Python, and expressible in
+ANSI SQL so the DuckDB oracle replays it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift between two snapshots of
+    a categorical column. Returns one row per key observed in either
+    snapshot: counts, smoothed shares, and the key's PSI contribution
+    ``(p_new − p_old)·ln(p_new/p_old)`` rounded to 9 decimals —
+    Σ psi_term is the headline PSI (≳0.2 is the conventional
+    "investigate" threshold). Laplace smoothing ``eps`` keeps
+    appearing/vanishing keys finite and deterministic:
+    p = (n + eps) / (total + eps·K) with K = keys in either snapshot.
+
+    Scale shape: each side collapses to per-key counts first
+    (map-side combine — the shuffle carries one row per key per
+    side), then a full outer join on the key and ONE 1-row scalar
+    aggregate (totals + K) broadcast-crossed in. Key cardinality,
+    not corpus size, bounds every post-aggregation frame.
+    """
+    co = old.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    cn = new.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    j = (
+        co.join(cn, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+    )
+    totals = j.agg(
+        F.sum("n_old").cast("double").alias("__to"),
+        F.sum("n_new").cast("double").alias("__tn"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+    )
+    e = F.lit(float(eps))
+    p_old = (F.col("n_old") + e) / (F.col("__to") + e * F.col("__k"))
+    p_new = (F.col("n_new") + e) / (F.col("__tn") + e * F.col("__k"))
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_old",
+            "n_new",
+            F.round(p_old, 9).alias("p_old"),
+            F.round(p_new, 9).alias("p_new"),
+            F.round((p_new - p_old) * F.log(p_new / p_old), 9).alias(
+                "psi_term"
+            ),
+        )
+    )
