@@ -1184,6 +1184,20 @@ def q_text_bigram_lm(spark, sf_dir):
     )
 
 
+def q_corpus_drift(spark, sf_dir):
+    """PSI distribution drift of the source mix between two snapshot
+    halves (doc_id parity stands in for crawl t vs t+1). Per-key
+    counts shuffle one row per key; one scalar total broadcast."""
+    from amaxa_spark.operators.stats import distribution_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    return distribution_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "source",
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase): step i+1 counts only
     strictly after the user's first qualifying step i. One
@@ -1998,7 +2012,7 @@ QUERY_ORDER = [
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
-    "embedding_centroids",
+    "embedding_centroids", "corpus_drift",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2070,6 +2084,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "embedding_centroids": q_embedding_centroids,
         "events_funnel": q_events_funnel,
+        "corpus_drift": q_corpus_drift,
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
@@ -2440,6 +2455,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
             "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
             "FROM documents) WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 10000 AS INT)"
+        ),
+        "corpus_drift": (
+            "WITH o AS (SELECT source AS key, count(*) AS n_old FROM documents "
+            "WHERE doc_id % 2 = 0 GROUP BY source), "
+            "n AS (SELECT source AS key, count(*) AS n_new FROM documents "
+            "WHERE doc_id % 2 = 1 GROUP BY source), "
+            "j AS (SELECT coalesce(o.key, n.key) AS key, "
+            "coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new "
+            "FROM o FULL OUTER JOIN n ON o.key = n.key), "
+            "s AS (SELECT CAST(sum(n_old) AS DOUBLE) AS t_o, "
+            "CAST(sum(n_new) AS DOUBLE) AS t_n, "
+            "CAST(count(*) AS DOUBLE) AS k FROM j) "
+            "SELECT key, n_old, n_new, "
+            "round((n_old + 0.5) / (t_o + 0.5 * k), 9) AS p_old, "
+            "round((n_new + 0.5) / (t_n + 0.5 * k), 9) AS p_new, "
+            "round(((n_new + 0.5) / (t_n + 0.5 * k) - (n_old + 0.5) / (t_o + 0.5 * k)) "
+            "* ln(((n_new + 0.5) / (t_n + 0.5 * k)) / ((n_old + 0.5) / (t_o + 0.5 * k))), 9) "
+            "AS psi_term FROM j, s"
         ),
         "events_funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "

@@ -466,6 +466,38 @@ def test_asof_join_semantics(spark):
     assert out[(2, 100)] is None  # right row is in the future
 
 
+def test_distribution_drift_psi(spark):
+    import math
+    from amaxa_spark.operators.stats import distribution_drift
+
+    old = spark.createDataFrame(
+        [(i, "web") for i in range(80)] + [(i, "books") for i in range(80, 100)],
+        "id: long, src: string",
+    )
+    # same distribution -> PSI ~ 0 (smoothing keeps it tiny, not exact 0)
+    same = distribution_drift(old, old, "src").collect()
+    assert abs(sum(r.psi_term for r in same)) < 1e-9
+
+    # shifted mix + a vanished and an appeared key stay finite
+    new = spark.createDataFrame(
+        [(i, "web") for i in range(20)] + [(i, "books") for i in range(20, 100)]
+        + [(100, "wiki")],
+        "id: long, src: string",
+    )
+    out = {r.key: r for r in distribution_drift(old, new, "src").collect()}
+    assert set(out) == {"web", "books", "wiki"}
+    total = sum(r.psi_term for r in out.values())
+    assert total > 0.2  # conventional "investigate" threshold
+    assert all(math.isfinite(r.psi_term) for r in out.values())
+    assert out["wiki"].n_old == 0 and out["wiki"].n_new == 1
+    # every term matches the hand formula
+    k, to, tn = 3, 100.0, 101.0
+    for r in out.values():
+        po = (r.n_old + 0.5) / (to + 0.5 * k)
+        pn = (r.n_new + 0.5) / (tn + 0.5 * k)
+        assert abs(r.psi_term - round((pn - po) * math.log(pn / po), 9)) < 1e-12
+
+
 def test_funnel_strict_ordering(spark):
     import datetime as dt
     from amaxa_spark.operators.timeseries import funnel
