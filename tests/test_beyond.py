@@ -234,6 +234,58 @@ def test_stateful_running_stats(spark, sf_dir, tmp_path):
         assert abs(got.loc[uid, "total_value"] - expected.loc[uid, "total_value"]) < 1e-3
 
 
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """With events arriving in event-time order, the streaming
+    funnel's final state per user equals the batch funnel exactly."""
+    import pandas as pd
+    from amaxa_spark.operators.timeseries import funnel
+    from amaxa_spark.streaming.funnel_stream import funnel_stream
+    from amaxa_spark.streaming.incremental import read_event_stream
+
+    steps = ["view", "click", "purchase"]
+    ev = tpch_catalog(spark, sf_dir)["events"]
+    src = str(tmp_path / "events_funnel_src")
+    # in-order arrival: one sorted file per chunk, ingested in order
+    ev.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        funnel_stream(read_event_stream(spark, src), steps)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM funnel_out").toPandas()
+        .groupby("user_id").last()
+    )
+    expected = {
+        r.user_id: r
+        for r in funnel(ev, "user_id", "ts", "event_type", steps)
+        .select(
+            "user_id", "steps_completed",
+            F.unix_millis("t1").alias("t1_ms"),
+            F.unix_millis("t2").alias("t2_ms"),
+            F.unix_millis("t3").alias("t3_ms"),
+        )
+        .collect()
+    }
+    # streaming emits a row for EVERY user with events; batch only for
+    # users who reached step 1 — compare on the batch population
+    assert len(expected) > 0
+    for uid, exp in expected.items():
+        row = got.loc[uid]
+        assert row["steps_completed"] == exp.steps_completed, uid
+        for c in ("t1_ms", "t2_ms", "t3_ms"):
+            g = row[c]
+            e = getattr(exp, c)
+            assert (pd.isna(g) and e is None) or g == e, (uid, c, g, e)
+    # and streaming users below step 1 really are at zero
+    zero_users = set(got.index) - set(expected)
+    assert all(got.loc[u, "steps_completed"] == 0 for u in zero_users)
+
+
 def test_embedding_cosine_dups_lsh_subset(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
