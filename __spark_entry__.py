@@ -1184,6 +1184,21 @@ def q_text_bigram_lm(spark, sf_dir):
     )
 
 
+def q_events_cohorts(spark, sf_dir):
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week, re-activity counted per week offset; three narrow-keyed
+    aggregations, one user-key join."""
+    from amaxa_spark.operators.timeseries import cohort_retention
+
+    out = cohort_retention(_read(spark, sf_dir, "events"), "user_id", "ts", "week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "period_offset",
+        "active_users",
+        "retention",
+    )
+
+
 def q_corpus_drift(spark, sf_dir):
     """PSI distribution drift of the source mix between two snapshot
     halves (doc_id parity stands in for crawl t vs t+1). Per-key
@@ -2018,6 +2033,7 @@ QUERY_ORDER = [
     "events_range_join", "events_gapfill", "events_hourly",
     "events_moving_avg", "events_running_total", "events_lag_delta",
     "events_ntile", "events_first_last", "events_funnel",
+    "events_cohorts",
     "shipping_priority", "regional_revenue", "quantiles", "json_props",
     "embedding_norms", "exists_late_ship", "cust_order_dist",
     "promo_revenue", "small_qty_revenue", "top_supplier",
@@ -2085,6 +2101,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "events_funnel": q_events_funnel,
         "corpus_drift": q_corpus_drift,
+        "events_cohorts": q_events_cohorts,
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
@@ -2455,6 +2472,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
             "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
             "FROM documents) WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 10000 AS INT)"
+        ),
+        "events_cohorts": (
+            "WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p "
+            "FROM events), "
+            "f AS (SELECT u, min(p) AS c0 FROM act GROUP BY u), "
+            "m AS (SELECT c0 AS cohort, "
+            "CAST(date_diff('day', c0, p) / 7 AS BIGINT) AS period_offset, "
+            "count(*) AS active_users FROM act JOIN f USING (u) "
+            "GROUP BY cohort, period_offset), "
+            "s AS (SELECT cohort, active_users AS cs FROM m WHERE period_offset = 0) "
+            "SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort, m.period_offset, "
+            "m.active_users, round(m.active_users * 1.0 / s.cs, 6) AS retention "
+            "FROM m JOIN s ON m.cohort = s.cohort"
         ),
         "corpus_drift": (
             "WITH o AS (SELECT source AS key, count(*) AS n_old FROM documents "

@@ -129,3 +129,61 @@ def funnel(
         user_col, completed.alias("steps_completed"),
         *[f"t{i}" for i in range(1, k + 1)],
     )
+
+
+def cohort_retention(
+    df,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "week",
+):
+    """Cohort retention matrix: users grouped by first-activity
+    period (their cohort), counted by how many were active again k
+    periods later. Output one row per (cohort, period_offset) with
+    the active-user count and the retention rate against the cohort's
+    size — the classic growth-analytics triangle.
+
+    ``bucket`` is any ``date_trunc`` unit (week/month/day).
+
+    Scale shape: three aggregations, all keyed narrowly — (user) for
+    first-activity, (user, period) DISTINCT for activity, (cohort,
+    offset) for the matrix — each with map-side partial aggregation.
+    The only join is activity-against-first-activity on the user key,
+    the same exchange the first aggregation produced (AQE reuses it);
+    cohort sizes re-derive from offset 0, not a second scan.
+    """
+    from pyspark.sql import functions as F
+
+    act = df.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("p"),
+    ).distinct()
+    first = act.groupBy("u").agg(F.min("p").alias("c0"))
+    # integer period offset: whole buckets between cohort start and the
+    # activity period. Weeks divide cleanly by 7-day spans; months use
+    # months_between (exact on truncated month starts).
+    if bucket == "month":
+        off = F.months_between(F.col("p"), F.col("c0")).cast("long")
+    else:
+        days = {"day": 1, "week": 7}[bucket]
+        off = (F.datediff(F.col("p"), F.col("c0")) / days).cast("long")
+    mat = (
+        act.join(first, "u")
+        .select(F.col("c0").alias("cohort"), off.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    size = mat.where(F.col("period_offset") == 0).select(
+        F.col("cohort"), F.col("active_users").alias("__cohort_size")
+    )
+    return (
+        mat.join(size, "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "period_offset",
+            "active_users",
+            F.round(
+                F.col("active_users") / F.col("__cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

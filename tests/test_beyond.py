@@ -518,6 +518,32 @@ def test_asof_join_semantics(spark):
     assert out[(2, 100)] is None  # right row is in the future
 
 
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+    from amaxa_spark.operators.timeseries import cohort_retention
+
+    # week-0 cohort: users 1,2,3,4; week-1 cohort: user 5
+    W = lambda w, d=0: dt.datetime(2026, 1, 5 + 7 * w + d, 12, 0, 0)  # Mondays
+    rows = [
+        (1, W(0)), (2, W(0, 1)), (3, W(0)), (4, W(0, 2)),
+        (1, W(1)), (2, W(1)),            # 2/4 retained at offset 1
+        (1, W(2)),                        # 1/4 at offset 2
+        (5, W(1)), (5, W(2)),             # second cohort, retained once
+        (1, W(0, 3)),                     # same-week repeat: no double count
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    out = {
+        (r.cohort.isoformat(), r.period_offset): (r.active_users, r.retention)
+        for r in cohort_retention(df, "user_id", "ts", "week").collect()
+    }
+    assert out[("2026-01-05", 0)] == (4, 1.0)
+    assert out[("2026-01-05", 1)] == (2, 0.5)
+    assert out[("2026-01-05", 2)] == (1, 0.25)
+    assert out[("2026-01-12", 0)] == (1, 1.0)
+    assert out[("2026-01-12", 1)] == (1, 1.0)
+    assert len(out) == 5
+
+
 def test_distribution_drift_psi(spark):
     import math
     from amaxa_spark.operators.stats import distribution_drift
