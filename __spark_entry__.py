@@ -1184,6 +1184,12 @@ def q_text_bigram_lm(spark, sf_dir):
     )
 
 
+def q_text_entropy(spark, sf_dir):
+    """Per-document token-distribution entropy (diversity signal):
+    H = ln(n) − Σ k·ln(k)/n over the (doc,token) count exchange."""
+    return TXT.token_entropy(_read(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def q_events_cohorts(spark, sf_dir):
     """Weekly cohort retention triangle: users bucketed by first-seen
     week, re-activity counted per week offset; three narrow-keyed
@@ -2027,7 +2033,7 @@ QUERY_ORDER = [
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
-    "embedding_centroids", "corpus_drift",
+    "embedding_centroids", "corpus_drift", "text_entropy",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2102,6 +2108,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "corpus_drift": q_corpus_drift,
         "events_cohorts": q_events_cohorts,
+        "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
@@ -2472,6 +2479,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
             "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
             "FROM documents) WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 10000 AS INT)"
+        ),
+        "text_entropy": (
+            r"WITH c AS (SELECT doc_id, t, count(*) AS k FROM "
+            r"(SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), "
+            r"'\s+', ' ', 'g'), ' ')) AS t FROM documents) WHERE t != '' "
+            r"GROUP BY doc_id, t) "
+            r"SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens, "
+            r"count(*) AS distinct_tokens, "
+            r"round(ln(CAST(sum(k) AS DOUBLE)) - "
+            r"sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))) / sum(k), 6) AS entropy "
+            r"FROM c GROUP BY doc_id"
         ),
         "events_cohorts": (
             "WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p "

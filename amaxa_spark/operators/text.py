@@ -367,3 +367,41 @@ def bigram_prob_score(
         ),
         F.round(F.min("__p"), 9).alias("min_p"),
     )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shannon entropy of each document's own token distribution —
+    the scale-free diversity signal: near-zero for a document that
+    repeats one token (generation loops), ln(n) for all-distinct
+    tokens. Complements :func:`repetition_score` (which looks at
+    n-gram structure) with the canonical information measure; the
+    usual filter keeps documents inside an entropy band.
+
+    Output: (id, n_tokens, distinct_tokens, entropy) with
+    H = −Σ (k/n)·ln(k/n) rounded to 6 decimals.
+
+    Scale shape: one explode into a (doc, token) count aggregation
+    (map-side combined), then a per-doc re-aggregation — the same
+    two-level shape as repetition_score; the shuffle carries counts,
+    never text. No Python.
+    """
+    counted = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    n = F.sum("__k")
+    # H = ln(n) − Σ k·ln(k)/n : one pass, no per-row division by the
+    # not-yet-known total
+    h = F.log(n.cast("double")) - F.sum(
+        F.col("__k").cast("double") * F.log(F.col("__k").cast("double"))
+    ) / n
+    return counted.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.round(h, 6).alias("entropy"),
+    )

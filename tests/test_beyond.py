@@ -518,6 +518,28 @@ def test_asof_join_semantics(spark):
     assert out[(2, 100)] is None  # right row is in the future
 
 
+def test_token_entropy(spark):
+    import math
+    from amaxa_spark.operators import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # zero entropy
+            (2, "a b c d"),            # maximal: ln(4)
+            (3, "a a b b"),            # ln(2)
+            (4, ""),                   # no tokens -> no row
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in
+           TXT.token_entropy(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].entropy == 0.0 and out[1].distinct_tokens == 1
+    assert abs(out[2].entropy - round(math.log(4), 6)) < 1e-9
+    assert abs(out[3].entropy - round(math.log(2), 6)) < 1e-9
+    assert out[2].n_tokens == 4
+
+
 def test_cohort_retention_triangle(spark):
     import datetime as dt
     from amaxa_spark.operators.timeseries import cohort_retention
