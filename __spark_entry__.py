@@ -1219,6 +1219,34 @@ def q_corpus_drift(spark, sf_dir):
     )
 
 
+def q_quality_checks(spark, sf_dir):
+    """Declarative data-quality constraint suite over documents: six
+    rules (completeness, uniqueness, min/mean bounds, pattern-match
+    rate, set-membership rate) compiled into ONE aggregation pass and
+    unpivoted to a (rule, value, passed) verdict row each. The
+    min_chars and known_source rules are deliberately failing
+    constraints so both verdict branches are exercised."""
+    from amaxa_spark.operators.quality import Rule, check_constraints
+
+    docs = _read(spark, sf_dir, "documents")
+    rules = [
+        Rule("pk_complete", "doc_id", "completeness", lo=1.0),
+        Rule("pk_unique", "doc_id", "uniqueness", lo=1.0),
+        Rule("min_chars", "n_chars", "min", lo=100.0),
+        Rule("mean_chars", "n_chars", "mean", lo=100.0, hi=1000.0),
+        Rule("lang_iso2", "lang", "match_rate", pattern="^[a-z]{2}$", lo=0.99),
+        Rule(
+            "known_source", "source", "in_set_rate",
+            values=tuple(f"src{i}" for i in range(10)), lo=0.9,
+        ),
+    ]
+    out = check_constraints(docs, rules)
+    return out.select(
+        "rule", "column", "check", "value",
+        F.col("passed").cast("int").alias("passed"),
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase): step i+1 counts only
     strictly after the user's first qualifying step i. One
@@ -2034,6 +2062,7 @@ QUERY_ORDER = [
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
     "embedding_centroids", "corpus_drift", "text_entropy",
+    "quality_checks",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2107,6 +2136,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "events_funnel": q_events_funnel,
         "corpus_drift": q_corpus_drift,
+        "quality_checks": q_quality_checks,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2521,6 +2551,27 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(((n_new + 0.5) / (t_n + 0.5 * k) - (n_old + 0.5) / (t_o + 0.5 * k)) "
             "* ln(((n_new + 0.5) / (t_n + 0.5 * k)) / ((n_old + 0.5) / (t_o + 0.5 * k))), 9) "
             "AS psi_term FROM j, s"
+        ),
+        "quality_checks": (
+            "WITH m AS (SELECT "
+            "round(count(doc_id) * 1.0 / count(*), 6) AS m0, "
+            "round(count(DISTINCT doc_id) * 1.0 / count(*), 6) AS m1, "
+            "round(CAST(min(n_chars) AS DOUBLE), 6) AS m2, "
+            "round(avg(n_chars), 6) AS m3, "
+            "round(sum(CASE WHEN regexp_matches(CAST(lang AS VARCHAR), '^[a-z]{2}$') "
+            "THEN 1.0 ELSE 0.0 END) / count(*), 6) AS m4, "
+            "round(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4',"
+            "'src5','src6','src7','src8','src9') THEN 1.0 ELSE 0.0 END) / count(*), 6) AS m5 "
+            "FROM documents) "
+            "SELECT 'pk_complete' AS rule, 'doc_id' AS \"column\", 'completeness' AS \"check\", "
+            "m0 AS value, CAST(m0 >= 1.0 AS INT) AS passed FROM m "
+            "UNION ALL SELECT 'pk_unique', 'doc_id', 'uniqueness', m1, CAST(m1 >= 1.0 AS INT) FROM m "
+            "UNION ALL SELECT 'min_chars', 'n_chars', 'min', m2, CAST(m2 >= 100.0 AS INT) FROM m "
+            "UNION ALL SELECT 'mean_chars', 'n_chars', 'mean', m3, "
+            "CAST(m3 >= 100.0 AND m3 <= 1000.0 AS INT) FROM m "
+            "UNION ALL SELECT 'lang_iso2', 'lang', 'match_rate', m4, CAST(m4 >= 0.99 AS INT) FROM m "
+            "UNION ALL SELECT 'known_source', 'source', 'in_set_rate', m5, "
+            "CAST(m5 >= 0.9 AS INT) FROM m"
         ),
         "events_funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "

@@ -1,0 +1,103 @@
+"""Declarative data-quality constraint checking (the Deequ shape).
+
+A user states WHAT must hold — completeness, uniqueness, value bounds,
+pattern-match rates, set membership — and the engine compiles every
+rule into conditional aggregates evaluated in ONE pass over the table,
+then unpivots the single metrics row into one (rule, value, passed)
+row per constraint. This is the validation half of the reference's
+input-validation story (`/root/reference/amaxa/loader/
+load_operation.py:151-208` checks column *presence*; these rules check
+column *content*) generalized to the corpus-audit checks a 100 TB
+ingest actually runs before training.
+
+Scale shape: all rules share ONE hash-aggregation over a single scan —
+map-side partial aggregation, a 1-row result, then a driver-free
+``stack`` unpivot of that row. Distinct-count rules add Spark's
+Expand-based distinct aggregation (still one shuffle); at extreme
+cardinality swap ``uniqueness`` for the sketch-backed
+``approx.approx_distinct`` contract instead. No Python, no collect.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One declarative constraint.
+
+    check ∈ {completeness, uniqueness, min, max, mean, match_rate,
+    in_set_rate}; ``lo``/``hi`` bound the metric for the pass verdict
+    (either side may be None = unbounded). ``pattern`` feeds
+    match_rate (rlike), ``values`` feeds in_set_rate; nulls count as
+    non-matching for both rates.
+    """
+
+    name: str
+    column: str
+    check: str
+    lo: float | None = None
+    hi: float | None = None
+    pattern: str | None = None
+    values: tuple | None = None
+
+
+def _metric(rule: Rule) -> F.Column:
+    c = F.col(rule.column)
+    n = F.count(F.lit(1))
+    if rule.check == "completeness":
+        return F.count(c) / n
+    if rule.check == "uniqueness":
+        return F.countDistinct(c) / n
+    if rule.check == "min":
+        return F.min(c).cast("double")
+    if rule.check == "max":
+        return F.max(c).cast("double")
+    if rule.check == "mean":
+        return F.avg(c)
+    if rule.check == "match_rate":
+        hit = F.when(c.cast("string").rlike(rule.pattern), 1.0).otherwise(0.0)
+        return F.sum(hit) / n
+    if rule.check == "in_set_rate":
+        hit = F.when(c.isin(*rule.values), 1.0).otherwise(0.0)
+        return F.sum(hit) / n
+    raise ValueError(f"unknown check {rule.check!r}")
+
+
+def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule in one aggregation pass.
+
+    Returns one row per rule: (rule, column, check, value, passed)
+    with ``value`` rounded to 6 decimals and ``passed`` the
+    lo ≤ value ≤ hi verdict (unbounded sides always hold).
+    """
+    metrics = df.agg(
+        *[F.round(_metric(r), 6).alias(f"__m{i}") for i, r in enumerate(rules)]
+    )
+    # stack the 1-row metrics frame into one row per rule; thresholds
+    # are literals, so the verdict is a pure projection
+    stack_args = []
+    for i, r in enumerate(rules):
+        stack_args.append(f"'{r.name}', '{r.column}', '{r.check}', __m{i}")
+    stacked = metrics.select(
+        F.expr(
+            f"stack({len(rules)}, "
+            + ", ".join(stack_args)
+            + ") as (rule, column, check, value)"
+        )
+    )
+    passed = F.lit(True)
+    for r in rules:
+        ok = F.lit(True)
+        if r.lo is not None:
+            ok = ok & (F.col("value") >= F.lit(float(r.lo)))
+        if r.hi is not None:
+            ok = ok & (F.col("value") <= F.lit(float(r.hi)))
+        passed = F.when(F.col("rule") == r.name, ok).otherwise(passed)
+    return stacked.select(
+        "rule", "column", "check", "value", passed.alias("passed")
+    )
