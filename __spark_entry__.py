@@ -1266,6 +1266,25 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_scd2(spark, sf_dir):
+    """SCD2 validity intervals of each user's event-type state:
+    gaps-and-islands run collapse via lag + running sum, every stage
+    on the same user-key exchange; valid_to is null for the current
+    state."""
+    from amaxa_spark.operators.timeseries import scd2_intervals
+
+    out = scd2_intervals(
+        _read(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("valid_from").alias("from_ms"),
+        F.unix_millis("valid_to").alias("to_ms"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-stratum (language) downsampling — corpus
     mixing weights applied via hash thresholds, not RNG."""
@@ -2068,7 +2087,7 @@ QUERY_ORDER = [
     "events_range_join", "events_gapfill", "events_hourly",
     "events_moving_avg", "events_running_total", "events_lag_delta",
     "events_ntile", "events_first_last", "events_funnel",
-    "events_cohorts",
+    "events_cohorts", "events_scd2",
     "shipping_priority", "regional_revenue", "quantiles", "json_props",
     "embedding_norms", "exists_late_ship", "cust_order_dist",
     "promo_revenue", "small_qty_revenue", "top_supplier",
@@ -2137,6 +2156,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "corpus_drift": q_corpus_drift,
         "quality_checks": q_quality_checks,
+        "events_scd2": q_events_scd2,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2551,6 +2571,21 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(((n_new + 0.5) / (t_n + 0.5 * k) - (n_old + 0.5) / (t_o + 0.5 * k)) "
             "* ln(((n_new + 0.5) / (t_n + 0.5 * k)) / ((n_old + 0.5) / (t_o + 0.5 * k))), 9) "
             "AS psi_term FROM j, s"
+        ),
+        "events_scd2": (
+            "WITH r AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN event_type IS NOT DISTINCT FROM "
+            "lag(event_type) OVER w THEN 0 ELSE 1 END AS chg "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(chg) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS run FROM r), "
+            "iv AS (SELECT user_id, run, min(event_type) AS event_type, "
+            "min(ts) AS valid_from FROM s GROUP BY user_id, run) "
+            "SELECT user_id, event_type, "
+            "epoch_ms(valid_from)::BIGINT AS from_ms, "
+            "epoch_ms(lead(valid_from) OVER "
+            "(PARTITION BY user_id ORDER BY valid_from))::BIGINT AS to_ms "
+            "FROM iv"
         ),
         "quality_checks": (
             "WITH m AS (SELECT "

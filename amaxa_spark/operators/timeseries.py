@@ -131,6 +131,51 @@ def funnel(
     )
 
 
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    state: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build: collapse a
+    per-key event stream into validity intervals of its ``state``
+    column — one row per run of consecutive identical states, with
+    ``valid_from``/``valid_to`` timestamps (``valid_to`` null for the
+    key's current state). The CDC-to-dimension-table primitive.
+
+    ``tiebreak`` orders same-timestamp events deterministically.
+
+    Scale shape: two window passes and one aggregation, ALL
+    partitioned by the same key — one exchange total, reused across
+    stages; per-key partitions are event-history sized, never
+    corpus-sized. Run detection is lag + running-sum (the classic
+    gaps-and-islands rewrite), null-safe on the state column.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changed = F.when(
+        F.col(state).eqNullSafe(F.lag(state).over(w)), 0
+    ).otherwise(1)
+    runs = (
+        df.select(key, ts, tiebreak, state)
+        .withColumn("__chg", changed)
+        .withColumn("__run", F.sum("__chg").over(w))
+    )
+    iv = runs.groupBy(key, "__run").agg(
+        F.min(state).alias(state),  # constant within a run
+        F.min(ts).alias("valid_from"),
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from")
+    return iv.select(
+        key,
+        state,
+        F.col("valid_from"),
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
 def cohort_retention(
     df,
     user_col: str,

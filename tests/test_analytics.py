@@ -88,6 +88,31 @@ def test_running_total_single_shuffle(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_scd2_intervals_collapse_runs_single_exchange(spark, sf_dir):
+    from amaxa_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"),
+            (2, 1, "x"),
+        ],
+        "k int, t int, s string",
+    )
+    out = scd2_intervals(df, "k", "t", "s", "t")
+    # both windows and the run aggregation share ONE key exchange
+    # (snapshot before execution — the post-AQE string renders the
+    # materialized stage a second time)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = sorted(
+        ((r["k"], r["s"], r["valid_from"], r["valid_to"]) for r in out.collect())
+    )
+    # consecutive identical states collapse; re-appearing 'a' is a NEW
+    # interval (SCD2, not distinct states); current state open-ended
+    assert rows == [
+        (1, "a", 1, 3), (1, "a", 4, None), (1, "b", 3, 4),
+        (2, "x", 1, None),
+    ]
 def test_fuzzy_pairs_blocked_linkage(spark, sf_dir):
     from amaxa_spark.operators.dedup import fuzzy_pairs
 
