@@ -1266,6 +1266,17 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword search for a 3-term query: term filter BEFORE the
+    tf aggregation (postings-sized shuffle), doc lengths from the
+    same tokenize pass, scalar stats and the |terms| df dim
+    broadcast, TakeOrdered top-k."""
+    return TXT.bm25_search(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        ["hash", "join", "vector"], topk=15,
+    )
+
+
 def q_events_scd2(spark, sf_dir):
     """SCD2 validity intervals of each user's event-type state:
     gaps-and-islands run collapse via lag + running sum, every stage
@@ -2081,7 +2092,7 @@ QUERY_ORDER = [
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
     "embedding_centroids", "corpus_drift", "text_entropy",
-    "quality_checks",
+    "quality_checks", "bm25_search",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2157,6 +2168,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "quality_checks": q_quality_checks,
         "events_scd2": q_events_scd2,
+        "bm25_search": q_bm25_search,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2571,6 +2583,30 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(((n_new + 0.5) / (t_n + 0.5 * k) - (n_old + 0.5) / (t_o + 0.5 * k)) "
             "* ln(((n_new + 0.5) / (t_n + 0.5 * k)) / ((n_old + 0.5) / (t_o + 0.5 * k))), 9) "
             "AS psi_term FROM j, s"
+        ),
+        "bm25_search": (
+            f"WITH toks AS (SELECT doc_id AS doc, "
+            f"unnest(string_split({_NORM_TEXT}, ' ')) AS token FROM documents), "
+            "tk AS (SELECT doc, token FROM toks WHERE token <> ''), "
+            "pd AS (SELECT doc, count(*) AS dl, "
+            "sum(CASE WHEN token = 'hash' THEN 1 ELSE 0 END) AS tf0, "
+            "sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf1, "
+            "sum(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS tf2 "
+            "FROM tk GROUP BY doc), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "st AS (SELECT sum(dl) AS tot, "
+            "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, "
+            "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, "
+            "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM pd) "
+            "SELECT * FROM (SELECT doc, round("
+            "ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0) "
+            "/ (tf0 + 1.2 * (0.25 + 0.75 * dl / (tot / n))) "
+            "+ ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0) "
+            "/ (tf1 + 1.2 * (0.25 + 0.75 * dl / (tot / n))) "
+            "+ ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0) "
+            "/ (tf2 + 1.2 * (0.25 + 0.75 * dl / (tot / n)))"
+            ", 6) AS score FROM pd, st, nn) "
+            "WHERE score > 0 ORDER BY score DESC, doc ASC LIMIT 15"
         ),
         "events_scd2": (
             "WITH r AS (SELECT user_id, ts, event_id, event_type, "

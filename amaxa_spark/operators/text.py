@@ -242,6 +242,74 @@ def inverted_index(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 keyword search: score every document against a bag of
+    query terms with the Lucene-style formula
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``,
+    ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``, summed over
+    terms, returning the top-``topk`` (score desc, id asc).
+
+    Scale shape: ONE tokenize pass — doc length and per-term tf come
+    out of the same per-doc conditional aggregation (map-side
+    combined on the doc key; tokenizing the text column is the
+    dominant cost at corpus scale, so it happens exactly once). The
+    corpus stats (N, total length, per-term document frequencies) are
+    a single 1-row aggregate broadcast back in; the score is a pure
+    wide projection summing terms in a FIXED order (deterministic
+    floating point), and the final top-k is a TakeOrdered, never a
+    global sort. |terms| is a handful, so the wide tf columns stay
+    narrow.
+    """
+    nt = len(query_terms)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+
+    per_doc = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("token") == t).cast("long")).alias(f"__tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    # docs with zero tokens contribute no per_doc row — count N from
+    # the source frame
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n"))
+    stats = per_doc.agg(
+        F.sum("dl").alias("tot"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(nt)
+        ],
+    ).crossJoin(F.broadcast(n_docs))
+
+    j = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("tot") / F.col("n")
+    score = None
+    for i in range(nt):
+        tf = F.col(f"__tf{i}")
+        dft = F.col(f"__df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("n") - dft + 0.5) / (dft + 0.5))
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+        term = idf * tf * (k1 + 1.0) / denom  # tf=0 → exactly 0.0
+        score = term if score is None else score + term
+    return (
+        j.select(F.col("doc"), F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(topk)
+    )
+
+
 def unigram_prob_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Corpus-trained unigram language-model score per document — the
     distributional half of a perplexity filter (CCNet/Gopher-style

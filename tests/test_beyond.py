@@ -1100,6 +1100,43 @@ def test_unigram_prob_score_basics(spark):
     assert out[2].mean_p < out[1].mean_p
 
 
+def test_bm25_search_ranking_and_single_tokenize(spark):
+    from amaxa_spark.operators import text as TXT
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark query"),   # high tf for 'spark'
+            (2, "spark engine"),               # short doc, one hit
+            (3, "engine engine engine engine engine spark"),  # long, one hit
+            (4, "nothing relevant here"),      # no hits -> excluded
+        ],
+        "doc_id: long, text: string",
+    )
+    out = TXT.bm25_search(df, "text", "doc_id", ["spark"], topk=10)
+    rows = out.collect()
+    # the text column is tokenized once at runtime: the corpus-stats
+    # branch REUSES the per-doc aggregation's exchange instead of
+    # re-running the explode (check the executed final plan, not the
+    # initial one)
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("Generate explode") == 1
+    assert "ReusedExchange" in final
+    ids = [r["doc"] for r in rows]
+    assert 4 not in ids and len(ids) == 3
+    # tf saturation + length normalization: doc 1 (tf=3, short) beats
+    # doc 2 (tf=1, short) beats doc 3 (tf=1, long)
+    assert ids == [1, 2, 3]
+    # hand-check doc 2: N=4, df=3, dl=2, avgdl=15/4
+    idf = math.log(1.0 + (4 - 3 + 0.5) / 3.5)
+    exp = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / (15 / 4)))
+    got = [r["score"] for r in rows if r["doc"] == 2][0]
+    assert abs(got - exp) < 1e-5
+
+
 def test_repeated_ngram_spans_detects_shared_substring(spark):
     from amaxa_spark.operators import dedup as D
 
