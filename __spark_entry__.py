@@ -1277,6 +1277,16 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_cooccurrence_pmi(spark, sf_dir):
+    """Token co-occurrence PMI over documents: DF-pruned posting
+    self-join (min_df kills the tail, max_df the stop tokens), pair
+    counts with map-side combine, broadcast DF dims for n1/n2."""
+    return TXT.cooccurrence_pmi(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        min_df=50, max_df=400, min_pair=150,
+    )
+
+
 def q_events_scd2(spark, sf_dir):
     """SCD2 validity intervals of each user's event-type state:
     gaps-and-islands run collapse via lag + running sum, every stage
@@ -2092,7 +2102,7 @@ QUERY_ORDER = [
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
     "embedding_centroids", "corpus_drift", "text_entropy",
-    "quality_checks", "bm25_search",
+    "quality_checks", "bm25_search", "cooccurrence_pmi",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2169,6 +2179,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": q_quality_checks,
         "events_scd2": q_events_scd2,
         "bm25_search": q_bm25_search,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2607,6 +2618,22 @@ def _oracle_sql_raw() -> dict[str, str]:
             "/ (tf2 + 1.2 * (0.25 + 0.75 * dl / (tot / n)))"
             ", 6) AS score FROM pd, st, nn) "
             "WHERE score > 0 ORDER BY score DESC, doc ASC LIMIT 15"
+        ),
+        "cooccurrence_pmi": (
+            f"WITH dt AS (SELECT DISTINCT doc_id AS doc, "
+            f"unnest(string_split({_NORM_TEXT}, ' ')) AS token FROM documents), "
+            "dt2 AS (SELECT doc, token FROM dt WHERE token <> ''), "
+            "dfq AS (SELECT token, count(*) AS df FROM dt2 GROUP BY token), "
+            "keep AS (SELECT token, df FROM dfq WHERE df >= 50 AND df <= 400), "
+            "pr AS (SELECT dt2.doc, dt2.token FROM dt2 JOIN keep USING (token)), "
+            "co AS (SELECT a.token AS t1, b.token AS t2, count(*) AS n12 "
+            "FROM pr a JOIN pr b ON a.doc = b.doc AND a.token < b.token "
+            "GROUP BY 1, 2 HAVING count(*) >= 150), "
+            "nn AS (SELECT count(*) AS n FROM documents) "
+            "SELECT t1, t2, n12, "
+            "round(ln(n12 * n / (k1.df * k2.df)), 6) AS pmi "
+            "FROM co JOIN keep k1 ON co.t1 = k1.token "
+            "JOIN keep k2 ON co.t2 = k2.token, nn"
         ),
         "events_scd2": (
             "WITH r AS (SELECT user_id, ts, event_id, event_type, "

@@ -310,6 +310,70 @@ def bm25_search(
     )
 
 
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Document-level token co-occurrence with pointwise mutual
+    information: for token pairs appearing together in ≥ ``min_pair``
+    documents, ``pmi = ln(n12 · N / (n1 · n2))`` over document
+    frequencies — the collocation / topic-affinity primitive.
+
+    Scale shape: the pair blow-up of the (doc, token) self-join is
+    Σ_d k_d² — bounded from BOTH ends before the join: ``min_df``
+    drops the rare tail (can never reach ``min_pair``) and ``max_df``
+    drops stop-tokens whose postings lists would dominate the join
+    (the same guard as ``dedup.ngram_jaccard_pairs``'s
+    ``max_doc_freq``). Token DF is computed once on the pruned
+    posting frame and reused for n1/n2 via two broadcast-sized joins
+    (vocabulary-sized, not corpus-sized); N is a 1-row scalar.
+    """
+    pairs_dt = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    dfreq = pairs_dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfreq.where(F.col("df") >= min_df)
+    if max_df is not None:
+        keep = keep.where(F.col("df") <= max_df)
+    pruned = pairs_dt.join(keep.select("token"), "token")
+
+    left = pruned.select("doc", F.col("token").alias("t1"))
+    right = pruned.select("doc", F.col("token").alias("t2"))
+    co = (
+        left.join(right, "doc")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .where(F.col("n12") >= min_pair)
+    )
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n"))
+    d1 = keep.select(F.col("token").alias("t1"), F.col("df").alias("n1"))
+    d2 = keep.select(F.col("token").alias("t2"), F.col("df").alias("n2"))
+    return (
+        co.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            "n12",
+            F.round(
+                F.log(F.col("n12") * F.col("n") / (F.col("n1") * F.col("n2"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def unigram_prob_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Corpus-trained unigram language-model score per document — the
     distributional half of a perplexity filter (CCNet/Gopher-style

@@ -1137,6 +1137,33 @@ def test_bm25_search_ranking_and_single_tokenize(spark):
     assert abs(got - exp) < 1e-5
 
 
+def test_cooccurrence_pmi_prunes_and_scores(spark):
+    from amaxa_spark.operators import text as TXT
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta common"),
+            (2, "alpha beta common"),
+            (3, "alpha beta common"),
+            (4, "gamma delta common"),
+            (5, "rare solo common"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = TXT.cooccurrence_pmi(
+        df, "text", "doc_id", min_df=2, max_df=4, min_pair=2
+    )
+    rows = {(r["t1"], r["t2"]): r for r in out.collect()}
+    # 'common' (df=5 > max_df=4) is pruned as a stop token; 'rare',
+    # 'solo', 'gamma', 'delta' fall under min_df/min_pair
+    assert set(rows) == {("alpha", "beta")}
+    r = rows[("alpha", "beta")]
+    # n12=3, N=5, n1=n2=3 -> pmi = ln(15/9)
+    assert r["n12"] == 3
+    assert abs(r["pmi"] - round(math.log(3 * 5 / 9), 6)) < 1e-9
+
+
 def test_repeated_ngram_spans_detects_shared_substring(spark):
     from amaxa_spark.operators import dedup as D
 
