@@ -1287,6 +1287,16 @@ def q_cooccurrence_pmi(spark, sf_dir):
     )
 
 
+def q_percentile_filter(spark, sf_dir):
+    """Per-language bottom-quartile length gate: the p25 threshold is
+    a group-cardinality aggregate broadcast back onto the corpus —
+    projection+filter, no corpus shuffle."""
+    from amaxa_spark.operators.sampling import percentile_filter
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return percentile_filter(docs, "n_chars", "lang", 0.25, keep="above")
+
+
 def q_events_scd2(spark, sf_dir):
     """SCD2 validity intervals of each user's event-type state:
     gaps-and-islands run collapse via lag + running sum, every stage
@@ -2103,6 +2113,7 @@ QUERY_ORDER = [
     "sample_stratified", "mixture_sample", "text_bigram_lm",
     "embedding_centroids", "corpus_drift", "text_entropy",
     "quality_checks", "bm25_search", "cooccurrence_pmi",
+    "percentile_filter",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2180,6 +2191,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": q_events_scd2,
         "bm25_search": q_bm25_search,
         "cooccurrence_pmi": q_cooccurrence_pmi,
+        "percentile_filter": q_percentile_filter,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2634,6 +2646,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(ln(n12 * n / (k1.df * k2.df)), 6) AS pmi "
             "FROM co JOIN keep k1 ON co.t1 = k1.token "
             "JOIN keep k2 ON co.t2 = k2.token, nn"
+        ),
+        "percentile_filter": (
+            "WITH t AS (SELECT lang, "
+            "quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS thr "
+            "FROM documents GROUP BY lang) "
+            "SELECT doc_id, d.lang, n_chars, round(thr, 6) AS threshold "
+            "FROM documents d JOIN t ON d.lang = t.lang "
+            "WHERE n_chars >= thr"
         ),
         "events_scd2": (
             "WITH r AS (SELECT user_id, ts, event_id, event_type, "

@@ -193,6 +193,48 @@ def mixture_sample(
     return df.join(dim, stratum_col).where(bucket < F.col("__thr")).drop("__thr")
 
 
+def percentile_filter(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    p: float,
+    keep: str = "above",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group percentile gate: keep rows whose ``value_col`` is at
+    or above (``keep="above"``) / strictly below (``"below"``) their
+    group's p-th percentile — the "drop the bottom-quartile quality
+    docs per language" curation primitive, with the threshold derived
+    from the data INSIDE the plan (no magic constants drifting out of
+    date as the corpus moves).
+
+    Scale shape: one per-group percentile aggregate (group-cardinality
+    rows) broadcast back onto the corpus — a projection+filter, no
+    corpus shuffle. ``exact=True`` uses the exact interpolated
+    percentile (deterministic, oracle-replayable; buffers each
+    group's values during aggregation). At extreme per-group volumes
+    set ``exact=False`` for the mergeable ``approx_percentile``
+    sketch — fixed memory per group, rank error ≤ 1/accuracy.
+    """
+    v = F.col(value_col).cast("double")
+    agg = (
+        F.percentile(v, F.lit(float(p)))
+        if exact
+        else F.percentile_approx(v, F.lit(float(p)), F.lit(accuracy))
+    )
+    thr = df.groupBy(by).agg(agg.alias("__thr"))
+    out = df.join(F.broadcast(thr), by)
+    cond = (
+        F.col(value_col) >= F.col("__thr")
+        if keep == "above"
+        else F.col(value_col) < F.col("__thr")
+    )
+    return out.where(cond).withColumn(
+        "threshold", F.round(F.col("__thr"), 6)
+    ).drop("__thr")
+
+
 def group_cap(
     df: DataFrame, id_col: str, by: str, k: int, salt: str = "cap"
 ) -> DataFrame:

@@ -1137,6 +1137,37 @@ def test_bm25_search_ranking_and_single_tokenize(spark):
     assert abs(got - exp) < 1e-5
 
 
+def test_percentile_filter_gates_per_group(spark):
+    from amaxa_spark.operators.sampling import percentile_filter
+
+    df = spark.createDataFrame(
+        [(i, "a", i) for i in range(1, 6)]
+        + [(10 + i, "b", 100 * i) for i in range(1, 5)],
+        "id int, g string, v int",
+    )
+    # group a: values 1..5, p50 = 3 -> keep 3,4,5
+    # group b: 100..400, p50 = 250 -> keep 300,400
+    out = percentile_filter(df, "v", "g", 0.5, keep="above")
+    kept = sorted((r["g"], r["v"]) for r in out.collect())
+    assert kept == [("a", 3), ("a", 4), ("a", 5), ("b", 300), ("b", 400)]
+    assert all(
+        r["threshold"] == (3.0 if r["g"] == "a" else 250.0)
+        for r in out.collect()
+    )
+    # below keeps the strict complement
+    below = percentile_filter(df, "v", "g", 0.5, keep="below")
+    assert below.count() == 9 - 5
+    # the threshold side broadcasts: no corpus-sized shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # sketch path stays a valid plan and keeps subset semantics
+    approx = percentile_filter(df, "v", "g", 0.5, exact=False)
+    assert {(r["g"], r["v"]) for r in approx.collect()} <= set(
+        (g, v) for _, g, v in [(None, "a", 3), (None, "a", 4), (None, "a", 5),
+                               (None, "b", 200), (None, "b", 300), (None, "b", 400)]
+    )
+
+
 def test_cooccurrence_pmi_prunes_and_scores(spark):
     from amaxa_spark.operators import text as TXT
     import math
