@@ -1297,6 +1297,16 @@ def q_percentile_filter(spark, sf_dir):
     return percentile_filter(docs, "n_chars", "lang", 0.25, keep="above")
 
 
+def q_value_histogram(spark, sf_dir):
+    """Per-language document-length histogram, dense 20-bin spine:
+    the shuffle carries |langs|·20 partial counts, the empty bins
+    come from a sequence-explode spine join."""
+    from amaxa_spark.operators.stats import fixed_width_histogram
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
+    return fixed_width_histogram(docs, "n_chars", 0.0, 1000.0, 20, by="lang")
+
+
 def q_events_scd2(spark, sf_dir):
     """SCD2 validity intervals of each user's event-type state:
     gaps-and-islands run collapse via lag + running sum, every stage
@@ -2113,7 +2123,7 @@ QUERY_ORDER = [
     "sample_stratified", "mixture_sample", "text_bigram_lm",
     "embedding_centroids", "corpus_drift", "text_entropy",
     "quality_checks", "bm25_search", "cooccurrence_pmi",
-    "percentile_filter",
+    "percentile_filter", "value_histogram",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2192,6 +2202,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "percentile_filter": q_percentile_filter,
+        "value_histogram": q_value_histogram,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2654,6 +2665,20 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT doc_id, d.lang, n_chars, round(thr, 6) AS threshold "
             "FROM documents d JOIN t ON d.lang = t.lang "
             "WHERE n_chars >= thr"
+        ),
+        "value_histogram": (
+            "WITH c AS (SELECT lang, "
+            "CASE WHEN CAST(n_chars AS DOUBLE) = 1000.0 THEN 19 "
+            "ELSE CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) * 20 / 1000.0) AS INT) END AS bin, "
+            "count(*) AS n FROM documents "
+            "WHERE n_chars >= 0.0 AND n_chars <= 1000.0 GROUP BY 1, 2), "
+            "sp AS (SELECT lang, g.range AS bin FROM "
+            "(SELECT DISTINCT lang FROM documents) CROSS JOIN range(0, 20) g) "
+            "SELECT sp.lang, CAST(sp.bin AS INT) AS bin, "
+            "round(0.0 + sp.bin * 50.0, 6) AS bin_lo, "
+            "round(0.0 + (sp.bin + 1) * 50.0, 6) AS bin_hi, "
+            "coalesce(c.n, 0) AS n "
+            "FROM sp LEFT JOIN c ON sp.lang = c.lang AND sp.bin = c.bin"
         ),
         "events_scd2": (
             "WITH r AS (SELECT user_id, ts, event_id, event_type, "

@@ -18,6 +18,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    by: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column, optionally per
+    group: ``nbins`` equal bins over [lo, hi], values outside the
+    range dropped, ``v == hi`` landing in the last bin (numpy edge
+    convention). Every bin is materialized — empty bins report 0 —
+    so consumers see a dense, plottable series.
+
+    Scale shape: one hash aggregation on (group, bin) with map-side
+    combine — the shuffle carries at most |groups|·nbins rows. The
+    dense spine is |groups| distinct keys × a ``sequence`` explode
+    (output-sized) left-joined with the counts; no window, no
+    Python.
+    """
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / nbins
+    raw_bin = F.floor((v - lo) * nbins / (hi - lo)).cast("int")
+    bin_ = F.when(v == hi, nbins - 1).otherwise(raw_bin)
+    keys = [by] if by else []
+    counts = (
+        df.where((v >= lo) & (v <= hi))
+        .select(*keys, bin_.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (
+        (df.select(by).distinct() if by else df.sparkSession.range(1).select())
+        .select(
+            *keys,
+            F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("bin"),
+        )
+    )
+    return spine.join(counts, [*keys, "bin"], "left").select(
+        *keys,
+        "bin",
+        F.round(F.lit(lo) + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.lit(lo) + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
 def distribution_drift(
     old: DataFrame,
     new: DataFrame,

@@ -1137,6 +1137,23 @@ def test_bm25_search_ranking_and_single_tokenize(spark):
     assert abs(got - exp) < 1e-5
 
 
+def test_fixed_width_histogram_dense_bins(spark):
+    from amaxa_spark.operators.stats import fixed_width_histogram
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 5), ("a", 10), ("a", 15), ("b", -1), ("b", 20)],
+        "g string, v int",
+    )
+    out = fixed_width_histogram(df, "v", 0.0, 10.0, 2, by="g")
+    rows = {(r["g"], r["bin"]): r for r in out.collect()}
+    # dense spine: every (group, bin) present even when empty
+    assert set(rows) == {("a", 0), ("a", 1), ("b", 0), ("b", 1)}
+    # v=10 == hi lands in the LAST bin; -1 and 20 are dropped; 15 out
+    assert rows[("a", 0)]["n"] == 2 and rows[("a", 1)]["n"] == 1
+    assert rows[("b", 0)]["n"] == 0 and rows[("b", 1)]["n"] == 0
+    assert rows[("a", 1)]["bin_lo"] == 5.0 and rows[("a", 1)]["bin_hi"] == 10.0
+
+
 def test_percentile_filter_gates_per_group(spark):
     from amaxa_spark.operators.sampling import percentile_filter
 
