@@ -1148,8 +1148,9 @@ def test_fixed_width_histogram_dense_bins(spark):
     rows = {(r["g"], r["bin"]): r for r in out.collect()}
     # dense spine: every (group, bin) present even when empty
     assert set(rows) == {("a", 0), ("a", 1), ("b", 0), ("b", 1)}
-    # v=10 == hi lands in the LAST bin; -1 and 20 are dropped; 15 out
-    assert rows[("a", 0)]["n"] == 2 and rows[("a", 1)]["n"] == 1
+    # bins are [0,5) and [5,10]: 0 -> bin0; 5 and v=10 == hi -> bin1;
+    # -1, 15, 20 are out of range and dropped
+    assert rows[("a", 0)]["n"] == 1 and rows[("a", 1)]["n"] == 2
     assert rows[("b", 0)]["n"] == 0 and rows[("b", 1)]["n"] == 0
     assert rows[("a", 1)]["bin_lo"] == 5.0 and rows[("a", 1)]["bin_hi"] == 10.0
 
