@@ -485,6 +485,21 @@ def q_dedup_clusters(spark, sf_dir):
     return D.cluster_duplicates(pairs)
 
 
+def q_dedup_representatives(spark, sf_dir):
+    """Cluster canonicalization: per near-dup cluster keep the
+    longest member (n_chars score, id tiebreak) — the dedup decision
+    record. One id join + one per-cluster window on duplicate-sized
+    frames."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=4, threshold=0.3)
+    clusters = D.cluster_duplicates(pairs)
+    out = D.select_representatives(
+        clusters, docs.select(F.col("doc_id").alias("id"), "n_chars"),
+        id_col="id", cluster_col="cluster_id", score_col="n_chars",
+    )
+    return out.select("id", "cluster_id", "n_chars", "is_rep")
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact baseline; LSH-bucketed
     variant is the scale path, tested separately)."""
@@ -2123,7 +2138,7 @@ QUERY_ORDER = [
     "sample_stratified", "mixture_sample", "text_bigram_lm",
     "embedding_centroids", "corpus_drift", "text_entropy",
     "quality_checks", "bm25_search", "cooccurrence_pmi",
-    "percentile_filter", "value_histogram",
+    "percentile_filter", "value_histogram", "dedup_representatives",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2203,6 +2218,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "percentile_filter": q_percentile_filter,
         "value_histogram": q_value_histogram,
+        "dedup_representatives": q_dedup_representatives,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2269,6 +2285,27 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# shared CTE chain for the near-dup connected-components oracle —
+# reused by dedup_clusters and dedup_representatives so the two stay
+# in lockstep
+_CLUSTERS_CTES = (
+    "WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
+    "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
+    f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a, id_b FROM inter "
+    "JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
+    "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3), "
+    "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "nodes AS (SELECT DISTINCT s AS id FROM edges), "
+    "reach AS (SELECT id, id AS r FROM nodes "
+    "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id), "
+    "cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) "
+)
+
 _EN = "'the','a','of','and','to','in','is','it'"
 _DE = "'der','die','das','und','ist','ein','zu','nicht'"
 _FR = "'le','la','les','et','est','un','une','dans'"
@@ -2442,21 +2479,16 @@ def _oracle_sql_raw() -> dict[str, str]:
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3"
         ),
         "dedup_clusters": (
-            "WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
-            "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
-            f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
-            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-            "pairs AS (SELECT id_a, id_b FROM inter "
-            "JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
-            "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3), "
-            "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
-            "UNION SELECT id_b, id_a FROM pairs), "
-            "nodes AS (SELECT DISTINCT s AS id FROM edges), "
-            "reach AS (SELECT id, id AS r FROM nodes "
-            "UNION SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id) "
-            "SELECT id, min(r) AS cluster_id FROM reach GROUP BY id"
+            _CLUSTERS_CTES + "SELECT id, cluster_id FROM cl"
+        ),
+        "dedup_representatives": (
+            _CLUSTERS_CTES
+            + ", scored AS (SELECT cl.id, cl.cluster_id, d.n_chars "
+            "FROM cl JOIN documents d ON cl.id = d.doc_id) "
+            "SELECT id, cluster_id, n_chars, "
+            "CAST(row_number() OVER (PARTITION BY cluster_id "
+            "ORDER BY n_chars DESC, id ASC) = 1 AS INT) AS is_rep "
+            "FROM scored"
         ),
         "dedup_simhash": (
             "WITH tok AS (SELECT doc_id, tokval, count(*) AS n FROM "

@@ -120,6 +120,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def select_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Canonicalization after clustering: per near-dup cluster, flag
+    the highest-``score_col`` member (id ascending as tiebreak) as
+    the keeper — the dedup DECISION record (keeper + drop set with
+    the evidence attached), downstream of :func:`cluster_duplicates`.
+
+    Scale shape: one id-key join to attach scores (cluster output is
+    duplicate-sized, not corpus-sized) and one row_number window per
+    cluster — clusters are tiny, so partitions are shallow; no global
+    sort.
+    """
+    j = members.join(scores, members[id_col] == scores[id_col]).drop(
+        scores[id_col]
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return j.withColumn(
+        "is_rep", (F.row_number().over(w) == 1).cast("int")
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench: DataFrame,

@@ -1137,6 +1137,24 @@ def test_bm25_search_ranking_and_single_tokenize(spark):
     assert abs(got - exp) < 1e-5
 
 
+def test_select_representatives_keeps_best_per_cluster(spark):
+    from amaxa_spark.operators import dedup as D
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5), (8, 4)], "id long, score int"
+    )
+    out = {r["id"]: r for r in
+           D.select_representatives(members, scores).collect()}
+    # cluster 1: 2 and 3 tie on score -> lower id wins
+    assert out[2]["is_rep"] == 1
+    assert out[1]["is_rep"] == 0 and out[3]["is_rep"] == 0
+    assert out[7]["is_rep"] == 1 and out[8]["is_rep"] == 0
+
+
 def test_fixed_width_histogram_dense_bins(spark):
     from amaxa_spark.operators.stats import fixed_width_histogram
 
