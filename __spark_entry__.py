@@ -1322,6 +1322,36 @@ def q_value_histogram(spark, sf_dir):
     return fixed_width_histogram(docs, "n_chars", 0.0, 1000.0, 20, by="lang")
 
 
+def q_events_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags per user: trailing-5 window
+    (strictly prior rows) on the user-key exchange, single pass."""
+    from amaxa_spark.operators.timeseries import rolling_zscore
+
+    out = rolling_zscore(
+        _read(spark, sf_dir, "events"), "user_id", "ts", "value",
+        "event_id", nrows=5, z=2.0,
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "trail_mean",
+        "trail_std",
+        "is_anomaly",
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Derandomized A-RES weighted sample (weight = n_chars): per-row
+    hash projection + TakeOrdered top-k, no shuffle, replayable
+    across engines and partitionings."""
+    from amaxa_spark.operators.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 25)
+
+
 def q_events_scd2(spark, sf_dir):
     """SCD2 validity intervals of each user's event-type state:
     gaps-and-islands run collapse via lag + running sum, every stage
@@ -2139,12 +2169,13 @@ QUERY_ORDER = [
     "embedding_centroids", "corpus_drift", "text_entropy",
     "quality_checks", "bm25_search", "cooccurrence_pmi",
     "percentile_filter", "value_histogram", "dedup_representatives",
+    "weighted_sample",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
     "events_moving_avg", "events_running_total", "events_lag_delta",
     "events_ntile", "events_first_last", "events_funnel",
-    "events_cohorts", "events_scd2",
+    "events_cohorts", "events_scd2", "events_zscore",
     "shipping_priority", "regional_revenue", "quantiles", "json_props",
     "embedding_norms", "exists_late_ship", "cust_order_dist",
     "promo_revenue", "small_qty_revenue", "top_supplier",
@@ -2219,6 +2250,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_filter": q_percentile_filter,
         "value_histogram": q_value_histogram,
         "dedup_representatives": q_dedup_representatives,
+        "weighted_sample": q_weighted_sample,
+        "events_zscore": q_events_zscore,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2689,6 +2722,26 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(ln(n12 * n / (k1.df * k2.df)), 6) AS pmi "
             "FROM co JOIN keep k1 ON co.t1 = k1.token "
             "JOIN keep k2 ON co.t2 = k2.token, nn"
+        ),
+        "events_zscore": (
+            "SELECT user_id, epoch_ms(ts)::BIGINT AS ts_ms, event_id, "
+            "round(CAST(value AS DOUBLE), 6) AS value, "
+            "round(avg(CAST(value AS DOUBLE)) OVER w, 6) AS trail_mean, "
+            "round(stddev_samp(CAST(value AS DOUBLE)) OVER w, 6) AS trail_std, "
+            "CASE WHEN stddev_samp(CAST(value AS DOUBLE)) OVER w IS NOT NULL "
+            "AND stddev_samp(CAST(value AS DOUBLE)) OVER w > 0 "
+            "AND abs(CAST(value AS DOUBLE) - avg(CAST(value AS DOUBLE)) OVER w) "
+            "> 2.0 * stddev_samp(CAST(value AS DOUBLE)) OVER w "
+            "THEN 1 ELSE 0 END AS is_anomaly "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)"
+        ),
+        "weighted_sample": (
+            "SELECT doc_id, n_chars, "
+            "round(ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) "
+            "/ 4294967296.0) / CAST(n_chars AS DOUBLE), 9) AS sample_key "
+            "FROM documents WHERE n_chars > 0 "
+            "ORDER BY sample_key DESC, doc_id ASC LIMIT 25"
         ),
         "percentile_filter": (
             "WITH t AS (SELECT lang, "

@@ -193,6 +193,37 @@ def mixture_sample(
     return df.join(dim, stratum_col).where(bucket < F.col("__thr")).drop("__thr")
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-RES), derandomized: each row draws u from its id hash and
+    ranks by ``ln(u)/w`` descending — equivalent to the classic
+    ``u^(1/w)`` key (ln is monotone) but avoiding ``pow``, whose
+    last-ulp behavior differs across engines. Rows with weight ≤ 0
+    are excluded; the top-``k`` keys win, so inclusion probability
+    tracks weight while staying exactly replayable (same ids ⇒ same
+    sample, independent of partitioning or cluster size).
+
+    Scale shape: a per-row projection + TakeOrdered top-k — no
+    shuffle, no RNG state, embarrassingly parallel.
+    """
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    u32 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    u = (u32 + 0.5) / F.lit(float(1 << 32))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_key", F.round(key, 9))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def percentile_filter(
     df: DataFrame,
     value_col: str,

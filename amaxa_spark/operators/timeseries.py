@@ -131,6 +131,51 @@ def funnel(
     )
 
 
+def rolling_zscore(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    nrows: int = 5,
+    z: float = 2.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags: each observation compared
+    against the mean/stddev of its own trailing ``nrows`` values
+    (STRICTLY prior — the current row never masks itself), flagged
+    when ``|v − mean| > z·stddev``. Rows without enough history (no
+    prior rows, or zero variance) are never flagged.
+
+    Scale shape: one window over the series key (events-per-key
+    partitions, never corpus-wide), computed in a single pass —
+    mean and stddev share the frame. No self-join, no Python.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(-nrows, -1)
+    )
+    v = F.col(value).cast("double")
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    flag = (
+        F.when(
+            std.isNotNull() & (std > 0) & (F.abs(v - mean) > z * std), 1
+        ).otherwise(0)
+    )
+    return df.select(
+        key,
+        ts,
+        F.col(tiebreak),
+        v.alias(value),
+        F.round(mean, 6).alias("trail_mean"),
+        F.round(std, 6).alias("trail_std"),
+        flag.alias("is_anomaly"),
+    )
+
+
 def scd2_intervals(
     df: DataFrame,
     key: str,

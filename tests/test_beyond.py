@@ -1137,6 +1137,44 @@ def test_bm25_search_ranking_and_single_tokenize(spark):
     assert abs(got - exp) < 1e-5
 
 
+def test_weighted_sample_biased_and_deterministic(spark):
+    from amaxa_spark.operators.sampling import weighted_sample
+
+    # 50 heavy rows (w=1000) vs 950 light rows (w=1): heavy rows
+    # should dominate the sample far beyond their 5% population share
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 50, 1000).otherwise(1).alias("w"),
+    )
+    s1 = weighted_sample(df, "id", "w", 100)
+    ids1 = {r["id"] for r in s1.collect()}
+    heavy = sum(1 for i in ids1 if i < 50)
+    assert heavy >= 35  # ~all 50 expected; far above the 5 of uniform
+    # deterministic replay: identical sample on a different partitioning
+    s2 = weighted_sample(df.repartition(7), "id", "w", 100)
+    assert {r["id"] for r in s2.collect()} == ids1
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "id long, w long")
+    assert [r["id"] for r in weighted_sample(df2, "id", "w", 10).collect()] == [3]
+
+
+def test_rolling_zscore_flags_spike_only_with_history(spark):
+    from amaxa_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, 1, 1, 10.0), (1, 2, 2, 12.0), (1, 3, 3, 11.0),
+            (1, 4, 4, 9.0), (1, 5, 5, 10.0), (1, 6, 6, 1000.0),
+            (1, 7, 7, 10.5)]
+    df = spark.createDataFrame(rows, "k int, t int, tb int, v double")
+    out = {r["t"]: r for r in
+           rolling_zscore(df, "k", "t", "v", "tb", nrows=5, z=2.0).collect()}
+    assert out[6]["is_anomaly"] == 1       # spike vs calm history
+    assert out[1]["is_anomaly"] == 0       # no history
+    assert out[2]["is_anomaly"] == 0       # single-row history: null std
+    # t=7 returns to normal but its window CONTAINS the spike ->
+    # huge std -> not flagged
+    assert out[7]["is_anomaly"] == 0
+
+
 def test_select_representatives_keeps_best_per_cluster(spark):
     from amaxa_spark.operators import dedup as D
 
