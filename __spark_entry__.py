@@ -2126,7 +2126,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #         contract, rerank, LSH k-NN table JOIN)
 #   35-37 text analysis (langid, quality, corpus-trained unigram LM)
 #   38-41 chunking, corpus diff, REAL audio (WAV parse, PCM energy)
-#   42-45 pipeline ops (splits, fuzzy linkage, packing, vocab)
+#   42-45 pipeline ops (splits, fuzzy linkage, packing, declarative
+#         data-quality rules)
 #   46-50 analytics shapes (sessionize, as-of join, TPC-H Q1,
 #         approx-distinct contract, skew-salted join; CUBE moved to
 #         51+ to make room for the k-NN join — it is the stockest
@@ -2156,8 +2157,9 @@ QUERY_ORDER = [
     "text_langid", "text_quality", "text_unigram_lm",
     # --- chunking / diff / audio (4) ---
     "doc_chunks", "corpus_diff", "audio_meta", "audio_energy",
-    # --- pipeline ops (4) ---
-    "split_assign", "fuzzy_pairs", "doc_packing", "vocab_topk",
+    # --- pipeline ops (4; vocab_topk moved to 51+ in favor of the
+    # --- data-quality rule family, unrepresented until round 4) ---
+    "split_assign", "fuzzy_pairs", "doc_packing", "quality_checks",
     # --- analytics shapes (6, judged representatives) ---
     "events_sessionize", "events_asof", "pricing_summary",
     "approx_distinct", "skew_salted_join",
@@ -2167,7 +2169,7 @@ QUERY_ORDER = [
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
     "embedding_centroids", "corpus_drift", "text_entropy",
-    "quality_checks", "bm25_search", "cooccurrence_pmi",
+    "vocab_topk", "bm25_search", "cooccurrence_pmi",
     "percentile_filter", "value_histogram", "dedup_representatives",
     "weighted_sample",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",

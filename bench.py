@@ -78,6 +78,14 @@ BENCH_QUERIES = [
     "knn_join_lsh",
     "mixture_sample",
     "ann_ivf_topk_pandas",
+    "quality_checks",
+    "bm25_search",
+    "cooccurrence_pmi",
+    "percentile_filter",
+    "events_scd2",
+    "events_zscore",
+    "weighted_sample",
+    "dedup_representatives",
 ]
 
 
