@@ -83,10 +83,10 @@ def load_registry(path: str) -> SchemaRegistry:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="amaxa_spark")
-    p.add_argument("mode", choices=["extract", "load"])
+    p.add_argument("mode", choices=["extract", "load", "check"])
     p.add_argument("operation", help="operation YAML/JSON file")
     p.add_argument("--data-dir", required=True)
-    p.add_argument("--registry", required=True)
+    p.add_argument("--registry", help="required for extract/load")
     p.add_argument("--out", required=True)
     p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
     p.add_argument(
@@ -109,8 +109,31 @@ def main(argv: list[str] | None = None) -> int:
 
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
     spark = get_spark("amaxa_spark_cli")
-    registry = load_registry(args.registry)
     catalog = TableCatalog(spark, args.data_dir, fmt=args.format)
+
+    if args.mode == "check":
+        # declarative data-quality gate: every table's rules compile
+        # to ONE aggregation pass (operators/quality.py); exit 1 when
+        # any constraint fails — the CI-able corpus audit
+        from amaxa_spark.config.loader import load_quality_config
+        from amaxa_spark.operators.quality import check_constraints
+
+        any_failed = False
+        for table, rules in load_quality_config(args.operation):
+            pdf = check_constraints(catalog[table], rules).toPandas()
+            pdf.to_csv(f"{args.out}/{table}.quality.csv", index=False)
+            for r in pdf.itertuples(index=False):
+                status = "PASS" if r.passed else "FAIL"
+                print(
+                    f"{status} {table}.{r.rule} [{r.check} on "
+                    f"{r.column}] value={r.value}"
+                )
+                any_failed = any_failed or not r.passed
+        return 1 if any_failed else 0
+
+    if not args.registry:
+        p.error("--registry is required for extract/load")
+    registry = load_registry(args.registry)
 
     if args.mode == "extract":
         steps = load_extract_config(args.operation)

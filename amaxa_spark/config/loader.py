@@ -157,6 +157,82 @@ def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
     return steps
 
 
+_CHECK_KINDS = {
+    "completeness", "uniqueness", "min", "max", "mean",
+    "match_rate", "in_set_rate",
+}
+
+
+def load_quality_config(path_or_dict) -> list[tuple[str, list]]:
+    """Parse a declarative data-quality spec into per-table Rule
+    lists (the ``check`` CLI mode). Shape:
+
+        version: 1
+        checks:
+          - table: customer
+            rules:
+              - {name: pk_complete, column: c_custkey,
+                 check: completeness, min: 1.0}
+              - {name: lang_iso2, column: lang, check: match_rate,
+                 pattern: '^[a-z]{2}$', min: 0.99}
+
+    ``min``/``max`` bound the metric for the verdict; ``pattern``
+    feeds match_rate, ``values`` feeds in_set_rate. All validation
+    errors are collected and raised together (reference error-list
+    style, `amaxa/loader/core.py:199-248`).
+    """
+    from amaxa_spark.operators.quality import Rule
+
+    doc = _read(path_or_dict)
+    errors: list[str] = []
+    entries = doc.get("checks")
+    if not isinstance(entries, list) or not entries:
+        raise ConfigError(["checks: a non-empty list is required"])
+    out: list[tuple[str, list]] = []
+    for i, entry in enumerate(entries):
+        ctx = f"checks[{i}]"
+        table = entry.get("table") or entry.get("sobject")
+        if not table:
+            errors.append(f"{ctx}: 'table' is required")
+            continue
+        rules = []
+        for j, r in enumerate(entry.get("rules") or []):
+            rctx = f"{ctx}.rules[{j}]"
+            kind = r.get("check")
+            if kind not in _CHECK_KINDS:
+                errors.append(
+                    f"{rctx}: unknown check {kind!r} "
+                    f"(expected one of {sorted(_CHECK_KINDS)})"
+                )
+                continue
+            if not r.get("column"):
+                errors.append(f"{rctx}: 'column' is required")
+                continue
+            if kind == "match_rate" and not r.get("pattern"):
+                errors.append(f"{rctx}: match_rate requires 'pattern'")
+                continue
+            if kind == "in_set_rate" and not r.get("values"):
+                errors.append(f"{rctx}: in_set_rate requires 'values'")
+                continue
+            rules.append(
+                Rule(
+                    name=r.get("name", f"{table}.{r['column']}.{kind}"),
+                    column=r["column"],
+                    check=kind,
+                    lo=r.get("min"),
+                    hi=r.get("max"),
+                    pattern=r.get("pattern"),
+                    values=tuple(r["values"]) if r.get("values") else None,
+                )
+            )
+        if not rules:
+            errors.append(f"{ctx}: no valid rules")
+        out.append((table, rules))
+    if errors:
+        raise ConfigError(errors)
+    return out
+
+
 def load_load_config(path_or_dict) -> list[LoadStepPlan]:
     doc = _read(path_or_dict)
     load_plugin_modules(doc)

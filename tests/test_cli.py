@@ -81,6 +81,64 @@ def test_cli_extract_end_to_end(spark, sf_dir, tmp_path):
     assert dangling == 0
 
 
+def test_cli_check_mode_runs_quality_rules(spark, sf_dir, tmp_path, capsys):
+    cfg = {
+        "version": 1,
+        "checks": [
+            {
+                "table": "customer",
+                "rules": [
+                    {"name": "pk_unique", "column": "c_custkey",
+                     "check": "uniqueness", "min": 1.0},
+                    {"name": "impossible", "column": "c_acctbal",
+                     "check": "min", "min": 1e12},
+                ],
+            }
+        ],
+    }
+    cfg_path = tmp_path / "checks.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "out"
+    out.mkdir()
+    rc = main(
+        ["check", str(cfg_path), "--data-dir", sf_dir, "--out", str(out)]
+    )
+    # the impossible rule fails -> nonzero exit, but both verdicts print
+    assert rc == 1
+    printed = capsys.readouterr().out
+    assert "PASS customer.pk_unique" in printed
+    assert "FAIL customer.impossible" in printed
+    # verdicts persisted for CI artifacts
+    import pandas as pd
+
+    pdf = pd.read_csv(out / "customer.quality.csv")
+    assert set(pdf["rule"]) == {"pk_unique", "impossible"}
+
+
+def test_quality_config_collects_all_errors(tmp_path):
+    from amaxa_spark.config.loader import ConfigError, load_quality_config
+
+    bad = {
+        "checks": [
+            {"table": "customer", "rules": [
+                {"name": "x", "column": "c", "check": "nope"},
+                {"name": "y", "check": "min"},
+                {"name": "z", "column": "c", "check": "match_rate"},
+            ]},
+            {"rules": [{"name": "w", "column": "c", "check": "min"}]},
+        ]
+    }
+    try:
+        load_quality_config(bad)
+        raise AssertionError("expected ConfigError")
+    except ConfigError as e:
+        msg = str(e)
+        assert "unknown check 'nope'" in msg
+        assert "'column' is required" in msg
+        assert "match_rate requires 'pattern'" in msg
+        assert "'table' is required" in msg
+
+
 def test_registry_loader(tmp_path):
     reg_path = tmp_path / "r.json"
     reg_path.write_text(
