@@ -234,6 +234,105 @@ def test_stateful_running_stats(spark, sf_dir, tmp_path):
         assert abs(got.loc[uid, "total_value"] - expected.loc[uid, "total_value"]) < 1e-3
 
 
+def test_streaming_scd2_matches_batch(spark, sf_dir, tmp_path):
+    """With in-order arrival, emitted closed intervals plus the final
+    open interval per key equal the batch SCD2 build exactly."""
+    import pandas as pd
+    from amaxa_spark.operators.timeseries import scd2_intervals
+    from amaxa_spark.streaming.incremental import read_event_stream
+    from amaxa_spark.streaming.scd2_stream import scd2_stream
+
+    ev = tpch_catalog(spark, sf_dir)["events"]
+    src = str(tmp_path / "events_scd2_src")
+    ev.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        scd2_stream(read_event_stream(spark, src))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("scd2_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_pdf = spark.sql("SELECT * FROM scd2_out").toPandas()
+    # upsert semantics: later emissions supersede on (key, from_ms)
+    got_pdf = got_pdf.groupby(["key", "from_ms"]).last().reset_index()
+    got = {
+        (r.key, r.from_ms): (r.state, None if pd.isna(r.to_ms) else int(r.to_ms))
+        for r in got_pdf.itertuples(index=False)
+    }
+    exp_rows = (
+        scd2_intervals(ev, "user_id", "ts", "event_type", "event_id")
+        .select(
+            "user_id", "event_type",
+            F.unix_millis("valid_from").alias("from_ms"),
+            F.unix_millis("valid_to").alias("to_ms"),
+        )
+        .collect()
+    )
+    assert len(exp_rows) > 0 and len(got) == len(exp_rows)
+    for r in exp_rows:
+        assert got[(r.user_id, r.from_ms)] == (r.event_type, r.to_ms)
+
+
+def test_streaming_scd2_closes_interval_across_batches(spark, tmp_path):
+    """A state change arriving in a LATER micro-batch closes the
+    interval opened in an earlier one (upsert on (key, from_ms))."""
+    import time as _t
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+    from amaxa_spark.streaming.scd2_stream import scd2_stream
+
+    def ts(s):
+        import datetime
+
+        return datetime.datetime(2026, 1, 1, 0, 0, s)
+
+    b1 = [(1, ts(1), 10, "a"), (1, ts(2), 11, "a")]
+    b2 = [(1, ts(3), 12, "b")]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    src = str(tmp_path / "scd2_src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    _t.sleep(1.1)  # distinct mtimes so the file source orders batches
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            StructType([
+                StructField("user_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("event_id", LongType()),
+                StructField("event_type", StringType()),
+            ])
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        scd2_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("scd2_xbatch")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pdf = spark.sql("SELECT * FROM scd2_xbatch").toPandas()
+    final = pdf.groupby(["key", "from_ms"]).last().reset_index()
+    rows = {
+        (r.key, r.state): (r.from_ms, None if pd.isna(r.to_ms) else int(r.to_ms))
+        for r in final.itertuples(index=False)
+    }
+    t1, t3 = int(ts(1).timestamp() * 1000), int(ts(3).timestamp() * 1000)
+    # interval 'a' opened in batch 1 was CLOSED by batch 2's change
+    assert rows[(1, "a")] == (t1, t3)
+    # 'b' is the current open interval
+    assert rows[(1, "b")] == (t3, None)
+
+
 def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     """With events arriving in event-time order, the streaming
     funnel's final state per user equals the batch funnel exactly."""
