@@ -115,9 +115,12 @@ def main(argv: list[str] | None = None) -> int:
         # declarative data-quality gate: every table's rules compile
         # to ONE aggregation pass (operators/quality.py); exit 1 when
         # any constraint fails — the CI-able corpus audit
+        import os
+
         from amaxa_spark.config.loader import load_quality_config
         from amaxa_spark.operators.quality import check_constraints
 
+        os.makedirs(args.out, exist_ok=True)
         any_failed = False
         for table, rules in load_quality_config(args.operation):
             pdf = check_constraints(catalog[table], rules).toPandas()
