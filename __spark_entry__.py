@@ -1342,6 +1342,23 @@ def q_events_zscore(spark, sf_dir):
     )
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton Z-order clustering key over (nation, balance-bucket):
+    pure bit-arithmetic projection (whole-stage codegen), the sort
+    key behind two-dimensional file skipping."""
+    from amaxa_spark.operators.layout import zorder_key
+
+    cust = _read(spark, sf_dir, "customer")
+    x = F.col("c_nationkey").cast("long")
+    y = (F.floor(F.col("c_acctbal")).cast("long") + 1000) % 256
+    return cust.select(
+        "c_custkey",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key([x, y], bits=8).alias("zkey"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Derandomized A-RES weighted sample (weight = n_chars): per-row
     hash projection + TakeOrdered top-k, no shuffle, replayable
@@ -2171,7 +2188,7 @@ QUERY_ORDER = [
     "embedding_centroids", "corpus_drift", "text_entropy",
     "vocab_topk", "bm25_search", "cooccurrence_pmi",
     "percentile_filter", "value_histogram", "dedup_representatives",
-    "weighted_sample",
+    "weighted_sample", "zorder_key",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2254,6 +2271,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "weighted_sample": q_weighted_sample,
         "events_zscore": q_events_zscore,
+        "zorder_key": q_zorder_key,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2737,6 +2755,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_anomaly "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)"
+        ),
+        "zorder_key": (
+            "WITH b AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS x, "
+            "(CAST(floor(c_acctbal) AS BIGINT) + 1000) % 256 AS y FROM customer) "
+            "SELECT c_custkey, x, y, "
+            + " + ".join(
+                f"(((x >> {i}) & 1) << {i * 2})" for i in range(8)
+            )
+            + " + "
+            + " + ".join(
+                f"(((y >> {i}) & 1) << {i * 2 + 1})" for i in range(8)
+            )
+            + " AS zkey FROM b"
         ),
         "weighted_sample": (
             "SELECT doc_id, n_chars, "

@@ -175,3 +175,46 @@ def test_merge_into_partitioned_rewrites_only_affected_buckets(spark, tmp_path):
     assert got.count() == 200
     rows = {r.Id: r.status for r in got.collect()}
     assert rows["7"] == "new" and rows["11"] == "new" and rows["0"] == "old"
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from amaxa_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "x long, y long"
+    )
+    out = {(r["x"], r["y"]): r["z"] for r in
+           df.select("x", "y", zorder_key(["x", "y"], 8).alias("z")).collect()}
+    # x occupies even bit positions, y odd ones
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1       # x bit 0 -> position 0
+    assert out[(0, 1)] == 2       # y bit 0 -> position 1
+    # 3=0b11, 5=0b101 -> z = (1<<0)+(1<<2) + (1<<1)+(1<<5) = 39
+    assert out[(3, 5)] == 39
+    assert out[(255, 255)] == (1 << 16) - 1
+
+
+def test_write_zordered_files_cluster_both_dims(spark, tmp_path):
+    import glob
+
+    from amaxa_spark.operators.layout import write_zordered, zorder_key
+
+    # a 64x64 grid: every (x, y) combination once
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, ["x", "y"], bits=6, n_files=16)
+    files = [f for f in glob.glob(f"{path}/part-*.parquet")]
+    assert len(files) >= 8
+    # each file's bounding box must be compact in BOTH dimensions —
+    # the property lexicographic sort cannot give (its files span the
+    # full y range for a fixed x prefix). With 16 of 4096 cells per
+    # tile, a Morton tile's box is ~16x16 out of 64: area <= 1/4 of
+    # the grid; a lexicographic layout would give 64-tall slivers
+    # whose x-span is 1 but y-span is 64 (area 1/64 each but ANY
+    # y-filter hits every file). Assert both spans bounded.
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        assert pdf["x"].max() - pdf["x"].min() <= 32
+        assert pdf["y"].max() - pdf["y"].min() <= 32
