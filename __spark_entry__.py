@@ -1342,6 +1342,15 @@ def q_events_zscore(spark, sf_dir):
     )
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keywords: one tokenize pass feeds tf and
+    df aggregations (exchange reuse), vocab-sized df join (AQE
+    broadcast, not forced), shallow per-doc window top-k."""
+    return TXT.tfidf_keywords(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", k=3, min_df=2
+    )
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton Z-order clustering key over (nation, balance-bucket):
     pure bit-arithmetic projection (whole-stage codegen), the sort
@@ -2188,7 +2197,7 @@ QUERY_ORDER = [
     "embedding_centroids", "corpus_drift", "text_entropy",
     "vocab_topk", "bm25_search", "cooccurrence_pmi",
     "percentile_filter", "value_histogram", "dedup_representatives",
-    "weighted_sample", "zorder_key",
+    "weighted_sample", "zorder_key", "tfidf_keywords",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2272,6 +2281,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "events_zscore": q_events_zscore,
         "zorder_key": q_zorder_key,
+        "tfidf_keywords": q_tfidf_keywords,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2755,6 +2765,22 @@ def _oracle_sql_raw() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_anomaly "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)"
+        ),
+        "tfidf_keywords": (
+            f"WITH toks AS (SELECT doc_id AS doc, "
+            f"unnest(string_split({_NORM_TEXT}, ' ')) AS token FROM documents), "
+            "tk AS (SELECT doc, token FROM toks WHERE token <> ''), "
+            "tf AS (SELECT doc, token, count(*) AS tf FROM tk GROUP BY doc, token), "
+            "dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token "
+            "HAVING count(*) >= 2), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "sc AS (SELECT doc, tf.token, tf, df, "
+            "round(tf * ln(n / df), 6) AS tfidf "
+            "FROM tf JOIN dfq ON tf.token = dfq.token, nn) "
+            "SELECT * FROM (SELECT doc, token, tf, df, tfidf, "
+            "CAST(row_number() OVER (PARTITION BY doc "
+            "ORDER BY tfidf DESC, token ASC) AS INT) AS rank FROM sc) "
+            "WHERE rank <= 3"
         ),
         "zorder_key": (
             "WITH b AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS x, "

@@ -11,7 +11,7 @@ replay each operator exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword lists for the heuristic language model
@@ -307,6 +307,57 @@ def bm25_search(
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(topk)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` tokens by
+    ``tf · ln(N/df)`` (score desc, token asc), tokens appearing in
+    < ``min_df`` documents pruned (they're typos/ids, not keywords).
+
+    Scale shape: one tokenize pass feeds both the (doc, token) tf
+    aggregation and the token df aggregation (exchange reuse); the
+    df side is vocabulary-sized and joins back on the token key
+    (AQE picks broadcast when it fits — not forced, vocabularies can
+    be huge). The final top-k is a per-doc window over that doc's
+    distinct tokens only — shallow partitions, no global sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 

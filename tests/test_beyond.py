@@ -1341,6 +1341,37 @@ def test_percentile_filter_gates_per_group(spark):
     )
 
 
+def test_tfidf_keywords_rank_distinctive_tokens(spark):
+    import math
+
+    from amaxa_spark.operators import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common quantum quantum quantum common"),
+            (2, "common banana common common"),
+            (3, "common common common"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = TXT.tfidf_keywords(df, "text", "doc_id", k=2, min_df=1)
+    rows = [(r["doc"], r["rank"], r["token"], r["tfidf"])
+            for r in out.collect()]
+    by_doc = {}
+    for doc, rank, token, score in rows:
+        by_doc.setdefault(doc, []).append((rank, token, score))
+    # 'quantum' (df=1, tf=3) dominates doc 1; 'common' (df=3) scores 0
+    assert sorted(by_doc[1])[0][1] == "quantum"
+    assert abs(sorted(by_doc[1])[0][2] - round(3 * math.log(3 / 1), 6)) < 1e-9
+    # ubiquitous token: ln(N/df) = ln(1) = 0 everywhere
+    for doc, ranked in by_doc.items():
+        for _, token, score in ranked:
+            if token == "common":
+                assert score == 0.0
+    # k=2 cap respected
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
 def test_cooccurrence_pmi_prunes_and_scores(spark):
     from amaxa_spark.operators import text as TXT
     import math
