@@ -1342,6 +1342,28 @@ def q_events_zscore(spark, sf_dir):
     )
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-language quartile-band winsorization of document length:
+    one two-percentile aggregate per group broadcast back, clamp as
+    a projection."""
+    from amaxa_spark.operators.stats import winsorize
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = winsorize(docs, "n_chars", "lang", 0.25, 0.75)
+    return out.select(
+        "doc_id", "lang", "n_chars", "n_chars_wins", "lo_thr", "hi_thr"
+    )
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Hot-key diagnostic over event users: per-key counts (map-side
+    combined), 1-row total broadcast, top-k TakeOrdered + cumulative
+    share over the k rows only."""
+    from amaxa_spark.operators.stats import key_skew_profile
+
+    return key_skew_profile(_read(spark, sf_dir, "events"), "user_id", top=10)
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-document TF-IDF keywords: one tokenize pass feeds tf and
     df aggregations (exchange reuse), vocab-sized df join (AQE
@@ -2197,7 +2219,8 @@ QUERY_ORDER = [
     "embedding_centroids", "corpus_drift", "text_entropy",
     "vocab_topk", "bm25_search", "cooccurrence_pmi",
     "percentile_filter", "value_histogram", "dedup_representatives",
-    "weighted_sample", "zorder_key", "tfidf_keywords",
+    "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
+    "key_skew_profile",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2282,6 +2305,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": q_events_zscore,
         "zorder_key": q_zorder_key,
         "tfidf_keywords": q_tfidf_keywords,
+        "winsorize": q_winsorize,
+        "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
         "token_budget": q_token_budget,
@@ -2765,6 +2790,27 @@ def _oracle_sql_raw() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_anomaly "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)"
+        ),
+        "winsorize": (
+            "WITH t AS (SELECT lang, "
+            "quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS lo, "
+            "quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS hi "
+            "FROM documents GROUP BY lang) "
+            "SELECT doc_id, d.lang, n_chars, "
+            "round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6) AS n_chars_wins, "
+            "round(lo, 6) AS lo_thr, round(hi, 6) AS hi_thr "
+            "FROM documents d JOIN t ON d.lang = t.lang"
+        ),
+        "key_skew_profile": (
+            "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n "
+            "FROM events GROUP BY 1), "
+            "t AS (SELECT sum(n) AS tt FROM c), "
+            "h AS (SELECT key, n FROM c ORDER BY n DESC, key ASC LIMIT 10) "
+            "SELECT key, n, round(n / tt, 6) AS share, "
+            "round(sum(n) OVER (ORDER BY n DESC, key ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tt, 6) AS cum_share, "
+            "CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS INT) AS rank "
+            "FROM h, t"
         ),
         "tfidf_keywords": (
             f"WITH toks AS (SELECT doc_id AS doc, "

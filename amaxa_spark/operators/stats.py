@@ -14,8 +14,85 @@ ANSI SQL so the DuckDB oracle replays it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` into its group's
+    [p_lo, p_hi] percentile band — outlier-robust normalization for
+    metric columns before averaging or training (the heavy-tail tamer
+    that dropping rows can't be, because row counts must survive).
+
+    Returns the input plus ``<value>_wins`` (clamped, rounded 6) and
+    the two thresholds. Scale shape: ONE percentile aggregate per
+    group (both percentiles in the same pass) broadcast back — a
+    projection, no corpus shuffle; same contract as
+    ``sampling.percentile_filter``.
+    """
+    v = F.col(value_col).cast("double")
+    thr = df.groupBy(by).agg(
+        F.percentile(v, F.lit(float(p_lo))).alias("__lo"),
+        F.percentile(v, F.lit(float(p_hi))).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(thr), by)
+        .select(
+            "*",
+            F.round(
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6
+            ).alias(f"{value_col}_wins"),
+        )
+        .withColumn("lo_thr", F.round(F.col("__lo"), 6))
+        .withColumn("hi_thr", F.round(F.col("__hi"), 6))
+        .drop("__lo", "__hi")
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostic: the top-``top`` hottest keys with their
+    row share and the cumulative share — the "find the key that will
+    burn the shuffle before it does" tool that motivates
+    ``skew.salted_join`` / AQE skew handling.
+
+    Output one row per hot key: (key, n, share, cum_share, rank).
+    Scale shape: one hash aggregation to per-key counts (map-side
+    combined; output is key-cardinality-sized), one 1-row total
+    broadcast, and a top-k TakeOrdered + window over ``top`` rows
+    only.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    hot = (
+        counts.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("key").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hot.select(
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+        F.round(F.sum("n").over(w) / F.col("__t"), 6).alias("cum_share"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("key").asc()))
+        .alias("rank"),
+    )
 
 
 def fixed_width_histogram(

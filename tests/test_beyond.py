@@ -1292,6 +1292,41 @@ def test_select_representatives_keeps_best_per_cluster(spark):
     assert out[7]["is_rep"] == 1 and out[8]["is_rep"] == 0
 
 
+def test_winsorize_clamps_outliers_per_group(spark):
+    from amaxa_spark.operators.stats import winsorize
+
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate([1, 2, 3, 4, 100])]
+        + [(10, "b", 7)],
+        "id int, g string, v int",
+    )
+    out = {(r["g"], r["id"]): r for r in
+           winsorize(df, "v", "g", 0.25, 0.75).collect()}
+    # group a: p25=2, p75=4 -> 1 clamps up to 2, 100 clamps down to 4
+    assert out[("a", 0)]["v_wins"] == 2.0
+    assert out[("a", 4)]["v_wins"] == 4.0
+    assert out[("a", 2)]["v_wins"] == 3.0  # interior untouched
+    # single-value group: both thresholds equal the value
+    assert out[("b", 10)]["v_wins"] == 7.0
+    # row count preserved (winsorize never drops)
+    assert len(out) == 6
+
+
+def test_key_skew_profile_orders_hot_keys(spark):
+    from amaxa_spark.operators.stats import key_skew_profile
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(3,)] * 15 + [(4,)] * 5
+    df = spark.createDataFrame(rows, "k int")
+    out = key_skew_profile(df, "k", top=3).collect()
+    assert [r["key"] for r in out] == ["1", "2", "3"]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["share"] == 0.5
+    assert out[1]["cum_share"] == 0.8
+    # cumulative share is monotone non-decreasing
+    cums = [r["cum_share"] for r in out]
+    assert cums == sorted(cums)
+
+
 def test_fixed_width_histogram_dense_bins(spark):
     from amaxa_spark.operators.stats import fixed_width_histogram
 
