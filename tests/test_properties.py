@@ -300,3 +300,83 @@ def test_corpus_diff_identity_and_partition(spark):
             assert out[i] == "added"
         else:
             assert i not in out  # same text -> unchanged, omitted
+
+
+def test_scd2_intervals_matches_naive(spark):
+    """Randomized cross-check: the gaps-and-islands SCD2 build equals
+    the per-key sequential run collapse."""
+    import random
+
+    from amaxa_spark.operators.timeseries import scd2_intervals
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randrange(4), rng.randrange(40), rng.choice("abc"))
+            for i in range(80)
+        ]
+        # unique (k, t) per key for a deterministic answer; i breaks ties
+        df = spark.createDataFrame(rows, "tb: long, k: long, t: long, s: string")
+        keyf = lambda x: (x[0], x[1], x[2] is None, x[2] or 0, x[3])
+        got = sorted(
+            ((r.k, r.valid_from, r.valid_to, r.s)
+             for r in scd2_intervals(df, "k", "t", "s", "tb").collect()),
+            key=keyf,
+        )
+        want = []
+        per_key = {}
+        for tb, k, t, s in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+            per_key.setdefault(k, []).append((t, s))
+        for k, seq in per_key.items():
+            runs = []
+            for t, s in seq:
+                if not runs or runs[-1][2] != s:
+                    runs.append([t, None, s])
+            for i, run in enumerate(runs):
+                run[1] = runs[i + 1][0] if i + 1 < len(runs) else None
+            want.extend((k, r[0], r[1], r[2]) for r in runs)
+        assert got == sorted(want, key=keyf), seed
+
+
+def test_histogram_matches_numpy_convention(spark):
+    """Randomized cross-check: fixed-width bins equal the
+    floor-formula reference (v == hi in the last bin, outside
+    dropped, empty bins zero-filled)."""
+    import math
+    import random
+
+    from amaxa_spark.operators.stats import fixed_width_histogram
+
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        vals = [rng.uniform(-5, 115) for _ in range(300)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = {r["bin"]: r["n"] for r in
+               fixed_width_histogram(df, "v", 0.0, 100.0, 10).collect()}
+        want = {b: 0 for b in range(10)}
+        for v in vals:
+            if v < 0.0 or v > 100.0:
+                continue
+            b = 9 if v == 100.0 else int(math.floor(v * 10 / 100.0))
+            want[b] += 1
+        assert out == want, seed
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Statistical property: across many salts, a 10x-weight row is
+    sampled far more often than a 1x row (A-RES correctness smoke)."""
+    from amaxa_spark.operators.sampling import weighted_sample
+
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") < 20, 10).otherwise(1).alias("w"),
+    )
+    heavy_hits = light_hits = 0
+    for salt in ("s1", "s2", "s3", "s4", "s5"):
+        ids = {r["id"] for r in
+               weighted_sample(df, "id", "w", 40, salt=salt).collect()}
+        heavy_hits += sum(1 for i in ids if i < 20)
+        light_hits += sum(1 for i in ids if i >= 20)
+    # heavy rows are 10% of the population but carry ~53% of total
+    # weight; with k=40 of 200 they must dominate their share
+    assert heavy_hits / (5 * 20) > 2.5 * (light_hits / (5 * 180))
