@@ -333,6 +333,56 @@ def test_streaming_scd2_closes_interval_across_batches(spark, tmp_path):
     assert rows[(1, "b")] == (t3, None)
 
 
+def test_streaming_zscore_matches_batch(spark, sf_dir, tmp_path):
+    """With in-order arrival the streaming ring-buffer z-score emits
+    the batch operator's rows exactly (values to 1e-5; the ring sums
+    in insertion order, the window in chronological order)."""
+    import pandas as pd
+    from amaxa_spark.operators.timeseries import rolling_zscore
+    from amaxa_spark.streaming.incremental import read_event_stream
+    from amaxa_spark.streaming.zscore_stream import zscore_stream
+
+    ev = tpch_catalog(spark, sf_dir)["events"]
+    src = str(tmp_path / "events_zscore_src")
+    ev.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        zscore_stream(read_event_stream(spark, src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zscore_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.key, r.tiebreak): r
+        for r in spark.sql("SELECT * FROM zscore_out").toPandas().itertuples()
+    }
+    exp = (
+        rolling_zscore(ev, "user_id", "ts", "value", "event_id", nrows=5, z=2.0)
+        .select(
+            "user_id", "event_id",
+            F.round("value", 6).alias("value"),
+            "trail_mean", "trail_std", "is_anomaly",
+        )
+        .collect()
+    )
+    assert len(exp) == len(got) > 0
+    mismatched_flags = 0
+    for r in exp:
+        g = got[(r.user_id, r.event_id)]
+        for a, b in (
+            (g.trail_mean, r.trail_mean), (g.trail_std, r.trail_std),
+        ):
+            if b is None:
+                assert a is None or pd.isna(a)
+            else:
+                assert abs(a - b) < 1e-5
+        mismatched_flags += int(g.is_anomaly != r.is_anomaly)
+    # flags may differ only on exact z-boundary ties (FP sum order)
+    assert mismatched_flags == 0
+
+
 def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     """With events arriving in event-time order, the streaming
     funnel's final state per user equals the batch funnel exactly."""
