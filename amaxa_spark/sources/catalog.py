@@ -156,6 +156,7 @@ def write_extract_csv(
 
 
 MANIFEST_NAME = "_MANIFEST.json"
+HISTORY_DIR = ".manifests"
 
 
 def atomic_extract_write(
@@ -222,7 +223,22 @@ def atomic_extract_write(
                 os.path.join(out_dir, f"{name}-{token}.csv"), ignore_errors=True
             )
         raise
-    manifest = {"token": token, "format": "csv", "pk": pk, "tables": tables}
+    import time
+
+    manifest = {
+        "token": token,
+        "format": "csv",
+        "pk": pk,
+        "tables": tables,
+        "committed_at": time.time(),
+    }
+    # history record first (enables time travel), live pointer last
+    # (the commit). A crash between the two leaves a readable
+    # generation in history that never became current — harmless.
+    hist_dir = os.path.join(out_dir, HISTORY_DIR)
+    os.makedirs(hist_dir, exist_ok=True)
+    with open(os.path.join(hist_dir, f"{token}.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
     tmp = os.path.join(out_dir, f".{MANIFEST_NAME}.{token}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -231,14 +247,21 @@ def atomic_extract_write(
 
 
 def read_committed_extract(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession, out_dir: str, token: str | None = None
 ) -> dict[str, DataFrame]:
-    """Open the committed generation of an atomic extract: resolves
-    table paths through ``_MANIFEST.json`` (the commit marker). Raises
-    ``FileNotFoundError`` if no extract ever committed here."""
+    """Open a committed generation of an atomic extract: the current
+    one via ``_MANIFEST.json`` (the commit marker), or — time travel —
+    any retained generation by its ``token`` via the ``.manifests/``
+    history. Raises ``FileNotFoundError`` if no extract ever
+    committed here (or the named generation was vacuumed)."""
     import json
 
-    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+    path = (
+        os.path.join(out_dir, MANIFEST_NAME)
+        if token is None
+        else os.path.join(out_dir, HISTORY_DIR, f"{token}.json")
+    )
+    with open(path) as f:
         manifest = json.load(f)
     return {
         name: spark.read.option("header", True).csv(
@@ -248,19 +271,65 @@ def read_committed_extract(
     }
 
 
-def vacuum_extract(out_dir: str) -> list[str]:
-    """Delete data directories not referenced by the current manifest
-    (orphans from crashed or superseded generations). Returns the
-    removed paths. Safe to run any time after commit: readers resolve
-    through the manifest, never by listing."""
+def list_generations(out_dir: str) -> list[dict]:
+    """Committed generations, newest first: [{token, committed_at,
+    current}] — the snapshot catalog for time travel."""
+    import json
+
+    current = None
+    try:
+        with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+            current = json.load(f)["token"]
+    except FileNotFoundError:
+        pass
+    out = []
+    hist_dir = os.path.join(out_dir, HISTORY_DIR)
+    if os.path.isdir(hist_dir):
+        for entry in os.listdir(hist_dir):
+            if not entry.endswith(".json"):
+                continue
+            with open(os.path.join(hist_dir, entry)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "token": m["token"],
+                    "committed_at": m.get("committed_at", 0.0),
+                    "current": m["token"] == current,
+                }
+            )
+    return sorted(out, key=lambda g: -g["committed_at"])
+
+
+def vacuum_extract(out_dir: str, keep_last: int = 1) -> list[str]:
+    """Delete data not referenced by the ``keep_last`` newest
+    committed generations (the current manifest is always retained):
+    orphans from crashed runs, plus generations aged out of the
+    time-travel window — their history records are pruned too, so a
+    later ``read_committed_extract(token=...)`` on them fails cleanly
+    instead of reading half-vacuumed data. Returns the removed data
+    paths. Safe any time after commit: readers resolve through
+    manifests, never by listing."""
     import json
     import shutil
 
-    try:
-        with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
-            live = {e["path"] for e in json.load(f)["tables"].values()}
-    except FileNotFoundError:
-        live = set()
+    keep_last = max(keep_last, 1)
+    kept = list_generations(out_dir)
+    retained = {g["token"] for g in kept[:keep_last]}
+    retained |= {g["token"] for g in kept if g["current"]}
+    live: set[str] = set()
+    hist_dir = os.path.join(out_dir, HISTORY_DIR)
+    for token in retained:
+        try:
+            with open(os.path.join(hist_dir, f"{token}.json")) as f:
+                live |= {e["path"] for e in json.load(f)["tables"].values()}
+        except FileNotFoundError:
+            pass
+    if not live:  # pre-history layout: fall back to the live manifest
+        try:
+            with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+                live = {e["path"] for e in json.load(f)["tables"].values()}
+        except FileNotFoundError:
+            pass
     removed = []
     for entry in os.listdir(out_dir):
         if entry == MANIFEST_NAME or entry in live or entry.startswith("."):
@@ -269,6 +338,12 @@ def vacuum_extract(out_dir: str) -> list[str]:
         if os.path.isdir(full):
             shutil.rmtree(full)
             removed.append(entry)
+    # prune aged-out history records
+    if os.path.isdir(hist_dir):
+        for entry in os.listdir(hist_dir):
+            tok = entry[: -len(".json")] if entry.endswith(".json") else None
+            if tok and tok not in retained:
+                os.remove(os.path.join(hist_dir, entry))
     return removed
 
 

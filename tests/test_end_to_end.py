@@ -219,3 +219,49 @@ def test_atomic_extract_commit_and_read(spark, tmp_path):
     assert any(m1["token"] in p for p in removed)
     assert all(m2["token"] not in p for p in removed)
     assert set(read_committed_extract(spark, out)) == {"Account", "Contact"}
+
+
+def test_extract_time_travel_and_retention(spark, tmp_path):
+    """Generation history: past snapshots stay readable by token until
+    vacuumed out of the retention window; the window prunes both data
+    and history atomically enough that aged-out reads fail cleanly."""
+    from amaxa_spark.sources.catalog import (
+        atomic_extract_write,
+        list_generations,
+        read_committed_extract,
+        vacuum_extract,
+    )
+
+    cat = sf_graph_catalog(spark)
+    reg = sf_graph_registry()
+    steps = [ExtractStepPlan("Account", ExtractScope.ALL_RECORDS)]
+    res = ExtractOperation(spark, cat, reg, steps).run()
+    out = str(tmp_path / "tt")
+
+    m1 = atomic_extract_write(res, out, single_file=True)
+    # generation 2 drops a record — snapshots must diverge
+    res2 = {"Account": res["Account"].limit(2)}
+    m2 = atomic_extract_write(res2, out, single_file=True)
+
+    gens = list_generations(out)
+    assert [g["token"] for g in gens][0] == m2["token"]
+    assert {g["token"] for g in gens} == {m1["token"], m2["token"]}
+    assert [g["current"] for g in gens] == [True, False]
+
+    # time travel: the old token still reads generation 1's data
+    old = read_committed_extract(spark, out, token=m1["token"])
+    cur = read_committed_extract(spark, out)
+    assert old["Account"].count() > cur["Account"].count()
+
+    # retention window 2 keeps both generations' data
+    assert vacuum_extract(out, keep_last=2) == []
+    assert read_committed_extract(spark, out, token=m1["token"])[
+        "Account"
+    ].count() == old["Account"].count()
+
+    # shrinking to 1 reclaims generation 1 and prunes its history
+    removed = vacuum_extract(out, keep_last=1)
+    assert any(m1["token"] in p for p in removed)
+    with pytest.raises(FileNotFoundError):
+        read_committed_extract(spark, out, token=m1["token"])
+    assert read_committed_extract(spark, out)["Account"].count() == 2
