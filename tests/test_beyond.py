@@ -333,6 +333,57 @@ def test_streaming_scd2_closes_interval_across_batches(spark, tmp_path):
     assert rows[(1, "b")] == (t3, None)
 
 
+def test_streaming_contamination_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join screening equals the batch contamination
+    operator: docs streamed, benchmark static."""
+    from amaxa_spark.operators.dedup import benchmark_contamination
+    from amaxa_spark.streaming.contamination_stream import contamination_stream
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    docs = tpch_catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0)  # planted contamination
+    src = str(tmp_path / "contam_src")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            StructType([
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ])
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        contamination_stream(stream, bench, "text", "doc_id", n=3)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("contam_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_pdf = spark.sql("SELECT * FROM contam_out").toPandas()
+    got_pdf = got_pdf.groupby("doc_id").last()  # upsert semantics
+    exp = {
+        r.doc_id: r
+        for r in benchmark_contamination(
+            docs, bench, "text", "doc_id", n=3
+        ).collect()
+    }
+    assert len(exp) == len(got_pdf) > 0
+    n_contam = 0
+    for doc_id, e in exp.items():
+        g = got_pdf.loc[doc_id]
+        assert g["total_shingles"] == e.total_shingles, doc_id
+        assert g["hit_shingles"] == e.hit_shingles, doc_id
+        assert bool(g["contaminated"]) == e.contaminated, doc_id
+        n_contam += int(e.contaminated)
+    assert n_contam > 0  # the planted docs are flagged
+
+
 def test_streaming_zscore_matches_batch(spark, sf_dir, tmp_path):
     """With in-order arrival the streaming ring-buffer z-score emits
     the batch operator's rows exactly (values to 1e-5; the ring sums
