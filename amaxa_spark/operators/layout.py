@@ -38,6 +38,76 @@ def zorder_key(cols: list, bits: int = 8) -> F.Column:
     return key
 
 
+def file_stats_index(spark, path: str, cols: list[str]) -> "DataFrame":
+    """Build a file-skipping index from parquet footers: one row per
+    (file, column) with min/max — the Iceberg/Delta manifest-stats
+    idea without the table format. Footers are read EXECUTOR-side
+    (paths parallelized, ``mapInPandas`` opens each footer), so
+    indexing a million-file table fans out instead of looping on the
+    driver; the index itself is file-count-sized and is what makes
+    :func:`read_pruned` skip files without opening them.
+    """
+    import glob as _glob
+
+    paths = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    pdf_schema = "path string, col string, vmin double, vmax double"
+
+    def footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.read_metadata(p)
+                names = md.schema.names
+                for c in cols:
+                    ci = names.index(c)
+                    vmin = vmax = None
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = float(st.min), float(st.max)
+                        vmin = mn if vmin is None else min(vmin, mn)
+                        vmax = mx if vmax is None else max(vmax, mx)
+                    rows.append((p, c, vmin, vmax))
+            yield pd.DataFrame(rows, columns=["path", "col", "vmin", "vmax"])
+
+    return (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        .repartition(min(len(paths), 64) or 1)
+        .mapInPandas(footers, schema=pdf_schema)
+    )
+
+
+def read_pruned(
+    spark, path: str, index: "DataFrame", col: str, lo: float, hi: float
+) -> tuple["DataFrame", int, int]:
+    """Scan only the files whose [min, max] for ``col`` intersects
+    [lo, hi] (per the stats index), with the residual filter applied
+    on top. Returns (df, files_read, files_total) so callers can see
+    the skip rate. Files with no stats are conservatively read."""
+    stats = index.where(F.col("col") == col).select(
+        "path", "vmin", "vmax"
+    ).collect()
+    total = len(stats)
+    keep = [
+        r["path"]
+        for r in stats
+        if r["vmin"] is None
+        or r["vmax"] is None
+        or not (r["vmax"] < lo or r["vmin"] > hi)
+    ]
+    if not keep:
+        df = spark.read.parquet(path).where(F.lit(False))
+        return df, 0, total
+    df = spark.read.parquet(*keep).where(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )
+    return df, len(keep), total
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

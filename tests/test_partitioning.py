@@ -218,3 +218,29 @@ def test_write_zordered_files_cluster_both_dims(spark, tmp_path):
         pdf = spark.read.parquet(f).toPandas()
         assert pdf["x"].max() - pdf["x"].min() <= 32
         assert pdf["y"].max() - pdf["y"].min() <= 32
+
+
+def test_file_stats_index_prunes_zordered_scan(spark, tmp_path):
+    from amaxa_spark.operators.layout import (
+        file_stats_index,
+        read_pruned,
+        write_zordered,
+    )
+
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zidx")
+    write_zordered(df, path, ["x", "y"], bits=6, n_files=16)
+    idx = file_stats_index(spark, path, ["x", "y"]).localCheckpoint()
+
+    # prune on the NON-leading dimension: must skip most files AND
+    # return exactly the rows a full scan would
+    out, nread, ntotal = read_pruned(spark, path, idx, "y", 10, 20)
+    assert ntotal >= 8 and nread < ntotal
+    assert out.count() == 64 * 11
+    full = spark.read.parquet(path).where(F.col("y").between(10, 20))
+    assert out.count() == full.count()
+    # disjoint range: nothing read, empty result
+    out2, nread2, _ = read_pruned(spark, path, idx, "y", 1000, 2000)
+    assert nread2 == 0 and out2.count() == 0
