@@ -1342,6 +1342,38 @@ def q_events_zscore(spark, sf_dir):
     )
 
 
+def q_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: rich-but-inactive customers per nation — a
+    scalar AVG subquery (1-row broadcast) gating the filter, a NOT
+    EXISTS anti-join against orders, decimal-exact sums."""
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nations = [2, 5, 8, 11, 14, 17, 20]
+    pool = cust.where(F.col("c_nationkey").isin(nations))
+    avg_bal = pool.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    recent = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.expr("timestamp'2000-01-01 00:00:00'"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, pool["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("totacctbal"),
+        )
+    )
+
+
 def q_winsorize(spark, sf_dir):
     """Per-language quartile-band winsorization of document length:
     one two-percentile aggregate per group broadcast back, clamp as
@@ -2220,7 +2252,7 @@ QUERY_ORDER = [
     "vocab_topk", "bm25_search", "cooccurrence_pmi",
     "percentile_filter", "value_histogram", "dedup_representatives",
     "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
-    "key_skew_profile",
+    "key_skew_profile", "sales_opportunity",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2306,6 +2338,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "tfidf_keywords": q_tfidf_keywords,
         "winsorize": q_winsorize,
+        "sales_opportunity": q_sales_opportunity,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -2790,6 +2823,18 @@ def _oracle_sql_raw() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_anomaly "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)"
+        ),
+        "sales_opportunity": (
+            "WITH pool AS (SELECT c_custkey, c_nationkey, c_acctbal "
+            "FROM customer WHERE c_nationkey IN (2,5,8,11,14,17,20)), "
+            "a AS (SELECT avg(c_acctbal) AS ab FROM pool WHERE c_acctbal > 0) "
+            "SELECT c_nationkey, count(*) AS numcust, "
+            "round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal "
+            "FROM pool, a WHERE c_acctbal > ab "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = pool.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') "
+            "GROUP BY c_nationkey"
         ),
         "winsorize": (
             "WITH t AS (SELECT lang, "

@@ -88,6 +88,18 @@ def test_running_total_single_shuffle(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_sales_opportunity_anti_join_with_scalar_gate(spark, sf_dir):
+    df = entry.q_sales_opportunity(spark, sf_dir)
+    plan = _plan(df)
+    # Q22 shape: NOT EXISTS stays an anti join; the AVG threshold is a
+    # broadcast 1-row aggregate, never a per-row recompute
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["numcust"] > 0 for r in rows)
+
+
 def test_scd2_intervals_collapse_runs_single_exchange(spark, sf_dir):
     from amaxa_spark.operators.timeseries import scd2_intervals
 
