@@ -184,6 +184,44 @@ def benchmark_contamination(
     )
 
 
+def tune_lsh_bands(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+    steps: int = 1000,
+) -> tuple[int, int]:
+    """Pick (bands, rows) for MinHash-LSH banding given a Jaccard
+    ``threshold``: for each factorization b·r = num_hashes, the
+    candidate probability at similarity s is 1 − (1 − s^r)^b
+    (the MMDS S-curve); minimize the weighted error
+    ``fp_weight·∫₀ᵗ P(s) ds + fn_weight·∫ᵗ¹ (1 − P(s)) ds``
+    numerically. Returns the minimizing (bands, rows) — pass
+    ``bands`` straight to :func:`minhash_lsh_pairs`. Weight
+    ``fn_weight`` up when a missed duplicate costs more than a
+    wasted exact-verify (the usual dedup posture).
+
+    Pure driver-side arithmetic — tune once, run at any scale.
+    """
+    best, best_err = None, None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**rows) ** bands
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp_weight * fp + fn_weight * fn) / steps
+        if best_err is None or err < best_err:
+            best, best_err = (bands, rows), err
+    return best
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:

@@ -1660,3 +1660,24 @@ def test_pcm_energy_windows_exact(spark):
     for r in out:
         seg = samples[r.window_id * 256 : (r.window_id + 1) * 256]
         assert r.sum_sq == int((seg**2).sum())
+
+
+def test_tune_lsh_bands_tracks_threshold():
+    """The S-curve tuner: low thresholds want many bands (aggressive
+    candidate generation), high thresholds want long rows (strict),
+    and the chosen split's 50% crossover sits near the threshold."""
+    from amaxa_spark.operators.dedup import tune_lsh_bands
+
+    b_lo, r_lo = tune_lsh_bands(0.2, 16)
+    b_hi, r_hi = tune_lsh_bands(0.9, 16)
+    assert b_lo * r_lo == 16 and b_hi * r_hi == 16
+    assert b_lo > b_hi and r_lo < r_hi
+    # crossover s* = (1/b)^(1/r) should be within ~0.2 of the target
+    for t, (b, r) in ((0.2, (b_lo, r_lo)), (0.9, (b_hi, r_hi))):
+        s_star = (1.0 / b) ** (1.0 / r)
+        assert abs(s_star - t) < 0.2, (t, b, r, s_star)
+    # asymmetric weights: punishing false negatives pushes toward
+    # MORE bands (recall) at the same threshold
+    b_fn, _ = tune_lsh_bands(0.5, 16, fn_weight=10.0)
+    b_bal, _ = tune_lsh_bands(0.5, 16)
+    assert b_fn >= b_bal
