@@ -1342,6 +1342,38 @@ def q_events_zscore(spark, sf_dir):
     )
 
 
+def q_events_state_at(spark, sf_dir):
+    """Point-in-time dimension lookup — operator COMPOSITION: the
+    SCD2 interval build feeds an as-of join, labeling every event
+    with the state its user was in when it happened (since intervals
+    partition each key's timeline, 'containing interval' ≡ 'last
+    valid_from at or before ts'). One union+window shuffle for the
+    as-of; SCD2's own key exchange feeds it."""
+    from amaxa_spark.operators.asof import asof_join
+    from amaxa_spark.operators.timeseries import scd2_intervals
+
+    ev = _read(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.where(F.col("event_type") != "purchase"),
+        "user_id", "ts", "event_type", "event_id",
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("event_type").alias("state"),
+    )
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id"),
+        dim, ts="ts", by="user_id", value_cols=["state"],
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        F.col("state_r").alias("state_at_event"),
+    )
+
+
 def q_sales_opportunity(spark, sf_dir):
     """TPC-H Q22 shape: rich-but-inactive customers per nation — a
     scalar AVG subquery (1-row broadcast) gating the filter, a NOT
@@ -2252,7 +2284,7 @@ QUERY_ORDER = [
     "vocab_topk", "bm25_search", "cooccurrence_pmi",
     "percentile_filter", "value_histogram", "dedup_representatives",
     "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
-    "key_skew_profile", "sales_opportunity",
+    "key_skew_profile", "sales_opportunity", "events_state_at",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2339,6 +2371,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "winsorize": q_winsorize,
         "sales_opportunity": q_sales_opportunity,
+        "events_state_at": q_events_state_at,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -2823,6 +2856,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_anomaly "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)"
+        ),
+        "events_state_at": (
+            "WITH nev AS (SELECT * FROM events WHERE event_type <> 'purchase'), "
+            "r AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN event_type IS NOT DISTINCT FROM "
+            "lag(event_type) OVER w THEN 0 ELSE 1 END AS chg "
+            "FROM nev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(chg) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS run FROM r), "
+            "iv AS (SELECT user_id, min(event_type) AS event_type, "
+            "min(ts) AS valid_from FROM s GROUP BY user_id, run), "
+            "p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.user_id, epoch_ms(p.ts)::BIGINT AS ts_ms, p.event_id, "
+            "l.state AS state_at_event FROM p "
+            "LEFT JOIN LATERAL (SELECT iv.event_type AS state FROM iv "
+            "WHERE iv.user_id = p.user_id AND iv.valid_from <= p.ts "
+            "ORDER BY iv.valid_from DESC LIMIT 1) l ON TRUE"
         ),
         "sales_opportunity": (
             "WITH pool AS (SELECT c_custkey, c_nationkey, c_acctbal "
