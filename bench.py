@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "events_zscore",
     "weighted_sample",
     "dedup_representatives",
+    "tfidf_keywords",
+    "winsorize",
+    "key_skew_profile",
+    "zorder_key",
+    "sales_opportunity",
+    "events_state_at",
 ]
 
 
