@@ -1182,6 +1182,15 @@ def q_mixture_sample(spark, sf_dir):
     return mixture_sample(docs, "doc_id", "source", target_rows=300, alpha=0.5)
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Distance-to-own-centroid outlier flags per label: centroid
+    aggregate (vectors never shuffle) joined back along the
+    posexploded stream, per-label p75 threshold broadcast."""
+    return SIM.centroid_outliers(
+        _read(spark, sf_dir, "embeddings"), "label", "embedding", p=0.75
+    )
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label class prototypes (long form): posexplode →
     (label,pos) aggregation; the shuffle carries partial sums only,
@@ -2285,6 +2294,7 @@ QUERY_ORDER = [
     "percentile_filter", "value_histogram", "dedup_representatives",
     "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
     "key_skew_profile", "sales_opportunity", "events_state_at",
+    "embedding_outliers",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2372,6 +2382,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "sales_opportunity": q_sales_opportunity,
         "events_state_at": q_events_state_at,
+        "embedding_outliers": q_embedding_outliers,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3019,6 +3030,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed, "
             "epoch_ms(t1)::BIGINT AS t1_ms, epoch_ms(t2)::BIGINT AS t2_ms, "
             "epoch_ms(t3)::BIGINT AS t3_ms FROM s3"
+        ),
+        "embedding_outliers": (
+            "WITH c AS (SELECT label, CAST(pos AS INT) AS pos, "
+            "round(avg(v), 6) AS c, count(*) AS n FROM "
+            "(SELECT label, unnest(embedding::DOUBLE[]) AS v, "
+            "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+            "GROUP BY label, pos), "
+            "x AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS v, "
+            "generate_subscripts(embedding, 1) AS pos FROM embeddings), "
+            "d AS (SELECT vec_id, x.label, "
+            "round(sum((v - c.c) * (v - c.c)), 6) AS d2 "
+            "FROM x JOIN c ON x.label = c.label AND x.pos = c.pos "
+            "GROUP BY vec_id, x.label), "
+            "t AS (SELECT label, quantile_cont(d2, 0.75) AS thr "
+            "FROM d GROUP BY label) "
+            "SELECT vec_id, d.label, d2, round(thr, 6) AS thr, "
+            "CAST(d2 > thr AS INT) AS is_outlier "
+            "FROM d JOIN t ON d.label = t.label"
         ),
         "embedding_centroids": (
             "SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS c, "

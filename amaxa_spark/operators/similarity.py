@@ -443,6 +443,59 @@ def label_centroids(
     )
 
 
+def centroid_outliers(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    p: float = 0.75,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mislabeled-sample detection: squared distance of each vector
+    to its OWN class centroid, flagged when above the class's p-th
+    percentile — the embedding-space data-quality sweep (a vector far
+    from its label's prototype is a labeling or dedup candidate).
+
+    Distances use the ROUNDED centroid table (both engines then share
+    bit-identical inputs) and stay squared (monotone — no sqrt, one
+    fewer FP divergence surface). Scale shape: one |labels|×dim
+    centroid aggregate (vectors never shuffle — see
+    :func:`label_centroids`), joined back along the posexploded
+    stream; the per-label threshold is a group-cardinality percentile
+    aggregate broadcast onto the scores.
+    """
+    cents = label_centroids(emb, label_col, vec_col)
+    x = (
+        emb.select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda v: v.cast("double"))
+            ).alias("pos", "__v"),
+        )
+        .select(id_col, "label", (F.col("pos") + 1).cast("int").alias("pos"), "__v")
+    )
+    d = (
+        x.join(cents, ["label", "pos"])
+        .groupBy(id_col, "label")
+        .agg(
+            F.round(
+                F.sum((F.col("__v") - F.col("c")) * (F.col("__v") - F.col("c"))),
+                6,
+            ).alias("d2")
+        )
+    )
+    thr = d.groupBy("label").agg(
+        F.percentile(F.col("d2"), F.lit(float(p))).alias("__thr")
+    )
+    return d.join(F.broadcast(thr), "label").select(
+        id_col,
+        "label",
+        "d2",
+        F.round(F.col("__thr"), 6).alias("thr"),
+        (F.col("d2") > F.col("__thr")).cast("int").alias("is_outlier"),
+    )
+
+
 def knn_join_exact(
     left: DataFrame,
     right: DataFrame,

@@ -1662,6 +1662,28 @@ def test_pcm_energy_windows_exact(spark):
         assert r.sum_sq == int((seg**2).sum())
 
 
+def test_centroid_outliers_flags_far_vectors(spark):
+    from amaxa_spark.operators import similarity as SIM
+
+    # label 0: tight cluster near (1,0) plus one vector at (-1,0)
+    rows = [(i, 0, [1.0, float(i) / 100]) for i in range(8)]
+    rows.append((99, 0, [-1.0, 0.0]))
+    rows += [(200 + i, 1, [0.0, 1.0]) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, label: int, embedding: array<float>"
+    )
+    out = {r["vec_id"]: r for r in
+           SIM.centroid_outliers(df, "label", "embedding", p=0.75).collect()}
+    assert out[99]["is_outlier"] == 1          # the planted flip
+    assert sum(r["is_outlier"] for r in out.values() if r["label"] == 0) <= 3
+    # identical vectors: d2 == 0 == threshold -> never flagged (strict >)
+    assert all(out[200 + i]["is_outlier"] == 0 for i in range(4))
+    # flagged fraction per label bounded by 1-p
+    n0 = sum(1 for r in out.values() if r["label"] == 0)
+    f0 = sum(r["is_outlier"] for r in out.values() if r["label"] == 0)
+    assert f0 / n0 <= 0.3
+
+
 def test_tune_lsh_bands_tracks_threshold():
     """The S-curve tuner: low thresholds want many bands (aggressive
     candidate generation), high thresholds want long rows (strict),
