@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         help="extract: commit all tables via the manifest protocol "
         "(all-or-nothing across tables)",
     )
+    p.add_argument(
+        "--pre-check",
+        help="load: quality-rules YAML evaluated against each step's "
+        "INPUT before anything is written; any failing rule aborts "
+        "the load (exit 2)",
+    )
     p.add_argument("--state", help="resume from this state directory")
     p.add_argument("--save-state", help="write state here on failure/success")
     p.add_argument(
@@ -167,6 +173,37 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     steps = load_load_config(args.operation)
+    if args.pre_check:
+        # fail-stop BEFORE any write: garbage inputs never reach the
+        # two-phase replay (the reference validates input columns;
+        # this validates input CONTENT)
+        from amaxa_spark.config.loader import load_quality_config
+        from amaxa_spark.operators.quality import check_constraints
+
+        inputs = {
+            s.table: (
+                spark.read.option("header", True).csv(s.input_path)
+                if s.input_path is not None
+                else catalog[s.table]
+            )
+            for s in steps
+        }
+        any_failed = False
+        for table, rules in load_quality_config(args.pre_check):
+            if table not in inputs:
+                print(f"FAIL {table}: not a load step", file=sys.stderr)
+                any_failed = True
+                continue
+            for r in check_constraints(inputs[table], rules).collect():
+                status = "PASS" if r["passed"] else "FAIL"
+                print(
+                    f"{status} {table}.{r['rule']} [{r['check']} on "
+                    f"{r['column']}] value={r['value']}"
+                )
+                any_failed = any_failed or not r["passed"]
+        if any_failed:
+            print("pre-check failed; nothing loaded", file=sys.stderr)
+            return 2
     result_paths = {s.table: s.result_path for s in steps}
     prior, stage = None, "inserts"
     if args.state:

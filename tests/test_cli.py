@@ -280,6 +280,69 @@ def test_cli_load_honors_file_and_result_file_keys(spark, tmp_path):
     assert {r["Original Id"] for r in con_res.collect()} == {"C1", "C2"}
 
 
+def test_cli_load_pre_check_gates_the_load(spark, tmp_path):
+    """--pre-check evaluates quality rules against step INPUTS and
+    aborts before any write when a rule fails."""
+    reg_path, acc_csv, con_csv = _load_fixture(tmp_path)
+    op = {
+        "version": 1,
+        "operation": [
+            {"sobject": "Account", "file": str(acc_csv)},
+            {"sobject": "Contact", "file": str(con_csv)},
+        ],
+    }
+    op_path = tmp_path / "load.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    empty = tmp_path / "empty-data-dir"
+    empty.mkdir()
+
+    # failing rule: Name completeness on Account (ParentId blank row
+    # exists, but Name is complete -> use a rule that actually fails)
+    bad = {
+        "version": 1,
+        "checks": [
+            {"table": "Account", "rules": [
+                {"name": "parent_complete", "column": "ParentId",
+                 "check": "completeness", "min": 1.0},
+            ]}
+        ],
+    }
+    bad_path = tmp_path / "bad.yml"
+    bad_path.write_text(yaml.safe_dump(bad))
+    out = tmp_path / "gated_out"
+    rc = main(
+        ["load", str(op_path), "--data-dir", str(empty),
+         "--registry", str(reg_path), "--out", str(out),
+         "--pre-check", str(bad_path)]
+    )
+    assert rc == 2
+    assert not (out / "Account.parquet").exists()  # nothing written
+
+    # passing rules: load proceeds normally
+    good = {
+        "version": 1,
+        "checks": [
+            {"table": "Account", "rules": [
+                {"name": "pk_unique", "column": "Id",
+                 "check": "uniqueness", "min": 1.0},
+            ]},
+            {"table": "Contact", "rules": [
+                {"name": "fk_complete", "column": "AccountId",
+                 "check": "completeness", "min": 1.0},
+            ]},
+        ],
+    }
+    good_path = tmp_path / "good.yml"
+    good_path.write_text(yaml.safe_dump(good))
+    rc = main(
+        ["load", str(op_path), "--data-dir", str(empty),
+         "--registry", str(reg_path), "--out", str(out),
+         "--pre-check", str(good_path)]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out / "Account.parquet")).count() == 2
+
+
 def test_cli_load_resume_appends_results(spark, tmp_path):
     """A resumed run appends only NEW results to the result sink
     (reference opens result files in 'a' mode under state:
