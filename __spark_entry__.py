@@ -1182,6 +1182,20 @@ def q_mixture_sample(spark, sf_dir):
     return mixture_sample(docs, "doc_id", "source", target_rows=300, alpha=0.5)
 
 
+def q_corpus_ks_drift(spark, sf_dir):
+    """Two-sample KS drift of document length between snapshot halves:
+    per-value counts (map-side combined), one cumulative window over
+    DISTINCT values only, 1-row result."""
+    from amaxa_spark.operators.stats import ks_statistic
+
+    docs = _read(spark, sf_dir, "documents")
+    return ks_statistic(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "n_chars",
+    )
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Distance-to-own-centroid outlier flags per label: centroid
     aggregate (vectors never shuffle) joined back along the
@@ -2294,7 +2308,7 @@ QUERY_ORDER = [
     "percentile_filter", "value_histogram", "dedup_representatives",
     "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
     "key_skew_profile", "sales_opportunity", "events_state_at",
-    "embedding_outliers",
+    "embedding_outliers", "corpus_ks_drift",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2383,6 +2397,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_opportunity": q_sales_opportunity,
         "events_state_at": q_events_state_at,
         "embedding_outliers": q_embedding_outliers,
+        "corpus_ks_drift": q_corpus_ks_drift,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3030,6 +3045,23 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed, "
             "epoch_ms(t1)::BIGINT AS t1_ms, epoch_ms(t2)::BIGINT AS t2_ms, "
             "epoch_ms(t3)::BIGINT AS t3_ms FROM s3"
+        ),
+        "corpus_ks_drift": (
+            "WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS n1 "
+            "FROM documents WHERE doc_id % 2 = 0 GROUP BY 1), "
+            "nn AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS n2 "
+            "FROM documents WHERE doc_id % 2 = 1 GROUP BY 1), "
+            "j AS (SELECT coalesce(o.v, nn.v) AS v, "
+            "coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2 "
+            "FROM o FULL OUTER JOIN nn ON o.v = nn.v), "
+            "t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM j), "
+            "c AS (SELECT v, "
+            "sum(n1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) / t1 AS c1, "
+            "sum(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) / t2 AS c2 FROM j, t) "
+            "SELECT round(abs(c1 - c2), 9) AS ks, v AS at_value FROM c "
+            "ORDER BY ks DESC, v ASC LIMIT 1"
         ),
         "embedding_outliers": (
             "WITH c AS (SELECT label, CAST(pos AS INT) AS pos, "

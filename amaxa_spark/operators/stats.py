@@ -142,6 +142,57 @@ def fixed_width_histogram(
     )
 
 
+def ks_statistic(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between snapshots of a
+    numeric column: ``max |CDF_old(v) − CDF_new(v)|`` over observed
+    values, with the argmax value — the nonparametric drift test for
+    NUMERIC columns (PSI's complement, which handles categoricals).
+    Returns one row: (ks, at_value).
+
+    Scale shape: each side collapses to per-value counts first
+    (map-side combine), then a full-outer join on the value and ONE
+    global-order cumulative window over the DISTINCT values — the
+    global sort is over value cardinality, not row count. For
+    continuous columns with unbounded cardinality, pre-bucket with
+    :func:`fixed_width_histogram` widths first; the KS of the
+    bucketed CDF bounds the true KS within one bucket's mass.
+    """
+    co = old.groupBy(F.col(value_col).cast("double").alias("v")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    cn = new.groupBy(F.col(value_col).cast("double").alias("v")).agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    j = (
+        co.join(cn, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    totals = j.agg(
+        F.sum("n1").alias("__t1"), F.sum("n2").alias("__t2")
+    )
+    cdfs = j.crossJoin(F.broadcast(totals)).select(
+        "v",
+        (F.sum("n1").over(w) / F.col("__t1")).alias("__c1"),
+        (F.sum("n2").over(w) / F.col("__t2")).alias("__c2"),
+    )
+    gap = F.round(F.abs(F.col("__c1") - F.col("__c2")), 9)
+    return (
+        cdfs.select("v", gap.alias("__gap"))
+        .orderBy(F.col("__gap").desc(), F.col("v").asc())
+        .limit(1)
+        .select(F.col("__gap").alias("ks"), F.col("v").alias("at_value"))
+    )
+
+
 def distribution_drift(
     old: DataFrame,
     new: DataFrame,

@@ -1662,6 +1662,24 @@ def test_pcm_energy_windows_exact(spark):
         assert r.sum_sq == int((seg**2).sum())
 
 
+def test_ks_statistic_detects_shift(spark):
+    from amaxa_spark.operators.stats import ks_statistic
+
+    same_a = spark.range(1000).select((F.col("id") % 100).alias("v"))
+    same_b = spark.range(1000).select((F.col("id") % 100).alias("v"))
+    shifted = spark.range(1000).select((F.col("id") % 100 + 50).alias("v"))
+    # identical distributions: KS = 0
+    r0 = ks_statistic(same_a, same_b, "v").collect()[0]
+    assert r0["ks"] == 0.0
+    # 50-of-100 shift: exactly half the mass is non-overlapping -> 0.5
+    r1 = ks_statistic(same_a, shifted, "v").collect()[0]
+    assert r1["ks"] == 0.5
+    assert r1["at_value"] == 49.0  # gap peaks at the old half's edge
+    # disjoint supports: KS = 1
+    far = spark.range(1000).select((F.col("id") % 100 + 1000).alias("v"))
+    assert ks_statistic(same_a, far, "v").collect()[0]["ks"] == 1.0
+
+
 def test_centroid_outliers_flags_far_vectors(spark):
     from amaxa_spark.operators import similarity as SIM
 
