@@ -92,8 +92,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--atomic",
         action="store_true",
-        help="extract: commit all tables via the manifest protocol "
-        "(all-or-nothing across tables)",
+        help="extract/load: commit all tables via the manifest "
+        "protocol (all-or-nothing across tables)",
     )
     p.add_argument(
         "--pre-check",
@@ -219,6 +219,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"state saved to {args.save_state}", file=sys.stderr)
         raise
     step_options = {s.table: s.options for s in steps}
+    if args.atomic:
+        # all-or-nothing publication of the loaded tables (manifest
+        # protocol, load-side twin of extract --atomic)
+        from amaxa_spark.sources.catalog import atomic_load_publish
+
+        manifest = atomic_load_publish(
+            dict(res.written), args.out, record_counts=True
+        )
+        for table, entry in manifest["tables"].items():
+            n_err = res.errors[table].count() if table in res.errors else 0
+            print(f"loaded {table}: {entry['rows']} records, {n_err} errors")
+        print(f"committed generation {manifest['token']}")
+        if args.save_state:
+            save_state(args.save_state, "dependents", res.id_map)
+        return 0
     for table, df in res.written.items():
         df, write_opts = apply_advisory_options(
             df, step_options.get(table, {}), table

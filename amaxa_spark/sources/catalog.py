@@ -223,18 +223,21 @@ def atomic_extract_write(
                 os.path.join(out_dir, f"{name}-{token}.csv"), ignore_errors=True
             )
         raise
+    manifest = {"token": token, "format": "csv", "pk": pk, "tables": tables}
+    _publish_manifest(out_dir, manifest)
+    return manifest
+
+
+def _publish_manifest(out_dir: str, manifest: dict) -> None:
+    """Commit a generation: history record first (enables time
+    travel), live pointer last via write-temp + ``os.replace`` (the
+    atomic commit). A crash between the two leaves a readable
+    generation in history that never became current — harmless."""
+    import json
     import time
 
-    manifest = {
-        "token": token,
-        "format": "csv",
-        "pk": pk,
-        "tables": tables,
-        "committed_at": time.time(),
-    }
-    # history record first (enables time travel), live pointer last
-    # (the commit). A crash between the two leaves a readable
-    # generation in history that never became current — harmless.
+    manifest["committed_at"] = time.time()
+    token = manifest["token"]
     hist_dir = os.path.join(out_dir, HISTORY_DIR)
     os.makedirs(hist_dir, exist_ok=True)
     with open(os.path.join(hist_dir, f"{token}.json"), "w") as f:
@@ -243,6 +246,47 @@ def atomic_extract_write(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+
+
+def atomic_load_publish(
+    outputs: dict[str, DataFrame],
+    out_dir: str,
+    record_counts: bool = False,
+) -> dict:
+    """All-or-nothing publication of LOADED tables — the load-side
+    twin of :func:`atomic_extract_write`. A multi-table load that
+    dies after writing table A but before table B must not leave a
+    half-replayed target visible: tables land as parquet under a
+    fresh generation token and the manifest publish is the single
+    atomic commit. Readers (:func:`read_committed_extract`) and
+    retention (:func:`vacuum_extract`, time travel) work unchanged —
+    the manifest records ``format: parquet``.
+    """
+    import json  # noqa: F401  (parity with extract path)
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    os.makedirs(out_dir, exist_ok=True)
+    tables: dict[str, dict] = {}
+    try:
+        for name, df in outputs.items():
+            rel = f"{name}-{token}.parquet"
+            df.write.mode("errorifexists").parquet(os.path.join(out_dir, rel))
+            entry: dict = {"path": rel}
+            if record_counts:
+                entry["rows"] = df.count()
+            tables[name] = entry
+    except Exception:
+        import shutil
+
+        for name in outputs:
+            shutil.rmtree(
+                os.path.join(out_dir, f"{name}-{token}.parquet"),
+                ignore_errors=True,
+            )
+        raise
+    manifest = {"token": token, "format": "parquet", "tables": tables}
+    _publish_manifest(out_dir, manifest)
     return manifest
 
 
@@ -263,12 +307,16 @@ def read_committed_extract(
     )
     with open(path) as f:
         manifest = json.load(f)
-    return {
-        name: spark.read.option("header", True).csv(
-            os.path.join(out_dir, entry["path"])
+    fmt = manifest.get("format", "csv")
+    out = {}
+    for name, entry in manifest["tables"].items():
+        p = os.path.join(out_dir, entry["path"])
+        out[name] = (
+            spark.read.parquet(p)
+            if fmt == "parquet"
+            else spark.read.option("header", True).csv(p)
         )
-        for name, entry in manifest["tables"].items()
-    }
+    return out
 
 
 def list_generations(out_dir: str) -> list[dict]:

@@ -343,6 +343,37 @@ def test_cli_load_pre_check_gates_the_load(spark, tmp_path):
     assert spark.read.parquet(str(out / "Account.parquet")).count() == 2
 
 
+def test_cli_load_atomic_publishes_manifest(spark, tmp_path):
+    """--atomic on load: tables land under a generation token and the
+    manifest is the commit; readers resolve through it (parquet)."""
+    from amaxa_spark.sources.catalog import read_committed_extract
+
+    reg_path, acc_csv, con_csv = _load_fixture(tmp_path)
+    op = {
+        "version": 1,
+        "operation": [
+            {"sobject": "Account", "file": str(acc_csv)},
+            {"sobject": "Contact", "file": str(con_csv)},
+        ],
+    }
+    op_path = tmp_path / "load.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    empty = tmp_path / "empty-data-dir"
+    empty.mkdir()
+    out = tmp_path / "atomic_out"
+    rc = main(
+        ["load", str(op_path), "--data-dir", str(empty),
+         "--registry", str(reg_path), "--out", str(out), "--atomic"]
+    )
+    assert rc == 0
+    got = read_committed_extract(spark, str(out))
+    assert set(got) == {"Account", "Contact"}
+    assert got["Account"].count() == 2 and got["Contact"].count() == 2
+    # FKs were rewritten through the id map before publication
+    accs = {r["Id"] for r in got["Account"].collect()}
+    assert {r["AccountId"] for r in got["Contact"].collect()} <= accs
+
+
 def test_cli_load_resume_appends_results(spark, tmp_path):
     """A resumed run appends only NEW results to the result sink
     (reference opens result files in 'a' mode under state:
