@@ -265,3 +265,37 @@ def test_extract_time_travel_and_retention(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_committed_extract(spark, out, token=m1["token"])
     assert read_committed_extract(spark, out)["Account"].count() == 2
+
+
+def test_incremental_delta_against_committed_generation(spark, tmp_path):
+    """CDC shape: after an atomic commit, only new/changed rows
+    survive the delta; first run (no manifest) passes everything."""
+    from amaxa_spark.sources.catalog import (
+        atomic_extract_write,
+        incremental_delta,
+    )
+
+    out = str(tmp_path / "inc")
+    v1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "Id string, Name string"
+    )
+    # first run: no committed generation -> full passthrough
+    d0 = incremental_delta(spark, {"Account": v1}, out, {"Account": "Id"})
+    assert d0["Account"].count() == 3
+    atomic_extract_write({"Account": v1}, out, pk="Id", single_file=True)
+
+    # v2: row 2 changed, row 4 added, rows 1/3 untouched
+    v2 = spark.createDataFrame(
+        [(1, "alpha"), (2, "BETA2"), (3, "gamma"), (4, "delta")],
+        "Id string, Name string",
+    )
+    d1 = incremental_delta(spark, {"Account": v2}, out, {"Account": "Id"})
+    got = {(r["Id"], r["Name"]) for r in d1["Account"].collect()}
+    assert got == {("2", "BETA2"), ("4", "delta")}
+
+    # unknown table in current -> treated as all-new
+    extra = spark.createDataFrame([(9, "x")], "Id string, V string")
+    d2 = incremental_delta(
+        spark, {"Other": extra}, out, {"Other": "Id"}
+    )
+    assert d2["Other"].count() == 1
