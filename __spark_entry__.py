@@ -577,7 +577,10 @@ def _ivf_oracle_sql(
     empty cells keep their previous centroid."""
     ctes = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {n_centroids})",
+        # lowest-id seeds (ORDER BY + LIMIT, matching the operator —
+        # identical to `vec_id < K` on dense 0-based ids, correct on
+        # sparse id spaces too)
+        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM base ORDER BY vec_id LIMIT {n_centroids})",
     ]
     for i in range(1, iters + 1):
         prev = f"cent{i-1}"
@@ -2819,7 +2822,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "WHERE doc_id % 2 = 1 GROUP BY source), "
             "j AS (SELECT coalesce(o.key, n.key) AS key, "
             "coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new "
-            "FROM o FULL OUTER JOIN n ON o.key = n.key), "
+            "FROM o FULL OUTER JOIN n ON o.key IS NOT DISTINCT FROM n.key), "
             "s AS (SELECT CAST(sum(n_old) AS DOUBLE) AS t_o, "
             "CAST(sum(n_new) AS DOUBLE) AS t_n, "
             "CAST(count(*) AS DOUBLE) AS k FROM j) "
@@ -3048,9 +3051,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         ),
         "corpus_ks_drift": (
             "WITH o AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS n1 "
-            "FROM documents WHERE doc_id % 2 = 0 GROUP BY 1), "
+            "FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1), "
             "nn AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS n2 "
-            "FROM documents WHERE doc_id % 2 = 1 GROUP BY 1), "
+            "FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1), "
             "j AS (SELECT coalesce(o.v, nn.v) AS v, "
             "coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2 "
             "FROM o FULL OUTER JOIN nn ON o.v = nn.v), "
@@ -3289,10 +3292,12 @@ def _oracle_sql_raw() -> dict[str, str]:
             r"regexp_replace(lower(trim('edited ' || text)), '\s+', ' ', 'g') "
             f"ELSE {_NORM_TEXT} END) AS h FROM documents WHERE doc_id % 11 != 5) "
             "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
-            "CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed' "
-            "WHEN o.h != n.h THEN 'changed' END AS status "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.h IS DISTINCT FROM n.h THEN 'changed' END AS status "
             "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
-            "WHERE o.h IS NULL OR n.h IS NULL OR o.h != n.h"
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL "
+            "OR o.h IS DISTINCT FROM n.h"
         ),
         "audio_meta": (
             "SELECT doc_id, true AS valid, 1 AS n_channels, 8000 AS sample_rate, "

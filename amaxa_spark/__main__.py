@@ -219,41 +219,48 @@ def main(argv: list[str] | None = None) -> int:
             print(f"state saved to {args.save_state}", file=sys.stderr)
         raise
     step_options = {s.table: s.options for s in steps}
+    if args.atomic and args.merge_buckets:
+        p.error("--atomic and --merge-buckets are mutually exclusive layouts")
+    prepared = {
+        table: apply_advisory_options(df, step_options.get(table, {}), table)
+        for table, df in res.written.items()
+    }
+    counts: dict[str, int] = {}
     if args.atomic:
         # all-or-nothing publication of the loaded tables (manifest
-        # protocol, load-side twin of extract --atomic)
+        # protocol, load-side twin of extract --atomic); result-file
+        # sinks and advisory options apply exactly as non-atomic
         from amaxa_spark.sources.catalog import atomic_load_publish
 
         manifest = atomic_load_publish(
-            dict(res.written), args.out, record_counts=True
+            {t: d for t, (d, _) in prepared.items()},
+            args.out,
+            record_counts=True,
+            write_options={t: w for t, (_, w) in prepared.items()},
         )
-        for table, entry in manifest["tables"].items():
-            n_err = res.errors[table].count() if table in res.errors else 0
-            print(f"loaded {table}: {entry['rows']} records, {n_err} errors")
+        counts = {t: e["rows"] for t, e in manifest["tables"].items()}
         print(f"committed generation {manifest['token']}")
-        if args.save_state:
-            save_state(args.save_state, "dependents", res.id_map)
-        return 0
-    for table, df in res.written.items():
-        df, write_opts = apply_advisory_options(
-            df, step_options.get(table, {}), table
-        )
-        if args.merge_buckets:
-            from amaxa_spark.sources.catalog import write_partitioned_table
+    for table, (df, write_opts) in prepared.items():
+        if not args.atomic:
+            if args.merge_buckets:
+                from amaxa_spark.sources.catalog import write_partitioned_table
 
-            write_partitioned_table(
-                df,
-                f"{args.out}/{table}.parquet",
-                pk=registry[table].pk,
-                n_buckets=args.merge_buckets,
-            )
-        else:
-            w = df.write.mode("overwrite")
-            for k, v in write_opts.items():
-                w = w.option(k, v)
-            w.parquet(f"{args.out}/{table}.parquet")
+                write_partitioned_table(
+                    df,
+                    f"{args.out}/{table}.parquet",
+                    pk=registry[table].pk,
+                    n_buckets=args.merge_buckets,
+                )
+            else:
+                w = df.write.mode("overwrite")
+                for k, v in write_opts.items():
+                    w = w.option(k, v)
+                w.parquet(f"{args.out}/{table}.parquet")
         n_err = res.errors[table].count() if table in res.errors else 0
-        print(f"loaded {table}: {df.count()} records, {n_err} errors")
+        n_rows = counts.get(table, None)
+        if n_rows is None:
+            n_rows = df.count()
+        print(f"loaded {table}: {n_rows} records, {n_err} errors")
         id_map = res.id_map[table].select(
             F.col("old_id").alias(constants.ORIGINAL_ID),
             F.col("new_id").alias(constants.NEW_ID),

@@ -137,11 +137,15 @@ def select_representatives(
     cluster — clusters are tiny, so partitions are shallow; no global
     sort.
     """
-    j = members.join(scores, members[id_col] == scores[id_col]).drop(
-        scores[id_col]
-    )
+    # LEFT join: a member with no score row stays in the decision
+    # record (an inner join would silently drop it — and could crown
+    # the wrong keeper); unscored members sort last, never winning
+    # against any scored member
+    j = members.join(
+        scores, members[id_col] == scores[id_col], "left_outer"
+    ).drop(scores[id_col])
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return j.withColumn(
         "is_rep", (F.row_number().over(w) == 1).cast("int")
@@ -643,19 +647,24 @@ def corpus_diff(
     one full outer join on id. Content never crosses the shuffle, only
     32-byte hashes; the join is the standard re-crawl delta shape.
     """
+    # presence markers, NOT hash nullness: a doc with NULL text hashes
+    # to NULL, and keying status on the hash would misreport a removed
+    # null-text doc as 'added'
     oh = old.select(
         F.col(id_col).alias("__id"),
         F.md5(normalize_text(F.col(text_col))).alias("__oh"),
+        F.lit(1).alias("__op"),
     )
     nh = new.select(
         F.col(id_col).alias("__id"),
         F.md5(normalize_text(F.col(text_col))).alias("__nh"),
+        F.lit(1).alias("__np"),
     )
     j = oh.join(nh, "__id", "full_outer")
     status = (
-        F.when(F.col("__oh").isNull(), F.lit("added"))
-        .when(F.col("__nh").isNull(), F.lit("removed"))
-        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+        F.when(F.col("__op").isNull(), F.lit("added"))
+        .when(F.col("__np").isNull(), F.lit("removed"))
+        .when(~F.col("__oh").eqNullSafe(F.col("__nh")), F.lit("changed"))
     )
     return (
         j.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -185,6 +185,15 @@ class ExtractOperation:
             not cls.self_lookups
             or step.self_lookup_behavior is not SelfLookupBehavior.TRACE_ALL
         ):
+            # STEP-level trace-none skips the entire recursion —
+            # including the downward children pass — exactly as the
+            # reference gates its whole iterate-to-fixpoint loop on
+            # the step-level behavior (`amaxa/amaxa.py:697-700`).
+            # This intentionally differs from PER-FIELD trace-none
+            # below, which (also like the reference,
+            # `amaxa/amaxa.py:735-745`) suppresses only the upward
+            # dependency registration while the children pass still
+            # covers every self-lookup column.
             return ids
         t = self.catalog[step.table]
         pk = self.registry[step.table].pk

@@ -38,18 +38,32 @@ def zorder_key(cols: list, bits: int = 8) -> F.Column:
     return key
 
 
-def file_stats_index(spark, path: str, cols: list[str]) -> "DataFrame":
+def file_stats_index(
+    spark, path: str, cols: list[str], paths: list[str] | None = None
+) -> "DataFrame":
     """Build a file-skipping index from parquet footers: one row per
     (file, column) with min/max — the Iceberg/Delta manifest-stats
-    idea without the table format. Footers are read EXECUTOR-side
+    idea without the table format. Footer READS are executor-side
     (paths parallelized, ``mapInPandas`` opens each footer), so
     indexing a million-file table fans out instead of looping on the
     driver; the index itself is file-count-sized and is what makes
     :func:`read_pruned` skip files without opening them.
+
+    File LISTING defaults to a local flat ``part-*.parquet`` glob —
+    pass ``paths`` explicitly for object stores or nested/partitioned
+    layouts (whatever lister fits the store; the executor-side footer
+    reads work the same). An empty listing raises rather than
+    producing an index that silently prunes everything.
     """
     import glob as _glob
 
-    paths = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    if paths is None:
+        paths = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    if not paths:
+        raise ValueError(
+            f"file_stats_index: no parquet files found under {path!r} — "
+            "pass `paths` explicitly for non-local or nested layouts"
+        )
     pdf_schema = "path string, col string, vmin double, vmax double"
 
     def footers(batches):

@@ -296,7 +296,9 @@ def _parse_wav(payload: bytes):
         return None
     fmt_tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[20:36])
     data_len = struct.unpack("<I", payload[40:44])[0]
-    if fmt_tag != 1 or bits % 8 or n_ch == 0:
+    # bits/rate of 0 must fail parse (valid=false), not divide by zero
+    # in the frame/duration math downstream
+    if fmt_tag != 1 or bits % 8 or bits == 0 or n_ch == 0 or rate == 0:
         return None
     n_frames = data_len // (n_ch * bits // 8)
     return n_ch, rate, bits, n_frames, payload[44 : 44 + data_len]

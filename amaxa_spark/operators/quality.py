@@ -75,14 +75,26 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     with ``value`` rounded to 6 decimals and ``passed`` the
     lo ≤ value ≤ hi verdict (unbounded sides always hold).
     """
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        # the verdict projection keys on the rule name — duplicates
+        # would silently apply one rule's bounds to another's metric
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
     metrics = df.agg(
         *[F.round(_metric(r), 6).alias(f"__m{i}") for i, r in enumerate(rules)]
     )
+
+    def q(s: str) -> str:
+        # SQL string literal (quotes doubled) — rule/column names come
+        # from user YAML and must not break the stack() expression
+        return "'" + s.replace("'", "''") + "'"
+
     # stack the 1-row metrics frame into one row per rule; thresholds
     # are literals, so the verdict is a pure projection
     stack_args = []
     for i, r in enumerate(rules):
-        stack_args.append(f"'{r.name}', '{r.column}', '{r.check}', __m{i}")
+        stack_args.append(f"{q(r.name)}, {q(r.column)}, {q(r.check)}, __m{i}")
     stacked = metrics.select(
         F.expr(
             f"stack({len(rules)}, "

@@ -285,10 +285,15 @@ def kmeans_codebook(
         F.col(id_col) % train_mod == 0
     )
     cent = (
-        base.where(F.col(id_col) < n_centroids)
+        base.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col("__v").alias("__cv"))
         .localCheckpoint(eager=True)
     )
+    if not cent.take(1):
+        # fail loudly like the pandas assign path — an empty codebook
+        # would otherwise return silently empty results downstream
+        raise ValueError("kmeans_codebook: no vectors to seed from")
     for _ in range(iters):
         assign = assign_cells(train, cent, id_col, impl=assign_impl).select(
             "cid", "__v"

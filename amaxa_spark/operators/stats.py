@@ -161,11 +161,17 @@ def ks_statistic(
     :func:`fixed_width_histogram` widths first; the KS of the
     bucketed CDF bounds the true KS within one bucket's mass.
     """
-    co = old.groupBy(F.col(value_col).cast("double").alias("v")).agg(
-        F.count(F.lit(1)).alias("n1")
+    # nulls carry no position on the number line — excluded from both
+    # CDFs (they'd otherwise split into two never-matching join rows)
+    co = (
+        old.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n1"))
     )
-    cn = new.groupBy(F.col(value_col).cast("double").alias("v")).agg(
-        F.count(F.lit(1)).alias("n2")
+    cn = (
+        new.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n2"))
     )
     j = (
         co.join(cn, "v", "full_outer")
@@ -214,16 +220,18 @@ def distribution_drift(
     aggregate (totals + K) broadcast-crossed in. Key cardinality,
     not corpus size, bounds every post-aggregation frame.
     """
-    co = old.groupBy(F.col(key_col).alias("key")).agg(
+    co = old.groupBy(F.col(key_col).alias("__ko")).agg(
         F.count(F.lit(1)).alias("n_old")
     )
-    cn = new.groupBy(F.col(key_col).alias("key")).agg(
+    cn = new.groupBy(F.col(key_col).alias("__kn")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
+    # null-safe join: a NULL category present on both sides is ONE
+    # key, not a vanished-plus-appeared pair (which would fake drift)
     j = (
-        co.join(cn, "key", "full_outer")
+        co.join(cn, F.col("__ko").eqNullSafe(F.col("__kn")), "full_outer")
         .select(
-            "key",
+            F.coalesce(F.col("__ko"), F.col("__kn")).alias("key"),
             F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
             F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
         )

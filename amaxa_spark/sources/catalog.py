@@ -252,6 +252,7 @@ def atomic_load_publish(
     outputs: dict[str, DataFrame],
     out_dir: str,
     record_counts: bool = False,
+    write_options: dict[str, dict] | None = None,
 ) -> dict:
     """All-or-nothing publication of LOADED tables — the load-side
     twin of :func:`atomic_extract_write`. A multi-table load that
@@ -271,10 +272,17 @@ def atomic_load_publish(
     try:
         for name, df in outputs.items():
             rel = f"{name}-{token}.parquet"
-            df.write.mode("errorifexists").parquet(os.path.join(out_dir, rel))
+            full = os.path.join(out_dir, rel)
+            w = df.write.mode("errorifexists")
+            for k, v in ((write_options or {}).get(name) or {}).items():
+                w = w.option(k, v)
+            w.parquet(full)
             entry: dict = {"path": rel}
             if record_counts:
-                entry["rows"] = df.count()
+                # count the parquet just written (footer metadata) —
+                # re-counting df would re-execute the whole load
+                # lineage a second time per table
+                entry["rows"] = df.sparkSession.read.parquet(full).count()
             tables[name] = entry
     except Exception:
         import shutil

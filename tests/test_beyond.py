@@ -1721,3 +1721,76 @@ def test_tune_lsh_bands_tracks_threshold():
     b_fn, _ = tune_lsh_bands(0.5, 16, fn_weight=10.0)
     b_bal, _ = tune_lsh_bands(0.5, 16)
     assert b_fn >= b_bal
+
+
+def test_corpus_diff_null_text_uses_presence(spark):
+    """Status keys on row PRESENCE, not hash nullness: a removed doc
+    with NULL text is 'removed', a null->text transition 'changed'."""
+    from amaxa_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same")], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(2, "now set"), (3, "same"), (4, None)], "doc_id: long, text: string"
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "text", "doc_id").collect()}
+    assert got == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged
+
+
+def test_quality_rule_names_escaped_and_unique(spark):
+    import pytest
+
+    from amaxa_spark.operators.quality import Rule, check_constraints
+
+    df = spark.createDataFrame([(1,)], "v int")
+    # a quote in the rule name must not break the stack() expression
+    out = check_constraints(
+        df, [Rule("customer's pk", "v", "completeness", lo=1.0)]
+    ).collect()
+    assert out[0]["rule"] == "customer's pk" and out[0]["passed"]
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        check_constraints(
+            df, [Rule("r", "v", "min"), Rule("r", "v", "max")]
+        )
+
+
+def test_select_representatives_keeps_unscored_members(spark):
+    from amaxa_spark.operators import dedup as D
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "id long, cluster_id long"
+    )
+    scores = spark.createDataFrame([(2, 5)], "id long, score int")  # 1, 3 unscored
+    out = {r["id"]: r for r in
+           D.select_representatives(members, scores).collect()}
+    # unscored members remain in the record and never beat scored ones
+    assert set(out) == {1, 2, 3}
+    assert out[2]["is_rep"] == 1 and out[1]["is_rep"] == 0
+    # a cluster with ONLY unscored members still elects a keeper
+    assert out[3]["is_rep"] == 1
+
+
+def test_wav_meta_zero_rate_bits_invalid(spark):
+    """bits_per_sample=0 / sample_rate=0 headers parse to valid=false
+    rows, never executor ZeroDivisionError."""
+    import struct
+
+    from amaxa_spark.operators import multimodal as MM
+
+    def wav(rate, bits):
+        data = b"\x00\x00" * 4
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, bits)
+            + b"data" + struct.pack("<I", len(data))
+        ) + data
+
+    df = spark.createDataFrame(
+        [(1, wav(8000, 16)), (2, wav(8000, 0)), (3, wav(0, 16))],
+        "doc_id: long, payload: binary",
+    )
+    out = {r["doc_id"]: r for r in MM.wav_meta(df, "payload", "doc_id").collect()}
+    assert out[1]["valid"] and out[1]["duration_ms"] == 0
+    assert not out[2]["valid"] and not out[3]["valid"]
