@@ -1199,6 +1199,29 @@ def q_corpus_ks_drift(spark, sf_dir):
     )
 
 
+def q_table_profile(spark, sf_dir):
+    """Rule-free column profiling of documents: nulls + distincts for
+    every column from ONE aggregation pass + stack unpivot."""
+    from amaxa_spark.operators.quality import profile
+
+    return profile(_read(spark, sf_dir, "documents"))
+
+
+def q_split_leakage(spark, sf_dir):
+    """Eval-integrity audit: near-dup clusters spanning more than one
+    train/val/test split. One id join + one cluster aggregation on
+    duplicate-sized frames."""
+    from amaxa_spark.operators.sampling import hash_split, split_leakage
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=4, threshold=0.3)
+    clusters = D.cluster_duplicates(pairs)
+    splits = hash_split(docs.select("doc_id"), "doc_id").select(
+        F.col("doc_id").alias("id"), "split"
+    )
+    return split_leakage(clusters, splits, id_col="id")
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Distance-to-own-centroid outlier flags per label: centroid
     aggregate (vectors never shuffle) joined back along the
@@ -2311,7 +2334,8 @@ QUERY_ORDER = [
     "percentile_filter", "value_histogram", "dedup_representatives",
     "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
     "key_skew_profile", "sales_opportunity", "events_state_at",
-    "embedding_outliers", "corpus_ks_drift",
+    "embedding_outliers", "corpus_ks_drift", "split_leakage",
+    "table_profile",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2401,6 +2425,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_state_at": q_events_state_at,
         "embedding_outliers": q_embedding_outliers,
         "corpus_ks_drift": q_corpus_ks_drift,
+        "split_leakage": q_split_leakage,
+        "table_profile": q_table_profile,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3065,6 +3091,38 @@ def _oracle_sql_raw() -> dict[str, str]:
             "AND CURRENT ROW) / t2 AS c2 FROM j, t) "
             "SELECT round(abs(c1 - c2), 9) AS ks, v AS at_value FROM c "
             "ORDER BY ks DESC, v ASC LIMIT 1"
+        ),
+        "table_profile": (
+            "WITH m AS (SELECT count(*) AS n, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn{i}, "
+                f"count(DISTINCT {c}) AS nd{i}"
+                for i, c in enumerate(
+                    ["doc_id", "text", "lang", "source", "n_chars"]
+                )
+            )
+            + " FROM documents) "
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS \"column\", n AS n_rows, nn{i} AS n_nulls, "
+                f"round(nn{i} * 1.0 / n, 6) AS null_ratio, nd{i} AS n_distinct, "
+                f"round(nd{i} * 1.0 / n, 6) AS distinct_ratio FROM m"
+                for i, c in enumerate(
+                    ["doc_id", "text", "lang", "source", "n_chars"]
+                )
+            )
+        ),
+        "split_leakage": (
+            _CLUSTERS_CTES
+            + ", sp AS (SELECT doc_id AS id, "
+            "CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' "
+            "ELSE 'test' END AS split FROM "
+            "(SELECT doc_id, CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS b "
+            "FROM documents)) "
+            "SELECT cl.cluster_id AS cluster, count(*) AS n_members, "
+            "count(DISTINCT split) AS n_splits, "
+            "string_agg(DISTINCT split, ',' ORDER BY split) AS splits "
+            "FROM cl JOIN sp ON cl.id = sp.id "
+            "GROUP BY cl.cluster_id HAVING count(DISTINCT split) > 1"
         ),
         "embedding_outliers": (
             "WITH c AS (SELECT label, CAST(pos AS INT) AS pos, "

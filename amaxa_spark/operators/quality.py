@@ -46,6 +46,47 @@ class Rule:
     values: tuple | None = None
 
 
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Rule-free column profiling — the describe-table sweep that
+    seeds rule writing: one row per column with row count, null
+    count/ratio, and distinct count/ratio. Run it first, write
+    :func:`check_constraints` rules from what it shows.
+
+    Scale shape: every column's metrics come from ONE aggregation
+    pass over one scan (null counts are conditional sums; distinct
+    counts share the Expand-based distinct aggregation), then a
+    driver-free stack unpivot — profiling more columns never adds a
+    pass.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd{i}"))
+    m = df.agg(*aggs)
+    parts = []
+    for i, c in enumerate(cols):
+        cq = c.replace("'", "''")
+        parts.append(f"'{cq}', __nn{i}, __nd{i}")
+    stacked = m.select(
+        F.col("__n"),
+        F.expr(
+            f"stack({len(cols)}, " + ", ".join(parts)
+            + ") as (column, n_nulls, n_distinct)"
+        ),
+    )
+    return stacked.select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("__n"), 6).alias("null_ratio"),
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("__n"), 6).alias("distinct_ratio"),
+    )
+
+
 def _metric(rule: Rule) -> F.Column:
     c = F.col(rule.column)
     n = F.count(F.lit(1))

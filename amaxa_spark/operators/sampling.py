@@ -193,6 +193,44 @@ def mixture_sample(
     return df.join(dim, stratum_col).where(bucket < F.col("__thr")).drop("__thr")
 
 
+def split_leakage(
+    members: DataFrame,
+    splits: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test leakage audit: near-dup clusters whose members span
+    MORE THAN ONE split — the evaluation-integrity check that makes
+    dedup and splitting compose (a test doc with a train near-dup
+    inflates eval scores; a random split leaks every cluster larger
+    than one with probability ≈ 1).
+
+    Input: cluster membership (:func:`~amaxa_spark.operators.dedup.
+    cluster_duplicates` output) and split assignment
+    (:func:`hash_split` output). Output one row per leaking cluster:
+    (cluster, n_members, n_splits, splits as a sorted comma string).
+    The fix is group-aware splitting: hash the CLUSTER id, not the
+    doc id, so clusters move atomically.
+
+    Scale shape: one id-key join on duplicate-sized frames, one
+    cluster aggregation with map-side combine; |splits| ≤ a handful
+    so the collect_set is bounded.
+    """
+    j = members.join(splits, id_col)
+    return (
+        j.groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct(split_col).alias("n_splits"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set(split_col))
+            ).alias("splits"),
+        )
+        .where(F.col("n_splits") > 1)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -1794,3 +1794,38 @@ def test_wav_meta_zero_rate_bits_invalid(spark):
     out = {r["doc_id"]: r for r in MM.wav_meta(df, "payload", "doc_id").collect()}
     assert out[1]["valid"] and out[1]["duration_ms"] == 0
     assert not out[2]["valid"] and not out[3]["valid"]
+
+
+def test_split_leakage_finds_spanning_clusters(spark):
+    from amaxa_spark.operators.sampling import split_leakage
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        "id long, cluster_id long",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"), (5, "val")],
+        "id long, split string",
+    )
+    out = {r["cluster"]: r for r in
+           split_leakage(members, splits).collect()}
+    # cluster 1 spans train+test -> leaks; 3 is train-only; 5 is a
+    # singleton -> neither can leak
+    assert set(out) == {1}
+    assert out[1]["n_members"] == 2 and out[1]["n_splits"] == 2
+    assert out[1]["splits"] == "test,train"
+
+
+def test_profile_single_pass_and_ratios(spark):
+    from amaxa_spark.operators.quality import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id int, s string"
+    )
+    out = {r["column"]: r for r in profile(df).collect()}
+    assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 4
+    assert out["s"]["n_nulls"] == 1 and out["s"]["null_ratio"] == 0.25
+    assert out["s"]["n_distinct"] == 2 and out["s"]["distinct_ratio"] == 0.5
+    # one scan regardless of column count
+    plan = profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
