@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "zorder_key",
     "sales_opportunity",
     "events_state_at",
+    "embedding_outliers",
+    "corpus_ks_drift",
+    "split_leakage",
+    "table_profile",
 ]
 
 
