@@ -1199,6 +1199,28 @@ def q_corpus_ks_drift(spark, sf_dir):
     )
 
 
+def q_group_split(spark, sf_dir):
+    """Group-aware (leakage-proof) splitting: split derived from the
+    near-dup CLUSTER hash, so clusters move atomically; singleton
+    docs (no cluster) key on their own id. Pure projection over the
+    cluster join."""
+    from amaxa_spark.operators.sampling import group_split
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=4, threshold=0.3)
+    clusters = D.cluster_duplicates(pairs)
+    keyed = (
+        docs.select("doc_id")
+        .join(clusters, docs["doc_id"] == clusters["id"], "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("grp"),
+        )
+    )
+    out = group_split(keyed, "grp")
+    return out.select("doc_id", "grp", "bucket", "split")
+
+
 def q_table_profile(spark, sf_dir):
     """Rule-free column profiling of documents: nulls + distincts for
     every column from ONE aggregation pass + stack unpivot."""
@@ -2335,7 +2357,7 @@ QUERY_ORDER = [
     "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
     "key_skew_profile", "sales_opportunity", "events_state_at",
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
-    "table_profile",
+    "table_profile", "group_split",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2427,6 +2449,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ks_drift": q_corpus_ks_drift,
         "split_leakage": q_split_leakage,
         "table_profile": q_table_profile,
+        "group_split": q_group_split,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3091,6 +3114,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             "AND CURRENT ROW) / t2 AS c2 FROM j, t) "
             "SELECT round(abs(c1 - c2), 9) AS ks, v AS at_value FROM c "
             "ORDER BY ks DESC, v ASC LIMIT 1"
+        ),
+        "group_split": (
+            _CLUSTERS_CTES
+            + ", keyed AS (SELECT d.doc_id, "
+            "coalesce(cl.cluster_id, d.doc_id) AS grp "
+            "FROM documents d LEFT JOIN cl ON d.doc_id = cl.id) "
+            "SELECT doc_id, grp, "
+            "CAST(('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS bucket, "
+            "CASE WHEN ('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000 THEN 'train' "
+            "WHEN ('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'val' "
+            "ELSE 'test' END AS split FROM keyed"
         ),
         "table_profile": (
             "WITH m AS (SELECT count(*) AS n, "

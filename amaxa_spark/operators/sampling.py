@@ -193,6 +193,30 @@ def mixture_sample(
     return df.join(dim, stratum_col).where(bucket < F.col("__thr")).drop("__thr")
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Group-aware split assignment — the FIX for
+    :func:`split_leakage`: the split is derived from the GROUP key's
+    hash (near-dup cluster, domain, author…), so every member of a
+    group lands in the same split by construction and train/test
+    contamination through intra-group similarity is impossible.
+
+    Same bucket semantics as :func:`hash_split` (md5, 0.01%
+    granularity, reproducible across engines and partitionings);
+    fractions now apportion GROUPS, so split sizes track group-mass,
+    not row counts — report per-split row counts downstream if exact
+    row proportions matter.
+    """
+    out = hash_split(
+        df.withColumnRenamed(group_col, "__g"), "__g", fractions, salt
+    )
+    return out.withColumnRenamed("__g", group_col)
+
+
 def split_leakage(
     members: DataFrame,
     splits: DataFrame,

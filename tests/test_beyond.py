@@ -1829,3 +1829,38 @@ def test_profile_single_pass_and_ratios(spark):
     # one scan regardless of column count
     plan = profile(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_group_split_eliminates_leakage(spark):
+    """Splitting on the cluster hash makes split_leakage empty by
+    construction, while id-hash splitting leaks multi-member
+    clusters with high probability."""
+    from amaxa_spark.operators.sampling import (
+        group_split,
+        hash_split,
+        split_leakage,
+    )
+
+    # 40 clusters of 5 members each
+    members = spark.range(200).select(
+        F.col("id"), (F.col("id") / 5).cast("long").alias("cluster_id")
+    )
+    naive = hash_split(members, "id").select("id", "split")
+    leaks_naive = split_leakage(
+        members.select("id", "cluster_id"), naive
+    ).count()
+    assert leaks_naive > 0  # id-hash splits tear clusters apart
+
+    grouped = group_split(members, "cluster_id").select("id", "split")
+    leaks_grouped = split_leakage(
+        members.select("id", "cluster_id"), grouped
+    ).count()
+    assert leaks_grouped == 0  # atomic clusters: zero leakage
+    # assignment is deterministic across partitionings
+    again = group_split(members.repartition(7), "cluster_id")
+    assert (
+        grouped.join(
+            again.select("id", F.col("split").alias("s2")), "id"
+        ).where(F.col("split") != F.col("s2")).count()
+        == 0
+    )
