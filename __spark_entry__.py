@@ -1199,6 +1199,18 @@ def q_corpus_ks_drift(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations over lineitem numerics from ONE
+    aggregation pass; decimal-exact sums make the result
+    order-independent across engines."""
+    from amaxa_spark.operators.stats import correlation_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_group_split(spark, sf_dir):
     """Group-aware (leakage-proof) splitting: split derived from the
     near-dup CLUSTER hash, so clusters move atomically; singleton
@@ -2357,7 +2369,7 @@ QUERY_ORDER = [
     "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
     "key_skew_profile", "sales_opportunity", "events_state_at",
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
-    "table_profile", "group_split",
+    "table_profile", "group_split", "corr_matrix",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2450,6 +2462,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "table_profile": q_table_profile,
         "group_split": q_group_split,
+        "corr_matrix": q_corr_matrix,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -2541,6 +2554,46 @@ _CLUSTERS_CTES = (
 _EN = "'the','a','of','and','to','in','is','it'"
 _DE = "'der','die','das','und','ist','ein','zu','nicht'"
 _FR = "'le','la','les','et','est','un','une','dans'"
+
+
+def _corr_matrix_oracle_sql() -> str:
+    """Mirror of stats.correlation_matrix over lineitem numerics:
+    decimal-exact sums, double arithmetic on the exact sums."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def v(c):
+        # 19 digits (not 18): DuckDB stores <=18-digit decimals in
+        # int64 and overflows multiplying them; 19 forces int128 and
+        # the (38,12) product is exact. Values are identical to the
+        # Spark side's decimal(18,6) inputs.
+        return f"CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(19,6))"
+
+    aggs = ["count(*) AS n"]
+    for i, c in enumerate(cols):
+        aggs.append(f"sum({v(c)}) AS s{i}")
+        aggs.append(f"sum({v(c)} * {v(c)}) AS q{i}")
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(f"sum({v(cols[i])} * {v(cols[j])}) AS p{i}_{j}")
+            num = (
+                f"CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE) "
+                f"- CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE)"
+            )
+            den = (
+                f"sqrt(CAST(n AS DOUBLE) * CAST(q{i} AS DOUBLE) "
+                f"- CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)) "
+                f"* sqrt(CAST(n AS DOUBLE) * CAST(q{j} AS DOUBLE) "
+                f"- CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            )
+            parts.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+                f"round(({num}) / ({den}), 6) AS corr FROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+        + " UNION ALL ".join(parts)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3115,6 +3168,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT round(abs(c1 - c2), 9) AS ks, v AS at_value FROM c "
             "ORDER BY ks DESC, v ASC LIMIT 1"
         ),
+        "corr_matrix": _corr_matrix_oracle_sql(),
         "group_split": (
             _CLUSTERS_CTES
             + ", keyed AS (SELECT d.doc_id, "

@@ -142,6 +142,65 @@ def fixed_width_histogram(
     )
 
 
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns, one row
+    per (col_a < col_b) pair — the multicollinearity sweep of a
+    feature audit.
+
+    All sums (Σx, Σx², Σxy) run in DECIMAL after rounding inputs to
+    ``scale`` digits, so they are EXACT and order-independent — the
+    correlation is then pure arithmetic on exact sums, reproducible
+    bit-for-bit across engines and partitionings (double sums would
+    drift in the last bits and make the round-6 result flap).
+
+    Scale shape: every pair shares ONE aggregation pass over one
+    scan (k columns → k(k+3)/2 aggregates, map-side combined to a
+    single row); the unpivot is driver-free arithmetic on that row.
+    """
+    # 18,6: products are decimal(37,12) (inside both engines' 38-digit
+    # cap) and their sums stay exact for ~1e26 of integer headroom
+    dec = f"decimal(18,{scale})"
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        v = F.round(F.col(c).cast("double"), scale).cast(dec)
+        aggs.append(F.sum(v).alias(f"__s{i}"))
+        aggs.append(F.sum(v * v).alias(f"__q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            vi = F.round(F.col(cols[i]).cast("double"), scale).cast(dec)
+            vj = F.round(F.col(cols[j]).cast("double"), scale).cast(dec)
+            aggs.append(F.sum(vi * vj).alias(f"__p{i}_{j}"))
+    m = df.agg(*aggs)
+    rows = []
+    n = F.col("__n").cast("double")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            sx = F.col(f"__s{i}").cast("double")
+            sy = F.col(f"__s{j}").cast("double")
+            qx = F.col(f"__q{i}").cast("double")
+            qy = F.col(f"__q{j}").cast("double")
+            pxy = F.col(f"__p{i}_{j}").cast("double")
+            num = n * pxy - sx * sy
+            den = F.sqrt(n * qx - sx * sx) * F.sqrt(n * qy - sy * sy)
+            rows.append(
+                f"'{cols[i]}', '{cols[j]}', __c{i}_{j}"
+            )
+            m = m.withColumn(
+                f"__c{i}_{j}",
+                F.round(num / den, 6),
+            )
+    return m.select(
+        F.expr(
+            f"stack({len(rows)}, " + ", ".join(rows)
+            + ") as (col_a, col_b, corr)"
+        )
+    )
+
+
 def ks_statistic(
     old: DataFrame,
     new: DataFrame,

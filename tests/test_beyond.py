@@ -1864,3 +1864,25 @@ def test_group_split_eliminates_leakage(spark):
         ).where(F.col("split") != F.col("s2")).count()
         == 0
     )
+
+
+def test_correlation_matrix_exact_and_single_pass(spark):
+    from amaxa_spark.operators.stats import correlation_matrix
+
+    # y = 2x (perfect +1), z = -x (perfect -1), w uncorrelated-ish
+    df = spark.createDataFrame(
+        [(float(x), 2.0 * x, -float(x), float((x * 7) % 5)) for x in range(50)],
+        "x double, y double, z double, w double",
+    )
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in correlation_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert abs(out[("x", "w")]) < 0.3
+    assert len(out) == 6  # all pairs, each once
+    # one scan, one aggregation pass for all 6 pairs
+    plan = (
+        correlation_matrix(df, ["x", "y", "z", "w"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1
