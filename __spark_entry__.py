@@ -1199,6 +1199,17 @@ def q_corpus_ks_drift(spark, sf_dir):
     )
 
 
+def q_mutual_information(spark, sf_dir):
+    """MI decomposition of the lang × source association: one joint
+    (a,b) aggregation, margins re-derived from it, scalar total
+    broadcast."""
+    from amaxa_spark.operators.stats import mutual_information
+
+    return mutual_information(
+        _read(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
 def q_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlations over lineitem numerics from ONE
     aggregation pass; decimal-exact sums make the result
@@ -2369,7 +2380,7 @@ QUERY_ORDER = [
     "weighted_sample", "zorder_key", "tfidf_keywords", "winsorize",
     "key_skew_profile", "sales_opportunity", "events_state_at",
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
-    "table_profile", "group_split", "corr_matrix",
+    "table_profile", "group_split", "corr_matrix", "mutual_information",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2463,6 +2474,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "group_split": q_group_split,
         "corr_matrix": q_corr_matrix,
+        "mutual_information": q_mutual_information,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3169,6 +3181,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             "ORDER BY ks DESC, v ASC LIMIT 1"
         ),
         "corr_matrix": _corr_matrix_oracle_sql(),
+        "mutual_information": (
+            "WITH j AS (SELECT lang AS a, source AS b, count(*) AS n "
+            "FROM documents GROUP BY 1, 2), "
+            "ma AS (SELECT a, sum(n) AS na FROM j GROUP BY a), "
+            "mb AS (SELECT b, sum(n) AS nb FROM j GROUP BY b), "
+            "t AS (SELECT sum(n) AS tt FROM j) "
+            "SELECT a, b, n, "
+            "round((n / tt) * ln((CAST(n AS DOUBLE) * CAST(tt AS DOUBLE)) "
+            "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 9) AS mi_term "
+            "FROM j JOIN ma USING (a) JOIN mb USING (b), t"
+        ),
         "group_split": (
             _CLUSTERS_CTES
             + ", keyed AS (SELECT d.doc_id, "

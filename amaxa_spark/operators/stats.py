@@ -201,6 +201,48 @@ def correlation_matrix(
     )
 
 
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pointwise mutual-information decomposition between two
+    categorical columns: one row per observed (a, b) cell with its
+    count and MI contribution ``p(a,b)·ln(p(a,b)/(p(a)p(b)))`` —
+    Σ mi_term is the mutual information (the categorical-association
+    sweep; ``correlation_matrix`` is the numeric twin, PSI/KS the
+    across-snapshot ones).
+
+    Scale shape: ONE (a, b) pairs aggregation (map-side combined,
+    output is cell-cardinality-sized); both margins derive from the
+    joint by re-aggregation — the source is never re-scanned — and
+    the 1-row total broadcasts.
+    """
+    joint = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ma = joint.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = joint.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = joint.agg(F.sum("n").alias("__t"))
+    p_ab = F.col("n") / F.col("__t")
+    # products in DOUBLE: n·t in int64 overflows near 1e19 — easily
+    # exceeded when both factors are trillion-row counts
+    ratio = (
+        F.col("n").cast("double") * F.col("__t").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    return (
+        joint.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n",
+            F.round(p_ab * F.log(ratio), 9).alias("mi_term"),
+        )
+    )
+
+
 def ks_statistic(
     old: DataFrame,
     new: DataFrame,

@@ -1886,3 +1886,27 @@ def test_correlation_matrix_exact_and_single_pass(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_mutual_information_independence_and_determinism(spark):
+    import math
+
+    from amaxa_spark.operators.stats import mutual_information
+
+    # perfectly dependent: b == a -> MI = H(a) = ln(2) for a uniform
+    # binary column
+    dep = spark.range(100).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 2).cast("string").alias("b"),
+    )
+    mi = sum(r["mi_term"] for r in
+             mutual_information(dep, "a", "b").collect())
+    assert abs(mi - math.log(2)) < 1e-6
+    # independent: a = id%2, b = id%3 over a full 6-cycle -> MI = 0
+    ind = spark.range(600).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+    )
+    mi0 = sum(r["mi_term"] for r in
+              mutual_information(ind, "a", "b").collect())
+    assert abs(mi0) < 1e-9
