@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "corpus_ks_drift",
     "split_leakage",
     "table_profile",
+    "group_split",
+    "corr_matrix",
+    "mutual_information",
 ]
 
 
