@@ -83,8 +83,13 @@ def load_registry(path: str) -> SchemaRegistry:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="amaxa_spark")
-    p.add_argument("mode", choices=["extract", "load", "check"])
-    p.add_argument("operation", help="operation YAML/JSON file")
+    p.add_argument("mode", choices=["extract", "load", "check", "profile"])
+    p.add_argument(
+        "operation",
+        nargs="?",
+        help="operation YAML/JSON file (extract/load/check); for "
+        "profile: comma-separated table names",
+    )
     p.add_argument("--data-dir", required=True)
     p.add_argument("--registry", help="required for extract/load")
     p.add_argument("--out", required=True)
@@ -114,8 +119,32 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
+    if args.mode != "profile" and not args.operation:
+        p.error(f"{args.mode} requires an operation file")
     spark = get_spark("amaxa_spark_cli")
     catalog = TableCatalog(spark, args.data_dir, fmt=args.format)
+
+    if args.mode == "profile":
+        # rule-free column profiling: the describe sweep that seeds
+        # rule writing (quality.profile); one aggregation per table
+        import os
+
+        from amaxa_spark.operators.quality import profile
+
+        if not args.operation:
+            p.error("profile requires comma-separated table names")
+        os.makedirs(args.out, exist_ok=True)
+        for table in args.operation.split(","):
+            table = table.strip()
+            pdf = profile(catalog[table]).toPandas()
+            pdf.to_csv(f"{args.out}/{table}.profile.csv", index=False)
+            for r in pdf.itertuples(index=False):
+                print(
+                    f"{table}.{r.column}: rows={r.n_rows} "
+                    f"nulls={r.n_nulls} ({r.null_ratio}) "
+                    f"distinct={r.n_distinct} ({r.distinct_ratio})"
+                )
+        return 0
 
     if args.mode == "check":
         # declarative data-quality gate: every table's rules compile

@@ -450,3 +450,16 @@ def test_cli_load_merge_buckets_layout(spark, tmp_path):
     assert 1 <= len(dirs) <= 4
     got = spark.read.parquet(str(out / "Account.parquet"))
     assert got.count() == 2 and MERGE_BUCKET_COL in got.columns
+
+
+def test_cli_profile_mode(spark, sf_dir, tmp_path, capsys):
+    out = tmp_path / "prof"
+    rc = main(["profile", "documents", "--data-dir", sf_dir, "--out", str(out)])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "documents.doc_id: rows=" in printed
+    import pandas as pd
+
+    pdf = pd.read_csv(out / "documents.profile.csv")
+    assert set(pdf["column"]) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert (pdf["n_rows"] == pdf["n_rows"].iloc[0]).all()
