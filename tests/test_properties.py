@@ -380,3 +380,70 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
     # heavy rows are 10% of the population but carry ~53% of total
     # weight; with k=40 of 200 they must dominate their share
     assert heavy_hits / (5 * 20) > 2.5 * (light_hits / (5 * 180))
+
+
+def test_load_roundtrip_preserves_fk_structure(spark):
+    """Randomized structural property of the two-phase load: for
+    random self-referencing + cross-table FK graphs (with cycles and
+    nulls), the replay is an ISOMORPHISM — new ids are unique, row
+    counts hold, and new_FK(new(x)) == new(old_FK(x)) for every row,
+    including self-lookups rewritten in the dependent phase."""
+    import random
+
+    from amaxa_spark.metadata import SchemaRegistry, TableMeta
+    from amaxa_spark.operators.load import LoadOperation
+    from amaxa_spark.plans.plan import LoadStepPlan
+
+    reg = SchemaRegistry(
+        [
+            TableMeta("A", lookups={"ParentId": ["A"]}),
+            TableMeta("B", lookups={"AId": ["A"], "PeerId": ["B"]}),
+        ]
+    )
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n_a, n_b = rng.randrange(3, 12), rng.randrange(3, 12)
+        a_ids = [f"A{i}" for i in range(n_a)]
+        b_ids = [f"B{i}" for i in range(n_b)]
+        # random parents incl. cycles (any id, even itself) and nulls
+        a_rows = [
+            (i, rng.choice(a_ids + [None]), f"n{rng.randrange(100)}")
+            for i in a_ids
+        ]
+        b_rows = [
+            (i, rng.choice(a_ids + [None]), rng.choice(b_ids + [None]))
+            for i in b_ids
+        ]
+        A = spark.createDataFrame(
+            a_rows, "Id: string, ParentId: string, Name: string"
+        )
+        B = spark.createDataFrame(
+            b_rows, "Id: string, AId: string, PeerId: string"
+        )
+        res = LoadOperation(
+            spark, reg, [LoadStepPlan("A"), LoadStepPlan("B")],
+            {"A": A, "B": B},
+        ).run()
+        maps = {
+            t: {r.old_id: r.new_id for r in res.id_map[t].collect()}
+            for t in ("A", "B")
+        }
+        outs = {t: res.written[t].collect() for t in ("A", "B")}
+        for t, n in (("A", n_a), ("B", n_b)):
+            assert len(outs[t]) == n, (seed, t)
+            new_ids = {r.Id for r in outs[t]}
+            assert len(new_ids) == n  # injective
+            assert new_ids == set(maps[t].values())
+        # FK isomorphism, per original row
+        new_a = {r.Id: r for r in outs["A"]}
+        for old_id, parent, _ in a_rows:
+            got = new_a[maps["A"][old_id]]
+            want = maps["A"][parent] if parent is not None else None
+            assert got.ParentId == want, (seed, old_id)
+        new_b = {r.Id: r for r in outs["B"]}
+        for old_id, aid, peer in b_rows:
+            got = new_b[maps["B"][old_id]]
+            assert got.AId == (maps["A"][aid] if aid is not None else None)
+            assert got.PeerId == (
+                maps["B"][peer] if peer is not None else None
+            ), (seed, old_id)
