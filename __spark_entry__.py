@@ -1244,6 +1244,25 @@ def q_group_split(spark, sf_dir):
     return out.select("doc_id", "grp", "bucket", "split")
 
 
+def q_quality_by_group(spark, sf_dir):
+    """Per-language quality verdicts: one grouped aggregation
+    computes every rule's metric for every language — the segmented
+    audit a corpus-wide mean hides."""
+    from amaxa_spark.operators.quality import Rule, check_constraints_by
+
+    docs = _read(spark, sf_dir, "documents")
+    rules = [
+        Rule("min_len", "n_chars", "min", lo=100.0),
+        Rule("mean_len", "n_chars", "mean", lo=150.0, hi=1000.0),
+        Rule("unique_texts", "text", "uniqueness", lo=1.0),
+    ]
+    out = check_constraints_by(docs, rules, "lang")
+    return out.select(
+        "group", "rule", "column", "check", "value",
+        F.col("passed").cast("int").alias("passed"),
+    )
+
+
 def q_table_profile(spark, sf_dir):
     """Rule-free column profiling of documents: nulls + distincts for
     every column from ONE aggregation pass + stack unpivot."""
@@ -2381,6 +2400,7 @@ QUERY_ORDER = [
     "key_skew_profile", "sales_opportunity", "events_state_at",
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
     "table_profile", "group_split", "corr_matrix", "mutual_information",
+    "quality_by_group",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2475,6 +2495,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "corr_matrix": q_corr_matrix,
         "mutual_information": q_mutual_information,
+        "quality_by_group": q_quality_by_group,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3202,6 +3223,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CASE WHEN ('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000 THEN 'train' "
             "WHEN ('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'val' "
             "ELSE 'test' END AS split FROM keyed"
+        ),
+        "quality_by_group": (
+            "WITH m AS (SELECT lang AS \"group\", "
+            "round(CAST(min(n_chars) AS DOUBLE), 6) AS m0, "
+            "round(avg(n_chars), 6) AS m1, "
+            "round(count(DISTINCT text) * 1.0 / count(*), 6) AS m2 "
+            "FROM documents GROUP BY lang) "
+            "SELECT \"group\", 'min_len' AS rule, 'n_chars' AS \"column\", "
+            "'min' AS \"check\", m0 AS value, CAST(m0 >= 100.0 AS INT) AS passed FROM m "
+            "UNION ALL SELECT \"group\", 'mean_len', 'n_chars', 'mean', m1, "
+            "CAST(m1 >= 150.0 AND m1 <= 1000.0 AS INT) FROM m "
+            "UNION ALL SELECT \"group\", 'unique_texts', 'text', 'uniqueness', m2, "
+            "CAST(m2 >= 1.0 AS INT) FROM m"
         ),
         "table_profile": (
             "WITH m AS (SELECT count(*) AS n, "

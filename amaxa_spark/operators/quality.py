@@ -109,6 +109,55 @@ def _metric(rule: Rule) -> F.Column:
     raise ValueError(f"unknown check {rule.check!r}")
 
 
+def check_constraints_by(
+    df: DataFrame, rules: list[Rule], by: str
+) -> DataFrame:
+    """Per-group constraint evaluation: every rule checked within
+    each ``by`` group (per-language length floors, per-source
+    match rates…) — the segmented audit that a global average hides
+    (one rotten source inside a healthy corpus-wide mean).
+
+    Same one-pass contract as :func:`check_constraints`, now grouped:
+    ONE hash aggregation keyed on ``by`` computes every rule's metric
+    for every group (map-side combined; output is |groups|×|rules|),
+    then the stack unpivot and threshold projection run per group
+    row. Returns (group, rule, column, check, value, passed).
+    """
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
+    metrics = df.groupBy(F.col(by).alias("group")).agg(
+        *[F.round(_metric(r), 6).alias(f"__m{i}") for i, r in enumerate(rules)]
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    stack_args = [
+        f"{q(r.name)}, {q(r.column)}, {q(r.check)}, __m{i}"
+        for i, r in enumerate(rules)
+    ]
+    stacked = metrics.select(
+        "group",
+        F.expr(
+            f"stack({len(rules)}, " + ", ".join(stack_args)
+            + ") as (rule, column, check, value)"
+        ),
+    )
+    passed = F.lit(True)
+    for r in rules:
+        ok = F.lit(True)
+        if r.lo is not None:
+            ok = ok & (F.col("value") >= F.lit(float(r.lo)))
+        if r.hi is not None:
+            ok = ok & (F.col("value") <= F.lit(float(r.hi)))
+        passed = F.when(F.col("rule") == r.name, ok).otherwise(passed)
+    return stacked.select(
+        "group", "rule", "column", "check", "value", passed.alias("passed")
+    )
+
+
 def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Evaluate every rule in one aggregation pass.
 

@@ -56,3 +56,25 @@ def test_unbounded_rule_always_passes(spark):
     df = spark.createDataFrame([(1,), (2,)], "v int")
     out = check_constraints(df, [Rule("stat_only", "v", "mean")]).collect()
     assert out[0]["passed"] and out[0]["value"] == 1.5
+
+
+def test_grouped_rules_verdict_per_group(spark):
+    from amaxa_spark.operators.quality import Rule, check_constraints_by
+
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 20), ("de", 1), ("de", 2)], "lang string, n int"
+    )
+    out = {(r["group"], r["rule"]): r for r in
+           check_constraints_by(
+               df, [Rule("n_min", "n", "min", lo=5.0)], "lang"
+           ).collect()}
+    # the SAME rule passes for one group and fails for the other —
+    # the segmentation a global check can't express
+    assert out[("en", "n_min")]["passed"] and out[("en", "n_min")]["value"] == 10.0
+    assert not out[("de", "n_min")]["passed"]
+    # one grouped aggregation pass, one scan
+    plan = (
+        check_constraints_by(df, [Rule("a", "n", "min"), Rule("b", "n", "mean")], "lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1
