@@ -1244,6 +1244,24 @@ def q_group_split(spark, sf_dir):
     return out.select("doc_id", "grp", "bucket", "split")
 
 
+def q_dedup_kept(spark, sf_dir):
+    """The curated corpus: documents surviving near-dup
+    canonicalization (cluster losers anti-joined away) — the
+    end-state of the dedup pipeline as one composable query."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=4, threshold=0.3)
+    clusters = D.cluster_duplicates(pairs)
+    reps = D.select_representatives(
+        clusters, docs.select(F.col("doc_id").alias("id"), "n_chars"),
+        id_col="id", cluster_col="cluster_id", score_col="n_chars",
+    )
+    drop = reps.where(F.col("is_rep") == 0).select("id")
+    return (
+        docs.join(drop, docs["doc_id"] == drop["id"], "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 def q_quality_by_group(spark, sf_dir):
     """Per-language quality verdicts: one grouped aggregation
     computes every rule's metric for every language — the segmented
@@ -2400,7 +2418,7 @@ QUERY_ORDER = [
     "key_skew_profile", "sales_opportunity", "events_state_at",
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
     "table_profile", "group_split", "corr_matrix", "mutual_information",
-    "quality_by_group",
+    "quality_by_group", "dedup_kept",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2496,6 +2514,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "mutual_information": q_mutual_information,
         "quality_by_group": q_quality_by_group,
+        "dedup_kept": q_dedup_kept,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3223,6 +3242,16 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CASE WHEN ('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000 THEN 'train' "
             "WHEN ('0x' || substr(md5('gsplit:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'val' "
             "ELSE 'test' END AS split FROM keyed"
+        ),
+        "dedup_kept": (
+            _CLUSTERS_CTES
+            + ", scored AS (SELECT cl.id, cl.cluster_id, d.n_chars "
+            "FROM cl JOIN documents d ON cl.id = d.doc_id), "
+            "drop AS (SELECT id FROM (SELECT id, row_number() OVER "
+            "(PARTITION BY cluster_id ORDER BY n_chars DESC, id ASC) AS rn "
+            "FROM scored) WHERE rn > 1) "
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT id FROM drop)"
         ),
         "quality_by_group": (
             "WITH m AS (SELECT lang AS \"group\", "
