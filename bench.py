@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "group_split",
     "corr_matrix",
     "mutual_information",
+    "quality_by_group",
+    "dedup_kept",
 ]
 
 
