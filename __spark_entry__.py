@@ -987,6 +987,34 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_asof_fwd(spark, sf_dir):
+    """FORWARD as-of: each click gains the user's NEXT at-or-after
+    purchase value — same union+window shape as backward, frame
+    flipped."""
+    from amaxa_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    joined = asof_join(
+        clicks, purchases, ts="ts", by="user_id", value_cols=["pval"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+        F.round("pval_r", 4).alias("next_purchase_value"),
+    )
+
+
 def q_events_range_join(spark, sf_dir):
     """Banded range join: for each error event, the count and mean
     value of the same user's clicks within ±5 minutes. The band join
@@ -2418,7 +2446,7 @@ QUERY_ORDER = [
     "key_skew_profile", "sales_opportunity", "events_state_at",
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
     "table_profile", "group_split", "corr_matrix", "mutual_information",
-    "quality_by_group", "dedup_kept",
+    "quality_by_group", "dedup_kept", "events_asof_fwd",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2515,6 +2543,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "quality_by_group": q_quality_by_group,
         "dedup_kept": q_dedup_kept,
+        "events_asof_fwd": q_events_asof_fwd,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3252,6 +3281,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FROM scored) WHERE rn > 1) "
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id NOT IN (SELECT id FROM drop)"
+        ),
+        "events_asof_fwd": (
+            "WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events "
+            "WHERE event_type = 'purchase' GROUP BY user_id, ts), "
+            "l AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT l.event_id, l.user_id, epoch_ms(l.ts)::BIGINT AS ts_ms, "
+            "round(l.value, 4) AS value, "
+            "round(r.pval, 4) AS next_purchase_value "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts <= r.ts"
         ),
         "quality_by_group": (
             "WITH m AS (SELECT lang AS \"group\", "

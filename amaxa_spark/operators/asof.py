@@ -89,10 +89,25 @@ def asof_join(
     by: str,
     value_cols: list[str],
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows keep all their columns and gain
-    ``<col><suffix>`` for each right ``value_cols`` entry (null when
-    no earlier right row exists for the key)."""
+    """As-of join: left rows keep all their columns and gain
+    ``<col><suffix>`` for each right ``value_cols`` entry.
+
+    ``direction="backward"`` (default) attaches the most recent right
+    row with ``right.ts <= left.ts``; ``"forward"`` the next upcoming
+    right row with ``right.ts >= left.ts`` (the "next maintenance
+    after the failure" query). Ties are included in both directions;
+    null when no qualifying right row exists. Same single-shuffle
+    union+window shape either way — only the tag ordering and the
+    window frame flip.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    fwd = direction == "forward"
+    # right rows must fall INSIDE the left row's frame at equal ts:
+    # before it for backward (preceding frame), after it for forward
+    side_r = 2 if fwd else 0
     taken = [f"{c}{suffix}" for c in value_cols]
     l_tagged = left.select(
         *left.columns,
@@ -109,18 +124,22 @@ def asof_join(
             else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
         ],
-        F.lit(0).alias("__side"),
+        F.lit(side_r).alias("__side"),
         *[F.col(c).alias(t) for c, t in zip(value_cols, taken)],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(by).orderBy(
+        F.col(ts).asc(), F.col("__side").asc()
     )
+    if fwd:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda t: F.first(F.col(t), ignorenulls=True)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda t: F.last(F.col(t), ignorenulls=True)  # noqa: E731
     filled = unioned.select(
         *left.columns,
         "__side",
-        *[F.last(F.col(t), ignorenulls=True).over(w).alias(t) for t in taken],
+        *[pick(t).over(w).alias(t) for t in taken],
     )
     return filled.where(F.col("__side") == 1).drop("__side")

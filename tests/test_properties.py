@@ -447,3 +447,39 @@ def test_load_roundtrip_preserves_fk_structure(spark):
             assert got.PeerId == (
                 maps["B"][peer] if peer is not None else None
             ), (seed, old_id)
+
+
+def test_asof_forward_matches_naive(spark):
+    """Randomized cross-check: forward as-of equals the per-row
+    'earliest right at-or-after' reference computation."""
+    import datetime as dt
+
+    from amaxa_spark.operators.asof import asof_join
+
+    base = dt.datetime(2026, 1, 1)
+    for seed in (4, 5):
+        lrows = _rand_rows(seed, 60, 5, 50)
+        rrows = _rand_rows(seed + 100, 40, 5, 50)
+        left = spark.createDataFrame(
+            [(i, k, base + dt.timedelta(seconds=t)) for i, k, t, _ in lrows],
+            "eid: long, k: long, t: timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, base + dt.timedelta(seconds=t), v) for _, k, t, v in rrows],
+            "k: long, t: timestamp, v: double",
+        ).groupBy("k", "t").agg(F.max("v").alias("v"))
+        got = {
+            r.eid: r.v_r
+            for r in asof_join(
+                left, right, ts="t", by="k", value_cols=["v"],
+                direction="forward",
+            ).collect()
+        }
+        rd = {}
+        for row in right.collect():
+            rd.setdefault(row.k, []).append((row.t, row.v))
+        for i, k, t, _ in lrows:
+            lt = base + dt.timedelta(seconds=t)
+            cands = [(rt, v) for rt, v in rd.get(k, []) if rt >= lt]
+            want = min(cands)[1] if cands else None
+            assert got[i] == want, (seed, i)
