@@ -987,6 +987,17 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_transitions(spark, sf_dir):
+    """Markov transition matrix of user event sequences: one lead
+    window per user + one (from,to) aggregation; output ≤ |states|²."""
+    from amaxa_spark.operators.timeseries import transition_matrix
+
+    return transition_matrix(
+        _read(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "event_id",
+    )
+
+
 def q_events_asof_fwd(spark, sf_dir):
     """FORWARD as-of: each click gains the user's NEXT at-or-after
     purchase value — same union+window shape as backward, frame
@@ -2447,6 +2458,7 @@ QUERY_ORDER = [
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
     "table_profile", "group_split", "corr_matrix", "mutual_information",
     "quality_by_group", "dedup_kept", "events_asof_fwd",
+    "events_transitions",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2544,6 +2556,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_group": q_quality_by_group,
         "dedup_kept": q_dedup_kept,
         "events_asof_fwd": q_events_asof_fwd,
+        "events_transitions": q_events_transitions,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3281,6 +3294,16 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FROM scored) WHERE rn > 1) "
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id NOT IN (SELECT id FROM drop)"
+        ),
+        "events_transitions": (
+            "WITH p AS (SELECT event_type AS from_state, "
+            "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS to_state FROM events), "
+            "c AS (SELECT from_state, to_state, count(*) AS n FROM p "
+            "WHERE to_state IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT from_state, sum(n) AS tt FROM c GROUP BY from_state) "
+            "SELECT c.from_state, to_state, n, round(n / tt, 6) AS p "
+            "FROM c JOIN t ON c.from_state = t.from_state"
         ),
         "events_asof_fwd": (
             "WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events "

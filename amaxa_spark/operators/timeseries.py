@@ -221,6 +221,44 @@ def scd2_intervals(
     )
 
 
+def transition_matrix(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    state: str,
+    tiebreak: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each observed (state → next_state) pair, the count
+    and the row-normalized probability — the behavioral-model summary
+    behind "what do users do after X" and sequence-anomaly baselines.
+
+    Scale shape: one lead() window per key (event-history-sized
+    partitions), then a (from, to) aggregation with map-side combine —
+    the output is |states|² at most; the normalizing row totals
+    re-derive from the pair counts (no second scan).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    pairs = (
+        df.select(
+            F.col(state).alias("from_state"),
+            F.lead(state).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("__t"), 6).alias("p"),
+    )
+
+
 def cohort_retention(
     df,
     user_col: str,

@@ -1910,3 +1910,25 @@ def test_mutual_information_independence_and_determinism(spark):
     mi0 = sum(r["mi_term"] for r in
               mutual_information(ind, "a", "b").collect())
     assert abs(mi0) < 1e-9
+
+
+def test_transition_matrix_rows_normalize(spark):
+    from amaxa_spark.operators.timeseries import transition_matrix
+
+    rows = [(1, t, t, s) for t, s in enumerate("aabab")]
+    rows += [(2, t, 10 + t, s) for t, s in enumerate("ba")]
+    df = spark.createDataFrame(rows, "k int, t int, tb int, s string")
+    out = transition_matrix(df, "k", "t", "s", "tb").collect()
+    mat = {(r["from_state"], r["to_state"]): r for r in out}
+    # user1: a->a, a->b, b->a, a->b; user2: b->a
+    assert mat[("a", "b")]["n"] == 2 and mat[("a", "a")]["n"] == 1
+    assert mat[("b", "a")]["n"] == 2
+    assert mat[("a", "b")]["p"] == round(2 / 3, 6)
+    # each from-state's probabilities sum to 1
+    sums = {}
+    for r in out:
+        sums[r["from_state"]] = sums.get(r["from_state"], 0) + r["p"]
+    assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
+    # transitions never cross keys: user1 ends 'b', user2 starts 'b',
+    # but no extra b->b pair exists
+    assert ("b", "b") not in mat
