@@ -987,6 +987,19 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_weighted_linkage(spark, sf_dir):
+    """Multi-field record linkage over customers: nation-blocked
+    pairs scored 0.7·name-similarity + 0.3·segment-equality; the
+    self-join runs on the blocking key only."""
+    return D.weighted_linkage(
+        _read(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_nationkey",
+        [("c_name", 0.7, "text"), ("c_mktsegment", 0.3, "exact")],
+        threshold=0.93,
+    )
+
+
 def q_events_transitions(spark, sf_dir):
     """Markov transition matrix of user event sequences: one lead
     window per user + one (from,to) aggregation; output ≤ |states|²."""
@@ -2458,7 +2471,7 @@ QUERY_ORDER = [
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
     "table_profile", "group_split", "corr_matrix", "mutual_information",
     "quality_by_group", "dedup_kept", "events_asof_fwd",
-    "events_transitions",
+    "events_transitions", "weighted_linkage",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2557,6 +2570,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_kept": q_dedup_kept,
         "events_asof_fwd": q_events_asof_fwd,
         "events_transitions": q_events_transitions,
+        "weighted_linkage": q_weighted_linkage,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3294,6 +3308,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FROM scored) WHERE rn > 1) "
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id NOT IN (SELECT id FROM drop)"
+        ),
+        "weighted_linkage": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "round(0.7 * (1.0 - levenshtein(CAST(a.c_name AS VARCHAR), CAST(b.c_name AS VARCHAR)) "
+            "/ greatest(length(CAST(a.c_name AS VARCHAR)), length(CAST(b.c_name AS VARCHAR)), 1)) "
+            "+ 0.3 * CAST(a.c_mktsegment = b.c_mktsegment AS DOUBLE), 6) AS score "
+            "FROM customer a JOIN customer b "
+            "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey "
+            "WHERE 0.7 * (1.0 - levenshtein(CAST(a.c_name AS VARCHAR), CAST(b.c_name AS VARCHAR)) "
+            "/ greatest(length(CAST(a.c_name AS VARCHAR)), length(CAST(b.c_name AS VARCHAR)), 1)) "
+            "+ 0.3 * CAST(a.c_mktsegment = b.c_mktsegment AS DOUBLE) >= 0.93"
         ),
         "events_transitions": (
             "WITH p AS (SELECT event_type AS from_state, "

@@ -188,6 +188,68 @@ def benchmark_contamination(
     )
 
 
+def weighted_linkage(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    fields: list[tuple[str, float, str]],
+    threshold: float,
+) -> DataFrame:
+    """Multi-field record linkage: candidate pairs share a blocking
+    key, and each pair scores ``Σ wᵢ·simᵢ`` over its fields — ``kind
+    = "text"`` uses normalized Levenshtein similarity
+    ``1 − lev/max(len)``, ``"exact"`` a 0/1 equality — keeping pairs
+    at or above ``threshold``. The probabilistic-linkage
+    (Fellegi–Sunter-shaped) upgrade of single-field
+    :func:`fuzzy_pairs`: one near-identical field can't link records
+    whose other fields disagree, and weights encode which fields
+    carry identity.
+
+    Scale shape: the self-join runs on the BLOCKING key only (the
+    standard linkage blow-up control — pairs per block, never
+    corpus²); scoring is a pure projection; the threshold filter
+    applies before anything else joins. ``fields`` is a handful, so
+    the score is one fused column expression.
+    """
+    sides = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__bk"),
+        *[F.col(c).cast("string").alias(c) for c, _, _ in fields],
+    )
+    a = sides.select(
+        F.col("__id").alias("id_a"),
+        "__bk",
+        *[F.col(c).alias(f"__a_{c}") for c, _, _ in fields],
+    )
+    b = sides.select(
+        F.col("__id").alias("id_b"),
+        F.col("__bk").alias("__bk2"),
+        *[F.col(c).alias(f"__b_{c}") for c, _, _ in fields],
+    )
+    pairs = a.join(
+        b,
+        (F.col("__bk") == F.col("__bk2")) & (F.col("id_a") < F.col("id_b")),
+    )
+    score = None
+    for c, w, kind in fields:
+        ca, cb = F.col(f"__a_{c}"), F.col(f"__b_{c}")
+        if kind == "exact":
+            sim = (ca == cb).cast("double")
+        elif kind == "text":
+            denom = F.greatest(F.length(ca), F.length(cb), F.lit(1))
+            sim = 1.0 - F.levenshtein(ca, cb) / denom
+        else:
+            raise ValueError(f"unknown field kind {kind!r}")
+        term = F.lit(float(w)) * sim
+        score = term if score is None else score + term
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(score, 6).alias("score")
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 def tune_lsh_bands(
     threshold: float,
     num_hashes: int,

@@ -1932,3 +1932,30 @@ def test_transition_matrix_rows_normalize(spark):
     # transitions never cross keys: user1 ends 'b', user2 starts 'b',
     # but no extra b->b pair exists
     assert ("b", "b") not in mat
+
+
+def test_weighted_linkage_multi_field_evidence(spark):
+    from amaxa_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "jon smith", "gold"),
+            (2, 10, "john smith", "gold"),    # near name + same tier
+            (3, 10, "john smith", "bronze"),  # near name, tier differs
+            (4, 10, "maria perez", "gold"),   # unrelated name
+            (5, 99, "jon smith", "gold"),     # would match 1 but other block
+        ],
+        "id long, blk int, name string, tier string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["score"] for r in
+           D.weighted_linkage(
+               df, "id", "blk",
+               [("name", 0.7, "text"), ("tier", 0.3, "exact")],
+               threshold=0.9,
+           ).collect()}
+    # 1-2: name sim 9/10 -> 0.63 + 0.3 = 0.93 >= 0.9 -> linked
+    assert (1, 2) in out and abs(out[(1, 2)] - 0.93) < 1e-6
+    # 1-3 loses the exact-field weight -> 0.63 < 0.9 -> not linked
+    assert (1, 3) not in out
+    # blocking prevents cross-block comparison entirely
+    assert all(a != 5 and b != 5 for a, b in out)
