@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "mutual_information",
     "quality_by_group",
     "dedup_kept",
+    "events_asof_fwd",
+    "events_transitions",
+    "weighted_linkage",
 ]
 
 
