@@ -988,13 +988,19 @@ def q_events_asof(spark, sf_dir):
 
 
 def q_weighted_linkage(spark, sf_dir):
-    """Multi-field record linkage over customers: nation-blocked
-    pairs scored 0.7·name-similarity + 0.3·segment-equality; the
-    self-join runs on the blocking key only."""
+    """Multi-field record linkage over customers: pairs scored
+    0.7·name-similarity + 0.3·segment-equality. Blocking on
+    (nation, segment) is LOSSLESS at threshold 0.93 — a cross-segment
+    pair tops out at 0.7 — and cuts candidate pairs ~5× vs
+    nation-only blocking (the standard derive-blocks-from-the-
+    threshold move)."""
+    cust = _read(spark, sf_dir, "customer").withColumn(
+        "__blk", F.concat_ws("|", "c_nationkey", "c_mktsegment")
+    )
     return D.weighted_linkage(
-        _read(spark, sf_dir, "customer"),
+        cust,
         "c_custkey",
-        "c_nationkey",
+        "__blk",
         [("c_name", 0.7, "text"), ("c_mktsegment", 0.3, "exact")],
         threshold=0.93,
     )
@@ -3315,7 +3321,9 @@ def _oracle_sql_raw() -> dict[str, str]:
             "/ greatest(length(CAST(a.c_name AS VARCHAR)), length(CAST(b.c_name AS VARCHAR)), 1)) "
             "+ 0.3 * CAST(a.c_mktsegment = b.c_mktsegment AS DOUBLE), 6) AS score "
             "FROM customer a JOIN customer b "
-            "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey "
+            "ON a.c_nationkey = b.c_nationkey "
+            "AND a.c_mktsegment = b.c_mktsegment "
+            "AND a.c_custkey < b.c_custkey "
             "WHERE 0.7 * (1.0 - levenshtein(CAST(a.c_name AS VARCHAR), CAST(b.c_name AS VARCHAR)) "
             "/ greatest(length(CAST(a.c_name AS VARCHAR)), length(CAST(b.c_name AS VARCHAR)), 1)) "
             "+ 0.3 * CAST(a.c_mktsegment = b.c_mktsegment AS DOUBLE) >= 0.93"
