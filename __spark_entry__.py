@@ -2704,8 +2704,10 @@ def _corr_matrix_oracle_sql() -> str:
                 f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
                 f"round(({num}) / ({den}), 6) AS corr FROM m"
             )
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
     return (
-        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+        "WITH m AS (SELECT " + ", ".join(aggs)
+        + f" FROM lineitem WHERE {not_null}) "
         + " UNION ALL ".join(parts)
     )
 
@@ -3285,7 +3287,8 @@ def _oracle_sql_raw() -> dict[str, str]:
         "corr_matrix": _corr_matrix_oracle_sql(),
         "mutual_information": (
             "WITH j AS (SELECT lang AS a, source AS b, count(*) AS n "
-            "FROM documents GROUP BY 1, 2), "
+            "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+            "GROUP BY 1, 2), "
             "ma AS (SELECT a, sum(n) AS na FROM j GROUP BY a), "
             "mb AS (SELECT b, sum(n) AS nb FROM j GROUP BY b), "
             "t AS (SELECT sum(n) AS tt FROM j) "
@@ -3324,9 +3327,9 @@ def _oracle_sql_raw() -> dict[str, str]:
             "ON a.c_nationkey = b.c_nationkey "
             "AND a.c_mktsegment = b.c_mktsegment "
             "AND a.c_custkey < b.c_custkey "
-            "WHERE 0.7 * (1.0 - levenshtein(CAST(a.c_name AS VARCHAR), CAST(b.c_name AS VARCHAR)) "
+            "WHERE round(0.7 * (1.0 - levenshtein(CAST(a.c_name AS VARCHAR), CAST(b.c_name AS VARCHAR)) "
             "/ greatest(length(CAST(a.c_name AS VARCHAR)), length(CAST(b.c_name AS VARCHAR)), 1)) "
-            "+ 0.3 * CAST(a.c_mktsegment = b.c_mktsegment AS DOUBLE) >= 0.93"
+            "+ 0.3 * CAST(a.c_mktsegment = b.c_mktsegment AS DOUBLE), 6) >= 0.93"
         ),
         "events_transitions": (
             "WITH p AS (SELECT event_type AS from_state, "

@@ -105,9 +105,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     fwd = direction == "forward"
-    # right rows must fall INSIDE the left row's frame at equal ts:
-    # before it for backward (preceding frame), after it for forward
-    side_r = 2 if fwd else 0
+    side_r = 0
     taken = [f"{c}{suffix}" for c in value_cols]
     l_tagged = left.select(
         *left.columns,
@@ -128,18 +126,26 @@ def asof_join(
         *[F.col(c).alias(t) for c, t in zip(value_cols, taken)],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    base = Window.partitionBy(by).orderBy(
-        F.col(ts).asc(), F.col("__side").asc()
+    # BOTH directions use the O(n) running-last over an
+    # unbounded-PRECEDING frame (Spark executes unbounded-FOLLOWING
+    # frames by rescanning to the partition end per row — O(n²) on a
+    # hot key). Forward simply sorts time DESCENDING: rights at or
+    # after the left row then precede it, and the running last is
+    # the EARLIEST such right. Right rows sort before left at equal
+    # ts in both orders (side 0 < 1 asc; ties on ts keep side asc),
+    # so ties stay included.
+    order = F.col(ts).desc() if fwd else F.col(ts).asc()
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    if fwd:
-        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = lambda t: F.first(F.col(t), ignorenulls=True)  # noqa: E731
-    else:
-        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = lambda t: F.last(F.col(t), ignorenulls=True)  # noqa: E731
     filled = unioned.select(
         *left.columns,
         "__side",
-        *[pick(t).over(w).alias(t) for t in taken],
+        *[
+            F.last(F.col(t), ignorenulls=True).over(w).alias(t)
+            for t in taken
+        ],
     )
     return filled.where(F.col("__side") == 1).drop("__side")

@@ -240,7 +240,9 @@ def weighted_linkage(
             sim = 1.0 - F.levenshtein(ca, cb) / denom
         else:
             raise ValueError(f"unknown field kind {kind!r}")
-        term = F.lit(float(w)) * sim
+        # a NULL field contributes 0, it does NOT veto the pair — a
+        # record with a missing email can still link on its name
+        term = F.lit(float(w)) * F.coalesce(sim, F.lit(0.0))
         score = term if score is None else score + term
     return (
         pairs.select(

@@ -211,10 +211,7 @@ def group_split(
     not row counts — report per-split row counts downstream if exact
     row proportions matter.
     """
-    out = hash_split(
-        df.withColumnRenamed(group_col, "__g"), "__g", fractions, salt
-    )
-    return out.withColumnRenamed("__g", group_col)
+    return hash_split(df, group_col, fractions, salt)
 
 
 def split_leakage(

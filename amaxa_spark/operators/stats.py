@@ -155,12 +155,20 @@ def correlation_matrix(
     ``scale`` digits, so they are EXACT and order-independent — the
     correlation is then pure arithmetic on exact sums, reproducible
     bit-for-bit across engines and partitionings (double sums would
-    drift in the last bits and make the round-6 result flap).
+    drift in the last bits and make the rounded result flap). The
+    output correlation is always rounded to 6 decimals; ``scale``
+    controls only the input quantization.
+
+    Rows with a NULL in ANY of ``cols`` are excluded up front
+    (complete-case analysis) — mixing an all-rows n with
+    null-skipping sums would silently bias every pair's correlation.
 
     Scale shape: every pair shares ONE aggregation pass over one
     scan (k columns → k(k+3)/2 aggregates, map-side combined to a
     single row); the unpivot is driver-free arithmetic on that row.
     """
+    for c in cols:
+        df = df.where(F.col(c).isNotNull())
     # 18,6: products are decimal(37,12) (inside both engines' 38-digit
     # cap) and their sums stay exact for ~1e26 of integer headroom
     dec = f"decimal(18,{scale})"
@@ -186,9 +194,9 @@ def correlation_matrix(
             pxy = F.col(f"__p{i}_{j}").cast("double")
             num = n * pxy - sx * sy
             den = F.sqrt(n * qx - sx * sx) * F.sqrt(n * qy - sy * sy)
-            rows.append(
-                f"'{cols[i]}', '{cols[j]}', __c{i}_{j}"
-            )
+            qa = cols[i].replace("'", "''")
+            qb = cols[j].replace("'", "''")
+            rows.append(f"'{qa}', '{qb}', __c{i}_{j}")
             m = m.withColumn(
                 f"__c{i}_{j}",
                 F.round(num / den, 6),
@@ -218,9 +226,15 @@ def mutual_information(
     joint by re-aggregation — the source is never re-scanned — and
     the 1-row total broadcasts.
     """
-    joint = df.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # NULL categories are excluded from BOTH the cells and the
+    # margins/total (null-unsafe joins would otherwise drop their
+    # cells while still counting them in the denominators, making
+    # Σ mi_term the MI of no distribution at all)
+    joint = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     ma = joint.groupBy("a").agg(F.sum("n").alias("na"))
     mb = joint.groupBy("b").agg(F.sum("n").alias("nb"))
     tot = joint.agg(F.sum("n").alias("__t"))

@@ -58,21 +58,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     kept = docs.join(drop, docs["doc_id"] == drop["id"], "left_anti")
     print(f"kept after dedup: {kept.count()} of {docs.count()}")
 
-    # 4. leakage-proof split: hash the CLUSTER, singletons their own id
+    # 4. leakage-proof split: hash the CLUSTER, singletons their own
+    # id. Split the FULL corpus (before dropping losers) so the
+    # leakage audit is meaningful — auditing only the kept docs is
+    # vacuous, every cluster has one survivor
     keyed = (
-        kept.select("doc_id")
-        .join(clusters, kept["doc_id"] == clusters["id"], "left_outer")
+        docs.select("doc_id")
+        .join(clusters, docs["doc_id"] == clusters["id"], "left_outer")
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("grp"),
         )
     )
-    splits = group_split(keyed, "grp").select(
+    all_splits = group_split(keyed, "grp").select(
         F.col("doc_id").alias("id"), "split"
     )
-    leaks = split_leakage(clusters, splits).count()
+    leaks = split_leakage(clusters, all_splits).count()
     print(f"splits assigned; leaking clusters: {leaks} (must be 0)")
     assert leaks == 0
+    splits = all_splits.join(
+        kept.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
 
     # 5. per-split token accounting for the training budget
     toks = TXT.token_stats(kept, "text", "doc_id").select(

@@ -1959,3 +1959,34 @@ def test_weighted_linkage_multi_field_evidence(spark):
     assert (1, 3) not in out
     # blocking prevents cross-block comparison entirely
     assert all(a != 5 and b != 5 for a, b in out)
+
+
+def test_weighted_linkage_null_field_does_not_veto(spark):
+    from amaxa_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, 1, "same name", None), (2, 1, "same name", "gold")],
+        "id long, blk int, name string, tier string",
+    )
+    out = D.weighted_linkage(
+        df, "id", "blk",
+        [("name", 0.7, "text"), ("tier", 0.3, "exact")],
+        threshold=0.6,
+    ).collect()
+    # identical names carry 0.7 alone past the threshold; the NULL
+    # tier contributes 0 instead of nulling the whole score
+    assert len(out) == 1 and abs(out[0]["score"] - 0.7) < 1e-9
+
+
+def test_forward_asof_uses_linear_frame(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = (
+        entry.q_events_asof_fwd(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    # forward must NOT use an unbounded-FOLLOWING frame (Spark
+    # executes those O(n^2) per partition); it runs the same O(n)
+    # running-last as backward, over a descending sort
+    assert "unboundedfollowing" not in plan
+    assert "unboundedpreceding" in plan
