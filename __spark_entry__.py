@@ -1608,6 +1608,15 @@ def q_winsorize(spark, sf_dir):
     )
 
 
+def q_key_gini(spark, sf_dir):
+    """Gini inequality of the per-user event distribution: one
+    number summarizing key skew; rank window over key cardinality
+    only."""
+    from amaxa_spark.operators.stats import gini_coefficient
+
+    return gini_coefficient(_read(spark, sf_dir, "events"), "user_id")
+
+
 def q_key_skew_profile(spark, sf_dir):
     """Hot-key diagnostic over event users: per-key counts (map-side
     combined), 1-row total broadcast, top-k TakeOrdered + cumulative
@@ -2477,7 +2486,7 @@ QUERY_ORDER = [
     "embedding_outliers", "corpus_ks_drift", "split_leakage",
     "table_profile", "group_split", "corr_matrix", "mutual_information",
     "quality_by_group", "dedup_kept", "events_asof_fwd",
-    "events_transitions", "weighted_linkage",
+    "events_transitions", "weighted_linkage", "key_gini",
     "topk_per_group", "token_budget", "group_cap", "shuffle_shard",
     "inverted_index",
     "events_range_join", "events_gapfill", "events_hourly",
@@ -2577,6 +2586,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_fwd": q_events_asof_fwd,
         "events_transitions": q_events_transitions,
         "weighted_linkage": q_weighted_linkage,
+        "key_gini": q_key_gini,
         "key_skew_profile": q_key_skew_profile,
         "events_cohorts": q_events_cohorts,
         "text_entropy": q_text_entropy,
@@ -3143,6 +3153,15 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6) AS n_chars_wins, "
             "round(lo, 6) AS lo_thr, round(hi, 6) AS hi_thr "
             "FROM documents d JOIN t ON d.lang = t.lang"
+        ),
+        "key_gini": (
+            "WITH c AS (SELECT user_id AS k, count(*) AS n FROM events "
+            "GROUP BY user_id), "
+            "r AS (SELECT n, CAST(row_number() OVER (ORDER BY n ASC, k ASC) AS BIGINT) AS i "
+            "FROM c) "
+            "SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total, "
+            "round(2.0 * sum(CAST(i AS DOUBLE) * n) / (count(*) * sum(n)) "
+            "- (count(*) + 1.0) / count(*), 9) AS gini FROM r"
         ),
         "key_skew_profile": (
             "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n "

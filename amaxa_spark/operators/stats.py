@@ -55,6 +55,40 @@ def winsorize(
     )
 
 
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Gini coefficient of the per-key row distribution — the
+    one-number inequality summary behind :func:`key_skew_profile`'s
+    per-key view (0 = perfectly uniform keys, → 1 = one key owns
+    everything): ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n`` over the
+    ascending-sorted per-key counts. Returns one row:
+    (n_keys, total, gini).
+
+    Scale shape: rows collapse to per-key counts first (map-side
+    combine); the rank window runs over KEY CARDINALITY, not row
+    count — same bound as :func:`ks_statistic`'s CDF window.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.col("n").asc(), F.col("k").asc())
+    ranked = counts.select(
+        "n", F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.round(
+            2.0 * F.sum(F.col("i").cast("double") * F.col("n"))
+            / (F.count(F.lit(1)) * F.sum("n"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            9,
+        ).alias("gini"),
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     key_col: str,

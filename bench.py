@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "events_asof_fwd",
     "events_transitions",
     "weighted_linkage",
+    "key_gini",
 ]
 
 

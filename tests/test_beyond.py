@@ -1990,3 +1990,17 @@ def test_forward_asof_uses_linear_frame(spark, sf_dir):
     # running-last as backward, over a descending sort
     assert "unboundedfollowing" not in plan
     assert "unboundedpreceding" in plan
+
+
+def test_gini_uniform_vs_concentrated(spark):
+    from amaxa_spark.operators.stats import gini_coefficient
+
+    uniform = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    g_u = gini_coefficient(uniform, "k").collect()[0]
+    assert g_u["n_keys"] == 100 and g_u["gini"] == 0.0
+    # one key owns ~91% of rows -> strong inequality
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 910, 0).otherwise(F.col("id")).alias("k")
+    )
+    g_h = gini_coefficient(hot, "k").collect()[0]
+    assert g_h["gini"] > 0.85
