@@ -121,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
     if args.mode != "profile" and not args.operation:
         p.error(f"{args.mode} requires an operation file")
+    if args.atomic and args.merge_buckets:
+        # reject the invalid layout combination BEFORE any Spark work —
+        # failing after LoadOperation.run() would pay for the whole load
+        p.error("--atomic and --merge-buckets are mutually exclusive layouts")
     spark = get_spark("amaxa_spark_cli")
     catalog = TableCatalog(spark, args.data_dir, fmt=args.format)
 
@@ -248,8 +252,6 @@ def main(argv: list[str] | None = None) -> int:
             print(f"state saved to {args.save_state}", file=sys.stderr)
         raise
     step_options = {s.table: s.options for s in steps}
-    if args.atomic and args.merge_buckets:
-        p.error("--atomic and --merge-buckets are mutually exclusive layouts")
     prepared = {
         table: apply_advisory_options(df, step_options.get(table, {}), table)
         for table, df in res.written.items()

@@ -205,31 +205,54 @@ def weighted_linkage(
     whose other fields disagree, and weights encode which fields
     carry identity.
 
-    Scale shape: the self-join runs on the BLOCKING key only (the
-    standard linkage blow-up control — pairs per block, never
-    corpus²); scoring is a pure projection; the threshold filter
-    applies before anything else joins. ``fields`` is a handful, so
-    the score is one fused column expression.
+    ``block_col`` may be a scalar column (one blocking key per
+    record) or an ``array`` column of keys (multi-pass blocking:
+    records become a candidate pair when they share ANY key).  The
+    array form is how a caller scales blocking with the data —
+    deletion-neighborhood keys for an edit-distance budget, MinHash
+    band keys, sorted-neighborhood prefixes — instead of a
+    fixed-cardinality attribute block whose per-block pair count
+    grows quadratically with the corpus.
+
+    Scale shape: candidate generation self-joins a slim ``(id, key)``
+    projection — the scored field values never ride the blocking
+    shuffle — and the candidate set is deduped on ``(id_a, id_b)``
+    BEFORE the two id-keyed joins rehydrate field values, so a pair
+    sharing many keys is scored exactly once; scoring is a pure
+    projection and the threshold filter applies before anything else
+    joins. ``fields`` is a handful, so the score is one fused column
+    expression.
     """
+    is_array = dict(df.dtypes).get(block_col, "").startswith("array")
+    key = (
+        F.explode(F.col(block_col)) if is_array else F.col(block_col)
+    ).alias("__bk")
+    keys = df.select(F.col(id_col).alias("__id"), key)
+    cand = (
+        keys.select(F.col("__id").alias("id_a"), "__bk")
+        .join(
+            keys.select(
+                F.col("__id").alias("id_b"), F.col("__bk").alias("__bk2")
+            ),
+            (F.col("__bk") == F.col("__bk2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     sides = df.select(
         F.col(id_col).alias("__id"),
-        F.col(block_col).alias("__bk"),
         *[F.col(c).cast("string").alias(c) for c, _, _ in fields],
     )
     a = sides.select(
         F.col("__id").alias("id_a"),
-        "__bk",
         *[F.col(c).alias(f"__a_{c}") for c, _, _ in fields],
     )
     b = sides.select(
         F.col("__id").alias("id_b"),
-        F.col("__bk").alias("__bk2"),
         *[F.col(c).alias(f"__b_{c}") for c, _, _ in fields],
     )
-    pairs = a.join(
-        b,
-        (F.col("__bk") == F.col("__bk2")) & (F.col("id_a") < F.col("id_b")),
-    )
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     score = None
     for c, w, kind in fields:
         ca, cb = F.col(f"__a_{c}"), F.col(f"__b_{c}")

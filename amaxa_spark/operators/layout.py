@@ -101,18 +101,26 @@ def read_pruned(
     """Scan only the files whose [min, max] for ``col`` intersects
     [lo, hi] (per the stats index), with the residual filter applied
     on top. Returns (df, files_read, files_total) so callers can see
-    the skip rate. Files with no stats are conservatively read."""
-    stats = index.where(F.col("col") == col).select(
-        "path", "vmin", "vmax"
-    ).collect()
-    total = len(stats)
-    keep = [
-        r["path"]
-        for r in stats
-        if r["vmin"] is None
-        or r["vmax"] is None
-        or not (r["vmax"] < lo or r["vmin"] > hi)
-    ]
+    the skip rate. Files with no stats are conservatively read.
+
+    The keep-decision is evaluated DISTRIBUTED — the driver never
+    materializes the full (file, column) stats index (at 100 TB with
+    10⁵–10⁶ files that index is itself a table).  Only the matched
+    paths come back, which is the irreducible driver cost of handing
+    a path list to ``spark.read``; a fully driverless variant would
+    pass the stats frame to a DataSourceV2 scan filter, noted in
+    SCALE_NOTES.md."""
+    rows = index.where(F.col("col") == col).select(
+        "path",
+        (
+            F.col("vmin").isNull()
+            | F.col("vmax").isNull()
+            | ~((F.col("vmax") < lo) | (F.col("vmin") > hi))
+        ).alias("__keep"),
+    )
+    agg = rows.groupBy("__keep").agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in agg)
+    keep = [r["path"] for r in rows.where("__keep").select("path").collect()]
     if not keep:
         df = spark.read.parquet(path).where(F.lit(False))
         return df, 0, total

@@ -307,21 +307,25 @@ def percentile_filter(
     set ``exact=False`` for the mergeable ``approx_percentile``
     sketch — fixed memory per group, rank error ≤ 1/accuracy.
     """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
     v = F.col(value_col).cast("double")
     agg = (
         F.percentile(v, F.lit(float(p)))
         if exact
         else F.percentile_approx(v, F.lit(float(p)), F.lit(accuracy))
     )
-    thr = df.groupBy(by).agg(agg.alias("__thr"))
+    thr = df.groupBy(by).agg(F.round(agg, 6).alias("__thr"))
     out = df.join(F.broadcast(thr), by)
+    # the gate compares against the SAME rounded threshold that is
+    # emitted, so the verdict is reproducible from the output row
     cond = (
         F.col(value_col) >= F.col("__thr")
         if keep == "above"
         else F.col(value_col) < F.col("__thr")
     )
     return out.where(cond).withColumn(
-        "threshold", F.round(F.col("__thr"), 6)
+        "threshold", F.col("__thr")
     ).drop("__thr")
 
 

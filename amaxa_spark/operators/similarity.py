@@ -492,12 +492,15 @@ def centroid_outliers(
     thr = d.groupBy("label").agg(
         F.percentile(F.col("d2"), F.lit(float(p))).alias("__thr")
     )
+    # verdict compares against the SAME rounded threshold that is
+    # emitted, so a consumer recomputing d2 > thr from the output
+    # columns can never disagree at the rounding boundary
     return d.join(F.broadcast(thr), "label").select(
         id_col,
         "label",
         "d2",
         F.round(F.col("__thr"), 6).alias("thr"),
-        (F.col("d2") > F.col("__thr")).cast("int").alias("is_outlier"),
+        (F.col("d2") > F.round(F.col("__thr"), 6)).cast("int").alias("is_outlier"),
     )
 
 

@@ -37,9 +37,12 @@ def winsorize(
     ``sampling.percentile_filter``.
     """
     v = F.col(value_col).cast("double")
+    # clamp against the SAME rounded thresholds that are emitted, so
+    # the clamped value is reproducible from the output row's
+    # lo_thr/hi_thr (no boundary disagreement with a consumer)
     thr = df.groupBy(by).agg(
-        F.percentile(v, F.lit(float(p_lo))).alias("__lo"),
-        F.percentile(v, F.lit(float(p_hi))).alias("__hi"),
+        F.round(F.percentile(v, F.lit(float(p_lo))), 6).alias("__lo"),
+        F.round(F.percentile(v, F.lit(float(p_hi))), 6).alias("__hi"),
     )
     return (
         df.join(F.broadcast(thr), by)
@@ -49,8 +52,8 @@ def winsorize(
                 F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6
             ).alias(f"{value_col}_wins"),
         )
-        .withColumn("lo_thr", F.round(F.col("__lo"), 6))
-        .withColumn("hi_thr", F.round(F.col("__hi"), 6))
+        .withColumn("lo_thr", F.col("__lo"))
+        .withColumn("hi_thr", F.col("__hi"))
         .drop("__lo", "__hi")
     )
 
@@ -66,24 +69,60 @@ def gini_coefficient(
     ascending-sorted per-key counts. Returns one row:
     (n_keys, total, gini).
 
-    Scale shape: rows collapse to per-key counts first (map-side
-    combine); the rank window runs over KEY CARDINALITY, not row
-    count — same bound as :func:`ks_statistic`'s CDF window.
+    Scale shape: no global sort and no single-partition window
+    anywhere.  Rows collapse to per-key counts (map-side combine),
+    then to COUNT-OF-COUNTS ``(v, c_v)`` — c_v keys share count v —
+    which is at most ``√(2·rows)`` rows (Σ of distinct counts ≤ row
+    total).  Ranks of a tie-group are consecutive, so its rank-sum is
+    closed-form: ``Σ i·x over keys with count v =
+    v·(c_v·S_<v + c_v·(c_v+1)/2)`` where ``S_<v`` is the number of
+    keys with smaller counts.  The prefix ``S_<v`` is computed with a
+    two-level cumulative sum — geometric buckets of v (``⌊8·log₂v⌋``,
+    data-independent and order-preserving) give PARTITIONED
+    within-bucket windows, and the ≤ ~250-row bucket-offset frame is
+    a broadcast self-join — so the largest window partition holds one
+    ~9% geometric slice of the distinct count values, never all of
+    them.  Per-key ordering ties (same count) don't matter: tied keys
+    carry the same x, so Σ i·x is invariant under within-tie order.
     """
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = Window.orderBy(F.col("n").asc(), F.col("k").asc())
-    ranked = counts.select(
-        "n", F.row_number().over(w).alias("i")
+    cc = counts.groupBy(F.col("n").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
     )
+    cc = cc.withColumn(
+        "b", F.floor(F.log2(F.col("v").cast("double")) * 8).cast("int")
+    )
+    bt = cc.groupBy("b").agg(F.sum("c").alias("bc"))
+    off = (
+        bt.alias("x")
+        .join(F.broadcast(bt.alias("y")), F.col("y.b") < F.col("x.b"), "left")
+        .groupBy(F.col("x.b").alias("b"))
+        .agg(F.coalesce(F.sum("y.bc"), F.lit(0)).alias("off"))
+    )
+    w = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        cc.withColumn("s_in", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .join(F.broadcast(off), "b")
+        .select("v", "c", (F.col("off") + F.col("s_in")).alias("s_prev"))
+    )
+    contrib = F.col("v") * (
+        F.col("c") * F.col("s_prev")
+        + F.col("c") * (F.col("c") + 1) / 2.0
+    )
+    n_keys = F.coalesce(F.sum("c"), F.lit(0))
+    total = F.sum(F.col("v") * F.col("c"))
     return ranked.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("n").alias("total"),
+        n_keys.alias("n_keys"),
+        total.alias("total"),
         F.round(
-            2.0 * F.sum(F.col("i").cast("double") * F.col("n"))
-            / (F.count(F.lit(1)) * F.sum("n"))
-            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            2.0 * F.sum(contrib) / (n_keys * total)
+            - (n_keys + 1.0) / n_keys,
             9,
         ).alias("gini"),
     )

@@ -212,7 +212,10 @@ def scd2_intervals(
         F.min(state).alias(state),  # constant within a run
         F.min(ts).alias("valid_from"),
     )
-    w2 = Window.partitionBy(key).orderBy("valid_from")
+    # __run (monotone in event order) breaks valid_from ties: two runs
+    # born from same-timestamp events would otherwise make valid_to
+    # assignment nondeterministic across engines/runs
+    w2 = Window.partitionBy(key).orderBy("valid_from", "__run")
     return iv.select(
         key,
         state,

@@ -420,18 +420,31 @@ def incremental_delta(
     First run (no manifest yet) returns every row. Scale shape: the
     committed side reduces to (pk, hash) — 32-byte rows — then one
     left join per table; content never crosses the shuffle twice.
+
+    Both sides hash through the SAME typed canonical form: the
+    committed generation comes back from CSV as all-strings, so each
+    hashed column is first cast to the CURRENT table's dtype and only
+    then rendered to a string — otherwise columns whose Spark string
+    cast differs from the CSV writer's rendering (timestamps
+    '2020-01-01 00:00:00' vs '2020-01-01T00:00:00.000Z') would flag
+    every row changed, silently degrading the delta to a full
+    re-extract.
     """
     try:
         prev = read_committed_extract(spark, out_dir)
     except FileNotFoundError:
         return dict(current)
 
-    def row_hash(df: DataFrame, pk: str, cols: list[str]) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
-            )
-        )
+    def row_hash(
+        df: DataFrame, pk: str, cols: list[str], dtypes: dict[str, str]
+    ) -> DataFrame:
+        parts = []
+        for c in cols:
+            dt = dtypes.get(c, "string")
+            typed = F.col(c).cast(dt)  # no-op on the current side
+            s = F.base64(typed) if dt == "binary" else typed.cast("string")
+            parts.append(F.coalesce(s, F.lit("")))
+        h = F.md5(F.concat_ws("\x01", *parts))
         return df.select(F.col(pk).cast("string").alias("__pk"), h.alias("__h"))
 
     out = {}
@@ -441,9 +454,12 @@ def incremental_delta(
         if name not in prev:
             out[name] = df
             continue
+        dtypes = dict(df.dtypes)
         prev_cols = [c for c in cols if c in prev[name].columns]
-        old_h = row_hash(prev[name], pk, prev_cols).withColumnRenamed("__h", "__oh")
-        new_h = row_hash(df, pk, cols)
+        old_h = row_hash(prev[name], pk, prev_cols, dtypes).withColumnRenamed(
+            "__h", "__oh"
+        )
+        new_h = row_hash(df, pk, cols, dtypes)
         changed = (
             new_h.join(old_h, "__pk", "left_outer")
             .where(F.col("__oh").isNull() | (F.col("__h") != F.col("__oh")))

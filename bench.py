@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "events_transitions",
     "weighted_linkage",
     "key_gini",
+    "image_bmp_stats",
 ]
 
 
@@ -121,18 +122,22 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        best = None
+        samples = []
         # best-of-3, report min: round-3 review showed ambient load
         # inflating single measurements up to 3x (three phantom
         # regressions); min-of-3 reproduces within ~20% across runs
         for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        # per-query spread (max - min of the 3 samples): lets a reader
+        # distinguish ambient-load noise from a real regression without
+        # re-timing — a delta smaller than the spread is noise
+        spreads[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -142,6 +147,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )

@@ -119,9 +119,80 @@ def test_multimodal_invalid_payload(spark):
     assert row.valid is False and row.fmt is None
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_multimodal_real_decode_non_bmp_is_stubbed():
+    # non-BMP formats still need PIL/ffmpeg: clean error, not a result
     with pytest.raises(NotImplementedError):
-        MM.decode_real(b"x")
+        MM.decode_real(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_bmp_decode_real_payload():
+    """The pure-stdlib BMP codec is REAL: hand-built 24-bit file with
+    row padding and bottom-up row order decodes to the right pixels
+    in image orientation (y=0 top)."""
+    import struct
+
+    # 3x2 image, image coords: top row RGB = (255,0,0),(0,255,0),(0,0,255)
+    #                          bottom row  = (10,20,30) x3
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    bot = [(10, 20, 30)] * 3
+    pad = b"\x00" * ((4 - (3 * 3) % 4) % 4)  # 9-byte rows -> 3 pad bytes
+    row_bytes = lambda row: b"".join(bytes([b, g, r]) for r, g, b in row)
+    body = row_bytes(bot) + pad + row_bytes(top) + pad  # bottom-up file order
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    m = MM.decode_bmp(hdr + body)
+    assert (m["width"], m["height"]) == (3, 2)
+    assert m["pixels"][0].tolist() == [list(p) for p in top]  # flipped back
+    assert m["pixels"][1].tolist() == [list(p) for p in bot]
+    # decode_real dispatches BMP natively
+    meta = MM.decode_real(hdr + body)
+    assert meta["valid"] and meta["fmt"] == "bmp/24"
+    assert (meta["width"], meta["height"]) == (3, 2)
+    # top-down variant (negative height) needs no flip
+    hdr_td = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, -2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    td = MM.decode_bmp(hdr_td + row_bytes(top) + pad + row_bytes(bot) + pad)
+    assert td["pixels"][0].tolist() == [list(p) for p in top]
+
+
+def test_bmp_decode_rejects_malformed():
+    assert MM.decode_bmp(None) is None
+    assert MM.decode_bmp(b"BM" + b"\x00" * 20) is None  # truncated
+    assert MM.decode_bmp(b"XX" + b"\x00" * 60) is None  # bad magic
+    import struct
+
+    # 8-bit palette BMP: unsupported depth -> None, and decode_real
+    # reports invalid rather than raising (it IS a BMP)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 60, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+        + b"\x00" * 8
+    )
+    assert MM.decode_bmp(hdr) is None
+    assert MM.decode_real(hdr)["valid"] is False
+
+
+def test_bmp_synthesize_stats_closed_form(spark):
+    """synthesize -> decode -> stats matches the closed form the
+    DuckDB oracle replays, including the exact channel sums and the
+    row-flip witness px00_r."""
+    df = spark.createDataFrame([(7,), (12,), (123,)], "doc_id long")
+    out = {r.doc_id: r for r in
+           MM.image_stats(MM.synthesize_bmp(df, "doc_id"), "image", "doc_id").collect()}
+    for d in (7, 12, 123):
+        w, h = 4 + d % 5, 3 + d % 4
+        r = out[d]
+        assert (r.width, r.height) == (w, h) and r.valid
+        sum_r = sum((13 * d + 2 * x + y) % 256 for x in range(w) for y in range(h))
+        assert r.sum_r == sum_r
+        assert r.px00_r == (13 * d) % 256
 
 
 def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):

@@ -299,3 +299,43 @@ def test_incremental_delta_against_committed_generation(spark, tmp_path):
         spark, {"Other": extra}, out, {"Other": "Id"}
     )
     assert d2["Other"].count() == 1
+
+
+def test_incremental_delta_typed_columns_roundtrip(spark, tmp_path):
+    """Timestamp/double/boolean columns must NOT flag as changed after
+    the CSV round-trip: the committed side comes back as strings whose
+    rendering differs from Spark's cast-to-string (ISO 'T'/'Z' form vs
+    '2020-01-01 00:00:00'), so both sides hash through the same typed
+    canonical form. An unchanged typed table yields an EMPTY delta."""
+    import datetime
+
+    from amaxa_spark.sources.catalog import (
+        atomic_extract_write,
+        incremental_delta,
+    )
+
+    out = str(tmp_path / "inc_typed")
+    rows = [
+        ("1", datetime.datetime(2020, 1, 1, 0, 0, 0), 1.5, True),
+        ("2", datetime.datetime(2021, 6, 15, 12, 30, 45), -2.25, False),
+        ("3", None, None, None),
+    ]
+    schema = "Id string, Created timestamp, Amount double, Active boolean"
+    v1 = spark.createDataFrame(rows, schema)
+    atomic_extract_write({"Account": v1}, out, pk="Id", single_file=True)
+
+    # identical typed frame -> nothing changed
+    d1 = incremental_delta(
+        spark, {"Account": spark.createDataFrame(rows, schema)}, out,
+        {"Account": "Id"},
+    )
+    assert d1["Account"].count() == 0
+
+    # one real change is still detected
+    rows2 = list(rows)
+    rows2[1] = ("2", datetime.datetime(2021, 6, 15, 12, 30, 45), 9.75, False)
+    d2 = incremental_delta(
+        spark, {"Account": spark.createDataFrame(rows2, schema)}, out,
+        {"Account": "Id"},
+    )
+    assert [r["Id"] for r in d2["Account"].collect()] == ["2"]
