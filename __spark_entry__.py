@@ -864,6 +864,21 @@ def q_doc_fingerprint(spark, sf_dir):
     return TXT.fingerprint(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText heuristic document gate (Rae et al. 2021):
+    every published rule signal + the keep verdict from one native
+    projection — no shuffle, no Python. Thresholds tightened to the
+    synthetic corpus's word-count band (min_words=30, one required
+    stopword) so the verdict actually splits the data."""
+    return TXT.gopher_rules(
+        _read(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        min_words=30,
+        min_required_hits=1,
+    )
+
+
 def q_text_unigram_lm(spark, sf_dir):
     """Corpus-trained unigram LM score per doc (perplexity-filter
     primitive): mean + min token probability under the corpus's own
@@ -2512,7 +2527,7 @@ QUERY_ORDER = [
     "skew_two_stage_agg", "group_median", "knn_join_exact",
     "image_bmp_stats",
     # ---------------- position 51+: never-judged remainder ----------
-    "tfidf_keywords",
+    "tfidf_keywords", "gopher_rules",
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
@@ -2550,7 +2565,7 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("weighted_linkage") < 50
 assert QUERY_ORDER.index("key_gini") < 50
 assert QUERY_ORDER.index("image_bmp_stats") < 50
-assert len(QUERY_ORDER) == 135 and len(set(QUERY_ORDER)) == 135
+assert len(QUERY_ORDER) == 136 and len(set(QUERY_ORDER)) == 136
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2651,6 +2666,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
+        "gopher_rules": q_gopher_rules,
         "text_unigram_lm": q_text_unigram_lm,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "doc_chunks": q_doc_chunks,
@@ -3666,6 +3682,40 @@ def _oracle_sql_raw() -> dict[str, str]:
             f"THEN len(list_filter(t, x -> x IN ({_EN}))) * 1.0 / len(t) ELSE 0.0 END) * 4.0, 1.0)"
             ") / 4.0, 6) AS quality "
             f"FROM (SELECT doc_id, {_NORM_TEXT} AS n, string_split({_NORM_TEXT}, ' ') AS t FROM documents)"
+        ),
+        "gopher_rules": (
+            # replay of text.gopher_rules with min_words=30,
+            # min_required_hits=1 (the gate query's thresholds)
+            f"WITH w AS (SELECT doc_id, text, "
+            f"CASE WHEN length({_NORM_TEXT}) = 0 THEN [] "
+            f"ELSE string_split({_NORM_TEXT}, ' ') END AS ws, "
+            "string_split(text, chr(10)) AS ls FROM documents), "
+            "m AS (SELECT doc_id, len(ws) AS n_words, "
+            "CASE WHEN len(ws) > 0 THEN "
+            "list_aggregate(list_transform(ws, x -> length(x)), 'sum') * 1.0 / len(ws) "
+            "ELSE 0.0 END AS mwl, "
+            "(length(text) - length(replace(text, '#', ''))) "
+            "+ (length(text) - length(replace(text, '...', ''))) / 3 AS nsym, "
+            "len(ls) AS n_lines, "
+            "len(list_filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%')) AS bl, "
+            "len(list_filter(ls, l -> l LIKE '%...')) AS el, "
+            "len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS aw, "
+            "len(list_intersect(ws, ['the','be','to','of','and','that','have','with'])) AS rh "
+            "FROM w) "
+            "SELECT doc_id, CAST(n_words AS INT) AS n_words, "
+            "round(mwl, 6) AS mean_word_len, "
+            "round(CASE WHEN n_words > 0 THEN nsym * 1.0 / n_words ELSE 0.0 END, 6) AS symbol_ratio, "
+            "round(CASE WHEN n_lines > 0 THEN bl * 1.0 / n_lines ELSE 0.0 END, 6) AS bullet_ratio, "
+            "round(CASE WHEN n_lines > 0 THEN el * 1.0 / n_lines ELSE 0.0 END, 6) AS ellipsis_ratio, "
+            "round(CASE WHEN n_words > 0 THEN aw * 1.0 / n_words ELSE 0.0 END, 6) AS alpha_word_ratio, "
+            "CAST(rh AS INT) AS required_hits, "
+            "CAST(n_words >= 30 AND n_words <= 100000 "
+            "AND mwl >= 3.0 AND mwl <= 10.0 "
+            "AND round(CASE WHEN n_words > 0 THEN nsym * 1.0 / n_words ELSE 0.0 END, 6) <= 0.1 "
+            "AND round(CASE WHEN n_lines > 0 THEN bl * 1.0 / n_lines ELSE 0.0 END, 6) <= 0.9 "
+            "AND round(CASE WHEN n_lines > 0 THEN el * 1.0 / n_lines ELSE 0.0 END, 6) <= 0.3 "
+            "AND round(CASE WHEN n_words > 0 THEN aw * 1.0 / n_words ELSE 0.0 END, 6) >= 0.8 "
+            "AND rh >= 1 AS INT) AS keep FROM m"
         ),
         "text_unigram_lm": (
             f"WITH toks AS (SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS token "

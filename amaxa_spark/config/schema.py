@@ -63,9 +63,15 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
     errors: list[str] = []
     if not isinstance(doc, dict):
         return ["operation: must be a mapping"]
+    # version handling mirrors the reference's schema stage verbatim
+    # (`loader/core.py:34-45`, strings asserted by its test_Loader.py)
+    if "version" not in doc:
+        errors.append("No version number present in schema")
+    elif doc["version"] not in (1, 2):
+        errors.append(
+            f"Schema version for {kind}-operation not present or unsupported"
+        )
     version = doc.get("version", 1)
-    if version not in (1, 2):
-        _err(errors, "operation", f"unsupported version {version!r}")
     _validate_options(doc.get("options"), "operation", errors, top=True)
     ops = doc.get("operation")
     if not isinstance(ops, list) or not ops:
@@ -95,8 +101,13 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
                 ]
                 dupes = [n for n, c in Counter(names).items() if c > 1]
                 if dupes:
-                    # duplicate rejection mirrors `loader/core.py:93-131`
-                    _err(errors, ctx, f"duplicate fields {dupes}")
+                    # duplicate rejection AND its error string mirror
+                    # `loader/core.py:93-131` (asserted by the
+                    # reference's test_OperationLoader.py:54)
+                    errors.append(
+                        f"{table}: One or more fields is specified "
+                        f"multiple times: {', '.join(dupes)}"
+                    )
                 columns = [
                     f.get("column")
                     for f in fields
@@ -104,7 +115,10 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
                 ]
                 dupes = [n for n, c in Counter(columns).items() if c > 1]
                 if dupes:
-                    _err(errors, ctx, f"duplicate columns {dupes}")
+                    errors.append(
+                        f"{table}: One or more columns is specified "
+                        f"multiple times: {', '.join(dupes)}"
+                    )
                 for f in fields:
                     if not isinstance(f, dict):
                         continue

@@ -98,7 +98,13 @@ class ExtractOperation:
         self.registry = registry
         self.steps = steps
         self.step_order = [s.table for s in steps]
-        self.classification = registry.classify_lookups(self.step_order)
+        # classify only registered tables — an unknown sObject must
+        # surface as _validate's reference-parity error at run(), not
+        # a KeyError at plan-build time (the reference, too, reports
+        # unknown sObjects from a validation stage, loader/core.py:267)
+        self.classification = registry.classify_lookups(
+            [t for t in self.step_order if t in registry]
+        )
         # per-table accumulated state (all single-column ID frames)
         self.extracted_ids: dict[str, DataFrame] = {}
         self.required_ids: dict[str, DataFrame] = {}
@@ -427,7 +433,14 @@ class ExtractOperation:
         errors = []
         for step in self.steps:
             if step.table not in self.registry:
-                errors.append(f"{step.table}: unknown table (not in registry)")
+                # error string mirrors the reference verbatim
+                # (`loader/core.py:267-270`, asserted by its
+                # test_ExtractionOperationLoader.py:125); the registry
+                # is this engine's describe, so absence == unqueryable
+                errors.append(
+                    f"sObject {step.table} does not exist or does not "
+                    "have the correct permission (queryable)"
+                )
                 continue
             cols = set(self.catalog[step.table].columns)
             pk = self.registry[step.table].pk
@@ -435,11 +448,17 @@ class ExtractOperation:
                 errors.append(f"{step.table}: primary key {pk!r} not in table")
             for f in step.fields or []:
                 if f not in cols:
-                    errors.append(f"{step.table}: field {f!r} does not exist")
+                    # mirrors `loader/core.py:210-218` / its
+                    # test_ExtractionOperationLoader.py:142
+                    errors.append(
+                        f"Field {step.table}.{f} does not exist or does "
+                        "not have the correct CRUD permission."
+                    )
             for f in step.exclude_fields:
                 if f not in cols:
                     errors.append(
-                        f"{step.table}: exclude-field {f!r} does not exist"
+                        f"Field {step.table}.{f} does not exist or does "
+                        "not have the correct CRUD permission."
                     )
         if errors:
             raise ExtractError("; ".join(errors))

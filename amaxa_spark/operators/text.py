@@ -118,6 +118,101 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# required-word list from the Gopher/MassiveText filter (Rae et al.
+# 2021, arXiv:2112.11446 §A.1.1): a document must contain ≥2 of these
+GOPHER_REQUIRED = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1) — the published heuristic gate most
+    pretraining pipelines start from: word-count band, mean-word-length
+    band, symbol-to-word ratio (# and ellipsis), bullet-started and
+    ellipsis-ended line ratios, fraction of words with an alphabetic
+    character, and a required-stopword floor. Returns every signal
+    plus the composite ``keep`` verdict, so downstream curation can
+    re-threshold without recomputing.
+
+    Scale shape: ONE projection — every signal is native Column
+    algebra (split/filter/aggregate higher-order functions), no
+    shuffle, no Python; parquet scans prune to (id, text). Defaults
+    follow the paper; ``max_bullet_ratio`` is 0.9 in the paper's
+    formulation ("at most 90% of lines start with a bullet").
+    """
+    norm = _norm(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__raw"), norm.alias("__n")
+    ).withColumn(
+        "__w",
+        F.when(F.length("__n") == 0, F.expr("array()")).otherwise(
+            F.split(F.col("__n"), " ")
+        ),
+    ).withColumn("__lines", F.split(F.col("__raw"), "\n", -1))
+    n_words = F.size("__w")
+    total_wlen = F.expr("aggregate(__w, 0L, (a, w) -> a + length(w))")
+    mean_wlen = F.when(n_words > 0, total_wlen / n_words).otherwise(F.lit(0.0))
+    # non-overlapping literal counts, same left-to-right semantics as
+    # the oracle's replace-based count
+    n_hash = F.length("__raw") - F.length(F.replace(F.col("__raw"), F.lit("#")))
+    n_ell = (
+        F.length("__raw") - F.length(F.replace(F.col("__raw"), F.lit("...")))
+    ) / 3
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ell) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_lines = F.size("__lines")
+    bullet_lines = F.expr(
+        "size(filter(__lines, l -> l like '•%' or l like '-%' or l like '*%'))"
+    )
+    ell_lines = F.expr("size(filter(__lines, l -> l like '%...'))")
+    bullet_ratio = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, ell_lines / n_lines).otherwise(F.lit(0.0))
+    alpha_words = F.expr("size(filter(__w, w -> w rlike '[a-z]'))")
+    alpha_word_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(
+        F.lit(0.0)
+    )
+    required_hits = F.size(
+        F.array_intersect(
+            F.col("__w"), F.array(*[F.lit(w) for w in GOPHER_REQUIRED])
+        )
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= min_mean_wlen)
+        & (mean_wlen <= max_mean_wlen)
+        & (F.round(symbol_ratio, 6) <= max_symbol_ratio)
+        & (F.round(bullet_ratio, 6) <= max_bullet_ratio)
+        & (F.round(ellipsis_ratio, 6) <= max_ellipsis_ratio)
+        & (F.round(alpha_word_ratio, 6) >= min_alpha_word_ratio)
+        & (required_hits >= min_required_hits)
+    )
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_word_ratio, 6).alias("alpha_word_ratio"),
+        required_hits.alias("required_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def repetition_score(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Repetition signals (the Gopher-rules family): per document, the
     fraction of word n-gram occurrences taken by the single most

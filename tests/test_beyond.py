@@ -681,6 +681,38 @@ def test_pii_redact_plants(spark):
     assert out[3].n_emails == 0 and out[3].n_phones == 0
 
 
+def test_gopher_rules_branches(spark):
+    """Hand-built documents hit every Gopher rule the synthetic corpus
+    never triggers: bullets, ellipsis lines, symbol ratio, alpha-word
+    ratio, required-stopword floor, word-count band."""
+    from amaxa_spark.operators.text import gopher_rules
+
+    good = "the data " + "of solid prose and words that have value with " * 8
+    df = spark.createDataFrame(
+        [
+            (1, good),  # passes everything
+            (2, "- one\n- two\n- three\nplain"),  # 75% bullet lines
+            (3, "wait...\nmore...\nok"),  # 2/3 ellipsis-ended lines
+            (4, "### " * 30 + "the of and"),  # symbol storm
+            (5, "1 2 3 4 5 6 7 8 9 0 " * 10 + "the of"),  # numeric words
+            (6, "word " * 60),  # no required stopwords
+            (7, "the of and that"),  # too short
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r.doc_id: r
+        for r in gopher_rules(df, "text", "doc_id", min_words=10).collect()
+    }
+    assert out[1].keep == 1 and out[1].required_hits >= 2
+    assert out[2].bullet_ratio == 0.75
+    assert out[3].ellipsis_ratio == 0.666667
+    assert out[4].symbol_ratio > 0.1 and out[4].keep == 0
+    assert out[5].alpha_word_ratio < 0.8 and out[5].keep == 0
+    assert out[6].required_hits == 0 and out[6].keep == 0
+    assert out[7].n_words < 10 and out[7].keep == 0
+
+
 def test_contamination_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta")], "doc_id: long, text: string"
@@ -1197,6 +1229,30 @@ def test_ivf_kmeans_matches_zero_iter_shape(spark, sf_dir):
     assert {r.query_id for r in rows} == {0, 1}
     assert all(r.rank <= 3 for r in rows)
     assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_ivf_pretrained_codebook_matches_inline_training(spark, sf_dir):
+    """The codebook amortization seam: a codebook trained once and
+    passed back in must reproduce the inline-trained result exactly,
+    with zero Lloyd work on the query path."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    cb = SIM.kmeans_codebook(base, 8, iters=2).localCheckpoint(eager=True)
+    inline = SIM.ivf_cosine_topk(
+        emb, query_ids=[0, 5], k=3, n_centroids=8, nprobe=3, kmeans_iters=2
+    )
+    reused = SIM.ivf_cosine_topk(
+        emb, query_ids=[0, 5], k=3, nprobe=3, codebook=cb
+    )
+    key = lambda rows: sorted(
+        (r.query_id, r.neighbor_id, r.sim, r.rank) for r in rows
+    )
+    assert key(inline.collect()) == key(reused.collect())
 
 
 def test_ivf_pandas_assignment_matches_hof(spark, sf_dir):
@@ -2047,6 +2103,33 @@ def test_weighted_linkage_null_field_does_not_veto(spark):
     # identical names carry 0.7 alone past the threshold; the NULL
     # tier contributes 0 instead of nulling the whole score
     assert len(out) == 1 and abs(out[0]["score"] - 0.7) < 1e-9
+
+
+def test_weighted_linkage_array_blocking(spark):
+    """Array block keys = multi-pass blocking: a pair links when it
+    shares ANY key, and a pair sharing SEVERAL keys is scored exactly
+    once (candidates dedup before field rehydration)."""
+    from amaxa_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, ["k1", "k2"], "alpha", "gold"),
+            (2, ["k2", "k3"], "alpha", "gold"),   # shares k2 with 1
+            (3, ["k9"], "alpha", "gold"),          # no shared key
+            (4, ["k1", "k2"], "alpha", "gold"),   # shares TWO keys with 1
+        ],
+        "id long, blks array<string>, name string, tier string",
+    )
+    rows = D.weighted_linkage(
+        df, "id", "blks",
+        [("name", 0.7, "text"), ("tier", 0.3, "exact")],
+        threshold=0.9,
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    # each qualifying pair appears exactly once, even (1,4) with two
+    # shared keys; 3 never becomes a candidate
+    assert sorted(pairs) == [(1, 2), (1, 4), (2, 4)]
+    assert len(pairs) == len(set(pairs))
 
 
 def test_forward_asof_uses_linear_frame(spark, sf_dir):
