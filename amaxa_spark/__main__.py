@@ -83,12 +83,29 @@ def load_registry(path: str) -> SchemaRegistry:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="amaxa_spark")
-    p.add_argument("mode", choices=["extract", "load", "check", "profile"])
+    p.add_argument(
+        "mode", choices=["extract", "load", "check", "profile", "curate"]
+    )
     p.add_argument(
         "operation",
         nargs="?",
         help="operation YAML/JSON file (extract/load/check); for "
-        "profile: comma-separated table names",
+        "profile: comma-separated table names; for curate: the "
+        "documents table name (default 'documents')",
+    )
+    p.add_argument("--text-col", default="text", help="curate: text column")
+    p.add_argument("--id-col", default="doc_id", help="curate: id column")
+    p.add_argument(
+        "--min-words",
+        type=int,
+        default=50,
+        help="curate: Gopher word-count floor (paper default 50)",
+    )
+    p.add_argument(
+        "--min-required-hits",
+        type=int,
+        default=2,
+        help="curate: Gopher required-stopword floor (paper default 2)",
     )
     p.add_argument("--data-dir", required=True)
     p.add_argument("--registry", help="required for extract/load")
@@ -119,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
-    if args.mode != "profile" and not args.operation:
+    if args.mode not in ("profile", "curate") and not args.operation:
         p.error(f"{args.mode} requires an operation file")
     if args.atomic and args.merge_buckets:
         # reject the invalid layout combination BEFORE any Spark work —
@@ -172,6 +189,44 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 any_failed = any_failed or not r.passed
         return 1 if any_failed else 0
+
+    if args.mode == "curate":
+        # one-command corpus curation: gopher gate -> near-dup
+        # clustering -> representatives -> leakage-proof split
+        # (operators/curate.py); exit 1 if the leakage audit is
+        # nonzero (it is 0 by construction — the audit is the proof)
+        import os
+
+        from amaxa_spark.operators.curate import audit_leakage, curate_corpus
+
+        table = (args.operation or "documents").strip()
+        os.makedirs(args.out, exist_ok=True)
+        res = curate_corpus(
+            catalog[table],
+            text_col=args.text_col,
+            id_col=args.id_col,
+            gopher_kwargs={
+                "min_words": args.min_words,
+                "min_required_hits": args.min_required_hits,
+            },
+        )
+        n_total = catalog[table].count()
+        n_kept = res["kept"].count()
+        leaks = audit_leakage(res)
+        res["kept"].write.mode("overwrite").parquet(f"{args.out}/kept.parquet")
+        res["splits"].write.mode("overwrite").parquet(
+            f"{args.out}/splits.parquet"
+        )
+        res["flags"].write.mode("overwrite").parquet(
+            f"{args.out}/flags.parquet"
+        )
+        pdf = res["summary"].toPandas()
+        pdf.to_csv(f"{args.out}/summary.csv", index=False)
+        print(f"curated {table}: kept {n_kept}/{n_total}, "
+              f"leaking clusters {leaks}")
+        for r in pdf.itertuples(index=False):
+            print(f"  {r.split}: docs={r.docs} tokens={r.tokens}")
+        return 1 if leaks else 0
 
     if not args.registry:
         p.error("--registry is required for extract/load")

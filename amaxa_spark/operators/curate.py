@@ -1,0 +1,117 @@
+"""One-call corpus curation: the composition pipeline as an operator.
+
+The training-data build most users actually run — heuristic quality
+gate → near-dup clustering → canonical representative per cluster →
+leakage-proof group-aware split — composed so every expensive stage
+runs ONCE and is reused by its consumers (the amortized shape
+SCALE_NOTES documents; the per-query bench entries price each stage's
+self-contained worst case instead).
+
+Reachable as ``python -m amaxa_spark curate`` and as the library call
+:func:`curate_corpus`. Beyond-reference surface (the reference is an
+ETL tool, not a corpus curator); the stages themselves are the
+oracle-gated operators `gopher_rules`, `ngram_jaccard_pairs`,
+`cluster_duplicates`, `select_representatives`, `group_split`,
+`split_leakage`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amaxa_spark.operators import dedup as D
+from amaxa_spark.operators.sampling import group_split, split_leakage
+from amaxa_spark.operators.text import gopher_rules, token_stats
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_n: int = 4,
+    jaccard_threshold: float = 0.3,
+    fractions: dict[str, float] | None = None,
+    gopher_kwargs: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full curation chain and return every intermediate frame:
+
+    ``flags``    — per-doc Gopher rule signals + keep verdict
+    ``clusters`` — near-dup (id, cluster_id) members (checkpointed:
+                   clustering runs once, three consumers reuse it)
+    ``kept``     — quality-passing docs minus non-representative
+                   cluster members
+    ``splits``   — (id, split) for every KEPT doc, derived from the
+                   cluster hash so near-dups can never straddle splits
+    ``summary``  — per-split doc + whitespace-token counts
+
+    Scale shape: one corpus scan feeds the gate, one shingle pipeline
+    feeds clustering, and everything downstream joins duplicate-sized
+    or kept-sized frames; the split is a projection over a hash. The
+    leakage audit runs over the FULL corpus assignment (auditing only
+    kept docs is vacuous — every cluster keeps one survivor).
+    """
+    flags = gopher_rules(docs, text_col, id_col, **(gopher_kwargs or {}))
+    passed = docs.join(
+        flags.where(F.col("keep") == 1).select(id_col), id_col, "left_semi"
+    )
+
+    pairs = D.ngram_jaccard_pairs(
+        passed, text_col, id_col, n=jaccard_n, threshold=jaccard_threshold
+    )
+    clusters = D.cluster_duplicates(pairs).localCheckpoint(eager=True)
+
+    reps = D.select_representatives(
+        clusters,
+        passed.select(F.col(id_col).alias("id"), F.length(text_col).alias("__len")),
+        id_col="id",
+        cluster_col="cluster_id",
+        score_col="__len",
+    )
+    drop = reps.where(F.col("is_rep") == 0).select("id")
+    kept = passed.join(drop, passed[id_col] == drop["id"], "left_anti")
+
+    # split the full gated corpus on the cluster hash (singletons hash
+    # their own id), then restrict to kept docs
+    keyed = (
+        passed.select(id_col)
+        .join(clusters, passed[id_col] == clusters["id"], "left_outer")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("__grp"),
+        )
+    )
+    all_splits = group_split(keyed, "__grp", fractions).select(
+        F.col(id_col).alias("id"), "split"
+    )
+    splits = all_splits.join(
+        kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+
+    toks = token_stats(kept, text_col, id_col).select(
+        F.col(id_col).alias("id"), "ws_tokens"
+    )
+    summary = (
+        splits.join(toks, "id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("ws_tokens").alias("tokens"),
+        )
+        .orderBy("split")
+    )
+    return {
+        "flags": flags,
+        "clusters": clusters,
+        "kept": kept,
+        "all_splits": all_splits,
+        "splits": splits,
+        "summary": summary,
+    }
+
+
+def audit_leakage(result: dict[str, DataFrame]) -> int:
+    """Number of near-dup clusters straddling splits in a
+    :func:`curate_corpus` result — 0 by construction; the audit is the
+    proof, not a hope."""
+    return split_leakage(result["clusters"], result["all_splits"]).count()

@@ -463,3 +463,29 @@ def test_cli_profile_mode(spark, sf_dir, tmp_path, capsys):
     pdf = pd.read_csv(out / "documents.profile.csv")
     assert set(pdf["column"]) == {"doc_id", "text", "lang", "source", "n_chars"}
     assert (pdf["n_rows"] == pdf["n_rows"].iloc[0]).all()
+
+
+def test_cli_curate_mode(spark, sf_dir, tmp_path, capsys):
+    """One-command curation: gate -> cluster -> representatives ->
+    leakage-proof split; artifacts on disk, zero leakage, and the
+    split totals account for every kept doc exactly once."""
+    out = tmp_path / "curated"
+    rc = main([
+        "curate", "--data-dir", sf_dir, "--out", str(out),
+        "--min-words", "20", "--min-required-hits", "1",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "leaking clusters 0" in printed
+    kept = spark.read.parquet(str(out / "kept.parquet"))
+    splits = spark.read.parquet(str(out / "splits.parquet"))
+    n_kept = kept.count()
+    assert 0 < n_kept < 500  # the gate actually discriminates
+    assert splits.count() == n_kept
+    assert splits.select("id").distinct().count() == n_kept
+    flags = spark.read.parquet(str(out / "flags.parquet"))
+    assert flags.count() == 500  # every doc got a verdict row
+    import pandas as pd
+
+    summary = pd.read_csv(out / "summary.csv")
+    assert summary["docs"].sum() == n_kept
