@@ -336,11 +336,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     verify_threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs: documents sharing any
     band signature. ``verify_threshold`` optionally verifies candidates
     with exact n-gram Jaccard (the scale path: cheap banded candidate
     generation, exact verify only on candidates).
+
+    ``max_bucket_size`` is the mega-bucket guard — the hard bound that
+    keeps a degenerate band (boilerplate-dominated corpora, saturated
+    shingle spaces — the regime the sf1 probe measured) from exploding
+    into size² candidate pairs: (band, bucket) groups larger than the
+    cap are dropped BEFORE the self-join, so per-bucket join cost is
+    bounded by cap² regardless of data. The recall contract is
+    explicit: a pair is lost only if EVERY band it collides in is a
+    mega-bucket — and a bucket that big carries near-zero signal about
+    any specific pair anyway (its members agree on a band of hashes
+    with thousands of others). Leave ``None`` to keep exact
+    candidate-generation semantics (the oracle-gated default).
 
     Returns (id_a, id_b) or (id_a, id_b, jaccard) when verifying.
     """
@@ -370,6 +383,14 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
     )
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .where(F.col("__bs") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -416,9 +437,17 @@ def embedding_cosine_dups(
     vec_col: str = "embedding",
     bucket_bits: int = 0,
     bands: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     id_a < id_b and cosine ≥ threshold.
+
+    ``max_bucket_size`` (LSH paths only) drops sign-LSH buckets larger
+    than the cap before the pair join — the mega-bucket guard bounding
+    per-bucket cost at cap² when the embedding distribution collapses
+    many vectors into one orthant (same contract as
+    :func:`minhash_lsh_pairs`; with ``bands>1`` a pair survives unless
+    ALL its colliding buckets are mega).
 
     ``bucket_bits=0`` is the exact O(n²) baseline (fine for re-ranking
     candidate sets). At scale set ``bucket_bits>0``: pairs must share
@@ -458,6 +487,14 @@ def embedding_cosine_dups(
         keyed = base.select(
             F.col(id_col), F.explode(codes).alias("__bucket")
         )
+        if max_bucket_size is not None:
+            small = (
+                keyed.groupBy("__bucket")
+                .agg(F.count(F.lit(1)).alias("__bs"))
+                .where(F.col("__bs") <= max_bucket_size)
+                .select("__bucket")
+            )
+            keyed = keyed.join(small, "__bucket", "left_semi")
         cand = (
             keyed.alias("a")
             .join(keyed.alias("b"), "__bucket")
@@ -476,6 +513,14 @@ def embedding_cosine_dups(
         coded = base.withColumn(
             "__bucket", lsh_code(F.col("__v"), dim, bucket_bits, 0)
         )
+        if max_bucket_size is not None:
+            small = (
+                coded.groupBy("__bucket")
+                .agg(F.count(F.lit(1)).alias("__bs"))
+                .where(F.col("__bs") <= max_bucket_size)
+                .select("__bucket")
+            )
+            coded = coded.join(small, "__bucket", "left_semi")
         a = coded.select(
             F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket"
         )
@@ -617,6 +662,7 @@ def fuzzy_pairs(
     text_col: str,
     block_expr: str,
     max_dist: int = 1,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Edit-distance fuzzy matching via blocked self-join: candidates
     are generated only WITHIN a block (``block_expr``, a SQL expression
@@ -628,16 +674,30 @@ def fuzzy_pairs(
     discipline as LSH banding). Pairs whose edits fall inside the
     blocking key are missed by design; recall is the blocking
     function's property, and the verify step is exact.
+    ``max_block_size`` is the same mega-bucket guard as
+    :func:`minhash_lsh_pairs`: blocks above the cap (one
+    ultra-common prefix) are dropped before the join, bounding
+    per-block cost at cap² — the safety valve when the block
+    function degenerates on real data.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("_ta"),
+    blocked = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
         F.expr(block_expr.format(c=text_col)).alias("_blk"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("_tb"),
-        F.expr(block_expr.format(c=text_col)).alias("_blk"),
+    if max_block_size is not None:
+        small = (
+            blocked.groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .where(F.col("__bs") <= max_block_size)
+            .select("_blk")
+        )
+        blocked = blocked.join(small, "_blk", "left_semi")
+    a = blocked.select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("_ta"), "_blk"
+    )
+    b = blocked.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("_tb"), "_blk"
     )
     # length prefilter is free and prunes most in-block candidates;
     # the threshold form of levenshtein early-exits the DP (returns

@@ -2105,6 +2105,66 @@ def test_weighted_linkage_null_field_does_not_veto(spark):
     assert len(out) == 1 and abs(out[0]["score"] - 0.7) < 1e-9
 
 
+def test_minhash_mega_bucket_guard(spark):
+    """max_bucket_size drops degenerate buckets before the self-join:
+    a boilerplate clique larger than the cap contributes no candidate
+    pairs, while a distinct near-dup pair in its own bucket survives."""
+    from amaxa_spark.operators import dedup as D
+
+    boiler = "common header boilerplate text repeated on every page of this site"
+    rows = [(i, boiler) for i in range(20)]
+    rows += [
+        (100, "a genuinely unique document about spark shuffle tuning today"),
+        (101, "a genuinely unique document about spark shuffle tuning tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.minhash_lsh_pairs(df, "text", "doc_id", n=3)
+    capped = D.minhash_lsh_pairs(
+        df, "text", "doc_id", n=3, max_bucket_size=5
+    )
+    unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in unc and (100, 101) in cap  # pair survives
+    assert any(a < 20 and b < 20 for a, b in unc)  # clique pairs existed
+    assert not any(a < 20 and b < 20 for a, b in cap)  # clique dropped
+    assert cap <= unc  # the cap only ever removes candidates
+
+
+def test_fuzzy_pairs_mega_block_guard(spark):
+    from amaxa_spark.operators import dedup as D
+
+    rows = [(i, f"prefix_{i % 2}") for i in range(30)]  # 2 mega blocks
+    rows += [(100, "zzz_unique_a"), (101, "zzz_unique_b")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {
+        (r.id_a, r.id_b)
+        for r in D.fuzzy_pairs(
+            df, "id", "name", "substr({c}, 1, 3)", max_dist=1,
+            max_block_size=10,
+        ).collect()
+    }
+    assert (100, 101) in out  # small block still verified
+    assert not any(a < 30 and b < 30 for a, b in out)  # mega blocks dropped
+
+
+def test_embedding_lsh_mega_bucket_guard(spark):
+    from amaxa_spark.operators import dedup as D
+
+    # 12 identical vectors (one orthant bucket) + 2 near-dups elsewhere
+    clone = [1.0, 0.5, 0.25, 0.125]
+    rows = [(i, clone) for i in range(12)]
+    rows += [(100, [-1.0, -0.5, 0.3, 0.2]), (101, [-1.0, -0.52, 0.31, 0.19])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_dups(
+            df, threshold=0.9, bucket_bits=2, max_bucket_size=5
+        ).collect()
+    }
+    assert (100, 101) in cap
+    assert not any(a < 12 and b < 12 for a, b in cap)
+
+
 def test_weighted_linkage_array_blocking(spark):
     """Array block keys = multi-pass blocking: a pair links when it
     shares ANY key, and a pair sharing SEVERAL keys is scored exactly
