@@ -896,6 +896,15 @@ def q_dedup_repeated_spans(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """FineWeb/CCNet inter-document line dedup: lines shared by ≥2
+    docs removed from every doc (short lines exempt); line-keyed
+    shuffles only, surviving lines rejoined in order."""
+    return D.strip_duplicated_lines(
+        _read(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking: 32-token windows, 8-token overlap —
     pure projection (sequence/slice/posexplode), no shuffle."""
@@ -2527,7 +2536,7 @@ QUERY_ORDER = [
     "skew_two_stage_agg", "group_median", "knn_join_exact",
     "image_bmp_stats",
     # ---------------- position 51+: never-judged remainder ----------
-    "tfidf_keywords", "gopher_rules",
+    "tfidf_keywords", "gopher_rules", "line_dedup",
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
@@ -2565,7 +2574,7 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("weighted_linkage") < 50
 assert QUERY_ORDER.index("key_gini") < 50
 assert QUERY_ORDER.index("image_bmp_stats") < 50
-assert len(QUERY_ORDER) == 136 and len(set(QUERY_ORDER)) == 136
+assert len(QUERY_ORDER) == 137 and len(set(QUERY_ORDER)) == 137
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2669,6 +2678,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "text_unigram_lm": q_text_unigram_lm,
         "dedup_repeated_spans": q_dedup_repeated_spans,
+        "line_dedup": q_line_dedup,
         "doc_chunks": q_doc_chunks,
         "corpus_diff": q_corpus_diff,
         "audio_meta": q_audio_meta,
@@ -3727,6 +3737,25 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(avg(cnt / tot), 6) AS mean_p, "
             "round(min(cnt / tot), 9) AS min_p "
             "FROM t2 JOIN vocab USING (token) CROSS JOIN total GROUP BY doc_id"
+        ),
+        "line_dedup": (
+            "WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr "
+            "FROM documents), "
+            "l AS (SELECT doc_id, unnest(arr) AS line, "
+            "generate_subscripts(arr, 1) AS pos FROM ls), "
+            "sh AS (SELECT line FROM l WHERE length(line) >= 10 "
+            "GROUP BY line HAVING count(DISTINCT doc_id) >= 2), "
+            "k AS (SELECT l.doc_id, l.pos, l.line FROM l "
+            "LEFT JOIN sh ON l.line = sh.line WHERE sh.line IS NULL), "
+            "r AS (SELECT doc_id, count(*) AS kept, "
+            "string_agg(line, chr(10) ORDER BY pos) AS text_clean "
+            "FROM k GROUP BY doc_id), "
+            "t AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines "
+            "FROM documents) "
+            "SELECT t.doc_id, CAST(n_lines AS INT) AS n_lines, "
+            "CAST(n_lines - coalesce(kept, 0) AS INT) AS n_removed, "
+            "coalesce(text_clean, '') AS text_clean "
+            "FROM t LEFT JOIN r ON t.doc_id = r.doc_id"
         ),
         "dedup_repeated_spans": (
             f"WITH base AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents), "

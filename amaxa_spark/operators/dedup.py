@@ -714,6 +714,75 @@ def fuzzy_pairs(
     )
 
 
+def strip_duplicated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Inter-document LINE dedup (the FineWeb/CCNet boilerplate pass):
+    a line occurring in at least ``min_docs`` DISTINCT documents is
+    removed from every document — navigation chrome, cookie banners,
+    and licence footers die here, before any document-level near-dup
+    stage. Lines shorter than ``min_chars`` are never removed (blank
+    lines and short connectors occur everywhere and carry structure,
+    not boilerplate — the CCNet guard).
+
+    Removal is symmetric (ALL occurrences go, not "keep first"), so
+    the result is deterministic and independent of any document
+    ordering — the property a distributed engine can actually
+    guarantee. Output: (id, n_lines, n_removed, text_clean) with the
+    surviving lines rejoined in their original order.
+
+    Scale shape: one posexplode, one line-keyed distinct-doc count
+    (map-side combined; output is distinct-line-sized), one line-keyed
+    anti-join back, and one per-doc ordered reassembly — every shuffle
+    is line- or doc-keyed, no pairwise anything. The line text rides
+    the frequency shuffle once; at 100 TB key it by ``xxhash64(line)``
+    instead (2⁻⁶⁴ false-merge risk) to shuffle 8-byte keys.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    shared = (
+        lines.where(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("line")
+    )
+    removable = lines.where(F.length("line") >= min_chars)
+    keep_long = removable.join(shared, "line", "left_anti")
+    kept = keep_long.unionByName(lines.where(F.length("line") < min_chars))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left_outer")
+        .select(
+            id_col,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def repeated_ngram_spans(
     df: DataFrame, text_col: str, id_col: str, n: int = 5
 ) -> DataFrame:

@@ -2130,6 +2130,32 @@ def test_minhash_mega_bucket_guard(spark):
     assert cap <= unc  # the cap only ever removes candidates
 
 
+def test_strip_duplicated_lines(spark):
+    """FineWeb-style line dedup: boilerplate lines shared across docs
+    vanish from every doc, short lines survive everywhere, order is
+    preserved, and a fully-boilerplate doc collapses to empty."""
+    from amaxa_spark.operators import dedup as D
+
+    banner = "accept all cookies to continue browsing"
+    footer = "copyright 2020 example corporation all rights reserved"
+    rows = [
+        (1, f"{banner}\nunique insight about spark\n--\n{footer}"),
+        (2, f"{banner}\nanother unique thought entirely\n{footer}"),
+        (3, f"{banner}\n{footer}"),
+        (4, "standalone document with no boilerplate at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           D.strip_duplicated_lines(df, "text", "doc_id").collect()}
+    assert out[1].text_clean == "unique insight about spark\n--"  # order kept,
+    # short '--' survives (under min_chars)
+    assert out[1].n_lines == 4 and out[1].n_removed == 2
+    assert out[2].text_clean == "another unique thought entirely"
+    assert out[3].text_clean == "" and out[3].n_removed == 2
+    assert out[4].n_removed == 0
+    assert out[4].text_clean == rows[3][1]
+
+
 def test_fuzzy_pairs_mega_block_guard(spark):
     from amaxa_spark.operators import dedup as D
 

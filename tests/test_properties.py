@@ -449,6 +449,57 @@ def test_load_roundtrip_preserves_fk_structure(spark):
             ), (seed, old_id)
 
 
+def test_gini_matches_naive_rank_formula(spark):
+    """The count-of-counts closed form equals the textbook
+    sorted-rank Gini on random key distributions, including heavy
+    ties, singletons, and one-key corpora."""
+    import random
+
+    from amaxa_spark.operators.stats import gini_coefficient
+
+    for seed in (1, 2, 3, 4):
+        rng = random.Random(seed)
+        n_keys = rng.randint(1, 80)
+        counts = [rng.choice([1, 1, 1, 2, 3, 5, 40]) for _ in range(n_keys)]
+        rows = [(k,) for k, c in enumerate(counts) for _ in range(c)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "k long")
+        got = gini_coefficient(df, "k").collect()[0]
+        xs = sorted(counts)
+        n, tot = len(xs), sum(xs)
+        want = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+            n + 1.0
+        ) / n
+        assert got["n_keys"] == n and got["total"] == tot
+        assert abs(got["gini"] - round(want, 9)) < 1e-9, (seed, got, want)
+
+
+@given(
+    st.text(alphabet="ab1", min_size=3, max_size=12),
+    st.integers(min_value=0, max_value=12),
+    st.sampled_from(["sub", "del", "ins", "none"]),
+)
+@settings(max_examples=120, deadline=None)
+def test_deletion_neighborhood_blocking_lossless(s, pos, kind):
+    """Any two strings within edit distance 1 share a key in the
+    deletion-1 neighborhood (the string itself + every single-char
+    deletion) — the losslessness the weighted_linkage gate query's
+    blocking relies on. Pure-Python mirror of the Column expression."""
+    def neighborhood(t):
+        return {t} | {t[:i] + t[i + 1:] for i in range(len(t))}
+
+    p = pos % (len(s) + 1)
+    if kind == "sub" and p < len(s):
+        other = s[:p] + ("z" if s[p] != "z" else "y") + s[p + 1:]
+    elif kind == "del" and p < len(s):
+        other = s[:p] + s[p + 1:]
+    elif kind == "ins":
+        other = s[:p] + "z" + s[p:]
+    else:
+        other = s
+    assert neighborhood(s) & neighborhood(other), (s, other)
+
+
 def test_asof_forward_matches_naive(spark):
     """Randomized cross-check: forward as-of equals the per-row
     'earliest right at-or-after' reference computation."""
