@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
         "(catalog.write_partitioned_table) so later dependent updates "
         "can rewrite only affected buckets via merge_into_partitioned",
     )
+    p.add_argument(
+        "-k",
+        "--check-only",
+        action="store_true",
+        help="extract/load: validate the operation (config, tables, "
+        "fields, strict input columns) and exit without moving data — "
+        "the reference's -k flag",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -234,7 +242,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mode == "extract":
         steps = load_extract_config(args.operation)
-        results = ExtractOperation(spark, catalog, registry, steps).run()
+        op = ExtractOperation(spark, catalog, registry, steps)
+        if args.check_only:
+            from amaxa_spark.operators.extract import ExtractError
+
+            try:
+                op._validate()
+            except ExtractError as e:
+                print(str(e), file=sys.stderr)
+                return 1
+            print("configuration valid; no data was extracted")
+            return 0
+        results = op.run()
         if args.atomic:
             from amaxa_spark.sources.catalog import atomic_extract_write
 
@@ -261,6 +280,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     steps = load_load_config(args.operation)
+    if args.check_only:
+        errors = LoadOperation(spark, registry, steps, catalog).validate()
+        if errors:
+            for e in errors:
+                print(e, file=sys.stderr)
+            return 1
+        print("configuration valid; no data was loaded")
+        return 0
     if args.pre_check:
         # fail-stop BEFORE any write: garbage inputs never reach the
         # two-phase replay (the reference validates input columns;

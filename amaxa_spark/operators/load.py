@@ -95,6 +95,40 @@ class LoadOperation:
         self._map_counts: dict[str, int] = {}
 
     # ------------------------------------------------------------------
+    def validate(self) -> list[str]:
+        """Check-only pass (reference ``-k/--check-only``,
+        `amaxa/__main__.py:30`): every validation that can run without
+        executing — unknown tables, missing PK columns, strict-mode
+        input/scope mismatches — reported as one error list; nothing
+        is read beyond input headers and nothing is written."""
+        errors: list[str] = []
+        for step in self.steps:
+            if step.table not in self.registry:
+                # string mirrors `loader/core.py:267-270` with the
+                # load-side permission (`loader/load_operation.py:13`)
+                errors.append(
+                    f"sObject {step.table} does not exist or does not "
+                    "have the correct permission (createable)"
+                )
+                continue
+            df = self._input(step)
+            pk = self.registry[step.table].pk
+            if pk not in df.columns:
+                errors.append(f"{step.table}: primary key {pk!r} not in input")
+            if step.input_validation == "strict" and step.fields is not None:
+                fields = [
+                    c for c in step.fields if c not in set(step.exclude_fields)
+                ]
+                cols = list(dict.fromkeys([pk, *fields]))
+                missing = [c for c in cols if c not in df.columns]
+                extra = [c for c in df.columns if c not in cols]
+                if missing or extra:
+                    errors.append(
+                        f"{step.table}: input columns do not match field "
+                        f"scope (missing {missing}, unexpected {extra})"
+                    )
+        return errors
+
     def _input(self, step: LoadStepPlan) -> DataFrame:
         if step.input_path is not None:
             # reference parity: a step's `file:` key names its CSV

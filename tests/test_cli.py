@@ -81,6 +81,42 @@ def test_cli_extract_end_to_end(spark, sf_dir, tmp_path):
     assert dangling == 0
 
 
+def test_cli_check_only_flag(spark, sf_dir, tmp_path, capsys):
+    """Reference -k parity: validate the operation and exit without
+    moving data — valid config exits 0 with nothing written, a bad
+    field exits 1 with the reference's error string."""
+    reg = {
+        "tables": [
+            {"name": "customer", "pk": "c_custkey", "lookups": {}},
+        ]
+    }
+    reg_path = tmp_path / "registry.json"
+    reg_path.write_text(json.dumps(reg))
+    op = {
+        "version": 2,
+        "operation": [
+            {"table": "customer", "extract": {"all": True}},
+        ],
+    }
+    op_path = tmp_path / "op.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    out = tmp_path / "ck_out"
+    base = ["extract", str(op_path), "--data-dir", sf_dir,
+            "--registry", str(reg_path), "--out", str(out), "-k"]
+    assert main(base) == 0
+    assert "no data was extracted" in capsys.readouterr().out
+    assert not out.exists()  # nothing written
+
+    op["operation"][0]["fields"] = ["c_name", "No_Such_Field__c"]
+    op_path.write_text(yaml.safe_dump(op))
+    assert main(base) == 1
+    err = capsys.readouterr().err
+    assert (
+        "Field customer.No_Such_Field__c does not exist or does not "
+        "have the correct CRUD permission." in err
+    )
+
+
 def test_cli_check_mode_runs_quality_rules(spark, sf_dir, tmp_path, capsys):
     cfg = {
         "version": 1,

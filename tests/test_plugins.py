@@ -49,6 +49,7 @@ def test_plugin_composes_with_builtins(spark, tmp_path):
     )
     load_extract_config(
         {
+            "version": 1,
             "plugin-modules": [str(plugin)],
             "operation": [{"table": "t", "extract": {"all": True}}],
         }
