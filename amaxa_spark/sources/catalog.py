@@ -549,3 +549,183 @@ def merge_into_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return affected
+
+
+# ---------------------------------------------------------------------------
+# Manifest-versioned bucket layout — ATOMIC partition-scoped MERGE with
+# no Delta/Iceberg jar. `merge_into_partitioned` keeps rewrites
+# bucket-local but mutates bucket directories in place (dynamic
+# partition overwrite), so a reader racing a merge — or a merge dying
+# mid-write — can observe a half-rewritten bucket. This layout closes
+# that hole with the SAME manifest protocol the extract/load commits
+# use: every merge writes ONLY the affected buckets' files under a
+# fresh generation directory and then publishes a manifest mapping
+# bucket -> generation; the manifest `os.replace` is the single atomic
+# commit. Readers resolve through the manifest, so they see the old
+# snapshot until the instant the new one is complete; a crash leaves an
+# orphan generation directory that no manifest references (invisible;
+# `vacuum_versioned` reclaims it). Time travel works per merge, not
+# just per full rewrite. Single-writer, like the rest of the manifest
+# protocol — concurrent merges need a commit-log arbiter (that is the
+# part a real Delta brings).
+
+
+def _bucket_expr(pk: str, n_buckets: int):
+    return F.pmod(
+        F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _present_buckets(gen_dir: str) -> list[int]:
+    prefix = f"{MERGE_BUCKET_COL}="
+    return sorted(
+        int(d[len(prefix):])
+        for d in os.listdir(gen_dir)
+        if d.startswith(prefix)
+    )
+
+
+def write_versioned_table(
+    df: DataFrame, path: str, pk: str, n_buckets: int = 64
+) -> dict:
+    """Initial commit of a versioned bucket table. Data lands under
+    ``<path>/gen-<token>/<bucket>=N/``; the published manifest maps
+    every present bucket to that generation."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    out = df.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+    out.write.mode("errorifexists").partitionBy(MERGE_BUCKET_COL).parquet(
+        os.path.join(path, gen)
+    )
+    manifest = {
+        "token": token,
+        "kind": "versioned-buckets",
+        "pk": pk,
+        "n_buckets": n_buckets,
+        "buckets": {
+            str(b): gen for b in _present_buckets(os.path.join(path, gen))
+        },
+    }
+    _publish_manifest(path, manifest)
+    return manifest
+
+
+def _bucket_manifest(path: str, token: str | None = None) -> dict:
+    import json
+
+    mp = (
+        os.path.join(path, MANIFEST_NAME)
+        if token is None
+        else os.path.join(path, HISTORY_DIR, f"{token}.json")
+    )
+    with open(mp) as f:
+        manifest = json.load(f)
+    if manifest.get("kind") != "versioned-buckets":
+        raise ValueError(f"{path}: not a versioned bucket table")
+    return manifest
+
+
+def read_versioned_table(
+    spark: SparkSession, path: str, token: str | None = None
+) -> DataFrame:
+    """Open the committed snapshot (or any retained generation by
+    token): each bucket reads from exactly the generation its manifest
+    entry names — a consistent point-in-time view regardless of any
+    in-flight merge."""
+    manifest = _bucket_manifest(path, token)
+    paths = [
+        os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+        for b, gen in sorted(manifest["buckets"].items())
+    ]
+    if not paths:
+        raise FileNotFoundError(f"{path}: empty versioned table")
+    return spark.read.parquet(*paths)
+
+
+def merge_into_versioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    pk: str,
+    set_cols: list[str],
+) -> dict:
+    """Atomic MERGE ... WHEN MATCHED THEN UPDATE: affected buckets are
+    rewritten under a NEW generation directory; untouched buckets keep
+    their existing files byte-for-byte (the new manifest still points
+    at them); the manifest publish is the commit. Returns the new
+    manifest (its ``buckets`` map shows exactly what moved)."""
+    import uuid
+
+    manifest = _bucket_manifest(path)
+    n_buckets = manifest["n_buckets"]
+    upd = updates.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+    affected = sorted(
+        b
+        for (b,) in upd.select(MERGE_BUCKET_COL).distinct().collect()
+        if str(b) in manifest["buckets"]
+    )
+    if not affected:
+        return manifest
+    cur_paths = [
+        os.path.join(path, manifest["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
+        for b in affected
+    ]
+    table = spark.read.parquet(*cur_paths)
+    upd_renamed = upd.select(
+        F.col(pk).alias("__u_pk"),
+        *[F.col(c).alias(f"__u_{c}") for c in set_cols],
+    )
+    merged = table.join(upd_renamed, table[pk] == F.col("__u_pk"), "left_outer")
+    for c in set_cols:
+        merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+    merged = merged.drop("__u_pk", *[f"__u_{c}" for c in set_cols])
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    (
+        merged.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        .write.mode("errorifexists")
+        .partitionBy(MERGE_BUCKET_COL)
+        .parquet(os.path.join(path, gen))
+    )
+    new_manifest = {
+        "token": token,
+        "kind": "versioned-buckets",
+        "pk": pk,
+        "n_buckets": n_buckets,
+        "buckets": {
+            **manifest["buckets"],
+            **{str(b): gen for b in affected},
+        },
+    }
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def vacuum_versioned(path: str, keep_last: int = 1) -> list[str]:
+    """Reclaim generation directories referenced by NO retained
+    manifest (crashed merges, aged-out snapshots). Keeps the
+    ``keep_last`` newest generations plus the current one; prunes
+    aged history records with their data. Returns removed paths."""
+    import json
+    import shutil
+
+    kept = list_generations(path)
+    retained = {g["token"] for g in kept[:keep_last]}
+    retained |= {g["token"] for g in kept if g["current"]}
+    hist_dir = os.path.join(path, HISTORY_DIR)
+    live_gens: set[str] = set()
+    for token in retained:
+        with open(os.path.join(hist_dir, f"{token}.json")) as f:
+            live_gens |= set(json.load(f)["buckets"].values())
+    removed = []
+    for entry in os.listdir(path):
+        if entry.startswith("gen-") and entry not in live_gens:
+            shutil.rmtree(os.path.join(path, entry))
+            removed.append(entry)
+    for entry in os.listdir(hist_dir):
+        tok = entry[: -len(".json")] if entry.endswith(".json") else None
+        if tok and tok not in retained:
+            os.remove(os.path.join(hist_dir, entry))
+    return removed

@@ -244,3 +244,67 @@ def test_file_stats_index_prunes_zordered_scan(spark, tmp_path):
     # disjoint range: nothing read, empty result
     out2, nread2, _ = read_pruned(spark, path, idx, "y", 1000, 2000)
     assert nread2 == 0 and out2.count() == 0
+
+
+def test_versioned_merge_is_atomic_and_time_travels(spark, tmp_path):
+    """Manifest-versioned buckets: a merge rewrites only affected
+    buckets under a NEW generation (old files untouched on disk), the
+    manifest publish is the commit (an unpublished generation is
+    invisible), and every pre-merge snapshot stays readable by token."""
+    import os
+
+    from amaxa_spark.sources.catalog import (
+        MERGE_BUCKET_COL,
+        merge_into_versioned,
+        read_versioned_table,
+        vacuum_versioned,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 0) for i in range(200)], "pk long, val string, gen int"
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=8)
+    assert read_versioned_table(spark, path).count() == 200
+
+    # snapshot untouched-bucket file inventory before the merge
+    def files_under(gen, bucket):
+        d = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={bucket}")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else None
+
+    upd = spark.createDataFrame(
+        [(7, "UPDATED", 1), (11, "UPDATED", 1)], "pk long, val string, gen int"
+    )
+    m1 = merge_into_versioned(spark, path, upd, pk="pk", set_cols=["val", "gen"])
+    changed = {b for b, g in m1["buckets"].items() if g != m0["buckets"][b]}
+    untouched = set(m0["buckets"]) - changed
+    assert 1 <= len(changed) <= 2 and untouched
+    # untouched buckets still point at generation 0 and their files
+    # were not rewritten
+    for b in untouched:
+        assert m1["buckets"][b] == m0["buckets"][b]
+        assert files_under(m0["buckets"][b], int(b)) == files_under(
+            m1["buckets"][b], int(b)
+        )
+    cur = read_versioned_table(spark, path)
+    got = {r.pk: (r.val, r.gen) for r in cur.collect()}
+    assert got[7] == ("UPDATED", 1) and got[11] == ("UPDATED", 1)
+    assert got[8] == ("v8", 0) and len(got) == 200
+    # time travel: the pre-merge snapshot by token is bit-identical
+    old = read_versioned_table(spark, path, token=m0["token"])
+    assert {r.pk: r.val for r in old.collect()}[7] == "v7"
+
+    # crash simulation: a generation directory with NO manifest is
+    # invisible to readers...
+    os.makedirs(os.path.join(path, "gen-deadbeef", f"{MERGE_BUCKET_COL}=0"))
+    assert read_versioned_table(spark, path).count() == 200
+    # ...and vacuum reclaims it while the current snapshot keeps reading
+    removed = vacuum_versioned(path, keep_last=1)
+    assert "gen-deadbeef" in removed
+    assert read_versioned_table(spark, path).count() == 200
+    # the vacuumed pre-merge token is gone (cleanly)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned_table(spark, path, token=m0["token"])
