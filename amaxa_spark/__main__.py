@@ -133,6 +133,13 @@ def main(argv: list[str] | None = None) -> int:
         "can rewrite only affected buckets via merge_into_partitioned",
     )
     p.add_argument(
+        "--versioned",
+        action="store_true",
+        help="load with --merge-buckets: use the manifest-versioned "
+        "bucket layout (catalog.write_versioned_table) so later "
+        "merges commit atomically and time-travel per merge",
+    )
+    p.add_argument(
         "-k",
         "--check-only",
         action="store_true",
@@ -356,14 +363,30 @@ def main(argv: list[str] | None = None) -> int:
     for table, (df, write_opts) in prepared.items():
         if not args.atomic:
             if args.merge_buckets:
-                from amaxa_spark.sources.catalog import write_partitioned_table
+                if args.versioned:
+                    # manifest-versioned layout: later merges are
+                    # ATOMIC per commit (catalog.merge_into_versioned)
+                    from amaxa_spark.sources.catalog import (
+                        write_versioned_table,
+                    )
 
-                write_partitioned_table(
-                    df,
-                    f"{args.out}/{table}.parquet",
-                    pk=registry[table].pk,
-                    n_buckets=args.merge_buckets,
-                )
+                    write_versioned_table(
+                        df,
+                        f"{args.out}/{table}.parquet",
+                        pk=registry[table].pk,
+                        n_buckets=args.merge_buckets,
+                    )
+                else:
+                    from amaxa_spark.sources.catalog import (
+                        write_partitioned_table,
+                    )
+
+                    write_partitioned_table(
+                        df,
+                        f"{args.out}/{table}.parquet",
+                        pk=registry[table].pk,
+                        n_buckets=args.merge_buckets,
+                    )
             else:
                 w = df.write.mode("overwrite")
                 for k, v in write_opts.items():

@@ -488,6 +488,47 @@ def test_cli_load_merge_buckets_layout(spark, tmp_path):
     assert got.count() == 2 and MERGE_BUCKET_COL in got.columns
 
 
+def test_cli_load_versioned_layout(spark, tmp_path):
+    """--merge-buckets --versioned writes the manifest-versioned
+    layout: a committed manifest exists and merge_into_versioned can
+    update it atomically."""
+    from amaxa_spark.sources.catalog import (
+        merge_into_versioned,
+        read_versioned_table,
+    )
+
+    reg_path, acc_csv, _ = _load_fixture(tmp_path)
+    op = {
+        "version": 1,
+        "operation": [{"sobject": "Account", "file": str(acc_csv)}],
+    }
+    op_path = tmp_path / "load.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    out = tmp_path / "out_v"
+    empty = tmp_path / "empty_v"
+    empty.mkdir()
+    rc = main(
+        [
+            "load", str(op_path),
+            "--data-dir", str(empty),
+            "--registry", str(reg_path),
+            "--out", str(out),
+            "--merge-buckets", "4", "--versioned",
+        ]
+    )
+    assert rc == 0
+    tbl = str(out / "Account.parquet")
+    df = read_versioned_table(spark, tbl)
+    assert df.count() == 2
+    name_col = [c for c in df.columns if c.lower() == "name"][0]
+    pk = [c for c in df.columns if c.lower() == "id"][0]
+    some_id = df.collect()[0][pk]
+    upd = spark.createDataFrame([(some_id, "Merged")], f"{pk} string, {name_col} string")
+    merge_into_versioned(spark, tbl, upd, pk=pk, set_cols=[name_col])
+    got = {r[pk]: r[name_col] for r in read_versioned_table(spark, tbl).collect()}
+    assert got[some_id] == "Merged" and len(got) == 2
+
+
 def test_cli_profile_mode(spark, sf_dir, tmp_path, capsys):
     out = tmp_path / "prof"
     rc = main(["profile", "documents", "--data-dir", sf_dir, "--out", str(out)])
