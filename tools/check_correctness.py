@@ -18,6 +18,7 @@ byte-identical to the sorted path.
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import os
 import sys
@@ -33,23 +34,28 @@ from amaxa_spark.session import get_spark
 from amaxa_spark.tpch import TABLES
 
 
+def _canon_val(v) -> str:
+    # DECIMAL results (DuckDB parses `50.0` literals as DECIMAL, and
+    # fetchmany hands back decimal.Decimal) must canonicalize exactly
+    # like floats — "250.0" vs "250.000000" is not a real mismatch.
+    # (The pandas path usually coerces DECIMAL columns to float64,
+    # which is why only the streaming comparison ever saw them.)
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return ""
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, (float, decimal.Decimal)):
+        return f"{round(float(v), 6):.6f}"
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     df = df.copy()
     df.columns = [c.lower() for c in df.columns]
     df = df[sorted(df.columns)]
     rows = []
     for row in df.itertuples(index=False):
-        vals = []
-        for v in row:
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                vals.append("")
-            elif isinstance(v, float):
-                vals.append(f"{round(v, 6):.6f}")
-            elif isinstance(v, bool):
-                vals.append("T" if v else "F")
-            else:
-                vals.append(str(v))
-        rows.append("\x01".join(vals))
+        rows.append("\x01".join(_canon_val(v) for v in row))
     rows.sort()
     h = hashlib.md5("\x02".join(rows).encode()).hexdigest()
     return len(rows), sorted(df.columns), h
@@ -59,17 +65,7 @@ _MOD = (1 << 127) - 1  # Mersenne-ish modulus; sum of row hashes mod this
 
 
 def _canon_row(vals) -> str:
-    out = []
-    for v in vals:
-        if v is None or (isinstance(v, float) and pd.isna(v)):
-            out.append("")
-        elif isinstance(v, float):
-            out.append(f"{round(v, 6):.6f}")
-        elif isinstance(v, bool):
-            out.append("T" if v else "F")
-        else:
-            out.append(str(v))
-    return "\x01".join(out)
+    return "\x01".join(_canon_val(v) for v in vals)
 
 
 def canon_stream(row_iter, cols: list[str]):
@@ -120,7 +116,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table = a DIRECTORY of part files (e.g.
+            # tools/sf1_bench.py's /tmp tables); glob for DuckDB
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     queries = entrymod.queries()
