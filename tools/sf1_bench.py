@@ -146,6 +146,70 @@ def build(spark) -> None:
     )
     emb.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
 
+    # orders: 1.5M (l_orderkey in lineitem spans 0..1.5M)
+    orders = spark.range(0, 1_500_000).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit("c")), F.lit(150_000)).alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+            (F.pmod(F.xxhash64("id", F.lit("st")), F.lit(3)) + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        F.round(
+            1000 + F.pmod(F.xxhash64("id", F.lit("tp")), F.lit(40_000_000)) / 100.0, 2
+        ).alias("o_totalprice"),
+        F.timestamp_seconds(
+            F.lit(694224000) + F.pmod(F.xxhash64("id", F.lit("od")), F.lit(220752000))
+        ).alias("o_orderdate"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")]),
+            (F.pmod(F.xxhash64("id", F.lit("pr2")), F.lit(5)) + 1).cast("int"),
+        ).alias("o_orderpriority"),
+    )
+    orders.write.mode("overwrite").parquet(f"{OUT}/orders.parquet")
+
+    # supplier: 10k (l_suppkey range), part: 200k (l_partkey range)
+    supplier = spark.range(0, 10_000).select(
+        F.col("id").alias("s_suppkey"),
+        F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
+        (F.col("id") % 25).cast("int").alias("s_nationkey"),
+        F.round(F.pmod(F.xxhash64("id", F.lit("sb")), F.lit(1_000_000)) / 100.0, 2).alias("s_acctbal"),
+    )
+    supplier.write.mode("overwrite").parquet(f"{OUT}/supplier.parquet")
+    adjs = ("blue", "cold", "hot", "large", "new", "red", "small", "old")
+    nouns = ("anvil", "bolt", "ring", "rod", "widget", "gear", "plate", "cog")
+    part = spark.range(0, 200_000).select(
+        F.col("id").alias("p_partkey"),
+        F.concat_ws(
+            " ",
+            F.element_at(F.array(*[F.lit(a) for a in adjs]),
+                         (F.pmod(F.xxhash64("id", F.lit("pa")), F.lit(8)) + 1).cast("int")),
+            F.element_at(F.array(*[F.lit(n) for n in nouns]),
+                         (F.pmod(F.xxhash64("id", F.lit("pn")), F.lit(8)) + 1).cast("int")),
+        ).alias("p_name"),
+        F.concat(F.lit("Brand#"), F.pmod(F.xxhash64("id", F.lit("pb")), F.lit(25))).alias("p_brand"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")]),
+            (F.pmod(F.xxhash64("id", F.lit("pt")), F.lit(6)) + 1).cast("int"),
+        ).alias("p_type"),
+        (F.pmod(F.xxhash64("id", F.lit("ps")), F.lit(50)) + 1).cast("int").alias("p_size"),
+        F.round(900 + F.pmod(F.xxhash64("id", F.lit("pp")), F.lit(20_000)) / 100.0, 2).alias("p_retailprice"),
+    )
+    part.write.mode("overwrite").parquet(f"{OUT}/part.parquet")
+
+    nation = spark.range(0, 25).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.format_string("NATION_%d", F.col("id")).alias("n_name"),
+        (F.col("id") % 5).cast("int").alias("n_regionkey"),
+    )
+    nation.write.mode("overwrite").parquet(f"{OUT}/nation.parquet")
+    region = spark.createDataFrame(
+        list(enumerate(("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))),
+        "r_regionkey int, r_name string",
+    )
+    region.write.mode("overwrite").parquet(f"{OUT}/region.parquet")
+
     # events: 1M rows for key_gini and friends
     ev = spark.range(0, 1_000_000).select(
         F.col("id").alias("event_id"),
