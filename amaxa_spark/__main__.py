@@ -153,9 +153,11 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
     if args.mode not in ("profile", "curate") and not args.operation:
         p.error(f"{args.mode} requires an operation file")
-    if args.atomic and args.merge_buckets:
+    if args.mode == "load" and args.atomic and args.merge_buckets:
         # reject the invalid layout combination BEFORE any Spark work —
-        # failing after LoadOperation.run() would pay for the whole load
+        # failing after LoadOperation.run() would pay for the whole
+        # load. Load-only: extract --atomic is a supported feature and
+        # --merge-buckets has never applied outside load.
         p.error("--atomic and --merge-buckets are mutually exclusive layouts")
     spark = get_spark("amaxa_spark_cli")
     catalog = TableCatalog(spark, args.data_dir, fmt=args.format)
@@ -225,9 +227,6 @@ def main(argv: list[str] | None = None) -> int:
                 "min_required_hits": args.min_required_hits,
             },
         )
-        n_total = catalog[table].count()
-        n_kept = res["kept"].count()
-        leaks = audit_leakage(res)
         res["kept"].write.mode("overwrite").parquet(f"{args.out}/kept.parquet")
         res["splits"].write.mode("overwrite").parquet(
             f"{args.out}/splits.parquet"
@@ -235,6 +234,11 @@ def main(argv: list[str] | None = None) -> int:
         res["flags"].write.mode("overwrite").parquet(
             f"{args.out}/flags.parquet"
         )
+        # counts come from the parquet just written (footer metadata —
+        # no extra corpus scan; flags has exactly one row per input doc)
+        n_total = spark.read.parquet(f"{args.out}/flags.parquet").count()
+        n_kept = spark.read.parquet(f"{args.out}/kept.parquet").count()
+        leaks = audit_leakage(res)
         pdf = res["summary"].toPandas()
         pdf.to_csv(f"{args.out}/summary.csv", index=False)
         print(f"curated {table}: kept {n_kept}/{n_total}, "

@@ -99,6 +99,12 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
                     f if isinstance(f, str) else f.get("field")
                     for f in fields
                 ]
+                if None in names:
+                    # a dict entry without 'field' is malformed on its
+                    # own — report it, and keep it out of the
+                    # duplicate-name join below (None is not a name)
+                    _err(errors, ctx, "field entry missing 'field' key")
+                    names = [n for n in names if n is not None]
                 dupes = [n for n, c in Counter(names).items() if c > 1]
                 if dupes:
                     # duplicate rejection AND its error string mirror

@@ -72,10 +72,18 @@ def curate_corpus(
     kept = passed.join(drop, passed[id_col] == drop["id"], "left_anti")
 
     # split the full gated corpus on the cluster hash (singletons hash
-    # their own id), then restrict to kept docs
+    # their own id), then restrict to kept docs. The cluster frame's
+    # id column is renamed first so an id_col literally named "id"
+    # (the CLI exposes --id-col) cannot become ambiguous in the join.
     keyed = (
         passed.select(id_col)
-        .join(clusters, passed[id_col] == clusters["id"], "left_outer")
+        .join(
+            clusters.select(
+                F.col("id").alias("__cid"), F.col("cluster_id")
+            ),
+            F.col(id_col) == F.col("__cid"),
+            "left_outer",
+        )
         .select(
             id_col,
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("__grp"),

@@ -313,6 +313,20 @@ def tune_lsh_bands(
     return best
 
 
+def _drop_mega_buckets(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Shared mega-bucket guard: drop candidate groups whose size
+    exceeds ``cap`` BEFORE any pair self-join, bounding per-group join
+    cost at cap². Used by the MinHash bands, both sign-LSH paths, and
+    prefix-blocked fuzzy matching — one implementation, four callers."""
+    small = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .where(F.col("__bs") <= cap)
+        .select(*key_cols)
+    )
+    return df.join(small, key_cols, "left_semi")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:
@@ -384,13 +398,7 @@ def minhash_lsh_pairs(
         F.col(id_col), F.posexplode(band_keys).alias("band", "bucket")
     )
     if max_bucket_size is not None:
-        small = (
-            buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bs"))
-            .where(F.col("__bs") <= max_bucket_size)
-            .select("band", "bucket")
-        )
-        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
+        buckets = _drop_mega_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -488,13 +496,7 @@ def embedding_cosine_dups(
             F.col(id_col), F.explode(codes).alias("__bucket")
         )
         if max_bucket_size is not None:
-            small = (
-                keyed.groupBy("__bucket")
-                .agg(F.count(F.lit(1)).alias("__bs"))
-                .where(F.col("__bs") <= max_bucket_size)
-                .select("__bucket")
-            )
-            keyed = keyed.join(small, "__bucket", "left_semi")
+            keyed = _drop_mega_buckets(keyed, ["__bucket"], max_bucket_size)
         cand = (
             keyed.alias("a")
             .join(keyed.alias("b"), "__bucket")
@@ -514,13 +516,7 @@ def embedding_cosine_dups(
             "__bucket", lsh_code(F.col("__v"), dim, bucket_bits, 0)
         )
         if max_bucket_size is not None:
-            small = (
-                coded.groupBy("__bucket")
-                .agg(F.count(F.lit(1)).alias("__bs"))
-                .where(F.col("__bs") <= max_bucket_size)
-                .select("__bucket")
-            )
-            coded = coded.join(small, "__bucket", "left_semi")
+            coded = _drop_mega_buckets(coded, ["__bucket"], max_bucket_size)
         a = coded.select(
             F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bucket"
         )
@@ -686,13 +682,7 @@ def fuzzy_pairs(
         F.expr(block_expr.format(c=text_col)).alias("_blk"),
     )
     if max_block_size is not None:
-        small = (
-            blocked.groupBy("_blk")
-            .agg(F.count(F.lit(1)).alias("__bs"))
-            .where(F.col("__bs") <= max_block_size)
-            .select("_blk")
-        )
-        blocked = blocked.join(small, "_blk", "left_semi")
+        blocked = _drop_mega_buckets(blocked, ["_blk"], max_block_size)
     a = blocked.select(
         F.col("__id").alias("id_a"), F.col("__t").alias("_ta"), "_blk"
     )

@@ -87,7 +87,12 @@ class LoadOperation:
         self.steps = steps
         self.inputs = inputs
         self.step_order = [s.table for s in steps]
-        self.classification = registry.classify_lookups(self.step_order)
+        # classify only registered tables — an unknown sObject must
+        # surface as validate()'s reference-parity error, not a
+        # KeyError at plan-build time (mirrors ExtractOperation)
+        self.classification = registry.classify_lookups(
+            [t for t in self.step_order if t in registry]
+        )
         self.result = LoadResult(id_map=dict(prior_id_map or {}))
         self.start_stage = start_stage
         # per-table ID-map row counts, maintained as maps are built so
@@ -111,7 +116,17 @@ class LoadOperation:
                     "have the correct permission (createable)"
                 )
                 continue
-            df = self._input(step)
+            try:
+                df = self._input(step)
+                df.columns  # force schema resolution (CSV header read)
+            except Exception as e:
+                # a missing/unreadable input joins the error list — the
+                # check-only contract is ONE report, never a traceback
+                errors.append(
+                    f"{step.table}: cannot open input: "
+                    f"{str(e).splitlines()[0][:160]}"
+                )
+                continue
             pk = self.registry[step.table].pk
             if pk not in df.columns:
                 errors.append(f"{step.table}: primary key {pk!r} not in input")

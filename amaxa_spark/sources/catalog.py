@@ -503,6 +503,37 @@ def write_partitioned_table(
     out.write.mode("overwrite").partitionBy(MERGE_BUCKET_COL).parquet(path)
 
 
+def _apply_matched_updates(
+    table: DataFrame, updates: DataFrame, pk: str, set_cols: list[str]
+) -> DataFrame:
+    """Shared WHEN MATCHED THEN UPDATE body for both bucket layouts:
+    left join the updates on pk, coalesce each set column. Raises if
+    ``updates`` carries more than one row per pk — a fan-out there
+    would silently DUPLICATE target rows (Delta's MERGE errors on
+    multiple matches for the same reason). The check is one bounded
+    aggregation over the (small) update frame."""
+    dup = (
+        updates.groupBy(pk)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates contain multiple rows for pk {dup[0][0]!r}; "
+            "MERGE requires at most one update row per key"
+        )
+    upd_renamed = updates.select(
+        F.col(pk).alias("__u_pk"),
+        *[F.col(c).alias(f"__u_{c}") for c in set_cols],
+    )
+    merged = table.join(upd_renamed, table[pk] == F.col("__u_pk"), "left_outer")
+    for c in set_cols:
+        merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
+    return merged.drop("__u_pk", *[f"__u_{c}" for c in set_cols])
+
+
 def merge_into_partitioned(
     spark,
     path: str,
@@ -534,14 +565,7 @@ def merge_into_partitioned(
     table = spark.read.parquet(path).where(
         F.col(MERGE_BUCKET_COL).isin(affected)
     )
-    upd_renamed = upd.select(
-        F.col(pk).alias("__u_pk"),
-        *[F.col(c).alias(f"__u_{c}") for c in set_cols],
-    )
-    merged = table.join(upd_renamed, table[pk] == F.col("__u_pk"), "left_outer")
-    for c in set_cols:
-        merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
-    merged = merged.drop("__u_pk", *[f"__u_{c}" for c in set_cols])
+    merged = _apply_matched_updates(table, upd, pk, set_cols)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -673,14 +697,7 @@ def merge_into_versioned(
         for b in affected
     ]
     table = spark.read.parquet(*cur_paths)
-    upd_renamed = upd.select(
-        F.col(pk).alias("__u_pk"),
-        *[F.col(c).alias(f"__u_{c}") for c in set_cols],
-    )
-    merged = table.join(upd_renamed, table[pk] == F.col("__u_pk"), "left_outer")
-    for c in set_cols:
-        merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
-    merged = merged.drop("__u_pk", *[f"__u_{c}" for c in set_cols])
+    merged = _apply_matched_updates(table, upd, pk, set_cols)
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
     (

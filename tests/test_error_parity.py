@@ -93,6 +93,52 @@ def test_unknown_sobject_error_string_parity(spark, sf_dir):
     )
 
 
+def test_load_check_only_unknown_sobject_and_missing_input(spark, sf_dir, tmp_path):
+    """The load-side check-only pass returns ONE error list — an
+    unknown sObject emits the reference string (createable) instead of
+    a plan-build KeyError, and an unreadable input file joins the list
+    instead of raising."""
+    from amaxa_spark.operators.load import LoadOperation
+    from amaxa_spark.plans.plan import LoadStepPlan
+    from amaxa_spark.sources.catalog import TableCatalog
+
+    catalog = TableCatalog(spark, sf_dir)
+    errors = LoadOperation(
+        spark,
+        tpch_registry(),
+        [
+            LoadStepPlan("Nope__c"),
+            LoadStepPlan("customer", input_path=str(tmp_path / "missing.csv")),
+        ],
+        catalog,
+    ).validate()
+    assert any(
+        "sObject Nope__c does not exist or does not have the correct "
+        "permission (createable)" == e
+        for e in errors
+    )
+    assert any(e.startswith("customer: cannot open input:") for e in errors)
+
+
+def test_field_entry_missing_field_key_reports_not_crashes():
+    """A dict field entry without 'field' must produce an error entry,
+    not a TypeError from the duplicate-name formatter."""
+    errors = validate_operation(
+        {
+            "version": 1,
+            "operation": [
+                {
+                    "table": "customer",
+                    "fields": [{"column": "X"}, {"column": "Y"}],
+                    "extract": {"all": True},
+                }
+            ],
+        },
+        "extract",
+    )
+    assert any("field entry missing 'field' key" in e for e in errors)
+
+
 def test_unknown_field_error_string_parity(spark, sf_dir):
     """loader/core.py:210-218; its test_ExtractionOperationLoader.py:142
     asserts this exact string (no permission suffix in the extract

@@ -308,3 +308,12 @@ def test_versioned_merge_is_atomic_and_time_travels(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_versioned_table(spark, path, token=m0["token"])
+
+    # MERGE parity with Delta: multiple update rows for one pk must
+    # raise, never silently duplicate target rows
+    dup_upd = spark.createDataFrame(
+        [(7, "A", 2), (7, "B", 2)], "pk long, val string, gen int"
+    )
+    with _pytest.raises(ValueError, match="multiple rows for pk"):
+        merge_into_versioned(spark, path, dup_upd, pk="pk", set_cols=["val"])
+    assert read_versioned_table(spark, path).count() == 200  # unchanged
