@@ -905,6 +905,15 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def q_strip_spans(spark, sf_dir):
+    """Removal half of Lee et al. substring dedup: word positions
+    covered by cross-document 5-grams dropped, survivors rejoined in
+    order; shingle-/doc-keyed shuffles only."""
+    return D.strip_repeated_spans(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=5
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking: 32-token windows, 8-token overlap —
     pure projection (sequence/slice/posexplode), no shuffle."""
@@ -2536,7 +2545,7 @@ QUERY_ORDER = [
     "skew_two_stage_agg", "group_median", "knn_join_exact",
     "image_bmp_stats",
     # ---------------- position 51+: never-judged remainder ----------
-    "tfidf_keywords", "gopher_rules", "line_dedup",
+    "tfidf_keywords", "gopher_rules", "line_dedup", "strip_spans",
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
@@ -2574,7 +2583,7 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("weighted_linkage") < 50
 assert QUERY_ORDER.index("key_gini") < 50
 assert QUERY_ORDER.index("image_bmp_stats") < 50
-assert len(QUERY_ORDER) == 137 and len(set(QUERY_ORDER)) == 137
+assert len(QUERY_ORDER) == 138 and len(set(QUERY_ORDER)) == 138
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2679,6 +2688,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": q_text_unigram_lm,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
+        "strip_spans": q_strip_spans,
         "doc_chunks": q_doc_chunks,
         "corpus_diff": q_corpus_diff,
         "audio_meta": q_audio_meta,
@@ -3756,6 +3766,33 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CAST(n_lines - coalesce(kept, 0) AS INT) AS n_removed, "
             "coalesce(text_clean, '') AS text_clean "
             "FROM t LEFT JOIN r ON t.doc_id = r.doc_id"
+        ),
+        "strip_spans": (
+            # 5-gram coverage removal: positions p..p+4 of every
+            # shared shingle drop; survivors string_agg in order
+            f"WITH base AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w "
+            "FROM documents), "
+            "st AS (SELECT doc_id, w, unnest(CASE WHEN len(w) >= 5 THEN "
+            "range(1, len(w) - 3) ELSE [] END) AS p FROM base), "
+            "sp AS (SELECT doc_id, p, array_to_string(w[p:p+4], ' ') AS s FROM st), "
+            "sh AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sp) "
+            "GROUP BY s HAVING count(*) >= 2), "
+            "cov AS (SELECT DISTINCT doc_id, cp FROM "
+            "(SELECT doc_id, unnest(range(p, p + 5)) AS cp FROM sp "
+            "WHERE s IN (SELECT s FROM sh))), "
+            "tok AS (SELECT doc_id, unnest(w) AS word, "
+            "generate_subscripts(w, 1) AS cp FROM base), "
+            "kept AS (SELECT t.doc_id, t.cp, t.word FROM tok t "
+            "LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.cp = c.cp "
+            "WHERE c.cp IS NULL), "
+            "r AS (SELECT doc_id, count(*) AS kept, "
+            "string_agg(word, ' ' ORDER BY cp) AS text_clean "
+            "FROM kept GROUP BY doc_id), "
+            "tt AS (SELECT doc_id, len(w) AS n_words FROM base) "
+            "SELECT tt.doc_id, CAST(n_words AS INT) AS n_words, "
+            "CAST(n_words - coalesce(kept, 0) AS INT) AS n_removed, "
+            "coalesce(text_clean, '') AS text_clean "
+            "FROM tt LEFT JOIN r ON tt.doc_id = r.doc_id"
         ),
         "dedup_repeated_spans": (
             f"WITH base AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents), "

@@ -839,6 +839,85 @@ def repeated_ngram_spans(
     )
 
 
+def strip_repeated_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """The REMOVAL half of cross-document substring dedup (Lee et al.
+    2022) at word n-gram granularity: every word position covered by
+    an n-gram that also occurs in at least one OTHER document is
+    dropped from the text; surviving words rejoin in order.
+    :func:`repeated_ngram_spans` measures the boilerplate — this
+    removes it. Output: (id, n_words, n_removed, text_clean).
+
+    Overlapping duplicated spans union naturally (coverage is a
+    distinct position set), so a long shared passage disappears once,
+    not per-shingle. Removal is symmetric across documents — ALL
+    occurrences go — which keeps the result deterministic under any
+    execution order; keep-one-copy policies need an ordering oracle a
+    distributed engine should not invent silently.
+
+    Scale shape: one shingle explode keyed by (id, start), the shared-
+    shingle set from a distinct + hash-aggregate, coverage as a
+    sequence-explode + distinct on (id, position), one anti-join
+    against the word stream, and a per-doc ordered reassembly — every
+    shuffle is shingle- or doc-keyed, no pairwise blow-up; the
+    mega-frequency cap story from :func:`ngram_jaccard_pairs` applies
+    if boilerplate shingles dominate.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("__w"))
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> struct(i AS p, concat_ws(' ', slice(__w, i, {n})) AS s)) "
+        f"ELSE array() END"
+    )
+    spans = base.select(id_col, F.explode(grams).alias("g")).select(
+        id_col, F.col("g.p").alias("p"), F.col("g.s").alias("shingle")
+    )
+    shared = (
+        spans.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        spans.join(shared, "shingle", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(n - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        id_col, F.posexplode("__w").alias("pos0", "word")
+    ).select(id_col, (F.col("pos0") + 1).alias("cp"), "word")
+    kept = toks.join(covered, [id_col, "cp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cp", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = base.select(id_col, F.size("__w").alias("n_words"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("__kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def corpus_diff(
     old: DataFrame, new: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "weighted_linkage",
     "key_gini",
     "image_bmp_stats",
+    "gopher_rules",
+    "line_dedup",
+    "strip_spans",
 ]
 
 

@@ -2156,6 +2156,29 @@ def test_strip_duplicated_lines(spark):
     assert out[4].text_clean == rows[3][1]
 
 
+def test_strip_repeated_spans_removal(spark):
+    """Cross-document 3-gram removal: the shared passage vanishes from
+    BOTH docs (overlapping shingles union into one coverage span),
+    unique words survive in order, and a doc with no cross-doc n-gram
+    is untouched."""
+    from amaxa_spark.operators import dedup as D
+
+    shared = "terms of service apply to all users"
+    rows = [
+        (1, f"alpha bravo {shared} charlie delta"),
+        (2, f"echo foxtrot golf {shared}"),
+        (3, "hotel india juliet kilo lima mike"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           D.strip_repeated_spans(df, "text", "doc_id", n=3).collect()}
+    assert out[1].text_clean == "alpha bravo charlie delta"
+    assert out[1].n_removed == 7  # the 7 shared words, once each
+    assert out[2].text_clean == "echo foxtrot golf"
+    assert out[3].n_removed == 0
+    assert out[3].text_clean == rows[2][1]
+
+
 def test_fuzzy_pairs_mega_block_guard(spark):
     from amaxa_spark.operators import dedup as D
 
