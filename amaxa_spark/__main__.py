@@ -107,6 +107,18 @@ def main(argv: list[str] | None = None) -> int:
         default=2,
         help="curate: Gopher required-stopword floor (paper default 2)",
     )
+    p.add_argument(
+        "--strip-lines",
+        action="store_true",
+        help="curate: remove inter-document duplicated lines before "
+        "gating (FineWeb/CCNet boilerplate pass)",
+    )
+    p.add_argument(
+        "--strip-spans",
+        action="store_true",
+        help="curate: remove cross-document repeated 5-gram spans "
+        "before gating (Lee et al. substring dedup)",
+    )
     p.add_argument("--data-dir", required=True)
     p.add_argument("--registry", help="required for extract/load")
     p.add_argument("--out", required=True)
@@ -226,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
                 "min_words": args.min_words,
                 "min_required_hits": args.min_required_hits,
             },
+            strip_lines=args.strip_lines,
+            strip_spans=args.strip_spans,
         )
         res["kept"].write.mode("overwrite").parquet(f"{args.out}/kept.parquet")
         res["splits"].write.mode("overwrite").parquet(

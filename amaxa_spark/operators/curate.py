@@ -33,9 +33,19 @@ def curate_corpus(
     jaccard_threshold: float = 0.3,
     fractions: dict[str, float] | None = None,
     gopher_kwargs: dict | None = None,
+    strip_lines: bool = False,
+    strip_spans: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full curation chain and return every intermediate frame:
 
+    ``stripped`` — (only when ``strip_lines``/``strip_spans``) the
+                   boilerplate-stripped corpus the rest of the chain
+                   runs on: inter-document duplicated lines
+                   (:func:`dedup.strip_duplicated_lines`) and/or
+                   cross-document repeated spans
+                   (:func:`dedup.strip_repeated_spans`) removed FIRST,
+                   so the quality gate and near-dup clustering judge
+                   content, not shared chrome
     ``flags``    — per-doc Gopher rule signals + keep verdict
     ``clusters`` — near-dup (id, cluster_id) members (checkpointed:
                    clustering runs once, three consumers reuse it)
@@ -51,6 +61,21 @@ def curate_corpus(
     leakage audit runs over the FULL corpus assignment (auditing only
     kept docs is vacuous — every cluster keeps one survivor).
     """
+    out: dict[str, DataFrame] = {}
+    if strip_lines:
+        cleaned = D.strip_duplicated_lines(docs, text_col, id_col).select(
+            id_col, F.col("text_clean").alias(text_col)
+        )
+        docs = cleaned
+        out["stripped"] = docs
+    if strip_spans:
+        cleaned = D.strip_repeated_spans(docs, text_col, id_col).select(
+            id_col, F.col("text_clean").alias(text_col)
+        )
+        docs = cleaned.localCheckpoint(eager=True)  # two shingle
+        # pipelines downstream reread this frame; don't recompute it
+        out["stripped"] = docs
+
     flags = gopher_rules(docs, text_col, id_col, **(gopher_kwargs or {}))
     passed = docs.join(
         flags.where(F.col("keep") == 1).select(id_col), id_col, "left_semi"
@@ -108,14 +133,17 @@ def curate_corpus(
         )
         .orderBy("split")
     )
-    return {
-        "flags": flags,
-        "clusters": clusters,
-        "kept": kept,
-        "all_splits": all_splits,
-        "splits": splits,
-        "summary": summary,
-    }
+    out.update(
+        {
+            "flags": flags,
+            "clusters": clusters,
+            "kept": kept,
+            "all_splits": all_splits,
+            "splits": splits,
+            "summary": summary,
+        }
+    )
+    return out
 
 
 def audit_leakage(result: dict[str, DataFrame]) -> int:

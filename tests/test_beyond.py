@@ -2156,6 +2156,30 @@ def test_strip_duplicated_lines(spark):
     assert out[4].text_clean == rows[3][1]
 
 
+def test_curate_with_strip_stages(spark, sf_dir):
+    """curate_corpus with strip_spans pre-stage: the stripped frame is
+    exposed, never longer than the source text, and the downstream
+    chain still produces leakage-free splits."""
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.operators.curate import audit_leakage, curate_corpus
+
+    d = docs(spark, sf_dir)
+    res = curate_corpus(
+        d,
+        strip_spans=True,
+        gopher_kwargs={"min_words": 10, "min_required_hits": 1},
+    )
+    assert "stripped" in res
+    joined = d.select("doc_id", F.length("text").alias("lo")).join(
+        res["stripped"].select("doc_id", F.length("text").alias("ls")),
+        "doc_id",
+    )
+    assert joined.where(F.col("ls") > F.col("lo")).count() == 0
+    assert res["kept"].count() > 0
+    assert audit_leakage(res) == 0
+
+
 def test_strip_repeated_spans_removal(spark):
     """Cross-document 3-gram removal: the shared passage vanishes from
     BOTH docs (overlapping shingles union into one coverage span),
