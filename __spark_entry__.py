@@ -452,6 +452,24 @@ def q_image_bmp_stats(spark, sf_dir):
     return MM.image_stats(with_img, "image", "doc_id")
 
 
+def q_image_resize_stats(spark, sf_dir):
+    """REAL decode → resize → re-encode → decode round trip: BMPs are
+    nearest-neighbor resized to 8×6 by the pure-numpy codec
+    (src = (dst·src_dim) // dst_dim — exact integer mapping), then the
+    resized bytes are decoded again for channel statistics, so the
+    oracle replays the whole transform closed-form."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_img = MM.synthesize_bmp(docs, "doc_id", "image")
+    resized = MM.resize_images(
+        with_img, "image", "doc_id", width=8, height=6, codec=MM.resize_real
+    )
+    return MM.image_stats(
+        resized.select("doc_id", F.col("resized").alias("image")),
+        "image",
+        "doc_id",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -2546,6 +2564,7 @@ QUERY_ORDER = [
     "image_bmp_stats",
     # ---------------- position 51+: never-judged remainder ----------
     "tfidf_keywords", "gopher_rules", "line_dedup", "strip_spans",
+    "image_resize_stats",
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
@@ -2583,7 +2602,7 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("weighted_linkage") < 50
 assert QUERY_ORDER.index("key_gini") < 50
 assert QUERY_ORDER.index("image_bmp_stats") < 50
-assert len(QUERY_ORDER) == 138 and len(set(QUERY_ORDER)) == 138
+assert len(QUERY_ORDER) == 139 and len(set(QUERY_ORDER)) == 139
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2617,6 +2636,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sfid_normalize": q_sfid_normalize,
         "multimodal_meta": q_multimodal_meta,
         "image_bmp_stats": q_image_bmp_stats,
+        "image_resize_stats": q_image_resize_stats,
         "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2967,6 +2987,27 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(sr * 1.0 / (w * h), 4) AS mean_r, "
             "round(sg * 1.0 / (w * h), 4) AS mean_g, "
             "round(sb * 1.0 / (w * h), 4) AS mean_b, "
+            "CAST((13 * d) % 256 AS INT) AS px00_r FROM s"
+        ),
+        "image_resize_stats": (
+            # closed-form replay of synthesize -> nearest-neighbor 8x6
+            # resize: dst pixel (x, y) samples src ((x*w)//8, (y*h)//6)
+            "WITH dims AS (SELECT doc_id AS d, 4 + doc_id % 5 AS w, "
+            "3 + doc_id % 4 AS h FROM documents), "
+            "px AS (SELECT d, (x.range * w) // 8 AS sx, "
+            "(y.range * h) // 6 AS sy FROM dims, range(0, 8) x, range(0, 6) y), "
+            "s AS (SELECT d, "
+            "sum((13 * d + 2 * sx + sy) % 256) AS sr, "
+            "sum((11 * d + sx + 2 * sy) % 256) AS sg, "
+            "sum((7 * d + 3 * sx + 5 * sy) % 256) AS sb "
+            "FROM px GROUP BY d) "
+            "SELECT d AS doc_id, TRUE AS valid, "
+            "CAST(8 AS INT) AS width, CAST(6 AS INT) AS height, "
+            "CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g, "
+            "CAST(sb AS BIGINT) AS sum_b, "
+            "round(sr / 48.0, 4) AS mean_r, "
+            "round(sg / 48.0, 4) AS mean_g, "
+            "round(sb / 48.0, 4) AS mean_b, "
             "CAST((13 * d) % 256 AS INT) AS px00_r FROM s"
         ),
         "dedup_exact": (

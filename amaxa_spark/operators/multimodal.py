@@ -149,10 +149,23 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
-def resize_real(payload: bytes, width: int, height: int) -> bytes:  # pragma: no cover
-    """STUB: real image resize requires PIL/libvips, not present in
-    this environment."""
-    raise NotImplementedError("image resize: codec libraries not available")
+def resize_real(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize for BMP payloads — decode with
+    :func:`decode_bmp`, nearest-neighbor sample with the exact integer
+    mapping ``src = (dst * src_dim) // dst_dim`` (replayable in SQL),
+    re-encode with :func:`encode_bmp`. Non-BMP formats still need
+    PIL/libvips and raise with a clear marker."""
+    import numpy as np
+
+    m = decode_bmp(payload)
+    if m is None:
+        raise NotImplementedError(
+            "non-BMP image resize: codec libraries not available"
+        )
+    px = m["pixels"]
+    xs = (np.arange(width) * m["width"]) // width
+    ys = (np.arange(height) * m["height"]) // height
+    return encode_bmp(px[ys][:, xs])
 
 
 def _frames_stub(payload: bytes, frame_bytes: int) -> list[bytes]:
@@ -227,16 +240,36 @@ def frame_sample_real(payload: bytes, frame_bytes: int):  # pragma: no cover
 _BMP_MAGIC = b"BM"
 
 
+def encode_bmp(pixels) -> bytes:
+    """REAL 24-bit BMP encoder: (h, w, 3) uint8 RGB array in image
+    orientation (y = 0 top) → canonical BITMAPINFOHEADER bytes
+    (bottom-up rows, BGR order, 4-byte row padding). The exact inverse
+    of :func:`decode_bmp`."""
+    import struct
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    pad = ((3 * w + 3) & ~3) - 3 * w
+    bgr = pixels[..., ::-1]
+    body = b"".join(
+        bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    return (
+        _BMP_MAGIC
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
 def synthesize_bmp(df: DataFrame, id_col: str, out_col: str = "image") -> DataFrame:
     """Deterministic 24-bit uncompressed BMP payloads: for row id
     ``d``, a ``(4 + d%5) × (3 + d%4)`` image whose pixel at image
     coordinates ``(x, y)`` (y = 0 is the TOP row) has channels
     ``r = (13d + 2x + y) % 256``, ``g = (11d + x + 2y) % 256``,
-    ``b = (7d + 3x + 5y) % 256`` — written in the format's native
-    bottom-up row order, BGR byte order, rows padded to 4 bytes.
-    Closed-form in the id, so oracles replay every derived quantity."""
-    import struct
-
+    ``b = (7d + 3x + 5y) % 256`` — encoded by :func:`encode_bmp` in
+    the format's native bottom-up row order, BGR byte order, rows
+    padded to 4 bytes. Closed-form in the id, so oracles replay every
+    derived quantity."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,22 +284,9 @@ def synthesize_bmp(df: DataFrame, id_col: str, out_col: str = "image") -> DataFr
                 g = (11 * d + x + 2 * y) % 256
                 b = (7 * d + 3 * x + 5 * y) % 256
                 px = np.stack(
-                    [b, g, r], axis=-1
-                ).astype(np.uint8)  # (h, w, 3) BGR, y=0 top
-                pad = ((3 * w + 3) & ~3) - 3 * w
-                body = b"".join(
-                    px[yy].tobytes() + b"\x00" * pad
-                    for yy in range(h - 1, -1, -1)  # bottom-up
-                )
-                hdr = (
-                    _BMP_MAGIC
-                    + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-                    + struct.pack(
-                        "<IiiHHIIiiII",
-                        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
-                    )
-                )
-                outs.append(hdr + body)
+                    [r, g, b], axis=-1
+                ).astype(np.uint8)  # (h, w, 3) RGB, y=0 top
+                outs.append(encode_bmp(px))
             out = pdf.copy()
             out[out_col] = outs
             yield out

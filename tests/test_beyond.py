@@ -161,6 +161,26 @@ def test_bmp_decode_real_payload():
     assert td["pixels"][0].tolist() == [list(p) for p in top]
 
 
+def test_bmp_encode_decode_resize_roundtrip():
+    """encode_bmp is the exact inverse of decode_bmp, and resize_real
+    does a genuine decode -> integer nearest-neighbor sample ->
+    re-encode (src = (dst*src_dim)//dst_dim)."""
+    import numpy as np
+
+    px = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)  # padded rows
+    b = MM.encode_bmp(px)
+    m = MM.decode_bmp(b)
+    assert (m["pixels"] == px).all()
+    r = MM.decode_bmp(MM.resize_real(b, 10, 6))
+    assert (r["width"], r["height"]) == (10, 6)
+    xs = (np.arange(10) * 5) // 10
+    ys = (np.arange(6) * 3) // 6
+    assert (r["pixels"] == px[ys][:, xs]).all()
+    # non-BMP payloads still raise the clear marker
+    with pytest.raises(NotImplementedError):
+        MM.resize_real(b"\x89PNG....", 8, 8)
+
+
 def test_bmp_decode_rejects_malformed():
     assert MM.decode_bmp(None) is None
     assert MM.decode_bmp(b"BM" + b"\x00" * 20) is None  # truncated
