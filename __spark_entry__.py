@@ -470,6 +470,16 @@ def q_image_resize_stats(spark, sf_dir):
     )
 
 
+def q_video_y4m_frames(spark, sf_dir):
+    """REAL video demux end-to-end: genuine YUV4MPEG2 container bytes
+    (stream header + FRAME markers + 4:2:0 planes) synthesized per
+    doc_id, re-parsed by the pure-stdlib demuxer, sampled every 2nd
+    frame with exact luma sums — all closed-form for the oracle."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    clips = MM.synthesize_y4m(docs, "doc_id", "video")
+    return MM.y4m_frame_stats(clips, "video", "doc_id", every_n=2)
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -2564,7 +2574,7 @@ QUERY_ORDER = [
     "image_bmp_stats",
     # ---------------- position 51+: never-judged remainder ----------
     "tfidf_keywords", "gopher_rules", "line_dedup", "strip_spans",
-    "image_resize_stats",
+    "image_resize_stats", "video_y4m_frames",
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
@@ -2602,7 +2612,7 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("weighted_linkage") < 50
 assert QUERY_ORDER.index("key_gini") < 50
 assert QUERY_ORDER.index("image_bmp_stats") < 50
-assert len(QUERY_ORDER) == 139 and len(set(QUERY_ORDER)) == 139
+assert len(QUERY_ORDER) == 140 and len(set(QUERY_ORDER)) == 140
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2637,6 +2647,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "image_bmp_stats": q_image_bmp_stats,
         "image_resize_stats": q_image_resize_stats,
+        "video_y4m_frames": q_video_y4m_frames,
         "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3009,6 +3020,22 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(sg / 48.0, 4) AS mean_g, "
             "round(sb / 48.0, 4) AS mean_b, "
             "CAST((13 * d) % 256 AS INT) AS px00_r FROM s"
+        ),
+        "video_y4m_frames": (
+            # closed-form replay of the synthesized 4:2:0 clips: luma
+            # byte i of frame f is (5d + 7f + i) % 256; every 2nd frame
+            "WITH dims AS (SELECT doc_id AS d, 4 + 2 * (doc_id % 3) AS w, "
+            "4 + 2 * (doc_id % 2) AS h, 2 + doc_id % 4 AS n FROM documents), "
+            "fr AS (SELECT d, w, h, n, f.range AS f FROM dims, range(0, 6) f "
+            "WHERE f.range < n AND f.range % 2 = 0), "
+            "px AS (SELECT d, w, h, n, f, i.range AS i FROM fr, range(0, 48) i "
+            "WHERE i.range < w * h), "
+            "s AS (SELECT d, w, h, n, f, "
+            "sum((5 * d + 7 * f + i) % 256) AS ls FROM px GROUP BY d, w, h, n, f) "
+            "SELECT d AS doc_id, TRUE AS valid, CAST(w AS INT) AS width, "
+            "CAST(h AS INT) AS height, CAST(n AS INT) AS n_frames, "
+            "CAST(f AS INT) AS frame_idx, CAST(ls AS BIGINT) AS luma_sum, "
+            "round(ls * 1.0 / (w * h), 4) AS mean_luma FROM s"
         ),
         "dedup_exact": (
             f"SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM "

@@ -382,6 +382,151 @@ def image_stats(
     )
 
 
+# ---------------------------------------------------------------------------
+# Video: REAL Y4M (YUV4MPEG2) container — the public uncompressed
+# format ffmpeg reads and writes, and the one video container fully
+# parseable without codec libraries: a plain-text stream header
+# ("YUV4MPEG2 W<w> H<h> F<n>:<d> ... C420jpeg\n") followed by
+# "FRAME\n" markers, each carrying w*h luma bytes + two quarter-size
+# chroma planes (4:2:0). The synthesizer is closed-form in the row id
+# (like synthesize_wav/synthesize_bmp), so the DuckDB oracle replays
+# every per-frame statistic while the Spark path builds and re-parses
+# genuine container bytes.
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def synthesize_y4m(df: DataFrame, id_col: str, out_col: str = "video") -> DataFrame:
+    """Deterministic Y4M payloads: for row id ``d``, a
+    ``(4 + 2·(d%3)) × (4 + 2·(d%2))`` 4:2:0 clip of ``2 + d%4``
+    frames whose luma byte at flat index ``i`` of frame ``f`` is
+    ``(5d + 7f + i) % 256`` (chroma: ``(d + 3f + i) % 256`` /
+    ``(2d + f + i) % 256``). Closed-form in the id."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = 4 + 2 * (d % 3), 4 + 2 * (d % 2)
+                n_frames = 2 + d % 4
+                parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h)]
+                yn, cn = w * h, (w // 2) * (h // 2)
+                for f in range(n_frames):
+                    y = (5 * d + 7 * f + np.arange(yn)) % 256
+                    u = (d + 3 * f + np.arange(cn)) % 256
+                    v = (2 * d + f + np.arange(cn)) % 256
+                    parts.append(
+                        b"FRAME\n"
+                        + y.astype(np.uint8).tobytes()
+                        + u.astype(np.uint8).tobytes()
+                        + v.astype(np.uint8).tobytes()
+                    )
+                outs.append(b"".join(parts))
+            out = pdf.copy()
+            out[out_col] = outs
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def demux_y4m(payload: bytes):
+    """REAL YUV4MPEG2 demuxer (pure stdlib): parses the stream header
+    (W/H/C tags; only 4:2:0 layouts supported), walks FRAME markers
+    honoring optional frame parameters, and returns
+    ``{"width", "height", "frames": [(y, u, v) bytes]}`` — or ``None``
+    for malformed/unsupported payloads."""
+    if payload is None or not payload.startswith(_Y4M_MAGIC):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    colorspace = "C420jpeg"
+    for tag in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if tag.startswith(b"W"):
+            w = int(tag[1:])
+        elif tag.startswith(b"H"):
+            h = int(tag[1:])
+        elif tag.startswith(b"C"):
+            colorspace = tag.decode("ascii", "replace")
+    if not w or not h or not colorspace.startswith("C420"):
+        return None
+    yn, cn = w * h, (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = payload.find(b"\n", pos)  # frame params may follow FRAME
+        if fnl < 0 or len(payload) < fnl + 1 + yn + 2 * cn:
+            return None
+        pos = fnl + 1
+        frames.append(
+            (
+                payload[pos : pos + yn],
+                payload[pos + yn : pos + yn + cn],
+                payload[pos + yn + cn : pos + yn + 2 * cn],
+            )
+        )
+        pos += yn + 2 * cn
+    return {"width": w, "height": h, "frames": frames}
+
+
+def y4m_frame_stats(
+    df: DataFrame,
+    payload_col: str = "video",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL video frame statistics through the Y4M demux path: one row
+    per SAMPLED frame (indices 0, every_n, …) with the exact integer
+    luma sum and mean (rounded 4) — the frame-level feature-extraction
+    shape with a real container parse instead of the fixed-chunk fake.
+    Malformed payloads yield a single valid = false row.
+
+    Scale shape: payloads stay in their own parquet column; demux +
+    reduce is one Arrow-batched mapInPandas; output multiplicity is
+    n_frames/every_n per clip, known from the header."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                m = demux_y4m(None if p is None else bytes(p))
+                if m is None:
+                    rows.append((did, False, None, None, None, None, None, None))
+                    continue
+                n = len(m["frames"])
+                for f in range(0, n, every_n):
+                    y = np.frombuffer(m["frames"][f][0], dtype=np.uint8)
+                    s = int(y.astype(np.int64).sum())
+                    rows.append(
+                        (
+                            did, True, m["width"], m["height"], n, f, s,
+                            float(np.floor(s / y.size * 1e4 + 0.5) / 1e4),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "valid", "width", "height",
+                    "n_frames", "frame_idx", "luma_sum", "mean_luma",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, valid boolean, width int, height int, "
+        "n_frames int, frame_idx int, luma_sum long, mean_luma double",
+    )
+
+
 def embed_payload(
     df: DataFrame,
     payload_col: str = "payload",

@@ -181,6 +181,46 @@ def test_bmp_encode_decode_resize_roundtrip():
         MM.resize_real(b"\x89PNG....", 8, 8)
 
 
+def test_y4m_demux_real_container():
+    """The Y4M demuxer parses genuine YUV4MPEG2 structure: header
+    tags in any order, FRAME markers with optional parameters, exact
+    4:2:0 plane sizes; malformed/unsupported payloads return None."""
+    w, h, yn, cn = 4, 4, 16, 4
+    y0, u0, v0 = bytes(range(16)), b"\x10" * 4, b"\x20" * 4
+    y1 = bytes(range(100, 116))
+    clip = (
+        b"YUV4MPEG2 H4 W4 F30:1 Ip A1:1 C420jpeg\n"  # tags reordered
+        + b"FRAME\n" + y0 + u0 + v0
+        + b"FRAME Xparam\n" + y1 + u0 + v0  # frame-level parameter
+    )
+    m = MM.demux_y4m(clip)
+    assert (m["width"], m["height"]) == (w, h)
+    assert len(m["frames"]) == 2
+    assert m["frames"][0] == (y0, u0, v0)
+    assert m["frames"][1][0] == y1
+    assert MM.demux_y4m(b"RIFF....") is None
+    assert MM.demux_y4m(clip[:30]) is None  # truncated mid-frame
+    assert MM.demux_y4m(
+        b"YUV4MPEG2 W4 H4 C444\n" + b"FRAME\n" + bytes(48)
+    ) is None  # non-4:2:0 unsupported
+
+
+def test_y4m_synthesize_stats_closed_form(spark):
+    df = spark.createDataFrame([(3,), (10,)], "doc_id long")
+    out = MM.y4m_frame_stats(
+        MM.synthesize_y4m(df, "doc_id"), "video", "doc_id", every_n=2
+    ).collect()
+    by_key = {(r.doc_id, r.frame_idx): r for r in out}
+    for d in (3, 10):
+        w, h, n = 4 + 2 * (d % 3), 4 + 2 * (d % 2), 2 + d % 4
+        for f in range(0, n, 2):
+            r = by_key[(d, f)]
+            assert (r.width, r.height, r.n_frames) == (w, h, n)
+            assert r.luma_sum == sum(
+                (5 * d + 7 * f + i) % 256 for i in range(w * h)
+            )
+
+
 def test_bmp_decode_rejects_malformed():
     assert MM.decode_bmp(None) is None
     assert MM.decode_bmp(b"BM" + b"\x00" * 20) is None  # truncated
