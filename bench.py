@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "gopher_rules",
     "line_dedup",
     "strip_spans",
+    "image_resize_stats",
+    "video_y4m_frames",
 ]
 
 
