@@ -66,14 +66,18 @@ def curate_corpus(
         cleaned = D.strip_duplicated_lines(docs, text_col, id_col).select(
             id_col, F.col("text_clean").alias(text_col)
         )
-        docs = cleaned
-        out["stripped"] = docs
+        # the cleaned text joins BACK onto the source frame so every
+        # other column (url, lang, metadata…) survives the pre-stage
+        docs = docs.drop(text_col).join(cleaned, id_col)
     if strip_spans:
         cleaned = D.strip_repeated_spans(docs, text_col, id_col).select(
             id_col, F.col("text_clean").alias(text_col)
         )
-        docs = cleaned.localCheckpoint(eager=True)  # two shingle
-        # pipelines downstream reread this frame; don't recompute it
+        docs = docs.drop(text_col).join(cleaned, id_col)
+    if strip_lines or strip_spans:
+        # several downstream pipelines (gate, two shingle passes,
+        # token stats) reread this frame — materialize it once
+        docs = docs.localCheckpoint(eager=True)
         out["stripped"] = docs
 
     flags = gopher_rules(docs, text_col, id_col, **(gopher_kwargs or {}))

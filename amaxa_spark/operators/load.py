@@ -122,10 +122,8 @@ class LoadOperation:
             except Exception as e:
                 # a missing/unreadable input joins the error list — the
                 # check-only contract is ONE report, never a traceback
-                errors.append(
-                    f"{step.table}: cannot open input: "
-                    f"{str(e).splitlines()[0][:160]}"
-                )
+                msg = (str(e).splitlines() or ["<no message>"])[0][:160]
+                errors.append(f"{step.table}: cannot open input: {msg}")
                 continue
             pk = self.registry[step.table].pk
             if pk not in df.columns:

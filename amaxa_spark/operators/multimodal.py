@@ -149,16 +149,21 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
-def resize_real(payload: bytes, width: int, height: int) -> bytes:
+def resize_real(payload: bytes, width: int, height: int) -> bytes | None:
     """REAL image resize for BMP payloads — decode with
     :func:`decode_bmp`, nearest-neighbor sample with the exact integer
     mapping ``src = (dst * src_dim) // dst_dim`` (replayable in SQL),
-    re-encode with :func:`encode_bmp`. Non-BMP formats still need
-    PIL/libvips and raise with a clear marker."""
+    re-encode with :func:`encode_bmp`. A CORRUPT BMP (BM magic but
+    truncated/unsupported) returns ``None`` — a row-level data
+    problem, handled by :func:`resize_images` as a null output, never
+    an executor exception. Only genuinely non-BMP formats (which would
+    need PIL/libvips) raise, with a clear marker."""
     import numpy as np
 
     m = decode_bmp(payload)
     if m is None:
+        if payload is not None and payload[:2] == _BMP_MAGIC:
+            return None
         raise NotImplementedError(
             "non-BMP image resize: codec libraries not available"
         )
@@ -238,6 +243,16 @@ def frame_sample_real(payload: bytes, frame_bytes: int):  # pragma: no cover
 # them back through the decode_real injection path.
 
 _BMP_MAGIC = b"BM"
+
+
+def _round4(total, count) -> float:
+    """Half-away-from-zero 4-decimal mean — the single rounding
+    convention every codec statistic shares with the DuckDB oracles
+    (DuckDB round() is half-away-from-zero; Python round() is
+    banker's)."""
+    import numpy as np
+
+    return float(np.floor(total / count * 1e4 + 0.5) / 1e4)
 
 
 def encode_bmp(pixels) -> bytes:
@@ -359,8 +374,7 @@ def image_stats(
                 px = m["pixels"].astype(np.int64)
                 w, h = m["width"], m["height"]
                 s = px.sum(axis=(0, 1))
-                n = float(w * h)
-                mean = [float(np.floor(v / n * 1e4 + 0.5) / 1e4) for v in s]
+                mean = [_round4(v, w * h) for v in s]
                 rows.append(
                     (did, True, w, h, int(s[0]), int(s[1]), int(s[2]),
                      mean[0], mean[1], mean[2], int(px[0, 0, 0]))
@@ -447,13 +461,18 @@ def demux_y4m(payload: bytes):
         return None
     w = h = None
     colorspace = "C420jpeg"
-    for tag in payload[len(_Y4M_MAGIC):nl].split(b" "):
-        if tag.startswith(b"W"):
-            w = int(tag[1:])
-        elif tag.startswith(b"H"):
-            h = int(tag[1:])
-        elif tag.startswith(b"C"):
-            colorspace = tag.decode("ascii", "replace")
+    try:
+        for tag in payload[len(_Y4M_MAGIC):nl].split(b" "):
+            if tag.startswith(b"W"):
+                w = int(tag[1:])
+            elif tag.startswith(b"H"):
+                h = int(tag[1:])
+            elif tag.startswith(b"C"):
+                colorspace = tag.decode("ascii", "replace")
+    except ValueError:
+        # malformed numeric tag (W4x, bare W, ...) is a malformed
+        # payload, not an executor exception
+        return None
     if not w or not h or not colorspace.startswith("C420"):
         return None
     yn, cn = w * h, (w // 2) * (h // 2)
@@ -487,7 +506,10 @@ def y4m_frame_stats(
     per SAMPLED frame (indices 0, every_n, …) with the exact integer
     luma sum and mean (rounded 4) — the frame-level feature-extraction
     shape with a real container parse instead of the fixed-chunk fake.
-    Malformed payloads yield a single valid = false row.
+    Malformed payloads yield a single valid = false row; a
+    structurally valid but FRAME-less clip yields one valid = true row
+    with n_frames = 0 — every input clip appears in the output,
+    exactly like :func:`image_stats`.
 
     Scale shape: payloads stay in their own parquet column; demux +
     reduce is one Arrow-batched mapInPandas; output multiplicity is
@@ -503,13 +525,18 @@ def y4m_frame_stats(
                     rows.append((did, False, None, None, None, None, None, None))
                     continue
                 n = len(m["frames"])
+                if n == 0:
+                    rows.append(
+                        (did, True, m["width"], m["height"], 0, None, None, None)
+                    )
+                    continue
                 for f in range(0, n, every_n):
                     y = np.frombuffer(m["frames"][f][0], dtype=np.uint8)
                     s = int(y.astype(np.int64).sum())
                     rows.append(
                         (
                             did, True, m["width"], m["height"], n, f, s,
-                            float(np.floor(s / y.size * 1e4 + 0.5) / 1e4),
+                            _round4(s, y.size),
                         )
                     )
             yield pd.DataFrame(

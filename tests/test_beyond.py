@@ -205,6 +205,52 @@ def test_y4m_demux_real_container():
     ) is None  # non-4:2:0 unsupported
 
 
+def test_y4m_row_level_error_contract(spark):
+    """One output row per input clip, whatever the bytes: malformed
+    numeric tags and truncations yield valid=false (not executor
+    exceptions), a frame-less header yields valid=true n_frames=0."""
+    assert MM.demux_y4m(b"YUV4MPEG2 W4x H4 C420jpeg\nFRAME\n") is None
+    assert MM.demux_y4m(b"YUV4MPEG2 W H4 C420jpeg\n") is None
+    rows = [
+        (1, b"YUV4MPEG2 W4x H4 C420jpeg\nFRAME\n" + bytes(24)),  # bad tag
+        (2, b"YUV4MPEG2 W4 H4 C420jpeg\n"),  # valid, zero frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, video binary")
+    out = {r.doc_id: r for r in
+           MM.y4m_frame_stats(df, "video", "doc_id").collect()}
+    assert out[1].valid is False
+    assert out[2].valid is True and out[2].n_frames == 0
+
+
+def test_resize_real_corrupt_bmp_is_row_level(spark):
+    """A corrupt BMP (BM magic, truncated) resizes to a null output
+    row, not an executor exception; genuinely non-BMP still raises."""
+    import struct
+
+    corrupt = b"BM" + struct.pack("<IHHI", 90, 0, 0, 54) + b"\x00" * 20
+    assert MM.resize_real(corrupt, 4, 4) is None
+    df = spark.createDataFrame(
+        [(1, bytearray(corrupt))], "doc_id long, payload binary"
+    )
+    row = MM.resize_images(
+        df, "payload", "doc_id", width=4, height=4, codec=MM.resize_real
+    ).collect()[0]
+    assert row.resized is None and row.out_bytes == 0
+
+
+def test_curate_strip_preserves_other_columns(spark, sf_dir):
+    from amaxa_spark.operators.curate import curate_corpus
+
+    d = docs(spark, sf_dir)  # has lang/source/n_chars beyond text
+    res = curate_corpus(
+        d,
+        strip_lines=True,
+        gopher_kwargs={"min_words": 10, "min_required_hits": 1},
+    )
+    assert set(res["kept"].columns) == set(d.columns)
+    assert "lang" in res["stripped"].columns
+
+
 def test_y4m_synthesize_stats_closed_form(spark):
     df = spark.createDataFrame([(3,), (10,)], "doc_id long")
     out = MM.y4m_frame_stats(
