@@ -2543,8 +2543,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   17-31 event-window family (16 windows/as-of/SCD2/funnel shapes)
 #   32-43 TPC-H analytics (CUBE/ROLLUP/pivot/set-ops/quantiles/joins)
 #   44-50 layout, approx contracts, skew, exact k-NN, TF-IDF
-# Positions 51-84 hold the remaining never-judged queries (next
-# round's rotation candidates); 85+ are the rounds-1-4 judged core.
+# Positions 51-90 hold the remaining never-judged queries — including
+# the round-5 additions (gopher_rules, line_dedup, strip_spans, the
+# BMP-resize and Y4M round trips) — i.e. next round's rotation
+# candidates; the final 50 are the rounds-1-4 judged core.
 # Entries 51+ are equally real and oracle-gated — the committed
 # CORRECTNESS_SELF_FULL.json is the full-gate evidence, regenerated by
 # `python tools/check_correctness.py --json CORRECTNESS_SELF_FULL.json
