@@ -63,15 +63,19 @@ def validate_operation(doc: dict, kind: str) -> list[str]:
     errors: list[str] = []
     if not isinstance(doc, dict):
         return ["operation: must be a mapping"]
-    # version handling mirrors the reference's schema stage verbatim
-    # (`loader/core.py:34-45`, strings asserted by its test_Loader.py)
+    # version handling mirrors the reference's schema stage verbatim —
+    # INCLUDING the abort-on-first-stage behavior: `_validate_schema`
+    # returns immediately after a version error (`loader/core.py:34-45`,
+    # strings asserted by its test_Loader.py), so the error list holds
+    # exactly the version string and nothing downstream of it
     if "version" not in doc:
         errors.append("No version number present in schema")
-    elif doc["version"] not in (1, 2):
+        return errors
+    if doc["version"] not in (1, 2):
         errors.append(
             f"Schema version for {kind}-operation not present or unsupported"
         )
-    version = doc.get("version", 1)
+        return errors
     _validate_options(doc.get("options"), "operation", errors, top=True)
     ops = doc.get("operation")
     if not isinstance(ops, list) or not ops:

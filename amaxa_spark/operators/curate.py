@@ -70,9 +70,14 @@ def curate_corpus(
         # other column (url, lang, metadata…) survives the pre-stage
         docs = docs.drop(text_col).join(cleaned, id_col)
     if strip_spans:
-        cleaned = D.strip_repeated_spans(docs, text_col, id_col).select(
-            id_col, F.col("text_clean").alias(text_col)
-        )
+        # preserve_raw: the curated corpus keeps its casing, newlines
+        # and spacing (only the duplicated spans disappear) — without
+        # it the rebuilt text is the lowercased one-line normalized
+        # form and the downstream line-based Gopher signals
+        # (bullet_ratio, ellipsis_ratio) are judged on a single line
+        cleaned = D.strip_repeated_spans(
+            docs, text_col, id_col, preserve_raw=True
+        ).select(id_col, F.col("text_clean").alias(text_col))
         docs = docs.drop(text_col).join(cleaned, id_col)
     if strip_lines or strip_spans:
         # several downstream pipelines (gate, two shingle passes,

@@ -840,7 +840,11 @@ def repeated_ngram_spans(
 
 
 def strip_repeated_spans(
-    df: DataFrame, text_col: str, id_col: str, n: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    preserve_raw: bool = False,
 ) -> DataFrame:
     """The REMOVAL half of cross-document substring dedup (Lee et al.
     2022) at word n-gram granularity: every word position covered by
@@ -863,9 +867,27 @@ def strip_repeated_spans(
     shuffle is shingle- or doc-keyed, no pairwise blow-up; the
     mega-frequency cap story from :func:`ngram_jaccard_pairs` applies
     if boilerplate shingles dominate.
+
+    ``preserve_raw=True`` reassembles ``text_clean`` from the RAW
+    token stream instead of the normalized one: each raw token is a
+    ``\\S+`` run carrying its trailing whitespace, so casing, newlines
+    and spacing of the surviving text are preserved byte-for-byte.
+    Duplicate DETECTION is unchanged (shingles always match on the
+    normalized form — the two streams have identical positions, since
+    normalization only lowercases and collapses separators). This is
+    the mode :func:`operators.curate.curate_corpus` uses so downstream
+    line-based quality signals stay meaningful; the default stays
+    normalized for the oracle-replayable gate query.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), words.alias("__w"))
+    base_cols = [F.col(id_col), words.alias("__w")]
+    if preserve_raw:
+        base_cols.append(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"\S+\s*"), 0
+            ).alias("__r")
+        )
+    base = df.select(*base_cols)
     grams = F.expr(
         f"CASE WHEN size(__w) >= {n} THEN "
         f"transform(sequence(1, size(__w) - {n - 1}), "
@@ -893,21 +915,26 @@ def strip_repeated_spans(
         )
         .distinct()
     )
+    tok_src = "__r" if preserve_raw else "__w"
     toks = base.select(
-        id_col, F.posexplode("__w").alias("pos0", "word")
+        id_col, F.posexplode(tok_src).alias("pos0", "word")
     ).select(id_col, (F.col("pos0") + 1).alias("cp"), "word")
     kept = toks.join(covered, [id_col, "cp"], "left_anti")
+    joined = F.concat_ws(
+        "" if preserve_raw else " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cp", "word"))),
+            lambda s: s["word"],
+        ),
+    )
+    if preserve_raw:
+        # the last surviving token carries its trailing separator
+        joined = F.regexp_replace(joined, r"\s+$", "")
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("cp", "word"))),
-                lambda s: s["word"],
-            ),
-        ).alias("text_clean"),
+        joined.alias("text_clean"),
     )
-    totals = base.select(id_col, F.size("__w").alias("n_words"))
+    totals = base.select(id_col, F.size(tok_src).alias("n_words"))
     return totals.join(rebuilt, id_col, "left").select(
         id_col,
         "n_words",

@@ -118,9 +118,17 @@ def read_pruned(
             | ~((F.col("vmax") < lo) | (F.col("vmin") > hi))
         ).alias("__keep"),
     )
-    agg = rows.groupBy("__keep").agg(F.count(F.lit(1)).alias("n")).collect()
+    # ONE job over the index: total and the keep list come from the
+    # same evaluation, so a re-evaluated (or non-deterministic) index
+    # source can never make them inconsistent — and the driver still
+    # receives only the matched paths plus two counters, not the
+    # pruned-away majority
+    agg = rows.groupBy("__keep").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list(F.when(F.col("__keep"), F.col("path"))).alias("paths"),
+    ).collect()
     total = sum(r["n"] for r in agg)
-    keep = [r["path"] for r in rows.where("__keep").select("path").collect()]
+    keep = [p for r in agg if r["__keep"] for p in r["paths"]]
     if not keep:
         df = spark.read.parquet(path).where(F.lit(False))
         return df, 0, total

@@ -125,22 +125,69 @@ class LoadOperation:
                 msg = (str(e).splitlines() or ["<no message>"])[0][:160]
                 errors.append(f"{step.table}: cannot open input: {msg}")
                 continue
+            # mirror _prepared exactly (check-only must PREDICT run
+            # behavior): rename through column_map first, expand
+            # field-groups, then column-set checks on the renamed view
+            df, _, scope_errors = self._checked_scope(step, df)
             pk = self.registry[step.table].pk
             if pk not in df.columns:
                 errors.append(f"{step.table}: primary key {pk!r} not in input")
-            if step.input_validation == "strict" and step.fields is not None:
-                fields = [
-                    c for c in step.fields if c not in set(step.exclude_fields)
-                ]
-                cols = list(dict.fromkeys([pk, *fields]))
-                missing = [c for c in cols if c not in df.columns]
-                extra = [c for c in df.columns if c not in cols]
-                if missing or extra:
-                    errors.append(
-                        f"{step.table}: input columns do not match field "
-                        f"scope (missing {missing}, unexpected {extra})"
-                    )
+            errors.extend(scope_errors)
         return errors
+
+    def _checked_scope(
+        self, step: LoadStepPlan, df: DataFrame
+    ) -> tuple[DataFrame, list[str] | None, list[str]]:
+        """Shared column-set validation for :meth:`validate` and
+        :meth:`_prepared` — ONE implementation so check-only reports
+        exactly the errors run() would raise. Returns the
+        column_map-renamed frame, the resolved field scope (explicit
+        ``fields`` or field-group expansion, exclusions applied; None =
+        whole row), and the reference-parity error strings
+        (`/root/reference/amaxa/loader/load_operation.py:151-208`)."""
+        if step.column_map:
+            df = rename_columns(df, step.column_map)
+        meta = self.registry[step.table]
+        pk = meta.pk
+        errors: list[str] = []
+        fields = step.fields
+        if fields is None and step.field_group is not None:
+            from amaxa_spark.metadata import expand_field_group
+
+            fields = expand_field_group(meta, df.columns, step.field_group)
+            if step.input_validation != "none":
+                # a field-group input may OMIT columns but never carry
+                # columns outside the group scope (excluded compound/
+                # binary or non-writeable types); string byte-mirrors
+                # `loader/load_operation.py:190-197`
+                excess = sorted(set(df.columns) - set(fields) - {pk})
+                if excess:
+                    errors.append(
+                        "Input file for sObject {} contains excess "
+                        "columns over field group '{}': {}".format(
+                            step.table, step.field_group, ", ".join(excess)
+                        )
+                    )
+        if fields is not None:
+            fields = [c for c in fields if c not in set(step.exclude_fields)]
+            if step.input_validation == "strict":
+                # strict = file columns and field scope 1:1 (the pk is
+                # outside the comparison, as the reference removes
+                # "Id" from the file set); string byte-mirrors
+                # `loader/load_operation.py:198-208`
+                scope = set(fields) - {pk}
+                file_set = set(df.columns) - {pk}
+                if scope != file_set:
+                    errors.append(
+                        "Input file for sObject {} does not match "
+                        "specified field scope.\nScope: {}\nFile "
+                        "Columns: {}\n".format(
+                            step.table,
+                            ", ".join(sorted(scope)),
+                            ", ".join(sorted(file_set)),
+                        )
+                    )
+        return df, fields, errors
 
     def _input(self, step: LoadStepPlan) -> DataFrame:
         if step.input_path is not None:
@@ -151,44 +198,34 @@ class LoadOperation:
         return self.inputs[step.table]
 
     def _prepared(self, step: LoadStepPlan) -> DataFrame:
-        """Input → renamed → transformed → scope-trimmed rows (P5)."""
-        df = self._input(step)
-        if step.column_map:
-            df = rename_columns(df, step.column_map)
+        """Input → renamed → transformed → scope-trimmed rows (P5).
+
+        input-validation modes (`amaxa/loader/load_operation.py:
+        151-208`): none = no checks; default = warn on out-of-scope
+        input columns (projected away; the reference errors here — the
+        softer mode is documented in MIGRATION.md) and error on
+        field-group excess; strict = input must cover the scope
+        exactly. Error strings come from :meth:`_checked_scope` and
+        byte-match the reference's."""
+        df, fields, scope_errors = self._checked_scope(step, self._input(step))
+        if scope_errors:
+            raise LoadError("\n".join(scope_errors))
+        pk = self.registry[step.table].pk
+        if pk not in df.columns:
+            raise LoadError(f"{step.table}: primary key {pk!r} not in input")
         if step.transforms:
             df = apply_transforms(
                 df, step.transforms, types=self.registry[step.table].types
             )
-        fields = step.fields
-        if fields is None and step.field_group is not None:
-            from amaxa_spark.metadata import expand_field_group
-
-            fields = expand_field_group(
-                self.registry[step.table], df.columns, step.field_group
-            )
         if fields is not None:
-            fields = [c for c in fields if c not in set(step.exclude_fields)]
-            pk = self.registry[step.table].pk
             cols = list(dict.fromkeys([pk, *fields]))
-            # input-validation modes
-            # (`amaxa/loader/load_operation.py:151-208`): none = no
-            # checks; default = warn on out-of-scope input columns
-            # (they are projected away); strict = input must cover the
-            # scope exactly — missing or unexpected columns error
-            missing = [c for c in cols if c not in df.columns]
             extra = [c for c in df.columns if c not in cols]
-            if step.input_validation == "strict" and (missing or extra):
-                raise LoadError(
-                    f"{step.table}: input columns do not match field scope "
-                    f"(missing {missing}, unexpected {extra})"
-                )
             if step.input_validation == "default" and extra:
                 log.warning(
                     "%s: ignoring out-of-scope input columns %s", step.table, extra
                 )
             df = df.select(*[c for c in cols if c in df.columns])
         elif step.exclude_fields:
-            pk = self.registry[step.table].pk
             df = df.drop(*[c for c in step.exclude_fields if c != pk])
         return df
 

@@ -665,7 +665,13 @@ def read_versioned_table(
     ]
     if not paths:
         raise FileNotFoundError(f"{path}: empty versioned table")
-    return spark.read.parquet(*paths)
+    # reading the leaf `<bucket>=N` dirs directly loses the partition
+    # column — re-derive it so the versioned and non-versioned merge
+    # layouts expose the SAME schema (it is a pure pk-hash expression,
+    # so re-deriving is exact, no directory-name parsing needed)
+    return spark.read.parquet(*paths).withColumn(
+        MERGE_BUCKET_COL, _bucket_expr(manifest["pk"], manifest["n_buckets"])
+    )
 
 
 def merge_into_versioned(

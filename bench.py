@@ -145,15 +145,20 @@ def main() -> None:
         spreads[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    # FIELD ORDER CONTRACT (see README_BENCH.md): the driver records the
+    # TAIL of this line, so "queries" (the per-query minima — the actual
+    # timing record) MUST be the last dict emitted.  Round 5 emitted
+    # "spread" after "queries" and the captured artifact showed jitter
+    # values instead of timings (VERDICT r5, What's wrong #1).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
                 "sf": sf,
+                "spread": spreads,
+                "queries": timings,
             }
         )
     )
