@@ -2,7 +2,7 @@
 at sf0.001 and linted for the two anti-patterns that silently kill a
 100 TB run:
 
-- ``CartesianProduct`` / unkeyed ``BroadcastNestedLoopJoin`` — an
+- ``CartesianProduct`` / table×table ``BroadcastNestedLoopJoin`` — an
   accidental cross product is O(n²) at scale. Joins of 1-row scalar
   aggregates (the scalar-subquery pattern) broadcast and are fine;
   real cartesian products are not.
@@ -14,7 +14,19 @@ at sf0.001 and linted for the two anti-patterns that silently kill a
 This is the executable form of the scale contract the docstrings
 claim — a new query that sneaks in a cross join or a row UDF fails CI
 here, not in production.
+
+The nested-loop check walks the plan TREE: for each
+BroadcastNestedLoopJoin it locates the build (broadcast) side from the
+node header and requires that subtree to contain a global aggregate
+(``keys=[]`` — exactly one output row), so the broadcast is N×1.  A
+substring test on the whole plan is NOT enough: every BNLJ prints
+``BroadcastExchange IdentityBroadcastMode`` — including a true
+table×table non-equi join — so the old check could never fire
+(round-5 review); ``test_lint_catches_table_cross_join`` pins the
+lint's teeth.
 """
+
+import re
 
 import pytest
 
@@ -22,10 +34,65 @@ import __spark_entry__ as entry
 
 QUERIES = entry.queries()
 
-# 1-row-aggregate broadcasts render as BroadcastNestedLoopJoin with an
-# IdentityBroadcastMode of a scalar aggregate — structurally a cross
-# join of N×1, which is linear, not quadratic. Accept only that shape.
-_SCALAR_BROADCAST_OK = "BroadcastExchange IdentityBroadcastMode"
+# a global (ungrouped) aggregate emits exactly one row — the only
+# thing a nested-loop join is allowed to broadcast
+_SCALAR_AGG = re.compile(
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
+)
+
+# Queries whose nested-loop joins deliberately broadcast a SMALL,
+# BOUNDED side that is not a 1-row aggregate. Every entry documents
+# the bound; anything NOT listed here must broadcast a scalar
+# aggregate or the lint fails. A stale entry (query no longer builds a
+# BNLJ) also fails, so the list cannot rot.
+_BOUNDED_BROADCAST_OK = {
+    # brute-force ANN baselines: broadcast side is the FIXED QUERY SET
+    # (tens of rows by construction) scored against every corpus
+    # vector — the documented N×k exact path whose scale twins are the
+    # LSH/IVF queries (similarity.py:37-152)
+    "ann_cosine_topk": "fixed query-vector set (k rows)",
+    "ann_lsh_recall": "fixed query-vector set (k rows)",
+    "rerank_ann": "fixed query-vector set (k rows)",
+    "knn_join_exact": "query TABLE bounded to 5 rows in the gate query",
+    # IVF: broadcast side is the K-centroid codebook (K=const)
+    "ann_ivf_topk": "K-centroid codebook",
+    "ann_ivf_topk_pandas": "K-centroid codebook",
+    # documented O(n²) exact-cosine baseline (dedup.py bucket_bits=0);
+    # the bucketed sibling dedup_embedding_cosine_lsh is the scale path
+    "dedup_embedding_cosine": "explicit quadratic baseline",
+    # count-of-counts Gini: non-equi join against the GEOMETRIC BUCKET
+    # boundary table (O(log n) rows, stats.py:61-128)
+    "key_gini": "geometric bucket-boundary table (~log n rows)",
+}
+
+
+def _walk(node):
+    # AdaptiveSparkPlanExec reports NO children (its tree lives behind
+    # `initialPlan`) — unwrap it, or the walk sees only the AQE root
+    # and the lint is as vacuous as the substring check it replaces
+    if node.nodeName() == "AdaptiveSparkPlan":
+        yield from _walk(node.initialPlan())
+        return
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _walk(children.apply(i))
+
+
+def bnlj_violations(df) -> list[str]:
+    """Header lines of every BroadcastNestedLoopJoin whose broadcast
+    side is NOT a 1-row scalar aggregate."""
+    plan = df._jdf.queryExecution().executedPlan()
+    bad = []
+    for node in _walk(plan):
+        header = node.toString().splitlines()[0]
+        if "BroadcastNestedLoopJoin" not in header:
+            continue
+        build = 1 if "BuildRight" in header else 0
+        side = node.children().apply(build).toString()
+        if not _SCALAR_AGG.search(side):
+            bad.append(header.strip())
+    return bad
 
 
 @pytest.mark.parametrize("name", list(QUERIES))
@@ -37,9 +104,33 @@ def test_plan_hygiene(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
     # no true cartesian products
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
-    if "BroadcastNestedLoopJoin" in plan:
-        # every nested-loop join must be the scalar-aggregate
-        # broadcast pattern (N×1), never table×table
-        assert _SCALAR_BROADCAST_OK in plan, (
-            f"{name}: nested-loop join without scalar broadcast"
+    # every nested-loop join must broadcast a scalar (1-row) aggregate
+    # unless the query documents a bounded broadcast above
+    bad = bnlj_violations(df)
+    if name in _BOUNDED_BROADCAST_OK:
+        assert bad, (
+            f"{name}: stale _BOUNDED_BROADCAST_OK entry — the plan no "
+            "longer builds a non-scalar nested-loop join; remove it"
         )
+    else:
+        assert not bad, f"{name}: table×table nested-loop join: {bad}"
+
+
+def test_lint_catches_table_cross_join(spark):
+    """The lint must FAIL a genuine table×table non-equi join — the
+    shape whose plan string also prints ``IdentityBroadcastMode``
+    (which made the old substring check vacuous)."""
+    a = spark.range(1000).withColumnRenamed("id", "x")
+    b = spark.range(50).withColumnRenamed("id", "y")
+    df = a.join(b, a["x"] > b["y"])
+    assert bnlj_violations(df), "non-equi table join must be flagged"
+
+
+def test_lint_allows_scalar_broadcast(spark):
+    """...while the N×1 scalar-aggregate broadcast stays legal."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(1000).withColumnRenamed("id", "x")
+    s = a.agg(F.max("x").alias("mx"))
+    df = a.crossJoin(F.broadcast(s)).where(F.col("x") == F.col("mx"))
+    assert bnlj_violations(df) == []
