@@ -470,6 +470,38 @@ def q_image_resize_stats(spark, sf_dir):
     )
 
 
+def q_image_png_stats(spark, sf_dir):
+    """REAL compressed-image decode end-to-end: deterministic 8-bit
+    RGB PNGs (CRC-guarded chunks, zlib-inflated IDAT, a different
+    scanline filter per row so None/Sub/Up/Average/Paeth are all
+    exercised) are synthesized per doc_id, then inflated and
+    unfiltered by the pure-stdlib PNG decoder behind the decode_real
+    seam — channel sums are exact integers, so the oracle replays
+    everything with closed-form arithmetic."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_img = MM.synthesize_png(docs, "doc_id", "image")
+    return MM.image_stats(with_img, "image", "doc_id", decode=MM.decode_png)
+
+
+def q_image_png_roundtrip(spark, sf_dir):
+    """REAL PNG decode → resize → re-ENCODE → decode round trip: the
+    resized pixels are re-compressed (deflate + per-row filters) and
+    inflated again, so a statistics mismatch catches either direction
+    of the codec. Mirrors image_resize_stats for the compressed
+    format."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_img = MM.synthesize_png(docs, "doc_id", "image")
+    resized = MM.resize_images(
+        with_img, "image", "doc_id", width=8, height=6, codec=MM.resize_real
+    )
+    return MM.image_stats(
+        resized.select("doc_id", F.col("resized").alias("image")),
+        "image",
+        "doc_id",
+        decode=MM.decode_png,
+    )
+
+
 def q_video_y4m_frames(spark, sf_dir):
     """REAL video demux end-to-end: genuine YUV4MPEG2 container bytes
     (stream header + FRAME markers + 4:2:0 planes) synthesized per
@@ -2577,6 +2609,7 @@ QUERY_ORDER = [
     # ---------------- position 51+: never-judged remainder ----------
     "tfidf_keywords", "gopher_rules", "line_dedup", "strip_spans",
     "image_resize_stats", "video_y4m_frames",
+    "image_png_stats", "image_png_roundtrip",
     "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
@@ -2614,7 +2647,7 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("weighted_linkage") < 50
 assert QUERY_ORDER.index("key_gini") < 50
 assert QUERY_ORDER.index("image_bmp_stats") < 50
-assert len(QUERY_ORDER) == 140 and len(set(QUERY_ORDER)) == 140
+assert len(QUERY_ORDER) == 142 and len(set(QUERY_ORDER)) == 142
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2649,6 +2682,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "image_bmp_stats": q_image_bmp_stats,
         "image_resize_stats": q_image_resize_stats,
+        "image_png_stats": q_image_png_stats,
+        "image_png_roundtrip": q_image_png_roundtrip,
         "video_y4m_frames": q_video_y4m_frames,
         "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
@@ -3000,6 +3035,51 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(sr * 1.0 / (w * h), 4) AS mean_r, "
             "round(sg * 1.0 / (w * h), 4) AS mean_g, "
             "round(sb * 1.0 / (w * h), 4) AS mean_b, "
+            "CAST((13 * d) % 256 AS INT) AS px00_r FROM s"
+        ),
+        "image_png_stats": (
+            # closed-form replay of the synthesized PNGs: pixel (x, y)
+            # channels are (13d+2x+y)%256 / (11d+x+2y)%256 /
+            # (7d+3x+5y)%256 over a (4+d%6) x (3+d%5) image
+            "WITH dims AS (SELECT doc_id AS d, 4 + doc_id % 6 AS w, "
+            "3 + doc_id % 5 AS h FROM documents), "
+            "px AS (SELECT d, w, h, x.range AS x, y.range AS y "
+            "FROM dims, range(0, 9) x, range(0, 7) y "
+            "WHERE x.range < w AND y.range < h), "
+            "s AS (SELECT d, w, h, "
+            "sum((13 * d + 2 * x + y) % 256) AS sr, "
+            "sum((11 * d + x + 2 * y) % 256) AS sg, "
+            "sum((7 * d + 3 * x + 5 * y) % 256) AS sb "
+            "FROM px GROUP BY d, w, h) "
+            "SELECT d AS doc_id, TRUE AS valid, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g, "
+            "CAST(sb AS BIGINT) AS sum_b, "
+            "round(sr * 1.0 / (w * h), 4) AS mean_r, "
+            "round(sg * 1.0 / (w * h), 4) AS mean_g, "
+            "round(sb * 1.0 / (w * h), 4) AS mean_b, "
+            "CAST((13 * d) % 256 AS INT) AS px00_r FROM s"
+        ),
+        "image_png_roundtrip": (
+            # closed-form replay of synthesize -> nearest-neighbor 8x6
+            # resize -> re-encode: dst (x, y) samples src
+            # ((x*w)//8, (y*h)//6) of the (4+d%6) x (3+d%5) source
+            "WITH dims AS (SELECT doc_id AS d, 4 + doc_id % 6 AS w, "
+            "3 + doc_id % 5 AS h FROM documents), "
+            "px AS (SELECT d, (x.range * w) // 8 AS sx, "
+            "(y.range * h) // 6 AS sy FROM dims, range(0, 8) x, range(0, 6) y), "
+            "s AS (SELECT d, "
+            "sum((13 * d + 2 * sx + sy) % 256) AS sr, "
+            "sum((11 * d + sx + 2 * sy) % 256) AS sg, "
+            "sum((7 * d + 3 * sx + 5 * sy) % 256) AS sb "
+            "FROM px GROUP BY d) "
+            "SELECT d AS doc_id, TRUE AS valid, "
+            "CAST(8 AS INT) AS width, CAST(6 AS INT) AS height, "
+            "CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g, "
+            "CAST(sb AS BIGINT) AS sum_b, "
+            "round(sr / 48.0, 4) AS mean_r, "
+            "round(sg / 48.0, 4) AS mean_g, "
+            "round(sb / 48.0, 4) AS mean_b, "
             "CAST((13 * d) % 256 AS INT) AS px00_r FROM s"
         ),
         "image_resize_stats": (

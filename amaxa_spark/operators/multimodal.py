@@ -54,27 +54,34 @@ def decode_stub(payload: bytes) -> dict:
 
 
 def decode_real(payload: bytes) -> dict:
-    """Real-codec injection point. BMP — the one raster format fully
-    decodable with stdlib struct + numpy, no PIL/libvips — decodes
-    natively through :func:`decode_bmp`; other formats (JPEG/PNG/...)
-    still require an image library and raise with a clear marker."""
+    """Real-codec injection point. The two raster formats fully
+    decodable without PIL/libvips decode natively — BMP (stdlib struct
+    + numpy, :func:`decode_bmp`) and PNG (stdlib zlib inflate +
+    scanline unfiltering, :func:`decode_png`); lossy formats
+    (JPEG/WebP/...) still require an image library and raise with a
+    clear marker."""
     if payload is not None and payload[:2] == _BMP_MAGIC:
         meta = decode_bmp(payload)
-        if meta is None:
-            return {
-                "valid": False, "n_bytes": len(payload),
-                "width": 0, "height": 0, "fmt": None,
-            }
+        fmt = "bmp/24"
+    elif payload is not None and payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        meta = decode_png(payload)
+        fmt = "png/rgb8"
+    else:
+        raise NotImplementedError(
+            "non-BMP/PNG image decode: codec libraries not available"
+        )
+    if meta is None:
         return {
-            "valid": True,
-            "n_bytes": len(payload),
-            "width": meta["width"],
-            "height": meta["height"],
-            "fmt": "bmp/24",
+            "valid": False, "n_bytes": len(payload),
+            "width": 0, "height": 0, "fmt": None,
         }
-    raise NotImplementedError(
-        "non-BMP image decode: codec libraries not available"
-    )
+    return {
+        "valid": True,
+        "n_bytes": len(payload),
+        "width": meta["width"],
+        "height": meta["height"],
+        "fmt": fmt,
+    }
 
 
 def extract_image_meta(
@@ -150,27 +157,31 @@ def resize_images(
 
 
 def resize_real(payload: bytes, width: int, height: int) -> bytes | None:
-    """REAL image resize for BMP payloads — decode with
-    :func:`decode_bmp`, nearest-neighbor sample with the exact integer
-    mapping ``src = (dst * src_dim) // dst_dim`` (replayable in SQL),
-    re-encode with :func:`encode_bmp`. A CORRUPT BMP (BM magic but
-    truncated/unsupported) returns ``None`` — a row-level data
-    problem, handled by :func:`resize_images` as a null output, never
-    an executor exception. Only genuinely non-BMP formats (which would
-    need PIL/libvips) raise, with a clear marker."""
+    """REAL image resize for BMP and PNG payloads — decode
+    (:func:`decode_bmp` / :func:`decode_png`), nearest-neighbor sample
+    with the exact integer mapping ``src = (dst * src_dim) //
+    dst_dim`` (replayable in SQL), re-encode in the SAME format. A
+    CORRUPT payload (right magic but truncated/unsupported) returns
+    ``None`` — a row-level data problem, handled by
+    :func:`resize_images` as a null output, never an executor
+    exception. Only genuinely unsupported formats (which would need
+    PIL/libvips) raise, with a clear marker."""
     import numpy as np
 
-    m = decode_bmp(payload)
-    if m is None:
-        if payload is not None and payload[:2] == _BMP_MAGIC:
-            return None
+    if payload is not None and payload[:2] == _BMP_MAGIC:
+        m, encode = decode_bmp(payload), encode_bmp
+    elif payload is not None and payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        m, encode = decode_png(payload), encode_png
+    else:
         raise NotImplementedError(
-            "non-BMP image resize: codec libraries not available"
+            "non-BMP/PNG image resize: codec libraries not available"
         )
+    if m is None:
+        return None
     px = m["pixels"]
     xs = (np.arange(width) * m["width"]) // width
     ys = (np.arange(height) * m["height"]) // height
-    return encode_bmp(px[ys][:, xs])
+    return encode(px[ys][:, xs])
 
 
 def _frames_stub(payload: bytes, frame_bytes: int) -> list[bytes]:
@@ -346,10 +357,218 @@ def decode_bmp(payload: bytes):
     return {"width": w, "height": h, "pixels": px[..., ::-1]}  # RGB
 
 
+# ---------------------------------------------------------------------------
+# Image: REAL PNG codec (pure stdlib zlib — no PIL needed). 8-bit
+# truecolor non-interlaced PNG is a genuine compressed byte format:
+# CRC-32-guarded chunks, one zlib-inflated pixel stream, and a
+# per-scanline filter byte (None/Sub/Up/Average/Paeth) the decoder
+# must invert against the reconstructed prior scanline. The encoder
+# deliberately assigns filter ``y % 5`` to row y so a single
+# round-trip exercises every filter type; the synthesizer is
+# closed-form in the row id (like synthesize_bmp), so the DuckDB
+# oracle replays every derived statistic with pure arithmetic while
+# the Spark path inflates and unfilters genuine PNG bytes.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4) — byte-exact integer form."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels) -> bytes:
+    """REAL 8-bit truecolor PNG encoder: (h, w, 3) uint8 RGB array →
+    signature + IHDR + one zlib-compressed IDAT + IEND, CRC-32 per
+    chunk. Scanline y carries filter type ``y % 5``, genuinely
+    applied, so decoding exercises the full None/Sub/Up/Average/Paeth
+    inverse set. The exact inverse of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    bpp = 3
+    raw = pixels.astype("int64")  # filter arithmetic needs signed room
+    lines = []
+    for y in range(h):
+        cur = raw[y].reshape(-1)
+        prev = raw[y - 1].reshape(-1) if y > 0 else cur * 0
+        ft = y % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            left = cur * 0
+            left[bpp:] = cur[:-bpp]
+            filt = (cur - left) % 256
+        elif ft == 2:  # Up
+            filt = (cur - prev) % 256
+        elif ft == 3:  # Average
+            left = cur * 0
+            left[bpp:] = cur[:-bpp]
+            filt = (cur - (left + prev) // 2) % 256
+        else:  # Paeth
+            filt = cur.copy()
+            for i in range(len(cur)):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                filt[i] = (int(cur[i]) - _paeth(a, b, c)) % 256
+        lines.append(bytes([ft]) + bytes(filt.astype("uint8")))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL 8-bit truecolor non-interlaced PNG decoder (stdlib zlib):
+    verifies the signature and every chunk CRC, walks IHDR/IDAT/IEND
+    (ancillary chunks skipped), inflates the concatenated IDAT stream,
+    and inverts the per-scanline filter (None/Sub/Up/Average/Paeth —
+    inherently sequential per pixel, fine at thumbnail sizes; a 100 TB
+    corpus of large images would push this into a C codec behind the
+    same seam). Returns ``{"width", "height", "pixels"}`` with pixels
+    as an (h, w, 3) uint8 RGB array, or ``None`` for malformed or
+    unsupported payloads (row-level errors, never executor
+    exceptions)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        return None
+    pos, w = len(_PNG_MAGIC), None
+    idat = []
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length or pos + 12 + length > len(payload):
+                return None
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            if zlib.crc32(tag + data) != crc:
+                return None
+            pos += 12 + length
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                    return None  # only 8-bit RGB, no interlace
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error):
+        return None
+    bpp, stride = 3, 3 * w
+    if len(raw) != h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        line = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
+        ft, cur = line[0], np.frombuffer(
+            line, dtype=np.uint8, offset=1
+        ).astype(np.int64)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub
+            rec = cur.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ft == 3:  # Average
+            rec = cur.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + (a + prev[i]) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = cur.copy()
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                rec[i] = (rec[i] + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            return None
+        out[y] = rec
+    return {
+        "width": w,
+        "height": h,
+        "pixels": out.astype(np.uint8).reshape(h, w, 3),
+    }
+
+
+def synthesize_png(df: DataFrame, id_col: str, out_col: str = "image") -> DataFrame:
+    """Deterministic 8-bit RGB PNG payloads: for row id ``d``, a
+    ``(4 + d%6) × (3 + d%5)`` image whose pixel at (x, y) has channels
+    ``r = (13d + 2x + y) % 256``, ``g = (11d + x + 2y) % 256``,
+    ``b = (7d + 3x + 5y) % 256`` (the synthesize_bmp formula over PNG
+    dims), zlib-compressed by :func:`encode_png` with real per-row
+    filters. Closed-form in the id, so oracles replay every derived
+    quantity while Spark inflates genuine PNG bytes."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = 4 + d % 6, 3 + d % 5
+                x = np.arange(w)
+                y = np.arange(h)[:, None]
+                r = (13 * d + 2 * x + y) % 256
+                g = (11 * d + x + 2 * y) % 256
+                b = (7 * d + 3 * x + 5 * y) % 256
+                px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                outs.append(encode_png(px))
+            out = pdf.copy()
+            out[out_col] = outs
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
 def image_stats(
-    df: DataFrame, payload_col: str = "image", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "image",
+    id_col: str = "doc_id",
+    decode=None,
 ) -> DataFrame:
-    """REAL per-image channel statistics through the BMP decode path:
+    """REAL per-image channel statistics through a real decode path
+    (``decode`` = :func:`decode_bmp` (default) or :func:`decode_png`):
     (id, valid, width, height, exact integer channel sums, means
     rounded 4, and ``px00_r`` — the top-left red value, which pins the
     bottom-up row flip: a decoder that forgets to flip reads the
@@ -360,11 +579,13 @@ def image_stats(
     projection, no shuffle; output is one fixed-width row per image."""
     import numpy as np
 
+    decode = decode or decode_bmp
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
-                m = decode_bmp(None if p is None else bytes(p))
+                m = decode(None if p is None else bytes(p))
                 if m is None:
                     rows.append(
                         (did, False, None, None, None, None, None,
