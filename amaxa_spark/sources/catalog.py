@@ -333,11 +333,17 @@ def list_generations(out_dir: str) -> list[dict]:
     import json
 
     current = None
-    try:
-        with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
-            current = json.load(f)["token"]
-    except FileNotFoundError:
-        pass
+    head = _commit_chain_head(out_dir)
+    if head is not None:
+        # CAS-chained tables: the chain head is authoritative (the
+        # mirror can lag behind a concurrent winner)
+        current = head[1]["token"]
+    else:
+        try:
+            with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+                current = json.load(f)["token"]
+        except FileNotFoundError:
+            pass
     out = []
     hist_dir = os.path.join(out_dir, HISTORY_DIR)
     if os.path.isdir(hist_dir):
@@ -350,10 +356,20 @@ def list_generations(out_dir: str) -> list[dict]:
                 {
                     "token": m["token"],
                     "committed_at": m.get("committed_at", 0.0),
+                    "seq": m.get("seq"),
                     "current": m["token"] == current,
                 }
             )
-    return sorted(out, key=lambda g: -g["committed_at"])
+    # newest first — by commit seq where the CAS chain provides one
+    # (wall clocks of concurrent writers can disagree with the commit
+    # order), by commit time for the chainless layouts
+    return sorted(
+        out,
+        key=lambda g: (
+            -(g["seq"] if g["seq"] is not None else -1),
+            -g["committed_at"],
+        ),
+    )
 
 
 def vacuum_extract(out_dir: str, keep_last: int = 1) -> list[str]:
@@ -589,9 +605,76 @@ def merge_into_partitioned(
 # snapshot until the instant the new one is complete; a crash leaves an
 # orphan generation directory that no manifest references (invisible;
 # `vacuum_versioned` reclaims it). Time travel works per merge, not
-# just per full rewrite. Single-writer, like the rest of the manifest
-# protocol — concurrent merges need a commit-log arbiter (that is the
-# part a real Delta brings).
+# just per full rewrite.
+#
+# CONCURRENT WRITERS (the part a real Delta's commit log brings) are
+# arbitrated by a CAS commit chain: the authoritative table state is
+# the highest `.commits/<seq>.json`, and a merge claims seq+1 by
+# `os.link`-ing a fully-written temp file to that name — atomic, and
+# it FAILS if another writer claimed the seq first. On a lost race the
+# merge compares its affected buckets against everything committed
+# since the snapshot it read: disjoint -> rebase the bucket map onto
+# the new head and retry the CAS (its generation files are still
+# valid — it only rewrote buckets nobody else touched); overlapping ->
+# ConcurrentMergeError, the caller must re-run the merge from a fresh
+# read (its rewritten buckets were computed from stale files). This is
+# exactly Delta's optimistic-concurrency protocol with the file system
+# as the arbiter; on an object store the `os.link` claim maps to a
+# conditional PUT (if-none-match). `_MANIFEST.json` remains as an
+# advisory mirror for external tools; readers resolve through the
+# chain.
+
+COMMITS_DIR = ".commits"
+
+
+class ConcurrentMergeError(RuntimeError):
+    """Another merge committed an overlapping bucket since this
+    merge's snapshot was read; re-run the merge from the new head."""
+
+
+def _commit_path(path: str, seq: int) -> str:
+    return os.path.join(path, COMMITS_DIR, f"{seq}.json")
+
+
+def _commit_chain_head(path: str):
+    """(seq, manifest) of the newest CAS commit, or None if the table
+    predates / lacks a commit chain."""
+    import json
+
+    cdir = os.path.join(path, COMMITS_DIR)
+    try:
+        seqs = [
+            int(f[: -len(".json")])
+            for f in os.listdir(cdir)
+            if f.endswith(".json")
+        ]
+    except FileNotFoundError:
+        return None
+    if not seqs:
+        return None
+    seq = max(seqs)
+    with open(_commit_path(path, seq)) as f:
+        return seq, json.load(f)
+
+
+def _claim_commit(path: str, seq: int, manifest: dict) -> None:
+    """Atomically claim commit ``seq``: write the full manifest to a
+    temp file, then hard-link it to the chain name — the link either
+    materializes the complete file under ``<seq>.json`` or raises
+    ``FileExistsError`` because another writer got there first. No
+    reader can observe a partially-written commit."""
+    import json
+    import uuid
+
+    cdir = os.path.join(path, COMMITS_DIR)
+    os.makedirs(cdir, exist_ok=True)
+    tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, _commit_path(path, seq))
+    finally:
+        os.remove(tmp)
 
 
 def _bucket_expr(pk: str, n_buckets: int):
@@ -628,10 +711,12 @@ def write_versioned_table(
         "kind": "versioned-buckets",
         "pk": pk,
         "n_buckets": n_buckets,
+        "seq": 0,
         "buckets": {
             str(b): gen for b in _present_buckets(os.path.join(path, gen))
         },
     }
+    _claim_commit(path, 0, manifest)
     _publish_manifest(path, manifest)
     return manifest
 
@@ -639,13 +724,19 @@ def write_versioned_table(
 def _bucket_manifest(path: str, token: str | None = None) -> dict:
     import json
 
-    mp = (
-        os.path.join(path, MANIFEST_NAME)
-        if token is None
-        else os.path.join(path, HISTORY_DIR, f"{token}.json")
-    )
-    with open(mp) as f:
-        manifest = json.load(f)
+    if token is None:
+        # the CAS commit chain is authoritative (the _MANIFEST.json
+        # mirror can lag under concurrent writers); fall back to the
+        # mirror only for chainless layouts
+        head = _commit_chain_head(path)
+        if head is not None:
+            manifest = head[1]
+        else:
+            with open(os.path.join(path, MANIFEST_NAME)) as f:
+                manifest = json.load(f)
+    else:
+        with open(os.path.join(path, HISTORY_DIR, f"{token}.json")) as f:
+            manifest = json.load(f)
     if manifest.get("kind") != "versioned-buckets":
         raise ValueError(f"{path}: not a versioned bucket table")
     return manifest
@@ -680,15 +771,26 @@ def merge_into_versioned(
     updates: DataFrame,
     pk: str,
     set_cols: list[str],
+    base_token: str | None = None,
 ) -> dict:
     """Atomic MERGE ... WHEN MATCHED THEN UPDATE: affected buckets are
     rewritten under a NEW generation directory; untouched buckets keep
     their existing files byte-for-byte (the new manifest still points
-    at them); the manifest publish is the commit. Returns the new
-    manifest (its ``buckets`` map shows exactly what moved)."""
+    at them); claiming the next CAS commit is THE commit. Returns the
+    new manifest (its ``buckets`` map shows exactly what moved).
+
+    Concurrency: the merge reads its snapshot (``base_token`` pins an
+    explicit one — the optimistic-concurrency hook; default = current
+    head), rewrites only its affected buckets, then claims the next
+    commit seq. If other merges committed in between: disjoint buckets
+    rebase and retry the claim (both merges land, history stays
+    linear); overlapping buckets raise :class:`ConcurrentMergeError`
+    (this merge's rewritten files came from stale inputs — re-run it
+    against the new head)."""
     import uuid
 
-    manifest = _bucket_manifest(path)
+    manifest = _bucket_manifest(path, base_token)
+    base_buckets = dict(manifest["buckets"])
     n_buckets = manifest["n_buckets"]
     upd = updates.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
     affected = sorted(
@@ -712,16 +814,36 @@ def merge_into_versioned(
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(path, gen))
     )
+    ours = {str(b): gen for b in affected}
+    seq = int(manifest.get("seq", 0)) + 1
     new_manifest = {
         "token": token,
         "kind": "versioned-buckets",
         "pk": pk,
         "n_buckets": n_buckets,
-        "buckets": {
-            **manifest["buckets"],
-            **{str(b): gen for b in affected},
-        },
+        "seq": seq,
+        "buckets": {**base_buckets, **ours},
     }
+    while True:
+        try:
+            _claim_commit(path, seq, new_manifest)
+            break
+        except FileExistsError:
+            head_seq, head = _commit_chain_head(path)
+            if any(
+                head["buckets"].get(b) != base_buckets.get(b) for b in ours
+            ):
+                raise ConcurrentMergeError(
+                    f"{path}: bucket(s) {sorted(ours)} were rewritten by "
+                    f"commit(s) up to seq {head_seq} after this merge's "
+                    "snapshot; re-run the merge against the new head"
+                )
+            seq = head_seq + 1
+            new_manifest = {
+                **new_manifest,
+                "seq": seq,
+                "buckets": {**head["buckets"], **ours},
+            }
     _publish_manifest(path, new_manifest)
     return new_manifest
 
@@ -751,4 +873,19 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> list[str]:
         tok = entry[: -len(".json")] if entry.endswith(".json") else None
         if tok and tok not in retained:
             os.remove(os.path.join(hist_dir, entry))
+    # age the CAS chain with the history: drop commit files whose
+    # manifest is no longer retained — except the head, which defines
+    # the current table state (and keeps the seq counter monotonic)
+    cdir = os.path.join(path, COMMITS_DIR)
+    head = _commit_chain_head(path)
+    if head is not None:
+        for entry in os.listdir(cdir):
+            if not entry.endswith(".json"):
+                continue
+            seq = int(entry[: -len(".json")])
+            if seq == head[0]:
+                continue
+            with open(os.path.join(cdir, entry)) as f:
+                if json.load(f)["token"] not in retained:
+                    os.remove(os.path.join(cdir, entry))
     return removed

@@ -317,3 +317,103 @@ def test_versioned_merge_is_atomic_and_time_travels(spark, tmp_path):
     with _pytest.raises(ValueError, match="multiple rows for pk"):
         merge_into_versioned(spark, path, dup_upd, pk="pk", set_cols=["val"])
     assert read_versioned_table(spark, path).count() == 200  # unchanged
+
+
+def test_versioned_merge_concurrent_writers_cas(spark, tmp_path):
+    """Commit-log arbiter: two merges computed from the SAME snapshot
+    both commit when their buckets are disjoint (the second claim
+    loses the CAS race, rebases its bucket map onto the winner's head,
+    and retries), history stays linear by commit seq, and a STALE
+    merge overlapping an intervening commit raises
+    ConcurrentMergeError instead of silently dropping the winner's
+    update."""
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        ConcurrentMergeError,
+        _bucket_expr,
+        list_generations,
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_cas")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "pk long, val string"
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=8)
+    assert m0["seq"] == 0
+
+    # derive each pk's bucket with the layout's own hash expression
+    buckets = {
+        r.pk: r.b
+        for r in base.select("pk", _bucket_expr("pk", 8).alias("b")).collect()
+    }
+    by_bucket: dict[int, list[int]] = {}
+    for p, b in buckets.items():
+        by_bucket.setdefault(b, []).append(p)
+    pk_a = by_bucket[0][0]
+    pk_b = by_bucket[1][0]
+    pk_a2 = by_bucket[0][1]  # same bucket as pk_a -> overlap case
+
+    # writer A merges from the current head and commits seq 1
+    m1 = merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(pk_a, "FROM_A")], "pk long, val string"),
+        pk="pk",
+        set_cols=["val"],
+    )
+    assert m1["seq"] == 1
+
+    # writer B computed its merge BEFORE A committed (base_token pins
+    # the m0 snapshot): disjoint bucket -> loses the CAS race at seq 1,
+    # rebases onto A's head, commits seq 2 — BOTH updates visible
+    m2 = merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(pk_b, "FROM_B")], "pk long, val string"),
+        pk="pk",
+        set_cols=["val"],
+        base_token=m0["token"],
+    )
+    assert m2["seq"] == 2
+    # B's manifest carries A's bucket generation (the rebase), not m0's
+    assert m2["buckets"][str(buckets[pk_a])] == m1["buckets"][str(buckets[pk_a])]
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got[pk_a] == "FROM_A" and got[pk_b] == "FROM_B"
+    assert len(got) == 200
+
+    # history is linear by commit seq, newest first
+    assert [g["seq"] for g in list_generations(path)] == [2, 1, 0]
+    assert list_generations(path)[0]["current"]
+
+    # a stale merge touching A's bucket must conflict, not clobber
+    with _pytest.raises(ConcurrentMergeError):
+        merge_into_versioned(
+            spark,
+            path,
+            spark.createDataFrame([(pk_a2, "STALE")], "pk long, val string"),
+            pk="pk",
+            set_cols=["val"],
+            base_token=m0["token"],
+        )
+    # the conflicted merge committed nothing: head unchanged, A's
+    # update intact
+    assert {r.pk: r.val for r in read_versioned_table(spark, path).collect()}[
+        pk_a
+    ] == "FROM_A"
+    assert [g["seq"] for g in list_generations(path)] == [2, 1, 0]
+
+    # re-running the conflicted merge from the NEW head succeeds
+    m3 = merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(pk_a2, "RETRIED")], "pk long, val string"),
+        pk="pk",
+        set_cols=["val"],
+    )
+    assert m3["seq"] == 3
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got[pk_a] == "FROM_A" and got[pk_a2] == "RETRIED"
