@@ -41,6 +41,7 @@ from amaxa_spark.plans.plan import (
     ExtractStepPlan,
     OutsideLookupBehavior,
     SelfLookupBehavior,
+    bad_lookup_behavior_error,
 )
 from amaxa_spark.sources.catalog import TableCatalog
 
@@ -460,6 +461,22 @@ class ExtractOperation:
                         f"Field {step.table}.{f} does not exist or does "
                         "not have the correct CRUD permission."
                     )
+            # lookup-behavior validity (`loader/core.py:272-289`): a
+            # self-lookup behavior on a dependent lookup, or an
+            # outside-lookup behavior on a self lookup, is invalid —
+            # string parity with _validate_lookup_behaviors
+            cls = self.classification.get(step.table)
+            if cls is not None:
+                for f, beh in step.self_lookup_overrides.items():
+                    if f in cls.dependent_lookups:
+                        errors.append(
+                            bad_lookup_behavior_error(beh.value, step.table, f)
+                        )
+                for f, beh in step.outside_lookup_behavior.items():
+                    if f != "*" and f in cls.self_lookups:
+                        errors.append(
+                            bad_lookup_behavior_error(beh.value, step.table, f)
+                        )
         if errors:
             raise ExtractError("; ".join(errors))
 

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from amaxa_spark.functions.scalars import primitivize
 from amaxa_spark.functions.transforms import apply_transforms, rename_columns
 from amaxa_spark.metadata import SchemaRegistry
-from amaxa_spark.plans.plan import LoadStepPlan, OutsideLookupBehavior
+from amaxa_spark.plans.plan import (
+    LoadStepPlan,
+    OutsideLookupBehavior,
+    bad_lookup_behavior_error,
+)
 from amaxa_spark.sources.catalog import TableCatalog
 
 log = logging.getLogger(__name__)
@@ -133,6 +137,16 @@ class LoadOperation:
             if pk not in df.columns:
                 errors.append(f"{step.table}: primary key {pk!r} not in input")
             errors.extend(scope_errors)
+            # lookup-behavior validity (`loader/core.py:272-289`): an
+            # outside-lookup behavior configured on a SELF lookup is
+            # invalid — string parity with _validate_lookup_behaviors
+            cls = self.classification.get(step.table)
+            if cls is not None:
+                for f, beh in step.outside_lookup_behavior.items():
+                    if f != "*" and f in cls.self_lookups:
+                        errors.append(
+                            bad_lookup_behavior_error(beh.value, step.table, f)
+                        )
         return errors
 
     def _checked_scope(

@@ -42,6 +42,19 @@ class OutsideLookupBehavior(enum.Enum):
     ERROR = "error"
 
 
+def bad_lookup_behavior_error(value: str, table: str, field: str) -> str:
+    """Byte-mirror of the reference's lookup-behavior validity error
+    (`/root/reference/amaxa/loader/core.py:283-289`): emitted when a
+    behavior name is configured on a lookup of the wrong type — a
+    self-lookup behavior (trace-all/trace-none) on a dependent lookup,
+    or an outside-lookup behavior (include/drop-field/error) on a
+    self lookup."""
+    return (
+        "Lookup behavior '{}' specified for field {}."
+        "{} is not valid for this lookup type.".format(value, table, field)
+    )
+
+
 @dataclass
 class ExtractStepPlan:
     table: str

@@ -139,6 +139,153 @@ def test_field_entry_missing_field_key_reports_not_crashes():
     assert any("field entry missing 'field' key" in e for e in errors)
 
 
+def test_lookup_behavior_validity_string_parity(spark, sf_dir):
+    """loader/core.py:272-289 (_validate_lookup_behaviors): a
+    self-lookup behavior on a dependent lookup, and an outside-lookup
+    behavior on a self lookup, each emit the reference's exact
+    string — 'Lookup behavior '<v>' specified for field <T>.<f> is not
+    valid for this lookup type.'"""
+    from amaxa_spark.metadata import SchemaRegistry, TableMeta
+    from amaxa_spark.plans.plan import OutsideLookupBehavior, SelfLookupBehavior
+
+    # dependent lookup (o_custkey -> customer, later in step order)
+    # with a SELF behavior configured
+    op = ExtractOperation(
+        spark,
+        tpch_catalog(spark, sf_dir),
+        tpch_registry(),
+        [
+            ExtractStepPlan(
+                "orders",
+                ExtractScope.ALL_RECORDS,
+                self_lookup_overrides={
+                    "o_custkey": SelfLookupBehavior.TRACE_NONE
+                },
+            ),
+            ExtractStepPlan("customer", ExtractScope.DESCENDENTS),
+        ],
+    )
+    with pytest.raises(ExtractError) as e:
+        op._validate()
+    assert (
+        "Lookup behavior 'trace-none' specified for field "
+        "orders.o_custkey is not valid for this lookup type." in str(e.value)
+    )
+
+    # self lookup with an OUTSIDE behavior configured
+    reg = SchemaRegistry(
+        [TableMeta("acct", pk="Id", lookups={"ParentId": ["acct"]})]
+    )
+    cat = {"acct": spark.createDataFrame([("001A", None)], "Id string, ParentId string")}
+    op2 = ExtractOperation(
+        spark,
+        cat,
+        reg,
+        [
+            ExtractStepPlan(
+                "acct",
+                ExtractScope.ALL_RECORDS,
+                outside_lookup_behavior={
+                    "ParentId": OutsideLookupBehavior.INCLUDE
+                },
+            )
+        ],
+    )
+    with pytest.raises(ExtractError) as e2:
+        op2._validate()
+    assert (
+        "Lookup behavior 'include' specified for field acct.ParentId "
+        "is not valid for this lookup type." in str(e2.value)
+    )
+
+    # the load-side check-only pass reports the same string as a list
+    from amaxa_spark.operators.load import LoadOperation
+    from amaxa_spark.plans.plan import LoadStepPlan
+
+    errors = LoadOperation(
+        spark,
+        reg,
+        [
+            LoadStepPlan(
+                "acct",
+                outside_lookup_behavior={
+                    "ParentId": OutsideLookupBehavior.DROP_FIELD
+                },
+            )
+        ],
+        cat,
+    ).validate()
+    assert (
+        "Lookup behavior 'drop-field' specified for field acct.ParentId "
+        "is not valid for this lookup type." in errors
+    )
+
+
+def test_load_column_set_strings_parity(spark, sf_dir):
+    """loader/load_operation.py:151-208 (_validate_input_file_columns):
+    strict scope mismatch emits the reference's exact multi-line
+    'does not match specified field scope' string (pk excluded from
+    both sets, sorted comma joins, trailing newline); a field-group
+    input carrying columns outside the group emits the 'excess
+    columns over field group' string; input-validation none checks
+    nothing."""
+    from amaxa_spark.metadata import SchemaRegistry, TableMeta
+    from amaxa_spark.operators.load import LoadOperation
+    from amaxa_spark.plans.plan import LoadStepPlan
+
+    catalog = tpch_catalog(spark, sf_dir)
+    cust_cols = set(catalog["customer"].columns) - {"c_custkey"}
+    errors = LoadOperation(
+        spark,
+        tpch_registry(),
+        [
+            LoadStepPlan(
+                "customer",
+                fields=["c_name", "c_phone"],
+                input_validation="strict",
+            )
+        ],
+        catalog,
+    ).validate()
+    expected = (
+        "Input file for sObject customer does not match specified field "
+        "scope.\nScope: {}\nFile Columns: {}\n".format(
+            "c_name, c_phone", ", ".join(sorted(cust_cols))
+        )
+    )
+    assert expected in errors
+
+    # field-group input with a column outside the group scope (base64
+    # columns are excluded from every group: loader/core.py:243-248)
+    reg = SchemaRegistry(
+        [TableMeta("doc", pk="Id", types={"Name": "string", "Body": "base64"})]
+    )
+    inputs = {
+        "doc": spark.createDataFrame(
+            [("1", "a", "b64")], "Id string, Name string, Body string"
+        )
+    }
+    errors = LoadOperation(
+        spark,
+        reg,
+        [LoadStepPlan("doc", field_group="writeable")],
+        inputs,
+    ).validate()
+    assert (
+        "Input file for sObject doc contains excess columns over field "
+        "group 'writeable': Body" in errors
+    )
+
+    # input-validation none: the same misconfigurations check nothing
+    errors = LoadOperation(
+        spark,
+        reg,
+        [LoadStepPlan("doc", field_group="writeable", input_validation="none")],
+        inputs,
+    ).validate()
+    assert errors == []
+
+
 def test_unknown_field_error_string_parity(spark, sf_dir):
     """loader/core.py:210-218; its test_ExtractionOperationLoader.py:142
     asserts this exact string (no permission suffix in the extract
