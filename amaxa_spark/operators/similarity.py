@@ -418,6 +418,80 @@ def ivf_cosine_topk(
     )
 
 
+def tune_nprobe(
+    emb: DataFrame,
+    target_recall: float,
+    k: int = 10,
+    n_queries: int = 20,
+    n_centroids: int = 16,
+    candidates: tuple = (1, 2, 4, 8),
+    kmeans_iters: int = 3,
+    train_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Pick the smallest IVF ``nprobe`` whose measured recall@k meets
+    ``target_recall`` — the calibration step `tools/ivf_recall.py`
+    records as a curve, packaged as an operator.
+
+    Ground truth is exact :func:`cosine_topk` over a deterministic
+    spread of ``n_queries`` query ids (the same sampling the recall
+    harness uses); the codebook is trained ONCE and checkpointed, so
+    each candidate evaluation pays only assignment + probe. Candidates
+    are tried ascending; ``n_centroids`` itself is always the final
+    fallback — probing every cell IS the exact search, so recall 1.0
+    is reachable and the tuner always terminates with a valid setting.
+
+    Returns ``{"nprobe", "recall", "curve"}`` where ``curve`` maps
+    every evaluated nprobe to its measured recall@k.
+
+    At 100 TB: tuning cost is one brute-force pass over a BOUNDED
+    query sample (n_queries · corpus scored via the broadcast query
+    matrix) plus ≤ |candidates| probe runs against the shared
+    codebook — amortized once per corpus snapshot, after which
+    production queries run at the chosen nprobe. Recall measured on a
+    uniform-sphere corpus is the documented worst case (SCALE_NOTES
+    "IVF recall curve"): real embedding manifolds reach the same
+    recall at smaller nprobe, so the tuned value is conservative.
+    """
+    if not 0.0 <= target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in [0, 1], got {target_recall}")
+    n = emb.count()
+    query_ids = [int(i * n / n_queries) for i in range(n_queries)]
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            emb, query_ids, k=k, id_col=id_col, vec_col=vec_col
+        ).collect()
+    }
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), vecd.alias("__v"))
+    codebook = kmeans_codebook(
+        base, n_centroids, iters=kmeans_iters, id_col=id_col,
+        train_mod=train_mod,
+    ).localCheckpoint(eager=True)  # K rows; train once, probe many
+    plan = sorted({c for c in candidates if 0 < c < n_centroids})
+    plan.append(n_centroids)
+    curve: dict[int, float] = {}
+    for nprobe in plan:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(
+                emb, query_ids, k=k, n_centroids=n_centroids,
+                nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                codebook=codebook,
+            ).collect()
+        }
+        curve[nprobe] = len(got & truth) / max(len(truth), 1)
+        if curve[nprobe] >= target_recall:
+            return {"nprobe": nprobe, "recall": curve[nprobe], "curve": curve}
+    # unreachable in practice: nprobe = n_centroids probes every cell,
+    # i.e. exact search (recall 1.0 ≥ any valid target); kept as a
+    # defensive return for k > corpus-size corner cases
+    best = max(curve, key=lambda c: (curve[c], -c))
+    return {"nprobe": best, "recall": curve[best], "curve": curve}
+
+
 def label_centroids(
     emb: DataFrame,
     label_col: str = "label",

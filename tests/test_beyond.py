@@ -1481,6 +1481,34 @@ def test_knn_join_exact_matches_numpy(spark, sf_dir):
     assert len(got) == (ids % 50 == 0).sum() * 3
 
 
+def test_tune_nprobe_meets_target_on_sf01(spark):
+    """tune_nprobe returns the SMALLEST evaluated nprobe whose
+    measured recall@k reaches the target on the sf0.1 fixture (the
+    corpus whose recall curve SCALE_NOTES records), and an
+    unreachable-by-probing target falls through to nprobe = K — which
+    probes every cell and is therefore the exact search."""
+    from amaxa_spark.operators.similarity import tune_nprobe
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    target = 0.7
+    out = tune_nprobe(
+        emb, target_recall=target, k=10, n_queries=20, n_centroids=16
+    )
+    assert out["recall"] >= target
+    assert out["curve"][out["nprobe"]] == out["recall"]
+    for nprobe, recall in out["curve"].items():
+        if nprobe < out["nprobe"]:
+            assert recall < target  # minimality: cheaper probes fell short
+
+    out2 = tune_nprobe(
+        emb, target_recall=0.999, k=10, n_queries=20, n_centroids=16
+    )
+    assert out2["nprobe"] == 16 and out2["recall"] == 1.0
+
+    with pytest.raises(ValueError):
+        tune_nprobe(emb, target_recall=1.5)
+
+
 def test_knn_join_lsh_subset_and_recall(spark, sf_dir):
     from pyspark.sql import functions as F
 
