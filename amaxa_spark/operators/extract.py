@@ -324,9 +324,12 @@ class ExtractOperation:
 
         # frontier BFS (the Pregel shape): expand only the newest IDs —
         # anything adjacent to older ones was found in an earlier round
+        import time as _time
+
         known = ids.localCheckpoint(eager=True)
         frontier = known
         frontier_n = frontier.count()
+        round_no, t_round = 0, _time.time()
         while True:
             # broadcast hint only while the frontier is genuinely small
             # (counted on the checkpointed frame, so the count is a
@@ -349,6 +352,14 @@ class ExtractOperation:
                 neighbors.join(known, _ID, "left_anti").localCheckpoint(eager=True)
             )
             frontier_n = frontier.count()
+            round_no += 1
+            # per-round telemetry (A4 progress): frontier size is the
+            # round's working set, wall is what scale probes chart
+            log.info(
+                "closure round %d: frontier=%d wall=%.2fs",
+                round_no, frontier_n, _time.time() - t_round,
+            )
+            t_round = _time.time()
             if frontier_n == 0:
                 return known
             # frontier is disjoint from known by construction; keep

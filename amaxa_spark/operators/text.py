@@ -243,6 +243,41 @@ def repetition_score(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> D
     )
 
 
+def char_class_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Character-class composition per document — the
+    encoding/garbage screen that complements the word-level quality
+    signals: alphabetic, digit, and whitespace counts over the RAW
+    text (no normalization — casing and layout ARE the signal here),
+    with everything else (punctuation, symbols, control bytes) as the
+    derived remainder, plus alpha/digit ratios rounded to 6. A page of
+    minified JS, a number dump, or mojibake all surface as ratio
+    outliers before any tokenizer runs.
+
+    Pure regex projection — JVM-side, zero shuffle, linear at any
+    scale; the character classes ([a-zA-Z], [0-9], \\s) are constructs
+    Java regex and RE2 evaluate identically, so the DuckDB oracle
+    replays byte-for-byte."""
+    t = F.col(text_col)
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    space = n - F.length(F.regexp_replace(t, r"\s", ""))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        alpha.alias("n_alpha"),
+        digit.alias("n_digit"),
+        space.alias("n_space"),
+        (n - alpha - digit - space).alias("n_other"),
+        F.round(
+            F.when(n > 0, alpha / n).otherwise(F.lit(0.0)), 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.when(n > 0, digit / n).otherwise(F.lit(0.0)), 6
+        ).alias("digit_ratio"),
+    )
+
+
 # PII patterns chosen for cross-engine regex compatibility (Java
 # regex and RE2 agree on these constructs)
 EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"

@@ -318,3 +318,73 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def rfm(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) per user — the classic
+    activity-segmentation rollup: recency as milliseconds between the
+    user's last event and the corpus's last event (self-contained "as
+    of the data's end", no wall clock — replayable by any engine),
+    frequency as the event count, monetary as the value sum rounded 4
+    (the events-family float convention). Output: (user, recency_ms,
+    frequency, monetary, last_ts).
+
+    Scale shape: ONE user-keyed aggregation (map-side combined) plus a
+    1-row corpus-max aggregate joined back as a scalar broadcast — no
+    window over event history, nothing user-unbounded."""
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(value_col), 4).alias("monetary"),
+    )
+    corpus_max = events.agg(F.max(ts_col).alias("__end"))
+    return (
+        per_user.crossJoin(F.broadcast(corpus_max))
+        .select(
+            F.col(user_col),
+            (F.unix_millis(F.col("__end")) - F.unix_millis(F.col("last_ts")))
+            .alias("recency_ms"),
+            "frequency",
+            "monetary",
+            "last_ts",
+        )
+    )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-arrival-time statistics — the burstiness /
+    cadence profile (bot-vs-human screens, session-gap calibration for
+    the sessionizer's threshold): consecutive-event gaps in
+    milliseconds under the deterministic (ts, tiebreak) order, reduced
+    to count, min, max, and mean (rounded 6). Users with a single
+    event report n_gaps = 0 and null gap stats.
+
+    Scale shape: one user-partitioned lag window (the events-family
+    exchange every windowed query shares) feeding one user-keyed
+    aggregation; nothing crosses partitions but (user, gap) rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(
+        F.lag(ts_col).over(w)
+    )
+    gapped = events.select(F.col(user_col), gap.alias("__gap_ms"))
+    return gapped.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__gap_ms").alias("n_gaps"),
+        F.min("__gap_ms").alias("min_gap_ms"),
+        F.max("__gap_ms").alias("max_gap_ms"),
+        F.round(F.avg("__gap_ms"), 6).alias("mean_gap_ms"),
+    )

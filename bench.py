@@ -111,6 +111,16 @@ BENCH_QUERIES = [
     "strip_spans",
     "image_resize_stats",
     "video_y4m_frames",
+    "image_png_stats",
+    "image_png_roundtrip",
+    "supplier_balance_rank",
+    "orders_priority_mix",
+    "orders_monthly_trend",
+    "lineitem_discount_bands",
+    "langid_distribution",
+    "char_class_profile",
+    "events_rfm",
+    "events_interarrival",
 ]
 
 
