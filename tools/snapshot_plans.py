@@ -133,6 +133,31 @@ SHOW = [
         "inter-document line dedup: line-keyed distinct-doc count + "
         "anti-join + per-doc ordered reassembly, no pairwise join",
     ),
+    (
+        "image_png_stats",
+        "real PNG decode: binary column pruned into ONE Arrow-batched "
+        "mapInPandas (inflate + unfilter + reduce), no shuffle",
+    ),
+    (
+        "supplier_balance_rank",
+        "per-nation top-k: one window exchange on the nation key, "
+        "nation dim broadcast for the name",
+    ),
+    (
+        "events_rfm",
+        "RFM: one user-key hash aggregation + 1-row corpus-max scalar "
+        "broadcast (the lint-legal N×1 nested-loop shape)",
+    ),
+    (
+        "events_interarrival",
+        "inter-arrival stats: lag window + aggregation on ONE "
+        "user-key exchange",
+    ),
+    (
+        "lineitem_discount_bands",
+        "derived-key histogram: band computed in the scan projection, "
+        "single hash aggregation with map-side combine",
+    ),
 ]
 
 KEY_LINES = (
