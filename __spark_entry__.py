@@ -3220,7 +3220,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps, "
             "min(gap) AS min_gap_ms, max(gap) AS max_gap_ms, "
-            "round(avg(gap), 6) AS mean_gap_ms FROM g GROUP BY user_id"
+            "round(avg(gap), 2) AS mean_gap_ms FROM g GROUP BY user_id"
         ),
         "image_png_stats": (
             # closed-form replay of the synthesized PNGs: pixel (x, y)

@@ -366,7 +366,12 @@ def interarrival_stats(
     cadence profile (bot-vs-human screens, session-gap calibration for
     the sessionizer's threshold): consecutive-event gaps in
     milliseconds under the deterministic (ts, tiebreak) order, reduced
-    to count, min, max, and mean (rounded 6). Users with a single
+    to count, min, max, and mean. The mean is rounded to 2 decimals,
+    NOT 6: mean gaps reach ~3e9 ms, where a double's ulp (~1e-6) is
+    the same order as a 6-decimal rounding unit, so cross-engine
+    6-decimal agreement is numerically impossible — centisecond
+    precision is far above the ulp at any plausible gap magnitude
+    (verified against DuckDB at 10x bench scale). Users with a single
     event report n_gaps = 0 and null gap stats.
 
     Scale shape: one user-partitioned lag window (the events-family
@@ -386,5 +391,5 @@ def interarrival_stats(
         F.count("__gap_ms").alias("n_gaps"),
         F.min("__gap_ms").alias("min_gap_ms"),
         F.max("__gap_ms").alias("max_gap_ms"),
-        F.round(F.avg("__gap_ms"), 6).alias("mean_gap_ms"),
+        F.round(F.avg("__gap_ms"), 2).alias("mean_gap_ms"),
     )
