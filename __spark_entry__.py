@@ -2689,11 +2689,11 @@ QUERY_ORDER = [
     # additions (PNG codec pair, 4 analytics shapes, langid mix, char
     # profile, RFM, inter-arrival). After this round every query in
     # the file has a driver-issued CORRECTNESS row at least once.
-    # --- text / dedup / multimodal round-5 additions (8) ---
+    # --- round-5 additions, never judged before round 6 (6) ---
     "tfidf_keywords", "gopher_rules", "line_dedup", "strip_spans",
     "image_resize_stats", "video_y4m_frames",
+    # --- round-6 additions (10: PNG pair + 8 below) ---
     "image_png_stats", "image_png_roundtrip",
-    # --- round-6 additions (8) ---
     "supplier_balance_rank", "orders_priority_mix",
     "orders_monthly_trend", "lineitem_discount_bands",
     "langid_distribution", "char_class_profile",
@@ -3203,7 +3203,8 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FROM (SELECT doc_id, length(text) AS n_chars, "
             "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha, "
             "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
-            r"length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space "
+            # explicit class, not \s: Java \s includes \x0B, RE2's not
+            "length(text) - length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS n_space "
             "FROM documents)"
         ),
         "events_rfm": (

@@ -435,8 +435,10 @@ def tune_nprobe(
     records as a curve, packaged as an operator.
 
     Ground truth is exact :func:`cosine_topk` over a deterministic
-    spread of ``n_queries`` query ids (the same sampling the recall
-    harness uses); the codebook is trained ONCE and checkpointed, so
+    hash-spread sample of ``n_queries`` ACTUAL id values (works for
+    any id space — sparse, offset, or non-numeric, unlike the recall
+    harness's dense-index spread); the codebook is trained ONCE and
+    checkpointed, so
     each candidate evaluation pays only assignment + probe. Candidates
     are tried ascending; ``n_centroids`` itself is always the final
     fallback — probing every cell IS the exact search, so recall 1.0
@@ -457,13 +459,40 @@ def tune_nprobe(
     if not 0.0 <= target_recall <= 1.0:
         raise ValueError(f"target_recall must be in [0, 1], got {target_recall}")
     n = emb.count()
-    query_ids = [int(i * n / n_queries) for i in range(n_queries)]
+    if n < 2:
+        raise ValueError("tune_nprobe needs at least 2 vectors")
+    # deterministic query sample over the ACTUAL id values (never
+    # assume a dense 0..n-1 id space): a hash-spread filter picks
+    # ~n_queries ids of any type, sorted for cross-run determinism;
+    # only the sample ids ever reach the driver
+    step = max(1, n // n_queries)
+    sampled = [
+        r[0]
+        for r in emb.where(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(step)) == 0
+        )
+        .select(id_col)
+        .collect()
+    ]
+    query_ids = sorted(sampled)[:n_queries]
+    if not query_ids:
+        # degenerate hash stripe (tiny corpora): fall back to the
+        # lowest ids — still deterministic
+        query_ids = [
+            r[0]
+            for r in emb.select(id_col).orderBy(id_col).limit(n_queries).collect()
+        ]
     truth = {
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk(
             emb, query_ids, k=k, id_col=id_col, vec_col=vec_col
         ).collect()
     }
+    if not truth:
+        raise ValueError(
+            "tune_nprobe: exact ground truth is empty for the sampled "
+            f"query ids {query_ids[:5]}... — cannot calibrate recall"
+        )
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), vecd.alias("__v"))
     codebook = kmeans_codebook(

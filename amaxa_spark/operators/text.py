@@ -254,14 +254,17 @@ def char_class_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     outliers before any tokenizer runs.
 
     Pure regex projection — JVM-side, zero shuffle, linear at any
-    scale; the character classes ([a-zA-Z], [0-9], \\s) are constructs
-    Java regex and RE2 evaluate identically, so the DuckDB oracle
-    replays byte-for-byte."""
+    scale. Every character class is EXPLICIT ([a-zA-Z], [0-9],
+    [ tab newline return formfeed]) because the shorthand classes
+    diverge between engines — Java's ``\\s`` includes vertical tab
+    (0x0B), RE2's does not — and this operator's cross-engine parity
+    is a gate contract. Vertical tab therefore counts as ``n_other``
+    on both sides."""
     t = F.col(text_col)
     n = F.length(t)
     alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
     digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
-    space = n - F.length(F.regexp_replace(t, r"\s", ""))
+    space = n - F.length(F.regexp_replace(t, "[ \t\n\r\f]", ""))
     return df.select(
         F.col(id_col),
         n.alias("n_chars"),

@@ -716,7 +716,20 @@ def write_versioned_table(
             str(b): gen for b in _present_buckets(os.path.join(path, gen))
         },
     }
-    _claim_commit(path, 0, manifest)
+    # re-initializing an existing table is a FULL-REWRITE commit on the
+    # same chain (every bucket points at the new generation; old
+    # snapshots stay time-travelable until vacuumed) — the pre-chain
+    # last-write-wins behavior, now with a linear history. The claim
+    # loop only races other writers for the seq number; a full rewrite
+    # supersedes whatever they committed, so it never conflicts.
+    while True:
+        head = _commit_chain_head(path)
+        manifest["seq"] = 0 if head is None else head[0] + 1
+        try:
+            _claim_commit(path, manifest["seq"], manifest)
+            break
+        except FileExistsError:
+            continue
     _publish_manifest(path, manifest)
     return manifest
 
@@ -862,8 +875,25 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> list[str]:
     hist_dir = os.path.join(path, HISTORY_DIR)
     live_gens: set[str] = set()
     for token in retained:
-        with open(os.path.join(hist_dir, f"{token}.json")) as f:
-            live_gens |= set(json.load(f)["buckets"].values())
+        try:
+            with open(os.path.join(hist_dir, f"{token}.json")) as f:
+                live_gens |= set(json.load(f)["buckets"].values())
+        except FileNotFoundError:
+            # history is the ADVISORY record; the chain head below is
+            # the authoritative one — a commit whose _publish_manifest
+            # never ran has no history file, and that must not crash
+            # (or starve) the vacuum
+            pass
+    # the CAS chain head is the AUTHORITATIVE current state — its
+    # token and generations are always retained even when the advisory
+    # history/mirror lag it (a writer that crashed between the commit
+    # claim and the history publish, or a concurrent writer racing
+    # this vacuum); without this, a committed generation could be
+    # rmtree'd while .commits/<head>.json still references it
+    head = _commit_chain_head(path)
+    if head is not None:
+        retained.add(head[1]["token"])
+        live_gens |= set(head[1]["buckets"].values())
     removed = []
     for entry in os.listdir(path):
         if entry.startswith("gen-") and entry not in live_gens:
@@ -877,7 +907,6 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> list[str]:
     # manifest is no longer retained — except the head, which defines
     # the current table state (and keeps the seq counter monotonic)
     cdir = os.path.join(path, COMMITS_DIR)
-    head = _commit_chain_head(path)
     if head is not None:
         for entry in os.listdir(cdir):
             if not entry.endswith(".json"):

@@ -417,3 +417,50 @@ def test_versioned_merge_concurrent_writers_cas(spark, tmp_path):
     assert m3["seq"] == 3
     got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
     assert got[pk_a] == "FROM_A" and got[pk_a2] == "RETRIED"
+
+
+def test_versioned_vacuum_respects_unpublished_head_and_reinit(spark, tmp_path):
+    """Two crash/CAS edge cases: (a) vacuum must never reclaim the
+    chain HEAD's generations, even when the head's advisory history
+    record is missing (a writer that died between the commit claim and
+    the history publish); (b) re-initializing an existing table is a
+    full-rewrite commit at the next seq, not a FileExistsError."""
+    import os
+
+    from amaxa_spark.sources.catalog import (
+        HISTORY_DIR,
+        merge_into_versioned,
+        read_versioned_table,
+        vacuum_versioned,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_edge")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "pk long, val string"
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=4)
+    m1 = merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(3, "UPD")], "pk long, val string"),
+        pk="pk",
+        set_cols=["val"],
+    )
+    # simulate the crash window: the head's history record never landed
+    os.remove(os.path.join(path, HISTORY_DIR, f"{m1['token']}.json"))
+    removed = vacuum_versioned(path, keep_last=1)
+    # the head's generations survive and the table still reads
+    for gen in set(m1["buckets"].values()):
+        assert gen not in removed
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got[3] == "UPD" and len(got) == 100
+
+    # re-init: full rewrite on the same chain, next seq, linear
+    # history (data lands under a fresh generation dir, so the write
+    # itself is safe against the existing tree)
+    fresh = spark.createDataFrame([(0, "NEW")], "pk long, val string")
+    m2 = write_versioned_table(fresh, path, pk="pk", n_buckets=4)
+    assert m2["seq"] == m1["seq"] + 1
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got == {0: "NEW"}
