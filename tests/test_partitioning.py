@@ -464,3 +464,46 @@ def test_versioned_vacuum_respects_unpublished_head_and_reinit(spark, tmp_path):
     assert m2["seq"] == m1["seq"] + 1
     got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
     assert got == {0: "NEW"}
+
+
+def test_cas_claim_is_linear_under_process_contention(tmp_path):
+    """OS-process contention on the commit-claim step (no Spark — the
+    claim is pure file-system CAS): 4 processes x 10 commits each,
+    every process re-reading the head and retrying lost races. The
+    chain must come out DENSE and LINEAR with every commit present
+    exactly once — the invariant `merge_into_versioned`'s whole
+    concurrency story rests on. tools/cas_stress.py runs the same
+    check at 16x50 (SCALE_NOTES records the retry rates)."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from tools.cas_stress import worker
+
+    path = str(tmp_path / "chain")
+    os.makedirs(path)
+    n_procs, n_commits = 4, 10
+    q: mp.Queue = mp.Queue()
+    procs = [
+        mp.Process(target=worker, args=(path, w, n_commits, q))
+        for w in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    assert all(p.exitcode == 0 for p in procs)
+    cdir = os.path.join(path, ".commits")
+    commits = {}
+    for f in os.listdir(cdir):
+        if f.endswith(".json"):
+            with open(os.path.join(cdir, f)) as fh:
+                commits[int(f[: -len(".json")])] = json.load(fh)
+    total = n_procs * n_commits
+    assert sorted(commits) == list(range(total))
+    assert len({m["token"] for m in commits.values()}) == total
+    per_writer = {w: 0 for w in range(n_procs)}
+    for seq, m in commits.items():
+        assert m["seq"] == seq and m["parent_seq"] < seq
+        per_writer[m["writer"]] += 1
+    assert all(v == n_commits for v in per_writer.values())
