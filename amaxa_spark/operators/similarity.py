@@ -462,19 +462,25 @@ def tune_nprobe(
     if n < 2:
         raise ValueError("tune_nprobe needs at least 2 vectors")
     # deterministic query sample over the ACTUAL id values (never
-    # assume a dense 0..n-1 id space): a hash-spread filter picks
-    # ~n_queries ids of any type, sorted for cross-run determinism;
-    # only the sample ids ever reach the driver
+    # assume a dense 0..n-1 id space): a hash-stripe filter reduces
+    # the corpus to ~n_queries ids of any type before they reach the
+    # driver (for corpora near n_queries the stripe is everything —
+    # fine, it is small by definition), then a STRIDED take over the
+    # sorted sample keeps the selection spread across the id range
+    # rather than collapsing to the lowest block (id order often
+    # correlates with ingestion time, and a contiguous block would
+    # calibrate recall on a biased region)
     step = max(1, n // n_queries)
-    sampled = [
+    sampled = sorted(
         r[0]
         for r in emb.where(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(step)) == 0
         )
         .select(id_col)
         .collect()
-    ]
-    query_ids = sorted(sampled)[:n_queries]
+    )
+    stride = max(1, len(sampled) // n_queries)
+    query_ids = sampled[::stride][:n_queries]
     if not query_ids:
         # degenerate hash stripe (tiny corpora): fall back to the
         # lowest ids — still deterministic

@@ -657,6 +657,26 @@ def _commit_chain_head(path: str):
         return seq, json.load(f)
 
 
+def _claim_next_commit(path: str, manifest: dict) -> tuple[int, int]:
+    """Claim the NEXT chain seq unconditionally, retrying lost races:
+    the read-head / set-seq / claim / retry loop shared by full-rewrite
+    commits (:func:`write_versioned_table`) and the stress harness
+    (tools/cas_stress.py). Mutates ``manifest["seq"]`` and returns
+    ``(seq, retries)``. `merge_into_versioned` keeps its OWN loop
+    because its retries must first check the intervening commits for
+    bucket conflicts — a semantic this unconditional claim does not
+    have."""
+    retries = 0
+    while True:
+        head = _commit_chain_head(path)
+        manifest["seq"] = 0 if head is None else head[0] + 1
+        try:
+            _claim_commit(path, manifest["seq"], manifest)
+            return manifest["seq"], retries
+        except FileExistsError:
+            retries += 1
+
+
 def _claim_commit(path: str, seq: int, manifest: dict) -> None:
     """Atomically claim commit ``seq``: write the full manifest to a
     temp file, then hard-link it to the chain name — the link either
@@ -719,17 +739,10 @@ def write_versioned_table(
     # re-initializing an existing table is a FULL-REWRITE commit on the
     # same chain (every bucket points at the new generation; old
     # snapshots stay time-travelable until vacuumed) — the pre-chain
-    # last-write-wins behavior, now with a linear history. The claim
-    # loop only races other writers for the seq number; a full rewrite
-    # supersedes whatever they committed, so it never conflicts.
-    while True:
-        head = _commit_chain_head(path)
-        manifest["seq"] = 0 if head is None else head[0] + 1
-        try:
-            _claim_commit(path, manifest["seq"], manifest)
-            break
-        except FileExistsError:
-            continue
+    # last-write-wins behavior, now with a linear history. A full
+    # rewrite supersedes whatever concurrent merges committed, so the
+    # unconditional next-seq claim is the right semantics.
+    _claim_next_commit(path, manifest)
     _publish_manifest(path, manifest)
     return manifest
 
@@ -861,18 +874,33 @@ def merge_into_versioned(
     return new_manifest
 
 
-def vacuum_versioned(path: str, keep_last: int = 1) -> list[str]:
+def vacuum_versioned(
+    path: str, keep_last: int = 1, min_age_s: float = 0.0
+) -> list[str]:
     """Reclaim generation directories referenced by NO retained
     manifest (crashed merges, aged-out snapshots). Keeps the
     ``keep_last`` newest generations plus the current one; prunes
-    aged history records with their data. Returns removed paths."""
+    aged history records with their data. Returns removed paths.
+
+    Concurrency contract: the CAS chain head read below protects every
+    COMMITTED generation — including one whose advisory history record
+    never landed (writer died between the claim and the publish). What
+    it cannot see is a commit claimed AFTER the head is read but
+    before deletion finishes; ``min_age_s`` is the guard for running
+    vacuum while writers are live (Delta's retention-window rule):
+    generation directories younger than it are never deleted, so any
+    in-flight or just-committed merge's files are untouchable. Set it
+    above your longest merge duration (the 0 default preserves
+    stop-the-world cleanup semantics)."""
     import json
     import shutil
+    import time
 
     kept = list_generations(path)
     retained = {g["token"] for g in kept[:keep_last]}
     retained |= {g["token"] for g in kept if g["current"]}
     hist_dir = os.path.join(path, HISTORY_DIR)
+    os.makedirs(hist_dir, exist_ok=True)  # first commit may predate it
     live_gens: set[str] = set()
     for token in retained:
         try:
@@ -886,19 +914,24 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> list[str]:
             pass
     # the CAS chain head is the AUTHORITATIVE current state — its
     # token and generations are always retained even when the advisory
-    # history/mirror lag it (a writer that crashed between the commit
-    # claim and the history publish, or a concurrent writer racing
-    # this vacuum); without this, a committed generation could be
-    # rmtree'd while .commits/<head>.json still references it
+    # history/mirror lag it
     head = _commit_chain_head(path)
     if head is not None:
         retained.add(head[1]["token"])
         live_gens |= set(head[1]["buckets"].values())
+    now = time.time()
     removed = []
     for entry in os.listdir(path):
-        if entry.startswith("gen-") and entry not in live_gens:
-            shutil.rmtree(os.path.join(path, entry))
-            removed.append(entry)
+        if not entry.startswith("gen-") or entry in live_gens:
+            continue
+        full = os.path.join(path, entry)
+        try:
+            if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                continue  # young enough to be an in-flight writer's
+        except FileNotFoundError:
+            continue
+        shutil.rmtree(full)
+        removed.append(entry)
     for entry in os.listdir(hist_dir):
         tok = entry[: -len(".json")] if entry.endswith(".json") else None
         if tok and tok not in retained:

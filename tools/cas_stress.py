@@ -8,7 +8,8 @@ retrying on every lost race (the same loop `merge_into_versioned`
 runs for disjoint-bucket merges). The invariants checked afterwards
 are the protocol's whole contract:
 
-- the chain is DENSE and LINEAR: seqs 0..N*M with no gaps,
+- the chain is DENSE and LINEAR: N*M commits at seqs 0..N*M-1, no
+  gaps,
 - every process's every commit landed exactly once,
 - each commit's recorded parent seq is strictly smaller than its own
   (writers never clobber or reorder each other).
@@ -71,7 +72,11 @@ def main() -> None:
     for p in procs:
         p.join()
     wall = time.time() - t0
-    retries = dict(q.get() for _ in procs)
+    dead = [p.pid for p in procs if p.exitcode != 0]
+    assert not dead, f"worker process(es) died: {dead}"
+    # timeout guards a worker that exited 0 without reporting (should
+    # be impossible, but a hung q.get would mask the real failure)
+    retries = dict(q.get(timeout=60) for _ in procs)
 
     cdir = os.path.join(path, ".commits")
     commits = {}
