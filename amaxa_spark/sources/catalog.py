@@ -951,3 +951,257 @@ def vacuum_versioned(
                 if json.load(f)["token"] not in retained:
                     os.remove(os.path.join(cdir, entry))
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactions over the versioned layout — the part even a
+# single-table Delta does not give you: ONE commit that moves several
+# tables together (fact + dim, documents + embeddings), so a reader
+# can never observe table A from transaction N next to table B from
+# transaction N-1. The mechanics are the single-table layout lifted
+# one level: each table keeps its generation directories under
+# `<path>/<table>/gen-<token>/<bucket>=N/`, but the ONLY commit record
+# is the database-level CAS chain `<path>/.commits/<seq>.json`, whose
+# manifest maps table -> {pk, n_buckets, buckets}. The same claim /
+# rebase / conflict rules apply, with bucket disjointness evaluated
+# PER TABLE across the whole transaction.
+
+
+def write_versioned_db(
+    spark: SparkSession,
+    path: str,
+    tables: dict[str, DataFrame],
+    pks: dict[str, str],
+    n_buckets: int | dict[str, int] = 64,
+) -> dict:
+    """Initial (or full-rewrite) commit of a multi-table versioned
+    database: every table's data lands under a fresh shared-token
+    generation, then ONE chain commit publishes them all — all tables
+    appear together or not at all."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    entry: dict[str, dict] = {}
+    for name, df in tables.items():
+        nb = n_buckets[name] if isinstance(n_buckets, dict) else n_buckets
+        pk = pks[name]
+        out = df.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
+        tdir = os.path.join(path, name, gen)
+        out.write.mode("errorifexists").partitionBy(MERGE_BUCKET_COL).parquet(tdir)
+        entry[name] = {
+            "pk": pk,
+            "n_buckets": nb,
+            "buckets": {str(b): gen for b in _present_buckets(tdir)},
+        }
+    manifest = {
+        "token": token,
+        "kind": "versioned-db",
+        "seq": 0,
+        "tables": entry,
+    }
+    _claim_next_commit(path, manifest)
+    _publish_manifest(path, manifest)
+    return manifest
+
+
+def _db_manifest(path: str, token: str | None = None) -> dict:
+    import json
+
+    if token is None:
+        head = _commit_chain_head(path)
+        if head is None:
+            raise FileNotFoundError(f"{path}: no versioned database commit")
+        manifest = head[1]
+    else:
+        with open(os.path.join(path, HISTORY_DIR, f"{token}.json")) as f:
+            manifest = json.load(f)
+    if manifest.get("kind") != "versioned-db":
+        raise ValueError(f"{path}: not a versioned database")
+    return manifest
+
+
+def read_versioned_db(
+    spark: SparkSession, path: str, table: str, token: str | None = None
+) -> DataFrame:
+    """Open one table of the committed database snapshot (or any
+    retained transaction by token) — a consistent cross-table
+    point-in-time view: every table read through the same token came
+    from the same transaction."""
+    manifest = _db_manifest(path, token)
+    t = manifest["tables"][table]
+    paths = [
+        os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
+        for b, gen in sorted(t["buckets"].items())
+    ]
+    if not paths:
+        raise FileNotFoundError(f"{path}/{table}: empty table")
+    return spark.read.parquet(*paths).withColumn(
+        MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
+    )
+
+
+def merge_into_versioned_db(
+    spark: SparkSession,
+    path: str,
+    updates: dict[str, DataFrame],
+    set_cols: dict[str, list[str]],
+    base_token: str | None = None,
+) -> dict:
+    """Transactional MERGE across tables: every table's affected
+    buckets are rewritten under ONE shared-token generation, then a
+    single chain commit publishes the whole transaction — a crash
+    before the claim leaves only invisible orphans in every table, and
+    readers move from the old transaction to the new one atomically.
+
+    Concurrency follows the single-table rules, evaluated across the
+    transaction: a lost claim race rebases when EVERY table's affected
+    buckets are untouched by the intervening commits, and raises
+    :class:`ConcurrentMergeError` if ANY overlaps (partial rebase
+    would tear the transaction)."""
+    import uuid
+
+    manifest = _db_manifest(path, base_token)
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    ours: dict[str, dict[str, str]] = {}
+    for name, upd_df in updates.items():
+        t = manifest["tables"][name]
+        pk, nb = t["pk"], t["n_buckets"]
+        upd = upd_df.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
+        affected = sorted(
+            b
+            for (b,) in upd.select(MERGE_BUCKET_COL).distinct().collect()
+            if str(b) in t["buckets"]
+        )
+        if not affected:
+            continue
+        cur = [
+            os.path.join(path, name, t["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
+            for b in affected
+        ]
+        merged = _apply_matched_updates(
+            spark.read.parquet(*cur), upd, pk, set_cols[name]
+        )
+        (
+            merged.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
+            .write.mode("errorifexists")
+            .partitionBy(MERGE_BUCKET_COL)
+            .parquet(os.path.join(path, name, gen))
+        )
+        ours[name] = {str(b): gen for b in affected}
+    if not ours:
+        return manifest
+    base_tables = {n: dict(t["buckets"]) for n, t in manifest["tables"].items()}
+
+    def stamped(head_tables: dict) -> dict:
+        return {
+            n: {
+                **manifest["tables"][n],
+                "buckets": {
+                    **head_tables[n],
+                    **ours.get(n, {}),
+                },
+            }
+            for n in manifest["tables"]
+        }
+
+    seq = int(manifest.get("seq", 0)) + 1
+    new_manifest = {
+        "token": token,
+        "kind": "versioned-db",
+        "seq": seq,
+        "tables": stamped(base_tables),
+    }
+    while True:
+        try:
+            _claim_commit(path, seq, new_manifest)
+            break
+        except FileExistsError:
+            head_seq, head = _commit_chain_head(path)
+            for name, buckets in ours.items():
+                ht = head["tables"][name]["buckets"]
+                if any(ht.get(b) != base_tables[name].get(b) for b in buckets):
+                    raise ConcurrentMergeError(
+                        f"{path}: transaction touching {sorted(ours)} "
+                        f"conflicts on table {name!r} bucket(s) "
+                        f"{sorted(buckets)} (commits up to seq {head_seq}); "
+                        "re-run against the new head"
+                    )
+            seq = head_seq + 1
+            new_manifest = {
+                **new_manifest,
+                "seq": seq,
+                "tables": stamped(
+                    {n: dict(t["buckets"]) for n, t in head["tables"].items()}
+                ),
+            }
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def vacuum_versioned_db(
+    path: str, keep_last: int = 1, min_age_s: float = 0.0
+) -> list[str]:
+    """Reclaim per-table generation directories referenced by NO
+    retained transaction; same retention contract as
+    :func:`vacuum_versioned` (chain head always protected, history is
+    advisory, ``min_age_s`` guards live writers)."""
+    import json
+    import shutil
+    import time
+
+    kept = list_generations(path)
+    retained = {g["token"] for g in kept[:keep_last]}
+    retained |= {g["token"] for g in kept if g["current"]}
+    hist_dir = os.path.join(path, HISTORY_DIR)
+    os.makedirs(hist_dir, exist_ok=True)
+    live: dict[str, set[str]] = {}
+
+    def absorb(manifest: dict) -> None:
+        for name, t in manifest["tables"].items():
+            live.setdefault(name, set()).update(t["buckets"].values())
+
+    for token in retained:
+        try:
+            with open(os.path.join(hist_dir, f"{token}.json")) as f:
+                absorb(json.load(f))
+        except FileNotFoundError:
+            pass
+    head = _commit_chain_head(path)
+    if head is not None:
+        retained.add(head[1]["token"])
+        absorb(head[1])
+    now = time.time()
+    removed = []
+    for name in live:
+        tdir = os.path.join(path, name)
+        if not os.path.isdir(tdir):
+            continue
+        for entry in os.listdir(tdir):
+            if not entry.startswith("gen-") or entry in live[name]:
+                continue
+            full = os.path.join(tdir, entry)
+            try:
+                if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                    continue
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(full)
+            removed.append(f"{name}/{entry}")
+    for entry in os.listdir(hist_dir):
+        tok = entry[: -len(".json")] if entry.endswith(".json") else None
+        if tok and tok not in retained:
+            os.remove(os.path.join(hist_dir, entry))
+    cdir = os.path.join(path, COMMITS_DIR)
+    if head is not None:
+        for entry in os.listdir(cdir):
+            if not entry.endswith(".json"):
+                continue
+            seq = int(entry[: -len(".json")])
+            if seq == head[0]:
+                continue
+            with open(os.path.join(cdir, entry)) as f:
+                if json.load(f)["token"] not in retained:
+                    os.remove(os.path.join(cdir, entry))
+    return removed

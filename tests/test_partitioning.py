@@ -507,3 +507,109 @@ def test_cas_claim_is_linear_under_process_contention(tmp_path):
         assert m["seq"] == seq and m["parent_seq"] < seq
         per_writer[m["writer"]] += 1
     assert all(v == n_commits for v in per_writer.values())
+
+
+def test_versioned_db_transactions_span_tables(spark, tmp_path):
+    """Multi-table transactions: one commit moves BOTH tables (readers
+    by token always see a cross-table-consistent snapshot), a
+    transaction computed from a stale snapshot rebases when disjoint
+    and conflicts when ANY table's bucket overlaps, and vacuum
+    reclaims per-table generations that no retained transaction
+    references."""
+    import os
+
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        ConcurrentMergeError,
+        _bucket_expr,
+        merge_into_versioned_db,
+        read_versioned_db,
+        vacuum_versioned_db,
+        write_versioned_db,
+    )
+
+    path = str(tmp_path / "db")
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(80)], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(80)], "vec_id long, vec string"
+    )
+    m0 = write_versioned_db(
+        spark,
+        path,
+        {"documents": docs, "embeddings": embs},
+        pks={"documents": "doc_id", "embeddings": "vec_id"},
+        n_buckets=4,
+    )
+    assert m0["seq"] == 0
+    assert read_versioned_db(spark, path, "documents").count() == 80
+    assert read_versioned_db(spark, path, "embeddings").count() == 80
+
+    # one transaction updates BOTH tables atomically
+    m1 = merge_into_versioned_db(
+        spark,
+        path,
+        {
+            "documents": spark.createDataFrame(
+                [(7, "DOC7v2")], "doc_id long, text string"
+            ),
+            "embeddings": spark.createDataFrame(
+                [(7, "VEC7v2")], "vec_id long, vec string"
+            ),
+        },
+        set_cols={"documents": ["text"], "embeddings": ["vec"]},
+    )
+    assert m1["seq"] == 1 and m1["token"] != m0["token"]
+    d = {r.doc_id: r.text for r in read_versioned_db(spark, path, "documents").collect()}
+    e = {r.vec_id: r.vec for r in read_versioned_db(spark, path, "embeddings").collect()}
+    assert d[7] == "DOC7v2" and e[7] == "VEC7v2"
+    # time travel returns the PRE-transaction state of BOTH tables
+    d0 = {r.doc_id: r.text for r in
+          read_versioned_db(spark, path, "documents", token=m0["token"]).collect()}
+    e0 = {r.vec_id: r.vec for r in
+          read_versioned_db(spark, path, "embeddings", token=m0["token"]).collect()}
+    assert d0[7] == "text7" and e0[7] == "v7"
+
+    # bucket helper for constructing disjoint/overlapping updates
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id", _bucket_expr("doc_id", 4).alias("b")
+        ).collect()
+    }
+    b7 = buckets[7]
+    other = next(i for i, b in buckets.items() if b != b7)
+    same = next(i for i, b in buckets.items() if b == b7 and i != 7)
+
+    # stale transaction, disjoint buckets in every table -> rebases
+    m2 = merge_into_versioned_db(
+        spark,
+        path,
+        {"documents": spark.createDataFrame(
+            [(other, "OTHERv2")], "doc_id long, text string")},
+        set_cols={"documents": ["text"]},
+        base_token=m0["token"],
+    )
+    assert m2["seq"] == 2
+    d = {r.doc_id: r.text for r in read_versioned_db(spark, path, "documents").collect()}
+    assert d[7] == "DOC7v2" and d[other] == "OTHERv2"  # both survived
+
+    # stale transaction overlapping table 'documents' bucket -> conflict
+    with _pytest.raises(ConcurrentMergeError):
+        merge_into_versioned_db(
+            spark,
+            path,
+            {"documents": spark.createDataFrame(
+                [(same, "STALE")], "doc_id long, text string")},
+            set_cols={"documents": ["text"]},
+            base_token=m0["token"],
+        )
+
+    # vacuum: old transactions age out per table; current still reads
+    removed = vacuum_versioned_db(path, keep_last=1)
+    assert all(r.split("/")[0] in ("documents", "embeddings") for r in removed)
+    assert read_versioned_db(spark, path, "documents").count() == 80
+    with _pytest.raises(FileNotFoundError):
+        read_versioned_db(spark, path, "documents", token=m0["token"])
