@@ -152,6 +152,16 @@ def main(argv: list[str] | None = None) -> int:
         "merges commit atomically and time-travel per merge",
     )
     p.add_argument(
+        "--merge-db",
+        type=int,
+        metavar="N_BUCKETS",
+        help="load: publish ALL loaded tables as ONE multi-table "
+        "transaction on the versioned-db layout "
+        "(catalog.write_versioned_db) — readers always see a "
+        "cross-table-consistent snapshot, and later "
+        "merge_into_versioned_db transactions move tables together",
+    )
+    p.add_argument(
         "-k",
         "--check-only",
         action="store_true",
@@ -165,12 +175,17 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
     if args.mode not in ("profile", "curate") and not args.operation:
         p.error(f"{args.mode} requires an operation file")
-    if args.mode == "load" and args.atomic and args.merge_buckets:
-        # reject the invalid layout combination BEFORE any Spark work —
+    if args.mode == "load" and sum(
+        1 for f in (args.atomic, args.merge_buckets, args.merge_db) if f
+    ) > 1:
+        # reject invalid layout combinations BEFORE any Spark work —
         # failing after LoadOperation.run() would pay for the whole
         # load. Load-only: extract --atomic is a supported feature and
-        # --merge-buckets has never applied outside load.
-        p.error("--atomic and --merge-buckets are mutually exclusive layouts")
+        # the merge layouts have never applied outside load.
+        p.error(
+            "--atomic, --merge-buckets, and --merge-db are mutually "
+            "exclusive layouts"
+        )
     spark = get_spark("amaxa_spark_cli")
     catalog = TableCatalog(spark, args.data_dir, fmt=args.format)
 
@@ -364,6 +379,20 @@ def main(argv: list[str] | None = None) -> int:
         for table, df in res.written.items()
     }
     counts: dict[str, int] = {}
+    if args.merge_db:
+        # ONE transaction publishes every loaded table on the
+        # versioned-db layout — cross-table atomicity (the multi-table
+        # twin of --merge-buckets --versioned)
+        from amaxa_spark.sources.catalog import write_versioned_db
+
+        m = write_versioned_db(
+            spark,
+            args.out,
+            {t: d for t, (d, _) in prepared.items()},
+            pks={t: registry[t].pk for t in prepared},
+            n_buckets=args.merge_db,
+        )
+        print(f"committed transaction {m['token']} (seq {m['seq']})")
     if args.atomic:
         # all-or-nothing publication of the loaded tables (manifest
         # protocol, load-side twin of extract --atomic); result-file
@@ -379,7 +408,7 @@ def main(argv: list[str] | None = None) -> int:
         counts = {t: e["rows"] for t, e in manifest["tables"].items()}
         print(f"committed generation {manifest['token']}")
     for table, (df, write_opts) in prepared.items():
-        if not args.atomic:
+        if not args.atomic and not args.merge_db:
             if args.merge_buckets:
                 if args.versioned:
                     # manifest-versioned layout: later merges are

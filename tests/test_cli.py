@@ -529,6 +529,80 @@ def test_cli_load_versioned_layout(spark, tmp_path):
     assert got[some_id] == "Merged" and len(got) == 2
 
 
+def test_cli_load_merge_db_transactional_layout(spark, tmp_path):
+    """--merge-db publishes ALL loaded tables as ONE versioned-db
+    transaction: both tables read back through the shared commit, and
+    a later multi-table merge moves them together atomically."""
+    from amaxa_spark.sources.catalog import (
+        merge_into_versioned_db,
+        read_versioned_db,
+    )
+
+    reg_path, acc_csv, con_csv = _load_fixture(tmp_path)
+    op = {
+        "version": 1,
+        "operation": [
+            {"sobject": "Account", "file": str(acc_csv)},
+            {"sobject": "Contact", "file": str(con_csv)},
+        ],
+    }
+    op_path = tmp_path / "load.yml"
+    op_path.write_text(yaml.safe_dump(op))
+    out = tmp_path / "out_db"
+    empty = tmp_path / "empty_db"
+    empty.mkdir()
+    rc = main(
+        [
+            "load", str(op_path),
+            "--data-dir", str(empty),
+            "--registry", str(reg_path),
+            "--out", str(out),
+            "--merge-db", "4",
+        ]
+    )
+    assert rc == 0
+    acc = read_versioned_db(spark, str(out), "Account")
+    con = read_versioned_db(spark, str(out), "Contact")
+    assert acc.count() == 2 and con.count() == 2
+    pk = [c for c in acc.columns if c.lower() == "id"][0]
+    name_col = [c for c in acc.columns if c.lower() == "name"][0]
+    a_id = acc.collect()[0][pk]
+    c_pk = [c for c in con.columns if c.lower() == "id"][0]
+    fk_col = [c for c in con.columns if c.lower() == "accountid"][0]
+    c_id = con.collect()[0][c_pk]
+    m = merge_into_versioned_db(
+        spark,
+        str(out),
+        {
+            "Account": spark.createDataFrame(
+                [(a_id, "TxnName")], f"{pk} string, {name_col} string"
+            ),
+            "Contact": spark.createDataFrame(
+                [(c_id, "TxnFk")], f"{c_pk} string, {fk_col} string"
+            ),
+        },
+        set_cols={"Account": [name_col], "Contact": [fk_col]},
+    )
+    assert m["seq"] == 1
+    got_a = {r[pk]: r[name_col] for r in
+             read_versioned_db(spark, str(out), "Account").collect()}
+    got_c = {r[c_pk]: r[fk_col] for r in
+             read_versioned_db(spark, str(out), "Contact").collect()}
+    assert got_a[a_id] == "TxnName" and got_c[c_id] == "TxnFk"
+
+    # invalid layout combination rejected before any Spark work
+    rc2 = None
+    try:
+        main(
+            ["load", str(op_path), "--data-dir", str(empty),
+             "--registry", str(reg_path), "--out", str(out),
+             "--merge-db", "4", "--atomic"]
+        )
+    except SystemExit as e:
+        rc2 = e.code
+    assert rc2 == 2
+
+
 def test_cli_profile_mode(spark, sf_dir, tmp_path, capsys):
     out = tmp_path / "prof"
     rc = main(["profile", "documents", "--data-dir", sf_dir, "--out", str(out)])
