@@ -175,8 +175,17 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING)
     if args.mode not in ("profile", "curate") and not args.operation:
         p.error(f"{args.mode} requires an operation file")
+    for flag, val in (("merge-buckets", args.merge_buckets),
+                      ("merge-db", args.merge_db)):
+        if val is not None and val < 1:
+            # 0 is not "off" — it would silently fall through to the
+            # plain overwrite layout while looking like a merge layout
+            p.error(f"--{flag} requires a bucket count >= 1")
     if args.mode == "load" and sum(
-        1 for f in (args.atomic, args.merge_buckets, args.merge_db) if f
+        1
+        for f in (args.atomic, args.merge_buckets is not None,
+                  args.merge_db is not None)
+        if f
     ) > 1:
         # reject invalid layout combinations BEFORE any Spark work —
         # failing after LoadOperation.run() would pay for the whole
@@ -392,6 +401,7 @@ def main(argv: list[str] | None = None) -> int:
             pks={t: registry[t].pk for t in prepared},
             n_buckets=args.merge_db,
         )
+        counts = {t: e["rows"] for t, e in m["tables"].items()}
         print(f"committed transaction {m['token']} (seq {m['seq']})")
     if args.atomic:
         # all-or-nothing publication of the loaded tables (manifest

@@ -874,6 +874,61 @@ def merge_into_versioned(
     return new_manifest
 
 
+def _versioned_retention(path: str, keep_last: int, gens_of):
+    """Shared retention computation for both versioned layouts:
+    ``(retained tokens, live generation ids, chain head)``.
+    ``gens_of(manifest)`` yields the generation ids a manifest pins
+    (plain ``gen-*`` names for tables, ``table/gen-*`` for databases).
+
+    The advisory history feeds the keep_last window; the CAS chain
+    head is ALWAYS added on top — it is the authoritative current
+    state and protects a commit whose history record never landed
+    (writer died between the claim and the publish)."""
+    import json
+
+    kept = list_generations(path)
+    retained = {g["token"] for g in kept[:keep_last]}
+    retained |= {g["token"] for g in kept if g["current"]}
+    hist_dir = os.path.join(path, HISTORY_DIR)
+    os.makedirs(hist_dir, exist_ok=True)  # first commit may predate it
+    live: set[str] = set()
+    for token in retained:
+        try:
+            with open(os.path.join(hist_dir, f"{token}.json")) as f:
+                live |= set(gens_of(json.load(f)))
+        except FileNotFoundError:
+            pass  # advisory record missing — the head below covers it
+    head = _commit_chain_head(path)
+    if head is not None:
+        retained.add(head[1]["token"])
+        live |= set(gens_of(head[1]))
+    return retained, live, head
+
+
+def _prune_history(path: str, retained: set[str]) -> None:
+    """Delete advisory history records for unretained tokens. The CAS
+    COMMIT CHAIN is deliberately NOT pruned: deleting commit files
+    below the head would open seq holes that a slow stale writer could
+    claim into — its transaction would link successfully yet never
+    become the head (a silent lost update). The chain is the permanent
+    transaction log (~300 bytes per commit — a commit per second for a
+    year is ~9 GB of metadata next to the data it versions; offline
+    compaction can fold a dense prefix into a checkpoint commit if
+    that ever matters)."""
+    hist_dir = os.path.join(path, HISTORY_DIR)
+    for entry in os.listdir(hist_dir):
+        tok = entry[: -len(".json")] if entry.endswith(".json") else None
+        if tok and tok not in retained:
+            os.remove(os.path.join(hist_dir, entry))
+
+
+def _old_enough(full: str, now: float, min_age_s: float) -> bool:
+    try:
+        return min_age_s <= 0 or now - os.path.getmtime(full) >= min_age_s
+    except FileNotFoundError:
+        return False
+
+
 def vacuum_versioned(
     path: str, keep_last: int = 1, min_age_s: float = 0.0
 ) -> list[str]:
@@ -882,74 +937,31 @@ def vacuum_versioned(
     ``keep_last`` newest generations plus the current one; prunes
     aged history records with their data. Returns removed paths.
 
-    Concurrency contract: the CAS chain head read below protects every
-    COMMITTED generation — including one whose advisory history record
-    never landed (writer died between the claim and the publish). What
-    it cannot see is a commit claimed AFTER the head is read but
-    before deletion finishes; ``min_age_s`` is the guard for running
-    vacuum while writers are live (Delta's retention-window rule):
-    generation directories younger than it are never deleted, so any
-    in-flight or just-committed merge's files are untouchable. Set it
-    above your longest merge duration (the 0 default preserves
-    stop-the-world cleanup semantics)."""
-    import json
+    Concurrency contract: the chain head is always protected (see
+    :func:`_versioned_retention`), and ``min_age_s`` is the guard for
+    running vacuum while writers are live (Delta's retention-window
+    rule): generation directories younger than it are never deleted,
+    so an in-flight or just-committed merge's files are untouchable.
+    Set it above your longest merge duration (the 0 default preserves
+    stop-the-world cleanup semantics). Commit files are never deleted
+    (:func:`_prune_history` explains why)."""
     import shutil
     import time
 
-    kept = list_generations(path)
-    retained = {g["token"] for g in kept[:keep_last]}
-    retained |= {g["token"] for g in kept if g["current"]}
-    hist_dir = os.path.join(path, HISTORY_DIR)
-    os.makedirs(hist_dir, exist_ok=True)  # first commit may predate it
-    live_gens: set[str] = set()
-    for token in retained:
-        try:
-            with open(os.path.join(hist_dir, f"{token}.json")) as f:
-                live_gens |= set(json.load(f)["buckets"].values())
-        except FileNotFoundError:
-            # history is the ADVISORY record; the chain head below is
-            # the authoritative one — a commit whose _publish_manifest
-            # never ran has no history file, and that must not crash
-            # (or starve) the vacuum
-            pass
-    # the CAS chain head is the AUTHORITATIVE current state — its
-    # token and generations are always retained even when the advisory
-    # history/mirror lag it
-    head = _commit_chain_head(path)
-    if head is not None:
-        retained.add(head[1]["token"])
-        live_gens |= set(head[1]["buckets"].values())
+    retained, live_gens, _head = _versioned_retention(
+        path, keep_last, lambda m: m["buckets"].values()
+    )
     now = time.time()
     removed = []
     for entry in os.listdir(path):
         if not entry.startswith("gen-") or entry in live_gens:
             continue
         full = os.path.join(path, entry)
-        try:
-            if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
-                continue  # young enough to be an in-flight writer's
-        except FileNotFoundError:
-            continue
+        if not _old_enough(full, now, min_age_s):
+            continue  # young enough to be an in-flight writer's
         shutil.rmtree(full)
         removed.append(entry)
-    for entry in os.listdir(hist_dir):
-        tok = entry[: -len(".json")] if entry.endswith(".json") else None
-        if tok and tok not in retained:
-            os.remove(os.path.join(hist_dir, entry))
-    # age the CAS chain with the history: drop commit files whose
-    # manifest is no longer retained — except the head, which defines
-    # the current table state (and keeps the seq counter monotonic)
-    cdir = os.path.join(path, COMMITS_DIR)
-    if head is not None:
-        for entry in os.listdir(cdir):
-            if not entry.endswith(".json"):
-                continue
-            seq = int(entry[: -len(".json")])
-            if seq == head[0]:
-                continue
-            with open(os.path.join(cdir, entry)) as f:
-                if json.load(f)["token"] not in retained:
-                    os.remove(os.path.join(cdir, entry))
+    _prune_history(path, retained)
     return removed
 
 
@@ -993,6 +1005,9 @@ def write_versioned_db(
             "pk": pk,
             "n_buckets": nb,
             "buckets": {str(b): gen for b in _present_buckets(tdir)},
+            # counting the WRITTEN parquet is footer-metadata-only —
+            # callers report row counts without re-running load lineage
+            "rows": spark.read.parquet(tdir).count(),
         }
     manifest = {
         "token": token,
@@ -1029,6 +1044,11 @@ def read_versioned_db(
     point-in-time view: every table read through the same token came
     from the same transaction."""
     manifest = _db_manifest(path, token)
+    if table not in manifest["tables"]:
+        raise ValueError(
+            f"{path}: no table {table!r} in this snapshot "
+            f"(has: {sorted(manifest['tables'])})"
+        )
     t = manifest["tables"][table]
     paths = [
         os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
@@ -1094,16 +1114,13 @@ def merge_into_versioned_db(
         return manifest
     base_tables = {n: dict(t["buckets"]) for n, t in manifest["tables"].items()}
 
-    def stamped(head_tables: dict) -> dict:
+    def stamped(tables_full: dict) -> dict:
+        # the (head) snapshot defines the table set; our rewritten
+        # buckets overlay it — a table the head dropped and we did not
+        # touch simply stays dropped
         return {
-            n: {
-                **manifest["tables"][n],
-                "buckets": {
-                    **head_tables[n],
-                    **ours.get(n, {}),
-                },
-            }
-            for n in manifest["tables"]
+            n: {**t, "buckets": {**t["buckets"], **ours.get(n, {})}}
+            for n, t in tables_full.items()
         }
 
     seq = int(manifest.get("seq", 0)) + 1
@@ -1111,7 +1128,7 @@ def merge_into_versioned_db(
         "token": token,
         "kind": "versioned-db",
         "seq": seq,
-        "tables": stamped(base_tables),
+        "tables": stamped(manifest["tables"]),
     }
     while True:
         try:
@@ -1120,8 +1137,20 @@ def merge_into_versioned_db(
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
             for name, buckets in ours.items():
-                ht = head["tables"][name]["buckets"]
-                if any(ht.get(b) != base_tables[name].get(b) for b in buckets):
+                ht = head["tables"].get(name)
+                if ht is None:
+                    # an intervening full rewrite dropped this table —
+                    # the transaction's premise is gone, same contract
+                    # as a bucket conflict
+                    raise ConcurrentMergeError(
+                        f"{path}: table {name!r} was removed by a full "
+                        f"rewrite (commits up to seq {head_seq}); "
+                        "re-run against the new head"
+                    )
+                if any(
+                    ht["buckets"].get(b) != base_tables[name].get(b)
+                    for b in buckets
+                ):
                     raise ConcurrentMergeError(
                         f"{path}: transaction touching {sorted(ours)} "
                         f"conflicts on table {name!r} bucket(s) "
@@ -1132,9 +1161,7 @@ def merge_into_versioned_db(
             new_manifest = {
                 **new_manifest,
                 "seq": seq,
-                "tables": stamped(
-                    {n: dict(t["buckets"]) for n, t in head["tables"].items()}
-                ),
+                "tables": stamped(head["tables"]),
             }
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -1146,62 +1173,36 @@ def vacuum_versioned_db(
     """Reclaim per-table generation directories referenced by NO
     retained transaction; same retention contract as
     :func:`vacuum_versioned` (chain head always protected, history is
-    advisory, ``min_age_s`` guards live writers)."""
-    import json
+    advisory, ``min_age_s`` guards live writers, commit files are
+    never deleted). Table directories are discovered ON DISK, so
+    generations of a table that no retained transaction mentions any
+    more (dropped by a full rewrite, or a pre-claim crash of a brand
+    new table) are reclaimed too, not leaked."""
     import shutil
     import time
 
-    kept = list_generations(path)
-    retained = {g["token"] for g in kept[:keep_last]}
-    retained |= {g["token"] for g in kept if g["current"]}
-    hist_dir = os.path.join(path, HISTORY_DIR)
-    os.makedirs(hist_dir, exist_ok=True)
-    live: dict[str, set[str]] = {}
-
-    def absorb(manifest: dict) -> None:
-        for name, t in manifest["tables"].items():
-            live.setdefault(name, set()).update(t["buckets"].values())
-
-    for token in retained:
-        try:
-            with open(os.path.join(hist_dir, f"{token}.json")) as f:
-                absorb(json.load(f))
-        except FileNotFoundError:
-            pass
-    head = _commit_chain_head(path)
-    if head is not None:
-        retained.add(head[1]["token"])
-        absorb(head[1])
+    retained, live, _head = _versioned_retention(
+        path,
+        keep_last,
+        lambda m: (
+            f"{name}/{gen}"
+            for name, t in m["tables"].items()
+            for gen in t["buckets"].values()
+        ),
+    )
     now = time.time()
     removed = []
-    for name in live:
+    for name in os.listdir(path):
         tdir = os.path.join(path, name)
-        if not os.path.isdir(tdir):
+        if name in (COMMITS_DIR, HISTORY_DIR) or not os.path.isdir(tdir):
             continue
         for entry in os.listdir(tdir):
-            if not entry.startswith("gen-") or entry in live[name]:
+            if not entry.startswith("gen-") or f"{name}/{entry}" in live:
                 continue
             full = os.path.join(tdir, entry)
-            try:
-                if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
-                    continue
-            except FileNotFoundError:
+            if not _old_enough(full, now, min_age_s):
                 continue
             shutil.rmtree(full)
             removed.append(f"{name}/{entry}")
-    for entry in os.listdir(hist_dir):
-        tok = entry[: -len(".json")] if entry.endswith(".json") else None
-        if tok and tok not in retained:
-            os.remove(os.path.join(hist_dir, entry))
-    cdir = os.path.join(path, COMMITS_DIR)
-    if head is not None:
-        for entry in os.listdir(cdir):
-            if not entry.endswith(".json"):
-                continue
-            seq = int(entry[: -len(".json")])
-            if seq == head[0]:
-                continue
-            with open(os.path.join(cdir, entry)) as f:
-                if json.load(f)["token"] not in retained:
-                    os.remove(os.path.join(cdir, entry))
+    _prune_history(path, retained)
     return removed
