@@ -841,19 +841,36 @@ def merge_into_versioned(
         .parquet(os.path.join(path, gen))
     )
     ours = {str(b): gen for b in affected}
-    seq = int(manifest.get("seq", 0)) + 1
+    new_manifest = _commit_bucket_update(path, manifest, base_buckets, ours, token)
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def _commit_bucket_update(
+    path: str,
+    base_manifest: dict,
+    base_buckets: dict[str, str],
+    ours: dict[str, str],
+    token: str,
+) -> dict:
+    """The single-table CAS commit loop shared by MERGE and OPTIMIZE:
+    claim the next seq; on a lost race, rebase when every bucket we
+    rewrote is untouched since our snapshot, raise
+    :class:`ConcurrentMergeError` when any was rewritten (our files
+    came from stale inputs)."""
+    seq = int(base_manifest.get("seq", 0)) + 1
     new_manifest = {
         "token": token,
         "kind": "versioned-buckets",
-        "pk": pk,
-        "n_buckets": n_buckets,
+        "pk": base_manifest["pk"],
+        "n_buckets": base_manifest["n_buckets"],
         "seq": seq,
         "buckets": {**base_buckets, **ours},
     }
     while True:
         try:
             _claim_commit(path, seq, new_manifest)
-            break
+            return new_manifest
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
             if any(
@@ -861,8 +878,8 @@ def merge_into_versioned(
             ):
                 raise ConcurrentMergeError(
                     f"{path}: bucket(s) {sorted(ours)} were rewritten by "
-                    f"commit(s) up to seq {head_seq} after this merge's "
-                    "snapshot; re-run the merge against the new head"
+                    f"commit(s) up to seq {head_seq} after this write's "
+                    "snapshot; re-run against the new head"
                 )
             seq = head_seq + 1
             new_manifest = {
@@ -870,8 +887,70 @@ def merge_into_versioned(
                 "seq": seq,
                 "buckets": {**head["buckets"], **ours},
             }
+
+
+def optimize_versioned(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 1,
+    base_token: str | None = None,
+) -> tuple[dict, list[int]]:
+    """Small-file compaction (the Delta OPTIMIZE twin): buckets whose
+    CURRENT directory holds more than ``max_files`` part files — the
+    residue of wide-parallelism writes, where every shuffle partition
+    contributes a file per bucket — are rewritten one-file-per-bucket
+    under a new generation and committed on the chain. Data is
+    byte-identical; only the file layout changes, so scans stop paying
+    per-file open/footers costs on merge-hot buckets.
+
+    Returns ``(manifest, compacted_bucket_ids)``; concurrency follows
+    the MERGE rules (a concurrent merge to a bucket being compacted
+    conflicts — re-run; compaction of untouched buckets rebases).
+
+    At 100 TB: compaction is the steady-state companion of
+    bucket-scoped MERGE — run it on the buckets the merge traffic
+    touches, sized so one bucket's rewrite fits an executor's output
+    budget (~128 MB-1 GB files)."""
+    import uuid
+
+    manifest = _bucket_manifest(path, base_token)
+    candidates = []
+    for b, gen in manifest["buckets"].items():
+        bdir = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+        try:
+            n_files = sum(
+                1 for f in os.listdir(bdir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+        except FileNotFoundError:
+            continue
+        if n_files > max_files:
+            candidates.append(int(b))
+    if not candidates:
+        return manifest, []
+    candidates.sort()
+    cur = [
+        os.path.join(path, manifest["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
+        for b in candidates
+    ]
+    pk, nb = manifest["pk"], manifest["n_buckets"]
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    (
+        spark.read.parquet(*cur)
+        .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
+        # one task per bucket -> exactly one file per bucket directory
+        .repartition(len(candidates), F.col(MERGE_BUCKET_COL))
+        .write.mode("errorifexists")
+        .partitionBy(MERGE_BUCKET_COL)
+        .parquet(os.path.join(path, gen))
+    )
+    ours = {str(b): gen for b in candidates}
+    new_manifest = _commit_bucket_update(
+        path, manifest, dict(manifest["buckets"]), ours, token
+    )
     _publish_manifest(path, new_manifest)
-    return new_manifest
+    return new_manifest, candidates
 
 
 def _versioned_retention(path: str, keep_last: int, gens_of):

@@ -613,3 +613,60 @@ def test_versioned_db_transactions_span_tables(spark, tmp_path):
     assert read_versioned_db(spark, path, "documents").count() == 80
     with _pytest.raises(FileNotFoundError):
         read_versioned_db(spark, path, "documents", token=m0["token"])
+
+
+def test_optimize_versioned_compacts_multi_file_buckets(spark, tmp_path):
+    """OPTIMIZE twin: buckets holding many small part files (the
+    residue of a wide-parallelism write) compact to one file each
+    under a new chain commit; data is byte-identical, untouched
+    buckets keep their generation, and time travel still reaches the
+    pre-compaction layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        MERGE_BUCKET_COL,
+        optimize_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_opt")
+    # 16 input partitions -> each bucket dir collects many part files
+    base = (
+        spark.range(400)
+        .repartition(16)
+        .select(F.col("id").alias("pk"), (F.col("id") * 3).alias("v"))
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=4)
+
+    def files_per_bucket(manifest):
+        out = {}
+        for b, gen in manifest["buckets"].items():
+            d = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+            out[int(b)] = sum(
+                1 for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+        return out
+
+    before = files_per_bucket(m0)
+    assert max(before.values()) > 1  # the premise: fragmented buckets
+
+    m1, compacted = optimize_versioned(spark, path, max_files=1)
+    assert sorted(compacted) == sorted(
+        b for b, n in before.items() if n > 1
+    )
+    after = files_per_bucket(m1)
+    assert all(n == 1 for b, n in after.items() if b in compacted)
+    assert m1["seq"] == m0["seq"] + 1
+    # data identical
+    got = {r.pk: r.v for r in read_versioned_table(spark, path).collect()}
+    assert got == {i: i * 3 for i in range(400)}
+    # pre-compaction snapshot still readable by token
+    old = read_versioned_table(spark, path, token=m0["token"])
+    assert old.count() == 400
+    # idempotent: nothing left to compact
+    m2, again = optimize_versioned(spark, path, max_files=1)
+    assert again == [] and m2["seq"] == m1["seq"]
