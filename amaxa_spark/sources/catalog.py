@@ -900,8 +900,10 @@ def optimize_versioned(
     residue of wide-parallelism writes, where every shuffle partition
     contributes a file per bucket — are rewritten one-file-per-bucket
     under a new generation and committed on the chain. Data is
-    byte-identical; only the file layout changes, so scans stop paying
-    per-file open/footers costs on merge-hot buckets.
+    ROW-identical (the rewrite shuffles row order and re-encodes
+    parquet pages, so bytes differ; untouched buckets stay
+    byte-identical); only the file layout changes, so scans stop
+    paying per-file open/footer costs on merge-hot buckets.
 
     Returns ``(manifest, compacted_bucket_ids)``; concurrency follows
     the MERGE rules (a concurrent merge to a bucket being compacted
@@ -913,6 +915,11 @@ def optimize_versioned(
     budget (~128 MB-1 GB files)."""
     import uuid
 
+    if max_files < 1:
+        # 0 would make EVERY bucket a permanent candidate: each run
+        # rewrites the whole table into a fresh generation forever —
+        # unbounded write amplification, never idempotent
+        raise ValueError(f"max_files must be >= 1, got {max_files}")
     manifest = _bucket_manifest(path, base_token)
     candidates = []
     for b, gen in manifest["buckets"].items():
@@ -939,7 +946,9 @@ def optimize_versioned(
     (
         spark.read.parquet(*cur)
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
-        # one task per bucket -> exactly one file per bucket directory
+        # each bucket's rows hash to ONE task (tasks may carry several
+        # buckets or none), and partitionBy writes one file per bucket
+        # value per task -> exactly one file per bucket directory
         .repartition(len(candidates), F.col(MERGE_BUCKET_COL))
         .write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
