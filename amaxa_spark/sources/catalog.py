@@ -768,6 +768,21 @@ def _bucket_manifest(path: str, token: str | None = None) -> dict:
     return manifest
 
 
+def _fill_added_columns(df: DataFrame, manifest: dict) -> DataFrame:
+    """Reader-side schema evolution: columns added by metadata-only
+    ALTER commits materialize at read time — absent entirely (no file
+    written since the alter) they appear as the default; present in
+    some generations but null in pre-alter files they coalesce to the
+    default. Parquet files are never rewritten for an ALTER."""
+    for col, spec in manifest.get("added_columns", {}).items():
+        default = F.lit(spec.get("default")).cast(spec["type"])
+        if col not in df.columns:
+            df = df.withColumn(col, default)
+        elif spec.get("default") is not None:
+            df = df.withColumn(col, F.coalesce(F.col(col), default))
+    return df
+
+
 def read_versioned_table(
     spark: SparkSession, path: str, token: str | None = None
 ) -> DataFrame:
@@ -782,13 +797,55 @@ def read_versioned_table(
     ]
     if not paths:
         raise FileNotFoundError(f"{path}: empty versioned table")
-    # reading the leaf `<bucket>=N` dirs directly loses the partition
+    # mergeSchema: generations written after an ALTER carry the added
+    # columns while older ones do not — the unioned schema sees both.
+    # Reading the leaf `<bucket>=N` dirs directly loses the partition
     # column — re-derive it so the versioned and non-versioned merge
     # layouts expose the SAME schema (it is a pure pk-hash expression,
     # so re-deriving is exact, no directory-name parsing needed)
-    return spark.read.parquet(*paths).withColumn(
-        MERGE_BUCKET_COL, _bucket_expr(manifest["pk"], manifest["n_buckets"])
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*paths)
+        .withColumn(
+            MERGE_BUCKET_COL, _bucket_expr(manifest["pk"], manifest["n_buckets"])
+        )
     )
+    return _fill_added_columns(df, manifest)
+
+
+def alter_versioned_add_columns(
+    path: str, columns: dict[str, tuple[str, object]]
+) -> dict:
+    """Schema evolution as a METADATA-ONLY chain commit: add columns
+    (``name -> (spark type string, default)``) without touching a
+    single parquet file. Readers materialize the columns at scan time
+    (:func:`_fill_added_columns`); the next merge that rewrites a
+    bucket persists them physically for that bucket, and files from
+    before the alter keep coalescing to the default. Pre-alter
+    snapshots read by token are untouched — time travel returns the
+    old schema.
+
+    At 100 TB this is the only sane ALTER: a physical backfill of a
+    new column is a full-table rewrite; deferring materialization to
+    the buckets the merge traffic touches anyway makes the ALTER O(1)
+    and the backfill incremental and free."""
+    import uuid
+
+    manifest = _bucket_manifest(path)
+    added = dict(manifest.get("added_columns", {}))
+    for col, (dtype, default) in columns.items():
+        added[col] = {"type": dtype, "default": default}
+    token = uuid.uuid4().hex[:12]
+    new_manifest = {
+        **manifest,
+        "token": token,
+        "added_columns": added,
+    }
+    # metadata-only: an unconditional next-seq claim can never
+    # invalidate anyone's data files, so no conflict case exists
+    _claim_next_commit(path, new_manifest)
+    _publish_manifest(path, new_manifest)
+    return new_manifest
 
 
 def merge_into_versioned(
@@ -830,7 +887,12 @@ def merge_into_versioned(
         os.path.join(path, manifest["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in affected
     ]
-    table = spark.read.parquet(*cur_paths)
+    # mergeSchema + fill: affected buckets may span pre- and post-ALTER
+    # generations; the rewrite MATERIALIZES any metadata-added columns
+    # for these buckets (the incremental backfill the ALTER defers)
+    table = _fill_added_columns(
+        spark.read.option("mergeSchema", "true").parquet(*cur_paths), manifest
+    )
     merged = _apply_matched_updates(table, upd, pk, set_cols)
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
@@ -858,15 +920,19 @@ def _commit_bucket_update(
     rewrote is untouched since our snapshot, raise
     :class:`ConcurrentMergeError` when any was rewritten (our files
     came from stale inputs)."""
+    def stamped(src: dict, seq: int, buckets: dict) -> dict:
+        # carry every manifest field (kind/pk/n_buckets/added_columns/
+        # future metadata) from the newest known state; committed_at is
+        # re-stamped at publish
+        return {
+            **{k: v for k, v in src.items() if k != "committed_at"},
+            "token": token,
+            "seq": seq,
+            "buckets": buckets,
+        }
+
     seq = int(base_manifest.get("seq", 0)) + 1
-    new_manifest = {
-        "token": token,
-        "kind": "versioned-buckets",
-        "pk": base_manifest["pk"],
-        "n_buckets": base_manifest["n_buckets"],
-        "seq": seq,
-        "buckets": {**base_buckets, **ours},
-    }
+    new_manifest = stamped(base_manifest, seq, {**base_buckets, **ours})
     while True:
         try:
             _claim_commit(path, seq, new_manifest)
@@ -881,12 +947,10 @@ def _commit_bucket_update(
                     f"commit(s) up to seq {head_seq} after this write's "
                     "snapshot; re-run against the new head"
                 )
+            # rebase onto the head's metadata too — it may carry newer
+            # ALTER commits than our snapshot
             seq = head_seq + 1
-            new_manifest = {
-                **new_manifest,
-                "seq": seq,
-                "buckets": {**head["buckets"], **ours},
-            }
+            new_manifest = stamped(head, seq, {**head["buckets"], **ours})
 
 
 def optimize_versioned(
@@ -944,7 +1008,11 @@ def optimize_versioned(
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
     (
-        spark.read.parquet(*cur)
+        # mergeSchema: candidate buckets can span pre- and post-ALTER
+        # generations — without the union schema, a column present only
+        # in newer files would be silently DROPPED from the compacted
+        # rewrite (physical data loss)
+        spark.read.option("mergeSchema", "true").parquet(*cur)
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
         # each bucket's rows hash to ONE task (tasks may carry several
         # buckets or none), and partitionBy writes one file per bucket

@@ -670,3 +670,77 @@ def test_optimize_versioned_compacts_multi_file_buckets(spark, tmp_path):
     # idempotent: nothing left to compact
     m2, again = optimize_versioned(spark, path, max_files=1)
     assert again == [] and m2["seq"] == m1["seq"]
+
+
+def test_versioned_alter_add_column_is_metadata_only(spark, tmp_path):
+    """Schema evolution: ALTER adds a column as a metadata-only chain
+    commit (zero parquet rewrites) — readers materialize the default
+    immediately, the next merge persists it physically for the buckets
+    it touches while untouched buckets keep coalescing, compaction
+    preserves persisted values across mixed-schema generations, and
+    pre-alter snapshots time-travel with the OLD schema."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        merge_into_versioned,
+        optimize_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_alter")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "pk long, val string"
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=4)
+
+    def all_files():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    full = os.path.join(root, f)
+                    out[full] = os.path.getmtime(full)
+        return out
+
+    before = all_files()
+    m1 = alter_versioned_add_columns(
+        path, {"quality": ("double", 1.0), "tag": ("string", None)}
+    )
+    assert m1["seq"] == m0["seq"] + 1
+    assert all_files() == before  # METADATA-ONLY: no file touched
+    df = read_versioned_table(spark, path)
+    assert {"quality", "tag"} <= set(df.columns)
+    rows = {r.pk: (r.quality, r.tag) for r in df.collect()}
+    assert rows[5] == (1.0, None) and len(rows) == 100
+
+    # merge persists the added column for its bucket; others still fill
+    m2 = merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(5, 0.25)], "pk long, quality double"),
+        pk="pk",
+        set_cols=["quality"],
+    )
+    assert m2["added_columns"] == m1["added_columns"]  # survives merges
+    rows = {r.pk: r.quality for r in read_versioned_table(spark, path).collect()}
+    assert rows[5] == 0.25 and rows[6] == 1.0
+    # the rewritten generation physically contains the column
+    new_gens = {g for g in m2["buckets"].values()} - {
+        g for g in m0["buckets"].values()
+    }
+    (new_gen,) = new_gens
+    raw = spark.read.parquet(os.path.join(path, new_gen))
+    assert "quality" in raw.columns
+
+    # compaction across mixed-schema generations keeps persisted values
+    _m3, _compacted = optimize_versioned(spark, path, max_files=1)
+    rows = {r.pk: r.quality for r in read_versioned_table(spark, path).collect()}
+    assert rows[5] == 0.25 and rows[6] == 1.0 and len(rows) == 100
+
+    # pre-alter snapshot: old schema, no synthetic columns
+    old = read_versioned_table(spark, path, token=m0["token"])
+    assert "quality" not in old.columns and old.count() == 100
