@@ -797,15 +797,16 @@ def read_versioned_table(
     ]
     if not paths:
         raise FileNotFoundError(f"{path}: empty versioned table")
-    # mergeSchema: generations written after an ALTER carry the added
-    # columns while older ones do not — the unioned schema sees both.
+    # mergeSchema only when an ALTER happened: generations written
+    # after it carry the added columns while older ones do not — the
+    # unioned schema sees both. Alter-free tables (the common case)
+    # skip the all-footers merge pass on every scan.
     # Reading the leaf `<bucket>=N` dirs directly loses the partition
     # column — re-derive it so the versioned and non-versioned merge
     # layouts expose the SAME schema (it is a pure pk-hash expression,
     # so re-deriving is exact, no directory-name parsing needed)
     df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*paths)
+        _read_maybe_merged(spark, manifest, *paths)
         .withColumn(
             MERGE_BUCKET_COL, _bucket_expr(manifest["pk"], manifest["n_buckets"])
         )
@@ -813,8 +814,17 @@ def read_versioned_table(
     return _fill_added_columns(df, manifest)
 
 
+def _read_maybe_merged(spark: SparkSession, manifest: dict, *paths) -> DataFrame:
+    reader = spark.read
+    if manifest.get("added_columns"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
+
+
 def alter_versioned_add_columns(
-    path: str, columns: dict[str, tuple[str, object]]
+    path: str,
+    columns: dict[str, tuple[str, object]],
+    spark: SparkSession | None = None,
 ) -> dict:
     """Schema evolution as a METADATA-ONLY chain commit: add columns
     (``name -> (spark type string, default)``) without touching a
@@ -825,25 +835,69 @@ def alter_versioned_add_columns(
     snapshots read by token are untouched — time travel returns the
     old schema.
 
+    Semantics of a non-null default are DEFAULT-ON-READ (Delta's
+    missing-column rule): a physical NULL in the added column always
+    reads as the default, so an explicit NULL cannot be stored in a
+    defaulted added column — pick ``default=None`` for columns that
+    need genuine NULLs.
+
+    Validation happens HERE, not at read time — a bad type string or
+    a name collision must fail the ALTER, never poison every future
+    scan: the type must parse, redefining an existing added column is
+    rejected (merge-touched buckets have the old default physically
+    baked in — a redefinition would make values depend on historical
+    merge traffic), and with ``spark`` supplied, collisions with the
+    table's physical columns are rejected too (their existing NULLs
+    would silently become the default).
+
     At 100 TB this is the only sane ALTER: a physical backfill of a
     new column is a full-table rewrite; deferring materialization to
     the buckets the merge traffic touches anyway makes the ALTER O(1)
     and the backfill incremental and free."""
     import uuid
 
-    manifest = _bucket_manifest(path)
-    added = dict(manifest.get("added_columns", {}))
-    for col, (dtype, default) in columns.items():
-        added[col] = {"type": dtype, "default": default}
+    from pyspark.sql.types import _parse_datatype_string
+
+    for col, (dtype, _default) in columns.items():
+        try:
+            _parse_datatype_string(dtype)
+        except Exception as e:
+            raise ValueError(
+                f"invalid Spark type {dtype!r} for added column {col!r}: {e}"
+            ) from e
+    physical: set[str] = set()
+    if spark is not None:
+        physical = set(read_versioned_table(spark, path).columns)
     token = uuid.uuid4().hex[:12]
-    new_manifest = {
-        **manifest,
-        "token": token,
-        "added_columns": added,
-    }
-    # metadata-only: an unconditional next-seq claim can never
-    # invalidate anyone's data files, so no conflict case exists
-    _claim_next_commit(path, new_manifest)
+    while True:
+        # the head IS the base — re-read and rebuild on every claim
+        # attempt, or a lost race would commit this ALTER's stale
+        # bucket map and revert concurrent merges (data loss), and
+        # drop concurrent ALTERs' columns
+        manifest = _bucket_manifest(path)
+        added = dict(manifest.get("added_columns", {}))
+        for col, (dtype, default) in columns.items():
+            if col in added:
+                raise ValueError(
+                    f"column {col!r} is already an added column; "
+                    "redefinition is not supported"
+                )
+            if col in physical - {MERGE_BUCKET_COL}:
+                raise ValueError(
+                    f"column {col!r} already exists in the table schema"
+                )
+            added[col] = {"type": dtype, "default": default}
+        new_manifest = {
+            **{k: v for k, v in manifest.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+            "added_columns": added,
+        }
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
     _publish_manifest(path, new_manifest)
     return new_manifest
 
@@ -887,11 +941,12 @@ def merge_into_versioned(
         os.path.join(path, manifest["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in affected
     ]
-    # mergeSchema + fill: affected buckets may span pre- and post-ALTER
-    # generations; the rewrite MATERIALIZES any metadata-added columns
-    # for these buckets (the incremental backfill the ALTER defers)
+    # merged-schema read + fill: affected buckets may span pre- and
+    # post-ALTER generations; the rewrite MATERIALIZES any metadata-
+    # added columns for these buckets (the incremental backfill the
+    # ALTER defers)
     table = _fill_added_columns(
-        spark.read.option("mergeSchema", "true").parquet(*cur_paths), manifest
+        _read_maybe_merged(spark, manifest, *cur_paths), manifest
     )
     merged = _apply_matched_updates(table, upd, pk, set_cols)
     token = uuid.uuid4().hex[:12]
@@ -1008,11 +1063,11 @@ def optimize_versioned(
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
     (
-        # mergeSchema: candidate buckets can span pre- and post-ALTER
-        # generations — without the union schema, a column present only
-        # in newer files would be silently DROPPED from the compacted
-        # rewrite (physical data loss)
-        spark.read.option("mergeSchema", "true").parquet(*cur)
+        # merged-schema read: candidate buckets can span pre- and
+        # post-ALTER generations — without the union schema, a column
+        # present only in newer files would be silently DROPPED from
+        # the compacted rewrite (physical data loss)
+        _read_maybe_merged(spark, manifest, *cur)
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
         # each bucket's rows hash to ONE task (tasks may carry several
         # buckets or none), and partitionBy writes one file per bucket

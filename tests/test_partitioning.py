@@ -744,3 +744,15 @@ def test_versioned_alter_add_column_is_metadata_only(spark, tmp_path):
     # pre-alter snapshot: old schema, no synthetic columns
     old = read_versioned_table(spark, path, token=m0["token"])
     assert "quality" not in old.columns and old.count() == 100
+
+    # ALTER validates up front — a bad commit must never poison reads
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid Spark type"):
+        alter_versioned_add_columns(path, {"bad": ("duble", 1.0)})
+    with _pytest.raises(ValueError, match="already an added column"):
+        alter_versioned_add_columns(path, {"quality": ("double", 2.0)})
+    with _pytest.raises(ValueError, match="already exists in the table"):
+        alter_versioned_add_columns(path, {"val": ("string", "x")}, spark=spark)
+    # none of the rejected alters committed anything
+    assert read_versioned_table(spark, path).count() == 100
