@@ -756,3 +756,65 @@ def test_versioned_alter_add_column_is_metadata_only(spark, tmp_path):
         alter_versioned_add_columns(path, {"val": ("string", "x")}, spark=spark)
     # none of the rejected alters committed anything
     assert read_versioned_table(spark, path).count() == 100
+
+
+def test_streaming_upsert_commits_one_merge_per_batch(spark, tmp_path):
+    """Streaming upsert sink: each micro-batch reduces to last-write-
+    wins per key and lands as ONE atomic chain commit; replaying a
+    batch (at-least-once delivery) is idempotent on the data; and a
+    real foreachBatch stream drives the same path end to end."""
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        read_versioned_table,
+        write_versioned_table,
+    )
+    from amaxa_spark.streaming.merge_stream import (
+        merge_stream_writer,
+        upsert_batch,
+    )
+
+    path = str(tmp_path / "vt_stream")
+    base = spark.createDataFrame(
+        [(i, "old", 0) for i in range(50)], "pk long, val string, ver long"
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=4)
+
+    # batch 1: two updates for pk 3 — the later (ver 2) must win
+    b1 = spark.createDataFrame(
+        [(3, "first", 1), (3, "second", 2), (7, "b1", 1)],
+        "pk long, val string, ver long",
+    )
+    m1 = upsert_batch(spark, path, b1, "pk", ["val", "ver"], order_col="ver")
+    assert m1["seq"] == m0["seq"] + 1
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got[3] == "second" and got[7] == "b1" and got[0] == "old"
+
+    # batch 2, then a REPLAY of batch 2: data unchanged (idempotent)
+    b2 = spark.createDataFrame([(11, "b2", 3)], "pk long, val string, ver long")
+    m2 = upsert_batch(spark, path, b2, "pk", ["val", "ver"], order_col="ver")
+    m2r = upsert_batch(spark, path, b2, "pk", ["val", "ver"], order_col="ver")
+    assert m2r["seq"] == m2["seq"] + 1
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got[11] == "b2" and len(got) == 50
+    # empty batch commits nothing
+    empty = spark.createDataFrame([], "pk long, val string, ver long")
+    assert upsert_batch(spark, path, empty, "pk", ["val"], order_col="ver") is None
+
+    # real stream: file source -> foreachBatch -> versioned merge
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(21, "streamed", 9)], "pk long, val string, ver long"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("pk long, val string, ver long").parquet(src)
+    q = (
+        merge_stream_writer(
+            stream, path, "pk", ["val", "ver"], order_col="ver",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got[21] == "streamed" and len(got) == 50
