@@ -909,6 +909,7 @@ def merge_into_versioned(
     pk: str,
     set_cols: list[str],
     base_token: str | None = None,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Atomic MERGE ... WHEN MATCHED THEN UPDATE: affected buckets are
     rewritten under a NEW generation directory; untouched buckets keep
@@ -923,7 +924,12 @@ def merge_into_versioned(
     rebase and retry the claim (both merges land, history stays
     linear); overlapping buckets raise :class:`ConcurrentMergeError`
     (this merge's rewritten files came from stale inputs — re-run it
-    against the new head)."""
+    against the new head).
+
+    ``extra_meta`` rides on the committed manifest (merged into any
+    existing values of the same keys, surviving rebases) — the hook
+    the streaming sink uses to pin per-stream progress (exactly-once)
+    into the same atomic commit as the data."""
     import uuid
 
     manifest = _bucket_manifest(path, base_token)
@@ -958,7 +964,9 @@ def merge_into_versioned(
         .parquet(os.path.join(path, gen))
     )
     ours = {str(b): gen for b in affected}
-    new_manifest = _commit_bucket_update(path, manifest, base_buckets, ours, token)
+    new_manifest = _commit_bucket_update(
+        path, manifest, base_buckets, ours, token, extra_meta
+    )
     _publish_manifest(path, new_manifest)
     return new_manifest
 
@@ -969,6 +977,7 @@ def _commit_bucket_update(
     base_buckets: dict[str, str],
     ours: dict[str, str],
     token: str,
+    extra_meta: dict | None = None,
 ) -> dict:
     """The single-table CAS commit loop shared by MERGE and OPTIMIZE:
     claim the next seq; on a lost race, rebase when every bucket we
@@ -978,13 +987,21 @@ def _commit_bucket_update(
     def stamped(src: dict, seq: int, buckets: dict) -> dict:
         # carry every manifest field (kind/pk/n_buckets/added_columns/
         # future metadata) from the newest known state; committed_at is
-        # re-stamped at publish
-        return {
+        # re-stamped at publish. extra_meta keys DEEP-merge over dict
+        # values (e.g. per-stream progress maps accumulate across
+        # writers instead of clobbering each other on rebase)
+        out = {
             **{k: v for k, v in src.items() if k != "committed_at"},
             "token": token,
             "seq": seq,
             "buckets": buckets,
         }
+        for k, v in (extra_meta or {}).items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = {**out[k], **v}
+            else:
+                out[k] = v
+        return out
 
     seq = int(base_manifest.get("seq", 0)) + 1
     new_manifest = stamped(base_manifest, seq, {**base_buckets, **ours})

@@ -10,12 +10,17 @@ whole micro-batches, crashes leave invisible orphans, and the chain's
 seq history doubles as the stream's progress ledger (one commit per
 non-empty batch).
 
-Delivery semantics: at-least-once. A replayed micro-batch re-applies
-the same per-key LAST values, and MERGE is idempotent for identical
-updates — re-commits produce a new generation with identical rows, so
-duplicates cannot corrupt data (the superseded generation ages out via
-vacuum). Exactly-once would pin ``batchId`` into the commit manifest
-and skip already-committed ids; noted in ROADMAP.
+Delivery semantics: EXACTLY-ONCE when a ``stream_id`` is supplied —
+each commit pins the stream's ``batchId`` into the manifest
+(``streams: {stream_id: last_batch_id}``) inside the SAME atomic
+commit as the data, so a replayed micro-batch (restart from an old
+checkpoint, foreachBatch retry) is recognized and skipped: the
+progress marker and the data can never disagree. Without a stream_id
+the sink is at-least-once — a replayed batch re-applies the same
+per-key LAST values, which is idempotent on the data (the superseded
+generation ages out via vacuum). The streams map deep-merges through
+commit rebases, so independent streams writing one table never
+clobber each other's progress.
 
 Scale shape: each micro-batch shuffles only its own rows (one per-key
 window over the batch, never over history), and the merge rewrites
@@ -31,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from amaxa_spark.sources.catalog import merge_into_versioned
+from amaxa_spark.sources.catalog import _bucket_manifest, merge_into_versioned
 
 
 def latest_per_key(
@@ -60,16 +65,28 @@ def upsert_batch(
     set_cols: list[str],
     order_col: str,
     tiebreak_col: str | None = None,
+    stream_id: str | None = None,
+    batch_id: int | None = None,
 ) -> dict | None:
     """Apply one micro-batch as one atomic MERGE commit; returns the
-    new manifest, or None for an empty batch. This is the body to hand
-    to ``foreachBatch``."""
+    new manifest, or None for an empty or ALREADY-COMMITTED batch.
+    With ``stream_id`` + ``batch_id``, progress rides in the commit
+    manifest and replays of committed batch ids are skipped
+    (exactly-once). This is the body ``foreachBatch`` runs."""
+    extra = None
+    if stream_id is not None and batch_id is not None:
+        done = _bucket_manifest(path).get("streams", {}).get(stream_id)
+        if done is not None and batch_id <= done:
+            return None  # replay of a committed batch — skip
+        extra = {"streams": {stream_id: batch_id}}
     upd = latest_per_key(batch, pk, order_col, tiebreak_col).select(
         pk, *set_cols
     )
     if not upd.take(1):
         return None
-    return merge_into_versioned(spark, path, upd, pk=pk, set_cols=set_cols)
+    return merge_into_versioned(
+        spark, path, upd, pk=pk, set_cols=set_cols, extra_meta=extra
+    )
 
 
 def merge_stream_writer(
@@ -80,15 +97,18 @@ def merge_stream_writer(
     order_col: str,
     tiebreak_col: str | None = None,
     checkpoint_dir: str | None = None,
+    stream_id: str | None = None,
 ):
     """Wire a streaming DataFrame to the versioned table: returns the
     ``DataStreamWriter`` (caller starts/stops it). Each micro-batch
-    commits atomically through the chain."""
+    commits atomically through the chain; pass ``stream_id`` for
+    exactly-once replay protection."""
 
-    def _apply(batch: DataFrame, _batch_id: int) -> None:
+    def _apply(batch: DataFrame, batch_id: int) -> None:
         upsert_batch(
             batch.sparkSession, path, batch, pk, set_cols,
             order_col, tiebreak_col,
+            stream_id=stream_id, batch_id=batch_id,
         )
 
     w = stream.writeStream.foreachBatch(_apply).outputMode("update")

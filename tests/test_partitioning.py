@@ -818,3 +818,39 @@ def test_streaming_upsert_commits_one_merge_per_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
     assert got[21] == "streamed" and len(got) == 50
+
+    # exactly-once: with a stream_id, the batchId rides in the SAME
+    # commit as the data, so a replay of a committed id is SKIPPED
+    # (not merely idempotent) and an independent stream's progress
+    # survives in the same manifest
+    from amaxa_spark.sources.catalog import _bucket_manifest
+
+    b3 = spark.createDataFrame([(31, "eo1", 1)], "pk long, val string, ver long")
+    m = upsert_batch(
+        spark, path, b3, "pk", ["val", "ver"], order_col="ver",
+        stream_id="s1", batch_id=0,
+    )
+    assert m["streams"] == {"s1": 0}
+    seq_after = m["seq"]
+    # replay of batch 0 -> skipped, no commit
+    assert upsert_batch(
+        spark, path, b3, "pk", ["val", "ver"], order_col="ver",
+        stream_id="s1", batch_id=0,
+    ) is None
+    assert _bucket_manifest(path)["seq"] == seq_after
+    # a second stream's progress merges alongside the first
+    b4 = spark.createDataFrame([(32, "eo2", 1)], "pk long, val string, ver long")
+    m = upsert_batch(
+        spark, path, b4, "pk", ["val", "ver"], order_col="ver",
+        stream_id="s2", batch_id=5,
+    )
+    assert m["streams"] == {"s1": 0, "s2": 5}
+    # next batch of stream 1 advances its own marker only
+    b5 = spark.createDataFrame([(31, "eo3", 2)], "pk long, val string, ver long")
+    m = upsert_batch(
+        spark, path, b5, "pk", ["val", "ver"], order_col="ver",
+        stream_id="s1", batch_id=1,
+    )
+    assert m["streams"] == {"s1": 1, "s2": 5}
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got[31] == "eo3" and got[32] == "eo2"
