@@ -632,6 +632,14 @@ class ConcurrentMergeError(RuntimeError):
     merge's snapshot was read; re-run the merge from the new head."""
 
 
+class StaleStreamBatch(RuntimeError):
+    """A commit tried to record a stream batch marker at or below the
+    marker already committed for that stream — the batch was already
+    applied (possibly by a failed-over twin of the same query).
+    Raised from INSIDE the commit loop, so the check is against the
+    exact head being extended, never a stale pre-read."""
+
+
 def _commit_path(path: str, seq: int) -> str:
     return os.path.join(path, COMMITS_DIR, f"{seq}.json")
 
@@ -740,9 +748,24 @@ def write_versioned_table(
     # same chain (every bucket points at the new generation; old
     # snapshots stay time-travelable until vacuumed) — the pre-chain
     # last-write-wins behavior, now with a linear history. A full
-    # rewrite supersedes whatever concurrent merges committed, so the
-    # unconditional next-seq claim is the right semantics.
-    _claim_next_commit(path, manifest)
+    # rewrite supersedes whatever concurrent merges committed, so
+    # claiming the next seq unconditionally is the right semantics —
+    # but the payload is REBUILT from the head on every attempt:
+    # stream progress markers are PRESERVED across the rewrite (the
+    # streams' already-applied batches must stay skippable, or a
+    # restarting query would replay stale micro-batches onto the new
+    # baseline), and re-reading them per attempt means a marker
+    # committed while we raced is never regressed.
+    while True:
+        head = _commit_chain_head(path)
+        manifest["seq"] = 0 if head is None else head[0] + 1
+        if head is not None and head[1].get("streams"):
+            manifest["streams"] = dict(head[1]["streams"])
+        try:
+            _claim_commit(path, manifest["seq"], manifest)
+            break
+        except FileExistsError:
+            continue
     _publish_manifest(path, manifest)
     return manifest
 
@@ -935,6 +958,8 @@ def merge_into_versioned(
     manifest = _bucket_manifest(path, base_token)
     base_buckets = dict(manifest["buckets"])
     n_buckets = manifest["n_buckets"]
+    import uuid as _uuid
+
     upd = updates.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
     affected = sorted(
         b
@@ -942,6 +967,17 @@ def merge_into_versioned(
         if str(b) in manifest["buckets"]
     )
     if not affected:
+        if extra_meta:
+            # no bucket matched (keys outside the table) but the
+            # caller's metadata — e.g. a stream's batch marker — must
+            # still commit, or "the marker rides with the data" breaks
+            # for exactly these batches
+            new_manifest = _commit_bucket_update(
+                path, manifest, dict(manifest["buckets"]), {},
+                _uuid.uuid4().hex[:12], extra_meta,
+            )
+            _publish_manifest(path, new_manifest)
+            return new_manifest
         return manifest
     cur_paths = [
         os.path.join(path, manifest["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
@@ -988,8 +1024,13 @@ def _commit_bucket_update(
         # carry every manifest field (kind/pk/n_buckets/added_columns/
         # future metadata) from the newest known state; committed_at is
         # re-stamped at publish. extra_meta keys DEEP-merge over dict
-        # values (e.g. per-stream progress maps accumulate across
-        # writers instead of clobbering each other on rebase)
+        # values; the "streams" map is additionally MONOTONIC per
+        # stream — committing a batch marker at or below the head's is
+        # refused (StaleStreamBatch), because blindly overwriting a
+        # newer marker would let a paused stale writer regress both
+        # data and progress (the failover TOCTOU). This runs on the
+        # base AND on every rebase, so it always checks the exact
+        # manifest being extended.
         out = {
             **{k: v for k, v in src.items() if k != "committed_at"},
             "token": token,
@@ -997,7 +1038,16 @@ def _commit_bucket_update(
             "buckets": buckets,
         }
         for k, v in (extra_meta or {}).items():
-            if isinstance(v, dict) and isinstance(out.get(k), dict):
+            if k == "streams" and isinstance(v, dict):
+                cur = out.get("streams", {})
+                for sid, bid in v.items():
+                    if sid in cur and bid <= cur[sid]:
+                        raise StaleStreamBatch(
+                            f"stream {sid!r} batch {bid} is already "
+                            f"committed (head marker {cur[sid]})"
+                        )
+                out[k] = {**cur, **v}
+            elif isinstance(v, dict) and isinstance(out.get(k), dict):
                 out[k] = {**out[k], **v}
             else:
                 out[k] = v

@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from amaxa_spark.sources.catalog import _bucket_manifest, merge_into_versioned
+from amaxa_spark.sources.catalog import (
+    StaleStreamBatch,
+    _bucket_manifest,
+    merge_into_versioned,
+)
 
 
 def latest_per_key(
@@ -72,21 +76,37 @@ def upsert_batch(
     new manifest, or None for an empty or ALREADY-COMMITTED batch.
     With ``stream_id`` + ``batch_id``, progress rides in the commit
     manifest and replays of committed batch ids are skipped
-    (exactly-once). This is the body ``foreachBatch`` runs."""
+    (exactly-once). This is the body ``foreachBatch`` runs.
+
+    FOOTGUN (same as Delta's txnAppId/txnVersion): batch ids belong
+    to a CHECKPOINT. Pointing an old ``stream_id`` at a new or
+    cleared checkpoint restarts batch ids at 0, and genuinely new
+    batches would be skipped as replays — a new checkpoint needs a
+    NEW stream_id."""
     extra = None
     if stream_id is not None and batch_id is not None:
+        # cheap pre-check: skip before paying the bucket rewrite. The
+        # AUTHORITATIVE guard lives inside the commit loop (the
+        # manifest's streams map is monotonic per stream; committing
+        # at-or-below the head's marker raises StaleStreamBatch even
+        # if this pre-read was stale — the failover TOCTOU)
         done = _bucket_manifest(path).get("streams", {}).get(stream_id)
         if done is not None and batch_id <= done:
-            return None  # replay of a committed batch — skip
+            return None
         extra = {"streams": {stream_id: batch_id}}
     upd = latest_per_key(batch, pk, order_col, tiebreak_col).select(
         pk, *set_cols
     )
-    if not upd.take(1):
+    if not upd.take(1) and extra is None:
         return None
-    return merge_into_versioned(
-        spark, path, upd, pk=pk, set_cols=set_cols, extra_meta=extra
-    )
+    try:
+        return merge_into_versioned(
+            spark, path, upd, pk=pk, set_cols=set_cols, extra_meta=extra
+        )
+    except StaleStreamBatch:
+        # a failed-over twin committed this batch while we were
+        # writing; our generation is an invisible orphan (vacuumed)
+        return None
 
 
 def merge_stream_writer(

@@ -854,3 +854,71 @@ def test_streaming_upsert_commits_one_merge_per_batch(spark, tmp_path):
     assert m["streams"] == {"s1": 1, "s2": 5}
     got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
     assert got[31] == "eo3" and got[32] == "eo2"
+
+    # failover TOCTOU: a STALE writer that passed the pre-check but
+    # commits AFTER a newer batch must be refused inside the commit
+    # loop (its rebase would regress data and marker). Simulate by
+    # merging from a pinned old snapshot with an old batch id.
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        StaleStreamBatch,
+        merge_into_versioned,
+    )
+
+    old_token = m["token"]
+    b6 = spark.createDataFrame([(31, "eo4", 3)], "pk long, val string, ver long")
+    m = upsert_batch(
+        spark, path, b6, "pk", ["val", "ver"], order_col="ver",
+        stream_id="s1", batch_id=2,
+    )
+    with _pytest.raises(StaleStreamBatch):
+        merge_into_versioned(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(31, "STALE", 99)], "pk long, val string, ver long"
+            ).select("pk", "val", "ver"),
+            pk="pk",
+            set_cols=["val", "ver"],
+            base_token=old_token,
+            extra_meta={"streams": {"s1": 1}},  # <= committed marker 2
+        )
+    got = {r.pk: r.val for r in read_versioned_table(spark, path).collect()}
+    assert got[31] == "eo4"  # newer batch survived
+
+    # rebase branch merges ANOTHER stream's marker instead of
+    # clobbering: commit from the old snapshot (forces the
+    # FileExistsError path) with a fresh stream id
+    m = merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(33, "eo5", 1)], "pk long, val string, ver long"),
+        pk="pk",
+        set_cols=["val", "ver"],
+        base_token=old_token,
+        extra_meta={"streams": {"s3": 7}},
+    )
+    assert m["streams"] == {"s1": 2, "s2": 5, "s3": 7}
+
+    # a marker-bearing batch whose keys hash outside the table still
+    # commits its marker (metadata-only commit)
+    none_match = spark.createDataFrame(
+        [(999999, "x", 1)], "pk long, val string, ver long"
+    )
+    m = upsert_batch(
+        spark, path, none_match, "pk", ["val", "ver"], order_col="ver",
+        stream_id="s1", batch_id=3,
+    )
+    assert m is not None and m["streams"]["s1"] == 3
+    assert read_versioned_table(spark, path).count() == 50
+
+    # full-rewrite re-init PRESERVES stream markers, so a restarting
+    # query cannot replay stale micro-batches onto the new baseline
+    fresh = spark.createDataFrame([(1, "fresh", 0)], "pk long, val string, ver long")
+    m = write_versioned_table(fresh, path, pk="pk", n_buckets=4)
+    assert m["streams"] == {"s1": 3, "s2": 5, "s3": 7}
+    assert upsert_batch(
+        spark, path, b6, "pk", ["val", "ver"], order_col="ver",
+        stream_id="s1", batch_id=2,
+    ) is None  # stale replay still skipped after re-init
