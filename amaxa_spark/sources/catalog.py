@@ -644,25 +644,67 @@ def _commit_path(path: str, seq: int) -> str:
     return os.path.join(path, COMMITS_DIR, f"{seq}.json")
 
 
+_HEAD_HINT = "HEAD"
+
+
 def _commit_chain_head(path: str):
     """(seq, manifest) of the newest CAS commit, or None if the table
-    predates / lacks a commit chain."""
+    predates / lacks a commit chain.
+
+    Resolution is O(1 + lag), not O(#commits): the advisory ``HEAD``
+    hint names a seq that is known to EXIST (commits are never
+    deleted, so a hint can only lag, never overshoot); the real head
+    is found by probing forward from it until the next seq is absent.
+    A missing/corrupt hint falls back to the full directory listing —
+    streaming workloads append one commit per micro-batch, and without
+    the hint every head read would re-list a directory that grows
+    without bound."""
     import json
 
     cdir = os.path.join(path, COMMITS_DIR)
+    seq = None
     try:
-        seqs = [
-            int(f[: -len(".json")])
-            for f in os.listdir(cdir)
-            if f.endswith(".json")
-        ]
-    except FileNotFoundError:
-        return None
-    if not seqs:
-        return None
-    seq = max(seqs)
+        with open(os.path.join(cdir, _HEAD_HINT)) as f:
+            hint = int(f.read().strip())
+        if os.path.exists(_commit_path(path, hint)):
+            seq = hint
+    except (FileNotFoundError, ValueError):
+        pass
+    if seq is None:
+        try:
+            seqs = [
+                int(f[: -len(".json")])
+                for f in os.listdir(cdir)
+                if f.endswith(".json")
+            ]
+        except FileNotFoundError:
+            return None
+        if not seqs:
+            return None
+        seq = max(seqs)
+    while os.path.exists(_commit_path(path, seq + 1)):
+        seq += 1
     with open(_commit_path(path, seq)) as f:
         return seq, json.load(f)
+
+
+def _write_head_hint(path: str, seq: int) -> None:
+    """Best-effort advisory head pointer (atomic replace; losing a
+    race to a SMALLER value is harmless — the forward probe recovers,
+    and the next claim rewrites it)."""
+    import uuid
+
+    cdir = os.path.join(path, COMMITS_DIR)
+    tmp = os.path.join(cdir, f".head-{uuid.uuid4().hex[:8]}")
+    try:
+        with open(tmp, "w") as f:
+            f.write(str(seq))
+        os.replace(tmp, os.path.join(cdir, _HEAD_HINT))
+    except OSError:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _claim_next_commit(path: str, manifest: dict) -> tuple[int, int]:
@@ -703,6 +745,7 @@ def _claim_commit(path: str, seq: int, manifest: dict) -> None:
         os.link(tmp, _commit_path(path, seq))
     finally:
         os.remove(tmp)
+    _write_head_hint(path, seq)
 
 
 def _bucket_expr(pk: str, n_buckets: int):
