@@ -877,7 +877,11 @@ def strip_repeated_spans(
     normalization only lowercases and collapses separators). This is
     the mode :func:`operators.curate.curate_corpus` uses so downstream
     line-based quality signals stay meaningful; the default stays
-    normalized for the oracle-replayable gate query.
+    normalized for the oracle-replayable gate query. One edge-count
+    difference: empty/whitespace-only docs report ``n_words = 0`` in
+    raw mode (the raw tokenizer finds no tokens) versus 1 in
+    normalized mode (split('') is ['']); ``text_clean`` is '' either
+    way.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     base_cols = [F.col(id_col), words.alias("__w")]

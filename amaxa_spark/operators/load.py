@@ -169,12 +169,22 @@ class LoadOperation:
             from amaxa_spark.metadata import expand_field_group
 
             fields = expand_field_group(meta, df.columns, step.field_group)
-            if step.input_validation != "none":
-                # a field-group input may OMIT columns but never carry
-                # columns outside the group scope (excluded compound/
-                # binary or non-writeable types); string byte-mirrors
-                # `loader/load_operation.py:190-197`
-                excess = sorted(set(df.columns) - set(fields) - {pk})
+            if step.input_validation == "default":
+                # DEFAULT-mode field-group rule (`loader/
+                # load_operation.py:175-197`): the input may OMIT
+                # columns but never carry columns outside the group
+                # scope — and for the 'smart' group the comparand is
+                # the READABLE set (the file was likely pulled with
+                # smart == readable), not the writeable expansion.
+                # Strict-mode group validation falls through to the
+                # 1:1 scope comparison below, exactly like the
+                # reference's else-branch — ONE error per case.
+                comparand = (
+                    expand_field_group(meta, df.columns, "readable")
+                    if step.field_group == "smart"
+                    else fields
+                )
+                excess = sorted(set(df.columns) - set(comparand) - {pk})
                 if excess:
                     errors.append(
                         "Input file for sObject {} contains excess "

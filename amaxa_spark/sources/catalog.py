@@ -802,8 +802,15 @@ def write_versioned_table(
     while True:
         head = _commit_chain_head(path)
         manifest["seq"] = 0 if head is None else head[0] + 1
-        if head is not None and head[1].get("streams"):
-            manifest["streams"] = dict(head[1]["streams"])
+        if head is not None:
+            # stream markers AND schema-evolution metadata both
+            # survive a re-init: live exactly-once streams must keep
+            # skipping applied batches, and their set_cols may target
+            # ALTER-added columns the new baseline fills by default
+            # (delete the table directory for a truly clean slate)
+            for key in ("streams", "added_columns"):
+                if head[1].get(key):
+                    manifest[key] = dict(head[1][key])
         try:
             _claim_commit(path, manifest["seq"], manifest)
             break
@@ -1001,8 +1008,6 @@ def merge_into_versioned(
     manifest = _bucket_manifest(path, base_token)
     base_buckets = dict(manifest["buckets"])
     n_buckets = manifest["n_buckets"]
-    import uuid as _uuid
-
     upd = updates.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
     affected = sorted(
         b
@@ -1017,7 +1022,7 @@ def merge_into_versioned(
             # for exactly these batches
             new_manifest = _commit_bucket_update(
                 path, manifest, dict(manifest["buckets"]), {},
-                _uuid.uuid4().hex[:12], extra_meta,
+                uuid.uuid4().hex[:12], extra_meta,
             )
             _publish_manifest(path, new_manifest)
             return new_manifest
@@ -1403,6 +1408,19 @@ def merge_into_versioned_db(
     import uuid
 
     manifest = _db_manifest(path, base_token)
+    # validate the whole transaction BEFORE writing any generation —
+    # a typo'd table name must not leave earlier tables' files behind
+    # as orphans mid-loop
+    for name in updates:
+        if name not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {name!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+        if name not in set_cols:
+            raise ValueError(
+                f"{path}: updates for table {name!r} have no set_cols entry"
+            )
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
     ours: dict[str, dict[str, str]] = {}

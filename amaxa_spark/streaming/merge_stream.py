@@ -97,7 +97,13 @@ def upsert_batch(
     upd = latest_per_key(batch, pk, order_col, tiebreak_col).select(
         pk, *set_cols
     )
-    if not upd.take(1) and extra is None:
+    if not upd.take(1):
+        # EMPTY batches commit nothing — not even a marker: an idle
+        # exactly-once stream must not append one chain commit per
+        # trigger, and an empty batch's replay is indistinguishable
+        # from the original (both no-ops). A NON-empty batch whose
+        # keys all miss the table still advances its marker below
+        # (metadata-only commit inside merge_into_versioned).
         return None
     try:
         return merge_into_versioned(
