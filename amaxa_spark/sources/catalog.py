@@ -1451,7 +1451,23 @@ def merge_into_versioned_db(
         ours[name] = {str(b): gen for b in affected}
     if not ours:
         return manifest
-    base_tables = {n: dict(t["buckets"]) for n, t in manifest["tables"].items()}
+    new_manifest = _commit_db_update(path, manifest, ours, token)
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def _commit_db_update(
+    path: str, base_manifest: dict, ours: dict[str, dict[str, str]], token: str
+) -> dict:
+    """The database-level CAS commit loop shared by transactional
+    MERGE and OPTIMIZE: claim the next seq; on a lost race, rebase
+    when EVERY table's rewritten buckets are untouched since the
+    snapshot, and raise :class:`ConcurrentMergeError` when any table
+    conflicts or was dropped by an intervening full rewrite (a partial
+    rebase would tear the transaction)."""
+    base_tables = {
+        n: dict(t["buckets"]) for n, t in base_manifest["tables"].items()
+    }
 
     def stamped(tables_full: dict) -> dict:
         # the (head) snapshot defines the table set; our rewritten
@@ -1462,17 +1478,17 @@ def merge_into_versioned_db(
             for n, t in tables_full.items()
         }
 
-    seq = int(manifest.get("seq", 0)) + 1
+    seq = int(base_manifest.get("seq", 0)) + 1
     new_manifest = {
+        **{k: v for k, v in base_manifest.items() if k != "committed_at"},
         "token": token,
-        "kind": "versioned-db",
         "seq": seq,
-        "tables": stamped(manifest["tables"]),
+        "tables": stamped(base_manifest["tables"]),
     }
     while True:
         try:
             _claim_commit(path, seq, new_manifest)
-            break
+            return new_manifest
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
             for name, buckets in ours.items():
@@ -1502,8 +1518,65 @@ def merge_into_versioned_db(
                 "seq": seq,
                 "tables": stamped(head["tables"]),
             }
+
+
+def optimize_versioned_db(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 1,
+    base_token: str | None = None,
+) -> tuple[dict, list[str]]:
+    """Small-file compaction for the transactional layout — the db
+    twin of :func:`optimize_versioned`: every table's fragmented
+    buckets (more than ``max_files`` part files) rewrite
+    one-file-per-bucket under ONE shared-token generation and commit
+    as ONE transaction. Returns ``(manifest, ["table/bucket", ...])``;
+    concurrency follows the transactional MERGE rules."""
+    import uuid
+
+    if max_files < 1:
+        raise ValueError(f"max_files must be >= 1, got {max_files}")
+    manifest = _db_manifest(path, base_token)
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    ours: dict[str, dict[str, str]] = {}
+    compacted: list[str] = []
+    for name, t in manifest["tables"].items():
+        candidates = []
+        for b, g in t["buckets"].items():
+            bdir = os.path.join(path, name, g, f"{MERGE_BUCKET_COL}={b}")
+            try:
+                n_files = sum(
+                    1 for f in os.listdir(bdir)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+            except FileNotFoundError:
+                continue
+            if n_files > max_files:
+                candidates.append(int(b))
+        if not candidates:
+            continue
+        candidates.sort()
+        cur = [
+            os.path.join(path, name, t["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
+            for b in candidates
+        ]
+        pk, nb = t["pk"], t["n_buckets"]
+        (
+            spark.read.parquet(*cur)
+            .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
+            .repartition(len(candidates), F.col(MERGE_BUCKET_COL))
+            .write.mode("errorifexists")
+            .partitionBy(MERGE_BUCKET_COL)
+            .parquet(os.path.join(path, name, gen))
+        )
+        ours[name] = {str(b): gen for b in candidates}
+        compacted.extend(f"{name}/{b}" for b in candidates)
+    if not ours:
+        return manifest, []
+    new_manifest = _commit_db_update(path, manifest, ours, token)
     _publish_manifest(path, new_manifest)
-    return new_manifest
+    return new_manifest, compacted
 
 
 def vacuum_versioned_db(

@@ -922,3 +922,70 @@ def test_streaming_upsert_commits_one_merge_per_batch(spark, tmp_path):
         spark, path, b6, "pk", ["val", "ver"], order_col="ver",
         stream_id="s1", batch_id=2,
     ) is None  # stale replay still skipped after re-init
+
+
+def test_optimize_versioned_db_compacts_across_tables(spark, tmp_path):
+    """The db OPTIMIZE twin: fragmented buckets of EVERY table compact
+    one-file-per-bucket in ONE transaction; data identical, old
+    transaction still time-travels, idempotent re-run commits
+    nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        MERGE_BUCKET_COL,
+        optimize_versioned_db,
+        read_versioned_db,
+        write_versioned_db,
+    )
+
+    path = str(tmp_path / "db_opt")
+    docs = (
+        spark.range(200)
+        .repartition(16)
+        .select(F.col("id").alias("doc_id"), (F.col("id") * 2).alias("x"))
+    )
+    embs = (
+        spark.range(100)
+        .repartition(16)
+        .select(F.col("id").alias("vec_id"), (F.col("id") * 5).alias("y"))
+    )
+    m0 = write_versioned_db(
+        spark, path, {"documents": docs, "embeddings": embs},
+        pks={"documents": "doc_id", "embeddings": "vec_id"}, n_buckets=4,
+    )
+
+    def files(name, manifest):
+        t = manifest["tables"][name]
+        return {
+            int(b): sum(
+                1
+                for f in os.listdir(
+                    os.path.join(path, name, g, f"{MERGE_BUCKET_COL}={b}")
+                )
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            for b, g in t["buckets"].items()
+        }
+
+    assert max(files("documents", m0).values()) > 1
+    m1, compacted = optimize_versioned_db(spark, path, max_files=1)
+    assert m1["seq"] == m0["seq"] + 1
+    assert any(c.startswith("documents/") for c in compacted)
+    assert any(c.startswith("embeddings/") for c in compacted)
+    for name in ("documents", "embeddings"):
+        post = files(name, m1)
+        for c in compacted:
+            t, b = c.split("/")
+            if t == name:
+                assert post[int(b)] == 1
+    d = {r.doc_id: r.x for r in read_versioned_db(spark, path, "documents").collect()}
+    assert d == {i: i * 2 for i in range(200)}
+    e = {r.vec_id: r.y for r in read_versioned_db(spark, path, "embeddings").collect()}
+    assert e == {i: i * 5 for i in range(100)}
+    assert read_versioned_db(
+        spark, path, "documents", token=m0["token"]
+    ).count() == 200
+    m2, again = optimize_versioned_db(spark, path, max_files=1)
+    assert again == [] and m2["seq"] == m1["seq"]
