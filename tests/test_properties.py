@@ -534,3 +534,54 @@ def test_asof_forward_matches_naive(spark):
             cands = [(rt, v) for rt, v in rd.get(k, []) if rt >= lt]
             want = min(cands)[1] if cands else None
             assert got[i] == want, (seed, i)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(h, w, seed):
+    """PROPERTY: decode_png(encode_png(px)) == px for arbitrary image
+    dimensions and pixel content — the encoder's y%5 filter schedule
+    means any image of height >= 5 exercises every scanline filter,
+    and hypothesis's shrinking pins failures to minimal dims."""
+    import numpy as np
+
+    from amaxa_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    m = MM.decode_png(MM.encode_png(px))
+    assert m is not None
+    assert (m["width"], m["height"]) == (w, h)
+    assert (m["pixels"] == px).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_real_matches_integer_mapping_property(sh, sw, dh, dw, seed):
+    """PROPERTY: resize_real's nearest-neighbor output equals the
+    documented integer mapping src = (dst * src_dim) // dst_dim for
+    BOTH codecs, any source/destination shape."""
+    import numpy as np
+
+    from amaxa_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(sh, sw, 3), dtype=np.uint8)
+    xs = (np.arange(dw) * sw) // dw
+    ys = (np.arange(dh) * sh) // dh
+    want = px[ys][:, xs]
+    for encode, decode in ((MM.encode_png, MM.decode_png),
+                           (MM.encode_bmp, MM.decode_bmp)):
+        out = decode(MM.resize_real(encode(px), dw, dh))
+        assert (out["width"], out["height"]) == (dw, dh)
+        assert (out["pixels"] == want).all()
