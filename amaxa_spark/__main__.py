@@ -400,6 +400,10 @@ def main(argv: list[str] | None = None) -> int:
             {t: d for t, (d, _) in prepared.items()},
             pks={t: registry[t].pk for t in prepared},
             n_buckets=args.merge_db,
+            # advisory per-table write options (e.g. maxRecordsPerFile
+            # from bulk-api-batch-size) apply on this layout exactly
+            # as they do for --atomic
+            write_options={t: w for t, (_, w) in prepared.items()},
         )
         counts = {t: e["rows"] for t, e in m["tables"].items()}
         print(f"committed transaction {m['token']} (seq {m['seq']})")

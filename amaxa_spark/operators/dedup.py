@@ -870,7 +870,8 @@ def strip_repeated_spans(
 
     ``preserve_raw=True`` reassembles ``text_clean`` from the RAW
     token stream instead of the normalized one: each raw token is a
-    ``\\S+`` run carrying its trailing whitespace, so casing, newlines
+    ``\\S+`` run carrying its trailing whitespace (the first also
+    carries the document's leading whitespace), so casing, newlines
     and spacing of the surviving text are preserved byte-for-byte.
     Duplicate DETECTION is unchanged (shingles always match on the
     normalized form — the two streams have identical positions, since
@@ -886,9 +887,16 @@ def strip_repeated_spans(
     words = F.split(normalize_text(F.col(text_col)), " ")
     base_cols = [F.col(id_col), words.alias("__w")]
     if preserve_raw:
+        # each raw token is a \S+ run plus its TRAILING whitespace; the
+        # document's LEADING whitespace belongs to no such run, so
+        # matching \s*\S+\s* instead folds it into the first token —
+        # without it, text starting with spaces/newlines would lose
+        # them on reassembly (the match count, and hence the positional
+        # alignment with the normalized word stream, is unchanged:
+        # after any match the next leading \s* is always empty)
         base_cols.append(
             F.regexp_extract_all(
-                F.col(text_col), F.lit(r"\S+\s*"), 0
+                F.col(text_col), F.lit(r"\s*\S+\s*"), 0
             ).alias("__r")
         )
     base = df.select(*base_cols)

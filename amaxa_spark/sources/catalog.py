@@ -550,6 +550,29 @@ def _apply_matched_updates(
     return merged.drop("__u_pk", *[f"__u_{c}" for c in set_cols])
 
 
+def _unmatched_inserts(
+    table: DataFrame, updates: DataFrame, pk: str, set_cols: list[str]
+) -> DataFrame:
+    """WHEN NOT MATCHED THEN INSERT rows, aligned to the target
+    schema: update keys absent from the target (anti-join — exact,
+    because each key's bucket is a pure pk-hash, so "not in its own
+    bucket" is "not in the table") become new rows carrying pk +
+    set_cols; every other target column is NULL (ALTER-added columns
+    still read as their default via :func:`_fill_added_columns`)."""
+    keep = {pk, *set_cols}
+    new_rows = updates.join(table.select(pk), pk, "left_anti")
+    return new_rows.select(
+        *[
+            (
+                F.col(c)
+                if c in keep
+                else F.lit(None).cast(table.schema[c].dataType)
+            ).alias(c)
+            for c in table.columns
+        ]
+    )
+
+
 def merge_into_partitioned(
     spark,
     path: str,
@@ -894,6 +917,35 @@ def _read_maybe_merged(spark: SparkSession, manifest: dict, *paths) -> DataFrame
     return reader.parquet(*paths)
 
 
+def _footer_columns(*bucket_dirs: str) -> set[str]:
+    """Physical column names read straight from one parquet footer
+    (pyarrow — no SparkSession needed). One footer is representative:
+    every write lands the full frame schema in every bucket, and the
+    only schema divergence between generations is ALTER-added columns,
+    which are checked against the manifest separately."""
+    import pyarrow.parquet as pq
+
+    for bdir in bucket_dirs:
+        try:
+            names = sorted(os.listdir(bdir))
+        except FileNotFoundError:
+            continue
+        for f in names:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                return set(pq.read_schema(os.path.join(bdir, f)).names)
+    return set()
+
+
+def _physical_columns_from_footer(path: str) -> set[str]:
+    manifest = _bucket_manifest(path)
+    return _footer_columns(
+        *(
+            os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+            for b, gen in sorted(manifest["buckets"].items())
+        )
+    )
+
+
 def alter_versioned_add_columns(
     path: str,
     columns: dict[str, tuple[str, object]],
@@ -919,9 +971,12 @@ def alter_versioned_add_columns(
     scan: the type must parse, redefining an existing added column is
     rejected (merge-touched buckets have the old default physically
     baked in — a redefinition would make values depend on historical
-    merge traffic), and with ``spark`` supplied, collisions with the
-    table's physical columns are rejected too (their existing NULLs
-    would silently become the default).
+    merge traffic), the reserved bucket column is rejected, and
+    collisions with the table's physical columns are ALWAYS rejected
+    (their existing NULLs would silently become the default on every
+    read) — via the live session's schema when ``spark`` is supplied,
+    else by reading one parquet footer directly (pyarrow), so calling
+    without a session is no less safe.
 
     At 100 TB this is the only sane ALTER: a physical backfill of a
     new column is a full-table rewrite; deferring materialization to
@@ -938,9 +993,10 @@ def alter_versioned_add_columns(
             raise ValueError(
                 f"invalid Spark type {dtype!r} for added column {col!r}: {e}"
             ) from e
-    physical: set[str] = set()
     if spark is not None:
         physical = set(read_versioned_table(spark, path).columns)
+    else:
+        physical = _physical_columns_from_footer(path)
     token = uuid.uuid4().hex[:12]
     while True:
         # the head IS the base — re-read and rebuild on every claim
@@ -954,6 +1010,11 @@ def alter_versioned_add_columns(
                 raise ValueError(
                     f"column {col!r} is already an added column; "
                     "redefinition is not supported"
+                )
+            if col == MERGE_BUCKET_COL:
+                raise ValueError(
+                    f"column name {col!r} is reserved for the bucket "
+                    "partition column"
                 )
             if col in physical - {MERGE_BUCKET_COL}:
                 raise ValueError(
@@ -983,12 +1044,21 @@ def merge_into_versioned(
     set_cols: list[str],
     base_token: str | None = None,
     extra_meta: dict | None = None,
+    not_matched: str = "ignore",
 ) -> dict:
-    """Atomic MERGE ... WHEN MATCHED THEN UPDATE: affected buckets are
-    rewritten under a NEW generation directory; untouched buckets keep
-    their existing files byte-for-byte (the new manifest still points
-    at them); claiming the next CAS commit is THE commit. Returns the
-    new manifest (its ``buckets`` map shows exactly what moved).
+    """Atomic MERGE: affected buckets are rewritten under a NEW
+    generation directory; untouched buckets keep their existing files
+    byte-for-byte (the new manifest still points at them); claiming
+    the next CAS commit is THE commit. Returns the new manifest (its
+    ``buckets`` map shows exactly what moved).
+
+    ``not_matched`` picks the WHEN NOT MATCHED clause: ``"ignore"``
+    (default — update-only, keys absent from the target are dropped)
+    or ``"insert"`` (true upsert — unmatched keys become new rows
+    carrying pk + set_cols, NULL elsewhere, landing in their pk-hash
+    buckets; buckets not yet in the manifest are created). Insert
+    keys outside every existing bucket still commit atomically on the
+    same chain.
 
     Concurrency: the merge reads its snapshot (``base_token`` pins an
     explicit one — the optimistic-concurrency hook; default = current
@@ -1005,14 +1075,21 @@ def merge_into_versioned(
     into the same atomic commit as the data."""
     import uuid
 
+    if not_matched not in ("ignore", "insert"):
+        raise ValueError(
+            f"not_matched must be 'ignore' or 'insert', got {not_matched!r}"
+        )
     manifest = _bucket_manifest(path, base_token)
     base_buckets = dict(manifest["buckets"])
     n_buckets = manifest["n_buckets"]
     upd = updates.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
-    affected = sorted(
-        b
-        for (b,) in upd.select(MERGE_BUCKET_COL).distinct().collect()
-        if str(b) in manifest["buckets"]
+    upd_buckets = sorted(
+        b for (b,) in upd.select(MERGE_BUCKET_COL).distinct().collect()
+    )
+    affected = (
+        upd_buckets
+        if not_matched == "insert"
+        else [b for b in upd_buckets if str(b) in manifest["buckets"]]
     )
     if not affected:
         if extra_meta:
@@ -1030,7 +1107,20 @@ def merge_into_versioned(
     cur_paths = [
         os.path.join(path, manifest["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in affected
+        if str(b) in manifest["buckets"]
     ]
+    if not cur_paths:
+        # insert-only commit into brand-new buckets: the target schema
+        # (for NULL-aligning the inserts) still comes from the table
+        first = next(iter(sorted(manifest["buckets"].items())), None)
+        if first is None:
+            raise FileNotFoundError(f"{path}: empty versioned table")
+        cur_paths = [
+            os.path.join(path, first[1], f"{MERGE_BUCKET_COL}={first[0]}")
+        ]
+        schema_only = True
+    else:
+        schema_only = False
     # merged-schema read + fill: affected buckets may span pre- and
     # post-ALTER generations; the rewrite MATERIALIZES any metadata-
     # added columns for these buckets (the incremental backfill the
@@ -1038,7 +1128,11 @@ def merge_into_versioned(
     table = _fill_added_columns(
         _read_maybe_merged(spark, manifest, *cur_paths), manifest
     )
+    if schema_only:
+        table = table.limit(0)
     merged = _apply_matched_updates(table, upd, pk, set_cols)
+    if not_matched == "insert":
+        merged = merged.unionByName(_unmatched_inserts(table, upd, pk, set_cols))
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
     (
@@ -1311,11 +1405,15 @@ def write_versioned_db(
     tables: dict[str, DataFrame],
     pks: dict[str, str],
     n_buckets: int | dict[str, int] = 64,
+    write_options: dict[str, dict] | None = None,
 ) -> dict:
     """Initial (or full-rewrite) commit of a multi-table versioned
     database: every table's data lands under a fresh shared-token
     generation, then ONE chain commit publishes them all — all tables
-    appear together or not at all."""
+    appear together or not at all. ``write_options`` maps table name
+    to per-table DataFrameWriter options (same contract as
+    :func:`atomic_load_publish` — advisory parquet tuning like
+    ``maxRecordsPerFile`` must not silently no-op on this layout)."""
     import uuid
 
     token = uuid.uuid4().hex[:12]
@@ -1326,7 +1424,10 @@ def write_versioned_db(
         pk = pks[name]
         out = df.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
         tdir = os.path.join(path, name, gen)
-        out.write.mode("errorifexists").partitionBy(MERGE_BUCKET_COL).parquet(tdir)
+        w = out.write.mode("errorifexists")
+        for k, v in ((write_options or {}).get(name) or {}).items():
+            w = w.option(k, v)
+        w.partitionBy(MERGE_BUCKET_COL).parquet(tdir)
         entry[name] = {
             "pk": pk,
             "n_buckets": nb,

@@ -1,6 +1,13 @@
 """Streaming upsert sink onto the versioned bucket layout — the
 Delta-streaming-sink twin built on the engine's own commit protocol.
 
+A TRUE upsert by default: matched keys update, UNMATCHED keys INSERT
+as new rows (pk + set_cols, NULL elsewhere) — a stream of brand-new
+entities lands, it is not silently dropped. Pass
+``not_matched="ignore"`` for update-only semantics (unmatched keys
+are then discarded by design, with the batch's progress marker still
+committed).
+
 ``foreachBatch`` is the right integration point (exactly how Delta's
 own MERGE-from-stream is written): each micro-batch's rows reduce to
 at most one update per primary key and then run through the SAME
@@ -49,10 +56,24 @@ def latest_per_key(
     """Reduce a micro-batch to its LAST update per key (deterministic
     (order_col, tiebreak) order) — MERGE requires at most one update
     row per pk, and within one batch the last write wins, exactly like
-    replaying the batch row-by-row would."""
+    replaying the batch row-by-row would.
+
+    Without ``tiebreak_col`` the tiebreak falls back to ALL remaining
+    columns (descending) — row_number over a non-unique order would
+    pick an arbitrary row among equal ``order_col`` values, and a
+    foreachBatch retry could then commit a DIFFERENT value than the
+    first attempt, breaking the at-least-once "replay is idempotent on
+    the data" contract. The all-column order makes the pick a pure
+    function of the batch's row multiset."""
     order = [F.col(order_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).desc())
+    else:
+        order.extend(
+            F.col(c).desc()
+            for c in batch.columns
+            if c not in (pk, order_col)
+        )
     w = Window.partitionBy(pk).orderBy(*order)
     return (
         batch.withColumn("__rn", F.row_number().over(w))
@@ -71,12 +92,15 @@ def upsert_batch(
     tiebreak_col: str | None = None,
     stream_id: str | None = None,
     batch_id: int | None = None,
+    not_matched: str = "insert",
 ) -> dict | None:
     """Apply one micro-batch as one atomic MERGE commit; returns the
     new manifest, or None for an empty or ALREADY-COMMITTED batch.
     With ``stream_id`` + ``batch_id``, progress rides in the commit
     manifest and replays of committed batch ids are skipped
     (exactly-once). This is the body ``foreachBatch`` runs.
+    ``not_matched="insert"`` (default) makes unmatched keys new rows;
+    ``"ignore"`` drops them (update-only).
 
     FOOTGUN (same as Delta's txnAppId/txnVersion): batch ids belong
     to a CHECKPOINT. Pointing an old ``stream_id`` at a new or
@@ -107,7 +131,8 @@ def upsert_batch(
         return None
     try:
         return merge_into_versioned(
-            spark, path, upd, pk=pk, set_cols=set_cols, extra_meta=extra
+            spark, path, upd, pk=pk, set_cols=set_cols, extra_meta=extra,
+            not_matched=not_matched,
         )
     except StaleStreamBatch:
         # a failed-over twin committed this batch while we were
@@ -124,17 +149,20 @@ def merge_stream_writer(
     tiebreak_col: str | None = None,
     checkpoint_dir: str | None = None,
     stream_id: str | None = None,
+    not_matched: str = "insert",
 ):
     """Wire a streaming DataFrame to the versioned table: returns the
     ``DataStreamWriter`` (caller starts/stops it). Each micro-batch
     commits atomically through the chain; pass ``stream_id`` for
-    exactly-once replay protection."""
+    exactly-once replay protection. Unmatched keys insert by default
+    (``not_matched="ignore"`` for update-only)."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         upsert_batch(
             batch.sparkSession, path, batch, pk, set_cols,
             order_col, tiebreak_col,
             stream_id=stream_id, batch_id=batch_id,
+            not_matched=not_matched,
         )
 
     w = stream.writeStream.foreachBatch(_apply).outputMode("update")

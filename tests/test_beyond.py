@@ -2343,6 +2343,25 @@ def test_strip_duplicated_lines(spark):
     assert out[4].text_clean == rows[3][1]
 
 
+def test_strip_spans_preserve_raw_keeps_leading_whitespace(spark):
+    """Raw-mode reassembly must be byte-for-byte for untouched docs —
+    including a document's LEADING whitespace (the \\S+\\s* tokenizer
+    alone would silently drop leading blank lines, shifting line-based
+    downstream signals)."""
+    from amaxa_spark.operators import dedup as D
+
+    txt = "\n\n  Leading blanks KEPT\nand Casing\ttoo"
+    rows = [(1, txt), (2, "totally different words entirely in here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text_clean
+        for r in D.strip_repeated_spans(
+            df, "text", "doc_id", preserve_raw=True
+        ).collect()
+    }
+    assert out[1] == txt  # nothing shared -> byte-identical, blanks intact
+
+
 def test_curate_with_strip_stages(spark, sf_dir):
     """curate_corpus with strip_spans pre-stage: the stripped frame is
     exposed, never longer than the source text, and the downstream

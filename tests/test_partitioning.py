@@ -754,8 +754,108 @@ def test_versioned_alter_add_column_is_metadata_only(spark, tmp_path):
         alter_versioned_add_columns(path, {"quality": ("double", 2.0)})
     with _pytest.raises(ValueError, match="already exists in the table"):
         alter_versioned_add_columns(path, {"val": ("string", "x")}, spark=spark)
+    # the physical-collision check is MANDATORY: without a session it
+    # reads a parquet footer directly — adding an already-physical
+    # column must fail here too, or every future read would silently
+    # rewrite that column's genuine NULLs to the default
+    with _pytest.raises(ValueError, match="already exists in the table"):
+        alter_versioned_add_columns(path, {"val": ("string", "x")})
+    from amaxa_spark.sources.catalog import MERGE_BUCKET_COL
+
+    with _pytest.raises(ValueError, match="reserved"):
+        alter_versioned_add_columns(path, {MERGE_BUCKET_COL: ("int", 0)})
     # none of the rejected alters committed anything
     assert read_versioned_table(spark, path).count() == 100
+
+
+def test_versioned_merge_insert_unmatched(spark, tmp_path):
+    """MERGE WHEN NOT MATCHED THEN INSERT: unmatched keys become new
+    rows (pk + set_cols, NULL elsewhere), landing in their pk-hash
+    buckets — including buckets the manifest has never seen; default
+    mode still drops them; ALTER-added defaults apply to inserts."""
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_insert")
+    base = spark.createDataFrame(
+        [(0, "old", 1.5)], "pk long, val string, score double"
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=8)
+    assert len(m0["buckets"]) == 1  # one row -> one bucket present
+
+    upd = spark.createDataFrame(
+        [(0, "upd")] + [(i, f"new{i}") for i in range(1, 20)],
+        "pk long, val string",
+    )
+    m1 = merge_into_versioned(
+        spark, path, upd, pk="pk", set_cols=["val"], not_matched="insert"
+    )
+    rows = {r.pk: (r.val, r.score) for r in read_versioned_table(spark, path).collect()}
+    assert rows[0] == ("upd", 1.5)  # matched: updated, others kept
+    assert rows[7] == ("new7", None)  # inserted: unspecified cols NULL
+    assert len(rows) == 20
+    assert len(m1["buckets"]) > 1  # brand-new buckets were created
+    # pre-insert snapshot time-travels without the new keys
+    assert read_versioned_table(spark, path, token=m0["token"]).count() == 1
+
+    # default (update-only) mode still drops unmatched keys
+    merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(999, "x")], "pk long, val string"),
+        pk="pk",
+        set_cols=["val"],
+    )
+    assert read_versioned_table(spark, path).count() == 20
+
+    # inserts after an ALTER read the added column's default
+    alter_versioned_add_columns(path, {"lang": ("string", "en")})
+    merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([(100, "later")], "pk long, val string"),
+        pk="pk",
+        set_cols=["val"],
+        not_matched="insert",
+    )
+    got = (
+        read_versioned_table(spark, path)
+        .where(F.col("pk") == 100)
+        .select("val", "lang", "score")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [("later", "en", None)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not_matched"):
+        merge_into_versioned(
+            spark, path, upd, pk="pk", set_cols=["val"], not_matched="upsert"
+        )
+
+
+def test_latest_per_key_default_tiebreak_is_deterministic(spark):
+    """Equal order_col values must reduce to the SAME row on every
+    evaluation (foreachBatch retries re-run the reduction): without an
+    explicit tiebreak the order falls back to all remaining columns."""
+    from amaxa_spark.streaming.merge_stream import latest_per_key
+
+    batch = spark.createDataFrame(
+        [(1, "a", 7), (1, "b", 7), (1, "c", 3), (2, "x", 1)],
+        "pk long, val string, ver long",
+    )
+    for _ in range(3):
+        got = {
+            r.pk: r.val
+            for r in latest_per_key(batch, "pk", "ver").collect()
+        }
+        assert got == {1: "b", 2: "x"}  # max ver, then max val
 
 
 def test_streaming_upsert_commits_one_merge_per_batch(spark, tmp_path):
@@ -901,23 +1001,37 @@ def test_streaming_upsert_commits_one_merge_per_batch(spark, tmp_path):
     )
     assert m["streams"] == {"s1": 2, "s2": 5, "s3": 7}
 
-    # a marker-bearing batch whose keys hash outside the table still
-    # commits its marker (metadata-only commit)
+    # update-only mode: a marker-bearing batch whose keys hash outside
+    # the table still commits its marker (metadata-only commit) and
+    # the unmatched key is dropped by design
     none_match = spark.createDataFrame(
         [(999999, "x", 1)], "pk long, val string, ver long"
     )
     m = upsert_batch(
         spark, path, none_match, "pk", ["val", "ver"], order_col="ver",
-        stream_id="s1", batch_id=3,
+        stream_id="s1", batch_id=3, not_matched="ignore",
     )
     assert m is not None and m["streams"]["s1"] == 3
     assert read_versioned_table(spark, path).count() == 50
+
+    # default mode is a TRUE upsert: the same brand-new key INSERTS
+    # (pk + set_cols, NULL elsewhere) instead of vanishing
+    m = upsert_batch(
+        spark, path, none_match, "pk", ["val", "ver"], order_col="ver",
+        stream_id="s1", batch_id=4,
+    )
+    assert m is not None and m["streams"]["s1"] == 4
+    inserted = (
+        read_versioned_table(spark, path).where(F.col("pk") == 999999).collect()
+    )
+    assert len(inserted) == 1 and inserted[0].val == "x"
+    assert read_versioned_table(spark, path).count() == 51
 
     # full-rewrite re-init PRESERVES stream markers, so a restarting
     # query cannot replay stale micro-batches onto the new baseline
     fresh = spark.createDataFrame([(1, "fresh", 0)], "pk long, val string, ver long")
     m = write_versioned_table(fresh, path, pk="pk", n_buckets=4)
-    assert m["streams"] == {"s1": 3, "s2": 5, "s3": 7}
+    assert m["streams"] == {"s1": 4, "s2": 5, "s3": 7}
     assert upsert_batch(
         spark, path, b6, "pk", ["val", "ver"], order_col="ver",
         stream_id="s1", batch_id=2,
