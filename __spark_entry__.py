@@ -522,7 +522,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # explodes; 4-gram shingles keep all planted near-dup pairs while
     # cutting pair cost ~200x (measured at sf0.1)
     return D.ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "text", "doc_id", n=4, threshold=0.3
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=4,
+        threshold=0.3, max_doc_freq=_JACCARD_MAX_DF,
     )
 
 
@@ -552,7 +553,8 @@ def q_dedup_clusters(spark, sf_dir):
     min id (the canonical keeper). Oracle replays the reachability
     with a recursive CTE."""
     pairs = D.ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "text", "doc_id", n=4, threshold=0.3
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=4,
+        threshold=0.3, max_doc_freq=_JACCARD_MAX_DF,
     )
     return D.cluster_duplicates(pairs)
 
@@ -563,7 +565,10 @@ def q_dedup_representatives(spark, sf_dir):
     record. One id join + one per-cluster window on duplicate-sized
     frames."""
     docs = _read(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=4, threshold=0.3)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=4, threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
     clusters = D.cluster_duplicates(pairs)
     out = D.select_representatives(
         clusters, docs.select(F.col("doc_id").alias("id"), "n_chars"),
@@ -1424,7 +1429,10 @@ def q_group_split(spark, sf_dir):
     from amaxa_spark.operators.sampling import group_split
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=4, threshold=0.3)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=4, threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
     clusters = D.cluster_duplicates(pairs)
     keyed = (
         docs.select("doc_id")
@@ -1443,7 +1451,10 @@ def q_dedup_kept(spark, sf_dir):
     canonicalization (cluster losers anti-joined away) — the
     end-state of the dedup pipeline as one composable query."""
     docs = _read(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=4, threshold=0.3)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=4, threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
     clusters = D.cluster_duplicates(pairs)
     reps = D.select_representatives(
         clusters, docs.select(F.col("doc_id").alias("id"), "n_chars"),
@@ -1490,7 +1501,10 @@ def q_split_leakage(spark, sf_dir):
     from amaxa_spark.operators.sampling import hash_split, split_leakage
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=4, threshold=0.3)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=4, threshold=0.3,
+        max_doc_freq=_JACCARD_MAX_DF,
+    )
     clusters = D.cluster_duplicates(pairs)
     splits = hash_split(docs.select("doc_id"), "doc_id").select(
         F.col("doc_id").alias("id"), "split"
@@ -2923,6 +2937,15 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# Stop-shingle cap used by every exact-Jaccard gate query (Spark side
+# passes the same value as max_doc_freq): shingles in more than this
+# many docs are excluded from PAIRING (doc shingle sizes still count
+# them), bounding the inverted-index self-join at O(cap^2) rows per
+# shingle instead of O(df^2) — the guard that keeps the pipeline
+# 100x-safe when a boilerplate shingle goes corpus-wide. 256 is far
+# above this corpus's max df (6 at sf0.1), so results are unchanged;
+# the oracle mirrors the cap so Spark and DuckDB agree at ANY scale.
+_JACCARD_MAX_DF = 256
 # shared CTE chain for the near-dup connected-components oracle —
 # reused by dedup_clusters and dedup_representatives so the two stay
 # in lockstep
@@ -2931,8 +2954,10 @@ _CLUSTERS_CTES = (
     "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
     f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
     "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN (SELECT s FROM sh "
+    f"GROUP BY s HAVING count(*) <= {_JACCARD_MAX_DF}) f USING (s)), "
     "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
     "pairs AS (SELECT id_a, id_b FROM inter "
     "JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
     "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3), "
@@ -3314,8 +3339,10 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
             f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
             "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN (SELECT s FROM sh "
+            f"GROUP BY s HAVING count(*) <= {_JACCARD_MAX_DF}) f USING (s)), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3"

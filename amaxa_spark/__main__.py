@@ -108,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
         help="curate: Gopher required-stopword floor (paper default 2)",
     )
     p.add_argument(
+        "--max-doc-freq",
+        type=int,
+        default=256,
+        help="curate: stop-shingle cap for near-dup pairing — shingles "
+        "in more than this many docs are excluded from candidate "
+        "generation (0 disables the cap; exact but quadratic on "
+        "boilerplate shingles)",
+    )
+    p.add_argument(
         "--strip-lines",
         action="store_true",
         help="curate: remove inter-document duplicated lines before "
@@ -258,6 +267,7 @@ def main(argv: list[str] | None = None) -> int:
             catalog[table],
             text_col=args.text_col,
             id_col=args.id_col,
+            jaccard_max_doc_freq=args.max_doc_freq or None,
             gopher_kwargs={
                 "min_words": args.min_words,
                 "min_required_hits": args.min_required_hits,

@@ -31,6 +31,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     jaccard_n: int = 4,
     jaccard_threshold: float = 0.3,
+    jaccard_max_doc_freq: int | None = 256,
     fractions: dict[str, float] | None = None,
     gopher_kwargs: dict | None = None,
     strip_lines: bool = False,
@@ -60,6 +61,17 @@ def curate_corpus(
     or kept-sized frames; the split is a projection over a hash. The
     leakage audit runs over the FULL corpus assignment (auditing only
     kept docs is vacuous — every cluster keeps one survivor).
+
+    ``jaccard_max_doc_freq`` (default 256) is the stop-shingle cap:
+    shingles occurring in more than that many documents are excluded
+    from PAIRING (doc sizes still count them), which bounds the
+    inverted-index self-join at O(cap²) candidate rows per shingle.
+    Without it a single corpus-wide boilerplate 4-gram (df ≈ 10⁵ on
+    natural web text) alone generates ~10¹⁰ candidate pairs — the
+    difference between a pipeline that survives 100× growth and one
+    that dies in its first join. A pair supported ONLY by >cap
+    shingles is boilerplate overlap, not near-duplication; set None
+    to recover exact semantics on small corpora.
     """
     out: dict[str, DataFrame] = {}
     if strip_lines:
@@ -91,7 +103,8 @@ def curate_corpus(
     )
 
     pairs = D.ngram_jaccard_pairs(
-        passed, text_col, id_col, n=jaccard_n, threshold=jaccard_threshold
+        passed, text_col, id_col, n=jaccard_n, threshold=jaccard_threshold,
+        max_doc_freq=jaccard_max_doc_freq,
     )
     clusters = D.cluster_duplicates(pairs).localCheckpoint(eager=True)
 
