@@ -946,6 +946,48 @@ def _physical_columns_from_footer(path: str) -> set[str]:
     )
 
 
+def _parse_added_column_types(columns: dict[str, tuple[str, object]]) -> None:
+    from pyspark.sql.types import _parse_datatype_string
+
+    for col, (dtype, _default) in columns.items():
+        try:
+            _parse_datatype_string(dtype)
+        except Exception as e:
+            raise ValueError(
+                f"invalid Spark type {dtype!r} for added column {col!r}: {e}"
+            ) from e
+
+
+def _merged_added_columns(
+    columns: dict[str, tuple[str, object]],
+    existing: dict,
+    physical: set[str],
+) -> dict:
+    """Per-attempt ALTER validation shared by both layouts: reject
+    redefinitions (old defaults are physically baked into merge-touched
+    buckets), the reserved bucket column, and collisions with physical
+    columns (their genuine NULLs would become the default on every
+    read). Returns the merged added-columns map."""
+    added = dict(existing)
+    for col, (dtype, default) in columns.items():
+        if col in added:
+            raise ValueError(
+                f"column {col!r} is already an added column; "
+                "redefinition is not supported"
+            )
+        if col == MERGE_BUCKET_COL:
+            raise ValueError(
+                f"column name {col!r} is reserved for the bucket "
+                "partition column"
+            )
+        if col in physical - {MERGE_BUCKET_COL}:
+            raise ValueError(
+                f"column {col!r} already exists in the table schema"
+            )
+        added[col] = {"type": dtype, "default": default}
+    return added
+
+
 def alter_versioned_add_columns(
     path: str,
     columns: dict[str, tuple[str, object]],
@@ -984,15 +1026,7 @@ def alter_versioned_add_columns(
     and the backfill incremental and free."""
     import uuid
 
-    from pyspark.sql.types import _parse_datatype_string
-
-    for col, (dtype, _default) in columns.items():
-        try:
-            _parse_datatype_string(dtype)
-        except Exception as e:
-            raise ValueError(
-                f"invalid Spark type {dtype!r} for added column {col!r}: {e}"
-            ) from e
+    _parse_added_column_types(columns)
     if spark is not None:
         physical = set(read_versioned_table(spark, path).columns)
     else:
@@ -1004,23 +1038,9 @@ def alter_versioned_add_columns(
         # bucket map and revert concurrent merges (data loss), and
         # drop concurrent ALTERs' columns
         manifest = _bucket_manifest(path)
-        added = dict(manifest.get("added_columns", {}))
-        for col, (dtype, default) in columns.items():
-            if col in added:
-                raise ValueError(
-                    f"column {col!r} is already an added column; "
-                    "redefinition is not supported"
-                )
-            if col == MERGE_BUCKET_COL:
-                raise ValueError(
-                    f"column name {col!r} is reserved for the bucket "
-                    "partition column"
-                )
-            if col in physical - {MERGE_BUCKET_COL}:
-                raise ValueError(
-                    f"column {col!r} already exists in the table schema"
-                )
-            added[col] = {"type": dtype, "default": default}
+        added = _merged_added_columns(
+            columns, manifest.get("added_columns", {}), physical
+        )
         new_manifest = {
             **{k: v for k, v in manifest.items() if k != "committed_at"},
             "token": token,
@@ -1149,6 +1169,32 @@ def merge_into_versioned(
     return new_manifest
 
 
+def _apply_extra_meta(out: dict, extra_meta: dict | None) -> None:
+    """Merge caller metadata into a manifest about to be claimed —
+    shared by BOTH commit loops (single-table and db). extra_meta keys
+    DEEP-merge over dict values; the "streams" map is additionally
+    MONOTONIC per stream — committing a batch marker at or below the
+    head's is refused (:class:`StaleStreamBatch`), because blindly
+    overwriting a newer marker would let a paused stale writer regress
+    both data and progress (the failover TOCTOU). Callers run this on
+    the base AND on every rebase, so the check is always against the
+    exact manifest being extended."""
+    for k, v in (extra_meta or {}).items():
+        if k == "streams" and isinstance(v, dict):
+            cur = out.get("streams", {})
+            for sid, bid in v.items():
+                if sid in cur and bid <= cur[sid]:
+                    raise StaleStreamBatch(
+                        f"stream {sid!r} batch {bid} is already "
+                        f"committed (head marker {cur[sid]})"
+                    )
+            out[k] = {**cur, **v}
+        elif isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = {**out[k], **v}
+        else:
+            out[k] = v
+
+
 def _commit_bucket_update(
     path: str,
     base_manifest: dict,
@@ -1165,13 +1211,8 @@ def _commit_bucket_update(
     def stamped(src: dict, seq: int, buckets: dict) -> dict:
         # carry every manifest field (kind/pk/n_buckets/added_columns/
         # future metadata) from the newest known state; committed_at is
-        # re-stamped at publish. extra_meta keys DEEP-merge over dict
-        # values; the "streams" map is additionally MONOTONIC per
-        # stream — committing a batch marker at or below the head's is
-        # refused (StaleStreamBatch), because blindly overwriting a
-        # newer marker would let a paused stale writer regress both
-        # data and progress (the failover TOCTOU). This runs on the
-        # base AND on every rebase, so it always checks the exact
+        # re-stamped at publish. This runs on the base AND on every
+        # rebase, so the extra_meta merge always checks the exact
         # manifest being extended.
         out = {
             **{k: v for k, v in src.items() if k != "committed_at"},
@@ -1179,20 +1220,7 @@ def _commit_bucket_update(
             "seq": seq,
             "buckets": buckets,
         }
-        for k, v in (extra_meta or {}).items():
-            if k == "streams" and isinstance(v, dict):
-                cur = out.get("streams", {})
-                for sid, bid in v.items():
-                    if sid in cur and bid <= cur[sid]:
-                        raise StaleStreamBatch(
-                            f"stream {sid!r} batch {bid} is already "
-                            f"committed (head marker {cur[sid]})"
-                        )
-                out[k] = {**cur, **v}
-            elif isinstance(v, dict) and isinstance(out.get(k), dict):
-                out[k] = {**out[k], **v}
-            else:
-                out[k] = v
+        _apply_extra_meta(out, extra_meta)
         return out
 
     seq = int(base_manifest.get("seq", 0)) + 1
@@ -1442,7 +1470,33 @@ def write_versioned_db(
         "seq": 0,
         "tables": entry,
     }
-    _claim_next_commit(path, manifest)
+    # re-initializing an existing database is a FULL-REWRITE commit on
+    # the same chain; like the single-table twin, the payload is
+    # REBUILT from the head on every claim attempt so that stream
+    # progress markers (live exactly-once streams must keep skipping
+    # applied batches) and per-table schema-evolution metadata (their
+    # set_cols may target ALTER-added columns) survive the rewrite —
+    # delete the directory for a truly clean slate.
+    while True:
+        head = _commit_chain_head(path)
+        manifest["seq"] = 0 if head is None else head[0] + 1
+        # rebuild the carried-over state from THIS head (a retry may
+        # see a different head than the last attempt did)
+        manifest.pop("streams", None)
+        for name, t in manifest["tables"].items():
+            t.pop("added_columns", None)
+        if head is not None:
+            if head[1].get("streams"):
+                manifest["streams"] = dict(head[1]["streams"])
+            for name, t in manifest["tables"].items():
+                prev = head[1].get("tables", {}).get(name, {})
+                if prev.get("added_columns"):
+                    t["added_columns"] = dict(prev["added_columns"])
+        try:
+            _claim_commit(path, manifest["seq"], manifest)
+            break
+        except FileExistsError:
+            continue
     _publish_manifest(path, manifest)
     return manifest
 
@@ -1483,9 +1537,78 @@ def read_versioned_db(
     ]
     if not paths:
         raise FileNotFoundError(f"{path}/{table}: empty table")
-    return spark.read.parquet(*paths).withColumn(
+    # the table entry carries the same shape _read_maybe_merged /
+    # _fill_added_columns expect (its own added_columns map), so the
+    # single-table schema-evolution read path applies per table
+    df = _read_maybe_merged(spark, t, *paths).withColumn(
         MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
     )
+    return _fill_added_columns(df, t)
+
+
+def alter_versioned_db_add_columns(
+    path: str,
+    table: str,
+    columns: dict[str, tuple[str, object]],
+    spark: SparkSession | None = None,
+) -> dict:
+    """Schema evolution for ONE table of the transactional layout —
+    the db twin of :func:`alter_versioned_add_columns`, with identical
+    semantics: a METADATA-ONLY chain commit records
+    ``name -> (type, default)`` under the table's manifest entry;
+    readers materialize the columns at scan time, the next merge that
+    rewrites a bucket persists them physically, pre-alter transactions
+    time-travel with the old schema, and validation (type parse,
+    redefinition, reserved name, physical collision — session schema
+    or a direct parquet footer) happens before anything commits.
+    Other tables in the database are untouched; the ALTER is one
+    transaction on the shared chain."""
+    import uuid
+
+    _parse_added_column_types(columns)
+    if spark is not None:
+        physical = set(read_versioned_db(spark, path, table).columns)
+    else:
+        t = _db_manifest(path)["tables"].get(table)
+        if t is None:
+            raise ValueError(f"{path}: no table {table!r} in this snapshot")
+        physical = _footer_columns(
+            *(
+                os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
+                for b, gen in sorted(t["buckets"].items())
+            )
+        )
+    token = uuid.uuid4().hex[:12]
+    while True:
+        # the head IS the base — rebuild per claim attempt (same CAS
+        # contract as the single-table ALTER: a stale payload would
+        # revert concurrent merges' bucket maps)
+        manifest = _db_manifest(path)
+        if table not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {table!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+        t = manifest["tables"][table]
+        added = _merged_added_columns(
+            columns, t.get("added_columns", {}), physical
+        )
+        new_manifest = {
+            **{k: v for k, v in manifest.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+            "tables": {
+                **manifest["tables"],
+                table: {**t, "added_columns": added},
+            },
+        }
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
 
 
 def merge_into_versioned_db(
@@ -1494,6 +1617,8 @@ def merge_into_versioned_db(
     updates: dict[str, DataFrame],
     set_cols: dict[str, list[str]],
     base_token: str | None = None,
+    extra_meta: dict | None = None,
+    not_matched: str = "ignore",
 ) -> dict:
     """Transactional MERGE across tables: every table's affected
     buckets are rewritten under ONE shared-token generation, then a
@@ -1505,9 +1630,18 @@ def merge_into_versioned_db(
     transaction: a lost claim race rebases when EVERY table's affected
     buckets are untouched by the intervening commits, and raises
     :class:`ConcurrentMergeError` if ANY overlaps (partial rebase
-    would tear the transaction)."""
+    would tear the transaction).
+
+    ``not_matched`` ("ignore" default / "insert") and ``extra_meta``
+    (committed atomically with the transaction; the streaming sink's
+    progress-marker hook, monotonic per stream) mirror the
+    single-table MERGE."""
     import uuid
 
+    if not_matched not in ("ignore", "insert"):
+        raise ValueError(
+            f"not_matched must be 'ignore' or 'insert', got {not_matched!r}"
+        )
     manifest = _db_manifest(path, base_token)
     # validate the whole transaction BEFORE writing any generation —
     # a typo'd table name must not leave earlier tables' files behind
@@ -1529,20 +1663,45 @@ def merge_into_versioned_db(
         t = manifest["tables"][name]
         pk, nb = t["pk"], t["n_buckets"]
         upd = upd_df.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
-        affected = sorted(
-            b
-            for (b,) in upd.select(MERGE_BUCKET_COL).distinct().collect()
-            if str(b) in t["buckets"]
+        upd_buckets = sorted(
+            b for (b,) in upd.select(MERGE_BUCKET_COL).distinct().collect()
+        )
+        affected = (
+            upd_buckets
+            if not_matched == "insert"
+            else [b for b in upd_buckets if str(b) in t["buckets"]]
         )
         if not affected:
             continue
         cur = [
             os.path.join(path, name, t["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
             for b in affected
+            if str(b) in t["buckets"]
         ]
-        merged = _apply_matched_updates(
-            spark.read.parquet(*cur), upd, pk, set_cols[name]
-        )
+        if not cur:
+            # insert-only into brand-new buckets: schema from the table
+            first = next(iter(sorted(t["buckets"].items())), None)
+            if first is None:
+                raise FileNotFoundError(f"{path}/{name}: empty table")
+            cur = [
+                os.path.join(
+                    path, name, first[1], f"{MERGE_BUCKET_COL}={first[0]}"
+                )
+            ]
+            schema_only = True
+        else:
+            schema_only = False
+        # merged-schema read + fill: the rewrite MATERIALIZES any
+        # ALTER-added columns for the buckets it touches (the deferred
+        # backfill), exactly as the single-table MERGE does
+        table = _fill_added_columns(_read_maybe_merged(spark, t, *cur), t)
+        if schema_only:
+            table = table.limit(0)
+        merged = _apply_matched_updates(table, upd, pk, set_cols[name])
+        if not_matched == "insert":
+            merged = merged.unionByName(
+                _unmatched_inserts(table, upd, pk, set_cols[name])
+            )
         (
             merged.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
             .write.mode("errorifexists")
@@ -1551,41 +1710,62 @@ def merge_into_versioned_db(
         )
         ours[name] = {str(b): gen for b in affected}
     if not ours:
+        if extra_meta:
+            # no bucket matched anywhere, but the caller's metadata —
+            # e.g. a stream's batch marker — must still commit, or
+            # "the marker rides with the data" breaks for exactly
+            # these batches (metadata-only transaction)
+            new_manifest = _commit_db_update(
+                path, manifest, {}, token, extra_meta
+            )
+            _publish_manifest(path, new_manifest)
+            return new_manifest
         return manifest
-    new_manifest = _commit_db_update(path, manifest, ours, token)
+    new_manifest = _commit_db_update(path, manifest, ours, token, extra_meta)
     _publish_manifest(path, new_manifest)
     return new_manifest
 
 
 def _commit_db_update(
-    path: str, base_manifest: dict, ours: dict[str, dict[str, str]], token: str
+    path: str,
+    base_manifest: dict,
+    ours: dict[str, dict[str, str]],
+    token: str,
+    extra_meta: dict | None = None,
 ) -> dict:
     """The database-level CAS commit loop shared by transactional
     MERGE and OPTIMIZE: claim the next seq; on a lost race, rebase
     when EVERY table's rewritten buckets are untouched since the
     snapshot, and raise :class:`ConcurrentMergeError` when any table
     conflicts or was dropped by an intervening full rewrite (a partial
-    rebase would tear the transaction)."""
+    rebase would tear the transaction). ``extra_meta`` deep-merges
+    into the committed manifest with the same monotonic-streams rule
+    as the single-table loop (:func:`_apply_extra_meta`) — checked
+    against the exact manifest being extended, on the base and on
+    every rebase."""
     base_tables = {
         n: dict(t["buckets"]) for n, t in base_manifest["tables"].items()
     }
 
-    def stamped(tables_full: dict) -> dict:
-        # the (head) snapshot defines the table set; our rewritten
-        # buckets overlay it — a table the head dropped and we did not
+    def stamped(src: dict, seq: int) -> dict:
+        # the (head) snapshot defines the table set AND the top-level
+        # metadata (streams, future keys); our rewritten buckets
+        # overlay its tables — a table the head dropped and we did not
         # touch simply stays dropped
-        return {
-            n: {**t, "buckets": {**t["buckets"], **ours.get(n, {})}}
-            for n, t in tables_full.items()
+        out = {
+            **{k: v for k, v in src.items() if k != "committed_at"},
+            "token": token,
+            "seq": seq,
+            "tables": {
+                n: {**t, "buckets": {**t["buckets"], **ours.get(n, {})}}
+                for n, t in src["tables"].items()
+            },
         }
+        _apply_extra_meta(out, extra_meta)
+        return out
 
     seq = int(base_manifest.get("seq", 0)) + 1
-    new_manifest = {
-        **{k: v for k, v in base_manifest.items() if k != "committed_at"},
-        "token": token,
-        "seq": seq,
-        "tables": stamped(base_manifest["tables"]),
-    }
+    new_manifest = stamped(base_manifest, seq)
     while True:
         try:
             _claim_commit(path, seq, new_manifest)
@@ -1614,11 +1794,7 @@ def _commit_db_update(
                         "re-run against the new head"
                     )
             seq = head_seq + 1
-            new_manifest = {
-                **new_manifest,
-                "seq": seq,
-                "tables": stamped(head["tables"]),
-            }
+            new_manifest = stamped(head, seq)
 
 
 def optimize_versioned_db(
@@ -1664,7 +1840,11 @@ def optimize_versioned_db(
         ]
         pk, nb = t["pk"], t["n_buckets"]
         (
-            spark.read.parquet(*cur)
+            # merged-schema read: candidate buckets can span pre- and
+            # post-ALTER generations — without the union schema, a
+            # column present only in newer files would be silently
+            # DROPPED from the compacted rewrite (physical data loss)
+            _read_maybe_merged(spark, t, *cur)
             .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
             .repartition(len(candidates), F.col(MERGE_BUCKET_COL))
             .write.mode("errorifexists")

@@ -46,7 +46,9 @@ from pyspark.sql.window import Window
 from amaxa_spark.sources.catalog import (
     StaleStreamBatch,
     _bucket_manifest,
+    _db_manifest,
     merge_into_versioned,
+    merge_into_versioned_db,
 )
 
 
@@ -138,6 +140,108 @@ def upsert_batch(
         # a failed-over twin committed this batch while we were
         # writing; our generation is an invisible orphan (vacuumed)
         return None
+
+
+def upsert_db_batch(
+    spark,
+    path: str,
+    batches: dict[str, DataFrame],
+    set_cols: dict[str, list[str]],
+    order_col: str | dict[str, str],
+    tiebreak_col: str | dict[str, str] | None = None,
+    stream_id: str | None = None,
+    batch_id: int | None = None,
+    not_matched: str = "insert",
+) -> dict | None:
+    """The multi-table twin of :func:`upsert_batch`: one micro-batch
+    routed across SEVERAL tables of a versioned database lands as ONE
+    transaction — a reader can never observe the batch applied to one
+    table but not another (the whole point of the db layout; ordered
+    multi-object loads are the reference's core shape). Per-table pks
+    come from the manifest; each table's slice reduces to last-write-
+    wins per key first. Returns the new manifest, or None for an
+    empty or already-committed batch.
+
+    Exactly-once mirrors the single-table sink: with ``stream_id`` +
+    ``batch_id`` the marker rides in the SAME transaction as every
+    table's data (one ``streams`` map for the whole database — a
+    db-level stream is ONE stream, not one per table), monotonic
+    inside the commit loop, so a failed-over twin's stale replay is
+    refused no matter which tables it touches. The same
+    new-checkpoint-needs-new-stream_id footgun applies."""
+    extra = None
+    if stream_id is not None and batch_id is not None:
+        # cheap pre-check only; the authoritative monotonic guard runs
+        # inside the commit loop against the exact head being extended
+        done = _db_manifest(path).get("streams", {}).get(stream_id)
+        if done is not None and batch_id <= done:
+            return None
+        extra = {"streams": {stream_id: batch_id}}
+    manifest = _db_manifest(path)
+    updates: dict[str, DataFrame] = {}
+    for name, batch in batches.items():
+        t = manifest["tables"].get(name)
+        if t is None:
+            raise ValueError(
+                f"{path}: no table {name!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+        oc = order_col[name] if isinstance(order_col, dict) else order_col
+        tb = (
+            tiebreak_col.get(name)
+            if isinstance(tiebreak_col, dict)
+            else tiebreak_col
+        )
+        upd = latest_per_key(batch, t["pk"], oc, tb).select(
+            t["pk"], *set_cols[name]
+        )
+        if upd.take(1):
+            updates[name] = upd
+    if not updates:
+        # an all-empty batch commits nothing, marker included (same
+        # idle-stream contract as the single-table sink)
+        return None
+    try:
+        return merge_into_versioned_db(
+            spark, path, updates,
+            set_cols={n: set_cols[n] for n in updates},
+            extra_meta=extra, not_matched=not_matched,
+        )
+    except StaleStreamBatch:
+        # a failed-over twin committed this batch while we were
+        # writing; our generations are invisible orphans (vacuumed)
+        return None
+
+
+def merge_stream_db_writer(
+    stream: DataFrame,
+    path: str,
+    route,
+    set_cols: dict[str, list[str]],
+    order_col: str | dict[str, str],
+    tiebreak_col: str | dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+    stream_id: str | None = None,
+    not_matched: str = "insert",
+):
+    """Wire ONE streaming DataFrame to a versioned database:
+    ``route(batch_df) -> {table: DataFrame}`` splits each micro-batch
+    into per-table update frames (filter + project per target), and
+    the whole routed batch commits as one transaction. Returns the
+    ``DataStreamWriter`` (caller starts/stops it)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        upsert_db_batch(
+            batch.sparkSession, path, route(batch), set_cols,
+            order_col, tiebreak_col,
+            stream_id=stream_id, batch_id=batch_id,
+            not_matched=not_matched,
+        )
+
+    w = stream.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w
 
 
 def merge_stream_writer(

@@ -1103,3 +1103,289 @@ def test_optimize_versioned_db_compacts_across_tables(spark, tmp_path):
     ).count() == 200
     m2, again = optimize_versioned_db(spark, path, max_files=1)
     assert again == [] and m2["seq"] == m1["seq"]
+
+
+def test_versioned_db_alter_add_column_is_metadata_only(spark, tmp_path):
+    """The db ALTER twin: adding columns to ONE table of a versioned
+    database is a metadata-only transaction — zero parquet rewrites,
+    defaults materialize at read time, OTHER tables are untouched, the
+    next transactional merge persists the column physically, db
+    OPTIMIZE preserves it across mixed-schema generations, pre-alter
+    transactions time-travel with the old schema, and validation
+    (session or footer path) rejects bad alters before anything
+    commits."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        MERGE_BUCKET_COL,
+        alter_versioned_db_add_columns,
+        merge_into_versioned_db,
+        optimize_versioned_db,
+        read_versioned_db,
+        write_versioned_db,
+    )
+
+    path = str(tmp_path / "db_alter")
+    docs = (
+        spark.range(100)
+        .repartition(8)  # fragmented buckets for the OPTIMIZE leg
+        .select(F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("text"))
+    )
+    embs = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "vec_id long, vec string"
+    )
+    m0 = write_versioned_db(
+        spark, path,
+        {"documents": docs, "embeddings": embs},
+        pks={"documents": "doc_id", "embeddings": "vec_id"},
+        n_buckets=4,
+    )
+
+    def all_files():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    full = os.path.join(root, f)
+                    out[full] = os.path.getmtime(full)
+        return out
+
+    before = all_files()
+    m1 = alter_versioned_db_add_columns(
+        path, "documents", {"quality": ("double", 1.0), "tag": ("string", None)}
+    )
+    assert m1["seq"] == m0["seq"] + 1
+    assert all_files() == before  # METADATA-ONLY: no file touched
+    d = read_versioned_db(spark, path, "documents")
+    rows = {r.doc_id: (r.quality, r.tag) for r in d.collect()}
+    assert rows[5] == (1.0, None) and len(rows) == 100
+    # the OTHER table's schema is untouched by the per-table alter
+    assert "quality" not in read_versioned_db(spark, path, "embeddings").columns
+
+    # a transactional merge persists the column for its buckets AND
+    # the alter metadata survives the commit
+    m2 = merge_into_versioned_db(
+        spark, path,
+        {"documents": spark.createDataFrame([(5, 0.25)], "doc_id long, quality double")},
+        set_cols={"documents": ["quality"]},
+    )
+    assert m2["tables"]["documents"]["added_columns"] == \
+        m1["tables"]["documents"]["added_columns"]
+    rows = {
+        r.doc_id: r.quality
+        for r in read_versioned_db(spark, path, "documents").collect()
+    }
+    assert rows[5] == 0.25 and rows[6] == 1.0
+
+    # db OPTIMIZE compacts across the mixed-schema generations without
+    # dropping the physically-persisted column
+    _m3, compacted = optimize_versioned_db(spark, path, max_files=1)
+    assert compacted  # the fragmented premise held
+    rows = {
+        r.doc_id: r.quality
+        for r in read_versioned_db(spark, path, "documents").collect()
+    }
+    assert rows[5] == 0.25 and rows[6] == 1.0 and len(rows) == 100
+
+    # pre-alter transaction: old schema via time travel
+    old = read_versioned_db(spark, path, "documents", token=m0["token"])
+    assert "quality" not in old.columns and old.count() == 100
+
+    # validation: bad type, redefinition, physical collision (session
+    # AND footer paths), reserved name, unknown table — nothing commits
+    with _pytest.raises(ValueError, match="invalid Spark type"):
+        alter_versioned_db_add_columns(path, "documents", {"bad": ("duble", 1)})
+    with _pytest.raises(ValueError, match="already an added column"):
+        alter_versioned_db_add_columns(path, "documents", {"quality": ("double", 2.0)})
+    with _pytest.raises(ValueError, match="already exists in the table"):
+        alter_versioned_db_add_columns(
+            path, "documents", {"text": ("string", "x")}, spark=spark
+        )
+    with _pytest.raises(ValueError, match="already exists in the table"):
+        alter_versioned_db_add_columns(path, "documents", {"text": ("string", "x")})
+    with _pytest.raises(ValueError, match="reserved"):
+        alter_versioned_db_add_columns(path, "documents", {MERGE_BUCKET_COL: ("int", 0)})
+    with _pytest.raises(ValueError, match="no table"):
+        alter_versioned_db_add_columns(path, "nope", {"c": ("int", 0)})
+    assert read_versioned_db(spark, path, "documents").count() == 100
+
+
+def test_streaming_db_upsert_transactional_exactly_once(spark, tmp_path):
+    """The db streaming twin: one micro-batch routed across BOTH
+    tables lands as ONE transaction (single seq), replay is skipped
+    via the db-level stream marker committed atomically with every
+    table's data, a stale failed-over writer is refused inside the
+    commit loop, unmatched keys insert by default, and markers plus
+    per-table alter metadata survive a full-rewrite re-init."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        StaleStreamBatch,
+        _db_manifest,
+        alter_versioned_db_add_columns,
+        merge_into_versioned_db,
+        read_versioned_db,
+        write_versioned_db,
+    )
+    from amaxa_spark.streaming.merge_stream import (
+        merge_stream_db_writer,
+        upsert_db_batch,
+    )
+
+    path = str(tmp_path / "db_stream")
+    docs = spark.createDataFrame(
+        [(i, "old", 0) for i in range(40)], "doc_id long, text string, ver long"
+    )
+    embs = spark.createDataFrame(
+        [(i, "old", 0) for i in range(40)], "vec_id long, vec string, ver long"
+    )
+    m0 = write_versioned_db(
+        spark, path,
+        {"documents": docs, "embeddings": embs},
+        pks={"documents": "doc_id", "embeddings": "vec_id"},
+        n_buckets=4,
+    )
+
+    # batch 0 touches BOTH tables -> exactly ONE new seq, marker rides
+    b_docs = spark.createDataFrame(
+        [(3, "d-first", 1), (3, "d-second", 2), (7, "d0", 1)],
+        "doc_id long, text string, ver long",
+    )
+    b_embs = spark.createDataFrame(
+        [(11, "e0", 1)], "vec_id long, vec string, ver long"
+    )
+    m1 = upsert_db_batch(
+        spark, path,
+        {"documents": b_docs, "embeddings": b_embs},
+        set_cols={"documents": ["text", "ver"], "embeddings": ["vec", "ver"]},
+        order_col="ver", stream_id="s1", batch_id=0,
+    )
+    assert m1["seq"] == m0["seq"] + 1 and m1["streams"] == {"s1": 0}
+    got_d = {r.doc_id: r.text for r in read_versioned_db(spark, path, "documents").collect()}
+    got_e = {r.vec_id: r.vec for r in read_versioned_db(spark, path, "embeddings").collect()}
+    assert got_d[3] == "d-second" and got_d[7] == "d0" and got_e[11] == "e0"
+
+    # replay of batch 0 -> skipped by the pre-check, no commit
+    assert upsert_db_batch(
+        spark, path,
+        {"documents": b_docs, "embeddings": b_embs},
+        set_cols={"documents": ["text", "ver"], "embeddings": ["vec", "ver"]},
+        order_col="ver", stream_id="s1", batch_id=0,
+    ) is None
+    assert _db_manifest(path)["seq"] == m1["seq"]
+
+    # all-empty batch commits nothing, marker included
+    empty = spark.createDataFrame([], "doc_id long, text string, ver long")
+    assert upsert_db_batch(
+        spark, path, {"documents": empty},
+        set_cols={"documents": ["text", "ver"]},
+        order_col="ver", stream_id="s1", batch_id=1,
+    ) is None
+
+    # insert by default: a brand-new key in one table lands in the
+    # same transaction as an update in the other
+    b2_docs = spark.createDataFrame(
+        [(999, "new-doc", 1)], "doc_id long, text string, ver long"
+    )
+    b2_embs = spark.createDataFrame(
+        [(11, "e1", 2)], "vec_id long, vec string, ver long"
+    )
+    m2 = upsert_db_batch(
+        spark, path,
+        {"documents": b2_docs, "embeddings": b2_embs},
+        set_cols={"documents": ["text", "ver"], "embeddings": ["vec", "ver"]},
+        order_col="ver", stream_id="s1", batch_id=2,
+    )
+    assert m2["streams"]["s1"] == 2
+    d = read_versioned_db(spark, path, "documents")
+    assert d.count() == 41
+    assert d.where(F.col("doc_id") == 999).collect()[0].text == "new-doc"
+    assert read_versioned_db(spark, path, "embeddings").count() == 40
+
+    # update-only mode still drops unmatched keys but commits the marker
+    m3 = upsert_db_batch(
+        spark, path,
+        {"documents": spark.createDataFrame(
+            [(888888, "x", 1)], "doc_id long, text string, ver long"
+        )},
+        set_cols={"documents": ["text", "ver"]},
+        order_col="ver", stream_id="s1", batch_id=3, not_matched="ignore",
+    )
+    assert m3 is not None and m3["streams"]["s1"] == 3
+    assert read_versioned_db(spark, path, "documents").count() == 41
+
+    # failover TOCTOU: a stale writer committing from an old snapshot
+    # with an already-committed marker is refused INSIDE the commit
+    # loop, whichever tables it touches
+    with _pytest.raises(StaleStreamBatch):
+        merge_into_versioned_db(
+            spark, path,
+            {"documents": spark.createDataFrame(
+                [(3, "STALE", 99)], "doc_id long, text string, ver long"
+            ).select("doc_id", "text", "ver")},
+            set_cols={"documents": ["text", "ver"]},
+            base_token=m1["token"],
+            extra_meta={"streams": {"s1": 2}},  # <= committed marker 3
+        )
+    got_d = {r.doc_id: r.text for r in read_versioned_db(spark, path, "documents").collect()}
+    assert got_d[3] == "d-second"  # stale data never landed
+
+    # a real stream: one source routed to both tables, one transaction
+    # per micro-batch via foreachBatch
+    src = str(tmp_path / "db_stream_src")
+    spark.createDataFrame(
+        [("documents", 21, "streamed", 9), ("embeddings", 22, "streamed", 9)],
+        "target string, key long, val string, ver long",
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "target string, key long, val string, ver long"
+    ).parquet(src)
+
+    def route(batch):
+        return {
+            "documents": batch.where(F.col("target") == "documents").select(
+                F.col("key").alias("doc_id"), F.col("val").alias("text"), "ver"
+            ),
+            "embeddings": batch.where(F.col("target") == "embeddings").select(
+                F.col("key").alias("vec_id"), F.col("val").alias("vec"), "ver"
+            ),
+        }
+
+    q = (
+        merge_stream_db_writer(
+            stream, path, route,
+            set_cols={"documents": ["text", "ver"], "embeddings": ["vec", "ver"]},
+            order_col="ver",
+            checkpoint_dir=str(tmp_path / "db_ckpt"),
+            stream_id="s2",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_d = {r.doc_id: r.text for r in read_versioned_db(spark, path, "documents").collect()}
+    got_e = {r.vec_id: r.vec for r in read_versioned_db(spark, path, "embeddings").collect()}
+    assert got_d[21] == "streamed" and got_e[22] == "streamed"
+    assert _db_manifest(path)["streams"]["s2"] == 0
+
+    # full-rewrite re-init PRESERVES stream markers and per-table
+    # alter metadata (live streams keep skipping; their set_cols may
+    # target added columns)
+    alter_versioned_db_add_columns(path, "documents", {"lang": ("string", "en")})
+    m = write_versioned_db(
+        spark, path,
+        {"documents": docs, "embeddings": embs},
+        pks={"documents": "doc_id", "embeddings": "vec_id"},
+        n_buckets=4,
+    )
+    assert m["streams"] == {"s1": 3, "s2": 0}
+    assert "lang" in m["tables"]["documents"].get("added_columns", {})
+    assert upsert_db_batch(
+        spark, path, {"documents": b2_docs},
+        set_cols={"documents": ["text", "ver"]},
+        order_col="ver", stream_id="s1", batch_id=3,
+    ) is None  # stale replay still skipped after re-init
