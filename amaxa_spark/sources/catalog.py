@@ -1056,6 +1056,146 @@ def alter_versioned_add_columns(
     return new_manifest
 
 
+def _export_bucket_files(
+    src_root: str, buckets: dict[str, str], out: str
+) -> list[str]:
+    """Hard-link every data file of a bucket map into ``out`` (flat,
+    bucket-prefixed names). Zero-copy and vacuum-safe: the linked
+    inode survives deletion of the source generation directory, so an
+    export taken before a vacuum stays readable. Same-device only —
+    on an object store the link maps to a server-side copy."""
+    exported: list[str] = []
+    for b, gen in sorted(buckets.items(), key=lambda kv: int(kv[0])):
+        bdir = os.path.join(src_root, gen, f"{MERGE_BUCKET_COL}={b}")
+        for f in sorted(os.listdir(bdir)):
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            name = f"b{int(b):05d}-{f}"
+            os.link(os.path.join(bdir, f), os.path.join(out, name))
+            exported.append(name)
+    return exported
+
+
+def export_snapshot(
+    path: str,
+    out: str,
+    spark: SparkSession | None = None,
+    token: str | None = None,
+) -> dict:
+    """Publish a versioned table snapshot (head, or any retained
+    generation by ``token``) as a PLAIN parquet directory any engine
+    can read — DuckDB ``read_parquet('<out>/*.parquet')``, pyarrow,
+    another Spark — with no dependency on this library. This closes
+    the no-Delta-jar gap for CONSUMERS: engine-written versioned
+    tables become externally readable without the manifest protocol.
+
+    Zero-copy by default (:func:`_export_bucket_files`): data files
+    hard-link into ``out``, so the export is O(files) metadata work
+    regardless of table size, and a later vacuum of the source cannot
+    invalidate it. Tables with metadata-only ALTER columns are
+    MATERIALIZED instead (``spark`` required): those columns exist
+    only in the manifest, so a raw file export would silently lose
+    them — the materialized write bakes the defaults in. The snapshot
+    provenance (source path, token, seq, mode, files) lands in
+    ``<out>/_EXPORT.json``; the bucket partition column is NOT
+    exported (it is a pure pk-hash derivation, internal to the merge
+    layout)."""
+    import json
+
+    manifest = _bucket_manifest(path, token)
+    os.makedirs(out, exist_ok=False)
+    if manifest.get("added_columns"):
+        if spark is None:
+            raise ValueError(
+                f"{path}: table has metadata-only ALTER columns "
+                f"({sorted(manifest['added_columns'])}); pass spark= so "
+                "the export can materialize them (a raw file export "
+                "would silently drop these columns)"
+            )
+        df = read_versioned_table(spark, path, token).drop(MERGE_BUCKET_COL)
+        df.write.mode("append").parquet(out)
+        files = sorted(
+            f for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        mode = "materialized"
+    else:
+        files = _export_bucket_files(path, manifest["buckets"], out)
+        mode = "linked"
+    record = {
+        "source": os.path.abspath(path),
+        "kind": manifest.get("kind"),
+        "token": manifest["token"],
+        "seq": manifest.get("seq"),
+        "mode": mode,
+        "files": files,
+    }
+    with open(os.path.join(out, "_EXPORT.json"), "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    return record
+
+
+def export_db_snapshot(
+    path: str,
+    out: str,
+    tables: list[str] | None = None,
+    spark: SparkSession | None = None,
+    token: str | None = None,
+) -> dict:
+    """The db twin of :func:`export_snapshot`: every requested table
+    of ONE transaction exports under ``<out>/<table>/`` — because all
+    tables come from the same manifest, the export is a cross-table-
+    consistent snapshot, which per-table exports taken at different
+    times cannot guarantee."""
+    import json
+
+    manifest = _db_manifest(path, token)
+    names = sorted(manifest["tables"]) if tables is None else list(tables)
+    for name in names:
+        if name not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {name!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+    os.makedirs(out, exist_ok=False)
+    entries: dict[str, dict] = {}
+    for name in names:
+        t = manifest["tables"][name]
+        tdir = os.path.join(out, name)
+        os.makedirs(tdir)
+        if t.get("added_columns"):
+            if spark is None:
+                raise ValueError(
+                    f"{path}/{name}: table has metadata-only ALTER "
+                    f"columns ({sorted(t['added_columns'])}); pass "
+                    "spark= so the export can materialize them"
+                )
+            df = read_versioned_db(spark, path, name, token).drop(
+                MERGE_BUCKET_COL
+            )
+            df.write.mode("append").parquet(tdir)
+            files = sorted(
+                f for f in os.listdir(tdir)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            entries[name] = {"mode": "materialized", "files": files}
+        else:
+            files = _export_bucket_files(
+                os.path.join(path, name), t["buckets"], tdir
+            )
+            entries[name] = {"mode": "linked", "files": files}
+    record = {
+        "source": os.path.abspath(path),
+        "kind": manifest.get("kind"),
+        "token": manifest["token"],
+        "seq": manifest.get("seq"),
+        "tables": entries,
+    }
+    with open(os.path.join(out, "_EXPORT.json"), "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    return record
+
+
 def merge_into_versioned(
     spark: SparkSession,
     path: str,

@@ -1389,3 +1389,123 @@ def test_streaming_db_upsert_transactional_exactly_once(spark, tmp_path):
         set_cols={"documents": ["text", "ver"]},
         order_col="ver", stream_id="s1", batch_id=3,
     ) is None  # stale replay still skipped after re-init
+
+
+def test_export_snapshot_readable_by_external_engine(spark, tmp_path):
+    """External-engine export: a versioned snapshot becomes a plain
+    parquet directory DuckDB reads with no library involved, and the
+    rows hash-match read_versioned_table exactly. Zero-copy exports
+    survive a vacuum of their source generations (hard links); tables
+    with metadata-only ALTER columns refuse a raw export and
+    materialize the defaults instead; time-travel exports replay old
+    tokens; the db variant exports one cross-table-consistent
+    transaction."""
+    import hashlib
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        export_db_snapshot,
+        export_snapshot,
+        merge_into_versioned,
+        read_versioned_table,
+        vacuum_versioned,
+        write_versioned_db,
+        write_versioned_table,
+    )
+
+    def value_hash(rows):
+        # check_correctness-style: sort rows, stringify, sha256
+        canon = sorted(tuple(str(v) for v in r) for r in rows)
+        return hashlib.sha256(str(canon).encode()).hexdigest()
+
+    path = str(tmp_path / "vt_exp")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i * 0.5) for i in range(200)],
+        "pk long, val string, score double",
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=8)
+    m1 = merge_into_versioned(
+        spark, path,
+        spark.createDataFrame([(5, "merged")], "pk long, val string"),
+        pk="pk", set_cols=["val"],
+    )
+
+    out = str(tmp_path / "exp_head")
+    rec = export_snapshot(path, out)
+    assert rec["mode"] == "linked" and rec["token"] == m1["token"]
+    con = duckdb.connect()
+    ext = con.execute(
+        f"SELECT pk, val, score FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    eng = [
+        (r.pk, r.val, r.score)
+        for r in read_versioned_table(spark, path)
+        .select("pk", "val", "score").collect()
+    ]
+    assert value_hash(ext) == value_hash(eng)
+    assert dict((p, v) for p, v, _ in ext)[5] == "merged"
+
+    # time travel: exporting the PRE-merge token replays the old rows
+    out0 = str(tmp_path / "exp_t0")
+    export_snapshot(path, out0, token=m0["token"])
+    old = con.execute(
+        f"SELECT val FROM read_parquet('{out0}/*.parquet') WHERE pk = 5"
+    ).fetchone()
+    assert old == ("v5",)
+
+    # fully supersede the exported generations (re-init rewrite), then
+    # vacuum them: the exports' hard links keep the bytes alive even
+    # though every source directory they came from is gone
+    write_versioned_table(base, path, pk="pk", n_buckets=8)
+    removed = vacuum_versioned(path, keep_last=0)
+    assert removed  # the exported generations were reclaimed
+    assert con.execute(
+        f"SELECT count(*) FROM read_parquet('{out0}/*.parquet')"
+    ).fetchone() == (200,)
+    assert con.execute(
+        f"SELECT val FROM read_parquet('{out}/*.parquet') WHERE pk = 5"
+    ).fetchone() == ("merged",)
+
+    # ALTER-ed table: raw export would lose the metadata-only column —
+    # refused without spark, materialized with it
+    alter_versioned_add_columns(path, {"lang": ("string", "en")})
+    with _pytest.raises(ValueError, match="materialize"):
+        export_snapshot(path, str(tmp_path / "exp_refused"))
+    out_m = str(tmp_path / "exp_mat")
+    rec = export_snapshot(path, out_m, spark=spark)
+    assert rec["mode"] == "materialized"
+    got = con.execute(
+        f"SELECT DISTINCT lang FROM read_parquet('{out_m}/*.parquet')"
+    ).fetchall()
+    assert got == [("en",)]
+    assert con.execute(
+        f"SELECT count(*) FROM read_parquet('{out_m}/*.parquet')"
+    ).fetchone() == (200,)
+
+    # db export: both tables come from ONE transaction manifest
+    db = str(tmp_path / "db_exp")
+    write_versioned_db(
+        spark, db,
+        {
+            "a": spark.createDataFrame([(1, "x")], "pk long, v string"),
+            "b": spark.createDataFrame([(2, "y")], "pk long, v string"),
+        },
+        pks={"a": "pk", "b": "pk"},
+        n_buckets=2,
+    )
+    out_db = str(tmp_path / "exp_db")
+    rec = export_db_snapshot(db, out_db)
+    assert set(rec["tables"]) == {"a", "b"}
+    assert con.execute(
+        f"SELECT pk, v FROM read_parquet('{out_db}/a/*.parquet')"
+    ).fetchall() == [(1, "x")]
+    assert con.execute(
+        f"SELECT pk, v FROM read_parquet('{out_db}/b/*.parquet')"
+    ).fetchall() == [(2, "y")]
+    # provenance sidecar exists in every export
+    for d in (out, out0, out_m, out_db):
+        assert os.path.exists(os.path.join(d, "_EXPORT.json"))
