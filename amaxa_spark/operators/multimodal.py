@@ -54,21 +54,25 @@ def decode_stub(payload: bytes) -> dict:
 
 
 def decode_real(payload: bytes) -> dict:
-    """Real-codec injection point. The two raster formats fully
-    decodable without PIL/libvips decode natively — BMP (stdlib struct
-    + numpy, :func:`decode_bmp`) and PNG (stdlib zlib inflate +
-    scanline unfiltering, :func:`decode_png`); lossy formats
-    (JPEG/WebP/...) still require an image library and raise with a
-    clear marker."""
+    """Real-codec injection point. Three raster formats decode
+    natively without PIL/libvips — BMP (stdlib struct + numpy,
+    :func:`decode_bmp`), PNG (stdlib zlib inflate + scanline
+    unfiltering, :func:`decode_png`), and baseline JPEG (pure
+    Huffman + IDCT + 4:2:0 upsampling, :func:`decode_jpeg`); other
+    formats (WebP/AVIF/...) still require an image library and raise
+    with a clear marker."""
     if payload is not None and payload[:2] == _BMP_MAGIC:
         meta = decode_bmp(payload)
         fmt = "bmp/24"
     elif payload is not None and payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         meta = decode_png(payload)
         fmt = "png/rgb8"
+    elif payload is not None and payload[:2] == _JPEG_SOI:
+        meta = decode_jpeg(payload)
+        fmt = "jpeg/baseline"
     else:
         raise NotImplementedError(
-            "non-BMP/PNG image decode: codec libraries not available"
+            "non-BMP/PNG/JPEG image decode: codec libraries not available"
         )
     if meta is None:
         return {
@@ -157,10 +161,11 @@ def resize_images(
 
 
 def resize_real(payload: bytes, width: int, height: int) -> bytes | None:
-    """REAL image resize for BMP and PNG payloads — decode
-    (:func:`decode_bmp` / :func:`decode_png`), nearest-neighbor sample
-    with the exact integer mapping ``src = (dst * src_dim) //
-    dst_dim`` (replayable in SQL), re-encode in the SAME format. A
+    """REAL image resize for BMP, PNG, and baseline-JPEG payloads —
+    decode (:func:`decode_bmp` / :func:`decode_png` /
+    :func:`decode_jpeg`), nearest-neighbor sample with the exact
+    integer mapping ``src = (dst * src_dim) // dst_dim`` (replayable
+    in SQL), re-encode in the SAME format. A
     CORRUPT payload (right magic but truncated/unsupported) returns
     ``None`` — a row-level data problem, handled by
     :func:`resize_images` as a null output, never an executor
@@ -172,9 +177,11 @@ def resize_real(payload: bytes, width: int, height: int) -> bytes | None:
         m, encode = decode_bmp(payload), encode_bmp
     elif payload is not None and payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         m, encode = decode_png(payload), encode_png
+    elif payload is not None and payload[:2] == _JPEG_SOI:
+        m, encode = decode_jpeg(payload), encode_jpeg
     else:
         raise NotImplementedError(
-            "non-BMP/PNG image resize: codec libraries not available"
+            "non-BMP/PNG/JPEG image resize: codec libraries not available"
         )
     if m is None:
         return None
@@ -965,4 +972,566 @@ def pcm_energy(
     return df.select(id_col, payload_col).mapInPandas(
         energy,
         schema=f"{id_col} long, window_id int, sum_sq long, rms double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG: REAL baseline sequential DCT codec (ITU-T T.81), pure
+# stdlib + numpy — the last image-codec stub retired. The DECODER is
+# general within baseline: it parses DQT/DHT/SOF0/SOS from the file
+# (Huffman tables and quantization come from the bitstream, never
+# assumed), entropy-decodes with byte-unstuffing, dequantizes,
+# inverse-zigzags, runs an exact orthonormal 8×8 IDCT, upsamples
+# 4:2:0 chroma, and converts YCbCr→RGB. Supported subset: 8-bit,
+# 3 components, 4:2:0 or 4:4:4, no progressive/restart — anything
+# else returns None (row-level error, never an executor exception).
+# The ENCODER emits genuine 4:2:0 baseline JFIF bytes (flat
+# quality-100 quantization tables for near-lossless fidelity); it is
+# the test-payload producer, so it guards against the one thing flat
+# tables cannot express (AC categories beyond 10) by raising on
+# pathological high-frequency content rather than emitting a corrupt
+# scan. JPEG is LOSSY: roundtrip equality is bounded-error, not
+# byte-exact — see jpeg_fidelity_stats for the oracle-friendly gate.
+
+_JPEG_SOI = b"\xff\xd8"
+
+# zigzag scan order: position k in the scan reads raster index _ZZ[k]
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Huffman table definitions written into DHT (ITU T.81 Annex K
+# typical tables). The decoder reads them back FROM the file, so the
+# roundtrip is self-consistent by construction.
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, len)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_mat():
+    """Orthonormal 8x8 DCT-II basis: F = C @ f @ C.T, f = C.T @ F @ C."""
+    import numpy as np
+
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    C = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2)
+    return C
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, size: int) -> None:
+        if size == 0:
+            return
+        self.acc = (self.acc << size) | (value & ((1 << size) - 1))
+        self.n += size
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill (F.1.2.3)
+
+
+def _jpeg_encode_block(bw, zz, pred_dc, dc_codes, ac_codes) -> int:
+    """One quantized 8x8 block (zigzag order) to the entropy stream;
+    returns the block's DC for the next prediction."""
+    diff = int(zz[0]) - pred_dc
+    s = int(abs(diff)).bit_length()
+    try:
+        code, ln = dc_codes[s]
+    except KeyError:
+        raise ValueError(f"DC category {s} exceeds baseline tables")
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    last = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last = i
+            break
+    run = 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        sym = (run << 4) | s
+        if sym not in ac_codes:
+            raise ValueError(
+                f"AC (run={run}, size={s}) exceeds baseline tables — "
+                "content too high-frequency for flat quantization"
+            )
+        code, ln = ac_codes[sym]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(pixels) -> bytes:
+    """REAL baseline JFIF encoder: (h, w, 3) uint8 RGB → SOI + APP0 +
+    DQT (flat quality-100 tables) + SOF0 (4:2:0) + 4×DHT + SOS +
+    entropy-coded scan + EOI. Color converts to YCbCr, pads to whole
+    16×16 MCUs by edge replication, box-averages chroma 2×2, and
+    Huffman-codes DC-predicted zigzag coefficients with byte
+    stuffing."""
+    import struct
+
+    import numpy as np
+
+    h, w = int(pixels.shape[0]), int(pixels.shape[1])
+    p = pixels.astype(np.float64)
+    R, G, B = p[..., 0], p[..., 1], p[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+    H16, W16 = -(-h // 16) * 16, -(-w // 16) * 16
+
+    def pad(plane):
+        out = np.empty((H16, W16))
+        out[:h, :w] = plane
+        out[h:, :w] = plane[-1:, :]
+        out[:, w:] = out[:, w - 1 : w]
+        return out
+
+    Yp, Cbp, Crp = pad(Y), pad(Cb), pad(Cr)
+    Cbs = Cbp.reshape(H16 // 2, 2, W16 // 2, 2).mean(axis=(1, 3))
+    Crs = Crp.reshape(H16 // 2, 2, W16 // 2, 2).mean(axis=(1, 3))
+    C = _dct_mat()
+
+    def quantized_zigzag(plane, oy, ox):
+        block = plane[oy : oy + 8, ox : ox + 8] - 128.0
+        coef = C @ block @ C.T  # flat quant table of 1s -> just round
+        flat = coef.reshape(-1)
+        return [int(round(flat[j])) for j in _JPEG_ZZ]
+
+    dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]  # per-component DC predictors
+    for my in range(H16 // 16):
+        for mx in range(W16 // 16):
+            for by in (0, 1):
+                for bx in (0, 1):
+                    zz = quantized_zigzag(Yp, my * 16 + by * 8, mx * 16 + bx * 8)
+                    pred[0] = _jpeg_encode_block(bw, zz, pred[0], dc_l, ac_l)
+            zz = quantized_zigzag(Cbs, my * 8, mx * 8)
+            pred[1] = _jpeg_encode_block(bw, zz, pred[1], dc_c, ac_c)
+            zz = quantized_zigzag(Crs, my * 8, mx * 8)
+            pred[2] = _jpeg_encode_block(bw, zz, pred[2], dc_c, ac_c)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    flat64 = bytes([1] * 64)
+    out = bytearray()
+    out += _JPEG_SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    out += seg(0xDB, b"\x00" + flat64 + b"\x01" + flat64)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, quant table 0
+        + bytes([2, 0x11, 1])  # Cb: 1x1, quant table 1
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    for cls_id, bits, vals in (
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        out += seg(0xC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader with byte UNstuffing; raises EOFError at a
+    marker (end of entropy-coded segment)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.d):
+            raise EOFError
+        b = self.d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 < len(self.d) and self.d[self.pos + 1] == 0x00:
+                self.pos += 2  # stuffed byte
+            else:
+                raise EOFError  # a real marker terminates the scan
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, size: int) -> int:
+        while self.n < size:
+            self._fill()
+        self.n -= size
+        v = (self.acc >> self.n) & ((1 << size) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _huff_decode_one(br, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bits(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decoder (see module note for the supported
+    subset). Returns ``{"width", "height", "pixels"}`` with an
+    (h, w, 3) uint8 RGB array, or None for malformed / unsupported
+    payloads."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:2] != _JPEG_SOI:
+        return None
+    try:
+        pos = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        comps = None
+        h = w = None
+        scan = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            data = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(data):
+                    prec, tid = data[i] >> 4, data[i] & 0xF
+                    if prec != 0:
+                        return None  # 8-bit tables only
+                    qt[tid] = list(data[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(data):
+                    cls, tid = data[i] >> 4, data[i] & 0xF
+                    bits = list(data[i + 1 : i + 17])
+                    nvals = sum(bits)
+                    vals = list(data[i + 17 : i + 17 + nvals])
+                    table = {}
+                    code, k = 0, 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(cls, tid)] = table
+                    i += 17 + nvals
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+                if prec != 8 or nc != 3:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, samp, qid = data[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, samp >> 4, samp & 0xF, qid))
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+                return None  # non-baseline frame types
+            elif marker == 0xDD:
+                return None  # restart intervals unsupported
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = data[0]
+                scan = []
+                for c in range(ns):
+                    cid, tabs = data[1 + 2 * c], data[2 + 2 * c]
+                    scan.append((cid, tabs >> 4, tabs & 0xF))
+                pos = pos + 2 + seglen
+                break
+            pos += 2 + seglen
+        if comps is None or scan is None or h is None:
+            return None
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        samplings = sorted((c[1], c[2]) for c in comps)
+        if not (
+            (hmax, vmax) == (1, 1)
+            or samplings == [(1, 1), (1, 1), (2, 2)]
+        ):
+            return None  # only 4:4:4 and 4:2:0
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcus_x = -(-w // mcu_w)
+        mcus_y = -(-h // mcu_h)
+        planes = {}
+        for cid, ch, cv, _q in comps:
+            planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+        C = _dct_mat()
+        br = _JpegBitReader(payload, pos)
+        pred = {cid: 0 for cid, *_ in comps}
+        by_id = {cid: (ch, cv, qid) for cid, ch, cv, qid in comps}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, dc_id, ac_id in scan:
+                    ch, cv, qid = by_id[cid]
+                    q = qt[qid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            s = _huff_decode_one(br, huff[(0, dc_id)])
+                            diff = _extend(br.bits(s), s) if s else 0
+                            pred[cid] += diff
+                            zz = [0] * 64
+                            zz[0] = pred[cid] * q[0]
+                            k = 1
+                            while k < 64:
+                                sym = _huff_decode_one(br, huff[(1, ac_id)])
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, size = sym >> 4, sym & 0xF
+                                if size == 0:
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    return None
+                                k += run
+                                if k > 63:
+                                    return None
+                                zz[k] = _extend(br.bits(size), size) * q[k]
+                                k += 1
+                            coef = np.zeros(64)
+                            for j, rj in enumerate(_JPEG_ZZ):
+                                coef[rj] = zz[j]
+                            block = C.T @ coef.reshape(8, 8) @ C + 128.0
+                            oy = (my * cv + by) * 8
+                            ox = (mx * ch + bx) * 8
+                            planes[cid][oy : oy + 8, ox : ox + 8] = block
+        # upsample to full resolution and crop
+        full = {}
+        for cid, ch, cv, _q in comps:
+            pl = planes[cid]
+            pl = np.repeat(np.repeat(pl, vmax // cv, axis=0), hmax // ch, axis=1)
+            full[cid] = pl[:h, :w]
+        y_id, cb_id, cr_id = (s[0] for s in scan)
+        Y, Cb, Cr = full[y_id], full[cb_id] - 128.0, full[cr_id] - 128.0
+        R = Y + 1.402 * Cr
+        G = Y - 0.344136 * Cb - 0.714136 * Cr
+        B = Y + 1.772 * Cb
+        rgb = np.stack([R, G, B], axis=-1)
+        return {
+            "width": w,
+            "height": h,
+            "pixels": np.clip(np.round(rgb), 0, 255).astype(np.uint8),
+        }
+    except (struct.error, IndexError, KeyError, ValueError, EOFError):
+        return None
+
+
+def jpeg_expected_pixels(d: int):
+    """Closed-form test image for doc id ``d`` — SMOOTH gradients
+    (no modulo wrap inside an image), so 4:2:0 subsampling and DCT
+    rounding stay bounded-error and the fidelity gate is
+    deterministic. Dims (12 + d%9) × (10 + d%7) span one to two
+    16×16 MCUs, exercising edge-replication padding and multi-block
+    scans."""
+    import numpy as np
+
+    w, h = 12 + d % 9, 10 + d % 7
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    r = (3 * d) % 160 + x + y  # peaks at 193 — never wraps mod 256
+    g = (5 * d) % 140 + 2 * x + y  # peaks at 192
+    b = (7 * d) % 120 + x + 2 * y  # peaks at 168
+    return np.stack(
+        [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+
+
+def jpeg_expected_resized(d: int, width: int, height: int):
+    """Closed-form nearest-neighbor resize of the test image — the
+    pixels a LOSSLESS decode→resize pipeline would produce; the
+    fidelity gate for the lossy roundtrip compares against this with
+    a bounded tolerance."""
+    import numpy as np
+
+    px = jpeg_expected_pixels(d)
+    xs = (np.arange(width) * px.shape[1]) // width
+    ys = (np.arange(height) * px.shape[0]) // height
+    return px[ys][:, xs]
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str, out_col: str = "image") -> DataFrame:
+    """Deterministic baseline-JFIF payloads: :func:`jpeg_expected_pixels`
+    per row id, compressed by :func:`encode_jpeg` — genuine marker
+    segments, Huffman scan, byte stuffing. Closed-form dims let the
+    oracle replay width/height while Spark decodes real JPEG bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                encode_jpeg(jpeg_expected_pixels(int(d))) for d in pdf[id_col]
+            ]
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def jpeg_fidelity_stats(
+    df: DataFrame,
+    payload_col: str = "image",
+    id_col: str = "doc_id",
+    expected=None,
+    tol: int = 8,
+) -> DataFrame:
+    """Oracle-friendly gate for a LOSSY codec: decode each payload and
+    compare against ``expected(id) -> (h, w, 3) uint8`` (default
+    :func:`jpeg_expected_pixels`). JPEG roundtrips are bounded-error,
+    not byte-exact, so the hashable outputs are the decoded DIMENSIONS
+    (exact, from SOF0) plus ``ok`` = max per-channel absolute error
+    <= ``tol`` — a broken Huffman walk, IDCT, upsampler, or color
+    transform blows the bound immediately, while legitimate
+    quantization noise never does (measured max error ~5 on the
+    synthetic corpus; tests pin it). ``max_err`` rides along for
+    humans but is excluded from gate queries' selected columns.
+
+    Scale shape: identical to :func:`image_stats` — payload column
+    pruned unless touched, one Arrow-batched mapInPandas, no
+    shuffle."""
+    import numpy as np
+
+    expected = expected or jpeg_expected_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                m = decode_jpeg(None if p is None else bytes(p))
+                if m is None:
+                    rows.append((did, False, None, None, False, None))
+                    continue
+                exp = expected(int(did))
+                if m["pixels"].shape != exp.shape:
+                    rows.append(
+                        (did, True, m["width"], m["height"], False, None)
+                    )
+                    continue
+                err = int(
+                    np.abs(
+                        m["pixels"].astype(np.int64) - exp.astype(np.int64)
+                    ).max()
+                )
+                rows.append(
+                    (did, True, m["width"], m["height"], err <= tol, err)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "valid", "width", "height", "ok", "max_err"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, valid boolean, width int, height int, "
+        "ok boolean, max_err int",
     )

@@ -585,3 +585,50 @@ def test_resize_real_matches_integer_mapping_property(sh, sw, dh, dw, seed):
         out = decode(MM.resize_real(encode(px), dw, dh))
         assert (out["width"], out["height"]) == (dw, dh)
         assert (out["pixels"] == want).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_codec_property(h, w, seed):
+    """PROPERTY (lossy codec, so bounded-error, not equality): for ANY
+    pixel content and dims, encode_jpeg -> decode_jpeg returns the
+    exact SOF0 dimensions; for arbitrary noise the recomputed LUMA
+    stays within a fixed bound (luma is never subsampled — chroma
+    error reaches it only through RGB clipping); and for smooth
+    gradients (the 4:2:0-friendly content class) the full RGB error
+    is tiny. Bounds pin measured behavior (worst observed: luma ~21
+    on noise, RGB 2 on gradients)."""
+    import numpy as np
+
+    from amaxa_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    m = MM.decode_jpeg(MM.encode_jpeg(px))
+    assert m is not None and (m["width"], m["height"]) == (w, h)
+
+    def luma(a):
+        a = a.astype(np.float64)
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    assert np.abs(luma(m["pixels"]) - luma(px)).max() <= 32.0
+
+    base = rng.integers(0, 100, 3)
+    sx, sy = rng.integers(0, 3, 3), rng.integers(0, 3, 3)
+    x, y = np.arange(w)[None, :], np.arange(h)[:, None]
+    g = np.clip(
+        np.stack(
+            [np.broadcast_to(base[c] + sx[c] * x + sy[c] * y, (h, w))
+             for c in range(3)],
+            axis=-1,
+        ),
+        0, 255,
+    ).astype(np.uint8)
+    m2 = MM.decode_jpeg(MM.encode_jpeg(g))
+    assert np.abs(
+        m2["pixels"].astype(np.int64) - g.astype(np.int64)
+    ).max() <= 8
