@@ -44,22 +44,34 @@ def _read(path_or_dict) -> dict:
         return yaml.safe_load(f)
 
 
-def load_plugin_modules(doc: dict) -> None:
+def load_plugin_modules(doc: dict) -> list[str]:
     """F11 — the reference's `plugin-modules` hook
     (`/root/reference/amaxa/loader/schemas.py:37-43,377-380`): each
     named module (dotted name or file path) is imported; modules
     register transforms by calling
     ``amaxa_spark.functions.transforms.register_transform`` at import
-    time (the Spark analogue of TransformProvider subclassing)."""
+    time (the Spark analogue of TransformProvider subclassing).
+
+    A module that fails to import is a VALIDATION error, not a crash
+    (the reference routes it through `_validate_import_module`,
+    schemas.py:37-43): returns the collected error strings, byte-equal
+    to the reference's ``Unable to import module {value}``."""
+    errors: list[str] = []
     for mod in doc.get("plugin-modules", []) or []:
-        if os.path.sep in mod or mod.endswith(".py"):
-            spec = importlib.util.spec_from_file_location(
-                os.path.splitext(os.path.basename(mod))[0], mod
-            )
-            module = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(module)
-        else:
-            importlib.import_module(mod)
+        try:
+            if os.path.sep in mod or mod.endswith(".py"):
+                spec = importlib.util.spec_from_file_location(
+                    os.path.splitext(os.path.basename(mod))[0], mod
+                )
+                if spec is None or spec.loader is None:
+                    raise ImportError(mod)
+                module = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(module)
+            else:
+                importlib.import_module(mod)
+        except (ImportError, OSError):
+            errors.append(f"Unable to import module {mod}")
+    return errors
 
 
 def _validate_transform_specs(doc: dict, errors: list[str]) -> None:
@@ -103,8 +115,9 @@ def _field_spec(entry: dict) -> tuple[list[str] | None, dict, dict]:
 
 def load_extract_config(path_or_dict) -> list[ExtractStepPlan]:
     doc = _read(path_or_dict)
-    load_plugin_modules(doc)
+    plugin_errors = load_plugin_modules(doc)
     errors = validate_operation(doc, "extract")
+    errors += plugin_errors
     _validate_transform_specs(doc, errors)
     if errors:
         raise ConfigError(errors)
@@ -235,8 +248,9 @@ def load_quality_config(path_or_dict) -> list[tuple[str, list]]:
 
 def load_load_config(path_or_dict) -> list[LoadStepPlan]:
     doc = _read(path_or_dict)
-    load_plugin_modules(doc)
+    plugin_errors = load_plugin_modules(doc)
     errors = validate_operation(doc, "load")
+    errors += plugin_errors
     _validate_transform_specs(doc, errors)
     if errors:
         raise ConfigError(errors)

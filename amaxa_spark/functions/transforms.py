@@ -85,7 +85,17 @@ def validate_transforms(
 ) -> list[str]:
     """Validate a per-field transform spec: unknown transform names,
     missing/unknown/badly-typed options, and `allowed_types` gating
-    against the column's declared registry type. Returns ALL errors."""
+    against the column's declared registry type. Returns ALL errors.
+
+    Error strings are PARITY-MATCHED to the reference, byte for byte
+    after the ``{col}: `` prefix (tests/test_error_parity.py cites
+    each): unknown name and option-schema failures mirror
+    `/root/reference/amaxa/loader/schemas.py:54-67` (the options
+    message carries the failing option NAMES newline-joined — exactly
+    what ``"\\n".join(validator.errors)`` produces there), and type
+    gating mirrors `TransformException` at
+    `/root/reference/amaxa/transforms.py:42-46` (with this engine's
+    type names in place of soapTypes)."""
     registry = registry or TRANSFORMS
     errors: list[str] = []
     for col, chain in spec.items():
@@ -95,32 +105,37 @@ def validate_transforms(
                 errors.append(f"{col}: transform entry missing 'name'")
                 continue
             if name not in registry:
-                errors.append(f"{col}: unknown transform {name!r}")
+                errors.append(
+                    f"{col}: The transform {name} does not exist."
+                )
                 continue
             allowed, schema = TRANSFORM_META.get(name, (None, None))
-            if schema is not None:
-                for opt, rule in schema.items():
-                    if rule.get("required") and opt not in options:
-                        errors.append(
-                            f"{col}: transform {name!r} requires option {opt!r}"
-                        )
-                    elif opt in options and not isinstance(
-                        options[opt], rule.get("type", object)
-                    ):
-                        errors.append(
-                            f"{col}: transform {name!r} option {opt!r} must be "
-                            f"{rule['type'].__name__}"
-                        )
-                for opt in options:
-                    if opt not in schema:
-                        errors.append(
-                            f"{col}: transform {name!r} got unknown option {opt!r}"
-                        )
+            # a transform registered without an options schema accepts
+            # NO options (the reference's get_options_schema() default
+            # is {}, and Cerberus rejects unknown keys against it)
+            schema = schema or {}
+            bad_opts: dict[str, str] = {}
+            for opt, rule in schema.items():
+                if rule.get("required") and opt not in options:
+                    bad_opts[opt] = "required field"
+                elif opt in options and not isinstance(
+                    options[opt], rule.get("type", object)
+                ):
+                    bad_opts[opt] = f"must be of {rule['type'].__name__} type"
+            for opt in options:
+                if opt not in schema:
+                    bad_opts[opt] = "unknown field"
+            if bad_opts:
+                joined = "\n".join(bad_opts)
+                errors.append(
+                    f"{col}: The options schema for transform {name} "
+                    f"failed to validate: {joined}"
+                )
             if allowed and types and col in types:
                 if _norm_type(types[col]) not in [_norm_type(a) for a in allowed]:
                     errors.append(
-                        f"{col}: transform {name!r} is not available for "
-                        f"fields of type {types[col]!r}"
+                        f"{col}: Transform {name} is not available for "
+                        f"fields of type {_norm_type(types[col])}."
                     )
     return errors
 

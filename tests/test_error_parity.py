@@ -306,3 +306,155 @@ def test_unknown_field_error_string_parity(spark, sf_dir):
         "Field customer.Test__c does not exist or does not have the "
         "correct CRUD permission." in str(e.value)
     )
+
+
+# --- transform-option validation parity (round 7) -------------------
+# (case, transform spec for column 'c', exact reference string after
+#  the 'c: ' prefix, reference cite)
+TRANSFORM_PARITY = [
+    (
+        "unknown transform name",
+        {"c": ["nosuch"]},
+        "The transform nosuch does not exist.",
+        "loader/schemas.py:54-56; test/test_unit/test_OperationLoader.py "
+        "(transform validation cases)",
+    ),
+    (
+        "missing required option",
+        {"c": [{"name": "prefix"}]},
+        "The options schema for transform prefix failed to validate: prefix",
+        "loader/schemas.py:58-67 (message carries the failing option "
+        "names — exactly what '\\n'.join(validator.errors) renders)",
+    ),
+    (
+        "unknown option",
+        {"c": [{"name": "strip", "oops": 1}]},
+        "The options schema for transform strip failed to validate: oops",
+        "loader/schemas.py:58-67",
+    ),
+    (
+        "badly-typed option",
+        {"c": [{"name": "suffix", "suffix": 7}]},
+        "The options schema for transform suffix failed to validate: suffix",
+        "loader/schemas.py:58-67",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "case,spec,expected,cite",
+    TRANSFORM_PARITY,
+    ids=[c[0] for c in TRANSFORM_PARITY],
+)
+def test_transform_option_error_string_parity(case, spec, expected, cite):
+    from amaxa_spark.functions.transforms import validate_transforms
+
+    errors = validate_transforms(spec)
+    assert f"c: {expected}" in errors, (case, cite, errors)
+
+
+def test_transform_type_gating_string_parity():
+    """amaxa/transforms.py:42-46 raises TransformException with this
+    exact sentence (soapType interpolated); here the engine's type
+    name fills the slot."""
+    from amaxa_spark.functions.transforms import validate_transforms
+
+    errors = validate_transforms(
+        {"n": [{"name": "lowercase"}]}, types={"n": "int"}
+    )
+    assert "n: Transform lowercase is not available for fields of type int." \
+        in errors
+
+
+def test_plugin_import_error_string_parity(tmp_path):
+    """loader/schemas.py:37-43 (_validate_import_module): a module
+    that fails to import is a collected validation error, not a
+    crash, with the exact string 'Unable to import module {value}'."""
+    from amaxa_spark.config.loader import ConfigError, load_extract_config
+
+    doc = {
+        "version": 2,
+        "plugin-modules": ["no_such_module_xyz"],
+        "operation": [{"sobject": "customer", "extract": {"all": True}}],
+    }
+    with pytest.raises(ConfigError) as e:
+        load_extract_config(doc)
+    assert "Unable to import module no_such_module_xyz" in e.value.errors
+
+
+# --- reference state-loader parity (round 7) ------------------------
+# (case, state doc, exact error string, reference cite)
+STATE_PARITY = [
+    (
+        "missing version",
+        {"state": {"stage": "inserts", "id-map": {}}},
+        "No version number present in schema",
+        "loader/core.py:34-37; test/test_unit/test_Loader.py:13",
+    ),
+    (
+        "unsupported version",
+        {"version": 99, "state": {"stage": "inserts", "id-map": {}}},
+        "Schema version for state not present or unsupported",
+        "loader/core.py:39-45 (InputType.STATE.value = 'state')",
+    ),
+    (
+        "missing state key",
+        {"version": 1},
+        "state: ['required field']",
+        "loader/core.py:51-53 over schemas.py:483-500 "
+        "(cerberus required-field rendering)",
+    ),
+    (
+        "bad stage value",
+        {"version": 1, "state": {"stage": "bogus", "id-map": {}}},
+        "state: [{'stage': ['unallowed value bogus']}]",
+        "loader/core.py:51-53; schemas.py:490-495 "
+        "(allowed = LoadStage.all_values())",
+    ),
+    (
+        "missing id-map",
+        {"version": 1, "state": {"stage": "inserts"}},
+        "state: [{'id-map': ['required field']}]",
+        "loader/core.py:51-53; schemas.py:496",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "case,doc,expected,cite",
+    STATE_PARITY,
+    ids=[c[0] for c in STATE_PARITY],
+)
+def test_reference_state_error_string_parity(spark, case, doc, expected, cite):
+    from amaxa_spark.config.loader import ConfigError
+    from amaxa_spark.sources.state import load_reference_state
+
+    with pytest.raises(ConfigError) as e:
+        load_reference_state(spark, doc)
+    assert expected in e.value.errors, (case, cite, e.value.errors)
+
+
+def test_reference_state_loads_and_normalizes_ids(spark, tmp_path):
+    """A snapshot in the reference's saved shape
+    (amaxa/loader/state.py:10-20) loads into (stage, id-map frame)
+    with 15-char IDs normalized to 18 — the SalesforceId round-trip
+    the reference's StateLoader applies (state.py:28-32)."""
+    import yaml
+
+    from amaxa_spark.ids import normalize_sfid
+    from amaxa_spark.sources.state import load_reference_state
+
+    old15, new15 = "001000000000001", "001000000000002"
+    doc = {
+        "version": 1,
+        "state": {"stage": "dependents", "id-map": {old15: new15}},
+    }
+    p = tmp_path / "state.yaml"
+    p.write_text(yaml.dump(doc))
+    stage, df = load_reference_state(spark, str(p))
+    assert stage == "dependents"
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].old_id == normalize_sfid(old15)
+    assert rows[0].new_id == normalize_sfid(new15)
+    assert len(rows[0].old_id) == 18

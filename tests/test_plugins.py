@@ -13,7 +13,12 @@ def test_plugin_module_registers_transform(spark, tmp_path):
         "from pyspark.sql import functions as F\n"
         "from amaxa_spark.functions.transforms import register_transform\n"
         "\n"
-        "@register_transform('multiply')\n"
+        "# options must be DECLARED: a provider without a schema\n"
+        "# accepts none (the reference validates against the empty\n"
+        "# get_options_schema() default)\n"
+        "@register_transform(\n"
+        "    'multiply', options_schema={'factor': {'type': (int, float)}}\n"
+        ")\n"
         "def _multiply(col, options):\n"
         "    return col * float(options.get('factor', 2))\n"
     )
@@ -74,8 +79,12 @@ def test_transform_validation_reports_all_errors(spark):
     }
     errs = validate_transforms(spec, types={"s": "string", "n": "int"})
     assert len(errs) == 3
-    assert any("requires option 'prefix'" in e for e in errs)
-    assert any("unknown transform 'nosuch'" in e for e in errs)
+    # reference-parity strings (loader/schemas.py:54-67, transforms.py:42-46)
+    assert any(
+        "The options schema for transform prefix failed to validate: prefix"
+        in e for e in errs
+    )
+    assert any("The transform nosuch does not exist." in e for e in errs)
     assert any("not available for fields of type" in e for e in errs)
 
     with pytest.raises(TransformError) as exc:
@@ -86,8 +95,12 @@ def test_transform_validation_reports_all_errors(spark):
     errs = validate_transforms(
         {"s": [{"name": "prefix", "prefix": 7, "oops": 1}]}
     )
-    assert any("must be str" in e for e in errs)
-    assert any("unknown option 'oops'" in e for e in errs)
+    # both failing option names ride in ONE reference-shaped message
+    assert any(
+        "The options schema for transform prefix failed to validate:" in e
+        and "prefix" in e and "oops" in e
+        for e in errs
+    )
 
 
 def test_config_load_rejects_bad_transform_options(tmp_path):
@@ -110,7 +123,10 @@ def test_config_load_rejects_bad_transform_options(tmp_path):
                 ],
             }
         )
-    assert any("requires option 'prefix'" in e for e in exc.value.errors)
+    assert any(
+        "The options schema for transform prefix failed to validate: prefix"
+        in e for e in exc.value.errors
+    )
 
 
 def test_step_options_validated_and_advisory(spark, tmp_path):
@@ -179,5 +195,8 @@ def test_reference_style_nested_transform_options(spark):
 
     # nested options are validated too
     errs = validate_transforms({"s": [{"name": "prefix", "options": {"oops": 1}}]})
-    assert any("requires option 'prefix'" in e for e in errs)
-    assert any("unknown option 'oops'" in e for e in errs)
+    assert any(
+        "The options schema for transform prefix failed to validate:" in e
+        and "prefix" in e and "oops" in e
+        for e in errs
+    )
