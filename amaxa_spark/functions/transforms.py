@@ -114,17 +114,20 @@ def validate_transforms(
             # NO options (the reference's get_options_schema() default
             # is {}, and Cerberus rejects unknown keys against it)
             schema = schema or {}
-            bad_opts: dict[str, str] = {}
+            # an ordered SET of failing option names — the reference's
+            # message carries only the names ("\n".join over the
+            # cerberus error dict), so names are all that's recorded
+            bad_opts: dict[str, None] = {}
             for opt, rule in schema.items():
                 if rule.get("required") and opt not in options:
-                    bad_opts[opt] = "required field"
+                    bad_opts[opt] = None
                 elif opt in options and not isinstance(
                     options[opt], rule.get("type", object)
                 ):
-                    bad_opts[opt] = f"must be of {rule['type'].__name__} type"
+                    bad_opts[opt] = None
             for opt in options:
                 if opt not in schema:
-                    bad_opts[opt] = "unknown field"
+                    bad_opts[opt] = None
             if bad_opts:
                 joined = "\n".join(bad_opts)
                 errors.append(

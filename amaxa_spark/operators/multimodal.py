@@ -1410,7 +1410,28 @@ def decode_jpeg(payload: bytes):
             pl = planes[cid]
             pl = np.repeat(np.repeat(pl, vmax // cv, axis=0), hmax // ch, axis=1)
             full[cid] = pl[:h, :w]
-        y_id, cb_id, cr_id = (s[0] for s in scan)
+        # identify components by SAMPLING and JFIF ids, not scan
+        # position — T.81 allows any component order in SOF/SOS
+        ids = [s[0] for s in scan]
+        if len(ids) != 3:
+            return None
+        if (hmax, vmax) == (1, 1):
+            # 4:4:4: sampling cannot single out luma; require the
+            # JFIF id convention (1=Y, 2=Cb, 3=Cr) or refuse
+            if sorted(ids) != [1, 2, 3]:
+                return None
+            y_id, cb_id, cr_id = 1, 2, 3
+        else:
+            # 4:2:0: luma IS the 2x2-sampled component wherever it
+            # sits; JFIF ids disambiguate the chroma pair when present
+            y_id = next(
+                cid for cid, ch, cv, _q in comps if (ch, cv) == (2, 2)
+            )
+            chroma = [cid for cid in ids if cid != y_id]
+            if y_id == 1 and sorted(chroma) == [2, 3]:
+                cb_id, cr_id = 2, 3
+            else:
+                cb_id, cr_id = chroma
         Y, Cb, Cr = full[y_id], full[cb_id] - 128.0, full[cr_id] - 128.0
         R = Y + 1.402 * Cr
         G = Y - 0.344136 * Cb - 0.714136 * Cr

@@ -558,9 +558,16 @@ def _unmatched_inserts(
     because each key's bucket is a pure pk-hash, so "not in its own
     bucket" is "not in the table") become new rows carrying pk +
     set_cols; every other target column is NULL (ALTER-added columns
-    still read as their default via :func:`_fill_added_columns`)."""
+    still read as their default via :func:`_fill_added_columns`).
+
+    NULL-key rows never insert: a NULL pk matches nothing (the
+    anti-join would pass it through EVERY batch, accumulating one
+    orphan row per replay) and identifies nothing — same as SQL
+    MERGE, whose ON equality never matches NULLs either."""
     keep = {pk, *set_cols}
-    new_rows = updates.join(table.select(pk), pk, "left_anti")
+    new_rows = updates.where(F.col(pk).isNotNull()).join(
+        table.select(pk), pk, "left_anti"
+    )
     return new_rows.select(
         *[
             (
@@ -922,7 +929,12 @@ def _footer_columns(*bucket_dirs: str) -> set[str]:
     (pyarrow — no SparkSession needed). One footer is representative:
     every write lands the full frame schema in every bucket, and the
     only schema divergence between generations is ALTER-added columns,
-    which are checked against the manifest separately."""
+    which are checked against the manifest separately.
+
+    No footer found is an ERROR, not an empty set: callers use this
+    for collision checks, and "could not verify" must never read as
+    "no collision" (a vacuous pass would let an ALTER silently rewrite
+    an existing column's NULLs to the default on every read)."""
     import pyarrow.parquet as pq
 
     for bdir in bucket_dirs:
@@ -933,7 +945,10 @@ def _footer_columns(*bucket_dirs: str) -> set[str]:
         for f in names:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 return set(pq.read_schema(os.path.join(bdir, f)).names)
-    return set()
+    raise FileNotFoundError(
+        "no parquet footer found to verify the physical schema against "
+        "(zero-bucket or damaged table) — pass spark= or repair the table"
+    )
 
 
 def _physical_columns_from_footer(path: str) -> set[str]:
@@ -1103,15 +1118,18 @@ def export_snapshot(
     import json
 
     manifest = _bucket_manifest(path, token)
+    # validate BEFORE creating the output directory: a refused export
+    # must leave nothing behind (a partial dir would block the retry
+    # on makedirs(exist_ok=False))
+    if manifest.get("added_columns") and spark is None:
+        raise ValueError(
+            f"{path}: table has metadata-only ALTER columns "
+            f"({sorted(manifest['added_columns'])}); pass spark= so "
+            "the export can materialize them (a raw file export "
+            "would silently drop these columns)"
+        )
     os.makedirs(out, exist_ok=False)
     if manifest.get("added_columns"):
-        if spark is None:
-            raise ValueError(
-                f"{path}: table has metadata-only ALTER columns "
-                f"({sorted(manifest['added_columns'])}); pass spark= so "
-                "the export can materialize them (a raw file export "
-                "would silently drop these columns)"
-            )
         df = read_versioned_table(spark, path, token).drop(MERGE_BUCKET_COL)
         df.write.mode("append").parquet(out)
         files = sorted(
@@ -1151,11 +1169,20 @@ def export_db_snapshot(
 
     manifest = _db_manifest(path, token)
     names = sorted(manifest["tables"]) if tables is None else list(tables)
+    # validate the WHOLE export before creating any output: a mid-loop
+    # refusal must not leave a partial marker-less directory behind
     for name in names:
         if name not in manifest["tables"]:
             raise ValueError(
                 f"{path}: no table {name!r} in this snapshot "
                 f"(has: {sorted(manifest['tables'])})"
+            )
+        if manifest["tables"][name].get("added_columns") and spark is None:
+            raise ValueError(
+                f"{path}/{name}: table has metadata-only ALTER "
+                f"columns "
+                f"({sorted(manifest['tables'][name]['added_columns'])}); "
+                "pass spark= so the export can materialize them"
             )
     os.makedirs(out, exist_ok=False)
     entries: dict[str, dict] = {}
@@ -1164,12 +1191,6 @@ def export_db_snapshot(
         tdir = os.path.join(out, name)
         os.makedirs(tdir)
         if t.get("added_columns"):
-            if spark is None:
-                raise ValueError(
-                    f"{path}/{name}: table has metadata-only ALTER "
-                    f"columns ({sorted(t['added_columns'])}); pass "
-                    "spark= so the export can materialize them"
-                )
             df = read_versioned_db(spark, path, name, token).drop(
                 MERGE_BUCKET_COL
             )
@@ -1243,8 +1264,18 @@ def merge_into_versioned(
     base_buckets = dict(manifest["buckets"])
     n_buckets = manifest["n_buckets"]
     upd = updates.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+    # NULL-pk rows match nothing and insert nothing (see
+    # _unmatched_inserts), yet xxhash64 is null-SAFE (a NULL key still
+    # hashes to a concrete bucket) — so the affected set must come
+    # from non-NULL keys only, or the manifest would claim a bucket
+    # the write never produces (phantom path, broken reads)
     upd_buckets = sorted(
-        b for (b,) in upd.select(MERGE_BUCKET_COL).distinct().collect()
+        b
+        for (b,) in upd.where(F.col(pk).isNotNull())
+        .select(MERGE_BUCKET_COL)
+        .distinct()
+        .collect()
+        if b is not None
     )
     affected = (
         upd_buckets
@@ -1271,25 +1302,35 @@ def merge_into_versioned(
     ]
     if not cur_paths:
         # insert-only commit into brand-new buckets: the target schema
-        # (for NULL-aligning the inserts) still comes from the table
+        # (for NULL-aligning the inserts) comes from the table when it
+        # has any bucket; a ZERO-bucket table (initialized from an
+        # empty frame — partitionBy writes no dirs for 0 rows)
+        # bootstraps from the updates frame instead, so a fresh
+        # insert-mode stream can populate it
         first = next(iter(sorted(manifest["buckets"].items())), None)
         if first is None:
-            raise FileNotFoundError(f"{path}: empty versioned table")
-        cur_paths = [
-            os.path.join(path, first[1], f"{MERGE_BUCKET_COL}={first[0]}")
-        ]
-        schema_only = True
+            table = _fill_added_columns(
+                upd.select(pk, *set_cols).limit(0), manifest
+            )
+        else:
+            table = _fill_added_columns(
+                _read_maybe_merged(
+                    spark,
+                    manifest,
+                    os.path.join(
+                        path, first[1], f"{MERGE_BUCKET_COL}={first[0]}"
+                    ),
+                ),
+                manifest,
+            ).limit(0)
     else:
-        schema_only = False
-    # merged-schema read + fill: affected buckets may span pre- and
-    # post-ALTER generations; the rewrite MATERIALIZES any metadata-
-    # added columns for these buckets (the incremental backfill the
-    # ALTER defers)
-    table = _fill_added_columns(
-        _read_maybe_merged(spark, manifest, *cur_paths), manifest
-    )
-    if schema_only:
-        table = table.limit(0)
+        # merged-schema read + fill: affected buckets may span pre- and
+        # post-ALTER generations; the rewrite MATERIALIZES any metadata-
+        # added columns for these buckets (the incremental backfill the
+        # ALTER defers)
+        table = _fill_added_columns(
+            _read_maybe_merged(spark, manifest, *cur_paths), manifest
+        )
     merged = _apply_matched_updates(table, upd, pk, set_cols)
     if not_matched == "insert":
         merged = merged.unionByName(_unmatched_inserts(table, upd, pk, set_cols))
@@ -1803,8 +1844,16 @@ def merge_into_versioned_db(
         t = manifest["tables"][name]
         pk, nb = t["pk"], t["n_buckets"]
         upd = upd_df.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
+        # NULL-pk rows never merge, and xxhash64 is null-safe, so the
+        # affected set comes from non-NULL keys only (same contract as
+        # the single-table MERGE)
         upd_buckets = sorted(
-            b for (b,) in upd.select(MERGE_BUCKET_COL).distinct().collect()
+            b
+            for (b,) in upd.where(F.col(pk).isNotNull())
+            .select(MERGE_BUCKET_COL)
+            .distinct()
+            .collect()
+            if b is not None
         )
         affected = (
             upd_buckets
@@ -1819,24 +1868,32 @@ def merge_into_versioned_db(
             if str(b) in t["buckets"]
         ]
         if not cur:
-            # insert-only into brand-new buckets: schema from the table
+            # insert-only into brand-new buckets: schema from the
+            # table when it has any bucket, else bootstrap from the
+            # updates frame (zero-bucket empty-frame init — same
+            # contract as the single-table MERGE)
             first = next(iter(sorted(t["buckets"].items())), None)
             if first is None:
-                raise FileNotFoundError(f"{path}/{name}: empty table")
-            cur = [
-                os.path.join(
-                    path, name, first[1], f"{MERGE_BUCKET_COL}={first[0]}"
+                table = _fill_added_columns(
+                    upd.select(pk, *set_cols[name]).limit(0), t
                 )
-            ]
-            schema_only = True
+            else:
+                table = _fill_added_columns(
+                    _read_maybe_merged(
+                        spark,
+                        t,
+                        os.path.join(
+                            path, name, first[1],
+                            f"{MERGE_BUCKET_COL}={first[0]}",
+                        ),
+                    ),
+                    t,
+                ).limit(0)
         else:
-            schema_only = False
-        # merged-schema read + fill: the rewrite MATERIALIZES any
-        # ALTER-added columns for the buckets it touches (the deferred
-        # backfill), exactly as the single-table MERGE does
-        table = _fill_added_columns(_read_maybe_merged(spark, t, *cur), t)
-        if schema_only:
-            table = table.limit(0)
+            # merged-schema read + fill: the rewrite MATERIALIZES any
+            # ALTER-added columns for the buckets it touches (the
+            # deferred backfill), exactly as the single-table MERGE
+            table = _fill_added_columns(_read_maybe_merged(spark, t, *cur), t)
         merged = _apply_matched_updates(table, upd, pk, set_cols[name])
         if not_matched == "insert":
             merged = merged.unionByName(

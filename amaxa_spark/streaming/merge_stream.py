@@ -67,14 +67,21 @@ def latest_per_key(
     first attempt, breaking the at-least-once "replay is idempotent on
     the data" contract. The all-column order makes the pick a pure
     function of the batch's row multiset."""
+    from pyspark.sql.types import MapType
+
     order = [F.col(order_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).desc())
     else:
+        # maps are not orderable in Spark — skip them rather than fail
+        # the whole stream; rows identical in every orderable column
+        # still reduce deterministically, and rows differing ONLY in a
+        # map column were ambiguous under the old behavior anyway
         order.extend(
-            F.col(c).desc()
-            for c in batch.columns
-            if c not in (pk, order_col)
+            F.col(f.name).desc()
+            for f in batch.schema.fields
+            if f.name not in (pk, order_col)
+            and not isinstance(f.dataType, MapType)
         )
     w = Window.partitionBy(pk).orderBy(*order)
     return (
@@ -169,15 +176,15 @@ def upsert_db_batch(
     inside the commit loop, so a failed-over twin's stale replay is
     refused no matter which tables it touches. The same
     new-checkpoint-needs-new-stream_id footgun applies."""
+    manifest = _db_manifest(path)  # one chain-head read serves both
     extra = None
     if stream_id is not None and batch_id is not None:
         # cheap pre-check only; the authoritative monotonic guard runs
         # inside the commit loop against the exact head being extended
-        done = _db_manifest(path).get("streams", {}).get(stream_id)
+        done = manifest.get("streams", {}).get(stream_id)
         if done is not None and batch_id <= done:
             return None
         extra = {"streams": {stream_id: batch_id}}
-    manifest = _db_manifest(path)
     updates: dict[str, DataFrame] = {}
     for name, batch in batches.items():
         t = manifest["tables"].get(name)

@@ -119,13 +119,15 @@ def test_multimodal_invalid_payload(spark):
     assert row.valid is False and row.fmt is None
 
 
-def test_multimodal_real_decode_lossy_is_stubbed():
-    # lossy formats (JPEG here) still need PIL/ffmpeg: clean error,
-    # not a result — BMP and PNG now decode natively
+def test_multimodal_real_decode_unknown_format_is_stubbed():
+    # formats beyond BMP/PNG/JPEG (WebP here) still need an image
+    # library: clean error, not a result
     with pytest.raises(NotImplementedError):
-        MM.decode_real(b"\xff\xd8\xff\xe0....")  # JPEG SOI/APP0
+        MM.decode_real(b"RIFF....WEBP")  # WebP container magic
     # a malformed PNG is routed to the PNG decoder, not the stub path
     assert MM.decode_real(b"\x89PNG\r\n\x1a\n....")["valid"] is False
+    # a malformed JPEG likewise routes to the real decoder (round 7)
+    assert MM.decode_real(b"\xff\xd8\xff\xe0....")["valid"] is False
 
 
 def test_bmp_decode_real_payload():

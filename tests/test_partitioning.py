@@ -1509,3 +1509,96 @@ def test_export_snapshot_readable_by_external_engine(spark, tmp_path):
     # provenance sidecar exists in every export
     for d in (out, out0, out_m, out_db):
         assert os.path.exists(os.path.join(d, "_EXPORT.json"))
+
+
+def test_merge_insert_null_keys_and_empty_table_bootstrap(spark, tmp_path):
+    """Review fixes: NULL-pk rows never insert (they'd accumulate one
+    orphan per replayed batch — SQL MERGE's ON equality never matches
+    NULL either), and a zero-bucket table (empty-frame init) accepts
+    its first insert-mode merge by bootstrapping the schema from the
+    updates frame."""
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_null")
+    write_versioned_table(
+        spark.createDataFrame([(1, "a")], "pk long, v string"),
+        path, pk="pk", n_buckets=4,
+    )
+    upd = spark.createDataFrame(
+        [(None, "ghost"), (1, "A"), (2, "b")], "pk long, v string"
+    )
+    for _ in range(2):  # replay: NULL row must not accumulate
+        merge_into_versioned(
+            spark, path, upd, pk="pk", set_cols=["v"], not_matched="insert"
+        )
+    rows = sorted(
+        (r.pk, r.v) for r in read_versioned_table(spark, path).collect()
+    )
+    assert rows == [(1, "A"), (2, "b")]  # no NULL-pk orphans
+
+    # zero-bucket bootstrap: empty init, then a pure-insert stream
+    empty_path = str(tmp_path / "vt_empty")
+    write_versioned_table(
+        spark.createDataFrame([], "pk long, v string"),
+        empty_path, pk="pk", n_buckets=4,
+    )
+    m = merge_into_versioned(
+        spark, empty_path,
+        spark.createDataFrame([(7, "first")], "pk long, v string"),
+        pk="pk", set_cols=["v"], not_matched="insert",
+    )
+    assert m["buckets"]  # buckets now exist
+    got = read_versioned_table(spark, empty_path).collect()
+    assert [(r.pk, r.v) for r in got] == [(7, "first")]
+
+
+def test_latest_per_key_skips_unorderable_map_columns(spark):
+    """A map-typed column in the batch must not fail the stream: maps
+    are not orderable, so the all-column tiebreak skips them."""
+    from amaxa_spark.streaming.merge_stream import latest_per_key
+
+    batch = spark.createDataFrame(
+        [(1, "a", 3, {"k": "v"}), (1, "b", 7, {"k": "w"})],
+        "pk long, val string, ver long, props map<string,string>",
+    )
+    got = latest_per_key(batch, "pk", "ver").collect()
+    assert len(got) == 1 and got[0].val == "b"
+
+
+def test_export_refusal_leaves_nothing_behind(spark, tmp_path):
+    """A refused export (ALTER-ed table, no spark) must not create the
+    output directory — a partial dir would block the corrected retry."""
+    import os
+
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_db_add_columns,
+        export_db_snapshot,
+        write_versioned_db,
+    )
+
+    db = str(tmp_path / "db_refuse")
+    write_versioned_db(
+        spark, db,
+        {
+            "plain": spark.createDataFrame([(1, "x")], "pk long, v string"),
+            "altered": spark.createDataFrame([(2, "y")], "pk long, v string"),
+        },
+        pks={"plain": "pk", "altered": "pk"},
+        n_buckets=2,
+    )
+    alter_versioned_db_add_columns(db, "altered", {"lang": ("string", "en")})
+    out = str(tmp_path / "refused_out")
+    with _pytest.raises(ValueError, match="materialize"):
+        export_db_snapshot(db, out)  # no spark -> refused up front
+    assert not os.path.exists(out)
+    # corrected retry succeeds into the SAME path
+    rec = export_db_snapshot(db, out, spark=spark)
+    assert rec["tables"]["altered"]["mode"] == "materialized"

@@ -200,3 +200,33 @@ def test_reference_style_nested_transform_options(spark):
         and "prefix" in e and "oops" in e
         for e in errs
     )
+
+
+def test_tuple_typed_option_schema_collects_error():
+    """A tuple-of-types option rule (the shape plugins register) must
+    produce a collected validation error on a bad value, not crash."""
+    from amaxa_spark.functions.transforms import (
+        TRANSFORM_META,
+        TRANSFORMS,
+        register_transform,
+        validate_transforms,
+    )
+
+    @register_transform(
+        "tupletyped", options_schema={"factor": {"type": (int, float)}}
+    )
+    def _t(col, options):
+        return col
+
+    try:
+        errs = validate_transforms({"c": [{"name": "tupletyped", "factor": "x"}]})
+        assert errs == [
+            "c: The options schema for transform tupletyped "
+            "failed to validate: factor"
+        ]
+        assert validate_transforms(
+            {"c": [{"name": "tupletyped", "factor": 2}]}
+        ) == []
+    finally:
+        TRANSFORMS.pop("tupletyped", None)
+        TRANSFORM_META.pop("tupletyped", None)
