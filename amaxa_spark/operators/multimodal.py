@@ -1423,15 +1423,17 @@ def decode_jpeg(payload: bytes):
             y_id, cb_id, cr_id = 1, 2, 3
         else:
             # 4:2:0: luma IS the 2x2-sampled component wherever it
-            # sits; JFIF ids disambiguate the chroma pair when present
+            # sits; the Cb/Cr pair is only distinguishable through the
+            # JFIF id convention (2=Cb, 3=Cr) — non-JFIF ids would
+            # force a guess that silently swaps red/blue, so refuse
+            # (same policy as the 4:4:4 branch)
             y_id = next(
                 cid for cid, ch, cv, _q in comps if (ch, cv) == (2, 2)
             )
-            chroma = [cid for cid in ids if cid != y_id]
-            if y_id == 1 and sorted(chroma) == [2, 3]:
-                cb_id, cr_id = 2, 3
-            else:
-                cb_id, cr_id = chroma
+            chroma = sorted(cid for cid in ids if cid != y_id)
+            if y_id != 1 or chroma != [2, 3]:
+                return None
+            cb_id, cr_id = 2, 3
         Y, Cb, Cr = full[y_id], full[cb_id] - 128.0, full[cr_id] - 128.0
         R = Y + 1.402 * Cr
         G = Y - 0.344136 * Cb - 0.714136 * Cr

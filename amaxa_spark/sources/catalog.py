@@ -529,7 +529,11 @@ def _apply_matched_updates(
     multiple matches for the same reason). The check is one bounded
     aggregation over the (small) update frame."""
     dup = (
-        updates.groupBy(pk)
+        # NULL keys are exempt: they match nothing (SQL MERGE's ON
+        # equality never matches NULL), so several NULL-pk rows are
+        # harmless no-ops, not a fan-out hazard
+        updates.where(F.col(pk).isNotNull())
+        .groupBy(pk)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1)
         .limit(1)
@@ -548,6 +552,49 @@ def _apply_matched_updates(
     for c in set_cols:
         merged = merged.withColumn(c, F.coalesce(F.col(f"__u_{c}"), F.col(c)))
     return merged.drop("__u_pk", *[f"__u_{c}" for c in set_cols])
+
+
+def _nonnull_update_buckets(upd: DataFrame, pk: str) -> list:
+    """Distinct bucket ids of an update frame, NULL keys excluded:
+    NULL-pk rows never merge, and xxhash64 is null-SAFE (a NULL key
+    still hashes to a concrete bucket) — including their bucket would
+    make the manifest claim a path the write never produces."""
+    return sorted(
+        b
+        for (b,) in upd.where(F.col(pk).isNotNull())
+        .select(MERGE_BUCKET_COL)
+        .distinct()
+        .collect()
+        if b is not None
+    )
+
+
+def _merge_target_frame(
+    spark, root: str, meta: dict, cur_paths: list[str], upd, pk, set_cols
+):
+    """The frame a MERGE rewrites (shared by both layouts): the
+    affected buckets' current rows (merged-schema read + added-column
+    fill — the rewrite MATERIALIZES metadata-added columns, the
+    deferred ALTER backfill), or a SCHEMA-ONLY frame when every
+    affected bucket is brand new — taken from any existing bucket if
+    one exists, else bootstrapped from the updates frame (zero-bucket
+    empty-frame init), so a fresh insert-mode stream can populate an
+    empty table."""
+    if cur_paths:
+        return _fill_added_columns(
+            _read_maybe_merged(spark, meta, *cur_paths), meta
+        )
+    first = next(iter(sorted(meta["buckets"].items())), None)
+    if first is None:
+        return _fill_added_columns(upd.select(pk, *set_cols).limit(0), meta)
+    return _fill_added_columns(
+        _read_maybe_merged(
+            spark,
+            meta,
+            os.path.join(root, first[1], f"{MERGE_BUCKET_COL}={first[0]}"),
+        ),
+        meta,
+    ).limit(0)
 
 
 def _unmatched_inserts(
@@ -931,12 +978,16 @@ def _footer_columns(*bucket_dirs: str) -> set[str]:
     only schema divergence between generations is ALTER-added columns,
     which are checked against the manifest separately.
 
-    No footer found is an ERROR, not an empty set: callers use this
-    for collision checks, and "could not verify" must never read as
-    "no collision" (a vacuous pass would let an ALTER silently rewrite
-    an existing column's NULLs to the default on every read)."""
+    A ZERO-bucket table (no dirs passed — empty-frame init) has
+    provably no physical files, so the empty set is the truth, not a
+    vacuous pass. But REGISTERED bucket dirs with no readable footer
+    mean "could not verify", which must never read as "no collision"
+    (that would let an ALTER silently rewrite an existing column's
+    NULLs to the default on every read) — that case raises."""
     import pyarrow.parquet as pq
 
+    if not bucket_dirs:
+        return set()
     for bdir in bucket_dirs:
         try:
             names = sorted(os.listdir(bdir))
@@ -947,7 +998,8 @@ def _footer_columns(*bucket_dirs: str) -> set[str]:
                 return set(pq.read_schema(os.path.join(bdir, f)).names)
     raise FileNotFoundError(
         "no parquet footer found to verify the physical schema against "
-        "(zero-bucket or damaged table) — pass spark= or repair the table"
+        "(damaged table: registered buckets without data files) — pass "
+        "spark= or repair the table"
     )
 
 
@@ -1043,7 +1095,10 @@ def alter_versioned_add_columns(
 
     _parse_added_column_types(columns)
     if spark is not None:
-        physical = set(read_versioned_table(spark, path).columns)
+        try:
+            physical = set(read_versioned_table(spark, path).columns)
+        except FileNotFoundError:
+            physical = set()  # zero-bucket table: no files, no collision
     else:
         physical = _physical_columns_from_footer(path)
     token = uuid.uuid4().hex[:12]
@@ -1120,8 +1175,13 @@ def export_snapshot(
     manifest = _bucket_manifest(path, token)
     # validate BEFORE creating the output directory: a refused export
     # must leave nothing behind (a partial dir would block the retry
-    # on makedirs(exist_ok=False))
-    if manifest.get("added_columns") and spark is None:
+    # on makedirs(exist_ok=False)). A zero-bucket table has no rows to
+    # materialize, so it exports as "empty" regardless of ALTERs.
+    if (
+        manifest["buckets"]
+        and manifest.get("added_columns")
+        and spark is None
+    ):
         raise ValueError(
             f"{path}: table has metadata-only ALTER columns "
             f"({sorted(manifest['added_columns'])}); pass spark= so "
@@ -1129,7 +1189,9 @@ def export_snapshot(
             "would silently drop these columns)"
         )
     os.makedirs(out, exist_ok=False)
-    if manifest.get("added_columns"):
+    if not manifest["buckets"]:
+        files, mode = [], "empty"
+    elif manifest.get("added_columns"):
         df = read_versioned_table(spark, path, token).drop(MERGE_BUCKET_COL)
         df.write.mode("append").parquet(out)
         files = sorted(
@@ -1168,7 +1230,14 @@ def export_db_snapshot(
     import json
 
     manifest = _db_manifest(path, token)
-    names = sorted(manifest["tables"]) if tables is None else list(tables)
+    names = (
+        sorted(manifest["tables"])
+        if tables is None
+        # dedup while preserving the caller's order — a duplicate name
+        # would otherwise fail mid-loop on the second makedirs, leaving
+        # the partial output the up-front validation exists to prevent
+        else list(dict.fromkeys(tables))
+    )
     # validate the WHOLE export before creating any output: a mid-loop
     # refusal must not leave a partial marker-less directory behind
     for name in names:
@@ -1177,11 +1246,11 @@ def export_db_snapshot(
                 f"{path}: no table {name!r} in this snapshot "
                 f"(has: {sorted(manifest['tables'])})"
             )
-        if manifest["tables"][name].get("added_columns") and spark is None:
+        t = manifest["tables"][name]
+        if t["buckets"] and t.get("added_columns") and spark is None:
             raise ValueError(
                 f"{path}/{name}: table has metadata-only ALTER "
-                f"columns "
-                f"({sorted(manifest['tables'][name]['added_columns'])}); "
+                f"columns ({sorted(t['added_columns'])}); "
                 "pass spark= so the export can materialize them"
             )
     os.makedirs(out, exist_ok=False)
@@ -1190,7 +1259,9 @@ def export_db_snapshot(
         t = manifest["tables"][name]
         tdir = os.path.join(out, name)
         os.makedirs(tdir)
-        if t.get("added_columns"):
+        if not t["buckets"]:
+            entries[name] = {"mode": "empty", "files": []}
+        elif t.get("added_columns"):
             df = read_versioned_db(spark, path, name, token).drop(
                 MERGE_BUCKET_COL
             )
@@ -1264,19 +1335,7 @@ def merge_into_versioned(
     base_buckets = dict(manifest["buckets"])
     n_buckets = manifest["n_buckets"]
     upd = updates.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
-    # NULL-pk rows match nothing and insert nothing (see
-    # _unmatched_inserts), yet xxhash64 is null-SAFE (a NULL key still
-    # hashes to a concrete bucket) — so the affected set must come
-    # from non-NULL keys only, or the manifest would claim a bucket
-    # the write never produces (phantom path, broken reads)
-    upd_buckets = sorted(
-        b
-        for (b,) in upd.where(F.col(pk).isNotNull())
-        .select(MERGE_BUCKET_COL)
-        .distinct()
-        .collect()
-        if b is not None
-    )
+    upd_buckets = _nonnull_update_buckets(upd, pk)
     affected = (
         upd_buckets
         if not_matched == "insert"
@@ -1300,37 +1359,9 @@ def merge_into_versioned(
         for b in affected
         if str(b) in manifest["buckets"]
     ]
-    if not cur_paths:
-        # insert-only commit into brand-new buckets: the target schema
-        # (for NULL-aligning the inserts) comes from the table when it
-        # has any bucket; a ZERO-bucket table (initialized from an
-        # empty frame — partitionBy writes no dirs for 0 rows)
-        # bootstraps from the updates frame instead, so a fresh
-        # insert-mode stream can populate it
-        first = next(iter(sorted(manifest["buckets"].items())), None)
-        if first is None:
-            table = _fill_added_columns(
-                upd.select(pk, *set_cols).limit(0), manifest
-            )
-        else:
-            table = _fill_added_columns(
-                _read_maybe_merged(
-                    spark,
-                    manifest,
-                    os.path.join(
-                        path, first[1], f"{MERGE_BUCKET_COL}={first[0]}"
-                    ),
-                ),
-                manifest,
-            ).limit(0)
-    else:
-        # merged-schema read + fill: affected buckets may span pre- and
-        # post-ALTER generations; the rewrite MATERIALIZES any metadata-
-        # added columns for these buckets (the incremental backfill the
-        # ALTER defers)
-        table = _fill_added_columns(
-            _read_maybe_merged(spark, manifest, *cur_paths), manifest
-        )
+    table = _merge_target_frame(
+        spark, path, manifest, cur_paths, upd, pk, set_cols
+    )
     merged = _apply_matched_updates(table, upd, pk, set_cols)
     if not_matched == "insert":
         merged = merged.unionByName(_unmatched_inserts(table, upd, pk, set_cols))
@@ -1748,7 +1779,10 @@ def alter_versioned_db_add_columns(
 
     _parse_added_column_types(columns)
     if spark is not None:
-        physical = set(read_versioned_db(spark, path, table).columns)
+        try:
+            physical = set(read_versioned_db(spark, path, table).columns)
+        except FileNotFoundError:
+            physical = set()  # zero-bucket table: no files, no collision
     else:
         t = _db_manifest(path)["tables"].get(table)
         if t is None:
@@ -1844,17 +1878,7 @@ def merge_into_versioned_db(
         t = manifest["tables"][name]
         pk, nb = t["pk"], t["n_buckets"]
         upd = upd_df.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
-        # NULL-pk rows never merge, and xxhash64 is null-safe, so the
-        # affected set comes from non-NULL keys only (same contract as
-        # the single-table MERGE)
-        upd_buckets = sorted(
-            b
-            for (b,) in upd.where(F.col(pk).isNotNull())
-            .select(MERGE_BUCKET_COL)
-            .distinct()
-            .collect()
-            if b is not None
-        )
+        upd_buckets = _nonnull_update_buckets(upd, pk)
         affected = (
             upd_buckets
             if not_matched == "insert"
@@ -1867,33 +1891,9 @@ def merge_into_versioned_db(
             for b in affected
             if str(b) in t["buckets"]
         ]
-        if not cur:
-            # insert-only into brand-new buckets: schema from the
-            # table when it has any bucket, else bootstrap from the
-            # updates frame (zero-bucket empty-frame init — same
-            # contract as the single-table MERGE)
-            first = next(iter(sorted(t["buckets"].items())), None)
-            if first is None:
-                table = _fill_added_columns(
-                    upd.select(pk, *set_cols[name]).limit(0), t
-                )
-            else:
-                table = _fill_added_columns(
-                    _read_maybe_merged(
-                        spark,
-                        t,
-                        os.path.join(
-                            path, name, first[1],
-                            f"{MERGE_BUCKET_COL}={first[0]}",
-                        ),
-                    ),
-                    t,
-                ).limit(0)
-        else:
-            # merged-schema read + fill: the rewrite MATERIALIZES any
-            # ALTER-added columns for the buckets it touches (the
-            # deferred backfill), exactly as the single-table MERGE
-            table = _fill_added_columns(_read_maybe_merged(spark, t, *cur), t)
+        table = _merge_target_frame(
+            spark, os.path.join(path, name), t, cur, upd, pk, set_cols[name]
+        )
         merged = _apply_matched_updates(table, upd, pk, set_cols[name])
         if not_matched == "insert":
             merged = merged.unionByName(

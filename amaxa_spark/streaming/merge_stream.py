@@ -52,6 +52,43 @@ from amaxa_spark.sources.catalog import (
 )
 
 
+def _is_orderable(dtype) -> bool:
+    """Spark's orderability rule, applied recursively: maps are not
+    orderable, and neither is any array/struct CONTAINING one."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return False
+    if isinstance(dtype, ArrayType):
+        return _is_orderable(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return all(_is_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
+def _orderable_expr(field):
+    """A deterministic sort expression for a tiebreak column, or None
+    when no such expression exists. Plain orderable columns sort as
+    themselves; a TOP-LEVEL map with orderable keys/values sorts by
+    its sorted entry list (``sort_array(map_entries(c))``) so rows
+    differing only in the map still reduce deterministically; only
+    deeply-nested maps (a map inside an array/struct) are skipped —
+    there is no composable ordering for those, and failing the stream
+    over them would be worse."""
+    from pyspark.sql.types import MapType, StructField, StructType
+
+    dt = field.dataType
+    if _is_orderable(dt):
+        return F.col(field.name)
+    if isinstance(dt, MapType) and _is_orderable(
+        StructType(
+            [StructField("k", dt.keyType), StructField("v", dt.valueType)]
+        )
+    ):
+        return F.sort_array(F.map_entries(F.col(field.name)))
+    return None
+
+
 def latest_per_key(
     batch: DataFrame, pk: str, order_col: str, tiebreak_col: str | None = None
 ) -> DataFrame:
@@ -67,21 +104,16 @@ def latest_per_key(
     first attempt, breaking the at-least-once "replay is idempotent on
     the data" contract. The all-column order makes the pick a pure
     function of the batch's row multiset."""
-    from pyspark.sql.types import MapType
-
     order = [F.col(order_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).desc())
     else:
-        # maps are not orderable in Spark — skip them rather than fail
-        # the whole stream; rows identical in every orderable column
-        # still reduce deterministically, and rows differing ONLY in a
-        # map column were ambiguous under the old behavior anyway
         order.extend(
-            F.col(f.name).desc()
+            expr.desc()
             for f in batch.schema.fields
             if f.name not in (pk, order_col)
-            and not isinstance(f.dataType, MapType)
+            for expr in [_orderable_expr(f)]
+            if expr is not None
         )
     w = Window.partitionBy(pk).orderBy(*order)
     return (

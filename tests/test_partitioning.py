@@ -1602,3 +1602,80 @@ def test_export_refusal_leaves_nothing_behind(spark, tmp_path):
     # corrected retry succeeds into the SAME path
     rec = export_db_snapshot(db, out, spark=spark)
     assert rec["tables"]["altered"]["mode"] == "materialized"
+
+
+def test_second_pass_review_fixes(spark, tmp_path):
+    """Round-7 second review pass: nested/unorderable tiebreak columns
+    never fail the stream (top-level maps get a deterministic
+    entry-sort order), several NULL-pk update rows are no-ops rather
+    than a duplicate-key abort, ALTER works on zero-bucket tables on
+    both lookup paths, and such tables export as 'empty'."""
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        export_snapshot,
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+    from amaxa_spark.streaming.merge_stream import latest_per_key
+
+    # nested map (array<map>) is skipped; top-level map orders by its
+    # sorted entries, deterministically
+    batch = spark.createDataFrame(
+        [
+            (1, 1, {"k": "a"}, [{"x": "1"}]),
+            (1, 1, {"k": "b"}, [{"x": "2"}]),
+        ],
+        "pk long, ver long, props map<string,string>, "
+        "tags array<map<string,string>>",
+    )
+    for _ in range(3):
+        got = latest_per_key(batch, "pk", "ver").collect()
+        assert len(got) == 1 and got[0].props == {"k": "b"}  # max entries
+
+    # several NULL-pk rows: ignored, not a duplicate-key abort
+    path = str(tmp_path / "vt_nulls2")
+    write_versioned_table(
+        spark.createDataFrame([(1, "a")], "pk long, v string"),
+        path, pk="pk", n_buckets=4,
+    )
+    merge_into_versioned(
+        spark, path,
+        spark.createDataFrame(
+            [(None, "g1"), (None, "g2"), (1, "A")], "pk long, v string"
+        ),
+        pk="pk", set_cols=["v"], not_matched="insert",
+    )
+    assert [(r.pk, r.v) for r in read_versioned_table(spark, path).collect()] \
+        == [(1, "A")]
+
+    # zero-bucket table: ALTER succeeds via session AND footer paths,
+    # and the export is a clean 'empty'
+    empty = str(tmp_path / "vt_empty2")
+    write_versioned_table(
+        spark.createDataFrame([], "pk long, v string"),
+        empty, pk="pk", n_buckets=4,
+    )
+    alter_versioned_add_columns(empty, {"a1": ("string", "x")}, spark=spark)
+    alter_versioned_add_columns(empty, {"a2": ("string", "y")})  # footer path
+    rec = export_snapshot(empty, str(tmp_path / "empty_out"))
+    assert rec["mode"] == "empty" and rec["files"] == []
+
+
+def test_jpeg_non_jfif_component_ids_refused():
+    """T.81 allows arbitrary component ids, but without the JFIF 1/2/3
+    convention Cb and Cr are indistinguishable — the decoder must
+    refuse (None), never guess and silently swap colors."""
+    from amaxa_spark.operators import multimodal as MM
+
+    good = bytearray(MM.encode_jpeg(MM.jpeg_expected_pixels(5)))
+    sof = bytes(good).index(b"\xff\xc0")
+    sos = bytes(good).index(b"\xff\xda")
+    # rewrite component ids 1,2,3 -> 4,5,6 in SOF0 and SOS
+    for off in (sof + 10, sof + 13, sof + 16):
+        good[off] += 3
+    for off in (sos + 5, sos + 7, sos + 9):
+        good[off] += 3
+    assert MM.decode_jpeg(bytes(good)) is None
