@@ -1177,11 +1177,13 @@ def encode_jpeg(pixels) -> bytes:
     Crs = Crp.reshape(H16 // 2, 2, W16 // 2, 2).mean(axis=(1, 3))
     C = _dct_mat()
 
+    zz_idx = np.array(_JPEG_ZZ)
+
     def quantized_zigzag(plane, oy, ox):
         block = plane[oy : oy + 8, ox : ox + 8] - 128.0
         coef = C @ block @ C.T  # flat quant table of 1s -> just round
-        flat = coef.reshape(-1)
-        return [int(round(flat[j])) for j in _JPEG_ZZ]
+        # np.rint == round-half-to-even, same as Python round()
+        return np.rint(coef.reshape(-1)[zz_idx]).astype(np.int64).tolist()
 
     dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -1398,8 +1400,7 @@ def decode_jpeg(payload: bytes):
                                 zz[k] = _extend(br.bits(size), size) * q[k]
                                 k += 1
                             coef = np.zeros(64)
-                            for j, rj in enumerate(_JPEG_ZZ):
-                                coef[rj] = zz[j]
+                            coef[_JPEG_ZZ] = zz  # inverse zigzag, vectorized
                             block = C.T @ coef.reshape(8, 8) @ C + 128.0
                             oy = (my * cv + by) * 8
                             ox = (mx * ch + bx) * 8

@@ -860,6 +860,10 @@ def write_versioned_table(
         "pk": pk,
         "n_buckets": n_buckets,
         "seq": 0,
+        # the init frame's logical schema: the collision authority for
+        # ALTERs on ZERO-bucket tables, where no parquet footer exists
+        # to consult (an empty-frame init still has a schema)
+        "columns": list(df.columns),
         "buckets": {
             str(b): gen for b in _present_buckets(os.path.join(path, gen))
         },
@@ -1094,13 +1098,16 @@ def alter_versioned_add_columns(
     import uuid
 
     _parse_added_column_types(columns)
-    if spark is not None:
-        try:
-            physical = set(read_versioned_table(spark, path).columns)
-        except FileNotFoundError:
-            physical = set()  # zero-bucket table: no files, no collision
-    else:
-        physical = _physical_columns_from_footer(path)
+    # collision authority = the manifest-recorded init schema (covers
+    # zero-bucket tables, whose logical columns have no footer yet)
+    # plus, when data exists, the live schema or one parquet footer
+    manifest0 = _bucket_manifest(path)
+    physical = set(manifest0.get("columns", []))
+    if manifest0["buckets"]:
+        if spark is not None:
+            physical |= set(read_versioned_table(spark, path).columns)
+        else:
+            physical |= _physical_columns_from_footer(path)
     token = uuid.uuid4().hex[:12]
     while True:
         # the head IS the base — re-read and rebuild on every claim
@@ -1146,6 +1153,27 @@ def _export_bucket_files(
     return exported
 
 
+def _export_table_entry(src_root: str, meta: dict, out_dir: str, materialize) -> dict:
+    """One table's export body, shared by both layouts: zero-bucket
+    tables export as ``"empty"``; ALTER-carrying tables materialize
+    via ``materialize()`` (callers validate the session up front, so
+    this is never reached without one); everything else hard-links
+    zero-copy."""
+    if not meta["buckets"]:
+        return {"mode": "empty", "files": []}
+    if meta.get("added_columns"):
+        materialize().write.mode("append").parquet(out_dir)
+        files = sorted(
+            f for f in os.listdir(out_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        return {"mode": "materialized", "files": files}
+    return {
+        "mode": "linked",
+        "files": _export_bucket_files(src_root, meta["buckets"], out_dir),
+    }
+
+
 def export_snapshot(
     path: str,
     out: str,
@@ -1189,26 +1217,20 @@ def export_snapshot(
             "would silently drop these columns)"
         )
     os.makedirs(out, exist_ok=False)
-    if not manifest["buckets"]:
-        files, mode = [], "empty"
-    elif manifest.get("added_columns"):
-        df = read_versioned_table(spark, path, token).drop(MERGE_BUCKET_COL)
-        df.write.mode("append").parquet(out)
-        files = sorted(
-            f for f in os.listdir(out)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        mode = "materialized"
-    else:
-        files = _export_bucket_files(path, manifest["buckets"], out)
-        mode = "linked"
+    entry = _export_table_entry(
+        path,
+        manifest,
+        out,
+        lambda: read_versioned_table(spark, path, token).drop(
+            MERGE_BUCKET_COL
+        ),
+    )
     record = {
         "source": os.path.abspath(path),
         "kind": manifest.get("kind"),
         "token": manifest["token"],
         "seq": manifest.get("seq"),
-        "mode": mode,
-        "files": files,
+        **entry,
     }
     with open(os.path.join(out, "_EXPORT.json"), "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
@@ -1259,23 +1281,14 @@ def export_db_snapshot(
         t = manifest["tables"][name]
         tdir = os.path.join(out, name)
         os.makedirs(tdir)
-        if not t["buckets"]:
-            entries[name] = {"mode": "empty", "files": []}
-        elif t.get("added_columns"):
-            df = read_versioned_db(spark, path, name, token).drop(
-                MERGE_BUCKET_COL
-            )
-            df.write.mode("append").parquet(tdir)
-            files = sorted(
-                f for f in os.listdir(tdir)
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            )
-            entries[name] = {"mode": "materialized", "files": files}
-        else:
-            files = _export_bucket_files(
-                os.path.join(path, name), t["buckets"], tdir
-            )
-            entries[name] = {"mode": "linked", "files": files}
+        entries[name] = _export_table_entry(
+            os.path.join(path, name),
+            t,
+            tdir,
+            lambda name=name: read_versioned_db(
+                spark, path, name, token
+            ).drop(MERGE_BUCKET_COL),
+        )
     record = {
         "source": os.path.abspath(path),
         "kind": manifest.get("kind"),
@@ -1671,6 +1684,7 @@ def write_versioned_db(
         entry[name] = {
             "pk": pk,
             "n_buckets": nb,
+            "columns": list(df.columns),
             "buckets": {str(b): gen for b in _present_buckets(tdir)},
             # counting the WRITTEN parquet is footer-metadata-only —
             # callers report row counts without re-running load lineage
@@ -1778,21 +1792,23 @@ def alter_versioned_db_add_columns(
     import uuid
 
     _parse_added_column_types(columns)
-    if spark is not None:
-        try:
-            physical = set(read_versioned_db(spark, path, table).columns)
-        except FileNotFoundError:
-            physical = set()  # zero-bucket table: no files, no collision
-    else:
-        t = _db_manifest(path)["tables"].get(table)
-        if t is None:
-            raise ValueError(f"{path}: no table {table!r} in this snapshot")
-        physical = _footer_columns(
-            *(
-                os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
-                for b, gen in sorted(t["buckets"].items())
+    # same collision-authority rule as the single-table ALTER:
+    # manifest-recorded init schema + live/footer schema when data
+    # exists
+    t0 = _db_manifest(path)["tables"].get(table)
+    if t0 is None:
+        raise ValueError(f"{path}: no table {table!r} in this snapshot")
+    physical = set(t0.get("columns", []))
+    if t0["buckets"]:
+        if spark is not None:
+            physical |= set(read_versioned_db(spark, path, table).columns)
+        else:
+            physical |= _footer_columns(
+                *(
+                    os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
+                    for b, gen in sorted(t0["buckets"].items())
+                )
             )
-        )
     token = uuid.uuid4().hex[:12]
     while True:
         # the head IS the base — rebuild per claim attempt (same CAS

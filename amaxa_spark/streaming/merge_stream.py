@@ -53,15 +53,21 @@ from amaxa_spark.sources.catalog import (
 
 
 def _is_orderable(dtype) -> bool:
-    """Spark's orderability rule, applied recursively: maps are not
-    orderable, and neither is any array/struct CONTAINING one."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    """Spark's orderability rule, applied recursively: maps, calendar
+    intervals, and variants are not orderable, and neither is any
+    array/struct CONTAINING one."""
+    from pyspark.sql import types as T
 
-    if isinstance(dtype, MapType):
+    unorderable = [T.MapType]
+    for name in ("CalendarIntervalType", "VariantType"):
+        t = getattr(T, name, None)  # VariantType is Spark-4-only
+        if t is not None:
+            unorderable.append(t)
+    if isinstance(dtype, tuple(unorderable)):
         return False
-    if isinstance(dtype, ArrayType):
+    if isinstance(dtype, T.ArrayType):
         return _is_orderable(dtype.elementType)
-    if isinstance(dtype, StructType):
+    if isinstance(dtype, T.StructType):
         return all(_is_orderable(f.dataType) for f in dtype.fields)
     return True
 

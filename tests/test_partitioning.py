@@ -1652,7 +1652,11 @@ def test_second_pass_review_fixes(spark, tmp_path):
         == [(1, "A")]
 
     # zero-bucket table: ALTER succeeds via session AND footer paths,
-    # and the export is a clean 'empty'
+    # the export is a clean 'empty', and — third-pass fix — the
+    # collision check still holds against the manifest-recorded INIT
+    # schema (no footer exists, but the logical columns are known)
+    import pytest as _pytest
+
     empty = str(tmp_path / "vt_empty2")
     write_versioned_table(
         spark.createDataFrame([], "pk long, v string"),
@@ -1660,8 +1664,25 @@ def test_second_pass_review_fixes(spark, tmp_path):
     )
     alter_versioned_add_columns(empty, {"a1": ("string", "x")}, spark=spark)
     alter_versioned_add_columns(empty, {"a2": ("string", "y")})  # footer path
+    for col in ("pk", "v"):
+        for sess in (spark, None):
+            with _pytest.raises(ValueError, match="already exists"):
+                alter_versioned_add_columns(
+                    empty, {col: ("string", "z")}, spark=sess
+                )
     rec = export_snapshot(empty, str(tmp_path / "empty_out"))
     assert rec["mode"] == "empty" and rec["files"] == []
+
+    # calendar-interval columns are unorderable — skipped, not fatal
+    iv = spark.sql(
+        "SELECT 1L AS pk, 1L AS ver, 'a' AS val, "
+        "make_interval(0, 1, 0, 0, 0, 0, 0) AS iv "
+        "UNION ALL SELECT 1L, 1L, 'b', make_interval(0, 2, 0, 0, 0, 0, 0)"
+    )
+    # (collect only plain columns: CalendarIntervalType has no Python
+    # representation — the point is the window itself must not fail)
+    got = latest_per_key(iv, "pk", "ver").select("pk", "val").collect()
+    assert len(got) == 1 and got[0].val == "b"  # val tiebreak still applies
 
 
 def test_jpeg_non_jfif_component_ids_refused():

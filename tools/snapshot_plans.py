@@ -154,6 +154,17 @@ SHOW = [
         "user-key exchange",
     ),
     (
+        "image_jpeg_stats",
+        "lossy-codec gate: payload column pruned until touched, one "
+        "Arrow-batched mapInPandas projection, no shuffle",
+    ),
+    (
+        "dedup_ngram_jaccard",
+        "capped inverted-index self-join: stop-shingle semi-join "
+        "(df<=256) feeds the pair join — candidate volume bounded "
+        "per shingle",
+    ),
+    (
         "lineitem_discount_bands",
         "derived-key histogram: band computed in the scan projection, "
         "single hash aggregation with map-side combine",
