@@ -994,6 +994,16 @@ def pcm_energy(
 # byte-exact — see jpeg_fidelity_stats for the oracle-friendly gate.
 
 _JPEG_SOI = b"\xff\xd8"
+_JPEG_ZZ_IDX = None  # lazy module-level np.array(_JPEG_ZZ), shared by codec halves
+
+
+def _jpeg_zz_index():
+    global _JPEG_ZZ_IDX
+    if _JPEG_ZZ_IDX is None:
+        import numpy as np
+
+        _JPEG_ZZ_IDX = np.array(_JPEG_ZZ)
+    return _JPEG_ZZ_IDX
 
 # zigzag scan order: position k in the scan reads raster index _ZZ[k]
 _JPEG_ZZ = [
@@ -1177,7 +1187,7 @@ def encode_jpeg(pixels) -> bytes:
     Crs = Crp.reshape(H16 // 2, 2, W16 // 2, 2).mean(axis=(1, 3))
     C = _dct_mat()
 
-    zz_idx = np.array(_JPEG_ZZ)
+    zz_idx = _jpeg_zz_index()
 
     def quantized_zigzag(plane, oy, ox):
         block = plane[oy : oy + 8, ox : ox + 8] - 128.0
@@ -1400,7 +1410,7 @@ def decode_jpeg(payload: bytes):
                                 zz[k] = _extend(br.bits(size), size) * q[k]
                                 k += 1
                             coef = np.zeros(64)
-                            coef[_JPEG_ZZ] = zz  # inverse zigzag, vectorized
+                            coef[_jpeg_zz_index()] = zz  # inverse zigzag
                             block = C.T @ coef.reshape(8, 8) @ C + 128.0
                             oy = (my * cv + by) * 8
                             ox = (mx * ch + bx) * 8

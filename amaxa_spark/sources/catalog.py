@@ -883,15 +883,30 @@ def write_versioned_table(
     while True:
         head = _commit_chain_head(path)
         manifest["seq"] = 0 if head is None else head[0] + 1
+        # rebuild carried-over state from THIS head (a retry may see a
+        # different head than the last attempt did)
+        manifest.pop("streams", None)
+        manifest.pop("added_columns", None)
         if head is not None:
             # stream markers AND schema-evolution metadata both
             # survive a re-init: live exactly-once streams must keep
             # skipping applied batches, and their set_cols may target
             # ALTER-added columns the new baseline fills by default
-            # (delete the table directory for a truly clean slate)
-            for key in ("streams", "added_columns"):
-                if head[1].get(key):
-                    manifest[key] = dict(head[1][key])
+            # (delete the table directory for a truly clean slate).
+            # EXCEPT: an added column the new baseline carries
+            # PHYSICALLY is dropped from the metadata — the rewrite
+            # has materialized it, and keeping the entry would
+            # coalesce the new data's genuine NULLs to the old default
+            # on every read.
+            if head[1].get("streams"):
+                manifest["streams"] = dict(head[1]["streams"])
+            carried = {
+                c: spec
+                for c, spec in head[1].get("added_columns", {}).items()
+                if c not in df.columns
+            }
+            if carried:
+                manifest["added_columns"] = carried
         try:
             _claim_commit(path, manifest["seq"], manifest)
             break
@@ -1007,14 +1022,33 @@ def _footer_columns(*bucket_dirs: str) -> set[str]:
     )
 
 
-def _physical_columns_from_footer(path: str) -> set[str]:
-    manifest = _bucket_manifest(path)
-    return _footer_columns(
-        *(
-            os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
-            for b, gen in sorted(manifest["buckets"].items())
+def _alter_collision_columns(
+    spark: SparkSession | None, root: str, meta: dict
+) -> set[str]:
+    """The column set an ALTER must not collide with, shared by both
+    layouts: the manifest-recorded init schema plus — when data exists
+    — the session schema or one parquet footer, both resolved against
+    the SAME bucket map as the rest of the validation (``meta``), so a
+    concurrent re-init cannot swap the head mid-check. A zero-bucket
+    table whose manifest predates the recorded-schema format cannot be
+    verified at all — that errors rather than vacuously passing."""
+    physical = set(meta.get("columns", []))
+    if meta["buckets"]:
+        paths = [
+            os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+            for b, gen in sorted(meta["buckets"].items())
+        ]
+        if spark is not None:
+            physical |= set(_read_maybe_merged(spark, meta, *paths).columns)
+        else:
+            physical |= _footer_columns(*paths)
+    elif "columns" not in meta:
+        raise ValueError(
+            f"{root}: cannot verify column collisions — this zero-bucket "
+            "manifest predates the recorded-schema format; re-initialize "
+            "the table (write_versioned_table) to record its schema"
         )
-    )
+    return physical
 
 
 def _parse_added_column_types(columns: dict[str, tuple[str, object]]) -> None:
@@ -1100,14 +1134,12 @@ def alter_versioned_add_columns(
     _parse_added_column_types(columns)
     # collision authority = the manifest-recorded init schema (covers
     # zero-bucket tables, whose logical columns have no footer yet)
-    # plus, when data exists, the live schema or one parquet footer
+    # plus, when data exists, the session schema or one parquet footer
+    # — both resolved against THIS manifest's bucket map (pinned: a
+    # concurrent re-init cannot yank the paths between the bucket
+    # check and the read)
     manifest0 = _bucket_manifest(path)
-    physical = set(manifest0.get("columns", []))
-    if manifest0["buckets"]:
-        if spark is not None:
-            physical |= set(read_versioned_table(spark, path).columns)
-        else:
-            physical |= _physical_columns_from_footer(path)
+    physical = set(_alter_collision_columns(spark, path, manifest0))
     token = uuid.uuid4().hex[:12]
     while True:
         # the head IS the base — re-read and rebuild on every claim
@@ -1716,8 +1748,16 @@ def write_versioned_db(
                 manifest["streams"] = dict(head[1]["streams"])
             for name, t in manifest["tables"].items():
                 prev = head[1].get("tables", {}).get(name, {})
-                if prev.get("added_columns"):
-                    t["added_columns"] = dict(prev["added_columns"])
+                # same physically-materialized filter as the
+                # single-table re-init: an added column the new
+                # baseline carries physically leaves the metadata
+                carried = {
+                    c: spec
+                    for c, spec in prev.get("added_columns", {}).items()
+                    if c not in t.get("columns", [])
+                }
+                if carried:
+                    t["added_columns"] = carried
         try:
             _claim_commit(path, manifest["seq"], manifest)
             break
@@ -1792,23 +1832,11 @@ def alter_versioned_db_add_columns(
     import uuid
 
     _parse_added_column_types(columns)
-    # same collision-authority rule as the single-table ALTER:
-    # manifest-recorded init schema + live/footer schema when data
-    # exists
+    # same collision-authority rule as the single-table ALTER
     t0 = _db_manifest(path)["tables"].get(table)
     if t0 is None:
         raise ValueError(f"{path}: no table {table!r} in this snapshot")
-    physical = set(t0.get("columns", []))
-    if t0["buckets"]:
-        if spark is not None:
-            physical |= set(read_versioned_db(spark, path, table).columns)
-        else:
-            physical |= _footer_columns(
-                *(
-                    os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
-                    for b, gen in sorted(t0["buckets"].items())
-                )
-            )
+    physical = _alter_collision_columns(spark, os.path.join(path, table), t0)
     token = uuid.uuid4().hex[:12]
     while True:
         # the head IS the base — rebuild per claim attempt (same CAS

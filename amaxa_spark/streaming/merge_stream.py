@@ -52,18 +52,26 @@ from amaxa_spark.sources.catalog import (
 )
 
 
+from pyspark.sql import types as _T
+
+_UNORDERABLE_TYPES = tuple(
+    t
+    for t in (
+        _T.MapType,
+        getattr(_T, "CalendarIntervalType", None),
+        getattr(_T, "VariantType", None),  # Spark-4-only
+    )
+    if t is not None
+)
+
+
 def _is_orderable(dtype) -> bool:
     """Spark's orderability rule, applied recursively: maps, calendar
     intervals, and variants are not orderable, and neither is any
     array/struct CONTAINING one."""
     from pyspark.sql import types as T
 
-    unorderable = [T.MapType]
-    for name in ("CalendarIntervalType", "VariantType"):
-        t = getattr(T, name, None)  # VariantType is Spark-4-only
-        if t is not None:
-            unorderable.append(t)
-    if isinstance(dtype, tuple(unorderable)):
+    if isinstance(dtype, _UNORDERABLE_TYPES):
         return False
     if isinstance(dtype, T.ArrayType):
         return _is_orderable(dtype.elementType)

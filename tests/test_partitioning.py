@@ -1700,3 +1700,71 @@ def test_jpeg_non_jfif_component_ids_refused():
     for off in (sos + 5, sos + 7, sos + 9):
         good[off] += 3
     assert MM.decode_jpeg(bytes(good)) is None
+
+
+def test_reinit_drops_materialized_added_columns(spark, tmp_path):
+    """A full-rewrite re-init whose new baseline PHYSICALLY carries an
+    ALTER-added column drops that column from the carried metadata —
+    keeping it would coalesce the new data's genuine NULLs to the old
+    default on every read. Added columns the new baseline does NOT
+    carry still survive (live streams may target them)."""
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_reinit")
+    write_versioned_table(
+        spark.createDataFrame([(1, "a")], "pk long, v string"),
+        path, pk="pk", n_buckets=4,
+    )
+    alter_versioned_add_columns(path, {"c": ("string", "x")})
+    alter_versioned_add_columns(path, {"d": ("string", "dflt")})
+    # new baseline materializes c (with a genuine NULL) but not d
+    m = write_versioned_table(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "b", "real")], "pk long, v string, c string"
+        ),
+        path, pk="pk", n_buckets=4,
+    )
+    assert set(m.get("added_columns", {})) == {"d"}  # c dropped, d kept
+    rows = {r.pk: (r.c, r.d) for r in read_versioned_table(spark, path).collect()}
+    assert rows[1] == (None, "dflt")  # genuine NULL survives; d defaults
+    assert rows[2] == ("real", "dflt")
+
+
+def test_alter_refuses_unverifiable_pre_schema_manifest(spark, tmp_path):
+    """A zero-bucket manifest WITHOUT a recorded schema (pre-round-7
+    format) cannot prove an added column is collision-free — the ALTER
+    must refuse, not vacuously pass."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_prer7")
+    write_versioned_table(
+        spark.createDataFrame([], "pk long, v string"),
+        path, pk="pk", n_buckets=4,
+    )
+    # simulate the old manifest format: strip the recorded schema from
+    # the chain head (the authority readers resolve through)
+    cdir = os.path.join(path, ".commits")
+    head = max(
+        (f for f in os.listdir(cdir) if f.endswith(".json")),
+        key=lambda f: int(f[:-5]),
+    )
+    with open(os.path.join(cdir, head)) as f:
+        doc = json.load(f)
+    doc.pop("columns", None)
+    with open(os.path.join(cdir, head), "w") as f:
+        json.dump(doc, f)
+    for sess in (spark, None):
+        with _pytest.raises(ValueError, match="cannot verify"):
+            alter_versioned_add_columns(path, {"x": ("int", 0)}, spark=sess)
