@@ -1378,6 +1378,7 @@ def decode_jpeg(payload: bytes):
         for cid, ch, cv, _q in comps:
             planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
         C = _dct_mat()
+        zz_idx = _jpeg_zz_index()
         br = _JpegBitReader(payload, pos)
         pred = {cid: 0 for cid, *_ in comps}
         by_id = {cid: (ch, cv, qid) for cid, ch, cv, qid in comps}
@@ -1410,7 +1411,7 @@ def decode_jpeg(payload: bytes):
                                 zz[k] = _extend(br.bits(size), size) * q[k]
                                 k += 1
                             coef = np.zeros(64)
-                            coef[_jpeg_zz_index()] = zz  # inverse zigzag
+                            coef[zz_idx] = zz  # inverse zigzag
                             block = C.T @ coef.reshape(8, 8) @ C + 128.0
                             oy = (my * cv + by) * 8
                             ox = (mx * ch + bx) * 8

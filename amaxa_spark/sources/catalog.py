@@ -1023,15 +1023,20 @@ def _footer_columns(*bucket_dirs: str) -> set[str]:
 
 
 def _alter_collision_columns(
-    spark: SparkSession | None, root: str, meta: dict
+    spark: SparkSession | None,
+    root: str,
+    meta: dict,
+    repair: str = "write_versioned_table",
 ) -> set[str]:
     """The column set an ALTER must not collide with, shared by both
     layouts: the manifest-recorded init schema plus — when data exists
     — the session schema or one parquet footer, both resolved against
     the SAME bucket map as the rest of the validation (``meta``), so a
-    concurrent re-init cannot swap the head mid-check. A zero-bucket
-    table whose manifest predates the recorded-schema format cannot be
-    verified at all — that errors rather than vacuously passing."""
+    concurrent re-init cannot swap the head mid-check (callers run
+    this INSIDE the claim loop, against the exact head they extend). A
+    zero-bucket table whose manifest predates the recorded-schema
+    format cannot be verified at all — that errors rather than
+    vacuously passing, naming the layout-appropriate ``repair``."""
     physical = set(meta.get("columns", []))
     if meta["buckets"]:
         paths = [
@@ -1046,7 +1051,7 @@ def _alter_collision_columns(
         raise ValueError(
             f"{root}: cannot verify column collisions — this zero-bucket "
             "manifest predates the recorded-schema format; re-initialize "
-            "the table (write_versioned_table) to record its schema"
+            f"the table ({repair}) to record its schema"
         )
     return physical
 
@@ -1132,21 +1137,20 @@ def alter_versioned_add_columns(
     import uuid
 
     _parse_added_column_types(columns)
-    # collision authority = the manifest-recorded init schema (covers
-    # zero-bucket tables, whose logical columns have no footer yet)
-    # plus, when data exists, the session schema or one parquet footer
-    # — both resolved against THIS manifest's bucket map (pinned: a
-    # concurrent re-init cannot yank the paths between the bucket
-    # check and the read)
-    manifest0 = _bucket_manifest(path)
-    physical = set(_alter_collision_columns(spark, path, manifest0))
     token = uuid.uuid4().hex[:12]
     while True:
-        # the head IS the base — re-read and rebuild on every claim
-        # attempt, or a lost race would commit this ALTER's stale
-        # bucket map and revert concurrent merges (data loss), and
-        # drop concurrent ALTERs' columns
+        # the head IS the base — re-read and rebuild EVERYTHING on
+        # every claim attempt, the collision set included: a lost race
+        # would otherwise commit this ALTER's stale bucket map and
+        # revert concurrent merges (data loss), drop concurrent
+        # ALTERs' columns, or validate against a schema a concurrent
+        # re-init just changed (a column it physically materialized —
+        # and therefore dropped from added_columns — must not be
+        # re-addable as metadata against the stale physical set)
         manifest = _bucket_manifest(path)
+        physical = _alter_collision_columns(
+            spark, path, manifest, repair="write_versioned_table"
+        )
         added = _merged_added_columns(
             columns, manifest.get("added_columns", {}), physical
         )
@@ -1832,16 +1836,11 @@ def alter_versioned_db_add_columns(
     import uuid
 
     _parse_added_column_types(columns)
-    # same collision-authority rule as the single-table ALTER
-    t0 = _db_manifest(path)["tables"].get(table)
-    if t0 is None:
-        raise ValueError(f"{path}: no table {table!r} in this snapshot")
-    physical = _alter_collision_columns(spark, os.path.join(path, table), t0)
     token = uuid.uuid4().hex[:12]
     while True:
-        # the head IS the base — rebuild per claim attempt (same CAS
-        # contract as the single-table ALTER: a stale payload would
-        # revert concurrent merges' bucket maps)
+        # the head IS the base — rebuild EVERYTHING per claim attempt,
+        # the collision set included (same CAS contract and same
+        # re-init race as the single-table ALTER)
         manifest = _db_manifest(path)
         if table not in manifest["tables"]:
             raise ValueError(
@@ -1849,6 +1848,10 @@ def alter_versioned_db_add_columns(
                 f"(has: {sorted(manifest['tables'])})"
             )
         t = manifest["tables"][table]
+        physical = _alter_collision_columns(
+            spark, os.path.join(path, table), t,
+            repair="write_versioned_db (at the database root)",
+        )
         added = _merged_added_columns(
             columns, t.get("added_columns", {}), physical
         )

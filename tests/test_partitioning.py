@@ -1768,3 +1768,36 @@ def test_alter_refuses_unverifiable_pre_schema_manifest(spark, tmp_path):
     for sess in (spark, None):
         with _pytest.raises(ValueError, match="cannot verify"):
             alter_versioned_add_columns(path, {"x": ("int", 0)}, spark=sess)
+
+
+def test_db_reinit_drops_materialized_added_columns(spark, tmp_path):
+    """The db-layout twin of the re-init materialized filter: a table
+    whose new baseline physically carries an ALTER-added column drops
+    it from the carried metadata; non-materialized ones survive."""
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_db_add_columns,
+        read_versioned_db,
+        write_versioned_db,
+    )
+
+    path = str(tmp_path / "db_reinit")
+    write_versioned_db(
+        spark, path,
+        {"t1": spark.createDataFrame([(1, "a")], "pk long, v string")},
+        pks={"t1": "pk"}, n_buckets=4,
+    )
+    alter_versioned_db_add_columns(path, "t1", {"c": ("string", "x")})
+    alter_versioned_db_add_columns(path, "t1", {"d": ("string", "dflt")})
+    m = write_versioned_db(
+        spark, path,
+        {"t1": spark.createDataFrame(
+            [(1, "a", None), (2, "b", "real")], "pk long, v string, c string"
+        )},
+        pks={"t1": "pk"}, n_buckets=4,
+    )
+    assert set(m["tables"]["t1"].get("added_columns", {})) == {"d"}
+    rows = {
+        r.pk: (r.c, r.d)
+        for r in read_versioned_db(spark, path, "t1").collect()
+    }
+    assert rows[1] == (None, "dflt") and rows[2] == ("real", "dflt")
