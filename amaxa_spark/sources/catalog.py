@@ -862,8 +862,10 @@ def write_versioned_table(
         "seq": 0,
         # the init frame's logical schema: the collision authority for
         # ALTERs on ZERO-bucket tables, where no parquet footer exists
-        # to consult (an empty-frame init still has a schema)
+        # to consult (an empty-frame init still has a schema); the
+        # full typed form types empty diffs and other no-data reads
         "columns": list(df.columns),
+        "schema_json": df.schema.json(),
         "buckets": {
             str(b): gen for b in _present_buckets(os.path.join(path, gen))
         },
@@ -1184,10 +1186,20 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
       schema, absent columns as NULL) — Delta CDF's two-row update
       convention, so a consumer can replay either direction.
 
-    Semantics note: a metadata-only ALTER produces NO diff rows until
-    a rewrite touches a bucket (the default materializes lazily);
-    that matches what the bytes say, and what an engine that never
-    rewrote the files can actually know."""
+    Semantics notes: a metadata-only ALTER produces NO diff rows
+    until a rewrite touches a bucket (the default materializes
+    lazily) — that matches what the bytes say, and what an engine
+    that never rewrote the files can actually know. NULL-key rows are
+    UNKEYABLE and excluded from the feed (like every pk-keyed CDC);
+    they also never merge, so the exclusion is symmetric with the
+    write path. The output carries the derived bucket column, so its
+    schema matches :func:`read_versioned_table`'s exactly."""
+    if tf["pk"] != tt["pk"]:
+        raise ValueError(
+            f"{root}: snapshots have different primary keys "
+            f"({tf['pk']!r} vs {tt['pk']!r}; a re-init changed the key) "
+            "— rows cannot be matched across them"
+        )
     pk = tt["pk"]
     changed = sorted(
         (
@@ -1214,13 +1226,31 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
     # side that lacks them (typed from the side that has them)
     schema_src = df_t if df_t is not None else df_f
     if schema_src is None:
-        # no changed buckets: an empty diff, typed from any live bucket
-        any_side = side(tt, sorted(tt["buckets"])) or side(
-            tf, sorted(tf["buckets"])
+        # no changed buckets: an empty diff — typed cheaply, never by
+        # scanning the whole table (ONE bucket if any exists, else the
+        # recorded init schema for zero-bucket snapshots)
+        any_side = side(tt, sorted(tt["buckets"])[:1]) or side(
+            tf, sorted(tf["buckets"])[:1]
         )
         if any_side is None:
-            raise FileNotFoundError(f"{root}: both snapshots are empty")
-        return any_side.limit(0).withColumn("_change_type", F.lit(""))
+            schema_json = tt.get("schema_json") or tf.get("schema_json")
+            if schema_json is None:
+                raise FileNotFoundError(
+                    f"{root}: both snapshots are empty and predate the "
+                    "recorded-schema manifest format"
+                )
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            any_side = spark.createDataFrame(
+                [], StructType.fromJson(_json.loads(schema_json))
+            )
+        return (
+            any_side.limit(0)
+            .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, tt["n_buckets"]))
+            .withColumn("_change_type", F.lit(""))
+        )
     cols = list(
         dict.fromkeys(
             (df_f.columns if df_f is not None else [])
@@ -1253,18 +1283,33 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
     for c in cols:
         d = ~F.col(f"__f_{c}").eqNullSafe(F.col(f"__t_{c}"))
         differs = d if differs is None else (differs | d)
-
-    def pick(prefix, label, cond):
-        return j.where(cond).select(
-            *[F.col(f"{prefix}{c}").alias(c) for c in cols],
-            F.lit(label).alias("_change_type"),
+    # ONE pass over ONE join: each matched row explodes into its
+    # change rows (0 for unchanged, 2 for updates), then every output
+    # column picks the pre- or post-image side by change type — the
+    # four-way union would re-evaluate the join per branch
+    changes = (
+        F.when(in_t & ~in_f, F.array(F.lit("insert")))
+        .when(in_f & ~in_t, F.array(F.lit("delete")))
+        .when(
+            in_f & in_t & differs,
+            F.array(F.lit("update_preimage"), F.lit("update_postimage")),
         )
-
+        .otherwise(F.array().cast("array<string>"))
+    )
+    post_side = F.col("_change_type").isin("insert", "update_postimage")
     return (
-        pick("__t_", "insert", in_t & ~in_f)
-        .unionByName(pick("__f_", "delete", in_f & ~in_t))
-        .unionByName(pick("__f_", "update_preimage", in_f & in_t & differs))
-        .unionByName(pick("__t_", "update_postimage", in_f & in_t & differs))
+        j.withColumn("_change_type", F.explode(changes))
+        .select(
+            *[
+                F.when(post_side, F.col(f"__t_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(c)
+                for c in cols
+            ],
+            "_change_type",
+        )
+        .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, tt["n_buckets"]))
+        .select(*cols, MERGE_BUCKET_COL, "_change_type")
     )
 
 
@@ -1873,6 +1918,7 @@ def write_versioned_db(
             "pk": pk,
             "n_buckets": nb,
             "columns": list(df.columns),
+            "schema_json": df.schema.json(),
             "buckets": {str(b): gen for b in _present_buckets(tdir)},
             # counting the WRITTEN parquet is footer-metadata-only —
             # callers report row counts without re-running load lineage

@@ -1809,8 +1809,6 @@ def test_diff_versioned_change_data_feed(spark, tmp_path):
     buckets whose generation changed (asserted via the scan's actual
     input files); identical snapshots diff to empty; the db twin
     yields cross-table-consistent change sets."""
-    import os
-
     import pytest as _pytest
     from pyspark.sql import functions as F
 
@@ -1857,9 +1855,26 @@ def test_diff_versioned_change_data_feed(spark, tmp_path):
     n_all = len(set(m0["buckets"]) | set(m1["buckets"]))
     assert len(changed) < n_all  # the premise: most buckets untouched
 
+    # output schema matches read_versioned_table (bucket col included)
+    assert MERGE_BUCKET_COL in d.columns
+
     # identical snapshots -> empty diff (no bucket read at all)
     same = diff_versioned(spark, path, m1["token"], m1["token"])
     assert same.count() == 0 and "_change_type" in same.columns
+
+    # empty-table snapshots diff to a TYPED empty feed (from the
+    # recorded init schema), not an error
+    evt = str(tmp_path / "vt_cdf_empty")
+    e0 = write_versioned_table(
+        spark.createDataFrame([], "pk long, v string"), evt,
+        pk="pk", n_buckets=4,
+    )
+    e1 = write_versioned_table(
+        spark.createDataFrame([], "pk long, v string"), evt,
+        pk="pk", n_buckets=4,
+    )
+    ed = diff_versioned(spark, evt, e0["token"], e1["token"])
+    assert ed.count() == 0 and {"pk", "v", "_change_type"} <= set(ed.columns)
 
     # deletes: a full rewrite without pk 5 shows it as deleted
     m2 = write_versioned_table(
