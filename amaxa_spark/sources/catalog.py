@@ -1193,11 +1193,35 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
     UNKEYABLE and excluded from the feed (like every pk-keyed CDC);
     they also never merge, so the exclusion is symmetric with the
     write path. The output carries the derived bucket column, so its
-    schema matches :func:`read_versioned_table`'s exactly."""
+    column SET matches :func:`read_versioned_table`'s (align by
+    name — unmaterialized ALTER-added columns can sit at a different
+    position than a physical read would put them)."""
     if tf["pk"] != tt["pk"]:
         raise ValueError(
             f"{root}: snapshots have different primary keys "
             f"({tf['pk']!r} vs {tt['pk']!r}; a re-init changed the key) "
+            "— rows cannot be matched across them"
+        )
+
+    def pk_type(meta):
+        sj = meta.get("schema_json")
+        if sj is None:
+            return None
+        import json as _json
+
+        for fld in _json.loads(sj)["fields"]:
+            if fld["name"] == meta["pk"]:
+                return fld["type"]
+        return None
+
+    # same-name pk with a re-init-changed TYPE joins on garbage (or
+    # throws a cast error deep in ANSI mode) — catch it up front while
+    # both recorded schemas are at hand; pre-format manifests skip
+    tpf, tpt = pk_type(tf), pk_type(tt)
+    if tpf is not None and tpt is not None and tpf != tpt:
+        raise ValueError(
+            f"{root}: primary key {tt['pk']!r} changed type across the "
+            f"snapshots ({tpf!r} vs {tpt!r}; a re-init changed it) "
             "— rows cannot be matched across them"
         )
     pk = tt["pk"]
@@ -1228,12 +1252,13 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
     if schema_src is None:
         # no changed buckets: an empty diff — typed cheaply, never by
         # scanning the whole table (ONE bucket if any exists, else the
-        # recorded init schema for zero-bucket snapshots)
-        any_side = side(tt, sorted(tt["buckets"])[:1]) or side(
-            tf, sorted(tf["buckets"])[:1]
-        )
+        # recorded init schema for zero-bucket snapshots). An empty
+        # `changed` forces IDENTICAL bucket maps, and commits carry
+        # every manifest field forward, so tt alone decides both paths
+        # (tf is never newer: the callers enforce seq order).
+        any_side = side(tt, sorted(tt["buckets"])[:1])
         if any_side is None:
-            schema_json = tt.get("schema_json") or tf.get("schema_json")
+            schema_json = tt.get("schema_json")
             if schema_json is None:
                 raise FileNotFoundError(
                     f"{root}: both snapshots are empty and predate the "
@@ -1243,8 +1268,11 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
 
             from pyspark.sql.types import StructType
 
-            any_side = spark.createDataFrame(
-                [], StructType.fromJson(_json.loads(schema_json))
+            any_side = _fill_added_columns(
+                spark.createDataFrame(
+                    [], StructType.fromJson(_json.loads(schema_json))
+                ),
+                tt,
             )
         return (
             any_side.limit(0)

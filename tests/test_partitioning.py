@@ -1876,6 +1876,23 @@ def test_diff_versioned_change_data_feed(spark, tmp_path):
     ed = diff_versioned(spark, evt, e0["token"], e1["token"])
     assert ed.count() == 0 and {"pk", "v", "_change_type"} <= set(ed.columns)
 
+    # ...and ALTER-added columns appear in that typed feed too (the
+    # same reader-side materialization every other read path gets)
+    from amaxa_spark.sources.catalog import alter_versioned_add_columns
+
+    e2 = alter_versioned_add_columns(evt, {"c": ("string", "dflt")})
+    ea = diff_versioned(spark, evt, e1["token"], e2["token"])
+    assert ea.count() == 0 and "c" in ea.columns
+
+    # a re-init that changed the pk TYPE (same name) is caught up
+    # front, not deep in the join
+    write_versioned_table(
+        spark.createDataFrame([("k1", "v")], "pk string, v string"), evt,
+        pk="pk", n_buckets=4,
+    )
+    with _pytest.raises(ValueError, match="changed type"):
+        diff_versioned(spark, evt, e0["token"], None)
+
     # deletes: a full rewrite without pk 5 shows it as deleted
     m2 = write_versioned_table(
         base.where(F.col("pk") != 5), path, pk="pk", n_buckets=8
