@@ -563,6 +563,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    # asymmetric containment |A∩B|/|A| — subset duplicates symmetric
+    # Jaccard misses; same 4-gram shingles + stop-shingle cap as the
+    # Jaccard twin, threshold 0.5 keeps the planted near-dup family
+    return D.containment_pairs(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", n=4,
+        threshold=0.5, max_doc_freq=_JACCARD_MAX_DF,
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     # 8 bands x 1 row: P(candidate miss) <= (1-j)^8, i.e. <=5e-6 at
     # the j>=0.78 similarity of every qualifying pair in this corpus —
@@ -2738,7 +2748,8 @@ QUERY_ORDER = [
     # round invariant from the round-6 rotation); the rest of the
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
-    # --- round-7 additions: the JPEG codec pair (2) ---
+    # --- round-7 additions: containment dedup + JPEG codec pair (3) ---
+    "dedup_containment",
     "image_jpeg_stats", "image_jpeg_roundtrip",
     # --- round-5 additions, first judged in round 6 (6) ---
     "tfidf_keywords", "gopher_rules", "line_dedup", "strip_spans",
@@ -2803,13 +2814,13 @@ QUERY_ORDER = [
 # judged-window invariants: round-7 additions lead the driver's
 # first-50 window (judged in their birth round), and the full surface
 # is intact
-assert QUERY_ORDER.index("image_jpeg_stats") == 0  # r7 additions first
+assert QUERY_ORDER.index("dedup_containment") == 0  # r7 additions first
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 52  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 102  # r1-4 core last
-assert len(QUERY_ORDER) == 152 and len(set(QUERY_ORDER)) == 152
+assert QUERY_ORDER.index("weighted_linkage") == 53  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 103  # r1-4 core last
+assert len(QUERY_ORDER) == 153 and len(set(QUERY_ORDER)) == 153
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2860,6 +2871,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -3404,7 +3416,27 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.3"
         ),
-"dedup_minhash_lsh": (
+"dedup_containment": (
+            # same 4-gram shingle CTEs as dedup_ngram_jaccard (DuckDB
+            # slice w[i:i+3] is INCLUSIVE, i.e. a 4-gram); denominators
+            # from the UNCAPPED sizes, matching containment_pairs
+            "WITH sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
+            "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
+            f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN (SELECT s FROM sh "
+            f"GROUP BY s HAVING count(*) <= {_JACCARD_MAX_DF}) f USING (s)), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+            "FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "dir AS (SELECT id_a AS id_in, id_b AS id_out, "
+            "round(i * 1.0 / sa.n, 6) AS containment "
+            "FROM inter JOIN sizes sa ON id_a = sa.doc_id "
+            "UNION ALL SELECT id_b, id_a, round(i * 1.0 / sb.n, 6) "
+            "FROM inter JOIN sizes sb ON id_b = sb.doc_id) "
+            "SELECT id_in, id_out, containment FROM dir "
+            "WHERE containment >= 0.5"
+        ),
+        "dedup_minhash_lsh": (
             "WITH sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
             "FOR i IN range(1, greatest(len(w) - 2, 1))]) AS s FROM "
             f"(SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents)), "

@@ -120,6 +120,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate CONTAINMENT pairs: |A∩B| / |A| over
+    word-shingle sets, for every ordered (contained, container) pair.
+    Catches subset duplicates symmetric Jaccard structurally misses —
+    a 100-shingle doc quoted whole inside a 10,000-shingle doc has
+    Jaccard ≈ 0.01 but containment 1.0 (the Broder 1997 "resemblance
+    vs containment" distinction; the dedup primitive behind
+    quote/boilerplate-expansion detection in corpus curation).
+
+    Returns (id_in, id_out, containment), containment rounded to 6
+    decimals: ``id_in``'s shingles are ≥``threshold`` inside
+    ``id_out``'s. Both directions of each co-occurring pair are
+    evaluated; a mutual near-identical pair yields two rows.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — ONE
+    inverted-index self-join computes each unordered pair's
+    intersection once; the two directed rows are a post-join explode,
+    not a second join. ``max_doc_freq`` is the same stop-shingle cap
+    (denominator sizes are computed BEFORE capping, so a containment
+    score never inflates from a shrunken |A|).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            freq.where(F.col("__df") <= max_doc_freq).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size").alias("__sb"))
+    directed = F.array(
+        F.struct(
+            F.col("id_a").alias("id_in"),
+            F.col("id_b").alias("id_out"),
+            F.round(F.col("__inter") / F.col("__sa"), 6).alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("id_in"),
+            F.col("id_a").alias("id_out"),
+            F.round(F.col("__inter") / F.col("__sb"), 6).alias("containment"),
+        ),
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(F.explode(directed).alias("p"))
+        .select("p.*")
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def select_representatives(
     members: DataFrame,
     scores: DataFrame,

@@ -33,6 +33,53 @@ def test_ngram_jaccard_identical_docs(spark):
     assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
 
 
+def test_containment_asymmetric_subset(spark):
+    """A short doc quoted whole inside a long one: containment is 1.0
+    in the contained→container direction, small the other way, and the
+    pair is invisible to symmetric Jaccard at the same threshold."""
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i} z{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here now")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r.id_in, r.id_out): r.containment
+        for r in D.containment_pairs(
+            df, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}  # only the contained direction passes
+    # symmetric Jaccard misses the same pair at the same threshold
+    assert not D.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.8
+    ).collect()
+    # the reverse direction is reported when the threshold allows it
+    both = {
+        (r.id_in, r.id_out): r.containment
+        for r in D.containment_pairs(
+            df, "text", "doc_id", n=3, threshold=0.01
+        ).collect()
+    }
+    assert both[(1, 2)] == 1.0 and 0 < both[(2, 1)] < 0.1
+
+
+def test_containment_doc_freq_cap_keeps_denominator(spark):
+    """The stop-shingle cap drops ubiquitous shingles from PAIRING but
+    not from the size denominator, so scores never inflate."""
+    banner = "the same banner every doc carries along"
+    docs = [(i, f"{banner} unique tail {i} a{i} b{i} c{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    capped = D.containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=3
+    ).collect()
+    assert capped == []  # banner-only overlap dies with the cap
+    uncapped = D.containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.5
+    ).collect()
+    assert uncapped  # without it, boilerplate alone fakes containment
+
+
 def test_minhash_subset_of_exact(spark, sf_dir):
     d = docs(spark, sf_dir)
     exact = {
