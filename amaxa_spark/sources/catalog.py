@@ -1655,6 +1655,264 @@ def merge_into_versioned(
     return new_manifest
 
 
+def delete_from_versioned(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    pk: str,
+    base_token: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Atomic DELETE by key frame (the GDPR-erasure shape the
+    reference's delete-capable sinks imply, re-expressed on the
+    versioned layout): only buckets CONTAINING a key to delete are
+    rewritten (anti-join) under a new generation; every other bucket
+    stays byte-identical. A bucket emptied by the delete is DROPPED
+    from the manifest — the committed state looks exactly like that
+    bucket was never written. NULL keys and keys outside the table are
+    no-ops (SQL DELETE's equality never matches NULL).
+
+    Concurrency and ``extra_meta`` follow the MERGE rules (same CAS
+    commit loop, same rebase/conflict semantics). At 100 TB this is
+    the erasure path: a 10-key delete reads and rewrites only the ≤10
+    buckets those keys hash to."""
+    import uuid
+
+    manifest = _bucket_manifest(path, base_token)
+    if pk != manifest["pk"]:
+        raise ValueError(
+            f"{path}: delete key {pk!r} is not the table key "
+            f"({manifest['pk']!r})"
+        )
+    base_buckets = dict(manifest["buckets"])
+    n_buckets = manifest["n_buckets"]
+    k = (
+        keys.select(pk)
+        .where(F.col(pk).isNotNull())
+        .distinct()
+        .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+    )
+    candidates = [
+        b for b in _nonnull_update_buckets(k, pk) if str(b) in base_buckets
+    ]
+
+    def _meta_only_commit():
+        if extra_meta:
+            new_manifest = _commit_bucket_update(
+                path, manifest, base_buckets, {},
+                uuid.uuid4().hex[:12], extra_meta,
+            )
+            _publish_manifest(path, new_manifest)
+            return new_manifest
+        return manifest
+
+    if not candidates:
+        return _meta_only_commit()
+    cur_paths = [
+        os.path.join(path, base_buckets[str(b)], f"{MERGE_BUCKET_COL}={b}")
+        for b in candidates
+    ]
+    table = _fill_added_columns(
+        _read_maybe_merged(spark, manifest, *cur_paths), manifest
+    )
+    # rewrite only buckets that actually CONTAIN a key to delete — a
+    # candidate bucket whose keys all miss would otherwise be
+    # identity-rewritten (wasted IO, spurious generation churn, and a
+    # phantom changed-bucket in the change feed)
+    affected = sorted(
+        r.b
+        for r in table.join(k.select(pk), pk, "left_semi")
+        .select(_bucket_expr(pk, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return _meta_only_commit()
+    remaining = table.where(
+        _bucket_expr(pk, n_buckets).isin(affected)
+    ).join(k.select(pk), pk, "left_anti")
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    (
+        remaining.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        .write.mode("errorifexists")
+        .partitionBy(MERGE_BUCKET_COL)
+        .parquet(os.path.join(path, gen))
+    )
+    present = set(_present_buckets(os.path.join(path, gen)))
+    ours = {str(b): (gen if b in present else None) for b in affected}
+    new_manifest = _commit_bucket_update(
+        path, manifest, base_buckets, ours, token, extra_meta
+    )
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def apply_changes_versioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    base_token: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Apply a change-data-feed frame (the ``_change_type`` contract
+    of :func:`diff_versioned`) to this table in ONE atomic commit:
+    ``delete`` rows anti-join out, ``insert`` / ``update_postimage``
+    rows are FULL-ROW upserts (replace-by-key, new keys land in their
+    pk-hash buckets), ``update_preimage`` rows are ignored. With
+    ``dst@from == src@from``, applying ``diff(src, from, to)`` makes
+    ``dst@head == src@to`` exactly — the replication primitive; see
+    :func:`replicate_versioned` for the one-call form.
+
+    The target's OWN manifest names the key and bucket count, so a
+    feed replays onto a replica with a different ``n_buckets`` (the
+    incoming bucket column, if any, is discarded and re-derived).
+    Affected buckets on the target = the pk-hash buckets of changed
+    keys; everything else stays byte-identical. Buckets emptied by
+    deletes drop from the manifest. One chain commit — readers never
+    observe deletes without the matching upserts."""
+    import uuid
+
+    manifest = _bucket_manifest(path, base_token)
+    pk = manifest["pk"]
+    n_buckets = manifest["n_buckets"]
+    if "_change_type" not in changes.columns:
+        raise ValueError("changes frame lacks the _change_type column")
+    data_cols = [
+        c for c in changes.columns
+        if c not in ("_change_type", MERGE_BUCKET_COL)
+    ]
+    if pk not in data_cols:
+        raise ValueError(
+            f"{path}: changes frame lacks the table key {pk!r} "
+            f"(has: {data_cols})"
+        )
+    ch = changes.where(F.col(pk).isNotNull())
+    upserts = ch.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols)
+    dup = (
+        upserts.groupBy(pk)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"changes contain multiple post-image rows for pk "
+            f"{dup[0][0]!r}; a feed between two snapshots has at most "
+            "one — collapse replayed feeds to latest-per-key first"
+        )
+    dels = ch.where(F.col("_change_type") == "delete").select(pk)
+    base_buckets = dict(manifest["buckets"])
+    upsert_buckets = set(
+        _nonnull_update_buckets(
+            upserts.select(pk).withColumn(
+                MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)
+            ),
+            pk,
+        )
+    )
+    del_candidates = set(
+        b
+        for b in _nonnull_update_buckets(
+            dels.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)),
+            pk,
+        )
+        if str(b) in base_buckets
+    )
+    candidates = sorted(upsert_buckets | del_candidates)
+
+    def _meta_only_commit():
+        if extra_meta:
+            new_manifest = _commit_bucket_update(
+                path, manifest, base_buckets, {},
+                uuid.uuid4().hex[:12], extra_meta,
+            )
+            _publish_manifest(path, new_manifest)
+            return new_manifest
+        return manifest
+
+    if not candidates:
+        return _meta_only_commit()
+    cur_paths = [
+        os.path.join(path, base_buckets[str(b)], f"{MERGE_BUCKET_COL}={b}")
+        for b in candidates
+        if str(b) in base_buckets
+    ]
+    table = _merge_target_frame(
+        spark, path, manifest, cur_paths, upserts, pk,
+        [c for c in data_cols if c != pk],
+    )
+    if set(table.columns) != set(data_cols):
+        raise ValueError(
+            f"{path}: changes columns {sorted(data_cols)} do not match "
+            f"the table's {sorted(table.columns)} — a feed replays only "
+            "onto a schema-identical replica (ALTER the target first)"
+        )
+    # upsert buckets always rewrite (inserts create them); delete-only
+    # buckets rewrite ONLY when a key actually matches — a replayed or
+    # stale feed whose deletes all miss must not identity-rewrite
+    # buckets (wasted IO and phantom changed-buckets in the next diff)
+    matched_del = set(
+        r.b
+        for r in table.join(dels, pk, "left_semi")
+        .select(_bucket_expr(pk, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ) if (del_candidates - upsert_buckets) else set()
+    affected = sorted(upsert_buckets | (matched_del & del_candidates))
+    if not affected:
+        return _meta_only_commit()
+    keys = upserts.select(pk).unionByName(dels).distinct()
+    out = (
+        table.where(_bucket_expr(pk, n_buckets).isin(affected))
+        .join(keys, pk, "left_anti")
+        .unionByName(upserts)
+    )
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    (
+        out.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        .write.mode("errorifexists")
+        .partitionBy(MERGE_BUCKET_COL)
+        .parquet(os.path.join(path, gen))
+    )
+    present = set(_present_buckets(os.path.join(path, gen)))
+    ours = {str(b): (gen if b in present else None) for b in affected}
+    new_manifest = _commit_bucket_update(
+        path, manifest, base_buckets, ours, token, extra_meta
+    )
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def replicate_versioned(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    from_token: str,
+    to_token: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """One-call incremental replication: compute the source's change
+    feed over ``(from_token, to_token]`` and apply it to the target
+    atomically. Reads only the source buckets that changed and
+    rewrites only the target buckets the changed keys hash to — an
+    incremental sync whose cost tracks change volume on BOTH sides.
+    The target may use a different ``n_buckets`` (feeds re-derive
+    buckets from the target's manifest), but must share the key and
+    column schema, and must hold the source's ``from_token`` state for
+    the result to equal the source's ``to_token`` state."""
+    return apply_changes_versioned(
+        spark,
+        dst_path,
+        diff_versioned(spark, src_path, from_token, to_token),
+        extra_meta=extra_meta,
+    )
+
+
 def _apply_extra_meta(out: dict, extra_meta: dict | None) -> None:
     """Merge caller metadata into a manifest about to be claimed —
     shared by BOTH commit loops (single-table and db). extra_meta keys
@@ -1689,11 +1947,20 @@ def _commit_bucket_update(
     token: str,
     extra_meta: dict | None = None,
 ) -> dict:
-    """The single-table CAS commit loop shared by MERGE and OPTIMIZE:
-    claim the next seq; on a lost race, rebase when every bucket we
-    rewrote is untouched since our snapshot, raise
-    :class:`ConcurrentMergeError` when any was rewritten (our files
-    came from stale inputs)."""
+    """The single-table CAS commit loop shared by MERGE, OPTIMIZE,
+    DELETE, and CDC-apply: claim the next seq; on a lost race, rebase
+    when every bucket we rewrote is untouched since our snapshot,
+    raise :class:`ConcurrentMergeError` when any was rewritten (our
+    files came from stale inputs).
+
+    An ``ours`` value of ``None`` DROPS that bucket from the manifest
+    (a delete emptied it) — still a touched bucket for conflict
+    detection, but the committed map carries no entry, which is
+    exactly how a zero-bucket init looks."""
+    def overlay(base: dict, ours_: dict) -> dict:
+        out = {**base, **ours_}
+        return {b: g for b, g in out.items() if g is not None}
+
     def stamped(src: dict, seq: int, buckets: dict) -> dict:
         # carry every manifest field (kind/pk/n_buckets/added_columns/
         # future metadata) from the newest known state; committed_at is
@@ -1710,7 +1977,7 @@ def _commit_bucket_update(
         return out
 
     seq = int(base_manifest.get("seq", 0)) + 1
-    new_manifest = stamped(base_manifest, seq, {**base_buckets, **ours})
+    new_manifest = stamped(base_manifest, seq, overlay(base_buckets, ours))
     while True:
         try:
             _claim_commit(path, seq, new_manifest)
@@ -1728,7 +1995,7 @@ def _commit_bucket_update(
             # rebase onto the head's metadata too — it may carry newer
             # ALTER commits than our snapshot
             seq = head_seq + 1
-            new_manifest = stamped(head, seq, {**head["buckets"], **ours})
+            new_manifest = stamped(head, seq, overlay(head["buckets"], ours))
 
 
 def optimize_versioned(

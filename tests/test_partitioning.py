@@ -1922,3 +1922,144 @@ def test_diff_versioned_change_data_feed(spark, tmp_path):
     dd = diff_versioned_db(spark, db, "a", n0["token"], n1["token"])
     got = {(r.pk, r._change_type): r.v for r in dd.collect()}
     assert got == {(1, "update_preimage"): "x", (1, "update_postimage"): "X2"}
+
+
+def test_delete_from_versioned(spark, tmp_path):
+    """Bucket-scoped atomic DELETE: only buckets holding deleted keys
+    are rewritten (manifest generations prove it), emptied buckets
+    drop from the manifest, NULL/absent keys are no-ops, the pre-delete
+    token still time-travels to the full data, and a wrong key column
+    raises."""
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        delete_from_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_del")
+    base = spark.range(20).select(
+        F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=8)
+
+    m1 = delete_from_versioned(
+        spark, path,
+        spark.createDataFrame([(3,), (5,), (None,), (999,)], "pk long"),
+        pk="pk",
+    )
+    left = {r.pk for r in read_versioned_table(spark, path).collect()}
+    assert left == set(range(20)) - {3, 5}
+    # only the buckets of keys 3 and 5 moved generation
+    moved = {
+        b for b in m0["buckets"]
+        if m0["buckets"][b] != m1["buckets"].get(b)
+    }
+    from pyspark.sql import Row
+
+    def bucket_of(k):
+        return spark.createDataFrame([Row(pk=k)]).select(
+            F.pmod(F.xxhash64(F.col("pk").cast("string")), F.lit(8))
+            .cast("int").alias("b")
+        ).collect()[0].b
+
+    assert moved == {str(bucket_of(3)), str(bucket_of(5))}
+    # time travel: the pre-delete snapshot still has every row
+    assert read_versioned_table(spark, path, m0["token"]).count() == 20
+
+    # deleting EVERY key of one bucket drops it from the manifest
+    b0_keys = [
+        r.pk for r in base.withColumn(
+            "b", F.pmod(F.xxhash64(F.col("pk").cast("string")), F.lit(8))
+        ).where(F.col("b") == 0).collect()
+    ]
+    m2 = delete_from_versioned(
+        spark, path, spark.createDataFrame([(k,) for k in b0_keys], "pk long"),
+        pk="pk",
+    )
+    assert "0" in m0["buckets"] and "0" not in m2["buckets"]
+    assert read_versioned_table(spark, path).count() == 18 - len(b0_keys)
+
+    # no-op delete returns the unchanged head manifest
+    m3 = delete_from_versioned(
+        spark, path, spark.createDataFrame([(777,)], "pk long"), pk="pk"
+    )
+    assert m3["token"] == m2["token"]
+
+    with _pytest.raises(ValueError, match="not the table key"):
+        delete_from_versioned(
+            spark, path, spark.createDataFrame([(1,)], "other long"),
+            pk="other",
+        )
+
+
+def test_apply_changes_replication(spark, tmp_path):
+    """CDC replication: diff(src) applied to a replica (with a
+    DIFFERENT bucket count) reproduces the source state exactly, in
+    one commit; malformed feeds raise."""
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        apply_changes_versioned,
+        delete_from_versioned,
+        merge_into_versioned,
+        read_versioned_table,
+        replicate_versioned,
+        write_versioned_table,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    dst = str(tmp_path / "cdc_dst")
+    base = spark.range(30).select(
+        F.col("id").alias("pk"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 3).alias("grp"),
+    )
+    s0 = write_versioned_table(base, src, pk="pk", n_buckets=8)
+    # replica starts at the same state but a different bucket layout
+    write_versioned_table(base, dst, pk="pk", n_buckets=3)
+
+    # source moves on: update 2 keys, insert 2 new, delete 3
+    merge_into_versioned(
+        spark, src,
+        spark.createDataFrame(
+            [(1, "V1"), (2, "V2"), (100, "NEW100"), (101, "NEW101")],
+            "pk long, v string",
+        ),
+        pk="pk", set_cols=["v"], not_matched="insert",
+    )
+    s2 = delete_from_versioned(
+        spark, src, spark.createDataFrame([(7,), (8,), (9,)], "pk long"),
+        pk="pk",
+    )
+
+    # one-call replication: dst == src@head afterwards
+    replicate_versioned(spark, src, dst, s0["token"], s2["token"])
+    want = {
+        (r.pk, r.v, r.grp)
+        for r in read_versioned_table(spark, src).collect()
+    }
+    got = {
+        (r.pk, r.v, r.grp)
+        for r in read_versioned_table(spark, dst).collect()
+    }
+    assert got == want and len(got) == 29
+
+    # replaying the same feed is a clean no-op-shaped second apply:
+    # deletes match nothing, upserts replace with identical rows
+    replicate_versioned(spark, src, dst, s0["token"], s2["token"])
+    assert {
+        (r.pk, r.v, r.grp)
+        for r in read_versioned_table(spark, dst).collect()
+    } == want
+
+    # malformed feeds: duplicate post-images, missing _change_type
+    dup = spark.createDataFrame(
+        [(1, "a", 0, "insert"), (1, "b", 0, "update_postimage")],
+        "pk long, v string, grp long, _change_type string",
+    )
+    with _pytest.raises(ValueError, match="multiple post-image"):
+        apply_changes_versioned(spark, dst, dup)
+    with _pytest.raises(ValueError, match="_change_type"):
+        apply_changes_versioned(spark, dst, base)
