@@ -967,7 +967,24 @@ def read_versioned_table(
         for b, gen in sorted(manifest["buckets"].items())
     ]
     if not paths:
-        raise FileNotFoundError(f"{path}: empty versioned table")
+        # a zero-bucket snapshot is a legitimate EMPTY table (an
+        # empty-frame init, or a DELETE that removed every row) — the
+        # recorded schema types it; only pre-format manifests, which
+        # recorded nothing, still error
+        schema_json = manifest.get("schema_json")
+        if schema_json is None:
+            raise FileNotFoundError(f"{path}: empty versioned table")
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(schema_json))
+        ).withColumn(
+            MERGE_BUCKET_COL,
+            _bucket_expr(manifest["pk"], manifest["n_buckets"]),
+        )
+        return _fill_added_columns(empty, manifest)
     # mergeSchema only when an ALTER happened: generations written
     # after it carry the added columns while older ones do not — the
     # unioned schema sees both. Alter-free tables (the common case)
@@ -1616,18 +1633,9 @@ def merge_into_versioned(
         else [b for b in upd_buckets if str(b) in manifest["buckets"]]
     )
     if not affected:
-        if extra_meta:
-            # no bucket matched (keys outside the table) but the
-            # caller's metadata — e.g. a stream's batch marker — must
-            # still commit, or "the marker rides with the data" breaks
-            # for exactly these batches
-            new_manifest = _commit_bucket_update(
-                path, manifest, dict(manifest["buckets"]), {},
-                uuid.uuid4().hex[:12], extra_meta,
-            )
-            _publish_manifest(path, new_manifest)
-            return new_manifest
-        return manifest
+        return _commit_meta_only(
+            path, manifest, dict(manifest["buckets"]), extra_meta
+        )
     cur_paths = [
         os.path.join(path, manifest["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in affected
@@ -1653,6 +1661,27 @@ def merge_into_versioned(
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
+
+
+def _commit_meta_only(
+    path: str, manifest: dict, base_buckets: dict, extra_meta: dict | None
+) -> dict:
+    """The no-data-change commit rule shared by MERGE, DELETE, and
+    CDC-apply: when nothing touches a bucket but the caller supplied
+    metadata (e.g. a stream's batch marker), that metadata must still
+    commit on the chain — otherwise "the marker rides with the data"
+    breaks for exactly the batches that matched nothing. Without
+    metadata, the head manifest is simply returned."""
+    import uuid
+
+    if extra_meta:
+        new_manifest = _commit_bucket_update(
+            path, manifest, base_buckets, {}, uuid.uuid4().hex[:12],
+            extra_meta,
+        )
+        _publish_manifest(path, new_manifest)
+        return new_manifest
+    return manifest
 
 
 def delete_from_versioned(
@@ -1695,26 +1724,15 @@ def delete_from_versioned(
     candidates = [
         b for b in _nonnull_update_buckets(k, pk) if str(b) in base_buckets
     ]
-
-    def _meta_only_commit():
-        if extra_meta:
-            new_manifest = _commit_bucket_update(
-                path, manifest, base_buckets, {},
-                uuid.uuid4().hex[:12], extra_meta,
-            )
-            _publish_manifest(path, new_manifest)
-            return new_manifest
-        return manifest
-
     if not candidates:
-        return _meta_only_commit()
+        return _commit_meta_only(path, manifest, base_buckets, extra_meta)
     cur_paths = [
         os.path.join(path, base_buckets[str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in candidates
     ]
-    table = _fill_added_columns(
-        _read_maybe_merged(spark, manifest, *cur_paths), manifest
-    )
+    # cur_paths is non-empty here, so this is exactly the shared
+    # existing-buckets read (merged-schema + added-column fill)
+    table = _merge_target_frame(spark, path, manifest, cur_paths, k, pk, [])
     # rewrite only buckets that actually CONTAIN a key to delete — a
     # candidate bucket whose keys all miss would otherwise be
     # identity-rewritten (wasted IO, spurious generation churn, and a
@@ -1727,7 +1745,7 @@ def delete_from_versioned(
         .collect()
     )
     if not affected:
-        return _meta_only_commit()
+        return _commit_meta_only(path, manifest, base_buckets, extra_meta)
     remaining = table.where(
         _bucket_expr(pk, n_buckets).isin(affected)
     ).join(k.select(pk), pk, "left_anti")
@@ -1787,7 +1805,28 @@ def apply_changes_versioned(
             f"{path}: changes frame lacks the table key {pk!r} "
             f"(has: {data_cols})"
         )
-    ch = changes.where(F.col(pk).isNotNull())
+    # materialize the feed ONCE: the guards, bucket scans, and the
+    # final write each run an action, and the incoming frame is often
+    # the lazy diff_versioned plan (a full-outer join over every
+    # changed source bucket) — without this, replication recomputes
+    # that join ~5 times
+    ch = changes.where(F.col(pk).isNotNull()).localCheckpoint()
+    unknown = (
+        ch.where(
+            ~F.col("_change_type").isin(
+                "insert", "delete", "update_preimage", "update_postimage"
+            )
+        )
+        .limit(1)
+        .collect()
+    )
+    if unknown:
+        raise ValueError(
+            f"unknown _change_type {unknown[0]['_change_type']!r}; a "
+            "feed carries only insert / delete / update_preimage / "
+            "update_postimage — silently skipping rows would diverge "
+            "the replica"
+        )
     upserts = ch.where(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(*data_cols)
@@ -1823,19 +1862,8 @@ def apply_changes_versioned(
         if str(b) in base_buckets
     )
     candidates = sorted(upsert_buckets | del_candidates)
-
-    def _meta_only_commit():
-        if extra_meta:
-            new_manifest = _commit_bucket_update(
-                path, manifest, base_buckets, {},
-                uuid.uuid4().hex[:12], extra_meta,
-            )
-            _publish_manifest(path, new_manifest)
-            return new_manifest
-        return manifest
-
     if not candidates:
-        return _meta_only_commit()
+        return _commit_meta_only(path, manifest, base_buckets, extra_meta)
     cur_paths = [
         os.path.join(path, base_buckets[str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in candidates
@@ -1864,7 +1892,7 @@ def apply_changes_versioned(
     ) if (del_candidates - upsert_buckets) else set()
     affected = sorted(upsert_buckets | (matched_del & del_candidates))
     if not affected:
-        return _meta_only_commit()
+        return _commit_meta_only(path, manifest, base_buckets, extra_meta)
     keys = upserts.select(pk).unionByName(dels).distinct()
     out = (
         table.where(_bucket_expr(pk, n_buckets).isin(affected))

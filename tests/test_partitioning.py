@@ -1993,6 +1993,15 @@ def test_delete_from_versioned(spark, tmp_path):
             pk="other",
         )
 
+    # deleting EVERY row leaves a readable, typed, EMPTY table (the
+    # zero-bucket state a fresh empty init also has), not an error
+    m4 = delete_from_versioned(spark, path, base, pk="pk")
+    assert m4["buckets"] == {}
+    emptied = read_versioned_table(spark, path)
+    assert emptied.count() == 0 and {"pk", "v"} <= set(emptied.columns)
+    # ...and the pre-delete token still reads
+    assert read_versioned_table(spark, path, m2["token"]).count() > 0
+
 
 def test_apply_changes_replication(spark, tmp_path):
     """CDC replication: diff(src) applied to a replica (with a
@@ -2063,3 +2072,9 @@ def test_apply_changes_replication(spark, tmp_path):
         apply_changes_versioned(spark, dst, dup)
     with _pytest.raises(ValueError, match="_change_type"):
         apply_changes_versioned(spark, dst, base)
+    bad_type = spark.createDataFrame(
+        [(1, "a", 0, "Upsert")],
+        "pk long, v string, grp long, _change_type string",
+    )
+    with _pytest.raises(ValueError, match="unknown _change_type"):
+        apply_changes_versioned(spark, dst, bad_type)
