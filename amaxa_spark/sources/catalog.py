@@ -1713,8 +1713,28 @@ def delete_from_versioned(
             f"{path}: delete key {pk!r} is not the table key "
             f"({manifest['pk']!r})"
         )
-    base_buckets = dict(manifest["buckets"])
-    n_buckets = manifest["n_buckets"]
+    token = uuid.uuid4().hex[:12]
+    ours = _delete_keys_from_table(spark, path, manifest, keys, f"gen-{token}")
+    if ours is None:
+        return _commit_meta_only(
+            path, manifest, dict(manifest["buckets"]), extra_meta
+        )
+    new_manifest = _commit_bucket_update(
+        path, manifest, dict(manifest["buckets"]), ours, token, extra_meta
+    )
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def _delete_keys_from_table(
+    spark: SparkSession, root: str, t: dict, keys: DataFrame, gen: str
+) -> dict | None:
+    """Per-table DELETE body shared by both layouts: writes the
+    affected buckets' remaining rows under ``<root>/<gen>`` and
+    returns the ours bucket map (``None`` generations mark emptied
+    buckets), or ``None`` when no key matched (nothing written)."""
+    pk, n_buckets = t["pk"], t["n_buckets"]
+    base_buckets = t["buckets"]
     k = (
         keys.select(pk)
         .where(F.col(pk).isNotNull())
@@ -1725,14 +1745,14 @@ def delete_from_versioned(
         b for b in _nonnull_update_buckets(k, pk) if str(b) in base_buckets
     ]
     if not candidates:
-        return _commit_meta_only(path, manifest, base_buckets, extra_meta)
+        return None
     cur_paths = [
-        os.path.join(path, base_buckets[str(b)], f"{MERGE_BUCKET_COL}={b}")
+        os.path.join(root, base_buckets[str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in candidates
     ]
     # cur_paths is non-empty here, so this is exactly the shared
     # existing-buckets read (merged-schema + added-column fill)
-    table = _merge_target_frame(spark, path, manifest, cur_paths, k, pk, [])
+    table = _merge_target_frame(spark, root, t, cur_paths, k, pk, [])
     # rewrite only buckets that actually CONTAIN a key to delete — a
     # candidate bucket whose keys all miss would otherwise be
     # identity-rewritten (wasted IO, spurious generation churn, and a
@@ -1745,25 +1765,18 @@ def delete_from_versioned(
         .collect()
     )
     if not affected:
-        return _commit_meta_only(path, manifest, base_buckets, extra_meta)
+        return None
     remaining = table.where(
         _bucket_expr(pk, n_buckets).isin(affected)
     ).join(k.select(pk), pk, "left_anti")
-    token = uuid.uuid4().hex[:12]
-    gen = f"gen-{token}"
     (
         remaining.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
         .write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
-        .parquet(os.path.join(path, gen))
+        .parquet(os.path.join(root, gen))
     )
-    present = set(_present_buckets(os.path.join(path, gen)))
-    ours = {str(b): (gen if b in present else None) for b in affected}
-    new_manifest = _commit_bucket_update(
-        path, manifest, base_buckets, ours, token, extra_meta
-    )
-    _publish_manifest(path, new_manifest)
-    return new_manifest
+    present = set(_present_buckets(os.path.join(root, gen)))
+    return {str(b): (gen if b in present else None) for b in affected}
 
 
 def apply_changes_versioned(
@@ -1792,17 +1805,42 @@ def apply_changes_versioned(
     import uuid
 
     manifest = _bucket_manifest(path, base_token)
-    pk = manifest["pk"]
-    n_buckets = manifest["n_buckets"]
+    token = uuid.uuid4().hex[:12]
+    ours = _apply_changes_to_table(
+        spark, path, manifest, changes, f"gen-{token}"
+    )
+    if ours is None:
+        return _commit_meta_only(
+            path, manifest, dict(manifest["buckets"]), extra_meta
+        )
+    new_manifest = _commit_bucket_update(
+        path, manifest, dict(manifest["buckets"]), ours, token, extra_meta
+    )
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def _apply_changes_to_table(
+    spark: SparkSession, root: str, t: dict, changes: DataFrame, gen: str
+) -> dict | None:
+    """Per-table CDC-apply body shared by both layouts: validates the
+    feed, writes the affected buckets' new state under
+    ``<root>/<gen>``, and returns the ours bucket map (``None``
+    generations mark emptied buckets), or ``None`` when no row of the
+    feed touches this table (nothing written)."""
+    pk, n_buckets = t["pk"], t["n_buckets"]
+    base_buckets = t["buckets"]
     if "_change_type" not in changes.columns:
-        raise ValueError("changes frame lacks the _change_type column")
+        raise ValueError(
+            f"{root}: changes frame lacks the _change_type column"
+        )
     data_cols = [
         c for c in changes.columns
         if c not in ("_change_type", MERGE_BUCKET_COL)
     ]
     if pk not in data_cols:
         raise ValueError(
-            f"{path}: changes frame lacks the table key {pk!r} "
+            f"{root}: changes frame lacks the table key {pk!r} "
             f"(has: {data_cols})"
         )
     # materialize the feed ONCE: the guards, bucket scans, and the
@@ -1844,7 +1882,6 @@ def apply_changes_versioned(
             "one — collapse replayed feeds to latest-per-key first"
         )
     dels = ch.where(F.col("_change_type") == "delete").select(pk)
-    base_buckets = dict(manifest["buckets"])
     upsert_buckets = set(
         _nonnull_update_buckets(
             upserts.select(pk).withColumn(
@@ -1863,19 +1900,19 @@ def apply_changes_versioned(
     )
     candidates = sorted(upsert_buckets | del_candidates)
     if not candidates:
-        return _commit_meta_only(path, manifest, base_buckets, extra_meta)
+        return None
     cur_paths = [
-        os.path.join(path, base_buckets[str(b)], f"{MERGE_BUCKET_COL}={b}")
+        os.path.join(root, base_buckets[str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in candidates
         if str(b) in base_buckets
     ]
     table = _merge_target_frame(
-        spark, path, manifest, cur_paths, upserts, pk,
+        spark, root, t, cur_paths, upserts, pk,
         [c for c in data_cols if c != pk],
     )
     if set(table.columns) != set(data_cols):
         raise ValueError(
-            f"{path}: changes columns {sorted(data_cols)} do not match "
+            f"{root}: changes columns {sorted(data_cols)} do not match "
             f"the table's {sorted(table.columns)} — a feed replays only "
             "onto a schema-identical replica (ALTER the target first)"
         )
@@ -1892,28 +1929,21 @@ def apply_changes_versioned(
     ) if (del_candidates - upsert_buckets) else set()
     affected = sorted(upsert_buckets | (matched_del & del_candidates))
     if not affected:
-        return _commit_meta_only(path, manifest, base_buckets, extra_meta)
+        return None
     keys = upserts.select(pk).unionByName(dels).distinct()
     out = (
         table.where(_bucket_expr(pk, n_buckets).isin(affected))
         .join(keys, pk, "left_anti")
         .unionByName(upserts)
     )
-    token = uuid.uuid4().hex[:12]
-    gen = f"gen-{token}"
     (
         out.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
         .write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
-        .parquet(os.path.join(path, gen))
+        .parquet(os.path.join(root, gen))
     )
-    present = set(_present_buckets(os.path.join(path, gen)))
-    ours = {str(b): (gen if b in present else None) for b in affected}
-    new_manifest = _commit_bucket_update(
-        path, manifest, base_buckets, ours, token, extra_meta
-    )
-    _publish_manifest(path, new_manifest)
-    return new_manifest
+    present = set(_present_buckets(os.path.join(root, gen)))
+    return {str(b): (gen if b in present else None) for b in affected}
 
 
 def replicate_versioned(
@@ -1939,6 +1969,137 @@ def replicate_versioned(
         diff_versioned(spark, src_path, from_token, to_token),
         extra_meta=extra_meta,
     )
+
+
+def delete_from_versioned_db(
+    spark: SparkSession,
+    path: str,
+    keys: dict[str, DataFrame],
+    base_token: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Transactional DELETE across tables — the db twin of
+    :func:`delete_from_versioned`: every table's matched buckets are
+    rewritten under ONE shared-token generation, then a single chain
+    commit publishes the whole erasure (all tables forget the keys
+    together or not at all — the GDPR shape for entities spanning
+    tables). Each table's key column comes from its own manifest
+    entry; per-table semantics (anti-join rewrite, emptied-bucket
+    drop, NULL/absent keys as no-ops) match the single-table DELETE,
+    and concurrency follows the transactional MERGE rules."""
+    import uuid
+
+    manifest = _db_manifest(path, base_token)
+    for name in keys:
+        if name not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {name!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    ours: dict[str, dict] = {}
+    for name, keys_df in keys.items():
+        t = manifest["tables"][name]
+        table_ours = _delete_keys_from_table(
+            spark, os.path.join(path, name), t, keys_df, gen
+        )
+        if table_ours is not None:
+            ours[name] = table_ours
+    if not ours:
+        return _commit_db_meta_only(path, manifest, extra_meta)
+    new_manifest = _commit_db_update(path, manifest, ours, token, extra_meta)
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def apply_changes_versioned_db(
+    spark: SparkSession,
+    path: str,
+    changes: dict[str, DataFrame],
+    base_token: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Transactional CDC-apply — the db twin of
+    :func:`apply_changes_versioned`: each table's feed applies with
+    single-table semantics (full-row upserts, anti-join deletes,
+    preimages ignored, malformed feeds raise before anything commits),
+    and ONE chain commit publishes every table's changes together —
+    a replica never shows table A's state from a different transaction
+    than table B's."""
+    import uuid
+
+    manifest = _db_manifest(path, base_token)
+    for name in changes:
+        if name not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {name!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    ours: dict[str, dict] = {}
+    for name, ch in changes.items():
+        t = manifest["tables"][name]
+        table_ours = _apply_changes_to_table(
+            spark, os.path.join(path, name), t, ch, gen
+        )
+        if table_ours is not None:
+            ours[name] = table_ours
+    if not ours:
+        return _commit_db_meta_only(path, manifest, extra_meta)
+    new_manifest = _commit_db_update(path, manifest, ours, token, extra_meta)
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def replicate_versioned_db(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    from_token: str,
+    to_token: str | None = None,
+    tables: list[str] | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """One-call transactional replication: compute every table's
+    change feed over ``(from_token, to_token]`` of the source database
+    and apply them to the target in ONE transaction — the replica
+    moves between cross-table-consistent states, never a torn mix.
+    ``tables`` restricts the sync (default: every table present in
+    both source snapshots); a table the source re-init added or
+    dropped between the tokens cannot be diffed and must be synced by
+    a full rewrite instead."""
+    mf = _db_manifest(src_path, from_token)
+    mt = _db_manifest(src_path, to_token)
+    if tables is None:
+        tables = sorted(set(mf["tables"]) & set(mt["tables"]))
+    feeds = {
+        name: diff_versioned_db(
+            spark, src_path, name, from_token, to_token
+        )
+        for name in tables
+    }
+    return apply_changes_versioned_db(
+        spark, dst_path, feeds, extra_meta=extra_meta
+    )
+
+
+def _commit_db_meta_only(
+    path: str, manifest: dict, extra_meta: dict | None
+) -> dict:
+    """The db twin of :func:`_commit_meta_only`: commit caller
+    metadata as an empty transaction when no bucket changed, else
+    return the head unchanged."""
+    import uuid
+
+    if extra_meta:
+        new_manifest = _commit_db_update(
+            path, manifest, {}, uuid.uuid4().hex[:12], extra_meta
+        )
+        _publish_manifest(path, new_manifest)
+        return new_manifest
+    return manifest
 
 
 def _apply_extra_meta(out: dict, extra_meta: dict | None) -> None:
@@ -2475,17 +2636,7 @@ def merge_into_versioned_db(
         )
         ours[name] = {str(b): gen for b in affected}
     if not ours:
-        if extra_meta:
-            # no bucket matched anywhere, but the caller's metadata —
-            # e.g. a stream's batch marker — must still commit, or
-            # "the marker rides with the data" breaks for exactly
-            # these batches (metadata-only transaction)
-            new_manifest = _commit_db_update(
-                path, manifest, {}, token, extra_meta
-            )
-            _publish_manifest(path, new_manifest)
-            return new_manifest
-        return manifest
+        return _commit_db_meta_only(path, manifest, extra_meta)
     new_manifest = _commit_db_update(path, manifest, ours, token, extra_meta)
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -2507,10 +2658,16 @@ def _commit_db_update(
     into the committed manifest with the same monotonic-streams rule
     as the single-table loop (:func:`_apply_extra_meta`) — checked
     against the exact manifest being extended, on the base and on
-    every rebase."""
+    every rebase. A ``None`` generation in ``ours`` DROPS that bucket
+    from its table's map (a delete emptied it), with the same
+    conflict-detection standing as a rewrite."""
     base_tables = {
         n: dict(t["buckets"]) for n, t in base_manifest["tables"].items()
     }
+
+    def overlay(base: dict, ours_: dict) -> dict:
+        out = {**base, **ours_}
+        return {b: g for b, g in out.items() if g is not None}
 
     def stamped(src: dict, seq: int) -> dict:
         # the (head) snapshot defines the table set AND the top-level
@@ -2522,7 +2679,7 @@ def _commit_db_update(
             "token": token,
             "seq": seq,
             "tables": {
-                n: {**t, "buckets": {**t["buckets"], **ours.get(n, {})}}
+                n: {**t, "buckets": overlay(t["buckets"], ours.get(n, {}))}
                 for n, t in src["tables"].items()
             },
         }

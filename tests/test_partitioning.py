@@ -2078,3 +2078,65 @@ def test_apply_changes_replication(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="unknown _change_type"):
         apply_changes_versioned(spark, dst, bad_type)
+
+
+def test_delete_and_replicate_versioned_db(spark, tmp_path):
+    """db twins: one transaction deletes keys across tables (all
+    tables forget together), and replicate_versioned_db moves a
+    replica between cross-table-consistent states — including a
+    table-emptying delete that stays readable."""
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        delete_from_versioned_db,
+        read_versioned_db,
+        replicate_versioned_db,
+        write_versioned_db,
+    )
+
+    src = str(tmp_path / "db_src")
+    dst = str(tmp_path / "db_dst")
+    orders = spark.createDataFrame(
+        [(i, f"o{i}") for i in range(12)], "pk long, what string"
+    )
+    items = spark.createDataFrame(
+        [(i, i % 4, 10.0 * i) for i in range(12)],
+        "pk long, order_pk long, amt double",
+    )
+    pks = {"orders": "pk", "items": "pk"}
+    s0 = write_versioned_db(
+        spark, src, {"orders": orders, "items": items}, pks, n_buckets=4
+    )
+    write_versioned_db(
+        spark, dst, {"orders": orders, "items": items}, pks, n_buckets=2
+    )
+
+    # ONE transaction: erase order 3 and its items everywhere
+    item_keys = items.where(F.col("order_pk") == 3).select("pk")
+    s1 = delete_from_versioned_db(
+        spark, src,
+        {"orders": spark.createDataFrame([(3,)], "pk long"),
+         "items": item_keys},
+    )
+    assert s1["token"] != s0["token"]  # one commit for both tables
+    assert read_versioned_db(spark, src, "orders").where(
+        F.col("pk") == 3
+    ).count() == 0
+    got_items = read_versioned_db(spark, src, "items").count()
+    assert got_items == 12 - item_keys.count()
+
+    # replicate both tables' changes in one transaction
+    s2 = replicate_versioned_db(spark, src, dst, s0["token"], s1["token"])
+    for name in ("orders", "items"):
+        a = {tuple(r) for r in read_versioned_db(spark, src, name)
+             .drop("__mb").collect()}
+        b = {tuple(r) for r in read_versioned_db(spark, dst, name)
+             .drop("__mb").collect()}
+        assert a == b, name
+    assert s2["tables"].keys() == {"orders", "items"}
+
+    # unknown table raises before anything is written
+    with _pytest.raises(ValueError, match="no table"):
+        delete_from_versioned_db(
+            spark, src, {"nope": spark.createDataFrame([(1,)], "pk long")}
+        )
