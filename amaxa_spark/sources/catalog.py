@@ -1633,9 +1633,7 @@ def merge_into_versioned(
         else [b for b in upd_buckets if str(b) in manifest["buckets"]]
     )
     if not affected:
-        return _commit_meta_only(
-            path, manifest, dict(manifest["buckets"]), extra_meta
-        )
+        return _commit_meta_only(path, manifest, extra_meta)
     cur_paths = [
         os.path.join(path, manifest["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
         for b in affected
@@ -1663,8 +1661,16 @@ def merge_into_versioned(
     return new_manifest
 
 
+def _live_buckets(base: dict, ours: dict) -> dict:
+    """Overlay rewritten buckets onto a base map; a ``None``
+    generation DROPS the bucket (a delete emptied it) — the one
+    None-drop invariant shared by BOTH commit loops."""
+    out = {**base, **ours}
+    return {b: g for b, g in out.items() if g is not None}
+
+
 def _commit_meta_only(
-    path: str, manifest: dict, base_buckets: dict, extra_meta: dict | None
+    path: str, manifest: dict, extra_meta: dict | None
 ) -> dict:
     """The no-data-change commit rule shared by MERGE, DELETE, and
     CDC-apply: when nothing touches a bucket but the caller supplied
@@ -1676,8 +1682,8 @@ def _commit_meta_only(
 
     if extra_meta:
         new_manifest = _commit_bucket_update(
-            path, manifest, base_buckets, {}, uuid.uuid4().hex[:12],
-            extra_meta,
+            path, manifest, dict(manifest["buckets"]), {},
+            uuid.uuid4().hex[:12], extra_meta,
         )
         _publish_manifest(path, new_manifest)
         return new_manifest
@@ -1716,9 +1722,7 @@ def delete_from_versioned(
     token = uuid.uuid4().hex[:12]
     ours = _delete_keys_from_table(spark, path, manifest, keys, f"gen-{token}")
     if ours is None:
-        return _commit_meta_only(
-            path, manifest, dict(manifest["buckets"]), extra_meta
-        )
+        return _commit_meta_only(path, manifest, extra_meta)
     new_manifest = _commit_bucket_update(
         path, manifest, dict(manifest["buckets"]), ours, token, extra_meta
     )
@@ -1810,9 +1814,7 @@ def apply_changes_versioned(
         spark, path, manifest, changes, f"gen-{token}"
     )
     if ours is None:
-        return _commit_meta_only(
-            path, manifest, dict(manifest["buckets"]), extra_meta
-        )
+        return _commit_meta_only(path, manifest, extra_meta)
     new_manifest = _commit_bucket_update(
         path, manifest, dict(manifest["buckets"]), ours, token, extra_meta
     )
@@ -1828,8 +1830,7 @@ def _apply_changes_to_table(
     ``<root>/<gen>``, and returns the ours bucket map (``None``
     generations mark emptied buckets), or ``None`` when no row of the
     feed touches this table (nothing written)."""
-    pk, n_buckets = t["pk"], t["n_buckets"]
-    base_buckets = t["buckets"]
+    pk = t["pk"]
     if "_change_type" not in changes.columns:
         raise ValueError(
             f"{root}: changes frame lacks the _change_type column"
@@ -1843,15 +1844,40 @@ def _apply_changes_to_table(
             f"{root}: changes frame lacks the table key {pk!r} "
             f"(has: {data_cols})"
         )
+    from pyspark import StorageLevel
+
     # materialize the feed ONCE: the guards, bucket scans, and the
     # final write each run an action, and the incoming frame is often
     # the lazy diff_versioned plan (a full-outer join over every
     # changed source bucket) — without this, replication recomputes
-    # that join ~5 times
-    ch = changes.where(F.col(pk).isNotNull()).localCheckpoint()
+    # that join ~5 times. persist(DISK_ONLY), not localCheckpoint:
+    # the lineage stays attached, so a lost executor's blocks
+    # recompute instead of failing the apply mid-flight.
+    ch = changes.where(F.col(pk).isNotNull()).persist(
+        StorageLevel.DISK_ONLY
+    )
+    try:
+        return _apply_changes_body(
+            spark, root, t, ch, gen, data_cols
+        )
+    finally:
+        ch.unpersist(blocking=False)
+
+
+def _apply_changes_body(
+    spark: SparkSession,
+    root: str,
+    t: dict,
+    ch: DataFrame,
+    gen: str,
+    data_cols: list[str],
+) -> dict | None:
+    pk, n_buckets = t["pk"], t["n_buckets"]
+    base_buckets = t["buckets"]
     unknown = (
         ch.where(
-            ~F.col("_change_type").isin(
+            F.col("_change_type").isNull()
+            | ~F.col("_change_type").isin(
                 "insert", "delete", "update_preimage", "update_postimage"
             )
         )
@@ -2074,9 +2100,13 @@ def replicate_versioned_db(
     mt = _db_manifest(src_path, to_token)
     if tables is None:
         tables = sorted(set(mf["tables"]) & set(mt["tables"]))
+    # diff every table against the SAME resolved token pair: passing a
+    # raw to_token=None through would re-resolve the head per table,
+    # and a concurrent source commit in between would produce exactly
+    # the torn cross-table replica this function exists to prevent
     feeds = {
         name: diff_versioned_db(
-            spark, src_path, name, from_token, to_token
+            spark, src_path, name, mf["token"], mt["token"]
         )
         for name in tables
     }
@@ -2143,13 +2173,9 @@ def _commit_bucket_update(
     files came from stale inputs).
 
     An ``ours`` value of ``None`` DROPS that bucket from the manifest
-    (a delete emptied it) — still a touched bucket for conflict
-    detection, but the committed map carries no entry, which is
-    exactly how a zero-bucket init looks."""
-    def overlay(base: dict, ours_: dict) -> dict:
-        out = {**base, **ours_}
-        return {b: g for b, g in out.items() if g is not None}
-
+    (a delete emptied it, :func:`_live_buckets`) — still a touched
+    bucket for conflict detection, but the committed map carries no
+    entry, which is exactly how a zero-bucket init looks."""
     def stamped(src: dict, seq: int, buckets: dict) -> dict:
         # carry every manifest field (kind/pk/n_buckets/added_columns/
         # future metadata) from the newest known state; committed_at is
@@ -2166,7 +2192,7 @@ def _commit_bucket_update(
         return out
 
     seq = int(base_manifest.get("seq", 0)) + 1
-    new_manifest = stamped(base_manifest, seq, overlay(base_buckets, ours))
+    new_manifest = stamped(base_manifest, seq, _live_buckets(base_buckets, ours))
     while True:
         try:
             _claim_commit(path, seq, new_manifest)
@@ -2184,7 +2210,7 @@ def _commit_bucket_update(
             # rebase onto the head's metadata too — it may carry newer
             # ALTER commits than our snapshot
             seq = head_seq + 1
-            new_manifest = stamped(head, seq, overlay(head["buckets"], ours))
+            new_manifest = stamped(head, seq, _live_buckets(head["buckets"], ours))
 
 
 def optimize_versioned(
@@ -2488,7 +2514,22 @@ def read_versioned_db(
         for b, gen in sorted(t["buckets"].items())
     ]
     if not paths:
-        raise FileNotFoundError(f"{path}/{table}: empty table")
+        # zero buckets is a legitimate EMPTY table (empty-frame init,
+        # or a DELETE that removed every row) — typed from the
+        # recorded schema, like the single-table reader
+        schema_json = t.get("schema_json")
+        if schema_json is None:
+            raise FileNotFoundError(f"{path}/{table}: empty table")
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(schema_json))
+        ).withColumn(
+            MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
+        )
+        return _fill_added_columns(empty, t)
     # the table entry carries the same shape _read_maybe_merged /
     # _fill_added_columns expect (its own added_columns map), so the
     # single-table schema-evolution read path applies per table
@@ -2665,10 +2706,6 @@ def _commit_db_update(
         n: dict(t["buckets"]) for n, t in base_manifest["tables"].items()
     }
 
-    def overlay(base: dict, ours_: dict) -> dict:
-        out = {**base, **ours_}
-        return {b: g for b, g in out.items() if g is not None}
-
     def stamped(src: dict, seq: int) -> dict:
         # the (head) snapshot defines the table set AND the top-level
         # metadata (streams, future keys); our rewritten buckets
@@ -2679,7 +2716,7 @@ def _commit_db_update(
             "token": token,
             "seq": seq,
             "tables": {
-                n: {**t, "buckets": overlay(t["buckets"], ours.get(n, {}))}
+                n: {**t, "buckets": _live_buckets(t["buckets"], ours.get(n, {}))}
                 for n, t in src["tables"].items()
             },
         }

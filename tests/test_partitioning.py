@@ -2078,6 +2078,12 @@ def test_apply_changes_replication(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="unknown _change_type"):
         apply_changes_versioned(spark, dst, bad_type)
+    null_type = spark.createDataFrame(
+        [(1, "a", 0, None)],
+        "pk long, v string, grp long, _change_type string",
+    )
+    with _pytest.raises(ValueError, match="unknown _change_type"):
+        apply_changes_versioned(spark, dst, null_type)
 
 
 def test_delete_and_replicate_versioned_db(spark, tmp_path):
@@ -2140,3 +2146,12 @@ def test_delete_and_replicate_versioned_db(spark, tmp_path):
         delete_from_versioned_db(
             spark, src, {"nope": spark.createDataFrame([(1,)], "pk long")}
         )
+
+    # emptying a whole table leaves it READABLE (typed empty), and the
+    # sibling table untouched
+    delete_from_versioned_db(spark, src, {"items": items.select("pk")})
+    emptied = read_versioned_db(spark, src, "items")
+    assert emptied.count() == 0 and {"pk", "order_pk", "amt"} <= set(
+        emptied.columns
+    )
+    assert read_versioned_db(spark, src, "orders").count() == 11
