@@ -2086,6 +2086,88 @@ def test_apply_changes_replication(spark, tmp_path):
         apply_changes_versioned(spark, dst, null_type)
 
 
+def test_delete_concurrency_rebase_and_conflict(spark, tmp_path):
+    """The None-drop commit path under contention (simulated
+    deterministically by pinning base_token to a stale snapshot): a
+    DELETE racing a MERGE to DIFFERENT buckets rebases — both land,
+    history stays linear — while overlapping buckets raise, in both
+    orders."""
+    import pytest as _pytest
+
+    from amaxa_spark.sources.catalog import (
+        ConcurrentMergeError,
+        delete_from_versioned,
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_del_race")
+    base = spark.range(40).select(
+        F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=8)
+
+    def bucket_of(k):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([Row(pk=k)]).select(
+            F.pmod(F.xxhash64(F.col("pk").cast("string")), F.lit(8))
+            .cast("int").alias("b")
+        ).collect()[0].b
+
+    # pick two keys in DIFFERENT buckets and one sharing the first's
+    keys = {k: bucket_of(k) for k in range(40)}
+    k_del = 0
+    k_other = next(k for k, b in keys.items() if b != keys[k_del])
+    k_same = next(k for k in keys if k != k_del and keys[k] == keys[k_del])
+
+    # disjoint race: merge commits after the delete's snapshot; the
+    # delete rebases and BOTH effects land
+    m1 = merge_into_versioned(
+        spark, path,
+        spark.createDataFrame([(k_other, "MERGED")], "pk long, v string"),
+        pk="pk", set_cols=["v"],
+    )
+    m2 = delete_from_versioned(
+        spark, path, spark.createDataFrame([(k_del,)], "pk long"),
+        pk="pk", base_token=m0["token"],
+    )
+    assert int(m2["seq"]) == int(m1["seq"]) + 1
+    rows = {r.pk: r.v for r in read_versioned_table(spark, path).collect()}
+    assert k_del not in rows and rows[k_other] == "MERGED"
+
+    # overlapping race, delete loses: the merge rewrote the bucket the
+    # delete also touches -> ConcurrentMergeError
+    m3 = merge_into_versioned(
+        spark, path,
+        spark.createDataFrame([(k_same, "AGAIN")], "pk long, v string"),
+        pk="pk", set_cols=["v"],
+    )
+    with _pytest.raises(ConcurrentMergeError):
+        delete_from_versioned(
+            spark, path, spark.createDataFrame([(k_same,)], "pk long"),
+            pk="pk", base_token=m2["token"],
+        )
+
+    # overlapping race, merge loses: a delete DROPPED the bucket the
+    # merge also touches (update-only mode) -> ConcurrentMergeError
+    b_target = keys[k_same]
+    all_in_bucket = [k for k, b in keys.items() if b == b_target]
+    m4 = delete_from_versioned(
+        spark, path,
+        spark.createDataFrame([(k,) for k in all_in_bucket], "pk long"),
+        pk="pk",
+    )
+    assert str(b_target) not in m4["buckets"]
+    with _pytest.raises(ConcurrentMergeError):
+        merge_into_versioned(
+            spark, path,
+            spark.createDataFrame([(k_same, "LOST")], "pk long, v string"),
+            pk="pk", set_cols=["v"], base_token=m3["token"],
+        )
+
+
 def test_delete_and_replicate_versioned_db(spark, tmp_path):
     """db twins: one transaction deletes keys across tables (all
     tables forget together), and replicate_versioned_db moves a
