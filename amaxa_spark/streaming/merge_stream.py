@@ -47,6 +47,7 @@ from amaxa_spark.sources.catalog import (
     StaleStreamBatch,
     _bucket_manifest,
     _db_manifest,
+    apply_changes_versioned,
     merge_into_versioned,
     merge_into_versioned_db,
 )
@@ -264,6 +265,93 @@ def upsert_db_batch(
         # a failed-over twin committed this batch while we were
         # writing; our generations are invisible orphans (vacuumed)
         return None
+
+
+def apply_changes_batch(
+    spark,
+    path: str,
+    batch: DataFrame,
+    order_col: str | None = None,
+    tiebreak_col: str | None = None,
+    stream_id: str | None = None,
+    batch_id: int | None = None,
+) -> dict | None:
+    """Streaming CDC replication body: apply one micro-batch of a
+    change feed (the ``_change_type`` contract) as ONE atomic commit —
+    continuous replication of a versioned table from a stream of
+    diffs. Returns the new manifest, or None for an empty or
+    already-committed batch.
+
+    A micro-batch may span several source commits and so carry SEVERAL
+    changes for one key; pass ``order_col`` (e.g. the source seq the
+    feed producer stamps) and the batch collapses to each key's LAST
+    action first — exactly the state replaying the changes one by one
+    would reach, because every action carries the full row (a
+    post-image) or is a delete; intermediate actions are superseded,
+    not composed. Without ``order_col`` the batch must already hold at
+    most one action per key (one source diff — the duplicate guard
+    raises otherwise). ``update_preimage`` rows are informational and
+    dropped before collapsing.
+
+    Exactly-once mirrors :func:`upsert_batch`: with ``stream_id`` +
+    ``batch_id`` the marker rides in the same commit and committed
+    replays are skipped; the same new-checkpoint-needs-new-stream_id
+    footgun applies."""
+    extra = None
+    if stream_id is not None and batch_id is not None:
+        # cheap pre-check; the authoritative monotonic guard runs
+        # inside the commit loop (StaleStreamBatch on stale replays)
+        done = _bucket_manifest(path).get("streams", {}).get(stream_id)
+        if done is not None and batch_id <= done:
+            return None
+        extra = {"streams": {stream_id: batch_id}}
+    pk = _bucket_manifest(path)["pk"]
+    # keep NULL change types flowing through: the apply's validation
+    # raises on them (a bare != would silently drop NULL rows)
+    actions = batch.where(
+        F.col("_change_type").isNull()
+        | (F.col("_change_type") != "update_preimage")
+    )
+    if order_col is not None:
+        actions = latest_per_key(actions, pk, order_col, tiebreak_col).drop(
+            order_col
+        )
+    if not actions.take(1):
+        # empty batches commit nothing, marker included (idle-stream
+        # contract shared with upsert_batch)
+        return None
+    try:
+        return apply_changes_versioned(spark, path, actions, extra_meta=extra)
+    except StaleStreamBatch:
+        # a failed-over twin committed this batch while we were
+        # writing; our generation is an invisible orphan (vacuumed)
+        return None
+
+
+def apply_changes_stream_writer(
+    stream: DataFrame,
+    path: str,
+    order_col: str | None = None,
+    tiebreak_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    stream_id: str | None = None,
+):
+    """Wire a change-feed stream to a versioned replica: each
+    micro-batch of ``_change_type`` rows applies as one atomic commit
+    (:func:`apply_changes_batch`). Returns the ``DataStreamWriter``
+    (caller starts/stops it); pass ``stream_id`` for exactly-once
+    replay protection."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        apply_changes_batch(
+            batch.sparkSession, path, batch, order_col, tiebreak_col,
+            stream_id=stream_id, batch_id=batch_id,
+        )
+
+    w = stream.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w
 
 
 def merge_stream_db_writer(

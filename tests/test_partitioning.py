@@ -2237,3 +2237,80 @@ def test_delete_and_replicate_versioned_db(spark, tmp_path):
         emptied.columns
     )
     assert read_versioned_db(spark, src, "orders").count() == 11
+
+
+def test_streaming_cdc_replication(spark, tmp_path):
+    """apply_changes_batch: a stream of change feeds replicates a
+    versioned table batch by batch — multi-commit batches collapse to
+    last-action-per-key, replays of committed batch ids are skipped
+    (exactly-once), preimages are ignored, empty batches commit
+    nothing."""
+    from amaxa_spark.sources.catalog import (
+        delete_from_versioned,
+        diff_versioned,
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+    from amaxa_spark.streaming.merge_stream import apply_changes_batch
+
+    src = str(tmp_path / "scdc_src")
+    dst = str(tmp_path / "scdc_dst")
+    base = spark.range(20).select(
+        F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    s0 = write_versioned_table(base, src, pk="pk", n_buckets=8)
+    write_versioned_table(base, dst, pk="pk", n_buckets=4)
+
+    # two source commits; the feed producer stamps each diff with its
+    # source seq, and BOTH land in one micro-batch (collapse required:
+    # pk 1 is updated twice, pk 2 updated then deleted)
+    s1 = merge_into_versioned(
+        spark, src,
+        spark.createDataFrame(
+            [(1, "first"), (2, "gone-soon"), (50, "new")],
+            "pk long, v string",
+        ),
+        pk="pk", set_cols=["v"], not_matched="insert",
+    )
+    s2 = merge_into_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "second")], "pk long, v string"),
+        pk="pk", set_cols=["v"],
+    )
+    s3 = delete_from_versioned(
+        spark, src, spark.createDataFrame([(2,)], "pk long"), pk="pk"
+    )
+    feed = None
+    for i, (a, b) in enumerate(
+        [(s0, s1), (s1, s2), (s2, s3)]
+    ):
+        d = diff_versioned(spark, src, a["token"], b["token"]).withColumn(
+            "src_seq", F.lit(i)
+        )
+        feed = d if feed is None else feed.unionByName(d)
+
+    m = apply_changes_batch(
+        spark, dst, feed, order_col="src_seq",
+        stream_id="cdc", batch_id=0,
+    )
+    assert m is not None
+    want = {
+        (r.pk, r.v) for r in read_versioned_table(spark, src).collect()
+    }
+    got = {
+        (r.pk, r.v) for r in read_versioned_table(spark, dst).collect()
+    }
+    assert got == want
+    assert (1, "second") in got and not any(k == 2 for k, _ in got)
+
+    # replay of a committed batch id is skipped (exactly-once)
+    assert apply_changes_batch(
+        spark, dst, feed, order_col="src_seq",
+        stream_id="cdc", batch_id=0,
+    ) is None
+    # an empty batch commits nothing, marker included
+    assert apply_changes_batch(
+        spark, dst, feed.limit(0), order_col="src_seq",
+        stream_id="cdc", batch_id=1,
+    ) is None
