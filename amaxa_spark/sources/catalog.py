@@ -1908,6 +1908,16 @@ def _apply_changes_body(
             "one — collapse replayed feeds to latest-per-key first"
         )
     dels = ch.where(F.col("_change_type") == "delete").select(pk)
+    both = (
+        upserts.select(pk).join(dels, pk, "left_semi").limit(1).collect()
+    )
+    if both:
+        raise ValueError(
+            f"changes carry BOTH a post-image and a delete for pk "
+            f"{both[0][0]!r}; one snapshot pair never produces that — "
+            "applying them in one commit is order-ambiguous, so order "
+            "and collapse the feed to each key's last action first"
+        )
     upsert_buckets = set(
         _nonnull_update_buckets(
             upserts.select(pk).withColumn(

@@ -289,43 +289,94 @@ def apply_changes_batch(
     would reach, because every action carries the full row (a
     post-image) or is a delete; intermediate actions are superseded,
     not composed. Without ``order_col`` the batch must already hold at
-    most one action per key (one source diff — the duplicate guard
-    raises otherwise). ``update_preimage`` rows are informational and
-    dropped before collapsing.
+    most one action per key (one source diff — the apply's duplicate
+    and delete-vs-post-image guards raise otherwise).
+    ``update_preimage`` rows are informational and dropped before
+    collapsing; an ``order_col`` that is itself a table column (e.g. a
+    natural ``updated_at``) is kept, anything else is stripped after
+    the collapse.
 
     Exactly-once mirrors :func:`upsert_batch`: with ``stream_id`` +
     ``batch_id`` the marker rides in the same commit and committed
     replays are skipped; the same new-checkpoint-needs-new-stream_id
     footgun applies."""
+    from pyspark import StorageLevel
+
+    manifest = _bucket_manifest(path)  # one chain-head read serves all
     extra = None
     if stream_id is not None and batch_id is not None:
         # cheap pre-check; the authoritative monotonic guard runs
         # inside the commit loop (StaleStreamBatch on stale replays)
-        done = _bucket_manifest(path).get("streams", {}).get(stream_id)
+        done = manifest.get("streams", {}).get(stream_id)
         if done is not None and batch_id <= done:
             return None
         extra = {"streams": {stream_id: batch_id}}
-    pk = _bucket_manifest(path)["pk"]
+    pk = manifest["pk"]
     # keep NULL change types flowing through: the apply's validation
     # raises on them (a bare != would silently drop NULL rows)
     actions = batch.where(
         F.col("_change_type").isNull()
         | (F.col("_change_type") != "update_preimage")
     )
-    if order_col is not None:
-        actions = latest_per_key(actions, pk, order_col, tiebreak_col).drop(
-            order_col
-        )
-    if not actions.take(1):
-        # empty batches commit nothing, marker included (idle-stream
-        # contract shared with upsert_batch)
-        return None
+    # materialize once: the validations, the emptiness probe, and the
+    # apply (which persists its own filtered view FROM this cache, not
+    # by recomputing the upstream diff plan) all act on the same bytes
+    cached = actions.persist(StorageLevel.DISK_ONLY)
+    actions = cached
     try:
-        return apply_changes_versioned(spark, path, actions, extra_meta=extra)
+        if order_col is not None:
+            # malformed rows must fail the batch even when a later
+            # action for the same key would collapse them away — the
+            # signal of a broken feed producer, not a superseded row
+            bad = (
+                actions.where(
+                    F.col("_change_type").isNull()
+                    | ~F.col("_change_type").isin(
+                        "insert", "delete", "update_postimage"
+                    )
+                )
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"unknown _change_type {bad[0]['_change_type']!r} "
+                    "in the micro-batch; refusing to collapse it away"
+                )
+            actions = latest_per_key(actions, pk, order_col, tiebreak_col)
+            if not _is_table_column(manifest, order_col):
+                # a producer-stamped seq is feed plumbing, not data; a
+                # natural table column (updated_at) replicates as-is
+                actions = actions.drop(order_col)
+        if not actions.take(1):
+            # empty batches commit nothing, marker included
+            # (idle-stream contract shared with upsert_batch)
+            return None
+        return apply_changes_versioned(
+            spark, path, actions, extra_meta=extra
+        )
     except StaleStreamBatch:
         # a failed-over twin committed this batch while we were
         # writing; our generation is an invisible orphan (vacuumed)
         return None
+    finally:
+        cached.unpersist(blocking=False)
+
+
+def _is_table_column(manifest: dict, col: str) -> bool:
+    """Whether ``col`` is part of the table's logical schema (recorded
+    init columns plus ALTER-added ones). Pre-format manifests recorded
+    no columns — treat those as not-a-table-column (the producer-seq
+    reading, the common case)."""
+    import json
+
+    cols = set(manifest.get("added_columns", {}))
+    sj = manifest.get("schema_json")
+    if sj is not None:
+        cols.update(f["name"] for f in json.loads(sj)["fields"])
+    else:
+        cols.update(manifest.get("columns", []))
+    return col in cols
 
 
 def apply_changes_stream_writer(

@@ -2108,16 +2108,13 @@ def test_delete_concurrency_rebase_and_conflict(spark, tmp_path):
     )
     m0 = write_versioned_table(base, path, pk="pk", n_buckets=8)
 
-    def bucket_of(k):
-        from pyspark.sql import Row
+    from amaxa_spark.sources.catalog import _bucket_expr
 
-        return spark.createDataFrame([Row(pk=k)]).select(
-            F.pmod(F.xxhash64(F.col("pk").cast("string")), F.lit(8))
-            .cast("int").alias("b")
-        ).collect()[0].b
-
-    # pick two keys in DIFFERENT buckets and one sharing the first's
-    keys = {k: bucket_of(k) for k in range(40)}
+    # every key's bucket in ONE job, via the layout's own expression
+    keys = {
+        r.pk: r.b
+        for r in base.select("pk", _bucket_expr("pk", 8).alias("b")).collect()
+    }
     k_del = 0
     k_other = next(k for k, b in keys.items() if b != keys[k_del])
     k_same = next(k for k in keys if k != k_del and keys[k] == keys[k_del])
