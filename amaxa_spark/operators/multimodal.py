@@ -188,6 +188,15 @@ def resize_real(payload: bytes, width: int, height: int) -> bytes | None:
     px = m["pixels"]
     xs = (np.arange(width) * m["width"]) // width
     ys = (np.arange(height) * m["height"]) // height
+    if encode is encode_jpeg:
+        # a valid but high-frequency (noisy) source can produce AC
+        # categories the baseline flat-quantization tables cannot
+        # code (encode_jpeg raises ValueError) — that is a row-level
+        # data limit of THIS encoder, not an executor error
+        try:
+            return encode(px[ys][:, xs])
+        except ValueError:
+            return None
     return encode(px[ys][:, xs])
 
 

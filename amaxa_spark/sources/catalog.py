@@ -577,15 +577,29 @@ def _merge_target_frame(
     fill — the rewrite MATERIALIZES metadata-added columns, the
     deferred ALTER backfill), or a SCHEMA-ONLY frame when every
     affected bucket is brand new — taken from any existing bucket if
-    one exists, else bootstrapped from the updates frame (zero-bucket
-    empty-frame init), so a fresh insert-mode stream can populate an
-    empty table."""
+    one exists, else from the manifest's recorded ``schema_json``
+    (zero-bucket empty-frame init: the DECLARED schema, so the first
+    insert keeps init-declared columns as NULL instead of silently
+    narrowing the table to pk + set_cols), falling back to the updates
+    frame only for pre-format manifests that recorded no schema."""
     if cur_paths:
         return _fill_added_columns(
             _read_maybe_merged(spark, meta, *cur_paths), meta
         )
     first = next(iter(sorted(meta["buckets"].items())), None)
     if first is None:
+        schema_json = meta.get("schema_json")
+        if schema_json is not None:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            return _fill_added_columns(
+                spark.createDataFrame(
+                    [], StructType.fromJson(_json.loads(schema_json))
+                ),
+                meta,
+            )
         return _fill_added_columns(upd.select(pk, *set_cols).limit(0), meta)
     return _fill_added_columns(
         _read_maybe_merged(

@@ -344,7 +344,7 @@ def apply_changes_batch(
                     "in the micro-batch; refusing to collapse it away"
                 )
             actions = latest_per_key(actions, pk, order_col, tiebreak_col)
-            if not _is_table_column(manifest, order_col):
+            if not _is_table_column(manifest, order_col, spark, path):
                 # a producer-stamped seq is feed plumbing, not data; a
                 # natural table column (updated_at) replicates as-is
                 actions = actions.drop(order_col)
@@ -363,19 +363,32 @@ def apply_changes_batch(
         cached.unpersist(blocking=False)
 
 
-def _is_table_column(manifest: dict, col: str) -> bool:
+def _is_table_column(
+    manifest: dict, col: str, spark=None, path: str | None = None
+) -> bool:
     """Whether ``col`` is part of the table's logical schema (recorded
     init columns plus ALTER-added ones). Pre-format manifests recorded
-    no columns — treat those as not-a-table-column (the producer-seq
-    reading, the common case)."""
+    no columns — for those, fall back to the PHYSICAL schema of one
+    existing bucket (a parquet-footer read, no data scan): dropping a
+    genuine table column there (e.g. a natural ``updated_at`` used as
+    order_col) would make the apply fail its column-set check on every
+    retry and stick the stream. A pre-format manifest with zero
+    buckets has no schema anywhere — producer-seq reading (False)."""
     import json
+    import os
 
     cols = set(manifest.get("added_columns", {}))
     sj = manifest.get("schema_json")
     if sj is not None:
         cols.update(f["name"] for f in json.loads(sj)["fields"])
-    else:
-        cols.update(manifest.get("columns", []))
+    elif manifest.get("columns"):
+        cols.update(manifest["columns"])
+    elif spark is not None and path is not None and manifest.get("buckets"):
+        from amaxa_spark.sources.catalog import MERGE_BUCKET_COL
+
+        b, gen = next(iter(sorted(manifest["buckets"].items())))
+        leaf = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+        cols.update(spark.read.parquet(leaf).columns)
     return col in cols
 
 

@@ -2628,3 +2628,21 @@ def test_jpeg_fidelity_stats_row_level_errors(spark):
     assert rows[1].valid and rows[1].ok
     assert not rows[2].valid
     assert rows[3].valid and not rows[3].ok  # wrong shape for id 3
+
+
+def test_resize_real_jpeg_encode_failure_is_row_level(monkeypatch):
+    """resize_real's contract: a row-level codec limit returns None,
+    never an executor exception. encode_jpeg raises ValueError when
+    content exceeds the baseline flat-quantization Huffman categories;
+    for uint8 input that bound is actually unreachable (max achievable
+    |AC| is 1020 < 2^10, and decode_jpeg clips pixels to uint8), so
+    the seam is exercised by injection — the guard protects the
+    contract against any future encoder change."""
+
+    payload = MM.encode_jpeg(MM.jpeg_expected_pixels(5))
+
+    def boom(pixels):
+        raise ValueError("AC (run=0, size=11) exceeds baseline tables")
+
+    monkeypatch.setattr(MM, "encode_jpeg", boom)
+    assert MM.resize_real(payload, 8, 8) is None

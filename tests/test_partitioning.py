@@ -2311,3 +2311,94 @@ def test_streaming_cdc_replication(spark, tmp_path):
         spark, dst, feed.limit(0), order_col="src_seq",
         stream_id="cdc", batch_id=1,
     ) is None
+
+
+def test_empty_init_merge_keeps_declared_schema(spark, tmp_path):
+    """Zero-bucket bootstrap honors the manifest's recorded schema:
+    the first insert-mode merge into an empty-frame-init table keeps
+    init-declared columns NOT in set_cols as NULL instead of silently
+    narrowing the physical schema to pk + set_cols — the schema a
+    reader sees before the insert is the schema it sees after."""
+    from amaxa_spark.sources.catalog import (
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_declared")
+    write_versioned_table(
+        spark.createDataFrame([], "pk long, v string, w long, z double"),
+        path, pk="pk", n_buckets=4,
+    )
+    before = read_versioned_table(spark, path)
+    merge_into_versioned(
+        spark, path,
+        spark.createDataFrame([(7, "first")], "pk long, v string"),
+        pk="pk", set_cols=["v"], not_matched="insert",
+    )
+    after = read_versioned_table(spark, path)
+    assert set(after.columns) == set(before.columns)  # no narrowing
+    row = after.collect()[0]
+    assert (row.pk, row.v, row.w, row.z) == (7, "first", None, None)
+    # the typed NULLs carry the DECLARED types, not a guessed one
+    assert dict(after.dtypes)["w"] == "bigint"
+    assert dict(after.dtypes)["z"] == "double"
+
+
+def test_apply_changes_keeps_natural_order_col_on_preformat_manifest(
+    spark, tmp_path
+):
+    """A pre-recorded-schema manifest must not make apply_changes_batch
+    drop a NATURAL order column (e.g. updated_at): _is_table_column
+    falls back to a bucket parquet footer when the manifest recorded
+    no schema, so the collapse keeps the column and the apply's
+    column-set check passes instead of sticking the stream."""
+    import json
+    import os
+
+    from amaxa_spark.sources.catalog import (
+        _bucket_manifest,
+        read_versioned_table,
+        write_versioned_table,
+    )
+    from amaxa_spark.streaming.merge_stream import apply_changes_batch
+
+    path = str(tmp_path / "vt_preformat")
+    write_versioned_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "pk long, v string, updated_at long"
+        ),
+        path, pk="pk", n_buckets=4,
+    )
+    # simulate a pre-format manifest: strip the recorded schema from
+    # the HEAD commit (the manifest of record), as an old writer would
+    # have produced
+    commits = os.path.join(path, ".commits")
+    for f in os.listdir(commits):
+        if not f.endswith(".json"):
+            continue  # the advisory HEAD hint is not a commit
+        p = os.path.join(commits, f)
+        with open(p) as fh:
+            m = json.load(fh)
+        m.pop("schema_json", None)
+        m.pop("columns", None)
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+    assert "schema_json" not in _bucket_manifest(path)
+
+    feed = spark.createDataFrame(
+        [
+            (1, "a2", 30, "update_postimage"),
+            (1, "a1", 25, "update_postimage"),
+            (3, "c", 40, "insert"),
+        ],
+        "pk long, v string, updated_at long, _change_type string",
+    )
+    m = apply_changes_batch(spark, path, feed, order_col="updated_at")
+    assert m is not None
+    got = {
+        (r.pk, r.v, r.updated_at)
+        for r in read_versioned_table(spark, path).collect()
+    }
+    # updated_at REPLICATED (not dropped): key 1 took its latest action
+    assert got == {(1, "a2", 30), (2, "b", 20), (3, "c", 40)}
