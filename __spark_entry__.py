@@ -624,13 +624,19 @@ def q_dedup_representatives(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact baseline; LSH-bucketed
-    variant is the scale path, tested separately)."""
-    # this corpus has no planted embedding near-dups (max pair
-    # cosine ~0.51), so the threshold is set where the output is
-    # non-trivial (~60 pairs at sf0.01)
-    return D.embedding_cosine_dups(
-        _read(spark, sf_dir, "embeddings"), threshold=0.4
+    """Exact embedding-cosine verification of a FIXED 50-probe
+    stratum against the full corpus (the knn_join_exact bounded
+    pattern): each probe's exact near-dup set at the shared
+    threshold. The exact baseline the LSH twin is measured against —
+    WITHOUT the all-pairs n² frontier (cost is O(50·n), probe side
+    broadcast; the LSH query is the whole-corpus scale path)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    # vec_ids are dense 0-based in the fixtures, so `< N` is a fixed
+    # N-row probe set at every SF (unlike a mod filter, which grows
+    # with the corpus)
+    probe = emb.where(F.col("vec_id") < _EMB_PROBE_N)
+    return D.embedding_cosine_verify(
+        emb, probe, threshold=_EMB_COS_THRESHOLD
     )
 
 
@@ -641,6 +647,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 _EMB_DIM = 64
 _EMB_LSH_BITS = 5
 _EMB_COS_THRESHOLD = 0.4
+# fixed probe-set size for the exact-verification baseline — shared
+# by the Spark query and its oracle (bounded: the broadcast side is
+# always exactly this many vectors, at any corpus scale)
+_EMB_PROBE_N = 50
 _ANN_QUERY_IDS = (0, 1, 2)
 _ANN_K = 5
 _IVF_CENTROIDS = 16
@@ -2748,6 +2758,10 @@ QUERY_ORDER = [
     # round invariant from the round-6 rotation); the rest of the
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
+    # --- round-8 changes first: the reworked bounded-probe exact
+    # baseline (was the last all-pairs plan) must be judged in its
+    # birth round ---
+    "dedup_embedding_cosine",
     # --- round-7 additions: containment dedup + JPEG codec pair (3) ---
     "dedup_containment",
     "image_jpeg_stats", "image_jpeg_roundtrip",
@@ -2761,7 +2775,7 @@ QUERY_ORDER = [
     "langid_distribution", "char_class_profile",
     "events_rfm", "events_interarrival",
     # --- never-judged remainder from rounds 1-4 (34) ---
-    "multimodal_frames", "dedup_embedding_cosine", "text_tokens",
+    "multimodal_frames", "text_tokens",
     "text_repetition", "doc_fingerprint", "pii_redact",
     "sample_stratified", "mixture_sample", "text_bigram_lm",
     "embedding_centroids", "corpus_drift", "text_entropy",
@@ -2811,10 +2825,11 @@ QUERY_ORDER = [
     "approx_distinct", "skew_salted_join",
 ]
 
-# judged-window invariants: round-7 additions lead the driver's
+# judged-window invariants: round-8 changes lead the driver's
 # first-50 window (judged in their birth round), and the full surface
 # is intact
-assert QUERY_ORDER.index("dedup_containment") == 0  # r7 additions first
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 0  # r8 rework first
+assert QUERY_ORDER.index("dedup_containment") == 1  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
@@ -3474,10 +3489,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             "WITH base AS (SELECT vec_id, "
             "[x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
             "FOR x IN embedding::DOUBLE[]] AS vh FROM embeddings) "
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "round(list_dot_product(a.vh, b.vh), 6) AS sim "
-            "FROM base a JOIN base b ON a.vec_id < b.vec_id "
-            "WHERE round(list_dot_product(a.vh, b.vh), 6) >= 0.4"
+            "SELECT p.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_dot_product(p.vh, b.vh), 6) AS sim "
+            "FROM base p JOIN base b ON p.vec_id != b.vec_id "
+            f"WHERE p.vec_id < {_EMB_PROBE_N} "
+            f"AND round(list_dot_product(p.vh, b.vh), 6) >= {_EMB_COS_THRESHOLD}"
         ),
         "dedup_embedding_cosine_lsh": _lsh_bucket_oracle_sql(),
         "ann_cosine_topk": _ANN_COSINE_TOPK_SQL,

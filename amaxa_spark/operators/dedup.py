@@ -506,6 +506,58 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_cosine_verify(
+    emb: DataFrame,
+    probe: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verification of a BOUNDED probe set against the
+    full corpus: ``(id_a, id_b, sim)`` for every probe ``id_a`` and
+    corpus ``id_b != id_a`` with cosine ≥ threshold.
+
+    This is the scale-safe way to keep an EXACT baseline next to the
+    LSH path (:func:`embedding_cosine_dups` with ``bucket_bits>0``):
+    instead of the all-pairs n² frontier, a fixed probe stratum is
+    verified exactly — cost is O(|probe|·n) with the (small) probe
+    side broadcast, so every corpus partition scores its rows against
+    the probes locally with no shuffle. Recall of the approximate
+    path is then measurable as exact-vs-LSH agreement ON the probes,
+    which is how ANN indexes are validated in practice (the full
+    exact answer is a dead computation at corpus scale).
+
+    ``probe`` is any frame carrying (id_col, vec_col) — usually a
+    filtered slice of ``emb`` itself. Keep it genuinely bounded: the
+    broadcast hard-limits it to driver/executor memory.
+    """
+    from amaxa_spark.operators.similarity import _dot
+
+    def _normed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return (
+            df.select(F.col(id_col), vecd.alias("__vr"))
+            .withColumn("__n", F.sqrt(_dot(F.col("__vr"), F.col("__vr"))))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.transform(
+                    F.col("__vr"), lambda x: x / F.col("__n")
+                ).alias(out_vec),
+            )
+        )
+
+    p = _normed(probe, "id_a", "__va")
+    c = _normed(emb, "id_b", "__vb")
+    sim = _dot(F.col("__va"), F.col("__vb"))
+    return (
+        F.broadcast(p)
+        .crossJoin(c)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def embedding_cosine_dups(
     emb: DataFrame,
     threshold: float = 0.9,

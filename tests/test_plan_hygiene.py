@@ -57,9 +57,11 @@ _BOUNDED_BROADCAST_OK = {
     # IVF: broadcast side is the K-centroid codebook (K=const)
     "ann_ivf_topk": "K-centroid codebook",
     "ann_ivf_topk_pandas": "K-centroid codebook",
-    # documented O(n²) exact-cosine baseline (dedup.py bucket_bits=0);
-    # the bucketed sibling dedup_embedding_cosine_lsh is the scale path
-    "dedup_embedding_cosine": "explicit quadratic baseline",
+    # exact-verify baseline bounded to a FIXED probe set: broadcast
+    # side is exactly _EMB_PROBE_N=50 vectors at any corpus scale
+    # (dedup.embedding_cosine_verify); the bucketed sibling
+    # dedup_embedding_cosine_lsh is the whole-corpus scale path
+    "dedup_embedding_cosine": "fixed 50-probe set broadcast in the gate query",
     # count-of-counts Gini: non-equi join against the GEOMETRIC BUCKET
     # boundary table (O(log n) rows, stats.py:61-128)
     "key_gini": "geometric bucket-boundary table (~log n rows)",

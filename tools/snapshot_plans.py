@@ -169,6 +169,18 @@ SHOW = [
         "derived-key histogram: band computed in the scan projection, "
         "single hash aggregation with map-side combine",
     ),
+    (
+        "dedup_containment",
+        "asymmetric containment: the SAME capped inverted-index join "
+        "as Jaccard (stop-shingle semi-join, df cap), min-size "
+        "denominator — one pass per unordered pair",
+    ),
+    (
+        "dedup_embedding_cosine",
+        "bounded exact-verify baseline: FIXED 50-probe set broadcast "
+        "(BroadcastNestedLoopJoin), corpus scored in place — "
+        "O(probe·n), no all-pairs frontier",
+    ),
 ]
 
 KEY_LINES = (
