@@ -81,7 +81,46 @@ def load_registry(path: str) -> SchemaRegistry:
     )
 
 
+def _sql_mode(argv: list[str]) -> int:
+    """`python -m amaxa_spark sql TABLE_PATH [--db] [--table NAME]
+    [--token T]` — print a DuckDB query for the LIVE committed
+    snapshot of a versioned table (catalog.manifest_to_sql): no
+    export, no copy, no Spark session. Pipe it straight into duckdb;
+    re-run to follow the head."""
+    from amaxa_spark.sources.catalog import db_manifest_to_sql, manifest_to_sql
+
+    sp = argparse.ArgumentParser(prog="amaxa_spark sql")
+    sp.add_argument("path", help="versioned table (or --db database) root")
+    sp.add_argument("--token", help="time-travel to this snapshot token")
+    sp.add_argument(
+        "--db", action="store_true",
+        help="path is a versioned-db root; emit one query per table "
+        "(prefixed by `-- table: NAME`), all from ONE transaction",
+    )
+    sp.add_argument(
+        "--table", action="append",
+        help="--db: restrict to these tables (repeatable)",
+    )
+    args = sp.parse_args(argv)
+    if args.db:
+        for name, sql in db_manifest_to_sql(
+            args.path, args.table, args.token
+        ).items():
+            print(f"-- table: {name}")
+            print(f"{sql};")
+    else:
+        if args.table:
+            sp.error("--table requires --db")
+        print(manifest_to_sql(args.path, args.token))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "sql":
+        # the sql mode shares nothing with the operation modes (no
+        # data-dir/registry/out, no Spark) — parse it separately
+        return _sql_mode(argv[1:])
     p = argparse.ArgumentParser(prog="amaxa_spark")
     p.add_argument(
         "mode", choices=["extract", "load", "check", "profile", "curate"]

@@ -1593,6 +1593,191 @@ def export_db_snapshot(
     return record
 
 
+# Spark scalar type string -> DuckDB type, for rendering ALTER-added
+# column defaults and typed-empty reads in external SQL. Complex types
+# (array/struct/map) are deliberately absent: a default for those
+# cannot be literalized portably — export_snapshot is the path there.
+_DUCKDB_TYPES = {
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "byte": "TINYINT",
+    "tinyint": "TINYINT",
+    "short": "SMALLINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "real": "FLOAT",
+    "double": "DOUBLE",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _duckdb_type(spark_type: str) -> str:
+    t = spark_type.strip().lower()
+    if t in _DUCKDB_TYPES:
+        return _DUCKDB_TYPES[t]
+    if t.startswith("decimal"):
+        return t.upper()  # DECIMAL(p,s) spells the same in both
+    raise ValueError(
+        f"cannot map Spark type {spark_type!r} to a DuckDB type for a "
+        "live external scan; use export_snapshot for this table"
+    )
+
+
+def _sql_literal(v) -> str:
+    """Render an ALTER-default value (JSON-round-tripped: str, bool,
+    int, float, or None) as a SQL literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(
+        f"cannot render default {v!r} as a SQL literal; "
+        "use export_snapshot for this table"
+    )
+
+
+def _table_manifest_sql(root: str, manifest: dict) -> str:
+    """The per-table body of :func:`manifest_to_sql`: one SELECT over
+    exactly this manifest's parquet files, with ALTER-added columns
+    reconstructed the way :func:`_fill_added_columns` does it."""
+    import json as _json
+
+    added = manifest.get("added_columns", {})
+    schema_cols: list[str] = []
+    sj = manifest.get("schema_json")
+    if sj is not None:
+        schema_cols = [f["name"] for f in _json.loads(sj)["fields"]]
+    elif manifest.get("columns"):
+        schema_cols = list(manifest["columns"])
+    schema_cols = [c for c in schema_cols if c != MERGE_BUCKET_COL]
+
+    if not manifest["buckets"]:
+        # typed-empty read of a zero-bucket snapshot (same contract as
+        # read_versioned_table's empty branch)
+        if sj is None:
+            raise FileNotFoundError(f"{root}: empty versioned table")
+        types = {
+            f["name"]: f["type"] for f in _json.loads(sj)["fields"]
+        }
+        exprs = [
+            f"CAST(NULL AS {_duckdb_type(str(types[c]))}) AS {c}"
+            for c in schema_cols
+        ] + [
+            f"CAST({_sql_literal(spec.get('default'))} AS "
+            f"{_duckdb_type(spec['type'])}) AS {col}"
+            for col, spec in added.items()
+        ]
+        return f"SELECT {', '.join(exprs)} WHERE 1 = 0"
+
+    files: list[str] = []
+    gen_leaf: dict[str, str] = {}
+    for b, gen in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0])):
+        leaf = os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+        gen_leaf.setdefault(gen, leaf)
+        files.extend(
+            os.path.join(leaf, f)
+            for f in sorted(os.listdir(leaf))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    # the physical union across generations: one footer per generation
+    # is representative (a generation is one write, one frame schema) —
+    # this also catches columns a re-init materialized physically after
+    # dropping them from added_columns, which the recorded init schema
+    # does not know about
+    physical: set[str] = set()
+    for leaf in gen_leaf.values():
+        physical |= _footer_columns(leaf)
+    physical -= {MERGE_BUCKET_COL}
+
+    base = [c for c in schema_cols if c in physical] + sorted(
+        physical - set(schema_cols) - set(added)
+    )
+    exprs = list(base)
+    for col, spec in added.items():
+        default = spec.get("default")
+        if col in physical:
+            if default is None:
+                exprs.append(col)
+            else:
+                # default-on-read: physical NULLs (pre-alter files via
+                # union_by_name, or stored NULLs) read as the default
+                exprs.append(
+                    f"coalesce({col}, CAST({_sql_literal(default)} AS "
+                    f"{_duckdb_type(spec['type'])})) AS {col}"
+                )
+        else:
+            exprs.append(
+                f"CAST({_sql_literal(default)} AS "
+                f"{_duckdb_type(spec['type'])}) AS {col}"
+            )
+    file_list = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    # hive_partitioning=false: the bucket dir key is merge-layout
+    # plumbing, not data (export_snapshot drops it too); union_by_name
+    # reconciles pre-/post-ALTER generation schemas
+    return (
+        f"SELECT {', '.join(exprs)} FROM read_parquet([{file_list}], "
+        "union_by_name=true, hive_partitioning=false)"
+    )
+
+
+def manifest_to_sql(path: str, token: str | None = None) -> str:
+    """LIVE external-engine scan of a versioned table — no export, no
+    copy: emit one SQL query (DuckDB dialect) that reads exactly the
+    head (or ``token``-pinned) snapshot's parquet files straight out
+    of the commit chain. Callers re-resolve per query, so a DuckDB
+    paired with Spark writers always sees the latest committed
+    snapshot (head resolution is O(1 + lag) via the HEAD hint) — the
+    gap export_snapshot leaves, where an external reader sees data
+    only as of the last export.
+
+    Consistency: the emitted file list is immutable — committed
+    generations are never rewritten, and vacuum honors retention — so
+    the query is a stable point-in-time snapshot no matter how many
+    merges land after it was emitted (re-emit to follow the head).
+    ALTER-added columns are reconstructed with the engine's own
+    default-on-read rule; the bucket partition column is internal and
+    not exposed. Complex-typed added columns cannot be literalized in
+    SQL and raise — :func:`export_snapshot` covers those."""
+    return _table_manifest_sql(path, _bucket_manifest(path, token))
+
+
+def db_manifest_to_sql(
+    path: str, tables: list[str] | None = None, token: str | None = None
+) -> dict[str, str]:
+    """The db twin of :func:`manifest_to_sql`: one SQL query per
+    requested table, all resolved from ONE transaction manifest — a
+    cross-table-consistent live view (per-table emissions taken at
+    different times cannot guarantee that)."""
+    manifest = _db_manifest(path, token)
+    names = (
+        sorted(manifest["tables"])
+        if tables is None
+        else list(dict.fromkeys(tables))
+    )
+    for name in names:
+        if name not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {name!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+    return {
+        name: _table_manifest_sql(
+            os.path.join(path, name), manifest["tables"][name]
+        )
+        for name in names
+    }
+
+
 def merge_into_versioned(
     spark: SparkSession,
     path: str,

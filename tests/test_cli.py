@@ -640,3 +640,52 @@ def test_cli_curate_mode(spark, sf_dir, tmp_path, capsys):
 
     summary = pd.read_csv(out / "summary.csv")
     assert summary["docs"].sum() == n_kept
+
+
+def test_cli_sql_mode_emits_live_duckdb_query(spark, tmp_path, capsys):
+    """`sql` mode prints a DuckDB query for the live committed
+    snapshot — no export, no Spark work; --token time-travels and
+    --db emits one query per table."""
+    import duckdb
+
+    from amaxa_spark.__main__ import main
+    from amaxa_spark.sources.catalog import (
+        merge_into_versioned,
+        write_versioned_db,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_cli_sql")
+    m0 = write_versioned_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "pk long, v string"),
+        path, pk="pk", n_buckets=4,
+    )
+    merge_into_versioned(
+        spark, path,
+        spark.createDataFrame([(2, "B")], "pk long, v string"),
+        pk="pk", set_cols=["v"],
+    )
+    assert main(["sql", path]) == 0
+    sql = capsys.readouterr().out.strip()
+    con = duckdb.connect()
+    assert sorted(con.execute(f"SELECT pk, v FROM ({sql})").fetchall()) == [
+        (1, "a"), (2, "B"),
+    ]
+    assert main(["sql", path, "--token", m0["token"]]) == 0
+    sql0 = capsys.readouterr().out.strip()
+    assert sorted(con.execute(f"SELECT pk, v FROM ({sql0})").fetchall()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+    db = str(tmp_path / "db_cli_sql")
+    write_versioned_db(
+        spark, db,
+        {"t": spark.createDataFrame([(3, "z")], "pk long, v string")},
+        pks={"t": "pk"}, n_buckets=2,
+    )
+    assert main(["sql", db, "--db"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("-- table: t\n")
+    body = out.split("\n", 1)[1].strip().rstrip(";")
+    assert con.execute(f"SELECT pk, v FROM ({body})").fetchall() == [(3, "z")]
+    con.close()

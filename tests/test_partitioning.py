@@ -2402,3 +2402,148 @@ def test_apply_changes_keeps_natural_order_col_on_preformat_manifest(
     }
     # updated_at REPLICATED (not dropped): key 1 took its latest action
     assert got == {(1, "a2", 30), (2, "b", 20), (3, "c", 40)}
+
+
+def _duck_rows(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_manifest_to_sql_live_duckdb_scan(spark, tmp_path):
+    """Live external-engine scan: DuckDB follows the commit chain via
+    manifest_to_sql with NO export call — it matches
+    read_versioned_table immediately after a merge, matches time
+    travel by token, reconstructs ALTER-added defaults, and the
+    emitted SQL is a stable point-in-time snapshot (later merges do
+    not change an already-emitted query's result)."""
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        manifest_to_sql,
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_live")
+    base = spark.range(20).select(
+        F.col("id").alias("pk"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    m0 = write_versioned_table(base, path, pk="pk", n_buckets=8)
+
+    def spark_rows(token=None):
+        return sorted(
+            (r.pk, r.v)
+            for r in read_versioned_table(spark, path, token)
+            .select("pk", "v")
+            .collect()
+        )
+
+    # merge, then read through DuckDB with no export in between
+    merge_into_versioned(
+        spark, path,
+        spark.createDataFrame([(1, "V1"), (99, "NEW")], "pk long, v string"),
+        pk="pk", set_cols=["v"], not_matched="insert",
+    )
+    sql_head = manifest_to_sql(path)
+    assert sorted(_duck_rows(f"SELECT pk, v FROM ({sql_head})")) == spark_rows()
+    assert (1, "V1") in spark_rows() and (99, "NEW") in spark_rows()
+
+    # time travel by token: DuckDB sees the PRE-merge snapshot
+    sql_t0 = manifest_to_sql(path, token=m0["token"])
+    assert sorted(
+        _duck_rows(f"SELECT pk, v FROM ({sql_t0})")
+    ) == spark_rows(m0["token"])
+
+    # ALTER-added column with a default: reconstructed in SQL with
+    # default-on-read, no files rewritten
+    alter_versioned_add_columns(
+        path, {"score": ("double", 1.5)}, spark=spark
+    )
+    got = _duck_rows(f"SELECT pk, v, score FROM ({manifest_to_sql(path)})")
+    want = sorted(
+        (r.pk, r.v, r.score)
+        for r in read_versioned_table(spark, path)
+        .select("pk", "v", "score")
+        .collect()
+    )
+    assert sorted(got) == want
+    assert all(s == 1.5 for _, _, s in got)
+
+    # a merge AFTER the alter materializes score physically for its
+    # bucket; the emitted SQL still reconciles mixed generations
+    merge_into_versioned(
+        spark, path,
+        spark.createDataFrame([(2, "V2", 9.0)], "pk long, v string, score double"),
+        pk="pk", set_cols=["v", "score"],
+    )
+    got2 = dict(
+        (pk, (v, s))
+        for pk, v, s in _duck_rows(
+            f"SELECT pk, v, score FROM ({manifest_to_sql(path)})"
+        )
+    )
+    assert got2[2] == ("V2", 9.0)
+    assert got2[3] == ("v3", 1.5)  # pre-alter file coalesces to default
+
+    # stability: the PREVIOUSLY emitted head SQL still returns its own
+    # snapshot (committed generations are immutable)
+    assert sorted(
+        _duck_rows(f"SELECT pk, v FROM ({sql_head})")
+    ) == sorted(set(spark_rows(m0["token"])) - {(1, "v1")} | {(1, "V1"), (99, "NEW")})
+
+
+def test_manifest_to_sql_empty_and_db_twin(spark, tmp_path):
+    """Typed-empty zero-bucket tables emit a valid 0-row SELECT, and
+    the db twin resolves every table from ONE transaction manifest."""
+    from amaxa_spark.sources.catalog import (
+        db_manifest_to_sql,
+        manifest_to_sql,
+        merge_into_versioned_db,
+        read_versioned_db,
+        write_versioned_db,
+        write_versioned_table,
+    )
+
+    empty = str(tmp_path / "vt_empty_sql")
+    write_versioned_table(
+        spark.createDataFrame([], "pk long, v string"), empty,
+        pk="pk", n_buckets=4,
+    )
+    rows = _duck_rows(manifest_to_sql(empty))
+    assert rows == []
+
+    db = str(tmp_path / "db_live")
+    write_versioned_db(
+        spark, db,
+        {
+            "a": spark.createDataFrame([(1, "x")], "pk long, v string"),
+            "b": spark.createDataFrame([(2, 7.0)], "pk long, w double"),
+        },
+        pks={"a": "pk", "b": "pk"},
+        n_buckets=2,
+    )
+    merge_into_versioned_db(
+        spark, db,
+        {"a": spark.createDataFrame([(5, "y")], "pk long, v string")},
+        set_cols={"a": ["v"]}, not_matched="insert",
+    )
+    sqls = db_manifest_to_sql(db)
+    assert set(sqls) == {"a", "b"}
+    for name in ("a", "b"):
+        got = sorted(_duck_rows(f"SELECT * FROM ({sqls[name]})"))
+        want = sorted(
+            tuple(r)
+            for r in read_versioned_db(spark, db, name)
+            .drop("__mb")
+            .collect()
+        )
+        assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no table"):
+        db_manifest_to_sql(db, tables=["missing"])
