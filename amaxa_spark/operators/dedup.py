@@ -69,6 +69,56 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def hot_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_doc_freq: int = 256,
+) -> DataFrame:
+    """The over-cap STOP-shingle set: one ``(shingle)`` row per word
+    n-gram occurring in more than ``max_doc_freq`` documents. This is
+    the expensive half of stop-shingle capping (a full aggregation
+    over the exploded shingle table); a pipeline running several
+    capped consumers (:func:`ngram_jaccard_pairs`,
+    :func:`containment_pairs`, clusters → representatives → kept)
+    should compute it ONCE — ``localCheckpoint(eager=True)`` the
+    result — and pass it to each via ``stop_shingles=``, paying one
+    aggregation instead of one per consumer. The set is tiny by
+    construction (only shingles hotter than the cap), so the
+    consumers' anti-joins broadcast it."""
+    sh = word_shingles(df, text_col, id_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("shingle")
+    )
+
+
+def _capped(sh: DataFrame, max_doc_freq, stop_shingles) -> DataFrame:
+    """Apply the stop-shingle cap to an exploded shingle frame: drop
+    rows whose shingle is in the hot set — supplied precomputed
+    (``stop_shingles``, the amortized path) or derived here from
+    ``max_doc_freq``. The anti-join keeps the SMALL side on the right
+    (hot shingles only), so AQE broadcasts it instead of shuffling
+    the full shingle table a second time the way a keep-side
+    semi-join against the whole frequency table would."""
+    if stop_shingles is not None:
+        return sh.join(
+            stop_shingles.select("shingle"), "shingle", "left_anti"
+        )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("shingle")
+        )
+        return sh.join(hot, "shingle", "left_anti")
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -76,6 +126,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index
     self-join. Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -84,16 +135,14 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops shingles occurring in more than that many
     documents before pairing (stop-shingle capping — the standard
     guard against quadratic blow-up on very common shingles).
+    ``stop_shingles`` passes the hot set precomputed
+    (:func:`hot_shingles`) so a multi-consumer pipeline pays the
+    shingle-frequency aggregation once, not per consumer; when given
+    it takes precedence over ``max_doc_freq``.
     """
     sh = word_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(
-            freq.where(F.col("__df") <= max_doc_freq).select("shingle"),
-            "shingle",
-            "left_semi",
-        )
+    sh = _capped(sh, max_doc_freq, stop_shingles)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -127,6 +176,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplicate CONTAINMENT pairs: |A∩B| / |A| over
     word-shingle sets, for every ordered (contained, container) pair.
@@ -146,17 +196,13 @@ def containment_pairs(
     intersection once; the two directed rows are a post-join explode,
     not a second join. ``max_doc_freq`` is the same stop-shingle cap
     (denominator sizes are computed BEFORE capping, so a containment
-    score never inflates from a shrunken |A|).
+    score never inflates from a shrunken |A|); ``stop_shingles``
+    passes it precomputed (:func:`hot_shingles`, amortized across
+    consumers) and takes precedence.
     """
     sh = word_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(
-            freq.where(F.col("__df") <= max_doc_freq).select("shingle"),
-            "shingle",
-            "left_semi",
-        )
+    sh = _capped(sh, max_doc_freq, stop_shingles)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

@@ -2646,3 +2646,29 @@ def test_resize_real_jpeg_encode_failure_is_row_level(monkeypatch):
 
     monkeypatch.setattr(MM, "encode_jpeg", boom)
     assert MM.resize_real(payload, 8, 8) is None
+
+
+def test_hot_shingles_amortized_cap_parity(spark, sf_dir):
+    """The amortized cap path (hot_shingles + stop_shingles=) must
+    produce byte-identical pairs to the self-computed max_doc_freq
+    path, for both Jaccard and containment — the anti-join against
+    the over-cap set is the complement of the old keep-side filter."""
+    from amaxa_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hot = D.hot_shingles(
+        docs, "text", "doc_id", n=4, max_doc_freq=8
+    ).localCheckpoint(eager=True)
+    for fn, score in (
+        (D.ngram_jaccard_pairs, "jaccard"),
+        (D.containment_pairs, "containment"),
+    ):
+        own = fn(
+            docs, "text", "doc_id", n=4, threshold=0.2, max_doc_freq=8
+        )
+        shared = fn(
+            docs, "text", "doc_id", n=4, threshold=0.2, stop_shingles=hot
+        )
+        a = sorted(tuple(r) for r in own.collect())
+        b = sorted(tuple(r) for r in shared.collect())
+        assert a == b and a, (score, len(a))
