@@ -88,21 +88,88 @@ def decode_real(payload: bytes) -> dict:
     }
 
 
+def image_header_meta(payload: bytes) -> dict:
+    """Header-ONLY image metadata — dimensions and format without
+    decoding a single pixel: BMP from the BITMAPINFOHEADER, PNG from
+    the IHDR chunk, JPEG by walking marker segments to the first SOFn
+    (no entropy decode, no Huffman). This is the corpus-wide filter
+    tool: ~3 orders of magnitude faster per image than a full decode
+    (measured in SCALE_NOTES §"JPEG codec throughput ceiling"), so
+    dimension/format selection over billions of images never pays the
+    codec; the full decoder runs only on the selected subset.
+    Returns the same dict shape as :func:`decode_real`; malformed
+    payloads are ``valid: False`` rows, never exceptions."""
+    import struct
+
+    n = 0 if payload is None else len(payload)
+    bad = {"valid": False, "n_bytes": n, "width": 0, "height": 0, "fmt": None}
+    if payload is None:
+        return bad
+    try:
+        if payload[:2] == _BMP_MAGIC:
+            if n < 26:
+                return bad
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return {"valid": True, "n_bytes": n, "width": w,
+                    "height": abs(h), "fmt": "bmp/24"}
+        if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+            if n < 24 or payload[12:16] != b"IHDR":
+                return bad
+            w, h = struct.unpack_from(">II", payload, 16)
+            return {"valid": True, "n_bytes": n, "width": w,
+                    "height": h, "fmt": "png/rgb8"}
+        if payload[:2] == _JPEG_SOI:
+            i = 2
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    return bad
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                if i + 4 > n:
+                    return bad
+                ln = struct.unpack_from(">H", payload, i + 2)[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 > n:
+                        return bad
+                    h, w = struct.unpack_from(">HH", payload, i + 5)
+                    fmt = "jpeg/baseline" if marker == 0xC0 else "jpeg/other"
+                    return {"valid": True, "n_bytes": n, "width": w,
+                            "height": h, "fmt": fmt}
+                if marker == 0xDA:  # scan begins, no SOF seen
+                    return bad
+                i += 2 + ln
+            return bad
+    except struct.error:
+        return bad
+    return bad
+
+
 def extract_image_meta(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec=None,
 ) -> DataFrame:
     """mapInPandas metadata extraction over Arrow batches — the real
-    distributed plumbing around the (stubbed) decoder.
+    distributed plumbing around a per-payload metadata function.
+    ``codec(payload) -> dict`` defaults to the deterministic
+    :func:`decode_stub`; pass :func:`image_header_meta` for the
+    header-only fast path (the corpus-wide filter — ~4000× a full
+    decode, SCALE_NOTES) or :func:`decode_real` for pixel-verified
+    metadata.
 
     Returns (id, valid, n_bytes, width, height, fmt).
     """
+    codec = codec or decode_stub
     schema = (
         f"{id_col} long, valid boolean, n_bytes int, width int, height int, fmt string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_stub(p) for p in pdf[payload_col]]
+            metas = [codec(p) for p in pdf[payload_col]]
             out = pd.DataFrame(metas)
             out.insert(0, id_col, pdf[id_col].values)
             yield out[[id_col, "valid", "n_bytes", "width", "height", "fmt"]]

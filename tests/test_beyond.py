@@ -2672,3 +2672,42 @@ def test_hot_shingles_amortized_cap_parity(spark, sf_dir):
         a = sorted(tuple(r) for r in own.collect())
         b = sorted(tuple(r) for r in shared.collect())
         assert a == b and a, (score, len(a))
+
+
+def test_image_header_meta_matches_decoders_and_rejects_malformed():
+    """Header-only metadata must agree with the full decoders on dims
+    for all three formats, never decode a pixel (it is the ~4000x
+    corpus-filter path), and classify malformed payloads as row-level
+    invalid rather than raising."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:60, 0:90]
+    img = np.stack(
+        [(xx * 255 // 89), (yy * 255 // 59), ((xx + yy) * 255 // 148)],
+        axis=-1,
+    ).astype(np.uint8)
+    payloads = {
+        "jpeg/baseline": MM.encode_jpeg(img),
+        "png/rgb8": MM.encode_png(img),
+        "bmp/24": MM.encode_bmp(img),
+    }
+    for fmt, p in payloads.items():
+        hm = MM.image_header_meta(p)
+        fm = MM.decode_real(p)
+        assert hm["valid"] and hm["fmt"] == fmt
+        assert (hm["width"], hm["height"]) == (fm["width"], fm["height"])
+        assert hm["n_bytes"] == len(p)
+    jp = payloads["jpeg/baseline"]
+    bad = [None, b"", b"\xff\xd8", b"\xff\xd8garbage", jp[:10],
+           b"\x89PNG\r\n\x1a\nxxxx", jp[:40]]
+    for p in bad:
+        m = MM.image_header_meta(p)
+        assert m["valid"] is False and m["width"] == 0, p
+    # a progressive SOF2 still reports dims (header-only does not care
+    # that the entropy decoder would refuse it) but flags the subtype
+    prog = bytearray(jp)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    m = MM.image_header_meta(bytes(prog))
+    assert m["valid"] and m["fmt"] == "jpeg/other"
+    assert (m["width"], m["height"]) == (90, 60)
