@@ -2711,3 +2711,129 @@ def test_image_header_meta_matches_decoders_and_rejects_malformed():
     m = MM.image_header_meta(bytes(prog))
     assert m["valid"] and m["fmt"] == "jpeg/other"
     assert (m["width"], m["height"]) == (90, 60)
+
+
+def test_streaming_cdc_replication_end_to_end_with_failure(spark, tmp_path):
+    """Streaming CDC replication end to end: a source table's change
+    feed, streamed one micro-batch per source commit through
+    apply_changes_stream_writer's body, reproduces the source head on
+    a replica — with a FAILURE injected after a mid-stream batch's
+    commit but before its checkpoint, so the restart replays that
+    batch and the exactly-once marker must refuse the duplicate
+    (verified by the replica's commit count, not just final state,
+    since upserts are idempotent on values)."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import StreamingQueryException
+
+    from amaxa_spark.sources.catalog import (
+        COMMITS_DIR,
+        delete_from_versioned,
+        diff_versioned,
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+    )
+    from amaxa_spark.streaming.merge_stream import apply_changes_batch
+
+    src = str(tmp_path / "cdc_e2e_src")
+    replica = str(tmp_path / "cdc_e2e_rep")
+    feed_dir = str(tmp_path / "cdc_e2e_feed")
+    ckpt = str(tmp_path / "cdc_e2e_ckpt")
+    flag = str(tmp_path / "cdc_e2e_failed_once")
+
+    base = spark.range(30).select(
+        F.col("id").alias("pk"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    tokens = [write_versioned_table(base, src, pk="pk", n_buckets=8)["token"]]
+    write_versioned_table(base, replica, pk="pk", n_buckets=3)
+
+    # three source commits: upsert, delete, upsert — each one feed file
+    tokens.append(merge_into_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "V1"), (40, "NEW40")], "pk long, v string"),
+        pk="pk", set_cols=["v"], not_matched="insert",
+    )["token"])
+    tokens.append(delete_from_versioned(
+        spark, src, spark.createDataFrame([(2,), (3,)], "pk long"), pk="pk",
+    )["token"])
+    tokens.append(merge_into_versioned(
+        spark, src,
+        spark.createDataFrame([(1, "V1b"), (41, "NEW41")], "pk long, v string"),
+        pk="pk", set_cols=["v"], not_matched="insert",
+    )["token"])
+    for i in range(3):
+        d = diff_versioned(spark, src, tokens[i], tokens[i + 1])
+        d.withColumn("src_seq", F.lit(i)).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+        _t.sleep(1.1)  # distinct mtimes -> the file source orders batches
+
+    feed_schema = (
+        spark.read.parquet(feed_dir).schema
+    )
+
+    def apply_fb(batch, bid):
+        apply_changes_batch(
+            batch.sparkSession, replica, batch, order_col="src_seq",
+            stream_id="rep", batch_id=bid,
+        )
+        if bid == 1 and not os.path.exists(flag):
+            open(flag, "w").close()
+            # AFTER the chain commit, BEFORE the checkpoint records the
+            # batch: the classic foreachBatch double-delivery window
+            raise RuntimeError("injected mid-stream failure")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(apply_fb)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = run_stream()
+    try:
+        q.processAllAvailable()
+        raised = False
+    except StreamingQueryException:
+        raised = True
+    finally:
+        q.stop()
+    assert raised and os.path.exists(flag), "failure injection never fired"
+
+    # restart from the SAME checkpoint: batch 1 replays, the marker
+    # refuses it, the remaining batches apply
+    q = run_stream()
+    q.processAllAvailable()
+    q.stop()
+
+    want = sorted(
+        (r.pk, r.v)
+        for r in read_versioned_table(spark, src).select("pk", "v").collect()
+    )
+    got = sorted(
+        (r.pk, r.v)
+        for r in read_versioned_table(spark, replica)
+        .select("pk", "v")
+        .collect()
+    )
+    assert got == want
+    assert (1, "V1b") in got and (41, "NEW41") in got
+    assert not any(pk in (2, 3) for pk, _ in got)
+
+    # exactly-once, structurally: init + exactly one commit per feed
+    # batch — a re-applied replay would add a fourth apply commit
+    commits = [
+        f for f in os.listdir(os.path.join(replica, COMMITS_DIR))
+        if f.endswith(".json")
+    ]
+    assert len(commits) == 1 + 3, sorted(commits)
