@@ -87,7 +87,14 @@ def hot_shingles(
     aggregation instead of one per consumer. The set is tiny by
     construction (only shingles hotter than the cap), so the
     consumers' anti-joins broadcast it."""
-    sh = word_shingles(df, text_col, id_col, n)
+    return _over_cap(word_shingles(df, text_col, id_col, n), max_doc_freq)
+
+
+def _over_cap(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """The over-cap shingle set of an exploded shingle frame — the
+    single definition of "hot" shared by the amortized
+    (:func:`hot_shingles`) and self-computed (:func:`_capped`) paths,
+    so the two can never diverge."""
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -109,13 +116,7 @@ def _capped(sh: DataFrame, max_doc_freq, stop_shingles) -> DataFrame:
             stop_shingles.select("shingle"), "shingle", "left_anti"
         )
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > max_doc_freq)
-            .select("shingle")
-        )
-        return sh.join(hot, "shingle", "left_anti")
+        return sh.join(_over_cap(sh, max_doc_freq), "shingle", "left_anti")
     return sh
 
 

@@ -110,6 +110,10 @@ def image_header_meta(payload: bytes) -> dict:
             if n < 26:
                 return bad
             w, h = struct.unpack_from("<ii", payload, 18)
+            if w <= 0:
+                # negative biHeight is legal (top-down rows); negative
+                # biWidth never is — corrupt header, not a dimension
+                return bad
             return {"valid": True, "n_bytes": n, "width": w,
                     "height": abs(h), "fmt": "bmp/24"}
         if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
@@ -124,6 +128,11 @@ def image_header_meta(payload: bytes) -> dict:
                 if payload[i] != 0xFF:
                     return bad
                 marker = payload[i + 1]
+                if marker == 0xFF:
+                    i += 1  # spec B.1.1.2: 0xFF fill bytes pad markers
+                    continue
+                if marker == 0xD9:
+                    return bad  # EOI before any SOF: no frame header
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
                     continue

@@ -1631,11 +1631,20 @@ def _duckdb_type(spark_type: str) -> str:
 
 def _sql_literal(v) -> str:
     """Render an ALTER-default value (JSON-round-tripped: str, bool,
-    int, float, or None) as a SQL literal."""
+    int, float, or None) as a SQL literal. Callers always wrap the
+    result in a CAST to the column's type, so non-finite floats
+    (which json.dump happily round-trips) render as their quoted
+    special names — a bare ``nan`` would bind as a column name."""
+    import math
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        return "'NaN'" if math.isnan(v) else (
+            "'Infinity'" if v > 0 else "'-Infinity'"
+        )
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
@@ -1644,6 +1653,12 @@ def _sql_literal(v) -> str:
         f"cannot render default {v!r} as a SQL literal; "
         "use export_snapshot for this table"
     )
+
+
+def _sql_ident(name: str) -> str:
+    """Double-quote a column name for DuckDB — unquoted identifiers
+    break on keywords (``order``) and special characters."""
+    return '"' + name.replace('"', '""') + '"'
 
 
 def _table_manifest_sql(root: str, manifest: dict) -> str:
@@ -1670,11 +1685,11 @@ def _table_manifest_sql(root: str, manifest: dict) -> str:
             f["name"]: f["type"] for f in _json.loads(sj)["fields"]
         }
         exprs = [
-            f"CAST(NULL AS {_duckdb_type(str(types[c]))}) AS {c}"
+            f"CAST(NULL AS {_duckdb_type(str(types[c]))}) AS {_sql_ident(c)}"
             for c in schema_cols
         ] + [
             f"CAST({_sql_literal(spec.get('default'))} AS "
-            f"{_duckdb_type(spec['type'])}) AS {col}"
+            f"{_duckdb_type(spec['type'])}) AS {_sql_ident(col)}"
             for col, spec in added.items()
         ]
         return f"SELECT {', '.join(exprs)} WHERE 1 = 0"
@@ -1702,23 +1717,24 @@ def _table_manifest_sql(root: str, manifest: dict) -> str:
     base = [c for c in schema_cols if c in physical] + sorted(
         physical - set(schema_cols) - set(added)
     )
-    exprs = list(base)
+    exprs = [_sql_ident(c) for c in base]
     for col, spec in added.items():
         default = spec.get("default")
         if col in physical:
             if default is None:
-                exprs.append(col)
+                exprs.append(_sql_ident(col))
             else:
                 # default-on-read: physical NULLs (pre-alter files via
                 # union_by_name, or stored NULLs) read as the default
                 exprs.append(
-                    f"coalesce({col}, CAST({_sql_literal(default)} AS "
-                    f"{_duckdb_type(spec['type'])})) AS {col}"
+                    f"coalesce({_sql_ident(col)}, "
+                    f"CAST({_sql_literal(default)} AS "
+                    f"{_duckdb_type(spec['type'])})) AS {_sql_ident(col)}"
                 )
         else:
             exprs.append(
                 f"CAST({_sql_literal(default)} AS "
-                f"{_duckdb_type(spec['type'])}) AS {col}"
+                f"{_duckdb_type(spec['type'])}) AS {_sql_ident(col)}"
             )
     file_list = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
     # hive_partitioning=false: the bucket dir key is merge-layout

@@ -344,7 +344,7 @@ def apply_changes_batch(
                     "in the micro-batch; refusing to collapse it away"
                 )
             actions = latest_per_key(actions, pk, order_col, tiebreak_col)
-            if not _is_table_column(manifest, order_col, spark, path):
+            if not _is_table_column(manifest, order_col, path):
                 # a producer-stamped seq is feed plumbing, not data; a
                 # natural table column (updated_at) replicates as-is
                 actions = actions.drop(order_col)
@@ -364,16 +364,18 @@ def apply_changes_batch(
 
 
 def _is_table_column(
-    manifest: dict, col: str, spark=None, path: str | None = None
+    manifest: dict, col: str, path: str | None = None
 ) -> bool:
     """Whether ``col`` is part of the table's logical schema (recorded
     init columns plus ALTER-added ones). Pre-format manifests recorded
     no columns — for those, fall back to the PHYSICAL schema of one
-    existing bucket (a parquet-footer read, no data scan): dropping a
-    genuine table column there (e.g. a natural ``updated_at`` used as
-    order_col) would make the apply fail its column-set check on every
-    retry and stick the stream. A pre-format manifest with zero
-    buckets has no schema anywhere — producer-seq reading (False)."""
+    existing bucket via ``catalog._footer_columns`` (one pyarrow
+    footer, no SparkSession, no per-batch schema-inference job):
+    dropping a genuine table column there (e.g. a natural
+    ``updated_at`` used as order_col) would make the apply fail its
+    column-set check on every retry and stick the stream. A
+    pre-format manifest with zero buckets has no schema anywhere —
+    producer-seq reading (False)."""
     import json
     import os
 
@@ -383,12 +385,15 @@ def _is_table_column(
         cols.update(f["name"] for f in json.loads(sj)["fields"])
     elif manifest.get("columns"):
         cols.update(manifest["columns"])
-    elif spark is not None and path is not None and manifest.get("buckets"):
-        from amaxa_spark.sources.catalog import MERGE_BUCKET_COL
+    elif path is not None and manifest.get("buckets"):
+        from amaxa_spark.sources.catalog import (
+            MERGE_BUCKET_COL,
+            _footer_columns,
+        )
 
         b, gen = next(iter(sorted(manifest["buckets"].items())))
         leaf = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
-        cols.update(spark.read.parquet(leaf).columns)
+        cols.update(_footer_columns(leaf))
     return col in cols
 
 

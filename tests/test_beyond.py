@@ -2837,3 +2837,31 @@ def test_streaming_cdc_replication_end_to_end_with_failure(spark, tmp_path):
         if f.endswith(".json")
     ]
     assert len(commits) == 1 + 3, sorted(commits)
+
+
+def test_image_header_meta_fill_bytes_eoi_and_negative_bmp():
+    """Review fixes: 0xFF fill bytes before a marker are spec-legal
+    (B.1.1.2) and must not derail the walk; an EOI before any SOF is
+    terminal (post-EOI bytes must not resurrect validity); a negative
+    BMP biWidth is corrupt, not a dimension."""
+    import struct
+
+    import numpy as np
+
+    yy, xx = np.mgrid[0:16, 0:32]
+    img = np.stack([(xx * 8), (yy * 15), (xx + yy)], axis=-1).astype(np.uint8)
+    jp = MM.encode_jpeg(img)
+    # insert one fill byte before the SOF0 marker
+    i = jp.find(b"\xff\xc0")
+    padded = jp[:i] + b"\xff" + jp[i:]
+    m = MM.image_header_meta(padded)
+    assert m["valid"] and (m["width"], m["height"]) == (32, 16)
+    # EOI immediately, then a fake SOF0 in trailing garbage
+    fake_sof = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 32, 3)
+    m = MM.image_header_meta(b"\xff\xd8\xff\xd9\x00\x02" + fake_sof)
+    assert m["valid"] is False
+    # negative biWidth
+    bmp = bytearray(MM.encode_bmp(img))
+    struct.pack_into("<i", bmp, 18, -7)
+    m = MM.image_header_meta(bytes(bmp))
+    assert m["valid"] is False

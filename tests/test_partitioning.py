@@ -2547,3 +2547,42 @@ def test_manifest_to_sql_empty_and_db_twin(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no table"):
         db_manifest_to_sql(db, tables=["missing"])
+
+
+def test_manifest_to_sql_quotes_identifiers_and_nonfinite_defaults(
+    spark, tmp_path
+):
+    """Review fixes: emitted SQL must survive keyword/special column
+    names (quoted identifiers) and non-finite float ALTER defaults
+    (quoted special literals, not a bare `nan` identifier)."""
+    import math
+
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        manifest_to_sql,
+        write_versioned_table,
+    )
+
+    path = str(tmp_path / "vt_quoted")
+    write_versioned_table(
+        spark.createDataFrame(
+            [(1, "a", 2.0)], "pk long, `order` string, `weird col` double"
+        ),
+        path, pk="pk", n_buckets=2,
+    )
+    alter_versioned_add_columns(
+        path, {"score": ("double", float("nan"))}, spark=spark
+    )
+    rows = _duck_rows(manifest_to_sql(path))
+    assert len(rows) == 1
+    pk, order, weird, score = rows[0]
+    assert (pk, order, weird) == (1, "a", 2.0)
+    assert math.isnan(score)
+
+    # zero-bucket branch with a keyword column also emits valid SQL
+    empty = str(tmp_path / "vt_quoted_empty")
+    write_versioned_table(
+        spark.createDataFrame([], "pk long, `select` string"),
+        empty, pk="pk", n_buckets=2,
+    )
+    assert _duck_rows(manifest_to_sql(empty)) == []
