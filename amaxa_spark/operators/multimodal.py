@@ -110,9 +110,10 @@ def image_header_meta(payload: bytes) -> dict:
             if n < 26:
                 return bad
             w, h = struct.unpack_from("<ii", payload, 18)
-            if w <= 0:
+            if w <= 0 or h == 0:
                 # negative biHeight is legal (top-down rows); negative
-                # biWidth never is — corrupt header, not a dimension
+                # biWidth and zero dims never are — same guard as
+                # decode_bmp, so filter and decoder agree on validity
                 return bad
             return {"valid": True, "n_bytes": n, "width": w,
                     "height": abs(h), "fmt": "bmp/24"}
@@ -120,6 +121,8 @@ def image_header_meta(payload: bytes) -> dict:
             if n < 24 or payload[12:16] != b"IHDR":
                 return bad
             w, h = struct.unpack_from(">II", payload, 16)
+            if w == 0 or h == 0:
+                return bad  # zero dims are invalid per the PNG spec
             return {"valid": True, "n_bytes": n, "width": w,
                     "height": h, "fmt": "png/rgb8"}
         if payload[:2] == _JPEG_SOI:
@@ -136,8 +139,6 @@ def image_header_meta(payload: bytes) -> dict:
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
                     continue
-                if i + 4 > n:
-                    return bad
                 ln = struct.unpack_from(">H", payload, i + 2)[0]
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     if i + 9 > n:
@@ -1396,6 +1397,9 @@ def decode_jpeg(payload: bytes):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
+            if marker == 0xFF:
+                pos += 1  # spec B.1.1.2: 0xFF fill bytes pad markers
+                continue
             if marker == 0xD9:  # EOI
                 break
             (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])

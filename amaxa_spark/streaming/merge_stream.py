@@ -393,7 +393,17 @@ def _is_table_column(
 
         b, gen = next(iter(sorted(manifest["buckets"].items())))
         leaf = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
-        cols.update(_footer_columns(leaf))
+        try:
+            cols.update(_footer_columns(leaf))
+        except FileNotFoundError as e:
+            # _footer_columns' generic hint says "pass spark=", which
+            # this path does not accept — name the real remediation
+            raise FileNotFoundError(
+                f"{leaf}: cannot resolve this pre-format table's "
+                "schema (registered bucket without a readable parquet "
+                "footer); re-initialize the table with "
+                "write_versioned_table to record its schema"
+            ) from e
     return col in cols
 
 

@@ -2865,3 +2865,32 @@ def test_image_header_meta_fill_bytes_eoi_and_negative_bmp():
     struct.pack_into("<i", bmp, 18, -7)
     m = MM.image_header_meta(bytes(bmp))
     assert m["valid"] is False
+
+
+def test_header_meta_and_decoder_agree_on_validity():
+    """Second-pass review fixes: the corpus filter and the full
+    decoders must AGREE — a fill-padded JPEG decodes (decode_jpeg
+    skips B.1.1.2 fill bytes too), and zero-dimension BMP/PNG headers
+    are invalid in both."""
+    import struct
+
+    import numpy as np
+
+    yy, xx = np.mgrid[0:16, 0:32]
+    img = np.stack([(xx * 8), (yy * 15), (xx + yy)], axis=-1).astype(np.uint8)
+    jp = MM.encode_jpeg(img)
+    i = jp.find(b"\xff\xc0")
+    padded = jp[:i] + b"\xff" + jp[i:]
+    hm = MM.image_header_meta(padded)
+    full = MM.decode_jpeg(padded)
+    assert hm["valid"] and full is not None
+    assert (full["width"], full["height"]) == (hm["width"], hm["height"])
+    # zero-height BMP: filter and decoder both reject
+    bmp = bytearray(MM.encode_bmp(img))
+    struct.pack_into("<i", bmp, 22, 0)
+    assert MM.image_header_meta(bytes(bmp))["valid"] is False
+    assert MM.decode_bmp(bytes(bmp)) is None
+    # zero-width PNG: filter rejects (decoder already did)
+    png = bytearray(MM.encode_png(img))
+    struct.pack_into(">I", png, 16, 0)
+    assert MM.image_header_meta(bytes(png))["valid"] is False
