@@ -534,6 +534,20 @@ def q_image_header_meta(spark, sf_dir):
     ).select("doc_id", "valid", "width", "height", "fmt")
 
 
+def q_video_mjpeg_frames(spark, sf_dir):
+    """REAL compressed-video path end to end: genuine RIFF/AVI
+    containers (hdrl/avih/strl headers, movi 00dc chunks, idx1) whose
+    frames are real baseline JPEGs are synthesized per doc_id, then
+    demuxed (pure-struct RIFF walk) and every frame entropy-decoded —
+    one row per frame with exact avih dims and the bounded-error
+    fidelity verdict against the closed-form frame images. The
+    jpeg_fidelity_stats contract lifted to motion JPEG; the oracle
+    replays the container structure (dims, frame count, indices)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_vid = MM.synthesize_avi_mjpeg(docs, "doc_id", "video")
+    return MM.mjpeg_frame_stats(with_vid, "video", "doc_id")
+
+
 def q_image_jpeg_roundtrip(spark, sf_dir):
     """REAL JPEG decode → resize → re-ENCODE → decode roundtrip —
     the lossy twin of image_png_roundtrip: the resized pixels are
@@ -2775,8 +2789,9 @@ QUERY_ORDER = [
     # prior driver CORRECTNESS row.
     # --- round-8 changes first (judged in their birth round): the
     # reworked bounded-probe exact baseline (was the last all-pairs
-    # plan) and the new header-only image metadata path ---
-    "dedup_embedding_cosine", "image_header_meta",
+    # plan), the header-only image metadata path, and the real
+    # compressed-video (MJPEG/AVI) path ---
+    "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
     # --- round-7 additions: containment dedup + JPEG codec pair (3) ---
     "dedup_containment",
     "image_jpeg_stats", "image_jpeg_roundtrip",
@@ -2844,14 +2859,15 @@ QUERY_ORDER = [
 # first-50 window (judged in their birth round), and the full surface
 # is intact
 assert QUERY_ORDER.index("dedup_embedding_cosine") == 0  # r8 rework first
-assert QUERY_ORDER.index("image_header_meta") == 1  # r8 addition
-assert QUERY_ORDER.index("dedup_containment") == 2  # r7 additions follow
+assert QUERY_ORDER.index("image_header_meta") == 1  # r8 additions
+assert QUERY_ORDER.index("video_mjpeg_frames") == 2
+assert QUERY_ORDER.index("dedup_containment") == 3  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 54  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 104  # r1-4 core last
-assert len(QUERY_ORDER) == 154 and len(set(QUERY_ORDER)) == 154
+assert QUERY_ORDER.index("weighted_linkage") == 55  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 105  # r1-4 core last
+assert len(QUERY_ORDER) == 155 and len(set(QUERY_ORDER)) == 155
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2889,6 +2905,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_stats": q_image_png_stats,
         "image_png_roundtrip": q_image_png_roundtrip,
         "image_header_meta": q_image_header_meta,
+        "video_mjpeg_frames": q_video_mjpeg_frames,
         "image_jpeg_stats": q_image_jpeg_stats,
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         "supplier_balance_rank": q_supplier_balance_rank,
@@ -3415,6 +3432,18 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CAST(12 + doc_id % 9 AS INT) AS width, "
             "CAST(10 + doc_id % 7 AS INT) AS height, "
             "'jpeg/baseline' AS fmt FROM documents"
+        ),
+        "video_mjpeg_frames": (
+            # compressed video: container structure is exact (avih
+            # dims, movi frame count, per-frame index); pixel fidelity
+            # is the Spark-side bounded-error verdict, as for every
+            # lossy-codec gate
+            "SELECT doc_id, TRUE AS valid, "
+            "CAST(12 + doc_id % 9 AS INT) AS width, "
+            "CAST(10 + doc_id % 7 AS INT) AS height, "
+            "CAST(2 + doc_id % 4 AS INT) AS n_frames, "
+            "CAST(f AS INT) AS frame_idx, TRUE AS ok "
+            "FROM documents, unnest(range(0, 2 + doc_id % 4)) AS t(f)"
         ),
         "image_jpeg_roundtrip": (
             # decode -> 8x6 nearest resize -> re-encode -> decode; the

@@ -2894,3 +2894,58 @@ def test_header_meta_and_decoder_agree_on_validity():
     png = bytearray(MM.encode_png(img))
     struct.pack_into(">I", png, 16, 0)
     assert MM.image_header_meta(bytes(png))["valid"] is False
+
+
+def test_avi_mjpeg_demux_roundtrip_and_malformed(spark):
+    """Real compressed-video path: synthesized RIFF/AVI containers
+    demux to exactly the header's frame count, every MJPEG frame
+    entropy-decodes within the fidelity bound, odd-size chunks honor
+    RIFF 2-byte alignment, unknown chunks are skipped, and malformed
+    containers are row-level invalid."""
+    import struct
+
+    import numpy as np
+
+    docs = spark.createDataFrame([(1,), (2,), (5,), (8,)], "doc_id long")
+    with_vid = MM.synthesize_avi_mjpeg(docs, "doc_id", "video")
+    payloads = {r.doc_id: bytes(r.video) for r in with_vid.collect()}
+    odd_seen = False
+    for d, p in payloads.items():
+        m = MM.demux_avi_mjpeg(p)
+        w, h, n = 12 + d % 9, 10 + d % 7, 2 + d % 4
+        assert (m["width"], m["height"], m["n_frames_header"]) == (w, h, n)
+        assert len(m["frames"]) == n
+        for f, fr in enumerate(m["frames"]):
+            odd_seen |= len(fr) % 2 == 1
+            dec = MM.decode_jpeg(fr)
+            exp = MM.mjpeg_expected_pixels(d, f)
+            err = np.abs(
+                dec["pixels"].astype(np.int64) - exp.astype(np.int64)
+            ).max()
+            assert err <= 8, (d, f, err)
+    # an unknown chunk injected before movi is skipped, not fatal
+    p = payloads[5]
+    i = p.find(b"LIST") ; j = p.index(b"movi")
+    junk = MM._avi_chunk(b"JUNK", b"\x01\x02\x03")  # odd size: pads
+    k = p.index(b"LIST", j - 8)
+    patched = p[:k] + junk + p[k:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    m = MM.demux_avi_mjpeg(patched)
+    assert m is not None and len(m["frames"]) == 2 + 5 % 4
+    # malformed: truncation mid-chunk, wrong signatures
+    assert MM.demux_avi_mjpeg(None) is None
+    assert MM.demux_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert MM.demux_avi_mjpeg(payloads[1][:30]) is None
+    # frame stats surfaces a corrupt FRAME as ok=False, container valid
+    bad = bytearray(payloads[2])
+    fpos = bad.index(b"00dc") + 8
+    bad[fpos : fpos + 2] = b"XX"  # first frame no longer starts FFD8
+    rows = {
+        (r.doc_id, r.frame_idx): r
+        for r in MM.mjpeg_frame_stats(
+            spark.createDataFrame([(2, bytes(bad))], "doc_id long, video binary"),
+            "video", "doc_id",
+        ).collect()
+    }
+    assert rows[(2, 0)].valid and not rows[(2, 0)].ok
+    assert rows[(2, 1)].ok
