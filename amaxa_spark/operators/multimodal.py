@@ -1673,20 +1673,16 @@ _RIFF_MAGIC = b"RIFF"
 
 
 def mjpeg_expected_pixels(d: int, f: int):
-    """Closed-form frame ``f`` of test clip ``d`` — the same smooth
-    no-wrap construction as :func:`jpeg_expected_pixels` plus a
-    per-frame brightness term (bounded so nothing wraps: base peaks
+    """Closed-form frame ``f`` of test clip ``d``:
+    :func:`jpeg_expected_pixels`'s image (ONE definition of the base
+    pattern — tuning it cannot desynchronize the two gates) plus a
+    per-frame brightness term, bounded so nothing wraps (base peaks
     193/193/168, frame term adds ≤ 12/8/4 for f ≤ 4)."""
     import numpy as np
 
-    w, h = 12 + d % 9, 10 + d % 7
-    x = np.arange(w)[None, :]
-    y = np.arange(h)[:, None]
-    r = (3 * d) % 160 + x + y + 3 * f
-    g = (5 * d) % 140 + 2 * x + y + 2 * f
-    b = (7 * d) % 120 + x + 2 * y + f
-    return np.stack(
-        [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+    return (
+        jpeg_expected_pixels(d).astype(np.int16)
+        + np.array([3 * f, 2 * f, f], dtype=np.int16)
     ).astype(np.uint8)
 
 
@@ -1798,36 +1794,46 @@ def demux_avi_mjpeg(payload: bytes):
         end = min(len(payload), 8 + riff_len)
         width = height = n_frames_header = None
         frames: list[bytes] = []
-
-        def walk(pos: int, stop: int) -> bool:
-            nonlocal width, height, n_frames_header
+        # explicit (pos, stop) stack, not recursion: a payload that is
+        # nothing but nested LIST headers would otherwise blow the
+        # interpreter's recursion limit out of the documented
+        # row-level-None contract (each frame enters the stack once,
+        # so the walk stays O(bytes))
+        spans = [(12, end)]
+        while spans:
+            pos, stop = spans.pop()
             while pos + 8 <= stop:
                 fourcc = payload[pos : pos + 4]
                 size = struct.unpack_from("<I", payload, pos + 4)[0]
                 body_start = pos + 8
                 body_end = body_start + size
                 if body_end > stop:
-                    return False
+                    return None
                 if fourcc == b"LIST":
                     if size < 4:
-                        return False
-                    # recurse past the 4-byte list type
-                    if not walk(body_start + 4, body_end):
-                        return False
-                elif fourcc == b"avih":
+                        return None
+                    # descend in FILE order: park this level's
+                    # remaining siblings, enter the list body (past
+                    # its 4-byte type) now — frame chunks must append
+                    # in the order they appear in the container
+                    spans.append((body_end + (size % 2), stop))
+                    pos, stop = body_start + 4, body_end
+                    continue
+                if fourcc == b"avih":
                     if size < 40:
-                        return False
+                        return None
                     vals = struct.unpack_from("<10I", payload, body_start)
                     n_frames_header = vals[4]
                     width, height = vals[8], vals[9]
                 elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
                     frames.append(payload[body_start:body_end])
                 pos = body_end + (size % 2)  # chunks are 2-byte aligned
-            return True
-
-        if not walk(12, end):
+        if not width or not height:
             return None
-        if width is None or not width or not height:
+        if width >= 1 << 31 or height >= 1 << 31:
+            # raw unsigned avih values beyond int32 are a corrupt
+            # header, not dimensions — letting them through would wrap
+            # in downstream int32 schemas
             return None
         return {
             "width": width,

@@ -2949,3 +2949,26 @@ def test_avi_mjpeg_demux_roundtrip_and_malformed(spark):
     }
     assert rows[(2, 0)].valid and not rows[(2, 0)].ok
     assert rows[(2, 1)].ok
+
+
+def test_avi_demux_nested_list_bomb_and_oversized_dims():
+    """Third-pass review fixes: a payload of deeply nested LISTs must
+    return None (iterative walk - RecursionError would kill the Spark
+    task), and raw unsigned avih dims beyond int32 are corrupt, not
+    dimensions."""
+    import struct
+
+    inner = b""
+    for _ in range(3000):
+        inner = MM._avi_list(b"xxxx", inner)
+    body = b"AVI " + inner
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert MM.demux_avi_mjpeg(p) is None
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 40000, 0, 0, 0, 1, 0, 1, 0, 1 << 31, 10,
+        0, 0, 0, 0,
+    )
+    body = b"AVI " + MM._avi_list(b"hdrl", MM._avi_chunk(b"avih", avih))
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert MM.demux_avi_mjpeg(p) is None

@@ -181,6 +181,17 @@ SHOW = [
         "(BroadcastNestedLoopJoin), corpus scored in place — "
         "O(probe·n), no all-pairs frontier",
     ),
+    (
+        "image_header_meta",
+        "header-only metadata: payload pruned into one Arrow-batched "
+        "mapInPandas, zero pixel decode, no shuffle",
+    ),
+    (
+        "video_mjpeg_frames",
+        "compressed video: RIFF demux + per-frame JPEG decode in ONE "
+        "mapInPandas projection, output multiplicity = frame count, "
+        "no shuffle",
+    ),
 ]
 
 KEY_LINES = (
