@@ -534,6 +534,20 @@ def q_image_header_meta(spark, sf_dir):
     ).select("doc_id", "valid", "width", "height", "fmt")
 
 
+def q_image_gif_stats(spark, sf_dir):
+    """REAL GIF decode end-to-end: genuine GIF89a bytes (logical
+    screen descriptor, global color table, real variable-width LZW
+    with clear/EOI codes) are synthesized per doc_id and decoded by
+    the pure-stdlib LZW decoder. GIF is LOSSLESS and palette-exact,
+    so the gate hashes exact channel sums (the BMP/PNG contract):
+    every palette entry appears exactly w·h/16 times by construction,
+    making the sums closed-form, and px00_r pins the palette order
+    and LZW stream start."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    with_img = MM.synthesize_gif(docs, "doc_id", "image")
+    return MM.image_stats(with_img, "image", "doc_id", decode=MM.decode_gif)
+
+
 def q_video_mjpeg_frames(spark, sf_dir):
     """REAL compressed-video path end to end: genuine RIFF/AVI
     containers (hdrl/avih/strl headers, movi 00dc chunks, idx1) whose
@@ -2792,6 +2806,7 @@ QUERY_ORDER = [
     # plan), the header-only image metadata path, and the real
     # compressed-video (MJPEG/AVI) path ---
     "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
+    "image_gif_stats",
     # --- round-7 additions: containment dedup + JPEG codec pair (3) ---
     "dedup_containment",
     "image_jpeg_stats", "image_jpeg_roundtrip",
@@ -2861,13 +2876,14 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("dedup_embedding_cosine") == 0  # r8 rework first
 assert QUERY_ORDER.index("image_header_meta") == 1  # r8 additions
 assert QUERY_ORDER.index("video_mjpeg_frames") == 2
-assert QUERY_ORDER.index("dedup_containment") == 3  # r7 additions follow
+assert QUERY_ORDER.index("image_gif_stats") == 3
+assert QUERY_ORDER.index("dedup_containment") == 4  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 55  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 105  # r1-4 core last
-assert len(QUERY_ORDER) == 155 and len(set(QUERY_ORDER)) == 155
+assert QUERY_ORDER.index("weighted_linkage") == 56  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 106  # r1-4 core last
+assert len(QUERY_ORDER) == 156 and len(set(QUERY_ORDER)) == 156
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2906,6 +2922,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_roundtrip": q_image_png_roundtrip,
         "image_header_meta": q_image_header_meta,
         "video_mjpeg_frames": q_video_mjpeg_frames,
+        "image_gif_stats": q_image_gif_stats,
         "image_jpeg_stats": q_image_jpeg_stats,
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         "supplier_balance_rank": q_supplier_balance_rank,
@@ -3444,6 +3461,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             "CAST(2 + doc_id % 4 AS INT) AS n_frames, "
             "CAST(f AS INT) AS frame_idx, TRUE AS ok "
             "FROM documents, unnest(range(0, 2 + doc_id % 4)) AS t(f)"
+        ),
+        "image_gif_stats": (
+            # lossless palette codec: every palette entry k (rgb =
+            # (16k, 255-16k, 8k+3)) appears exactly n/16 times, so
+            # channel sums are linear in n = w*h and means constant;
+            # px00_r = palette[(d+0)%16].r pins palette order + LZW
+            # stream start
+            "WITH s AS (SELECT doc_id, "
+            "CAST(8 + 4 * (doc_id % 3) AS INT) AS width, "
+            "CAST(4 + 4 * (doc_id % 2) AS INT) AS height "
+            "FROM documents) "
+            "SELECT doc_id, TRUE AS valid, width, height, "
+            "CAST(120 * width * height AS BIGINT) AS sum_r, "
+            "CAST(135 * width * height AS BIGINT) AS sum_g, "
+            "CAST(63 * width * height AS BIGINT) AS sum_b, "
+            "round(120.0, 4) AS mean_r, round(135.0, 4) AS mean_g, "
+            "round(63.0, 4) AS mean_b, "
+            "CAST(16 * (doc_id % 16) AS INT) AS px00_r FROM s"
         ),
         "image_jpeg_roundtrip": (
             # decode -> 8x6 nearest resize -> re-encode -> decode; the

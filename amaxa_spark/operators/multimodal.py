@@ -54,13 +54,14 @@ def decode_stub(payload: bytes) -> dict:
 
 
 def decode_real(payload: bytes) -> dict:
-    """Real-codec injection point. Three raster formats decode
+    """Real-codec injection point. Four raster formats decode
     natively without PIL/libvips — BMP (stdlib struct + numpy,
     :func:`decode_bmp`), PNG (stdlib zlib inflate + scanline
-    unfiltering, :func:`decode_png`), and baseline JPEG (pure
-    Huffman + IDCT + 4:2:0 upsampling, :func:`decode_jpeg`); other
-    formats (WebP/AVIF/...) still require an image library and raise
-    with a clear marker."""
+    unfiltering, :func:`decode_png`), baseline JPEG (pure
+    Huffman + IDCT + 4:2:0 upsampling, :func:`decode_jpeg`), and
+    GIF (variable-width LZW, :func:`decode_gif`); other formats
+    (WebP/AVIF/...) still require an image library and raise with a
+    clear marker."""
     if payload is not None and payload[:2] == _BMP_MAGIC:
         meta = decode_bmp(payload)
         fmt = "bmp/24"
@@ -70,9 +71,12 @@ def decode_real(payload: bytes) -> dict:
     elif payload is not None and payload[:2] == _JPEG_SOI:
         meta = decode_jpeg(payload)
         fmt = "jpeg/baseline"
+    elif payload is not None and payload[:6] in _GIF_MAGICS:
+        meta = decode_gif(payload)
+        fmt = "gif/8bpp"
     else:
         raise NotImplementedError(
-            "non-BMP/PNG/JPEG image decode: codec libraries not available"
+            "non-BMP/PNG/JPEG/GIF image decode: codec libraries not available"
         )
     if meta is None:
         return {
@@ -125,6 +129,37 @@ def image_header_meta(payload: bytes) -> dict:
                 return bad  # zero dims are invalid per the PNG spec
             return {"valid": True, "n_bytes": n, "width": w,
                     "height": h, "fmt": "png/rgb8"}
+        if payload[:6] in _GIF_MAGICS:
+            # report the FIRST image descriptor's dims (what
+            # decode_gif decodes), not the logical screen's — a real
+            # GIF's first frame can be smaller than the canvas, and
+            # the filter must agree with the decoder. Skipping the
+            # color table and extension blocks is pure arithmetic on
+            # length bytes; no pixel data is touched.
+            if n < 13:
+                return bad
+            packed = payload[10]
+            pos = 13
+            if packed & 0x80:
+                pos += 3 * (2 << (packed & 0x07))
+            while pos < n:
+                block = payload[pos]
+                if block == 0x21:  # extension: label + sub-blocks
+                    pos += 2
+                    while pos < n and payload[pos] != 0:
+                        pos += 1 + payload[pos]
+                    pos += 1
+                    continue
+                if block != 0x2C:  # trailer/garbage before any image
+                    return bad
+                if pos + 9 >= n:
+                    return bad
+                w, h = struct.unpack_from("<HH", payload, pos + 5)
+                if w == 0 or h == 0:
+                    return bad  # decode_gif rejects zero-dim frames
+                return {"valid": True, "n_bytes": n, "width": w,
+                        "height": h, "fmt": "gif/8bpp"}
+            return bad
         if payload[:2] == _JPEG_SOI:
             i = 2
             while i + 4 <= n:
@@ -1910,3 +1945,252 @@ def mjpeg_frame_stats(
         schema=f"{id_col} long, valid boolean, width int, height int, "
         "n_frames int, frame_idx int, ok boolean",
     )
+
+
+# GIF: REAL GIF89a codec (pure stdlib) — variable-width LSB-first
+# LZW with clear/EOI codes and 4096-entry dictionary resets, global
+# color table, extension-block skipping, interlace deinterlacing.
+# Lossless and palette-exact, so its gate hashes exact channel sums
+# (the BMP/PNG contract), unlike the bounded-error JPEG gates.
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Encode an (h, w) uint8 index array over ``palette``
+    (list of (r, g, b), length a power of two ≥ 2) as a genuine
+    GIF89a: logical screen descriptor + global color table + image
+    descriptor + real LZW-compressed pixel stream in 255-byte
+    sub-blocks."""
+    import struct
+
+    import numpy as np
+
+    h, w = indices.shape
+    n_colors = len(palette)
+    assert n_colors >= 2 and n_colors & (n_colors - 1) == 0
+    size_bits = max(1, (n_colors - 1).bit_length())
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)]
+    out.append(b"".join(bytes(c) for c in palette))
+    out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    min_code = max(2, size_bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    bits: list[int] = []
+    width = min_code + 1
+
+    def emit(code: int, width: int) -> None:
+        for b in range(width):  # LSB first
+            bits.append((code >> b) & 1)
+
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for v in np.asarray(indices, dtype=np.uint8).reshape(-1).tolist():
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        seq = (v,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    out.append(bytes([min_code]))
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(bytes([len(chunk)]) + bytes(chunk))
+    out.append(b"\x00\x3b")
+    return b"".join(out)
+
+
+def decode_gif(payload: bytes):
+    """REAL GIF decoder (pure stdlib): header + logical screen
+    descriptor, global/local color tables, extension blocks skipped,
+    variable-width LSB-first LZW with clear/EOI and dictionary
+    resets, interlaced images deinterlaced. Returns ``{"width",
+    "height", "pixels"((h, w, 3) uint8)}`` for the FIRST image, or
+    ``None`` for malformed/unsupported payloads (row-level, never an
+    exception)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:6] not in _GIF_MAGICS:
+        return None
+    try:
+        w_screen, h_screen, packed, _bg, _ar = struct.unpack_from(
+            "<HHBBB", payload, 6
+        )
+        pos = 13
+        global_pal = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            global_pal = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            if len(global_pal) != n:
+                return None
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x3B:  # trailer before any image
+                return None
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                return None
+            x0, y0, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or not w or not h:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                return None
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            # LZW decode (LSB-first variable width)
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            table: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+            table += [b"", b""]  # clear/eoi placeholders
+            width = min_code + 1
+            acc = bit_n = 0
+            prev: bytes | None = None
+            outpix = bytearray()
+            need = w * h
+            ended = False  # EOI terminates the WHOLE image stream —
+            # resuming past it would decode trailing garbage with
+            # stale table/prev state into "valid" pixels
+            for byte in data:
+                if ended:
+                    break
+                acc |= byte << bit_n
+                bit_n += 8
+                while bit_n >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    bit_n -= width
+                    if code == clear:
+                        table = [bytes([i]) for i in range(1 << min_code)]
+                        table += [b"", b""]
+                        width = min_code + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        ended = True
+                        break
+                    if prev is None:
+                        if code >= len(table):
+                            return None
+                        entry = table[code]
+                    elif code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    elif code == len(table):
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    else:
+                        return None
+                    outpix += entry
+                    prev = entry
+                    # the decoder's table is one entry BEHIND the
+                    # encoder's (the KwKwK lag), so its width bump
+                    # fires at 2^width where the encoder's fires at
+                    # 2^width + 1
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                    if len(outpix) >= need:
+                        break
+                if len(outpix) >= need:
+                    break
+            if len(outpix) < need:
+                return None
+            idx = np.frombuffer(bytes(outpix[:need]), dtype=np.uint8)
+            if int(idx.max()) >= len(pal):
+                return None
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 8/8, 8/8+4, 4/4+2, 2/2+1
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(rows)
+                de[order] = rows
+                rows = de
+            return {
+                "width": w,
+                "height": h,
+                "pixels": pal[rows].astype(np.uint8),
+            }
+        return None
+    except (struct.error, IndexError, ValueError):
+        # ValueError: a truncated color table fails the reshape
+        return None
+
+
+def gif_test_palette():
+    """The 16-color closed-form palette the GIF gate uses: entry k is
+    ``(16k, 255-16k, 8k+3)`` — distinct channels so a palette-index
+    mixup shows in every statistic."""
+    return [(16 * k, 255 - 16 * k, 8 * k + 3) for k in range(16)]
+
+
+def synthesize_gif(df: DataFrame, id_col: str, out_col: str = "image") -> DataFrame:
+    """Deterministic GIF89a payloads: for row id ``d``, a
+    ``(8+4·(d%3)) × (4+4·(d%2))`` image over :func:`gif_test_palette`
+    whose index at flat position ``i`` is ``(d + i) % 16``. The pixel
+    count is always divisible by 16, so every palette entry appears
+    exactly ``w·h/16`` times and the channel sums are closed-form."""
+    import numpy as np
+
+    pal = gif_test_palette()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = 8 + 4 * (d % 3), 4 + 4 * (d % 2)
+                idx = ((d + np.arange(w * h)) % 16).astype(np.uint8)
+                payloads.append(encode_gif(idx.reshape(h, w), pal))
+            out[out_col] = payloads
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
+    return df.mapInPandas(gen, schema=schema)

@@ -2972,3 +2972,75 @@ def test_avi_demux_nested_list_bomb_and_oversized_dims():
     body = b"AVI " + MM._avi_list(b"hdrl", MM._avi_chunk(b"avih", avih))
     p = b"RIFF" + struct.pack("<I", len(body)) + body
     assert MM.demux_avi_mjpeg(p) is None
+
+
+def test_gif_codec_roundtrip_reset_interlace_malformed():
+    """Real GIF89a codec: exact lossless roundtrips (small closed-form
+    and large random images — the latter exercises variable code
+    widths and the 4096-entry dictionary reset), interlaced images
+    deinterlace, truncation/garbage is row-level None, and the
+    decode_real / image_header_meta seams dispatch on the magic."""
+    import struct
+
+    import numpy as np
+
+    pal = MM.gif_test_palette()
+    for d in (0, 1, 5, 11):
+        w, h = 8 + 4 * (d % 3), 4 + 4 * (d % 2)
+        idx = ((d + np.arange(w * h)) % 16).astype(np.uint8).reshape(h, w)
+        p = MM.encode_gif(idx, pal)
+        m = MM.decode_gif(p)
+        exp = np.array(pal, dtype=np.uint8)[idx]
+        assert m is not None and (m["pixels"] == exp).all(), d
+    # 256-color random image: dict grows to 4096 and resets
+    rng = np.random.RandomState(3)
+    pal256 = [((k * 7) % 256, (k * 13) % 256, (k * 29) % 256)
+              for k in range(256)]
+    idx = rng.randint(0, 256, (120, 120)).astype(np.uint8)
+    p = MM.encode_gif(idx, pal256)
+    m = MM.decode_gif(p)
+    assert (m["pixels"] == np.array(pal256, dtype=np.uint8)[idx]).all()
+    # interlace flag: rows stored in pass order decode back in order
+    h, w = 16, 8
+    idx = (np.arange(w * h) % 16).astype(np.uint8).reshape(h, w)
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    pb = bytearray(MM.encode_gif(idx[order], pal))
+    pb[61 + 9] |= 0x40  # image-descriptor packed byte
+    m = MM.decode_gif(bytes(pb))
+    assert (m["pixels"] == np.array(pal, dtype=np.uint8)[idx]).all()
+    # malformed: magic-only, truncated LSD/palette/stream
+    good = MM.encode_gif(idx, pal)
+    for b in (None, b"", b"GIF89a", b"GIF89a" + b"\x00" * 7,
+              good[:40], good[: len(good) // 2]):
+        assert MM.decode_gif(b) is None
+    # seams: decode_real and the header-only filter agree
+    meta = MM.decode_real(good)
+    assert meta["valid"] and meta["fmt"] == "gif/8bpp"
+    hm = MM.image_header_meta(good)
+    assert hm["valid"] and hm["fmt"] == "gif/8bpp"
+    assert (hm["width"], hm["height"]) == (meta["width"], meta["height"])
+    bad_dims = bytearray(good)
+    struct.pack_into("<H", bad_dims, 6, 0)
+    # zero LOGICAL-SCREEN width alone doesn't invalidate: both filter
+    # and decoder key off the image descriptor's dims
+    zero_frame = bytearray(MM.encode_gif(idx[:4, :4], pal))
+    struct.pack_into("<H", zero_frame, 61 + 5, 0)  # descriptor width
+    assert MM.image_header_meta(bytes(zero_frame))["valid"] is False
+    assert MM.decode_gif(bytes(zero_frame)) is None
+    # frame smaller than canvas: filter reports the FRAME dims that
+    # decode_gif decodes, not the logical screen's
+    small = bytearray(MM.encode_gif(idx[:4, :4], pal))
+    struct.pack_into("<HH", small, 6, 100, 100)  # inflate LSD only
+    hm2 = MM.image_header_meta(bytes(small))
+    m2 = MM.decode_gif(bytes(small))
+    assert (hm2["width"], hm2["height"]) == (4, 4)
+    assert (m2["width"], m2["height"]) == (4, 4)
+    # EOI terminates the stream: a descriptor promising more pixels
+    # than the LZW stream encodes must be None even when garbage
+    # sub-blocks follow the EOI code
+    short = bytearray(MM.encode_gif(idx[:4, :4], pal))
+    struct.pack_into("<H", short, 61 + 7, 8)  # descriptor height 4->8
+    assert short[-2:] == b"\x00\x3b"
+    truncated = bytes(short[:-2]) + bytes([255]) + bytes(255) + b"\x00\x3b"
+    assert MM.decode_gif(truncated) is None

@@ -192,6 +192,12 @@ SHOW = [
         "mapInPandas projection, output multiplicity = frame count, "
         "no shuffle",
     ),
+    (
+        "image_gif_stats",
+        "lossless GIF/LZW gate: synthesize + decode fused in "
+        "back-to-back Arrow-batched mapInPandas, no shuffle, exact "
+        "channel-sum hashes",
+    ),
 ]
 
 KEY_LINES = (
