@@ -548,6 +548,20 @@ def q_image_gif_stats(spark, sf_dir):
     return MM.image_stats(with_img, "image", "doc_id", decode=MM.decode_gif)
 
 
+def q_audio_spectral(spark, sf_dir):
+    """REAL frequency-domain audio DSP: pure tones with an exact
+    integer cycle count per 1024-sample window are synthesized
+    closed-form from doc_id, then analyzed with a genuine rFFT. The
+    dominant DFT bin and its frequency are closed-form (hash-exact in
+    the oracle); centroid/Parseval/flatness are bounded-error
+    verdicts computed entirely from the signal (the lossy-gate
+    contract), so the oracle emits literal TRUE."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return MM.audio_spectral(
+        MM.synthesize_tone_wav(docs, "doc_id"), "audio", "doc_id"
+    )
+
+
 def q_video_mjpeg_frames(spark, sf_dir):
     """REAL compressed-video path end to end: genuine RIFF/AVI
     containers (hdrl/avih/strl headers, movi 00dc chunks, idx1) whose
@@ -2806,7 +2820,7 @@ QUERY_ORDER = [
     # plan), the header-only image metadata path, and the real
     # compressed-video (MJPEG/AVI) path ---
     "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
-    "image_gif_stats",
+    "image_gif_stats", "audio_spectral",
     # --- round-7 additions: containment dedup + JPEG codec pair (3) ---
     "dedup_containment",
     "image_jpeg_stats", "image_jpeg_roundtrip",
@@ -2877,13 +2891,14 @@ assert QUERY_ORDER.index("dedup_embedding_cosine") == 0  # r8 rework first
 assert QUERY_ORDER.index("image_header_meta") == 1  # r8 additions
 assert QUERY_ORDER.index("video_mjpeg_frames") == 2
 assert QUERY_ORDER.index("image_gif_stats") == 3
-assert QUERY_ORDER.index("dedup_containment") == 4  # r7 additions follow
+assert QUERY_ORDER.index("audio_spectral") == 4
+assert QUERY_ORDER.index("dedup_containment") == 5  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 56  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 106  # r1-4 core last
-assert len(QUERY_ORDER) == 156 and len(set(QUERY_ORDER)) == 156
+assert QUERY_ORDER.index("weighted_linkage") == 57  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 107  # r1-4 core last
+assert len(QUERY_ORDER) == 157 and len(set(QUERY_ORDER)) == 157
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2923,6 +2938,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_meta": q_image_header_meta,
         "video_mjpeg_frames": q_video_mjpeg_frames,
         "image_gif_stats": q_image_gif_stats,
+        "audio_spectral": q_audio_spectral,
         "image_jpeg_stats": q_image_jpeg_stats,
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         "supplier_balance_rank": q_supplier_balance_rank,
@@ -3479,6 +3495,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(120.0, 4) AS mean_r, round(135.0, 4) AS mean_g, "
             "round(63.0, 4) AS mean_b, "
             "CAST(16 * (doc_id % 16) AS INT) AS px00_r FROM s"
+        ),
+        "audio_spectral": (
+            # pure tone with k = 10 + d%50 cycles per 1024-sample
+            # window: dominant DFT bin is exactly k, its frequency
+            # k * 8000/1024 = k * 7.8125 (exact in binary); the
+            # centroid/Parseval/flatness verdicts are bounded-error
+            # booleans computed Spark-side, so the oracle emits TRUE
+            "WITH p AS (SELECT doc_id, 10 + doc_id % 50 AS k, "
+            "2 + doc_id % 3 AS nw FROM documents) "
+            "SELECT doc_id, CAST(w AS INT) AS window_id, "
+            "CAST(k AS INT) AS dominant_bin, k * 7.8125 AS dominant_hz, "
+            "TRUE AS ok_centroid, TRUE AS ok_power, TRUE AS ok_flat "
+            "FROM p, unnest(range(0, nw)) AS t(w)"
         ),
         "image_jpeg_roundtrip": (
             # decode -> 8x6 nearest resize -> re-encode -> decode; the

@@ -2194,3 +2194,135 @@ def synthesize_gif(df: DataFrame, id_col: str, out_col: str = "image") -> DataFr
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
     return df.mapInPandas(gen, schema=schema)
+
+
+# Audio spectral analysis: real FFT features over PCM payloads — the
+# frequency-domain complement of pcm_energy's time-domain windows.
+# The gate synthesizes PURE TONES with an exact integer number of
+# cycles per analysis window, so the dominant DFT bin is closed-form
+# (the oracle replays it with integer arithmetic) while the
+# noise-sensitive statistics (centroid, flatness, Parseval power)
+# are emitted as bounded-error verdict booleans, the lossy-codec
+# gate contract (see encode_jpeg's header comment).
+
+_TONE_WINDOW = 1024  # analysis window: 128 ms at 8 kHz
+_TONE_AMP = 8000
+
+
+def synthesize_tone_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> DataFrame:
+    """Deterministic pure-tone WAV payloads: for row id ``d``, a mono
+    16-bit sine with ``k = 10 + d % 50`` cycles per 1024-sample
+    window (so bin ``k`` is the exact DFT line), amplitude 8000, over
+    ``2 + d % 3`` full windows at 8 kHz. Samples are
+    ``rint(8000 · sin(2π·k·i/1024))`` — the ±0.5 rounding is the only
+    departure from the ideal tone, and every bounded-error verdict in
+    :func:`audio_spectral` budgets for exactly that."""
+    import struct
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                k = 10 + d % 50
+                n = (2 + d % 3) * _TONE_WINDOW
+                i = np.arange(n, dtype=np.float64)
+                data = np.rint(
+                    _TONE_AMP * np.sin(2.0 * np.pi * k * i / _TONE_WINDOW)
+                ).astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                outs.append(hdr + data)
+            out = pdf.copy()
+            out[out_col] = outs
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def audio_spectral(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    window: int = _TONE_WINDOW,
+    tone_amp: float = _TONE_AMP,
+) -> DataFrame:
+    """REAL frequency-domain DSP: per full ``window``-sample window of
+    each mono 16-bit WAV payload, an rFFT magnitude spectrum reduced
+    to — ``dominant_bin`` (argmax over non-DC bins) and its
+    ``dominant_hz``, plus three bounded-error verdicts computed
+    entirely from the signal (no oracle knowledge): ``ok_centroid``
+    (magnitude-weighted mean bin within 1.0 of the dominant line —
+    true for a pure tone, false for broadband), ``ok_power``
+    (time-domain sum-of-squares within 0.1% of a single
+    ``tone_amp``-amplitude tone's A²·N/2), ``ok_flat`` (spectral
+    flatness < 0.1 — a tone is a line spectrum, white noise ≈ 1).
+
+    Scale shape: one Arrow-batched mapInPandas projection, payload
+    column pruned until touched, no shuffle; the rFFT batches all of
+    a payload's windows in a single ``(n_windows, window)``
+    vectorized call."""
+    import numpy as np
+
+    half = window // 2
+
+    def spectral(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, dom, hz, okc, okp, okf = [], [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_wav(payload)
+                if parsed is None or parsed[0] != 1 or parsed[2] != 16:
+                    continue
+                rate = parsed[1]
+                samples = np.frombuffer(parsed[4], dtype="<i2").astype(np.float64)
+                n_full = len(samples) // window
+                if n_full == 0:
+                    continue
+                frames = samples[: n_full * window].reshape(n_full, window)
+                mags = np.abs(np.fft.rfft(frames, axis=1))[:, 1 : half + 1]
+                bins = np.arange(1, half + 1, dtype=np.float64)
+                dom_bin = np.argmax(mags, axis=1) + 1
+                total = mags.sum(axis=1)
+                centroid = (mags @ bins) / np.where(total > 0, total, 1.0)
+                sum_sq = (frames * frames).sum(axis=1)
+                expected = tone_amp * tone_amp * window / 2.0
+                flat = np.exp(np.log(mags + 1e-12).mean(axis=1)) / np.where(
+                    total > 0, total / half, 1.0
+                )
+                ids.extend([did] * n_full)
+                wins.extend(range(n_full))
+                dom.extend(dom_bin.tolist())
+                hz.extend((dom_bin * (rate / window)).tolist())
+                okc.extend((np.abs(centroid - dom_bin) < 1.0).tolist())
+                okp.extend(
+                    (np.abs(sum_sq / expected - 1.0) < 1e-3).tolist()
+                )
+                okf.extend((flat < 0.1).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: ids, "window_id": wins, "dominant_bin": dom,
+                    "dominant_hz": hz, "ok_centroid": okc,
+                    "ok_power": okp, "ok_flat": okf,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        spectral,
+        schema=f"{id_col} long, window_id int, dominant_bin int, "
+        "dominant_hz double, ok_centroid boolean, ok_power boolean, "
+        "ok_flat boolean",
+    )

@@ -3044,3 +3044,51 @@ def test_gif_codec_roundtrip_reset_interlace_malformed():
     assert short[-2:] == b"\x00\x3b"
     truncated = bytes(short[:-2]) + bytes([255]) + bytes(255) + b"\x00\x3b"
     assert MM.decode_gif(truncated) is None
+
+
+def test_audio_spectral_tone_noise_and_malformed(spark):
+    """FFT spectral features: pure tones hit their exact DFT line with
+    all verdicts true; white noise fails the tone verdicts (broadband
+    centroid, high flatness, wrong power); malformed/stereo payloads
+    are skipped row-level."""
+    import struct
+
+    import numpy as np
+
+    from amaxa_spark.operators import multimodal as MM
+
+    docs = spark.range(6).selectExpr("id as doc_id")
+    tones = MM.synthesize_tone_wav(docs, "doc_id")
+    rows = MM.audio_spectral(tones, "audio", "doc_id").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in range(6):
+        k = 10 + d % 50
+        assert len(by_doc[d]) == 2 + d % 3
+        for r in by_doc[d]:
+            assert r.dominant_bin == k
+            assert r.dominant_hz == k * 7.8125
+            assert r.ok_centroid and r.ok_power and r.ok_flat
+
+    def wav(data: bytes, n_ch: int = 1, bits: int = 16) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 1, n_ch, 8000,
+                8000 * n_ch * bits // 8, n_ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.RandomState(7)
+    noise = (rng.randint(-8000, 8000, 2048)).astype("<i2").tobytes()
+    stereo = np.zeros(2048, dtype="<i2").tobytes()
+    bad = spark.createDataFrame(
+        [(50, bytearray(wav(noise))), (51, bytearray(wav(stereo, n_ch=2))),
+         (52, bytearray(b"junk")), (53, None)],
+        "doc_id: long, audio: binary",
+    )
+    out = MM.audio_spectral(bad, "audio", "doc_id").collect()
+    assert {r.doc_id for r in out} == {50}  # stereo/junk/null skipped
+    for r in out:
+        assert not r.ok_centroid and not r.ok_flat and not r.ok_power
