@@ -548,6 +548,18 @@ def q_image_gif_stats(spark, sf_dir):
     return MM.image_stats(with_img, "image", "doc_id", decode=MM.decode_gif)
 
 
+def q_video_gif_frames(spark, sf_dir):
+    """REAL animated-GIF path end to end: genuine multi-image GIF89a
+    payloads (NETSCAPE loop extension, per-frame Graphic Control
+    Extension delays, full LZW streams) are synthesized closed-form
+    from doc_id and every frame is demuxed + LZW-decoded back. GIF is
+    lossless, so per-frame channel sums hash exactly; delay_cs and
+    px00_r pin the GCE parse and frame order."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    anim = MM.synthesize_gif_anim(docs, "doc_id", "video")
+    return MM.gif_frame_stats(anim, "video", "doc_id")
+
+
 def q_audio_spectral(spark, sf_dir):
     """REAL frequency-domain audio DSP: pure tones with an exact
     integer cycle count per 1024-sample window are synthesized
@@ -2820,7 +2832,7 @@ QUERY_ORDER = [
     # plan), the header-only image metadata path, and the real
     # compressed-video (MJPEG/AVI) path ---
     "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
-    "image_gif_stats", "audio_spectral",
+    "image_gif_stats", "audio_spectral", "video_gif_frames",
     # --- round-7 additions: containment dedup + JPEG codec pair (3) ---
     "dedup_containment",
     "image_jpeg_stats", "image_jpeg_roundtrip",
@@ -2892,13 +2904,14 @@ assert QUERY_ORDER.index("image_header_meta") == 1  # r8 additions
 assert QUERY_ORDER.index("video_mjpeg_frames") == 2
 assert QUERY_ORDER.index("image_gif_stats") == 3
 assert QUERY_ORDER.index("audio_spectral") == 4
-assert QUERY_ORDER.index("dedup_containment") == 5  # r7 additions follow
+assert QUERY_ORDER.index("video_gif_frames") == 5
+assert QUERY_ORDER.index("dedup_containment") == 6  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 57  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 107  # r1-4 core last
-assert len(QUERY_ORDER) == 157 and len(set(QUERY_ORDER)) == 157
+assert QUERY_ORDER.index("weighted_linkage") == 58  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 108  # r1-4 core last
+assert len(QUERY_ORDER) == 158 and len(set(QUERY_ORDER)) == 158
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2939,6 +2952,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_mjpeg_frames": q_video_mjpeg_frames,
         "image_gif_stats": q_image_gif_stats,
         "audio_spectral": q_audio_spectral,
+        "video_gif_frames": q_video_gif_frames,
         "image_jpeg_stats": q_image_jpeg_stats,
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         "supplier_balance_rank": q_supplier_balance_rank,
@@ -3495,6 +3509,25 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(120.0, 4) AS mean_r, round(135.0, 4) AS mean_g, "
             "round(63.0, 4) AS mean_b, "
             "CAST(16 * (doc_id % 16) AS INT) AS px00_r FROM s"
+        ),
+        "video_gif_frames": (
+            # nf = 2 + d%3 frames of the still-gate geometry; frame
+            # f's indices are phase-shifted by f, so sums stay
+            # closed-form (every palette entry appears w*h/16 times)
+            # while px00_r = 16*((d+f)%16) pins frame order and
+            # delay_cs = 4 + (d+f)%6 pins the GCE parse
+            "WITH p AS (SELECT doc_id, "
+            "CAST(8 + 4 * (doc_id % 3) AS INT) AS width, "
+            "CAST(4 + 4 * (doc_id % 2) AS INT) AS height, "
+            "2 + doc_id % 3 AS nf FROM documents) "
+            "SELECT doc_id, TRUE AS valid, width, height, "
+            "CAST(nf AS INT) AS n_frames, CAST(f AS INT) AS frame_idx, "
+            "CAST(4 + (doc_id + f) % 6 AS INT) AS delay_cs, "
+            "CAST(120 * width * height AS BIGINT) AS sum_r, "
+            "CAST(135 * width * height AS BIGINT) AS sum_g, "
+            "CAST(63 * width * height AS BIGINT) AS sum_b, "
+            "CAST(16 * ((doc_id + f) % 16) AS INT) AS px00_r "
+            "FROM p, unnest(range(0, nf)) AS t(f)"
         ),
         "audio_spectral": (
             # pure tone with k = 10 + d%50 cycles per 1024-sample

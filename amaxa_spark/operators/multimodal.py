@@ -1956,26 +1956,13 @@ def mjpeg_frame_stats(
 _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
-def encode_gif(indices, palette) -> bytes:
-    """Encode an (h, w) uint8 index array over ``palette``
-    (list of (r, g, b), length a power of two ≥ 2) as a genuine
-    GIF89a: logical screen descriptor + global color table + image
-    descriptor + real LZW-compressed pixel stream in 255-byte
-    sub-blocks."""
-    import struct
-
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """Variable-width LSB-first GIF-LZW over a flat uint8 index
+    sequence: clear code up front, dictionary reset at 4096 entries,
+    EOI last. Returns the raw code stream (no sub-block framing)."""
     import numpy as np
 
-    h, w = indices.shape
-    n_colors = len(palette)
-    assert n_colors >= 2 and n_colors & (n_colors - 1) == 0
-    size_bits = max(1, (n_colors - 1).bit_length())
-    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)]
-    out.append(b"".join(bytes(c) for c in palette))
-    out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
-    min_code = max(2, size_bits)
     clear, eoi = 1 << min_code, (1 << min_code) + 1
-
     bits: list[int] = []
     width = min_code + 1
 
@@ -2012,22 +1999,88 @@ def encode_gif(indices, palette) -> bytes:
         for j, bit in enumerate(bits[i : i + 8]):
             byte |= bit << j
         data.append(byte)
-    out.append(bytes([min_code]))
+    return bytes(data)
+
+
+def _gif_sub_blocks(data: bytes) -> bytes:
+    """Frame a byte stream into GIF 255-byte sub-blocks + terminator."""
+    out = []
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
-        out.append(bytes([len(chunk)]) + bytes(chunk))
-    out.append(b"\x00\x3b")
+        out.append(bytes([len(chunk)]) + chunk)
+    out.append(b"\x00")
     return b"".join(out)
 
 
-def decode_gif(payload: bytes):
-    """REAL GIF decoder (pure stdlib): header + logical screen
-    descriptor, global/local color tables, extension blocks skipped,
-    variable-width LSB-first LZW with clear/EOI and dictionary
-    resets, interlaced images deinterlaced. Returns ``{"width",
-    "height", "pixels"((h, w, 3) uint8)}`` for the FIRST image, or
-    ``None`` for malformed/unsupported payloads (row-level, never an
-    exception)."""
+def _gif_header(w: int, h: int, palette) -> tuple[bytes, int]:
+    """GIF89a signature + logical screen descriptor + global color
+    table. Returns (bytes, min_code)."""
+    import struct
+
+    n_colors = len(palette)
+    assert n_colors >= 2 and n_colors & (n_colors - 1) == 0
+    size_bits = max(1, (n_colors - 1).bit_length())
+    hdr = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+        + b"".join(bytes(c) for c in palette)
+    )
+    return hdr, max(2, size_bits)
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Encode an (h, w) uint8 index array over ``palette``
+    (list of (r, g, b), length a power of two ≥ 2) as a genuine
+    GIF89a: logical screen descriptor + global color table + image
+    descriptor + real LZW-compressed pixel stream in 255-byte
+    sub-blocks."""
+    import struct
+
+    h, w = indices.shape
+    hdr, min_code = _gif_header(w, h, palette)
+    return (
+        hdr
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + _gif_sub_blocks(_gif_lzw_encode(indices, min_code))
+        + b"\x3b"
+    )
+
+
+def encode_gif_anim(frames, palette, delays_cs=None, loop: int = 0) -> bytes:
+    """Encode a list of same-shape (h, w) uint8 index arrays as an
+    ANIMATED GIF89a: NETSCAPE2.0 looping application extension, then
+    per frame a Graphic Control Extension (delay in centiseconds) +
+    image descriptor + LZW stream. Every frame is full-canvas with
+    disposal 'none', so each decodes standalone (no compositing)."""
+    import struct
+
+    h, w = frames[0].shape
+    hdr, min_code = _gif_header(w, h, palette)
+    out = [
+        hdr,
+        # NETSCAPE2.0 application extension: loop count (0 = forever)
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00",
+    ]
+    for f, frame in enumerate(frames):
+        assert frame.shape == (h, w)
+        delay = 0 if delays_cs is None else int(delays_cs[f])
+        out.append(b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00")
+        out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+        out.append(bytes([min_code]))
+        out.append(_gif_sub_blocks(_gif_lzw_encode(frame, min_code)))
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def _gif_decode_frames(payload: bytes, max_frames: int):
+    """Multi-frame GIF decode core: walks every block in order,
+    remembers the Graphic Control Extension delay preceding each
+    image, and LZW-decodes up to ``max_frames`` images. Returns a
+    list of ``{"width", "height", "pixels", "delay_cs"}`` dicts, or
+    ``None`` if the payload is malformed anywhere up to the point of
+    the last decoded frame (strict: a broken later frame poisons the
+    whole payload — row-level error semantics, never an exception)."""
     import struct
 
     import numpy as np
@@ -2045,17 +2098,24 @@ def decode_gif(payload: bytes):
             global_pal = np.frombuffer(
                 payload[pos : pos + 3 * n], dtype=np.uint8
             ).reshape(n, 3)
-            if len(global_pal) != n:
-                return None
             pos += 3 * n
+        frames: list[dict] = []
+        delay_cs = 0
         while pos < len(payload):
             block = payload[pos]
-            if block == 0x3B:  # trailer before any image
-                return None
+            if block == 0x3B:  # trailer: end of stream
+                break
             if block == 0x21:  # extension: label + sub-blocks
+                label = payload[pos + 1] if pos + 1 < len(payload) else 0
                 pos += 2
+                first = True
                 while pos < len(payload) and payload[pos] != 0:
-                    pos += 1 + payload[pos]
+                    ln = payload[pos]
+                    if first and label == 0xF9 and ln >= 3:
+                        # GCE: packed byte, then uint16 delay (cs)
+                        delay_cs = payload[pos + 2] | (payload[pos + 3] << 8)
+                    first = False
+                    pos += 1 + ln
                 pos += 1
                 continue
             if block != 0x2C:
@@ -2150,15 +2210,50 @@ def decode_gif(payload: bytes):
                 de = np.empty_like(rows)
                 de[order] = rows
                 rows = de
-            return {
-                "width": w,
-                "height": h,
-                "pixels": pal[rows].astype(np.uint8),
-            }
-        return None
+            frames.append(
+                {
+                    "width": w,
+                    "height": h,
+                    "pixels": pal[rows].astype(np.uint8),
+                    "delay_cs": delay_cs,
+                }
+            )
+            delay_cs = 0
+            # consume the data terminator so the walk can reach the
+            # next block of a multi-image stream
+            if pos < len(payload) and payload[pos] == 0:
+                pos += 1
+            if len(frames) >= max_frames:
+                break
+        return frames or None
     except (struct.error, IndexError, ValueError):
         # ValueError: a truncated color table fails the reshape
         return None
+
+
+def decode_gif(payload: bytes):
+    """REAL GIF decoder (pure stdlib): header + logical screen
+    descriptor, global/local color tables, extension blocks skipped,
+    variable-width LSB-first LZW with clear/EOI and dictionary
+    resets, interlaced images deinterlaced. Returns ``{"width",
+    "height", "pixels"((h, w, 3) uint8)}`` for the FIRST image, or
+    ``None`` for malformed/unsupported payloads (row-level, never an
+    exception)."""
+    frames = _gif_decode_frames(payload, 1)
+    if not frames:
+        return None
+    f = frames[0]
+    return {"width": f["width"], "height": f["height"], "pixels": f["pixels"]}
+
+
+def gif_frames(payload: bytes, max_frames: int = 4096):
+    """Decode ALL frames of a (possibly animated) GIF: list of
+    ``{"width", "height", "pixels", "delay_cs"}`` in stream order, or
+    ``None`` for malformed payloads. ``max_frames`` bounds work on
+    adversarial payloads (a tiny file can declare an enormous
+    animation; the cap keeps per-row cost bounded, the same contract
+    as demux_avi_mjpeg's frame cap)."""
+    return _gif_decode_frames(payload, max_frames)
 
 
 def gif_test_palette():
@@ -2325,4 +2420,98 @@ def audio_spectral(
         schema=f"{id_col} long, window_id int, dominant_bin int, "
         "dominant_hz double, ok_centroid boolean, ok_power boolean, "
         "ok_flat boolean",
+    )
+
+
+def synthesize_gif_anim(df: DataFrame, id_col: str, out_col: str = "video") -> DataFrame:
+    """Deterministic ANIMATED GIF89a payloads: for row id ``d``,
+    ``2 + d % 3`` full-canvas frames of the still-gate geometry
+    (``(8+4·(d%3)) × (4+4·(d%2))`` over :func:`gif_test_palette`),
+    frame ``f``'s index at flat position ``i`` being
+    ``(d + f + i) % 16`` and its GCE delay ``4 + (d + f) % 6``
+    centiseconds. Channel sums stay closed-form per frame (every
+    palette entry appears exactly w·h/16 times) while ``px00_r``
+    pins the per-frame phase — a frame mixup shows immediately."""
+    import numpy as np
+
+    pal = gif_test_palette()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                d = int(did)
+                w, h = 8 + 4 * (d % 3), 4 + 4 * (d % 2)
+                nf = 2 + d % 3
+                frames = [
+                    ((d + f + np.arange(w * h)) % 16)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                    for f in range(nf)
+                ]
+                delays = [4 + (d + f) % 6 for f in range(nf)]
+                payloads.append(encode_gif_anim(frames, pal, delays))
+            out = pdf.copy()
+            out[out_col] = payloads
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def gif_frame_stats(
+    df: DataFrame, payload_col: str, id_col: str, max_frames: int = 4096
+) -> DataFrame:
+    """REAL animated-GIF analysis: demux + LZW-decode every frame of
+    each payload (:func:`gif_frames`) and emit one row per frame with
+    its GCE delay, exact per-channel sums (GIF is lossless — the
+    BMP/PNG hash-exact contract), and the top-left red value pinning
+    frame identity. Malformed payloads yield one ``valid = false``
+    row, never an executor exception.
+
+    Scale shape: payload column pruned until touched, one
+    Arrow-batched mapInPandas, no shuffle; output multiplicity is the
+    (capped) frame count."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                frames = gif_frames(
+                    None if p is None else bytes(p), max_frames
+                )
+                if not frames:
+                    rows.append(
+                        (did, False, None, None, None, None, None,
+                         None, None, None, None)
+                    )
+                    continue
+                nf = len(frames)
+                for f, m in enumerate(frames):
+                    px = m["pixels"].astype(np.int64)
+                    rows.append(
+                        (
+                            did, True, m["width"], m["height"], nf, f,
+                            m["delay_cs"], int(px[..., 0].sum()),
+                            int(px[..., 1].sum()), int(px[..., 2].sum()),
+                            int(m["pixels"][0, 0, 0]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "valid", "width", "height", "n_frames",
+                    "frame_idx", "delay_cs", "sum_r", "sum_g", "sum_b",
+                    "px00_r",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, valid boolean, width int, height int, "
+        "n_frames int, frame_idx int, delay_cs int, sum_r long, "
+        "sum_g long, sum_b long, px00_r int",
     )

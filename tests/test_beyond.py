@@ -3092,3 +3092,51 @@ def test_audio_spectral_tone_noise_and_malformed(spark):
     assert {r.doc_id for r in out} == {50}  # stereo/junk/null skipped
     for r in out:
         assert not r.ok_centroid and not r.ok_flat and not r.ok_power
+
+
+def test_gif_animation_frames_delays_cap_and_poison(spark):
+    """Animated GIF: all frames decode in order with their GCE
+    delays, the frame cap bounds adversarial payloads, a broken later
+    frame poisons the whole payload (strict row-level None), and the
+    single-frame decode path is unchanged by the animation walk."""
+    import numpy as np
+
+    from amaxa_spark.operators import multimodal as MM
+
+    pal = MM.gif_test_palette()
+    h, w = 8, 12
+    frames = [
+        ((f + np.arange(w * h)) % 16).astype(np.uint8).reshape(h, w)
+        for f in range(4)
+    ]
+    delays = [10, 20, 0, 7]
+    p = MM.encode_gif_anim(frames, pal, delays, loop=3)
+    out = MM.gif_frames(p)
+    assert len(out) == 4
+    exp_pal = np.array(pal, dtype=np.uint8)
+    for f, m in enumerate(out):
+        assert (m["width"], m["height"], m["delay_cs"]) == (w, h, delays[f])
+        assert (m["pixels"] == exp_pal[frames[f]]).all()
+    # decode_gif still returns only the first frame
+    one = MM.decode_gif(p)
+    assert (one["pixels"] == exp_pal[frames[0]]).all()
+    # frame cap bounds the walk
+    assert len(MM.gif_frames(p, max_frames=2)) == 2
+    # a truncated LAST frame poisons the payload (strict None)
+    assert MM.gif_frames(p[: len(p) - 10]) is None
+    # header filter agrees with the animated container too
+    hm = MM.image_header_meta(p)
+    assert hm["valid"] and (hm["width"], hm["height"]) == (w, h)
+    # end-to-end operator over Spark with a malformed row mixed in
+    df = spark.createDataFrame(
+        [(0, bytearray(p)), (1, bytearray(b"GIF89a trash"))],
+        "doc_id: long, video: binary",
+    )
+    rows = MM.gif_frame_stats(df, "video", "doc_id").collect()
+    good = sorted(
+        (r for r in rows if r.doc_id == 0), key=lambda r: r.frame_idx
+    )
+    assert [r.delay_cs for r in good] == delays
+    assert all(r.n_frames == 4 and r.valid for r in good)
+    bad = [r for r in rows if r.doc_id == 1]
+    assert len(bad) == 1 and bad[0].valid is False

@@ -198,6 +198,16 @@ SHOW = [
         "back-to-back Arrow-batched mapInPandas, no shuffle, exact "
         "channel-sum hashes",
     ),
+    (
+        "audio_spectral",
+        "frequency-domain DSP: batched rFFT per payload inside one "
+        "mapInPandas projection, no shuffle",
+    ),
+    (
+        "video_gif_frames",
+        "animated GIF: GCE-delay demux + per-frame LZW decode in ONE "
+        "mapInPandas, output multiplicity = frame count, no shuffle",
+    ),
 ]
 
 KEY_LINES = (
