@@ -548,6 +548,35 @@ def q_image_gif_stats(spark, sf_dir):
     return MM.image_stats(with_img, "image", "doc_id", decode=MM.decode_gif)
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (3 rounds, d = 0.85) over the
+    event-succession graph: a distinct edge per consecutive event
+    pair with different users. The iterative loop is the Spark-native
+    shape (edge-shuffle + dst aggregation per round, dangling mass
+    via 1-row broadcast, checkpointed lineage); the oracle replays
+    the SAME three rounds as unrolled CTEs — no recursion, no
+    approximation, hash-exact at round-6."""
+    from amaxa_spark.operators.graph import pagerank
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = ev.select(
+        (F.col("event_id") - 1).alias("event_id"),
+        F.col("user_id").alias("next_user"),
+    )
+    edges = (
+        ev.join(nxt, "event_id")
+        .where(F.col("user_id") != F.col("next_user"))
+        .select(
+            F.col("user_id").alias("src"), F.col("next_user").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("user_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_video_gif_frames(spark, sf_dir):
     """REAL animated-GIF path end to end: genuine multi-image GIF89a
     payloads (NETSCAPE loop extension, per-frame Graphic Control
@@ -2833,6 +2862,7 @@ QUERY_ORDER = [
     # compressed-video (MJPEG/AVI) path ---
     "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
     "image_gif_stats", "audio_spectral", "video_gif_frames",
+    "graph_pagerank",
     # --- round-7 additions: containment dedup + JPEG codec pair (3) ---
     "dedup_containment",
     "image_jpeg_stats", "image_jpeg_roundtrip",
@@ -2905,13 +2935,14 @@ assert QUERY_ORDER.index("video_mjpeg_frames") == 2
 assert QUERY_ORDER.index("image_gif_stats") == 3
 assert QUERY_ORDER.index("audio_spectral") == 4
 assert QUERY_ORDER.index("video_gif_frames") == 5
-assert QUERY_ORDER.index("dedup_containment") == 6  # r7 additions follow
+assert QUERY_ORDER.index("graph_pagerank") == 6
+assert QUERY_ORDER.index("dedup_containment") == 7  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 58  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 108  # r1-4 core last
-assert len(QUERY_ORDER) == 158 and len(set(QUERY_ORDER)) == 158
+assert QUERY_ORDER.index("weighted_linkage") == 59  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 109  # r1-4 core last
+assert len(QUERY_ORDER) == 159 and len(set(QUERY_ORDER)) == 159
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2953,6 +2984,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gif_stats": q_image_gif_stats,
         "audio_spectral": q_audio_spectral,
         "video_gif_frames": q_video_gif_frames,
+        "graph_pagerank": q_graph_pagerank,
         "image_jpeg_stats": q_image_jpeg_stats,
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         "supplier_balance_rank": q_supplier_balance_rank,
@@ -3509,6 +3541,40 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(120.0, 4) AS mean_r, round(135.0, 4) AS mean_g, "
             "round(63.0, 4) AS mean_b, "
             "CAST(16 * (doc_id % 16) AS INT) AS px00_r FROM s"
+        ),
+        "graph_pagerank": (
+            # the same 3 damped rounds UNROLLED as chained CTEs (no
+            # recursion): rank_{i+1}(v) = 0.15/N + 0.85*(sum over
+            # in-edges of rank_i(u)/outdeg(u) + dangling_mass_i/N)
+            "WITH e AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst "
+            "FROM events a JOIN events b ON b.event_id = a.event_id + 1 "
+            "WHERE a.user_id <> b.user_id), "
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+            "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY src), "
+            "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes), "
+            "d0 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0 "
+            "WHERE node NOT IN (SELECT src FROM e)), "
+            "r1 AS (SELECT nodes.node, (1 - 0.85) / (SELECT n FROM nn) + 0.85 * "
+            "(coalesce(c.s, 0) + (SELECT dm FROM d0) / (SELECT n FROM nn)) AS rank "
+            "FROM nodes LEFT JOIN (SELECT e.dst AS node, sum(r0.rank / od.odeg) AS s "
+            "FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src "
+            "GROUP BY e.dst) c ON nodes.node = c.node), "
+            "d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1 "
+            "WHERE node NOT IN (SELECT src FROM e)), "
+            "r2 AS (SELECT nodes.node, (1 - 0.85) / (SELECT n FROM nn) + 0.85 * "
+            "(coalesce(c.s, 0) + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS rank "
+            "FROM nodes LEFT JOIN (SELECT e.dst AS node, sum(r1.rank / od.odeg) AS s "
+            "FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src "
+            "GROUP BY e.dst) c ON nodes.node = c.node), "
+            "d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2 "
+            "WHERE node NOT IN (SELECT src FROM e)), "
+            "r3 AS (SELECT nodes.node, (1 - 0.85) / (SELECT n FROM nn) + 0.85 * "
+            "(coalesce(c.s, 0) + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank "
+            "FROM nodes LEFT JOIN (SELECT e.dst AS node, sum(r2.rank / od.odeg) AS s "
+            "FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src "
+            "GROUP BY e.dst) c ON nodes.node = c.node) "
+            "SELECT node AS user_id, round(rank, 6) AS rank FROM r3"
         ),
         "video_gif_frames": (
             # nf = 2 + d%3 frames of the still-gate geometry; frame

@@ -98,3 +98,81 @@ def component_sizes(
     :func:`hierarchy_roots`."""
     roots = hierarchy_roots(df, pk, parent_col)
     return roots.groupBy("root").agg(F.count(F.lit(1)).alias("size"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an (src, dst) edge frame —
+    the canonical iterative-algorithm shape done Spark-right: every
+    iteration is one (edges ⋈ ranks) shuffle on the source key plus a
+    dst-keyed aggregation, the dangling-node mass is folded back
+    through a 1-row broadcast (never a driver round-trip), and
+    ``localCheckpoint`` truncates lineage so the plan does not grow
+    with the iteration count. Multi-edges should be deduplicated by
+    the caller if unweighted semantics are intended.
+
+    Returns (node, rank) with ranks summing to 1 (uniform teleport +
+    uniform dangling redistribution). The only driver-side scalar is
+    the node COUNT (one number, same bounded-collect contract as the
+    IVF codebook); everything row-shaped stays in the plan.
+
+    Scale shape: per iteration, one shuffle of |E| narrow rows keyed
+    by src and one |V| aggregation keyed by dst; ranks/outdeg frames
+    are (id, double) — at 1B edges the iteration cost is two
+    exchanges of 16-byte rows, and AQE's skew handling applies to hub
+    nodes. O(log) alternatives (e.g. power iteration on a
+    block-partitioned matrix) only pay above ~10^10 edges."""
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded driver scalar: ONE number
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("__odeg"))
+    # pre-join outdeg once: the per-iteration join then carries
+    # (src, dst, odeg) and needs no second lookup
+    edeg = e.join(outdeg, "e_src").localCheckpoint(eager=True)
+    dangling = nodes.join(
+        e.select(F.col("e_src").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edeg.join(ranks, edeg["e_src"] == ranks["node"])
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("__odeg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__contrib"))
+        )
+        dmass = dangling.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dmass))
+            .join(contribs, "node", "left_outer")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("__contrib", F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -3140,3 +3140,49 @@ def test_gif_animation_frames_delays_cap_and_poison(spark):
     assert all(r.n_frames == 4 and r.valid for r in good)
     bad = [r for r in rows if r.doc_id == 1]
     assert len(bad) == 1 and bad[0].valid is False
+
+
+def test_pagerank_matches_numpy_reference_and_sums_to_one(spark):
+    """PageRank: the DataFrame loop equals a dense numpy power
+    iteration (uniform teleport + dangling redistribution) to 1e-12,
+    ranks sum to 1 every iteration count, and the hub of a star graph
+    dominates."""
+    import numpy as np
+
+    from amaxa_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 1), (4, 3)]
+    # node 5 is dangling (appears as dst only)
+    edges.append((2, 5))
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+
+    def ref(n_iter):
+        nodes = sorted({u for e in edges for u in e})
+        n = len(nodes)
+        idx = {v: i for i, v in enumerate(nodes)}
+        out = np.zeros(n)
+        for s, _ in edges:
+            out[idx[s]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            nxt = np.full(n, 0.15 / n)
+            dm = r[out == 0].sum()
+            nxt += 0.85 * dm / n
+            for s, d in edges:
+                nxt[idx[d]] += 0.85 * r[idx[s]] / out[idx[s]]
+            r = nxt
+        return {v: r[idx[v]] for v in nodes}
+
+    for it in (1, 3):
+        got = {r.node: r.rank for r in pagerank(df, iterations=it).collect()}
+        exp = ref(it)
+        assert set(got) == set(exp)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-12, (it, v)
+    # star graph: hub collects the mass
+    star = spark.createDataFrame(
+        [(i, 99) for i in range(10)], "src: long, dst: long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(star, iterations=3).collect()}
+    assert ranks[99] == max(ranks.values()) and ranks[99] > 0.5

@@ -208,6 +208,12 @@ SHOW = [
         "animated GIF: GCE-delay demux + per-frame LZW decode in ONE "
         "mapInPandas, output multiplicity = frame count, no shuffle",
     ),
+    (
+        "graph_pagerank",
+        "iterative PageRank: per-round edge-shuffle + dst "
+        "aggregation, dangling mass via 1-row broadcast, "
+        "checkpointed lineage (plan does not grow with rounds)",
+    ),
 ]
 
 KEY_LINES = (
