@@ -2586,3 +2586,169 @@ def test_manifest_to_sql_quotes_identifiers_and_nonfinite_defaults(
         empty, pk="pk", n_buckets=2,
     )
     assert _duck_rows(manifest_to_sql(empty)) == []
+
+
+def test_matview_incremental_refresh_tracks_full_recompute(spark, tmp_path):
+    """Incrementally maintained aggregate view: after every source
+    mutation (merge updates, upsert inserts, deletes that empty a
+    group), one refresh makes the view equal the full GROUP BY
+    recompute; refreshing at head is a no-op commit-wise; the marker
+    and diff-base token ride each refresh commit atomically."""
+    from amaxa_spark.sources.catalog import (
+        delete_from_versioned,
+        merge_into_versioned,
+        read_versioned_table,
+        write_versioned_table,
+        _bucket_manifest,
+    )
+    from amaxa_spark.sources.matview import (
+        read_aggregate_view,
+        refresh_aggregate_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    base = spark.createDataFrame(
+        [(i, i % 7, float(i), i % 3) for i in range(300)],
+        "pk long, grp long, amount double, small long",
+    )
+    write_versioned_table(base, src, pk="pk", n_buckets=8)
+
+    def expected():
+        cur = read_versioned_table(spark, src)
+        return {
+            r.grp: (r.n, float(r.s_amount), r.s_small)
+            for r in cur.where(F.col("grp").isNotNull())
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce("amount", F.lit(0))).alias("s_amount"),
+                F.sum(F.coalesce("small", F.lit(0))).alias("s_small"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            r.grp: (r.n_rows, float(r.sum_amount), r.sum_small)
+            for r in read_aggregate_view(spark, view).collect()
+        }
+
+    # first build
+    m1 = refresh_aggregate_versioned(
+        spark, src, view, "grp", ["amount", "small"], n_buckets=4
+    )
+    assert got() == expected()
+    assert "matview:grp" in m1.get("streams", {})
+
+    # no-op refresh: marker already at head, no new commit
+    m2 = refresh_aggregate_versioned(
+        spark, src, view, "grp", ["amount", "small"], n_buckets=4
+    )
+    assert m2["seq"] == m1["seq"]
+
+    # incremental: updates + inserts in one source merge
+    upd = spark.createDataFrame(
+        [(3, 2, 100.0, 9), (301, 9, 5.5, 1), (302, 9, 4.5, 0)],
+        "pk long, grp long, amount double, small long",
+    )
+    merge_into_versioned(
+        spark, src, upd, pk="pk",
+        set_cols=["grp", "amount", "small"], not_matched="insert",
+    )
+    m3 = refresh_aggregate_versioned(
+        spark, src, view, "grp", ["amount", "small"], n_buckets=4
+    )
+    assert got() == expected()
+    assert m3["seq"] > m1["seq"]
+    # only buckets holding affected groups moved on the view chain
+    moved = {
+        b for b, g in m3["buckets"].items()
+        if _bucket_manifest(view, m1["token"])["buckets"].get(b) != g
+    }
+    assert moved and len(moved) < len(m3["buckets"])
+
+    # deletes that empty a whole group: grp 9 came only from the two
+    # inserted rows — deleting them must DELETE the view row
+    keys = spark.createDataFrame([(301,), (302,)], "pk long")
+    delete_from_versioned(spark, src, keys, pk="pk")
+    refresh_aggregate_versioned(
+        spark, src, view, "grp", ["amount", "small"], n_buckets=4
+    )
+    exp = expected()
+    assert 9 not in exp and got() == exp
+
+    # a second refresher racing to the same source head is a no-op
+    # (marker refused inside the CAS loop or short-circuited before)
+    head = _bucket_manifest(view)
+    again = refresh_aggregate_versioned(
+        spark, src, view, "grp", ["amount", "small"], n_buckets=4
+    )
+    assert again["seq"] == head["seq"]
+
+
+def test_matview_rebuild_null_semantics_and_vacuumed_base(spark, tmp_path):
+    """The rebuild path: a view with no marker (first-build crash) or
+    a vacuumed-away diff base repairs itself by a full-state feed that
+    also deletes stale view keys. NULL group keys never enter the
+    view; NULL values aggregate under the documented coalesce-to-0
+    contract."""
+    from amaxa_spark.sources.catalog import (
+        merge_into_versioned,
+        vacuum_versioned,
+        write_versioned_table,
+        _bucket_manifest,
+    )
+    from amaxa_spark.sources.matview import (
+        read_aggregate_view,
+        refresh_aggregate_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    base = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 1, None), (2, None, 9.0), (3, 4, 1.0)],
+        "pk long, grp long, amount double",
+    )
+    write_versioned_table(base, src, pk="pk", n_buckets=4)
+    refresh_aggregate_versioned(spark, src, view, "grp", ["amount"])
+    got = {r.grp: (r.n_rows, r.sum_amount) for r in
+           read_aggregate_view(spark, view).collect()}
+    # NULL grp row excluded; NULL amount counts as 0 in the sum
+    assert got == {1: (2, 2.0), 4: (1, 1.0)}
+
+    # crash simulation: wipe the marker by re-initializing the view
+    # (write_versioned_table re-init keeps no matview marker), then a
+    # source change + refresh must still converge via rebuild
+    stale_agg = spark.createDataFrame(
+        [(99, 5, 5.0)], "grp long, n_rows long, sum_amount double"
+    ).select("grp", "n_rows", "sum_amount")
+    write_versioned_table(stale_agg, view, pk="grp", n_buckets=4)
+    upd = spark.createDataFrame([(4, 4, 3.0)], "pk long, grp long, amount double")
+    merge_into_versioned(
+        spark, src, upd, pk="pk", set_cols=["grp", "amount"],
+        not_matched="insert",
+    )
+    refresh_aggregate_versioned(spark, src, view, "grp", ["amount"])
+    got = {r.grp: (r.n_rows, r.sum_amount) for r in
+           read_aggregate_view(spark, view).collect()}
+    # stale key 99 deleted, real groups rebuilt
+    assert got == {1: (2, 2.0), 4: (2, 4.0)}
+
+    # vacuumed diff base: age out every old source generation, then
+    # mutate + refresh — diff from the vacuumed token must fall back
+    # to rebuild and still converge
+    for _ in range(3):
+        merge_into_versioned(
+            spark, src,
+            spark.createDataFrame(
+                [(0, 1, 10.0)], "pk long, grp long, amount double"
+            ),
+            pk="pk", set_cols=["grp", "amount"],
+        )
+    vacuum_versioned(src, keep_last=1, min_age_s=0)
+    refresh_aggregate_versioned(spark, src, view, "grp", ["amount"])
+    got = {r.grp: (r.n_rows, r.sum_amount) for r in
+           read_aggregate_view(spark, view).collect()}
+    assert got == {1: (2, 10.0), 4: (2, 4.0)}
+    assert "matview:grp" in _bucket_manifest(view).get("streams", {})
