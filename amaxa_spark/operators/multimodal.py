@@ -155,8 +155,10 @@ def image_header_meta(payload: bytes) -> dict:
                 if pos + 9 >= n:
                     return bad
                 w, h = struct.unpack_from("<HH", payload, pos + 5)
-                if w == 0 or h == 0:
-                    return bad  # decode_gif rejects zero-dim frames
+                if w == 0 or h == 0 or w * h > _GIF_MAX_PIXELS:
+                    # decode_gif rejects zero-dim and over-budget
+                    # frames — filter and decoder agree on validity
+                    return bad
                 return {"valid": True, "n_bytes": n, "width": w,
                         "height": h, "fmt": "gif/8bpp"}
             return bad
@@ -958,8 +960,6 @@ def synthesize_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> DataFr
     canonical 44-byte RIFF/WAVE header. Closed-form in the id — no
     RNG, no transcendentals — so oracles can replay every derived
     quantity."""
-    import struct
-
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -971,18 +971,7 @@ def synthesize_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> DataFr
                 n = 800 + (d % 5) * 160
                 i = np.arange(n, dtype=np.int64)
                 data = ((i * f) % 2000 - 1000).astype("<i2").tobytes()
-                hdr = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(data))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack(
-                        "<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16
-                    )
-                    + b"data"
-                    + struct.pack("<I", len(data))
-                )
-                outs.append(hdr + data)
+                outs.append(_wav_header(len(data)) + data)
             out = pdf.copy()
             out[out_col] = outs
             yield out
@@ -993,6 +982,23 @@ def synthesize_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> DataFr
     # would corrupt df's own resolved schema
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
     return df.mapInPandas(gen, schema=schema)
+
+
+def _wav_header(data_len: int, n_ch: int = 1, rate: int = _WAV_RATE, bits: int = 16) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header — the single source for
+    every synthesizer, kept in lockstep with :func:`_parse_wav`."""
+    import struct
+
+    block = n_ch * bits // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_ch, rate, rate * block, block, bits)
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
 
 
 def _parse_wav(payload: bytes):
@@ -1007,8 +1013,14 @@ def _parse_wav(payload: bytes):
     # in the frame/duration math downstream
     if fmt_tag != 1 or bits % 8 or bits == 0 or n_ch == 0 or rate == 0:
         return None
-    n_frames = data_len // (n_ch * bits // 8)
-    return n_ch, rate, bits, n_frames, payload[44 : 44 + data_len]
+    # clamp to FULL frames of bytes actually present: a declared
+    # data_len that overruns the payload, or an odd trailing byte,
+    # must degrade to fewer frames — never reach np.frombuffer as a
+    # non-multiple of the sample size (executor ValueError)
+    data = payload[44 : 44 + data_len]
+    frame_bytes = n_ch * bits // 8
+    n_frames = len(data) // frame_bytes
+    return n_ch, rate, bits, n_frames, data[: n_frames * frame_bytes]
 
 
 def wav_meta(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
@@ -1954,6 +1966,15 @@ def mjpeg_frame_stats(
 # (the BMP/PNG contract), unlike the bounded-error JPEG gates.
 
 _GIF_MAGICS = (b"GIF87a", b"GIF89a")
+# per-frame pixel budget: a tiny adversarial payload can DECLARE an
+# enormous frame and feed it a high-expansion LZW stream (up to
+# ~2700x once the table holds long entries), forcing multi-GB
+# allocations before any validity check can fire. 16M pixels
+# (4096x4096) bounds outpix + the RGB expansion to ~64 MB per row —
+# the same bounded-allocation contract as demux_avi_mjpeg's dims
+# guard. The header filter mirrors the cap so filter and decoder
+# agree on validity.
+_GIF_MAX_PIXELS = 1 << 24
 
 
 def _gif_lzw_encode(indices, min_code: int) -> bytes:
@@ -2129,7 +2150,7 @@ def _gif_decode_frames(payload: bytes, max_frames: int):
                     payload[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(n, 3)
                 pos += 3 * n
-            if pal is None or not w or not h:
+            if pal is None or not w or not h or w * h > _GIF_MAX_PIXELS:
                 return None
             min_code = payload[pos]
             pos += 1
@@ -2312,8 +2333,6 @@ def synthesize_tone_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> D
     ``rint(8000 · sin(2π·k·i/1024))`` — the ±0.5 rounding is the only
     departure from the ideal tone, and every bounded-error verdict in
     :func:`audio_spectral` budgets for exactly that."""
-    import struct
-
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2327,18 +2346,7 @@ def synthesize_tone_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> D
                 data = np.rint(
                     _TONE_AMP * np.sin(2.0 * np.pi * k * i / _TONE_WINDOW)
                 ).astype("<i2").tobytes()
-                hdr = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(data))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack(
-                        "<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16
-                    )
-                    + b"data"
-                    + struct.pack("<I", len(data))
-                )
-                outs.append(hdr + data)
+                outs.append(_wav_header(len(data)) + data)
             out = pdf.copy()
             out[out_col] = outs
             yield out

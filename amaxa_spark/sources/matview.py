@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from .catalog import (
     MERGE_BUCKET_COL,
+    ConcurrentMergeError,
     StaleStreamBatch,
     _bucket_expr,
     _bucket_manifest,
@@ -96,8 +97,12 @@ def refresh_aggregate_versioned(
 
     Returns the view's committed manifest. Safe under races: two
     concurrent refreshers targeting the same source commit serialize
-    on the view's CAS chain; the loser's marker is refused
-    (StaleStreamBatch) and it returns the winner's head."""
+    on the view's CAS chain; the loser surfaces as StaleStreamBatch
+    (marker already on the head when it stamped) or
+    ConcurrentMergeError (its bucket claim lost the rebase check) and
+    returns the winner's head once the head's marker covers the
+    source seq — a conflict from an UNRELATED view writer re-raises
+    for the caller to retry."""
     src_head = _bucket_manifest(src_path)
     src_token, src_seq = src_head["token"], int(src_head.get("seq", 0))
     sid = view_id or f"matview:{group_col}"
@@ -145,9 +150,20 @@ def refresh_aggregate_versioned(
         return apply_changes_versioned(
             spark, dst_path, changes, extra_meta=meta
         )
-    except StaleStreamBatch:
-        # a concurrent refresher already applied this source commit
-        return _bucket_manifest(dst_path)
+    except (StaleStreamBatch, ConcurrentMergeError):
+        # Two refreshers racing to the same source commit lose in one
+        # of two ways depending on timing: StaleStreamBatch (the
+        # winner's marker was already on the head when our CAS loop
+        # stamped) or ConcurrentMergeError (both rewrote the same
+        # view buckets and our claim lost the rebase check). Either
+        # way, if the head's marker now covers our source seq the
+        # winner did our work — return its head. If it does NOT, the
+        # conflict came from an unrelated writer on the view's chain:
+        # re-raise, the caller retries against the new head.
+        head = _bucket_manifest(dst_path)
+        if head.get("streams", {}).get(sid, -1) >= src_seq:
+            return head
+        raise
 
 
 def _delta_rows(

@@ -3186,3 +3186,109 @@ def test_pagerank_matches_numpy_reference_and_sums_to_one(spark):
     )
     ranks = {r.node: r.rank for r in pagerank(star, iterations=3).collect()}
     assert ranks[99] == max(ranks.values()) and ranks[99] > 0.5
+
+
+def test_wav_odd_data_and_gif_pixel_budget(spark):
+    """Review-pinned hardening: a mono 16-bit WAV with an odd or
+    overrunning data length degrades to full frames (row-level, no
+    executor ValueError from frombuffer); a tiny GIF declaring an
+    over-budget frame is rejected identically by the header filter
+    and the decoder."""
+    import struct
+
+    import numpy as np
+
+    from amaxa_spark.operators import multimodal as MM
+
+    # odd data_len: 5 bytes declared -> 2 full int16 frames
+    odd = MM._wav_header(5) + b"\x01\x00\x02\x00\x03"
+    parsed = MM._parse_wav(odd)
+    assert parsed is not None and parsed[3] == 2 and len(parsed[4]) == 4
+    # declared length overruns the actual payload -> clamp to present
+    over = MM._wav_header(1000) + b"\x01\x00\x02\x00"
+    parsed = MM._parse_wav(over)
+    assert parsed is not None and parsed[3] == 2
+    # end-to-end: the spectral operator skips (too short for a
+    # window) rather than crash, and pcm_energy likewise
+    df = spark.createDataFrame(
+        [(0, bytearray(odd)), (1, bytearray(over))],
+        "doc_id: long, audio: binary",
+    )
+    assert MM.audio_spectral(df, "audio", "doc_id").count() == 0
+    assert MM.pcm_energy(df, "audio", "doc_id").count() == 0
+
+    # GIF pixel budget: patch a valid payload's descriptor to a
+    # 65535x65535 frame — decoder AND header filter both reject
+    pal = MM.gif_test_palette()
+    idx = (np.arange(64) % 16).astype(np.uint8).reshape(8, 8)
+    big = bytearray(MM.encode_gif(idx, pal))
+    struct.pack_into("<HH", big, 61 + 5, 65535, 65535)
+    assert MM.decode_gif(bytes(big)) is None
+    assert MM.image_header_meta(bytes(big))["valid"] is False
+    # at the budget boundary the two stay in agreement too
+    ok_w = 4096
+    big2 = bytearray(MM.encode_gif(idx, pal))
+    struct.pack_into("<HH", big2, 61 + 5, ok_w, ok_w)
+    # under-budget dims pass the filter (decode fails only on the
+    # now-short pixel stream, which is a different, stricter check)
+    assert MM.image_header_meta(bytes(big2))["valid"] is True
+
+
+def test_matview_concurrent_refresh_losers_converge(spark, tmp_path):
+    """Review-pinned race contract: a refresher whose CDC-apply loses
+    the CAS race to a twin targeting the SAME source commit returns
+    the winner's head instead of raising; a conflict from an
+    unrelated view writer still raises."""
+    from amaxa_spark.sources import matview as MV
+    from amaxa_spark.sources.catalog import (
+        _bucket_manifest,
+        apply_changes_versioned,
+        write_versioned_table,
+    )
+    from amaxa_spark.sources.matview import refresh_aggregate_versioned
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    base = spark.createDataFrame(
+        [(i, i % 5, 1.0) for i in range(50)],
+        "pk long, grp long, amount double",
+    )
+    write_versioned_table(base, src, pk="pk", n_buckets=4)
+    refresh_aggregate_versioned(spark, src, view, "grp", ["amount"])
+
+    # simulate the loser: monkeypatch apply to first let a twin
+    # commit the SAME source seq, then run the real apply (which hits
+    # StaleStreamBatch/ConcurrentMergeError inside the CAS loop)
+    from amaxa_spark.sources.catalog import merge_into_versioned
+
+    upd = spark.createDataFrame(
+        [(0, 0, 99.0)], "pk long, grp long, amount double"
+    )
+    merge_into_versioned(spark, src, upd, pk="pk", set_cols=["grp", "amount"])
+
+    real_apply = MV.apply_changes_versioned
+    state = {"fired": False}
+
+    def racing_apply(spark_, path, changes, base_token=None, extra_meta=None):
+        if not state["fired"]:
+            state["fired"] = True
+            # the twin wins first with the same marker
+            real_apply(spark_, path, changes, extra_meta=extra_meta)
+        return real_apply(
+            spark_, path, changes, base_token=base_token, extra_meta=extra_meta
+        )
+
+    MV.apply_changes_versioned = racing_apply
+    try:
+        head = refresh_aggregate_versioned(
+            spark, src, view, "grp", ["amount"]
+        )
+    finally:
+        MV.apply_changes_versioned = real_apply
+    # loser converged on the winner's head: marker covers the seq
+    assert head["streams"]["matview:grp"] == int(
+        _bucket_manifest(src)["seq"]
+    )
+    got = {r.grp: r.sum_amount for r in
+           MV.read_aggregate_view(spark, view).collect()}
+    assert got[0] == 9.0 + 99.0  # 10 rows of 1.0, pk 0 now 99.0
