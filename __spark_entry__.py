@@ -548,6 +548,37 @@ def q_image_gif_stats(spark, sf_dir):
     return MM.image_stats(with_img, "image", "doc_id", decode=MM.decode_gif)
 
 
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "</w>"), ("the", "</w>"),
+    ("a", "n"), ("i", "n"), ("o", "u"), ("an", "d"),
+    ("s", "</w>"), ("and", "</w>"), ("in", "g"), ("ing", "</w>"),
+]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING end to end: one distributed word-count
+    pass over documents, then the greedy merge loop on the bounded
+    word-frequency table (count-desc / pair-lexicographic
+    tie-breaks). The oracle replays the SAME 8 merges as unrolled SQL
+    stages — pair stats via correlated unnest over the space-joined
+    symbol strings, argmax with identical tie-break, merge applied as
+    a boundary-delimited string replace — so the learned merge table
+    hash-matches across engines."""
+    docs = _read(spark, sf_dir, "documents")
+    merges = TXT.bpe_train(docs, "text", n_merges=8, max_words=10_000)
+    return TXT.bpe_merges_df(spark, merges)
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE ENCODING end to end: every document tokenized with a fixed
+    COHERENT merge list (each merge's parts are characters or earlier
+    merges' outputs, so priority encoding equals training-order
+    replay — the property that lets the oracle replay the exact token
+    stream as a chain of boundary-delimited string replaces)."""
+    docs = _read(spark, sf_dir, "documents")
+    return TXT.bpe_encode(docs, "text", "doc_id", _BPE_FIXED_MERGES)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (3 rounds, d = 0.85) over the
     event-succession graph: a distinct edge per consecutive event
@@ -2862,7 +2893,7 @@ QUERY_ORDER = [
     # compressed-video (MJPEG/AVI) path ---
     "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
     "image_gif_stats", "audio_spectral", "video_gif_frames",
-    "graph_pagerank",
+    "graph_pagerank", "bpe_merges", "bpe_tokenize",
     # --- round-7 additions: containment dedup + JPEG codec pair (3) ---
     "dedup_containment",
     "image_jpeg_stats", "image_jpeg_roundtrip",
@@ -2936,13 +2967,15 @@ assert QUERY_ORDER.index("image_gif_stats") == 3
 assert QUERY_ORDER.index("audio_spectral") == 4
 assert QUERY_ORDER.index("video_gif_frames") == 5
 assert QUERY_ORDER.index("graph_pagerank") == 6
-assert QUERY_ORDER.index("dedup_containment") == 7  # r7 additions follow
+assert QUERY_ORDER.index("bpe_merges") == 7
+assert QUERY_ORDER.index("bpe_tokenize") == 8
+assert QUERY_ORDER.index("dedup_containment") == 9  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 59  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 109  # r1-4 core last
-assert len(QUERY_ORDER) == 159 and len(set(QUERY_ORDER)) == 159
+assert QUERY_ORDER.index("weighted_linkage") == 61  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 111  # r1-4 core last
+assert len(QUERY_ORDER) == 161 and len(set(QUERY_ORDER)) == 161
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2985,6 +3018,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral": q_audio_spectral,
         "video_gif_frames": q_video_gif_frames,
         "graph_pagerank": q_graph_pagerank,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "image_jpeg_stats": q_image_jpeg_stats,
         "image_jpeg_roundtrip": q_image_jpeg_roundtrip,
         "supplier_balance_rank": q_supplier_balance_rank,
@@ -3152,6 +3187,105 @@ _CLUSTERS_CTES = (
 _EN = "'the','a','of','and','to','in','is','it'"
 _DE = "'der','die','das','und','ist','ein','zu','nicht'"
 _FR = "'le','la','les','et','est','un','une','dans'"
+
+
+def _bpe_sym_sql(word_expr: str) -> str:
+    """A word as a delimited symbol string: every symbol wrapped as
+    chr(1)<sym>chr(2), characters first, then the </w> end-of-word
+    symbol. Full wrapping (not shared separators) is load-bearing:
+    adjacent pair matches never consume each other's boundary, so a
+    non-overlapping string replace equals the reference algorithm's
+    leftmost merge even on runs like 'a b a b' (a space-separated
+    form fails there — the first match eats the space the second
+    needs)."""
+    d1, d2 = "chr(1)", "chr(2)"
+    return (
+        f"{d1} || array_to_string(string_split({word_expr}, ''), "
+        f"{d2} || {d1}) || {d2} || {d1} || '</w>' || {d2}"
+    )
+
+
+def _bpe_split_sql(s_expr: str) -> str:
+    """Back from the delimited string to the symbol list."""
+    return (
+        f"string_split(trim({s_expr}, chr(1) || chr(2)), chr(2) || chr(1))"
+    )
+
+
+def _bpe_train_oracle_sql(n_merges: int = 8, max_words: int = 10_000) -> str:
+    """The BPE training loop UNROLLED as SQL stages: stage k derives
+    pair counts from the current vocab strings (correlated unnest
+    over the symbol list — every adjacent position counts, matching
+    the reference's overlap-counting get_stats), picks the argmax
+    with the identical (count desc, pair asc) tie-break, and applies
+    the merge as a delimited string replace (leftmost non-overlap,
+    matching merge_vocab)."""
+    parts = [
+        f"WITH toks AS (SELECT string_split({_NORM_TEXT}, ' ') AS l "
+        "FROM documents), "
+        "w0 AS (SELECT l[i] AS w FROM toks, "
+        "unnest(range(1, len(l) + 1)) AS t(i)), "
+        "wf AS (SELECT w, count(*) AS cnt FROM w0 WHERE w <> '' "
+        f"GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {max_words}), "
+        # MATERIALIZED is load-bearing on every chained CTE: each
+        # stage references the previous vocab plus 4 scalar
+        # subqueries on b{k}; inlined, the reference tree fans out
+        # ~4^stages re-reads of the corpus (observed as fd
+        # exhaustion at 8 stages)
+        f"v0 AS MATERIALIZED (SELECT cnt, {_bpe_sym_sql('w')} AS s FROM wf), "
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"p{k} AS (SELECT q.l[i] AS a, q.l[i + 1] AS b, q.cnt AS cnt "
+            f"FROM (SELECT cnt, {_bpe_split_sql('s')} AS l FROM v{k}) q, "
+            "unnest(range(1, len(q.l))) AS t(i)), "
+            f"b{k} AS MATERIALIZED (SELECT a, b FROM p{k} GROUP BY a, b "
+            "ORDER BY sum(cnt) DESC, a ASC, b ASC LIMIT 1), "
+        )
+        if k < n_merges - 1:
+            parts.append(
+                f"v{k + 1} AS MATERIALIZED (SELECT cnt, replace(s, "
+                f"chr(1) || (SELECT a FROM b{k}) || chr(2) || "
+                f"chr(1) || (SELECT b FROM b{k}) || chr(2), "
+                f"chr(1) || (SELECT a FROM b{k}) || "
+                f"(SELECT b FROM b{k}) || chr(2)) AS s FROM v{k}), "
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, (SELECT a FROM b{k}) AS lhs, "
+        f"(SELECT b FROM b{k}) AS rhs"
+        for k in range(n_merges)
+    )
+    return "".join(parts).rstrip().rstrip(",") + " " + selects
+
+
+def _bpe_encode_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    """Replay of bpe_encode with a fixed coherent merge list: each
+    word's delimited symbol string runs the merges in rank order as
+    nested replaces (equal to priority encoding for coherent lists),
+    then the token stream re-joins with spaces in word order."""
+    enc = _bpe_sym_sql("w")
+    for a, b in merges:
+        pa = a.replace("'", "''")
+        pb = b.replace("'", "''")
+        enc = (
+            f"replace({enc}, chr(1) || '{pa}' || chr(2) || chr(1) || "
+            f"'{pb}' || chr(2), chr(1) || '{pa}{pb}' || chr(2))"
+        )
+    toks = f"array_to_string({_bpe_split_sql(enc)}, ' ')"
+    return (
+        f"WITH toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS l "
+        "FROM documents), "
+        "w0 AS (SELECT doc_id, l[i] AS w, i FROM toks, "
+        "unnest(range(1, len(l) + 1)) AS t(i)), "
+        f"e AS (SELECT doc_id, i, {toks} AS tk FROM w0 WHERE w <> ''), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words, "
+        "CAST(sum(len(string_split(tk, ' '))) AS INT) AS n_tokens, "
+        "string_agg(tk, ' ' ORDER BY i) AS tokens FROM e GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, "
+        "coalesce(a.n_tokens, 0) AS n_tokens, "
+        "coalesce(a.tokens, '') AS tokens "
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+    )
 
 
 def _corr_matrix_oracle_sql() -> str:
@@ -3542,6 +3676,8 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(63.0, 4) AS mean_b, "
             "CAST(16 * (doc_id % 16) AS INT) AS px00_r FROM s"
         ),
+        "bpe_merges": _bpe_train_oracle_sql(),
+        "bpe_tokenize": _bpe_encode_oracle_sql(_BPE_FIXED_MERGES),
         "graph_pagerank": (
             # the same 3 damped rounds UNROLLED as chained CTEs (no
             # recursion): rank_{i+1}(v) = 0.15/N + 0.85*(sum over

@@ -721,3 +721,177 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("distinct_tokens"),
         F.round(h, 6).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-pair encoding: the tokenizer-training primitive of every LLM
+# data pipeline (Sennrich et al. 2016, the GPT-2/HF training shape).
+# The CORPUS-sized work — word frequency extraction — is the
+# distributed pass; the merge loop then runs on the driver over the
+# VOCABULARY-sized word-frequency table, exactly like practical BPE
+# trainers (HuggingFace tokenizers collapse the corpus to word counts
+# first for the same reason). Encoding is distributed again: merges
+# broadcast as a rank table, applied per word with a per-batch memo
+# (Zipf makes the cache hit rate ~99% on natural text).
+
+_BPE_EOW = "</w>"
+
+
+def _bpe_word_symbols(word: str) -> tuple:
+    """A word's initial symbol sequence: characters + a terminal
+    end-of-word symbol (its OWN symbol, so merges can distinguish
+    word-final contexts — the Sennrich convention)."""
+    return tuple(word) + (_BPE_EOW,)
+
+
+def _bpe_apply_merge(syms: tuple, pair: tuple) -> tuple:
+    """Merge every leftmost non-overlapping occurrence of ``pair``."""
+    a, b = pair
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from the corpus. One distributed pass
+    builds the word-frequency table (explode → hash aggregate with
+    map-side combine); the top ``max_words`` rows by (count desc,
+    word asc) collect to the driver — a bounded, vocabulary-sized
+    model artifact (the IVF-codebook contract), NOT a corpus read.
+    The greedy loop then repeatedly merges the highest-count adjacent
+    symbol pair, ties broken by pair lexicographic order so training
+    is deterministic across partitionings and engines. Pair counts
+    follow the reference algorithm: every adjacent position counts,
+    including overlapping repeats, while application merges leftmost
+    non-overlapping — the standard quirk, kept bit-compatible with
+    Sennrich's get_stats/merge_vocab.
+
+    ``max_words`` is the scale cap: at 100 TB the raw vocabulary of
+    noisy text is unbounded, and the frequency cutoff is what every
+    practical trainer applies. The driver loop is
+    O(n_merges · total symbol count) — seconds at 50k words; an
+    incremental pair-stats update (only words containing the merged
+    pair change) is the known optimization if n_merges grows to
+    GPT-scale (~50k)."""
+    words = (
+        df.select(F.explode(F.split(_norm(F.col(text_col)), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple, int] = {}
+    for r in words:
+        vocab[_bpe_word_symbols(r.w)] = (
+            vocab.get(_bpe_word_symbols(r.w), 0) + r.cnt
+        )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        stats: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + cnt
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {
+            _bpe_apply_merge(syms, best): cnt for syms, cnt in vocab.items()
+        }
+    return merges
+
+
+def bpe_merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The learned merge list as a (rank, lhs, rhs) frame — the
+    persistable/joinable model form (lhs/rhs, not left/right, so the
+    frame round-trips through SQL engines without keyword
+    quoting)."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize every document with a trained merge list: per word,
+    start from characters + end-of-word symbol and repeatedly apply
+    the LOWEST-RANK applicable merge (the canonical priority scheme —
+    equivalent to replaying the merges in training order). Emits
+    (id, n_words, n_tokens, tokens) where ``tokens`` is the
+    space-joined token stream — hash-stable, so oracles can replay
+    the exact token sequence, not just counts.
+
+    Scale shape: the merge table broadcasts with the closure (it is
+    model-sized); one Arrow-batched mapInPandas projection, no
+    shuffle; a per-batch word→tokens memo exploits the Zipf
+    distribution so each distinct word pays the merge loop once per
+    batch."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = _bpe_word_symbols(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_pair = None
+            for a, b in zip(syms, syms[1:]):
+                r = ranks.get((a, b))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (a, b)
+            if best_pair is None:
+                break
+            syms = _bpe_apply_merge(syms, best_pair)
+        out = list(syms)
+        memo[word] = out
+        return out
+
+    import re as _re
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            memo: dict = {}
+            ids, n_words, n_tokens, toks = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                norm = _re.sub(r"\s+", " ", (text or "").strip().lower())
+                words = [w for w in norm.split(" ") if w]
+                stream: list[str] = []
+                for w in words:
+                    stream.extend(encode_word(w, memo))
+                ids.append(did)
+                n_words.append(len(words))
+                n_tokens.append(len(stream))
+                toks.append(" ".join(stream))
+            yield pd.DataFrame(
+                {
+                    id_col: ids, "n_words": n_words,
+                    "n_tokens": n_tokens, "tokens": toks,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=f"{id_col} long, n_words int, n_tokens int, tokens string",
+    )

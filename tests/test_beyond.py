@@ -3292,3 +3292,94 @@ def test_matview_concurrent_refresh_losers_converge(spark, tmp_path):
     got = {r.grp: r.sum_amount for r in
            MV.read_aggregate_view(spark, view).collect()}
     assert got[0] == 9.0 + 99.0  # 10 rows of 1.0, pk 0 now 99.0
+
+
+def test_bpe_train_matches_sennrich_reference_and_encode(spark):
+    """BPE training equals a direct transcription of the reference
+    algorithm (Sennrich et al. 2016 get_stats/merge_vocab, including
+    the overlap-counting/leftmost-merge quirk and deterministic
+    tie-breaks) on word counts; priority encoding equals
+    training-order sequential replay; counts and the joined stream
+    are consistent."""
+    from collections import Counter
+
+    from amaxa_spark.operators import text as TXT
+
+    texts = [
+        "low lower lowest newer new news",
+        "wide wider widest low low lower",
+        "new newer nearer near aaa aa a",
+        "the thin then than the the thin",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def reference_train(word_counts, n_merges):
+        vocab = {
+            tuple(w) + ("</w>",): c for w, c in word_counts.items()
+        }
+        merges = []
+        for _ in range(n_merges):
+            stats = Counter()
+            for syms, c in vocab.items():
+                for pair in zip(syms, syms[1:]):
+                    stats[pair] += c
+            if not stats:
+                break
+            best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            nv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + c
+            vocab = nv
+        return merges
+
+    counts = Counter(w for t in texts for w in t.split())
+    for n in (5, 20):
+        assert TXT.bpe_train(df, "text", n_merges=n) == reference_train(
+            counts, n
+        )
+
+    merges = TXT.bpe_train(df, "text", n_merges=20)
+    enc = {r.doc_id: r for r in
+           TXT.bpe_encode(df, "text", "doc_id", merges).collect()}
+
+    def sequential_replay(word):
+        syms = tuple(word) + ("</w>",)
+        for pair in merges:
+            syms = TXT._bpe_apply_merge(syms, pair)
+        return list(syms)
+
+    for i, t in enumerate(texts):
+        exp_stream = [s for w in t.split() for s in sequential_replay(w)]
+        got = enc[i]
+        assert got.tokens.split(" ") == exp_stream
+        assert got.n_tokens == len(exp_stream)
+        assert got.n_words == len(t.split())
+    # empty/whitespace-only docs emit 0/0/'' rows, never crash
+    edge = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in
+            TXT.bpe_encode(edge, "text", "doc_id", merges).collect()}
+    assert all(
+        rows[d].n_words == 0 and rows[d].n_tokens == 0 and rows[d].tokens == ""
+        for d in (0, 1, 2)
+    )
+    # max_words cap keeps training deterministic: cap=3 trains on the
+    # 3 most frequent words only
+    capped = TXT.bpe_train(df, "text", n_merges=3, max_words=3)
+    top3 = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    assert capped == reference_train(Counter(top3), 3)

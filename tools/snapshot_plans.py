@@ -214,6 +214,12 @@ SHOW = [
         "aggregation, dangling mass via 1-row broadcast, "
         "checkpointed lineage (plan does not grow with rounds)",
     ),
+    (
+        "bpe_tokenize",
+        "BPE encode: model-sized merge table in the task closure, one "
+        "Arrow-batched mapInPandas with per-batch word memo, no "
+        "shuffle",
+    ),
 ]
 
 KEY_LINES = (
