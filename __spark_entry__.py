@@ -574,7 +574,14 @@ def q_bpe_tokenize(spark, sf_dir):
     COHERENT merge list (each merge's parts are characters or earlier
     merges' outputs, so priority encoding equals training-order
     replay — the property that lets the oracle replay the exact token
-    stream as a chain of boundary-delimited string replaces)."""
+    stream as a chain of boundary-delimited string replaces).
+
+    Oracle preconditions (hold on the generated corpus, asserted by
+    the parity gate itself): text contains no \\x01/\\x02 bytes (the
+    SQL symbol delimiters — the engine treats them as ordinary
+    characters, the oracle cannot), and for bpe_merges the vocabulary
+    supports >= 8 merges (an exhausted vocabulary truncates the
+    engine's list but the unrolled SQL would emit NULL rows)."""
     docs = _read(spark, sf_dir, "documents")
     return TXT.bpe_encode(docs, "text", "doc_id", _BPE_FIXED_MERGES)
 

@@ -866,8 +866,6 @@ def bpe_encode(
         memo[word] = out
         return out
 
-    import re as _re
-
     def run(batches):
         import pandas as pd
 
@@ -875,8 +873,12 @@ def bpe_encode(
             memo: dict = {}
             ids, n_words, n_tokens, toks = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = _re.sub(r"\s+", " ", (text or "").strip().lower())
-                words = [w for w in norm.split(" ") if w]
+                # text arrives already normalized by the SHARED _norm
+                # in the plan below — re-normalizing here with Python
+                # re (Unicode \s) would diverge from bpe_train and
+                # the SQL oracles (Java/RE2 ASCII \s) on exotic
+                # whitespace like U+00A0
+                words = [w for w in (text or "").split(" ") if w]
                 stream: list[str] = []
                 for w in words:
                     stream.extend(encode_word(w, memo))
@@ -891,7 +893,9 @@ def bpe_encode(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return df.select(
+        id_col, _norm(F.col(text_col)).alias(text_col)
+    ).mapInPandas(
         run,
         schema=f"{id_col} long, n_words int, n_tokens int, tokens string",
     )

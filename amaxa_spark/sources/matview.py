@@ -118,9 +118,15 @@ def refresh_aggregate_versioned(
     if dst_head is None:
         # first build: one full aggregate, then the marker commits on
         # the view's own chain (meta-only; a crash in between leaves a
-        # marker-less view, which the next call repairs via rebuild)
+        # marker-less view, which the next call repairs via rebuild).
+        # The read PINS src_token: aggregating whatever head exists at
+        # scan time would let a concurrent source merge slip data in
+        # that the recorded marker doesn't cover, double-applying its
+        # delta on the next refresh.
         agg = _full_aggregate(
-            read_versioned_table(spark, src_path), group_col, sum_cols
+            read_versioned_table(spark, src_path, src_token),
+            group_col,
+            sum_cols,
         )
         write_versioned_table(agg, dst_path, pk=group_col, n_buckets=n_buckets)
         empty = agg.limit(0).withColumn("_change_type", F.lit("insert"))
@@ -144,11 +150,18 @@ def refresh_aggregate_versioned(
             changes = None  # diff base vacuumed away: rebuild below
     if changes is None:
         changes = _rebuild_rows(
-            spark, src_path, dst_path, group_col, sum_cols
+            spark, src_path, src_token, dst_path, dst_head,
+            group_col, sum_cols,
         )
     try:
+        # base_token pins the apply to the exact view snapshot the
+        # delta/rebuild rows were computed AGAINST — without it the
+        # apply would adopt whatever head exists at commit time and
+        # silently overwrite an unrelated writer's rows with our
+        # stale absolute values instead of conflicting
         return apply_changes_versioned(
-            spark, dst_path, changes, extra_meta=meta
+            spark, dst_path, changes,
+            base_token=dst_head["token"], extra_meta=meta,
         )
     except (StaleStreamBatch, ConcurrentMergeError):
         # Two refreshers racing to the same source commit lose in one
@@ -252,16 +265,21 @@ def _delta_rows(
 def _rebuild_rows(
     spark: SparkSession,
     src_path: str,
+    src_token: str,
     dst_path: str,
+    dst_head: dict,
     group_col: str,
     sum_cols: list[str],
 ) -> DataFrame:
-    """Full-state repair feed: the complete aggregate as upserts plus
-    a delete for every view key no longer present in the source."""
+    """Full-state repair feed: the complete aggregate (of the PINNED
+    source snapshot the marker will name) as upserts plus a delete
+    for every view key no longer present in the source."""
     agg = _full_aggregate(
-        read_versioned_table(spark, src_path), group_col, sum_cols
+        read_versioned_table(spark, src_path, src_token), group_col, sum_cols
     ).localCheckpoint(eager=True)
-    cur_keys = read_versioned_table(spark, dst_path).select(group_col)
+    cur_keys = read_versioned_table(
+        spark, dst_path, dst_head["token"]
+    ).select(group_col)
     stale = cur_keys.join(agg.select(group_col), group_col, "left_anti")
     upserts = agg.withColumn("_change_type", F.lit("insert"))
     deletes = stale.select(
