@@ -855,11 +855,22 @@ def _present_buckets(gen_dir: str) -> list[int]:
 
 
 def write_versioned_table(
-    df: DataFrame, path: str, pk: str, n_buckets: int = 64
+    df: DataFrame, path: str, pk: str, n_buckets: int = 64,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Initial commit of a versioned bucket table. Data lands under
     ``<path>/gen-<token>/<bucket>=N/``; the published manifest maps
-    every present bucket to that generation."""
+    every present bucket to that generation.
+
+    ``stats_cols`` opts the table into manifest-level data skipping:
+    per-bucket min/max/null stats for those columns ride every commit
+    (this init and every later merge/delete/CDC-apply/compaction
+    maintain them automatically), and
+    ``read_versioned_table(prune=...)`` skips buckets they prove
+    disjoint. A RE-init over an existing stats-enabled table inherits
+    the setting unless the caller passes its own (pruning silently
+    stopping on re-init would be a performance regression no test
+    catches)."""
     import uuid
 
     token = uuid.uuid4().hex[:12]
@@ -868,6 +879,10 @@ def write_versioned_table(
     out.write.mode("errorifexists").partitionBy(MERGE_BUCKET_COL).parquet(
         os.path.join(path, gen)
     )
+    if stats_cols is None:
+        head0 = _commit_chain_head(path)
+        if head0 is not None:
+            stats_cols = head0[1].get("stats_cols")
     manifest = {
         "token": token,
         "kind": "versioned-buckets",
@@ -884,6 +899,11 @@ def write_versioned_table(
             str(b): gen for b in _present_buckets(os.path.join(path, gen))
         },
     }
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+        manifest["bucket_stats"] = _harvest_bucket_stats(
+            df.sparkSession, path, gen, manifest
+        )
     # re-initializing an existing table is a FULL-REWRITE commit on the
     # same chain (every bucket points at the new generation; old
     # snapshots stay time-travelable until vacuumed) — the pre-chain
@@ -968,52 +988,110 @@ def _fill_added_columns(df: DataFrame, manifest: dict) -> DataFrame:
     return df
 
 
+def _empty_versioned_frame(
+    spark: SparkSession, path: str, manifest: dict
+) -> DataFrame:
+    """Typed empty read of a snapshot: a zero-bucket snapshot is a
+    legitimate EMPTY table (an empty-frame init, or a DELETE that
+    removed every row), and a stats-pruned read can eliminate every
+    bucket — the recorded schema types both; only pre-format
+    manifests, which recorded nothing, still error."""
+    schema_json = manifest.get("schema_json")
+    if schema_json is None:
+        raise FileNotFoundError(f"{path}: empty versioned table")
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    empty = spark.createDataFrame(
+        [], StructType.fromJson(_json.loads(schema_json))
+    ).withColumn(
+        MERGE_BUCKET_COL,
+        _bucket_expr(manifest["pk"], manifest["n_buckets"]),
+    )
+    return _fill_added_columns(empty, manifest)
+
+
 def read_versioned_table(
-    spark: SparkSession, path: str, token: str | None = None
+    spark: SparkSession,
+    path: str,
+    token: str | None = None,
+    prune: list[tuple] | None = None,
+    pk_in: list | None = None,
 ) -> DataFrame:
     """Open the committed snapshot (or any retained generation by
     token): each bucket reads from exactly the generation its manifest
     entry names — a consistent point-in-time view regardless of any
-    in-flight merge."""
+    in-flight merge.
+
+    Data skipping (both optional, composable, and EXACT — the same
+    predicate is re-applied to the surviving rows, so the result
+    always equals the unpruned read with a ``.where`` on top):
+
+    - ``prune``: a list of ``(col, lo, hi)`` range conjuncts
+      (``None`` bound = unbounded; ``(col, None, None)`` means
+      ``IS NOT NULL``). Buckets whose committed manifest stats prove
+      no row can match are never listed, opened, or scanned — the
+      Delta/Iceberg file-skipping idea at manifest level, no footer
+      reads at plan time. Buckets without stats are conservatively
+      read. NOTE: buckets are PK-HASH partitioned, so range stats
+      only discriminate for columns correlated with the key or with
+      bucket content (e.g. sparse/all-null attributes, cluster-local
+      values); uniform columns span every bucket and prune nothing —
+      the honest limit of stats over a hash layout.
+    - ``pk_in``: a BOUNDED list of key values (point-lookup shape,
+      driver cost O(|values|)); the exact pk-hash buckets are
+      computed with the engine's own bucket expression, so a k-key
+      lookup on a 10⁵-bucket 100 TB table reads ≤ k buckets — always
+      exact, no stats needed.
+    """
     manifest = _bucket_manifest(path, token)
+    keep = set(manifest["buckets"])
+    if prune:
+        keep &= set(stats_prune_buckets(manifest, prune))
+    if pk_in is not None:
+        keep &= {
+            str(b) for b in pk_value_buckets(spark, manifest, pk_in)
+        }
     paths = [
         os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
         for b, gen in sorted(manifest["buckets"].items())
+        if b in keep
     ]
     if not paths:
-        # a zero-bucket snapshot is a legitimate EMPTY table (an
-        # empty-frame init, or a DELETE that removed every row) — the
-        # recorded schema types it; only pre-format manifests, which
-        # recorded nothing, still error
-        schema_json = manifest.get("schema_json")
-        if schema_json is None:
-            raise FileNotFoundError(f"{path}: empty versioned table")
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        empty = spark.createDataFrame(
-            [], StructType.fromJson(_json.loads(schema_json))
-        ).withColumn(
-            MERGE_BUCKET_COL,
-            _bucket_expr(manifest["pk"], manifest["n_buckets"]),
+        df = _empty_versioned_frame(spark, path, manifest)
+    else:
+        # mergeSchema only when an ALTER happened: generations written
+        # after it carry the added columns while older ones do not — the
+        # unioned schema sees both. Alter-free tables (the common case)
+        # skip the all-footers merge pass on every scan.
+        # Reading the leaf `<bucket>=N` dirs directly loses the partition
+        # column — re-derive it so the versioned and non-versioned merge
+        # layouts expose the SAME schema (it is a pure pk-hash expression,
+        # so re-deriving is exact, no directory-name parsing needed)
+        df = (
+            _read_maybe_merged(spark, manifest, *paths)
+            .withColumn(
+                MERGE_BUCKET_COL,
+                _bucket_expr(manifest["pk"], manifest["n_buckets"]),
+            )
         )
-        return _fill_added_columns(empty, manifest)
-    # mergeSchema only when an ALTER happened: generations written
-    # after it carry the added columns while older ones do not — the
-    # unioned schema sees both. Alter-free tables (the common case)
-    # skip the all-footers merge pass on every scan.
-    # Reading the leaf `<bucket>=N` dirs directly loses the partition
-    # column — re-derive it so the versioned and non-versioned merge
-    # layouts expose the SAME schema (it is a pure pk-hash expression,
-    # so re-deriving is exact, no directory-name parsing needed)
-    df = (
-        _read_maybe_merged(spark, manifest, *paths)
-        .withColumn(
-            MERGE_BUCKET_COL, _bucket_expr(manifest["pk"], manifest["n_buckets"])
+        df = _fill_added_columns(df, manifest)
+    # residual filters: pruning only skips provably-disjoint buckets;
+    # surviving buckets still hold non-matching rows
+    if prune:
+        for col, lo, hi in prune:
+            df = df.where(F.col(col).isNotNull())
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(col) <= F.lit(hi))
+    if pk_in is not None:
+        vals = [v for v in dict.fromkeys(pk_in) if v is not None]
+        df = df.where(
+            F.col(manifest["pk"]).isin(vals) if vals else F.lit(False)
         )
-    )
-    return _fill_added_columns(df, manifest)
+    return df
 
 
 def _read_maybe_merged(spark: SparkSession, manifest: dict, *paths) -> DataFrame:
@@ -1021,6 +1099,262 @@ def _read_maybe_merged(spark: SparkSession, manifest: dict, *paths) -> DataFrame
     if manifest.get("added_columns"):
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level data skipping: per-bucket column stats, committed
+# atomically with the data they describe (the Delta/Iceberg
+# manifest-stats idea on the engine's own commit chain). Stats are
+# maintained by EVERY bucket-rewriting commit — merge, delete,
+# CDC-apply, compaction — and _commit_bucket_update purges the entries
+# of any bucket it rewrites before overlaying fresh ones, so a stale
+# stat (which would prune live rows: data loss at read time) is
+# impossible by construction, not by caller discipline.
+# ---------------------------------------------------------------------------
+
+# types whose min/max round-trip JSON without precision traps.
+# Deliberately excluded: decimals (Decimal→float rounding could move a
+# committed max BELOW a query bound and prune a matching bucket),
+# binary, and every nested type.
+_STATS_TYPES = {
+    "tinyint", "smallint", "int", "bigint",
+    "float", "double", "boolean", "string", "date",
+}
+
+
+def _stats_type_ok(dtype: str) -> bool:
+    return dtype in _STATS_TYPES or dtype.startswith("timestamp")
+
+
+def _stats_value(v):
+    """JSON-safe stat encoding. Dates/timestamps become ISO-8601
+    strings — lexicographic order IS chronological order for ISO, so
+    bound comparisons stay exact (timestamps are naive in the pinned
+    UTC session). Unknown types encode as None (= no stat, never
+    pruned on)."""
+    import datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _stats_cmp(a, b):
+    """Compare two JSON-encoded stat values; None = incomparable
+    (mixed domains), which every pruning decision treats as
+    inconclusive → bucket is read."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        if isinstance(a, bool) and isinstance(b, bool):
+            return (a > b) - (a < b)
+        return None
+    if isinstance(a, num) and isinstance(b, num):
+        return (a > b) - (a < b)
+    if isinstance(a, str) and isinstance(b, str):
+        return (a > b) - (a < b)
+    return None
+
+
+def _harvest_bucket_stats(
+    spark: SparkSession, root: str, gen: str, manifest: dict
+) -> dict[str, dict]:
+    """Per-bucket min/max/null-count for the manifest's ``stats_cols``
+    over one freshly written generation: a single column-pruned
+    aggregation job (the files are hot in the page cache right after
+    the write), collecting ≤ n_buckets rows — a bounded driver read.
+    ALTER-added columns are skipped: their physical NULLs read back as
+    the declared default, so physical stats would lie about them."""
+    cols = manifest.get("stats_cols") or []
+    if not cols:
+        return {}
+    gen_dir = os.path.join(root, gen)
+    try:
+        if not _present_buckets(gen_dir):
+            # a generation every row of which was deleted away has no
+            # bucket dirs (or none at all) — nothing to describe
+            return {}
+    except FileNotFoundError:
+        return {}
+    df = spark.read.parquet(gen_dir)
+    dtypes = dict(df.dtypes)
+    added = set(manifest.get("added_columns", {}))
+    use = [
+        c for c in cols
+        if c in dtypes and c not in added and _stats_type_ok(dtypes[c])
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, c in enumerate(use):
+        aggs += [
+            F.min(F.col(c)).alias(f"__mn_{i}"),
+            F.max(F.col(c)).alias(f"__mx_{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{i}"),
+        ]
+    out: dict[str, dict] = {}
+    for r in df.groupBy(MERGE_BUCKET_COL).agg(*aggs).collect():
+        ent = {"rows": r["__rows"], "cols": {}}
+        for i, c in enumerate(use):
+            ent["cols"][c] = {
+                "min": _stats_value(r[f"__mn_{i}"]),
+                "max": _stats_value(r[f"__mx_{i}"]),
+                "nulls": r[f"__nl_{i}"],
+            }
+        out[str(r[MERGE_BUCKET_COL])] = ent
+    return out
+
+
+def stats_prune_buckets(manifest: dict, prune: list[tuple]) -> list[str]:
+    """Bucket ids that MAY hold a row satisfying every ``(col, lo,
+    hi)`` conjunct (``None`` bound = unbounded; every conjunct implies
+    ``col IS NOT NULL``). Conservative in every inconclusive case —
+    missing stats, unknown column, incomparable bound — so pruning can
+    only ever skip buckets PROVEN disjoint from the predicate."""
+    stats = manifest.get("bucket_stats") or {}
+    added = set(manifest.get("added_columns", {}))
+    out = []
+    for b in manifest["buckets"]:
+        ent = stats.get(b) or {}
+        cols = ent.get("cols") or {}
+        nrows = ent.get("rows")
+        keep = True
+        for col, lo, hi in prune:
+            cs = None if col in added else cols.get(col)
+            if cs is None:
+                continue
+            if nrows is not None and cs.get("nulls") == nrows:
+                keep = False  # all-null: no non-null value can match
+                break
+            mn, mx = cs.get("min"), cs.get("max")
+            lo_e, hi_e = _stats_value(lo), _stats_value(hi)
+            if lo_e is not None and mx is not None:
+                c = _stats_cmp(mx, lo_e)
+                if c is not None and c < 0:
+                    keep = False
+                    break
+            if hi_e is not None and mn is not None:
+                c = _stats_cmp(mn, hi_e)
+                if c is not None and c > 0:
+                    keep = False
+                    break
+        if keep:
+            out.append(b)
+    return out
+
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """Reference XXH64 (Collet's public algorithm), seed 42 — the
+    function behind Spark's ``xxhash64`` (Spark's XXH64.java is a
+    faithful port, checked against the reference test vectors in its
+    own suite; our parity is additionally property-tested against the
+    live expression in tests/test_stats_pruning.py). Exists so a
+    point lookup can compute its pk-hash buckets in pure driver
+    Python — zero Spark jobs — for string keys."""
+    import struct
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _U64
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _U64
+        v2 = (seed + _XXH_P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXH_P1) & _U64
+        while i + 32 <= n:
+            k1, k2, k3, k4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = (rotl((v1 + k1 * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            v2 = (rotl((v2 + k2 * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            v3 = (rotl((v3 + k3 * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            v4 = (rotl((v4 + k4 * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _U64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (rotl((v * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64)
+                 * _XXH_P1 + _XXH_P4) & _U64
+    else:
+        h = (seed + _XXH_P5) & _U64
+    h = (h + n) & _U64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = (h ^ ((rotl((k * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64)) & _U64
+        h = ((rotl(h, 27) * _XXH_P1) + _XXH_P4) & _U64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = (h ^ ((k * _XXH_P1) & _U64)) & _U64
+        h = ((rotl(h, 23) * _XXH_P2) + _XXH_P3) & _U64
+        i += 4
+    while i < n:
+        h = (h ^ ((data[i] * _XXH_P5) & _U64)) & _U64
+        h = (rotl(h, 11) * _XXH_P1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def pk_value_buckets(
+    spark: SparkSession, manifest: dict, values: list
+) -> list[int]:
+    """Exact bucket ids for a bounded set of key values. String keys
+    resolve in pure driver Python (:func:`_xxh64` — zero Spark jobs,
+    the O(1)-latency point-lookup path); anything else falls back to
+    one tiny Spark job applying the engine's OWN bucket expression to
+    the literals, so cast semantics can never drift from the layout.
+    Driver cost is O(|values|) either way — for unbounded key sets
+    use a left-semi join against the full read."""
+    pk = manifest["pk"]
+    n = manifest["n_buckets"]
+    vals = [v for v in dict.fromkeys(values) if v is not None]
+    if not vals:
+        return []
+    if all(isinstance(v, str) for v in vals):
+        # Spark's xxhash64 returns a SIGNED long; pmod re-maps the
+        # negative half — Python's % on a positive modulus is pmod
+        return sorted({
+            ((h - (1 << 64)) if h >= (1 << 63) else h) % n
+            for h in (_xxh64(v.encode("utf-8")) for v in vals)
+        })
+    df = spark.createDataFrame([(v,) for v in vals], [pk])
+    return sorted(
+        r.b
+        for r in df.select(_bucket_expr(pk, n).alias("b"))
+        .distinct()
+        .collect()
+    )
+
+
+def _carry_bucket_stats(
+    src: dict, ours: dict, our_stats: dict | None, live_buckets: dict
+) -> dict:
+    """Stats map for a new manifest: every bucket WE rewrote is purged
+    from the inherited stats (stale stats prune live rows — the one
+    unforgivable failure), then fresh harvests overlay, and only live
+    buckets keep entries."""
+    stats = {
+        b: s
+        for b, s in (src.get("bucket_stats") or {}).items()
+        if b not in ours and b in live_buckets
+    }
+    for b, s in (our_stats or {}).items():
+        if b in live_buckets and s is not None:
+            stats[b] = s
+    return stats
 
 
 def _footer_columns(*bucket_dirs: str) -> set[str]:
@@ -1661,11 +1995,44 @@ def _sql_ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
-def _table_manifest_sql(root: str, manifest: dict) -> str:
+def _prune_where_sql(prune: list[tuple]) -> str:
+    """Render the residual WHERE for a pruned external scan (DuckDB
+    dialect, AND-joined range conjuncts with the IS NOT NULL each
+    implies). Bounds must be int/float/str/bool — the types
+    :func:`_sql_literal` can spell exactly."""
+    parts = []
+    for col, lo, hi in prune:
+        ident = _sql_ident(col)
+        parts.append(f"{ident} IS NOT NULL")
+        if lo is not None:
+            parts.append(f"{ident} >= {_sql_literal(lo)}")
+        if hi is not None:
+            parts.append(f"{ident} <= {_sql_literal(hi)}")
+    return " AND ".join(parts)
+
+
+def _table_manifest_sql(
+    root: str, manifest: dict, prune: list[tuple] | None = None
+) -> str:
     """The per-table body of :func:`manifest_to_sql`: one SELECT over
     exactly this manifest's parquet files, with ALTER-added columns
-    reconstructed the way :func:`_fill_added_columns` does it."""
+    reconstructed the way :func:`_fill_added_columns` does it. With
+    ``prune``, stats-disjoint buckets drop out of the emitted file
+    list (the external engine never even opens them) and the residual
+    WHERE rides inside the query."""
     import json as _json
+
+    if prune:
+        keep = set(stats_prune_buckets(manifest, prune))
+        pruned = {
+            b: g for b, g in manifest["buckets"].items() if b in keep
+        }
+        inner = _table_manifest_sql(
+            root, {**manifest, "buckets": pruned}
+        )
+        if not pruned:
+            return inner  # typed-empty branch already carries WHERE 1=0
+        return f"{inner} WHERE {_prune_where_sql(prune)}"
 
     added = manifest.get("added_columns", {})
     schema_cols: list[str] = []
@@ -1746,7 +2113,11 @@ def _table_manifest_sql(root: str, manifest: dict) -> str:
     )
 
 
-def manifest_to_sql(path: str, token: str | None = None) -> str:
+def manifest_to_sql(
+    path: str,
+    token: str | None = None,
+    prune: list[tuple] | None = None,
+) -> str:
     """LIVE external-engine scan of a versioned table — no export, no
     copy: emit one SQL query (DuckDB dialect) that reads exactly the
     head (or ``token``-pinned) snapshot's parquet files straight out
@@ -1763,8 +2134,16 @@ def manifest_to_sql(path: str, token: str | None = None) -> str:
     ALTER-added columns are reconstructed with the engine's own
     default-on-read rule; the bucket partition column is internal and
     not exposed. Complex-typed added columns cannot be literalized in
-    SQL and raise — :func:`export_snapshot` covers those."""
-    return _table_manifest_sql(path, _bucket_manifest(path, token))
+    SQL and raise — :func:`export_snapshot` covers those.
+
+    ``prune`` takes the same ``(col, lo, hi)`` conjuncts as
+    :func:`read_versioned_table` — the manifest's bucket stats shrink
+    the emitted file list, so the EXTERNAL engine gets the same data
+    skipping the native reader has (bounds limited to
+    int/float/str/bool literals)."""
+    return _table_manifest_sql(
+        path, _bucket_manifest(path, token), prune=prune
+    )
 
 
 def db_manifest_to_sql(
@@ -1869,8 +2248,14 @@ def merge_into_versioned(
         .parquet(os.path.join(path, gen))
     )
     ours = {str(b): gen for b in affected}
+    our_stats = (
+        _harvest_bucket_stats(spark, path, gen, manifest)
+        if manifest.get("stats_cols")
+        else None
+    )
     new_manifest = _commit_bucket_update(
-        path, manifest, base_buckets, ours, token, extra_meta
+        path, manifest, base_buckets, ours, token, extra_meta,
+        our_stats=our_stats,
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -1939,7 +2324,14 @@ def delete_from_versioned(
     if ours is None:
         return _commit_meta_only(path, manifest, extra_meta)
     new_manifest = _commit_bucket_update(
-        path, manifest, dict(manifest["buckets"]), ours, token, extra_meta
+        path, manifest, dict(manifest["buckets"]), ours, token, extra_meta,
+        # emptied buckets have no dir in the new generation, so they
+        # simply have no harvest row — _carry_bucket_stats drops them
+        our_stats=(
+            _harvest_bucket_stats(spark, path, f"gen-{token}", manifest)
+            if manifest.get("stats_cols")
+            else None
+        ),
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -2031,7 +2423,12 @@ def apply_changes_versioned(
     if ours is None:
         return _commit_meta_only(path, manifest, extra_meta)
     new_manifest = _commit_bucket_update(
-        path, manifest, dict(manifest["buckets"]), ours, token, extra_meta
+        path, manifest, dict(manifest["buckets"]), ours, token, extra_meta,
+        our_stats=(
+            _harvest_bucket_stats(spark, path, f"gen-{token}", manifest)
+            if manifest.get("stats_cols")
+            else None
+        ),
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -2390,6 +2787,7 @@ def _commit_bucket_update(
     ours: dict[str, str],
     token: str,
     extra_meta: dict | None = None,
+    our_stats: dict | None = None,
 ) -> dict:
     """The single-table CAS commit loop shared by MERGE, OPTIMIZE,
     DELETE, and CDC-apply: claim the next seq; on a lost race, rebase
@@ -2413,6 +2811,14 @@ def _commit_bucket_update(
             "seq": seq,
             "buckets": buckets,
         }
+        if "bucket_stats" in src or our_stats:
+            # purge-then-overlay runs per rebase too, against the exact
+            # stats map being extended — a committer that rewrote a
+            # bucket but harvested nothing leaves NO stats for it
+            # (conservative read), never the superseded entry
+            out["bucket_stats"] = _carry_bucket_stats(
+                src, ours, our_stats, buckets
+            )
         _apply_extra_meta(out, extra_meta)
         return out
 
@@ -2443,6 +2849,7 @@ def optimize_versioned(
     path: str,
     max_files: int = 1,
     base_token: str | None = None,
+    cluster_by: list[str] | None = None,
 ) -> tuple[dict, list[int]]:
     """Small-file compaction (the Delta OPTIMIZE twin): buckets whose
     CURRENT directory holds more than ``max_files`` part files — the
@@ -2461,7 +2868,17 @@ def optimize_versioned(
     At 100 TB: compaction is the steady-state companion of
     bucket-scoped MERGE — run it on the buckets the merge traffic
     touches, sized so one bucket's rewrite fits an executor's output
-    budget (~128 MB-1 GB files)."""
+    budget (~128 MB-1 GB files).
+
+    ``cluster_by`` turns the run into a CLUSTERING rewrite (the Delta
+    ``OPTIMIZE ... ZORDER`` role for a hash-bucketed layout): EVERY
+    live bucket is rewritten with its rows sorted by those columns, so
+    parquet row-group min/max stats become tight and selective scans
+    skip row groups inside each bucket — the within-bucket complement
+    of manifest-level bucket skipping (bucket membership itself is
+    pinned by the pk hash and cannot move). The manifest records
+    ``clustered_by``; later merges rewrite only their affected buckets
+    unsorted, so re-run clustering after heavy merge traffic."""
     import uuid
 
     if max_files < 1:
@@ -2470,18 +2887,21 @@ def optimize_versioned(
         # unbounded write amplification, never idempotent
         raise ValueError(f"max_files must be >= 1, got {max_files}")
     manifest = _bucket_manifest(path, base_token)
-    candidates = []
-    for b, gen in manifest["buckets"].items():
-        bdir = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
-        try:
-            n_files = sum(
-                1 for f in os.listdir(bdir)
-                if f.endswith(".parquet") and not f.startswith(".")
-            )
-        except FileNotFoundError:
-            continue
-        if n_files > max_files:
-            candidates.append(int(b))
+    if cluster_by:
+        candidates = sorted(int(b) for b in manifest["buckets"])
+    else:
+        candidates = []
+        for b, gen in manifest["buckets"].items():
+            bdir = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+            try:
+                n_files = sum(
+                    1 for f in os.listdir(bdir)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+            except FileNotFoundError:
+                continue
+            if n_files > max_files:
+                candidates.append(int(b))
     if not candidates:
         return manifest, []
     candidates.sort()
@@ -2492,7 +2912,7 @@ def optimize_versioned(
     pk, nb = manifest["pk"], manifest["n_buckets"]
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
-    (
+    out = (
         # merged-schema read: candidate buckets can span pre- and
         # post-ALTER generations — without the union schema, a column
         # present only in newer files would be silently DROPPED from
@@ -2503,13 +2923,30 @@ def optimize_versioned(
         # buckets or none), and partitionBy writes one file per bucket
         # value per task -> exactly one file per bucket directory
         .repartition(len(candidates), F.col(MERGE_BUCKET_COL))
-        .write.mode("errorifexists")
+    )
+    if cluster_by:
+        # bucket-first sort keeps each bucket's rows contiguous in the
+        # task; the parquet writer then lays the cluster columns down
+        # monotonically within every file → tight row-group stats
+        out = out.sortWithinPartitions(
+            MERGE_BUCKET_COL, *[F.col(c) for c in cluster_by]
+        )
+    (
+        out.write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(path, gen))
     )
     ours = {str(b): gen for b in candidates}
     new_manifest = _commit_bucket_update(
-        path, manifest, dict(manifest["buckets"]), ours, token
+        path, manifest, dict(manifest["buckets"]), ours, token,
+        extra_meta=(
+            {"clustered_by": list(cluster_by)} if cluster_by else None
+        ),
+        our_stats=(
+            _harvest_bucket_stats(spark, path, gen, manifest)
+            if manifest.get("stats_cols")
+            else None
+        ),
     )
     _publish_manifest(path, new_manifest)
     return new_manifest, candidates

@@ -1,0 +1,402 @@
+"""Manifest-level data skipping over the versioned bucket layout:
+per-bucket column stats committed with the data, exact pk-hash bucket
+pruning for point lookups, clustering compaction, and the pruned
+external (DuckDB) scan.
+
+The invariant every test leans on: pruning is an OPTIMIZATION, never a
+semantics change — a pruned read must equal the unpruned read with the
+same predicate applied, on every snapshot, after every kind of commit.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from amaxa_spark.sources.catalog import (
+    MERGE_BUCKET_COL,
+    apply_changes_versioned,
+    delete_from_versioned,
+    manifest_to_sql,
+    merge_into_versioned,
+    optimize_versioned,
+    pk_value_buckets,
+    read_versioned_table,
+    stats_prune_buckets,
+    write_versioned_table,
+    _bucket_manifest,
+    _commit_bucket_update,
+    _publish_manifest,
+)
+
+
+def _frame(spark, n=400, n_buckets=8):
+    """Rows whose `v` value is DERIVED from the pk-hash bucket
+    (v = bucket*1000 + i), so bucket stats genuinely discriminate —
+    the correlated-column case where stats pruning pays."""
+    base = spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("Id"),
+        F.col("id").alias("i"),
+    )
+    b = F.pmod(F.xxhash64(F.col("Id").cast("string")), F.lit(n_buckets))
+    return base.select(
+        "Id",
+        (b * 1000 + F.col("i")).cast("long").alias("v"),
+        F.concat(F.lit("s"), b.cast("string")).alias("tag"),
+        F.when(b == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("i").cast("double") / 10)
+        .alias("score"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.Id, r.v, r.tag, r.score)
+        for r in df.select("Id", "v", "tag", "score").collect()
+    )
+
+
+def _read_buckets(df):
+    """Bucket dirs actually wired into the scan."""
+    out = set()
+    for f in df.inputFiles():
+        for part in f.split(os.sep):
+            if part.startswith(f"{MERGE_BUCKET_COL}="):
+                out.add(int(part.split("=", 1)[1]))
+    return out
+
+
+def test_init_records_stats_and_prunes_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _frame(spark)
+    mf = write_versioned_table(df, path, "Id", 8, stats_cols=["v", "score"])
+    assert mf["stats_cols"] == ["v", "score"]
+    assert set(mf["bucket_stats"]) == set(mf["buckets"])
+    for b, ent in mf["bucket_stats"].items():
+        lo, hi = int(b) * 1000, int(b) * 1000 + 999
+        assert lo <= ent["cols"]["v"]["min"] <= ent["cols"]["v"]["max"] <= hi
+        assert ent["rows"] > 0
+
+    # a one-bucket-wide range: exactly one bucket survives pruning
+    prune = [("v", 3000, 3400)]
+    assert stats_prune_buckets(mf, prune) == ["3"] or set(
+        stats_prune_buckets(mf, prune)
+    ) == {"3"}
+    pruned = read_versioned_table(spark, path, prune=prune)
+    full = read_versioned_table(spark, path).where(
+        F.col("v").isNotNull() & (F.col("v") >= 3000) & (F.col("v") <= 3400)
+    )
+    assert _rows(pruned) == _rows(full)
+    assert _read_buckets(pruned) == {3}
+
+    # unbounded side + all-null bucket: score is all-null in bucket 0,
+    # so (score, None, None) — IS NOT NULL — prunes it
+    pr2 = read_versioned_table(spark, path, prune=[("score", None, None)])
+    assert 0 not in _read_buckets(pr2)
+    assert _rows(pr2) == _rows(
+        read_versioned_table(spark, path).where(F.col("score").isNotNull())
+    )
+
+
+def test_prune_is_conservative_without_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mf = write_versioned_table(_frame(spark), path, "Id", 8)  # no stats_cols
+    assert "bucket_stats" not in mf
+    assert set(stats_prune_buckets(mf, [("v", 0, 1)])) == set(mf["buckets"])
+    # string-typed bound against numeric stats is incomparable → keep
+    mf2 = write_versioned_table(
+        _frame(spark), str(tmp_path / "t2"), "Id", 8, stats_cols=["v"]
+    )
+    assert set(stats_prune_buckets(mf2, [("v", "zzz", None)])) == set(
+        mf2["buckets"]
+    )
+
+
+def test_merge_refreshes_stats_only_for_affected_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mf0 = write_versioned_table(
+        _frame(spark), path, "Id", 8, stats_cols=["v", "score"]
+    )
+    # push one key's v far outside its bucket's old range
+    upd = spark.createDataFrame([Row(Id="k0", v=999_999)])
+    mf1 = merge_into_versioned(spark, path, upd, "Id", ["v"])
+    (hot,) = {
+        b for b in mf1["buckets"] if mf1["buckets"][b] != mf0["buckets"][b]
+    }
+    assert mf1["bucket_stats"][hot]["cols"]["v"]["max"] == 999_999
+    for b in mf1["buckets"]:
+        if b != hot:
+            assert mf1["bucket_stats"][b] == mf0["bucket_stats"][b]
+    # pruning now finds the outlier only in its bucket
+    out = read_versioned_table(spark, path, prune=[("v", 900_000, None)])
+    assert [r.Id for r in out.collect()] == ["k0"]
+    assert _read_buckets(out) == {int(hot)}
+    # and the pre-merge snapshot prunes with the OLD stats
+    old = read_versioned_table(
+        spark, path, token=mf0["token"], prune=[("v", 900_000, None)]
+    )
+    assert old.count() == 0
+
+
+def test_upsert_insert_extends_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), path, "Id", 8, stats_cols=["v"])
+    upd = spark.createDataFrame([Row(Id="brand-new", v=-5)])
+    mf = merge_into_versioned(
+        spark, path, upd, "Id", ["v"], not_matched="insert"
+    )
+    got = read_versioned_table(spark, path, prune=[("v", None, -1)])
+    assert [(r.Id, r.v) for r in got.collect()] == [("brand-new", -5)]
+    assert len(_read_buckets(got)) == 1
+    # the insert's bucket carries fresh stats including the new min
+    (b,) = _read_buckets(got)
+    assert mf["bucket_stats"][str(b)]["cols"]["v"]["min"] == -5
+
+
+def test_delete_and_apply_changes_maintain_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mf0 = write_versioned_table(
+        _frame(spark, n=40, n_buckets=4), path, "Id", 4, stats_cols=["v"]
+    )
+    full = read_versioned_table(spark, path)
+    # delete every key of one bucket → its stats entry disappears
+    victim = next(iter(mf0["buckets"]))
+    keys = full.where(
+        F.col(MERGE_BUCKET_COL) == int(victim)
+    ).select("Id")
+    mf1 = delete_from_versioned(spark, path, keys, "Id")
+    assert victim not in mf1["buckets"]
+    assert victim not in mf1["bucket_stats"]
+    survivors = set(mf1["buckets"]) - {victim}
+    for b in survivors:
+        assert mf1["bucket_stats"][b] == mf0["bucket_stats"][b]
+
+    # CDC-apply with an upsert refreshes the touched bucket's stats
+    feed = spark.createDataFrame(
+        [Row(Id="k1", v=777_777, tag="x", score=1.0,
+             _change_type="update_postimage")]
+    )
+    mf2 = apply_changes_versioned(spark, path, feed)
+    got = read_versioned_table(spark, path, prune=[("v", 700_000, None)])
+    assert [r.Id for r in got.collect()] == ["k1"]
+    assert len(_read_buckets(got)) == 1
+    assert mf2["seq"] == mf1["seq"] + 1
+
+
+def test_stale_stats_impossible_without_harvest(spark, tmp_path):
+    """A bucket-rewriting commit that harvests nothing must PURGE the
+    bucket's stats, not inherit the superseded entry (which would
+    prune live rows)."""
+    path = str(tmp_path / "t")
+    mf0 = write_versioned_table(
+        _frame(spark, n=40, n_buckets=4), path, "Id", 4, stats_cols=["v"]
+    )
+    victim = next(iter(mf0["buckets"]))
+    # simulate a raw committer: rewrite the bucket with NO our_stats
+    import shutil
+
+    gen = "gen-rawcommit0001"
+    src = os.path.join(path, mf0["buckets"][victim],
+                       f"{MERGE_BUCKET_COL}={victim}")
+    dst = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={victim}")
+    shutil.copytree(src, dst)
+    mf1 = _commit_bucket_update(
+        path, mf0, dict(mf0["buckets"]), {victim: gen}, "rawcommit0001"
+    )
+    _publish_manifest(path, mf1)
+    assert victim not in mf1["bucket_stats"]
+    # the un-harvested bucket is now always read (conservative)
+    assert victim in stats_prune_buckets(mf1, [("v", 10**9, None)])
+
+
+def test_pk_in_point_lookup_reads_only_hashed_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mf = write_versioned_table(_frame(spark), path, "Id", 8)
+    want = ["k3", "k17", "k333"]
+    got = read_versioned_table(spark, path, pk_in=want + ["missing", None])
+    assert sorted(r.Id for r in got.collect()) == sorted(want)
+    expect_buckets = set(pk_value_buckets(spark, mf, want + ["missing"]))
+    assert _read_buckets(got) <= expect_buckets
+    assert len(_read_buckets(got)) <= 4
+    # composes with stats pruning
+    both = read_versioned_table(
+        spark, path, prune=[("v", 0, 10**7)], pk_in=["k3"]
+    )
+    assert [r.Id for r in both.collect()] == ["k3"]
+    # empty / all-null value lists read nothing but stay typed
+    none = read_versioned_table(spark, path, pk_in=[])
+    assert none.count() == 0 and "v" in none.columns
+
+
+def test_prune_to_empty_returns_typed_frame(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), path, "Id", 8, stats_cols=["v"])
+    out = read_versioned_table(spark, path, prune=[("v", 10**9, None)])
+    assert out.count() == 0
+    assert [f for f in out.columns if f != MERGE_BUCKET_COL] == [
+        "Id", "v", "tag", "score"
+    ]
+
+
+def test_optimize_cluster_by_sorts_and_keeps_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _frame(spark).repartition(6)  # multiple files per bucket
+    write_versioned_table(df, path, "Id", 4, stats_cols=["v"])
+    mf, compacted = optimize_versioned(
+        spark, path, cluster_by=["score"]
+    )
+    assert sorted(compacted) == sorted(int(b) for b in mf["buckets"])
+    assert mf["clustered_by"] == ["score"]
+    # stats survived the rewrite and row content is identical
+    assert set(mf["bucket_stats"]) == set(mf["buckets"])
+    clustered = read_versioned_table(spark, path)
+    assert _rows(clustered) == _rows(
+        read_versioned_table(spark, path, token=_pre_token(path, mf))
+    )
+    # one file per bucket, rows inside sorted by the cluster column
+    for b, gen in mf["buckets"].items():
+        bdir = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) == 1
+        import pyarrow.parquet as pq
+
+        scores = pq.read_table(
+            os.path.join(bdir, files[0]), columns=["score"]
+        )["score"].to_pylist()
+        nn = [s for s in scores if s is not None]
+        assert nn == sorted(nn)
+
+
+def _pre_token(path, mf):
+    gens = sorted(
+        os.listdir(os.path.join(path, ".manifests"))
+    )
+    toks = [g[:-5] for g in gens if g.endswith(".json")]
+    return [t for t in toks if t != mf["token"]][0]
+
+
+def test_rebase_carries_both_writers_stats(spark, tmp_path):
+    """Two merges from the same snapshot into DISJOINT buckets: the
+    loser rebases, and the committed manifest carries BOTH writers'
+    fresh stats plus the untouched buckets' originals."""
+    path = str(tmp_path / "t")
+    mf0 = write_versioned_table(
+        _frame(spark), path, "Id", 8, stats_cols=["v"]
+    )
+    tok = mf0["token"]
+    a = spark.createDataFrame([Row(Id="k0", v=111_111)])
+    b = spark.createDataFrame([Row(Id="k1", v=222_222)])
+    # different buckets by construction of the fixture keys?
+    # derive and assert, then run both merges pinned to the SAME base
+    ba = pk_value_buckets(spark, mf0, ["k0"])[0]
+    bb = pk_value_buckets(spark, mf0, ["k1"])[0]
+    assert ba != bb
+    merge_into_versioned(spark, path, a, "Id", ["v"], base_token=tok)
+    mf2 = merge_into_versioned(spark, path, b, "Id", ["v"], base_token=tok)
+    assert mf2["bucket_stats"][str(ba)]["cols"]["v"]["max"] == 111_111
+    assert mf2["bucket_stats"][str(bb)]["cols"]["v"]["max"] == 222_222
+    for bk in mf2["buckets"]:
+        if bk not in (str(ba), str(bb)):
+            assert mf2["bucket_stats"][bk] == mf0["bucket_stats"][bk]
+
+
+def test_string_and_timestamp_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(Id="a", name="apple", ts="2024-01-01 00:00:00"),
+            Row(Id="b", name="pear", ts="2024-06-01 00:00:00"),
+            Row(Id="c", name="zebra", ts="2024-12-31 23:59:59"),
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    mf = write_versioned_table(df, path, "Id", 2, stats_cols=["name", "ts"])
+    # string range that excludes some bucket unless both words share it
+    out = read_versioned_table(spark, path, prune=[("name", "z", None)])
+    assert [r.Id for r in out.collect()] == ["c"]
+    full = read_versioned_table(spark, path)
+    assert _read_buckets(out) <= _read_buckets(full)
+    # ISO-encoded timestamp bounds prune chronologically
+    import datetime
+
+    late = read_versioned_table(
+        spark, path,
+        prune=[("ts", datetime.datetime(2024, 7, 1), None)],
+    )
+    assert [r.Id for r in late.collect()] == ["c"]
+
+
+def test_xxh64_matches_spark_xxhash64(spark):
+    """The pure-Python XXH64 fast path must agree with Spark's
+    xxhash64 expression bit-for-bit — every length class (empty,
+    tails, 4-byte word, 8-byte word, full 32-byte stripes) and
+    non-ASCII UTF-8."""
+    import random
+
+    from amaxa_spark.sources.catalog import _xxh64
+
+    rng = random.Random(8)
+    cases = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh",
+             "0123456789abcdef0123456789abcdef",  # exactly 32
+             "x" * 33, "y" * 100, "naïve-héllo-日本語-🚀"]
+    cases += [
+        "".join(rng.choice("abcdefghij0123456789-_ é日")
+                for _ in range(rng.randrange(0, 80)))
+        for _ in range(120)
+    ]
+    got = [
+        r.h for r in spark.createDataFrame(
+            [(c,) for c in cases], ["s"]
+        ).select(F.xxhash64(F.col("s")).alias("h")).collect()
+    ]
+    for c, h_spark in zip(cases, got):
+        h = _xxh64(c.encode("utf-8"))
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == h_spark, (c, signed, h_spark)
+
+
+def test_pk_value_buckets_fast_path_matches_spark_job(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mf = write_versioned_table(_frame(spark), path, "Id", 8)
+    keys = [f"k{i}" for i in range(0, 400, 7)] + ["ünïcode-日本", ""]
+    fast = pk_value_buckets(spark, mf, keys)
+    slow = pk_value_buckets(spark, mf, keys + [0])  # int forces the job
+    # the int 0 casts to "0", same as... no k-prefix: hash separately;
+    # compare on the common (string) keys via a pure-string job run
+    df = spark.createDataFrame([(k,) for k in keys], ["Id"])
+    via_job = sorted(
+        r.b for r in df.select(
+            F.pmod(F.xxhash64(F.col("Id").cast("string")),
+                   F.lit(mf["n_buckets"])).cast("int").alias("b")
+        ).distinct().collect()
+    )
+    assert fast == via_job
+    assert set(fast) <= set(slow)
+
+
+def test_manifest_to_sql_prune_matches_native_read(spark, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    path = str(tmp_path / "t")
+    write_versioned_table(
+        _frame(spark), path, "Id", 8, stats_cols=["v"]
+    )
+    prune = [("v", 3000, 3400)]
+    sql = manifest_to_sql(path, prune=prune)
+    # the pruned SQL lists fewer files than the full emission
+    assert sql.count(".parquet") < manifest_to_sql(path).count(".parquet")
+    got = duckdb.sql(sql).df().sort_values("Id").reset_index(drop=True)
+    want = (
+        read_versioned_table(spark, path, prune=prune)
+        .drop(MERGE_BUCKET_COL)
+        .toPandas()
+        .sort_values("Id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+    # prune-to-empty emits a typed empty relation
+    empty_sql = manifest_to_sql(path, prune=[("v", 10**9, None)])
+    assert duckdb.sql(empty_sql).df().shape[0] == 0
