@@ -799,6 +799,20 @@ _KNN_K = 3
 _KNN_BITS = 6
 _KNN_BANDS = 2
 
+# SemDeDup gate params (within-cluster semantic dedup). The
+# threshold matches _EMB_COS_THRESHOLD's scale: the synthetic
+# embeddings max out near 0.51 pairwise cosine, so 0.4 is the
+# near-dup band (a "real" corpus would sit near 0.95+; the semantics
+# are threshold-independent).
+_SEMDEDUP_CENTROIDS = 16
+_SEMDEDUP_ITERS = 3
+_SEMDEDUP_T = 0.4
+
+# DSIR gate params (importance weights vs the lang='en' target)
+_DSIR_BUCKETS = 256
+_DSIR_ALPHA = 0.5
+_DSIR_TARGET = "lang = 'en'"
+
 
 def _ann_ids_sql() -> str:
     return ", ".join(str(i) for i in _ANN_QUERY_IDS)
@@ -832,18 +846,13 @@ _ANN_COSINE_TOPK_SQL = (
 )
 
 
-def _ivf_oracle_sql(
-    n_centroids: int = _IVF_CENTROIDS,
-    nprobe: int = _IVF_NPROBE,
-    iters: int = _IVF_ITERS,
-    k: int = _ANN_K,
-) -> str:
-    """DuckDB twin of ivf_cosine_topk with a k-means codebook: the
-    Lloyd iterations are unrolled as chained CTEs — seed = lowest-id
-    vectors, assignment by round(cosine, 6) with cid tiebreak, update
-    = element-wise mean rounded per component to 6 decimals (so both
-    engines enter the next round from byte-identical codebooks),
-    empty cells keep their previous centroid."""
+def _kmeans_cte_sql(n_centroids: int, iters: int) -> list[str]:
+    """The unrolled deterministic-k-means CTE chain shared by the IVF
+    and SemDeDup oracles: seed = lowest-id vectors, assignment by
+    round(cosine, 6) with cid tiebreak, update = element-wise mean
+    rounded per component to 6 decimals (so both engines enter the
+    next round from byte-identical codebooks), empty cells keep their
+    previous centroid. Returns [base, cent0, ..., cent{iters}]."""
     ctes = [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         # lowest-id seeds (ORDER BY + LIMIT, matching the operator —
@@ -870,6 +879,18 @@ def _ivf_oracle_sql(
             f"cent{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv "
             f"FROM {prev} c LEFT JOIN n{i} n USING (cid))"
         )
+    return ctes
+
+
+def _ivf_oracle_sql(
+    n_centroids: int = _IVF_CENTROIDS,
+    nprobe: int = _IVF_NPROBE,
+    iters: int = _IVF_ITERS,
+    k: int = _ANN_K,
+) -> str:
+    """DuckDB twin of ivf_cosine_topk with a k-means codebook
+    (:func:`_kmeans_cte_sql` Lloyd chain)."""
+    ctes = _kmeans_cte_sql(n_centroids, iters)
     cent = f"cent{iters}"
     ctes.append(
         f"simc AS (SELECT b.vec_id, c.cid, round(list_cosine_similarity(b.v, c.cv), 6) AS s "
@@ -1031,6 +1052,70 @@ def q_ann_ivf_topk(spark, sf_dir):
         n_centroids=_IVF_CENTROIDS,
         nprobe=_IVF_NPROBE,
         kmeans_iters=_IVF_ITERS,
+    )
+
+
+def _semdedup_oracle_sql(
+    n_centroids: int = _SEMDEDUP_CENTROIDS,
+    iters: int = _SEMDEDUP_ITERS,
+    threshold: float = _SEMDEDUP_T,
+) -> str:
+    """DuckDB twin of semantic_dedup: the shared Lloyd CTE chain,
+    nearest-centroid assignment, the per-cluster canonical order
+    (sim-to-centroid DESC, vec_id ASC), and the within-cluster
+    earlier-member pairing at round(cosine, 6) >= threshold."""
+    ctes = _kmeans_cte_sql(n_centroids, iters)
+    cent = f"cent{iters}"
+    ctes.append(
+        f"simc AS (SELECT b.vec_id, c.cid, round(list_cosine_similarity(b.v, c.cv), 6) AS s "
+        f"FROM base b, {cent} c)"
+    )
+    ctes.append(
+        "assign AS (SELECT vec_id, cid, s FROM (SELECT vec_id, cid, s, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM simc) WHERE rn = 1)"
+    )
+    ctes.append(
+        "ranked AS (SELECT vec_id, cid, row_number() OVER "
+        "(PARTITION BY cid ORDER BY s DESC, vec_id ASC) AS rn FROM assign)"
+    )
+    ctes.append(
+        "dup AS (SELECT DISTINCT r2.vec_id FROM ranked r1 "
+        "JOIN ranked r2 ON r1.cid = r2.cid AND r1.rn < r2.rn "
+        "JOIN base b1 ON b1.vec_id = r1.vec_id "
+        "JOIN base b2 ON b2.vec_id = r2.vec_id "
+        f"WHERE round(list_cosine_similarity(b1.v, b2.v), 6) >= {threshold})"
+    )
+    return (
+        "WITH " + ", ".join(ctes) +
+        " SELECT a.vec_id, a.cid, (d.vec_id IS NOT NULL) AS dup "
+        "FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id"
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the
+    deterministic k-means codebook, then near-dup ONLY within each
+    cluster — the pruning that replaces the n² cosine frontier with
+    per-cluster quadratics whose size K controls. Oracle unrolls the
+    identical Lloyd iterations (_semdedup_oracle_sql)."""
+    return D.semantic_dedup(
+        _read(spark, sf_dir, "embeddings"),
+        n_centroids=_SEMDEDUP_CENTROIDS,
+        threshold=_SEMDEDUP_T,
+        kmeans_iters=_SEMDEDUP_ITERS,
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-doc log-ratio
+    of hashed-unigram likelihood under the lang='en' target vs the
+    raw corpus, in exact integer micro-nats. The md5-hex bucket hash
+    is byte-identical cross-engine."""
+    return TXT.dsir_weights(
+        _read(spark, sf_dir, "documents"),
+        target_pred=_DSIR_TARGET,
+        n_buckets=_DSIR_BUCKETS,
+        alpha=_DSIR_ALPHA,
     )
 
 
@@ -2898,6 +2983,7 @@ QUERY_ORDER = [
     # reworked bounded-probe exact baseline (was the last all-pairs
     # plan), the header-only image metadata path, and the real
     # compressed-video (MJPEG/AVI) path ---
+    "semantic_dedup", "dsir_weights",
     "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
     "image_gif_stats", "audio_spectral", "video_gif_frames",
     "graph_pagerank", "bpe_merges", "bpe_tokenize",
@@ -2967,22 +3053,24 @@ QUERY_ORDER = [
 # judged-window invariants: round-8 changes lead the driver's
 # first-50 window (judged in their birth round), and the full surface
 # is intact
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 0  # r8 rework first
-assert QUERY_ORDER.index("image_header_meta") == 1  # r8 additions
-assert QUERY_ORDER.index("video_mjpeg_frames") == 2
-assert QUERY_ORDER.index("image_gif_stats") == 3
-assert QUERY_ORDER.index("audio_spectral") == 4
-assert QUERY_ORDER.index("video_gif_frames") == 5
-assert QUERY_ORDER.index("graph_pagerank") == 6
-assert QUERY_ORDER.index("bpe_merges") == 7
-assert QUERY_ORDER.index("bpe_tokenize") == 8
-assert QUERY_ORDER.index("dedup_containment") == 9  # r7 additions follow
+assert QUERY_ORDER.index("semantic_dedup") == 0  # r8 batch-3 first
+assert QUERY_ORDER.index("dsir_weights") == 1
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 2  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 3  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 4
+assert QUERY_ORDER.index("image_gif_stats") == 5
+assert QUERY_ORDER.index("audio_spectral") == 6
+assert QUERY_ORDER.index("video_gif_frames") == 7
+assert QUERY_ORDER.index("graph_pagerank") == 8
+assert QUERY_ORDER.index("bpe_merges") == 9
+assert QUERY_ORDER.index("bpe_tokenize") == 10
+assert QUERY_ORDER.index("dedup_containment") == 11  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
 assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 61  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 111  # r1-4 core last
-assert len(QUERY_ORDER) == 161 and len(set(QUERY_ORDER)) == 161
+assert QUERY_ORDER.index("weighted_linkage") == 63  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 113  # r1-4 core last
+assert len(QUERY_ORDER) == 163 and len(set(QUERY_ORDER)) == 163
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3108,6 +3196,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "gopher_rules": q_gopher_rules,
         "text_unigram_lm": q_text_unigram_lm,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_weights": q_dsir_weights,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -4575,6 +4665,28 @@ def _oracle_sql_raw() -> dict[str, str]:
             "round(avg(cnt / tot), 6) AS mean_p, "
             "round(min(cnt / tot), 9) AS min_p "
             "FROM t2 JOIN vocab USING (token) CROSS JOIN total GROUP BY doc_id"
+        ),
+        "semantic_dedup": _semdedup_oracle_sql(),
+        "dsir_weights": (
+            f"WITH toks AS (SELECT doc_id, (lang = 'en') AS tgt, "
+            f"unnest(string_split({_NORM_TEXT}, ' ')) AS t FROM documents), "
+            f"t2 AS (SELECT doc_id, tgt, "
+            f"CAST('0x' || substr(md5(t), 1, 6) AS BIGINT) % {_DSIR_BUCKETS} AS b "
+            "FROM toks WHERE t != ''), "
+            "docb AS (SELECT doc_id, b, count(*) AS k, bool_or(tgt) AS tgt "
+            "FROM t2 GROUP BY doc_id, b), "
+            "src AS (SELECT b, sum(k) AS sc FROM docb GROUP BY b), "
+            "tgt AS (SELECT b, sum(k) AS tc FROM docb WHERE tgt GROUP BY b), "
+            "tot AS (SELECT CAST(sum(k) AS DOUBLE) AS st, "
+            "CAST(sum(CASE WHEN tgt THEN k ELSE 0 END) AS DOUBLE) AS tt FROM docb), "
+            "ratio AS (SELECT b, CAST(round(ln("
+            f"((coalesce(tc, 0) + {_DSIR_ALPHA}) / (tt + {_DSIR_ALPHA * _DSIR_BUCKETS})) / "
+            f"((sc + {_DSIR_ALPHA}) / (st + {_DSIR_ALPHA * _DSIR_BUCKETS}))"
+            ") * 1e6) AS BIGINT) AS lp "
+            "FROM src LEFT JOIN tgt USING (b) CROSS JOIN tot) "
+            "SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens, "
+            "sum(k * lp) / 1e6 AS weight "
+            "FROM docb JOIN ratio USING (b) GROUP BY doc_id"
         ),
         "line_dedup": (
             "WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr "

@@ -1161,3 +1161,105 @@ def corpus_diff(
         j.select(F.col("__id").alias(id_col), status.alias("status"))
         .where(F.col("status").isNotNull())
     )
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then look for near-duplicates ONLY within each cluster —
+    the pruning that makes semantic dedup tractable where all-pairs
+    cosine is a dead n² computation. A vector is a semantic duplicate
+    if some cluster-mate EARLIER in the cluster's canonical order
+    (similarity-to-centroid DESC, id ASC — most-central first, the
+    deterministic stand-in for the paper's keep-one-per-group rule)
+    has cosine ≥ ``threshold`` with it. The reference engine has no
+    embedding operators at all (amaxa/amaxa.py:1 is id-graph
+    extraction) — beyond-reference pipeline component.
+
+    Output: (id_col, cid, dup) — every vector, its cluster, and
+    whether SemDeDup would drop it.
+
+    Determinism: the codebook is :func:`~amaxa_spark.operators.
+    similarity.kmeans_codebook` (lowest-id seeds, rounded-argmax
+    assignment, per-component-rounded means), so a DuckDB oracle can
+    replay the identical Lloyd iterations as unrolled CTEs; all
+    cosines round to 6 decimals before any comparison.
+
+    Scale shape: codebook + assignment are the IVF build path
+    (broadcast K-row codebook, one corpus pass, max_by argmax — no
+    per-vector sort). The within-cluster pairing shuffles vectors
+    once by cid and is quadratic ONLY in cluster size: K is the scale
+    lever and grows with the corpus (the paper's own design — 50k
+    clusters for LAION-440M), keeping E[cluster] = n/K bounded; the
+    window rank adds a per-cluster sort of rows already co-located by
+    the same shuffle. Pairs carry ids + rounded sims, never text.
+    """
+    from amaxa_spark.operators.similarity import (
+        _dot,
+        _norm,
+        assign_cells,
+        kmeans_codebook,
+    )
+
+    base = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    cent = kmeans_codebook(base, n_centroids, kmeans_iters, id_col=id_col)
+    assign = assign_cells(base, cent, id_col)
+    cos_c = F.round(
+        _dot(F.col("__v"), F.col("__cv"))
+        / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
+        6,
+    )
+    ranked = (
+        assign.join(F.broadcast(cent), "cid")
+        .select(id_col, "cid", "__v", cos_c.alias("__s"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(
+                    F.col("__s").desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+    )
+    a = ranked.select(
+        F.col("cid"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__rn").alias("__rna"),
+    )
+    b = ranked.select(
+        F.col("cid"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__rn").alias("__rnb"),
+    )
+    cos_ab = F.round(
+        _dot(F.col("__va"), F.col("__vb"))
+        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        6,
+    )
+    dups = (
+        a.join(b, "cid")
+        .where(F.col("__rna") < F.col("__rnb"))
+        .where(cos_ab >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        ranked.select(id_col, "cid")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cid",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("dup"),
+        )
+    )

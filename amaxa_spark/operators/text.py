@@ -899,3 +899,102 @@ def bpe_encode(
         run,
         schema=f"{id_col} long, n_words int, n_tokens int, tokens string",
     )
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed unigram features are under a
+    TARGET distribution (the docs matching ``target_pred``) than
+    under the raw corpus. High-weight documents look like the target
+    domain; resampling by these weights is the paper's selection
+    rule. The reference engine has no corpus-selection operators
+    (amaxa/amaxa.py stops at extraction) — this is a beyond-reference
+    training-data-pipeline component.
+
+    Features are tokens hashed into ``n_buckets`` buckets via the
+    first 6 hex digits of md5 — unicode-safe and byte-identical in
+    Spark (``conv(substring(md5(t),1,6),16,10)``) and DuckDB
+    (``cast('0x'||substr(md5(t),1,6) as int)``), verified both return
+    414835 for 'héllo中'. Bucket log-ratios use add-``alpha``
+    smoothing and are ROUNDED TO MICRO-NATS (×1e6, bigint) before the
+    per-doc sum, so the sum is exact integer arithmetic — no
+    float-accumulation-order hazard between engines (ln itself is
+    within 1 ulp cross-engine; a 1e-16 perturbation cannot move a
+    value across a 1e-6 rounding boundary except with ~1e-10
+    probability per bucket).
+
+    Output: (id, n_tokens, weight) — weight in nats, exact multiple
+    of 1e-6.
+
+    Scale shape: one explode into per-(doc, bucket) counts (map-side
+    combined shuffle carrying counts, never text); the bucket
+    ratio table is ≤ ``n_buckets`` rows — broadcast — so scoring is a
+    map-side join plus one per-doc aggregation. The target/source
+    totals are 1-row aggregates crossed in (scalar-subquery shape).
+    No Python anywhere.
+    """
+    if isinstance(target_pred, str):
+        target_pred = F.expr(target_pred)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 6), 16, 10)
+        .cast("long") % n_buckets
+    ).alias("__b")
+    toks = (
+        df.select(
+            F.col(id_col),
+            target_pred.alias("__tgt"),
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+        .select(id_col, "__tgt", bucket)
+    )
+    doc_b = toks.groupBy(id_col, "__b").agg(
+        F.count("*").alias("__k"),
+        # a doc is entirely target or not; max is just the carry
+        F.max("__tgt").alias("__tgt"),
+    )
+    src = doc_b.groupBy("__b").agg(F.sum("__k").alias("__sc"))
+    tgt = (
+        doc_b.where(F.col("__tgt"))
+        .groupBy("__b")
+        .agg(F.sum("__k").alias("__tc"))
+    )
+    totals = doc_b.agg(
+        F.sum("__k").cast("double").alias("__st"),
+        F.sum(F.when(F.col("__tgt"), F.col("__k")).otherwise(0))
+        .cast("double")
+        .alias("__tt"),
+    )
+    ratio = (
+        src.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("__tc"), F.lit(0)) + alpha)
+                     / (F.col("__tt") + alpha * n_buckets))
+                    / ((F.col("__sc") + alpha)
+                       / (F.col("__st") + alpha * n_buckets))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__lp"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__k").alias("n_tokens"),
+            (F.sum(F.col("__k") * F.col("__lp")) / 1e6).alias("weight"),
+        )
+    )

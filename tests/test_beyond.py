@@ -3383,3 +3383,105 @@ def test_bpe_train_matches_sennrich_reference_and_encode(spark):
     capped = TXT.bpe_train(df, "text", n_merges=3, max_words=3)
     top3 = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
     assert capped == reference_train(Counter(top3), 3)
+
+def test_semantic_dedup_planted(spark):
+    # two well-separated directions; ids 0 and 1 are the k-means seeds
+    # (lowest-id) and land one in each group. Group A (even ids)
+    # carries three near-identical vectors (0, 2, 4); group B (odd
+    # ids) is spread out with no near-dups.
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, vec(0.00)), (2, vec(0.001)), (4, vec(0.002)),  # planted dups
+        (6, vec(0.5)),                                     # same group, far
+        (1, vec(1.5)), (3, vec(1.8)), (5, vec(1.2)),       # group B spread
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {
+        r.vec_id: (r.cid, r.dup)
+        for r in D.semantic_dedup(
+            emb, n_centroids=2, threshold=0.999, kmeans_iters=2
+        ).collect()
+    }
+    # every vector appears exactly once
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6}
+    # the most-central earliest member is kept; its near-copies drop
+    dups = {v for v, (_, d) in out.items() if d}
+    assert dups == {2, 4} or dups == {0, 2} or dups == {0, 4}, dups
+    assert len(dups) == 2  # exactly one of the three survives
+    # group B and the far member are untouched
+    assert not out[6][1] and not out[1][1] and not out[3][1] and not out[5][1]
+    # the three near-copies share a cluster
+    assert out[0][0] == out[2][0] == out[4][0]
+
+
+def test_semantic_dedup_cross_cluster_miss(spark):
+    # near-dups split across clusters are NOT flagged — the documented
+    # SemDeDup approximation (pruning = within-cluster only)
+    rows = [
+        (0, [1.0, 0.0]), (1, [-1.0, 0.05]),
+        (2, [0.9995, 0.0005]),  # near-dup of 0
+        (3, [-0.9995, 0.06]),   # near-dup of 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    res = D.semantic_dedup(emb, n_centroids=2, threshold=0.999, kmeans_iters=1)
+    got = {r.vec_id: (r.cid, r.dup) for r in res.collect()}
+    # 0/2 share a cluster -> 2 flagged; 1/3 share the other -> 3 flagged
+    assert got[2][1] and got[3][1]
+    assert not got[0][1] and not got[1][1]
+    assert got[0][0] == got[2][0] and got[1][0] == got[3][0]
+    assert got[0][0] != got[1][0]
+
+
+def test_dsir_weights_separates_target(spark):
+    # target docs use one vocabulary, background another; target docs
+    # must score strictly higher. Mixed doc sits between.
+    from amaxa_spark.operators import text as TXT
+
+    t_doc = "the quick brown fox jumps over the lazy dog"
+    b_doc = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rows = (
+        [(i, t_doc, True) for i in range(5)]
+        + [(i + 10, b_doc, False) for i in range(5)]
+        + [(20, t_doc + " " + b_doc, False)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, tgt: boolean")
+    out = {
+        r.doc_id: r
+        for r in TXT.dsir_weights(
+            docs, target_pred=F.col("tgt"), n_buckets=64
+        ).collect()
+    }
+    assert set(out) == set(r[0] for r in rows)
+    t_w = out[0].weight
+    b_w = out[10].weight
+    m_w = out[20].weight
+    assert t_w > m_w > b_w
+    # identical docs get identical weights; weights are exact 1e-6 multiples
+    assert all(out[i].weight == t_w for i in range(5))
+    for r in out.values():
+        assert round(r.weight * 1e6) == pytest.approx(r.weight * 1e6)
+    # n_tokens is the whitespace token count
+    assert out[0].n_tokens == 9 and out[20].n_tokens == 17
+
+
+def test_dsir_weights_deterministic(spark, sf_dir):
+    from amaxa_spark.operators import text as TXT
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(
+        TXT.dsir_weights(docs, target_pred="lang = 'en'").collect()
+    )
+    b = sorted(
+        TXT.dsir_weights(docs, target_pred="lang = 'en'").collect()
+    )
+    assert a == b
+    # the target class scores higher ON AVERAGE (the synthetic corpus
+    # shares vocabulary across langs, so per-doc overlap is expected)
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    en = [r.weight for r in a if langs[r.doc_id] == "en"]
+    rest = [r.weight for r in a if langs[r.doc_id] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)

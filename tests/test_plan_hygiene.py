@@ -57,6 +57,10 @@ _BOUNDED_BROADCAST_OK = {
     # IVF: broadcast side is the K-centroid codebook (K=const)
     "ann_ivf_topk": "K-centroid codebook",
     "ann_ivf_topk_pandas": "K-centroid codebook",
+    # SemDeDup: the same K-row codebook broadcast, once per Lloyd
+    # iteration + once for the final assignment; the within-cluster
+    # pairing itself is an equi-join on cid (never nested-loop)
+    "semantic_dedup": "K-centroid codebook",
     # exact-verify baseline bounded to a FIXED probe set: broadcast
     # side is exactly _EMB_PROBE_N=50 vectors at any corpus scale
     # (dedup.embedding_cosine_verify); the bucketed sibling
