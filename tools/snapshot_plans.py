@@ -220,6 +220,18 @@ SHOW = [
         "Arrow-batched mapInPandas with per-batch word memo, no "
         "shuffle",
     ),
+    (
+        "semantic_dedup",
+        "SemDeDup: K-row codebook broadcast for assignment, "
+        "within-cluster pairing as an equi-join on cid (one vector "
+        "shuffle), window rank rides the same exchange",
+    ),
+    (
+        "dsir_weights",
+        "DSIR: per-(doc,bucket) count shuffle (map-side combined), "
+        "<=256-row bucket-ratio table broadcast back, exact "
+        "integer-micro-nat per-doc sum",
+    ),
 ]
 
 KEY_LINES = (
