@@ -4668,7 +4668,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         ),
         "semantic_dedup": _semdedup_oracle_sql(),
         "dsir_weights": (
-            f"WITH toks AS (SELECT doc_id, (lang = 'en') AS tgt, "
+            f"WITH toks AS (SELECT doc_id, ({_DSIR_TARGET}) AS tgt, "
             f"unnest(string_split({_NORM_TEXT}, ' ')) AS t FROM documents), "
             f"t2 AS (SELECT doc_id, tgt, "
             f"CAST('0x' || substr(md5(t), 1, 6) AS BIGINT) % {_DSIR_BUCKETS} AS b "

@@ -1143,10 +1143,25 @@ def _stats_value(v):
     return None
 
 
+import re as _re
+
+_ISO_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_ISO_TS_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}")
+
+
 def _stats_cmp(a, b):
     """Compare two JSON-encoded stat values; None = incomparable
     (mixed domains), which every pruning decision treats as
-    inconclusive → bucket is read."""
+    inconclusive → bucket is read.
+
+    Mixed temporal granularity (a DATE stat vs a datetime bound, or
+    vice versa) pads the date to midnight before comparing — exactly
+    Spark's date↔timestamp comparison semantics; bare lexicographic
+    order would call '2024-07-01' < '2024-07-01 00:00:00' and prune a
+    matching bucket (silent data loss, reproduced in
+    tests/test_stats_pruning.py). For genuine STRING columns the
+    padding only ever turns a strict prefix-order into equality, so
+    it can lose pruning, never rows."""
     num = (int, float)
     if isinstance(a, bool) or isinstance(b, bool):
         if isinstance(a, bool) and isinstance(b, bool):
@@ -1155,6 +1170,10 @@ def _stats_cmp(a, b):
     if isinstance(a, num) and isinstance(b, num):
         return (a > b) - (a < b)
     if isinstance(a, str) and isinstance(b, str):
+        if _ISO_DATE_RE.match(a) and _ISO_TS_RE.match(b):
+            a = a + " 00:00:00"
+        elif _ISO_DATE_RE.match(b) and _ISO_TS_RE.match(a):
+            b = b + " 00:00:00"
         return (a > b) - (a < b)
     return None
 
@@ -1311,11 +1330,19 @@ def _xxh64(data: bytes, seed: int = 42) -> int:
 def pk_value_buckets(
     spark: SparkSession, manifest: dict, values: list
 ) -> list[int]:
-    """Exact bucket ids for a bounded set of key values. String keys
+    """Exact bucket ids for a bounded set of key values. The layout
+    hashes the pk's STRING RENDERING (:func:`_bucket_expr` casts to
+    string before xxhash64), so the value must be rendered exactly as
+    the COLUMN type renders it — a Decimal literal inferred as
+    decimal(38,18) renders '5.000000000000000000' while a
+    decimal(10,2) column renders '5.00', a different bucket and a
+    silently-empty lookup. Hence: string keys of a RECORDED-string pk
     resolve in pure driver Python (:func:`_xxh64` — zero Spark jobs,
-    the O(1)-latency point-lookup path); anything else falls back to
-    one tiny Spark job applying the engine's OWN bucket expression to
-    the literals, so cast semantics can never drift from the layout.
+    the O(1)-latency point-lookup path); everything else goes through
+    one tiny Spark job that first casts the literals to the
+    manifest's recorded pk type, so the rendering is the layout's
+    own. Pre-format manifests (no recorded schema) fall back to
+    inferred-type hashing — best effort, exact for string keys.
     Driver cost is O(|values|) either way — for unbounded key sets
     use a left-semi join against the full read."""
     pk = manifest["pk"]
@@ -1323,20 +1350,50 @@ def pk_value_buckets(
     vals = [v for v in dict.fromkeys(values) if v is not None]
     if not vals:
         return []
-    if all(isinstance(v, str) for v in vals):
+    pk_dt = None
+    sj = manifest.get("schema_json")
+    if sj:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        fld = next(
+            (
+                f
+                for f in _json.loads(sj).get("fields", [])
+                if f.get("name") == pk
+            ),
+            None,
+        )
+        if fld is not None:
+            pk_dt = StructType.fromJson(
+                {"type": "struct", "fields": [fld]}
+            )[pk].dataType
+    if (
+        (pk_dt is None or pk_dt.typeName() == "string")
+        and all(isinstance(v, str) for v in vals)
+    ):
         # Spark's xxhash64 returns a SIGNED long; pmod re-maps the
         # negative half — Python's % on a positive modulus is pmod
         return sorted({
             ((h - (1 << 64)) if h >= (1 << 63) else h) % n
             for h in (_xxh64(v.encode("utf-8")) for v in vals)
         })
-    df = spark.createDataFrame([(v,) for v in vals], [pk])
-    return sorted(
-        r.b
-        for r in df.select(_bucket_expr(pk, n).alias("b"))
-        .distinct()
-        .collect()
-    )
+    # one tiny job per PYTHON type group — a mixed Decimal+float list
+    # cannot share one inferred frame (CANNOT_MERGE_TYPE), and each
+    # group still lands on the recorded column type via the cast
+    groups: dict[type, list] = {}
+    for v in vals:
+        groups.setdefault(type(v), []).append(v)
+    col = F.col(pk).cast(pk_dt) if pk_dt is not None else F.col(pk)
+    bucket = F.pmod(F.xxhash64(col.cast("string")), F.lit(n)).cast("int")
+    out: set[int] = set()
+    for vs in groups.values():
+        df = spark.createDataFrame([(v,) for v in vs], [pk])
+        out |= {
+            r.b for r in df.select(bucket.alias("b")).distinct().collect()
+        }
+    return sorted(out)
 
 
 def _carry_bucket_stats(
@@ -2032,7 +2089,12 @@ def _table_manifest_sql(
         )
         if not pruned:
             return inner  # typed-empty branch already carries WHERE 1=0
-        return f"{inner} WHERE {_prune_where_sql(prune)}"
+        # the residual must filter the PROJECTED columns (ALTER-added
+        # columns are reconstructed as coalesce-to-default aliases) —
+        # appended directly to the inner SELECT, DuckDB would bind the
+        # raw read_parquet column and drop every row whose value IS
+        # the default
+        return f"SELECT * FROM ({inner}) WHERE {_prune_where_sql(prune)}"
 
     added = manifest.get("added_columns", {})
     schema_cols: list[str] = []

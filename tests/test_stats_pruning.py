@@ -400,3 +400,101 @@ def test_manifest_to_sql_prune_matches_native_read(spark, tmp_path):
     # prune-to-empty emits a typed empty relation
     empty_sql = manifest_to_sql(path, prune=[("v", 10**9, None)])
     assert duckdb.sql(empty_sql).df().shape[0] == 0
+
+
+def test_mixed_granularity_temporal_bounds_never_lose_rows(spark, tmp_path):
+    """A datetime bound on a DATE stats column (and vice versa) must
+    compare temporally, not lexicographically — '2024-07-01' vs
+    '2024-07-01 00:00:00' pruned a MATCHING bucket before the
+    midnight-padding fix in _stats_cmp."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(Id=f"d{i}") for i in range(10)]
+    ).withColumn("d", F.lit(datetime.date(2024, 7, 1)))
+    write_versioned_table(df, path, "Id", 4, stats_cols=["d"])
+    bound = datetime.datetime(2024, 7, 1)
+    pruned = read_versioned_table(spark, path, prune=[("d", bound, None)])
+    full = read_versioned_table(spark, path).where(F.col("d") >= F.lit(bound))
+    assert pruned.count() == full.count() == 10
+    # the reverse granularity: date bound against TIMESTAMP stats
+    path2 = str(tmp_path / "t2")
+    df2 = spark.createDataFrame(
+        [Row(Id=f"d{i}") for i in range(10)]
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-07-01 00:00:00")))
+    write_versioned_table(df2, path2, "Id", 4, stats_cols=["ts"])
+    dbound = datetime.date(2024, 7, 1)
+    p2 = read_versioned_table(spark, path2, prune=[("ts", None, dbound)])
+    f2 = read_versioned_table(spark, path2).where(
+        F.col("ts") <= F.lit(dbound)
+    )
+    assert p2.count() == f2.count() == 10
+
+
+def test_manifest_to_sql_prune_on_alter_added_column(spark, tmp_path):
+    """The residual WHERE must filter the PROJECTED default-on-read
+    columns: appended to the inner SELECT it binds the raw parquet
+    column and drops every row whose value IS the ALTER default."""
+    duckdb = pytest.importorskip("duckdb")
+    from amaxa_spark.sources.catalog import alter_versioned_add_columns
+
+    path = str(tmp_path / "t")
+    write_versioned_table(
+        _frame(spark, n=20, n_buckets=4), path, "Id", 4, stats_cols=["v"]
+    )
+    alter_versioned_add_columns(path, {"w": ("int", 7)}, spark=spark)
+    merge_into_versioned(
+        spark,
+        path,
+        spark.createDataFrame([Row(Id="k0", w=50)]),
+        "Id",
+        ["w"],
+    )
+    prune = [("w", 5, 60)]
+    native = (
+        read_versioned_table(spark, path, prune=prune)
+        .drop(MERGE_BUCKET_COL)
+        .toPandas()
+        .sort_values("Id")
+        .reset_index(drop=True)
+    )
+    got = (
+        duckdb.sql(manifest_to_sql(path, prune=prune))
+        .df()
+        .sort_values("Id")
+        .reset_index(drop=True)
+    )
+    assert len(native) == 20  # default 7 is inside [5, 60]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], native[sorted(native.columns)]
+    )
+
+
+def test_pk_in_casts_to_recorded_pk_type(spark, tmp_path):
+    """The layout hashes the pk's STRING RENDERING under the COLUMN
+    type; a literal whose inferred type renders differently (long
+    5 vs double 5.0, decimal 5.00 vs 5.000000000000000000) must be
+    cast to the recorded type before hashing or the lookup silently
+    misses existing rows."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 50).selectExpr(
+        "cast(id as decimal(10,2)) + 0.25 as pk", "id as v"
+    )
+    write_versioned_table(df, path, "pk", 8)
+    import decimal
+
+    got = read_versioned_table(
+        spark, path, pk_in=[decimal.Decimal("3.25"), 7.25]
+    )
+    assert sorted(float(r.pk) for r in got.collect()) == [3.25, 7.25]
+    # long pk looked up with float/str literals
+    path2 = str(tmp_path / "t2")
+    write_versioned_table(
+        spark.range(0, 50).selectExpr("id as pk", "id as v"),
+        path2, "pk", 8,
+    )
+    got2 = read_versioned_table(spark, path2, pk_in=[3.0, "7"])
+    assert sorted(r.pk for r in got2.collect()) == [3, 7]
