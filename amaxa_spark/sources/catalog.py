@@ -17,6 +17,7 @@ column chunks (check with ``df.explain``: PushedFilters / ReadSchema).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -660,10 +661,7 @@ def merge_into_partitioned(
     (5) write with ``partitionOverwriteMode=dynamic`` so untouched
     bucket directories are left in place byte-for-byte.
     """
-    bucket = F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets)).cast(
-        "int"
-    )
-    upd = updates.withColumn(MERGE_BUCKET_COL, bucket)
+    upd = updates.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
     affected = sorted(
         r[0] for r in upd.select(MERGE_BUCKET_COL).distinct().collect()
     )
@@ -839,9 +837,15 @@ def _claim_commit(path: str, seq: int, manifest: dict) -> None:
     _write_head_hint(path, seq)
 
 
-def _bucket_expr(pk: str, n_buckets: int):
+def _bucket_expr(pk: str, n_buckets: int, col=None):
+    """THE layout hash — every bucket computation in the module goes
+    through here so cast semantics can never drift. ``col`` overrides
+    the hashed expression (e.g. a literal pre-cast to the recorded pk
+    type) while keeping the hash/pmod/cast chain single-sourced."""
+    if col is None:
+        col = F.col(pk)
     return F.pmod(
-        F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets)
+        F.xxhash64(col.cast("string")), F.lit(n_buckets)
     ).cast("int")
 
 
@@ -1143,10 +1147,19 @@ def _stats_value(v):
     return None
 
 
-import re as _re
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_ISO_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}")
 
-_ISO_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
-_ISO_TS_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}")
+
+def _temporal_norm(s: str) -> str:
+    """Canonical temporal rendering: bare dates pad to midnight,
+    ISO 'T' separators become the engine's space separator. Identity
+    for anything non-temporal."""
+    if _ISO_DATE_RE.match(s):
+        return s + " 00:00:00"
+    if _ISO_TS_RE.match(s) and s[10] == "T":
+        return s[:10] + " " + s[11:]
+    return s
 
 
 def _stats_cmp(a, b):
@@ -1154,14 +1167,17 @@ def _stats_cmp(a, b):
     (mixed domains), which every pruning decision treats as
     inconclusive → bucket is read.
 
-    Mixed temporal granularity (a DATE stat vs a datetime bound, or
-    vice versa) pads the date to midnight before comparing — exactly
-    Spark's date↔timestamp comparison semantics; bare lexicographic
-    order would call '2024-07-01' < '2024-07-01 00:00:00' and prune a
-    matching bucket (silent data loss, reproduced in
-    tests/test_stats_pruning.py). For genuine STRING columns the
-    padding only ever turns a strict prefix-order into equality, so
-    it can lose pruning, never rows."""
+    Strings are compared under BOTH interpretations — raw
+    lexicographic (a genuine string column) and temporally normalized
+    (dates pad to midnight, 'T' separators become spaces — the
+    engine's own stat rendering). Only a verdict both interpretations
+    AGREE on is returned; a disagreement means the verdict depends on
+    the column type the manifest stat does not record, so it is
+    inconclusive and the bucket is read. Without this, a datetime
+    bound on a DATE stat ('2024-07-01' < '2024-07-01 00:00:00') or an
+    isoformat() 'T'-bound on a timestamp stat (' ' < 'T') pruned
+    MATCHING buckets — silent data loss, both reproduced in
+    tests/test_stats_pruning.py."""
     num = (int, float)
     if isinstance(a, bool) or isinstance(b, bool):
         if isinstance(a, bool) and isinstance(b, bool):
@@ -1170,11 +1186,12 @@ def _stats_cmp(a, b):
     if isinstance(a, num) and isinstance(b, num):
         return (a > b) - (a < b)
     if isinstance(a, str) and isinstance(b, str):
-        if _ISO_DATE_RE.match(a) and _ISO_TS_RE.match(b):
-            a = a + " 00:00:00"
-        elif _ISO_DATE_RE.match(b) and _ISO_TS_RE.match(a):
-            b = b + " 00:00:00"
-        return (a > b) - (a < b)
+        raw = (a > b) - (a < b)
+        na, nb = _temporal_norm(a), _temporal_norm(b)
+        if (na, nb) != (a, b):
+            norm = (na > nb) - (na < nb)
+            return raw if raw == norm else None
+        return raw
     return None
 
 
@@ -1385,8 +1402,8 @@ def pk_value_buckets(
     groups: dict[type, list] = {}
     for v in vals:
         groups.setdefault(type(v), []).append(v)
-    col = F.col(pk).cast(pk_dt) if pk_dt is not None else F.col(pk)
-    bucket = F.pmod(F.xxhash64(col.cast("string")), F.lit(n)).cast("int")
+    col = F.col(pk).cast(pk_dt) if pk_dt is not None else None
+    bucket = _bucket_expr(pk, n, col=col)
     out: set[int] = set()
     for vs in groups.values():
         df = spark.createDataFrame([(v,) for v in vs], [pk])

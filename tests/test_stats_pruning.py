@@ -498,3 +498,51 @@ def test_pk_in_casts_to_recorded_pk_type(spark, tmp_path):
     )
     got2 = read_versioned_table(spark, path2, pk_in=[3.0, "7"])
     assert sorted(r.pk for r in got2.collect()) == [3, 7]
+
+
+def test_t_separator_timestamp_bounds_never_lose_rows(spark, tmp_path):
+    """datetime.isoformat() renders 'T'-separated; the engine's stats
+    render space-separated. Lexicographically ' ' < 'T', which pruned
+    a MATCHING bucket; under the agree-or-inconclusive rule the
+    bucket is read and the residual filter decides."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(Id=f"d{i}") for i in range(10)]
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-07-01 23:00:00")))
+    write_versioned_table(df, path, "Id", 4, stats_cols=["ts"])
+    bound = "2024-07-01T12:34:56"  # datetime.isoformat() shape
+    pruned = read_versioned_table(spark, path, prune=[("ts", bound, None)])
+    full = read_versioned_table(spark, path).where(F.col("ts") >= bound)
+    assert pruned.count() == full.count() == 10
+    # T-separated bound against a DATE stat column
+    import datetime
+
+    path2 = str(tmp_path / "t2")
+    df2 = spark.createDataFrame(
+        [Row(Id=f"d{i}") for i in range(10)]
+    ).withColumn("d", F.lit(datetime.date(2024, 7, 1)))
+    write_versioned_table(df2, path2, "Id", 4, stats_cols=["d"])
+    b2 = "2024-07-01T00:00:00"
+    p2 = read_versioned_table(spark, path2, prune=[("d", None, b2)])
+    f2 = read_versioned_table(spark, path2).where(F.col("d") <= b2)
+    assert p2.count() == f2.count() == 10
+
+
+def test_stats_cmp_agreement_rule():
+    """Unit coverage of the dual-interpretation comparison: verdicts
+    both readings agree on pass through; disagreements are None."""
+    from amaxa_spark.sources.catalog import _stats_cmp
+
+    # plain strings: raw lexicographic
+    assert _stats_cmp("apple", "pear") == -1
+    # same-separator timestamps: unambiguous
+    assert _stats_cmp("2024-07-01 23:00:00", "2024-07-01 12:00:00") == 1
+    # cross-separator where both readings agree (different days)
+    assert _stats_cmp("2024-07-02 01:00:00", "2024-07-01T23:00:00") == 1
+    # cross-separator same-day flip: inconclusive
+    assert _stats_cmp("2024-07-01 23:00:00", "2024-07-01T12:34:56") is None
+    # date vs its own midnight: temporally equal, raw strict — None
+    assert _stats_cmp("2024-07-01", "2024-07-01 00:00:00") is None
+    assert _stats_cmp("2024-07-01", "2024-07-01T00:00:00") is None
+    # date vs a LATER timestamp: both readings agree
+    assert _stats_cmp("2024-07-01", "2024-07-01 10:00:00") == -1
