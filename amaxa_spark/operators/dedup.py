@@ -1169,6 +1169,7 @@ def semantic_dedup(
     kmeans_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_impl: str = "hof",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     space, then look for near-duplicates ONLY within each cluster —
@@ -1180,6 +1181,12 @@ def semantic_dedup(
     has cosine ≥ ``threshold`` with it. The reference engine has no
     embedding operators at all (amaxa/amaxa.py:1 is id-graph
     extraction) — beyond-reference pipeline component.
+
+    ``assign_impl="pandas"`` swaps the K×n codebook training and
+    assignment for the BLAS twin (one numpy GEMM per Arrow batch, see
+    :func:`~amaxa_spark.operators.similarity.assign_cells`) — the
+    scale path when K grows with the corpus; ``hof`` is the
+    cross-engine-deterministic oracle baseline.
 
     Output: (id_col, cid, dup) — every vector, its cluster, and
     whether SemDeDup would drop it.
@@ -1210,8 +1217,11 @@ def semantic_dedup(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    cent = kmeans_codebook(base, n_centroids, kmeans_iters, id_col=id_col)
-    assign = assign_cells(base, cent, id_col)
+    cent = kmeans_codebook(
+        base, n_centroids, kmeans_iters, id_col=id_col,
+        assign_impl=assign_impl,
+    )
+    assign = assign_cells(base, cent, id_col, impl=assign_impl)
     cos_c = F.round(
         _dot(F.col("__v"), F.col("__cv"))
         / (_norm(F.col("__v")) * _norm(F.col("__cv"))),

@@ -1050,13 +1050,7 @@ def read_versioned_table(
       exact, no stats needed.
     """
     manifest = _bucket_manifest(path, token)
-    keep = set(manifest["buckets"])
-    if prune:
-        keep &= set(stats_prune_buckets(manifest, prune))
-    if pk_in is not None:
-        keep &= {
-            str(b) for b in pk_value_buckets(spark, manifest, pk_in)
-        }
+    keep = _skipping_keep(spark, manifest, prune, pk_in)
     paths = [
         os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
         for b, gen in sorted(manifest["buckets"].items())
@@ -1081,8 +1075,35 @@ def read_versioned_table(
             )
         )
         df = _fill_added_columns(df, manifest)
-    # residual filters: pruning only skips provably-disjoint buckets;
-    # surviving buckets still hold non-matching rows
+    return _apply_skipping_residual(df, manifest["pk"], prune, pk_in)
+
+
+def _skipping_keep(
+    spark: SparkSession,
+    entry: dict,
+    prune: list[tuple] | None,
+    pk_in: list | None,
+) -> set[str]:
+    """Bucket ids that survive manifest-level skipping — shared by the
+    single-table and db readers (a db table entry carries the same
+    pk/n_buckets/buckets/schema_json/bucket_stats shape)."""
+    keep = set(entry["buckets"])
+    if prune:
+        keep &= set(stats_prune_buckets(entry, prune))
+    if pk_in is not None:
+        keep &= {str(b) for b in pk_value_buckets(spark, entry, pk_in)}
+    return keep
+
+
+def _apply_skipping_residual(
+    df: DataFrame,
+    pk: str,
+    prune: list[tuple] | None,
+    pk_in: list | None,
+) -> DataFrame:
+    """Residual filters: pruning only skips provably-disjoint buckets;
+    surviving buckets still hold non-matching rows — re-applying the
+    predicate makes the pruned read EXACTLY the unpruned read + WHERE."""
     if prune:
         for col, lo, hi in prune:
             df = df.where(F.col(col).isNotNull())
@@ -1092,9 +1113,7 @@ def read_versioned_table(
                 df = df.where(F.col(col) <= F.lit(hi))
     if pk_in is not None:
         vals = [v for v in dict.fromkeys(pk_in) if v is not None]
-        df = df.where(
-            F.col(manifest["pk"]).isin(vals) if vals else F.lit(False)
-        )
+        df = df.where(F.col(pk).isin(vals) if vals else F.lit(False))
     return df
 
 
@@ -1429,6 +1448,27 @@ def _carry_bucket_stats(
         if b in live_buckets and s is not None:
             stats[b] = s
     return stats
+
+
+def _db_harvest_stats(
+    spark: SparkSession,
+    path: str,
+    gen: str,
+    manifest: dict,
+    ours: dict[str, dict],
+) -> dict[str, dict] | None:
+    """Per-table stats harvest for the buckets a db transaction
+    rewrote — the db twin of the per-commit harvest: only tables that
+    opted into ``stats_cols`` pay the (column-pruned, page-cache-hot)
+    aggregation, and only over their own fresh generation."""
+    out: dict[str, dict] = {}
+    for name in ours:
+        t = manifest["tables"][name]
+        if t.get("stats_cols"):
+            out[name] = _harvest_bucket_stats(
+                spark, os.path.join(path, name), gen, t
+            )
+    return out or None
 
 
 def _footer_columns(*bucket_dirs: str) -> set[str]:
@@ -2226,12 +2266,18 @@ def manifest_to_sql(
 
 
 def db_manifest_to_sql(
-    path: str, tables: list[str] | None = None, token: str | None = None
+    path: str,
+    tables: list[str] | None = None,
+    token: str | None = None,
+    prune: dict[str, list[tuple]] | None = None,
 ) -> dict[str, str]:
     """The db twin of :func:`manifest_to_sql`: one SQL query per
     requested table, all resolved from ONE transaction manifest — a
     cross-table-consistent live view (per-table emissions taken at
-    different times cannot guarantee that)."""
+    different times cannot guarantee that). ``prune`` maps table name
+    to that table's ``(col, lo, hi)`` conjuncts — stats-disjoint
+    buckets drop out of the emitted file list and the residual WHERE
+    wraps the projection, exactly like the single-table emission."""
     manifest = _db_manifest(path, token)
     names = (
         sorted(manifest["tables"])
@@ -2246,7 +2292,9 @@ def db_manifest_to_sql(
             )
     return {
         name: _table_manifest_sql(
-            os.path.join(path, name), manifest["tables"][name]
+            os.path.join(path, name),
+            manifest["tables"][name],
+            prune=(prune or {}).get(name),
         )
         for name in names
     }
@@ -2735,7 +2783,10 @@ def delete_from_versioned_db(
             ours[name] = table_ours
     if not ours:
         return _commit_db_meta_only(path, manifest, extra_meta)
-    new_manifest = _commit_db_update(path, manifest, ours, token, extra_meta)
+    new_manifest = _commit_db_update(
+        path, manifest, ours, token, extra_meta,
+        our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
+    )
     _publish_manifest(path, new_manifest)
     return new_manifest
 
@@ -2775,7 +2826,10 @@ def apply_changes_versioned_db(
             ours[name] = table_ours
     if not ours:
         return _commit_db_meta_only(path, manifest, extra_meta)
-    new_manifest = _commit_db_update(path, manifest, ours, token, extra_meta)
+    new_manifest = _commit_db_update(
+        path, manifest, ours, token, extra_meta,
+        our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
+    )
     _publish_manifest(path, new_manifest)
     return new_manifest
 
@@ -3143,6 +3197,7 @@ def write_versioned_db(
     pks: dict[str, str],
     n_buckets: int | dict[str, int] = 64,
     write_options: dict[str, dict] | None = None,
+    stats_cols: dict[str, list[str]] | None = None,
 ) -> dict:
     """Initial (or full-rewrite) commit of a multi-table versioned
     database: every table's data lands under a fresh shared-token
@@ -3150,11 +3205,27 @@ def write_versioned_db(
     appear together or not at all. ``write_options`` maps table name
     to per-table DataFrameWriter options (same contract as
     :func:`atomic_load_publish` — advisory parquet tuning like
-    ``maxRecordsPerFile`` must not silently no-op on this layout)."""
+    ``maxRecordsPerFile`` must not silently no-op on this layout).
+
+    ``stats_cols`` maps table name to the columns that get per-bucket
+    data-skipping stats — the db twin of the single-table opt-in:
+    maintained by every transactional merge/delete/CDC-apply/optimize,
+    consumed by ``read_versioned_db(prune=/pk_in=)``. A re-init over
+    an existing stats-enabled database inherits each table's setting
+    unless the caller passes its own (same no-silent-regression rule
+    as the single-table twin)."""
     import uuid
 
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
+    if stats_cols is None:
+        head0 = _commit_chain_head(path)
+        if head0 is not None:
+            stats_cols = {
+                n: t["stats_cols"]
+                for n, t in head0[1].get("tables", {}).items()
+                if t.get("stats_cols")
+            }
     entry: dict[str, dict] = {}
     for name, df in tables.items():
         nb = n_buckets[name] if isinstance(n_buckets, dict) else n_buckets
@@ -3175,6 +3246,12 @@ def write_versioned_db(
             # callers report row counts without re-running load lineage
             "rows": spark.read.parquet(tdir).count(),
         }
+        t_stats = (stats_cols or {}).get(name)
+        if t_stats:
+            entry[name]["stats_cols"] = list(t_stats)
+            entry[name]["bucket_stats"] = _harvest_bucket_stats(
+                spark, os.path.join(path, name), gen, entry[name]
+            )
     manifest = {
         "token": token,
         "kind": "versioned-db",
@@ -3237,12 +3314,22 @@ def _db_manifest(path: str, token: str | None = None) -> dict:
 
 
 def read_versioned_db(
-    spark: SparkSession, path: str, table: str, token: str | None = None
+    spark: SparkSession,
+    path: str,
+    table: str,
+    token: str | None = None,
+    prune: list[tuple] | None = None,
+    pk_in: list | None = None,
 ) -> DataFrame:
     """Open one table of the committed database snapshot (or any
     retained transaction by token) — a consistent cross-table
     point-in-time view: every table read through the same token came
-    from the same transaction."""
+    from the same transaction.
+
+    ``prune`` / ``pk_in`` are the single-table reader's data-skipping
+    parameters, applied against THIS table's manifest entry (stats
+    opt-in via ``write_versioned_db(stats_cols=...)``); both are
+    exact — the predicate is re-applied to the surviving rows."""
     manifest = _db_manifest(path, token)
     if table not in manifest["tables"]:
         raise ValueError(
@@ -3250,9 +3337,11 @@ def read_versioned_db(
             f"(has: {sorted(manifest['tables'])})"
         )
     t = manifest["tables"][table]
+    keep = _skipping_keep(spark, t, prune, pk_in)
     paths = [
         os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
         for b, gen in sorted(t["buckets"].items())
+        if b in keep
     ]
     if not paths:
         # zero buckets is a legitimate EMPTY table (empty-frame init,
@@ -3270,14 +3359,18 @@ def read_versioned_db(
         ).withColumn(
             MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
         )
-        return _fill_added_columns(empty, t)
-    # the table entry carries the same shape _read_maybe_merged /
-    # _fill_added_columns expect (its own added_columns map), so the
-    # single-table schema-evolution read path applies per table
-    df = _read_maybe_merged(spark, t, *paths).withColumn(
-        MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
-    )
-    return _fill_added_columns(df, t)
+        df = _fill_added_columns(empty, t)
+    else:
+        # the table entry carries the same shape _read_maybe_merged /
+        # _fill_added_columns expect (its own added_columns map), so
+        # the single-table schema-evolution read path applies per table
+        df = _fill_added_columns(
+            _read_maybe_merged(spark, t, *paths).withColumn(
+                MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
+            ),
+            t,
+        )
+    return _apply_skipping_residual(df, t["pk"], prune, pk_in)
 
 
 def alter_versioned_db_add_columns(
@@ -3419,7 +3512,10 @@ def merge_into_versioned_db(
         ours[name] = {str(b): gen for b in affected}
     if not ours:
         return _commit_db_meta_only(path, manifest, extra_meta)
-    new_manifest = _commit_db_update(path, manifest, ours, token, extra_meta)
+    new_manifest = _commit_db_update(
+        path, manifest, ours, token, extra_meta,
+        our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
+    )
     _publish_manifest(path, new_manifest)
     return new_manifest
 
@@ -3430,6 +3526,7 @@ def _commit_db_update(
     ours: dict[str, dict[str, str]],
     token: str,
     extra_meta: dict | None = None,
+    our_stats: dict[str, dict] | None = None,
 ) -> dict:
     """The database-level CAS commit loop shared by transactional
     MERGE and OPTIMIZE: claim the next seq; on a lost race, rebase
@@ -3447,6 +3544,19 @@ def _commit_db_update(
         n: dict(t["buckets"]) for n, t in base_manifest["tables"].items()
     }
 
+    def stamp_table(n: str, t: dict) -> dict:
+        live = _live_buckets(t["buckets"], ours.get(n, {}))
+        out = {**t, "buckets": live}
+        t_stats = (our_stats or {}).get(n)
+        if "bucket_stats" in t or t_stats:
+            # same purge-then-overlay contract as the single-table
+            # loop, per table and per rebase: a rewritten bucket with
+            # no fresh harvest keeps NO stats (conservative read)
+            out["bucket_stats"] = _carry_bucket_stats(
+                t, ours.get(n, {}), t_stats, live
+            )
+        return out
+
     def stamped(src: dict, seq: int) -> dict:
         # the (head) snapshot defines the table set AND the top-level
         # metadata (streams, future keys); our rewritten buckets
@@ -3457,8 +3567,7 @@ def _commit_db_update(
             "token": token,
             "seq": seq,
             "tables": {
-                n: {**t, "buckets": _live_buckets(t["buckets"], ours.get(n, {}))}
-                for n, t in src["tables"].items()
+                n: stamp_table(n, t) for n, t in src["tables"].items()
             },
         }
         _apply_extra_meta(out, extra_meta)
@@ -3555,7 +3664,10 @@ def optimize_versioned_db(
         compacted.extend(f"{name}/{b}" for b in candidates)
     if not ours:
         return manifest, []
-    new_manifest = _commit_db_update(path, manifest, ours, token)
+    new_manifest = _commit_db_update(
+        path, manifest, ours, token,
+        our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
+    )
     _publish_manifest(path, new_manifest)
     return new_manifest, compacted
 

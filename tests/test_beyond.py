@@ -3485,3 +3485,21 @@ def test_dsir_weights_deterministic(spark, sf_dir):
     en = [r.weight for r in a if langs[r.doc_id] == "en"]
     rest = [r.weight for r in a if langs[r.doc_id] != "en"]
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_semantic_dedup_blas_twin_matches_hof(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hof = sorted(
+        (r.vec_id, r.cid, r.dup)
+        for r in D.semantic_dedup(
+            emb, n_centroids=8, threshold=0.4, kmeans_iters=2
+        ).collect()
+    )
+    blas = sorted(
+        (r.vec_id, r.cid, r.dup)
+        for r in D.semantic_dedup(
+            emb, n_centroids=8, threshold=0.4, kmeans_iters=2,
+            assign_impl="pandas",
+        ).collect()
+    )
+    assert hof == blas

@@ -546,3 +546,104 @@ def test_stats_cmp_agreement_rule():
     assert _stats_cmp("2024-07-01", "2024-07-01T00:00:00") is None
     # date vs a LATER timestamp: both readings agree
     assert _stats_cmp("2024-07-01", "2024-07-01 10:00:00") == -1
+
+
+def _db_tables(spark):
+    a = _frame(spark, n=200, n_buckets=4)
+    b = spark.range(100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("uid"),
+        (F.col("id") * 10).alias("amt"),
+    )
+    return {"a": a, "b": b}, {"a": "Id", "b": "uid"}
+
+
+def test_db_layout_stats_skipping_twin(spark, tmp_path):
+    """The transactional layout gets the same opt-in skipping: stats
+    ride the shared-token commits per table, prune/pk_in compose on
+    read_versioned_db, and every db commit kind maintains them."""
+    from amaxa_spark.sources.catalog import (
+        db_manifest_to_sql,
+        delete_from_versioned_db,
+        merge_into_versioned_db,
+        optimize_versioned_db,
+        read_versioned_db,
+        write_versioned_db,
+    )
+
+    path = str(tmp_path / "db")
+    tables, pks = _db_tables(spark)
+    mf = write_versioned_db(
+        spark, path, tables, pks, n_buckets=4,
+        stats_cols={"a": ["v"], "b": ["amt"]},
+    )
+    for t in ("a", "b"):
+        assert set(mf["tables"][t]["bucket_stats"]) == set(
+            mf["tables"][t]["buckets"]
+        )
+    # pruned read == full read + where, on both tables
+    pruned = read_versioned_db(spark, path, "a", prune=[("v", 2000, 2199)])
+    full = read_versioned_db(spark, path, "a").where(
+        F.col("v").between(2000, 2199)
+    )
+    assert sorted(r.Id for r in pruned.collect()) == sorted(
+        r.Id for r in full.collect()
+    )
+    assert _read_buckets(pruned) == {2}
+    # transactional merge refreshes ONLY the touched tables' buckets
+    mf1 = merge_into_versioned_db(
+        spark, path,
+        {"b": spark.createDataFrame([Row(uid="u3", amt=999_999)])},
+        {"b": ["amt"]},
+    )
+    assert mf1["tables"]["a"]["bucket_stats"] == mf["tables"]["a"]["bucket_stats"]
+    hot = read_versioned_db(spark, path, "b", prune=[("amt", 900_000, None)])
+    assert [r.uid for r in hot.collect()] == ["u3"]
+    assert len(_read_buckets(hot)) == 1
+    # pk_in point lookup on the db layout
+    got = read_versioned_db(spark, path, "a", pk_in=["k7", "missing"])
+    assert [r.Id for r in got.collect()] == ["k7"]
+    # delete one whole bucket of `a` -> its stats entry disappears
+    victim = next(iter(mf1["tables"]["a"]["buckets"]))
+    keys = read_versioned_db(spark, path, "a").where(
+        F.col(MERGE_BUCKET_COL) == int(victim)
+    ).select("Id")
+    mf2 = delete_from_versioned_db(spark, path, {"a": keys})
+    assert victim not in mf2["tables"]["a"]["bucket_stats"]
+    # optimize keeps stats coverage on every surviving bucket
+    mf3, compacted = optimize_versioned_db(spark, path)
+    for t in ("a", "b"):
+        assert set(mf3["tables"][t]["bucket_stats"]) == set(
+            mf3["tables"][t]["buckets"]
+        )
+    # external emission with per-table prune matches the native read
+    duckdb = pytest.importorskip("duckdb")
+    sqls = db_manifest_to_sql(path, prune={"a": [("v", 2000, 2199)]})
+    got_ext = sorted(duckdb.sql(sqls["a"]).df()["Id"])
+    want_ext = sorted(
+        r.Id for r in read_versioned_db(
+            spark, path, "a", prune=[("v", 2000, 2199)]
+        ).collect()
+    )
+    assert got_ext == want_ext
+
+
+def test_db_reinit_inherits_stats_cols(spark, tmp_path):
+    from amaxa_spark.sources.catalog import (
+        read_versioned_db,
+        write_versioned_db,
+    )
+
+    path = str(tmp_path / "db")
+    tables, pks = _db_tables(spark)
+    write_versioned_db(
+        spark, path, tables, pks, n_buckets=4, stats_cols={"a": ["v"]}
+    )
+    tables2, _ = _db_tables(spark)
+    mf = write_versioned_db(spark, path, tables2, pks, n_buckets=4)
+    assert mf["tables"]["a"]["stats_cols"] == ["v"]
+    assert set(mf["tables"]["a"]["bucket_stats"]) == set(
+        mf["tables"]["a"]["buckets"]
+    )
+    assert "stats_cols" not in mf["tables"]["b"]
+    out = read_versioned_db(spark, path, "a", prune=[("v", 0, 999)])
+    assert _read_buckets(out) == {0}
