@@ -161,7 +161,16 @@ def assign_cells(
     (``id_col``, ``__v: array<double>``) pick the centroid from
     ``cent`` (``cid``, ``__cv``) with the highest cosine, rounded to
     6 decimals, ties to the LOWEST cid. Returns (``id_col``, ``__v``,
-    ``cid``). Both impls honor the identical rounded-argmax contract:
+    ``cid``).
+
+    ``id_col`` must be NUMERIC: the lowest-cid tiebreak is expressed
+    as numeric negation on the hof path and an int64 codebook on the
+    pandas path (validated here, loudly — a string id would
+    silently cast to NULL inside the hof argmax struct and make tie
+    resolution nondeterministic, the worst kind of wrong). Hash or
+    zip non-numeric document ids to a surrogate first.
+
+    Both impls honor the identical rounded-argmax contract:
 
     - ``hof`` — broadcast join vs the K-row codebook, JVM
       ``aggregate``/``zip_with`` cosine per (vector, centroid),
@@ -181,6 +190,14 @@ def assign_cells(
     bounded by K×dim, never the corpus); the corpus streams through
     once, and the output carries one row per vector.
     """
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(base.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"assign_cells: id column {id_col!r} must be numeric "
+            f"(got {base.schema[id_col].dataType.simpleString()}) — "
+            "hash or zip non-numeric ids to a surrogate first"
+        )
     if impl == "hof":
         sim_c = F.round(
             _dot(F.col("__v"), F.col("__cv"))
@@ -242,8 +259,11 @@ def assign_cells(
                 }
             )
 
+    # the id column passes through untouched — carry its REAL type
+    # (int/bigint both appear in practice)
+    id_type = base.schema[id_col].dataType.simpleString()
     return base.select(id_col, "__v").mapInPandas(
-        assign, schema=f"{id_col} long, __v array<double>, cid long"
+        assign, schema=f"{id_col} {id_type}, __v array<double>, cid long"
     )
 
 

@@ -2290,6 +2290,15 @@ def db_manifest_to_sql(
                 f"{path}: no table {name!r} in this snapshot "
                 f"(has: {sorted(manifest['tables'])})"
             )
+    unknown = set(prune or {}) - set(names)
+    if unknown:
+        # a typo'd prune key must fail loudly — silently emitting
+        # UNfiltered SQL while the caller believes the predicate was
+        # applied is a semantics change, not an optimization
+        raise ValueError(
+            f"{path}: prune keys {sorted(unknown)} match no emitted "
+            f"table (emitting: {names})"
+        )
     return {
         name: _table_manifest_sql(
             os.path.join(path, name),
@@ -3338,34 +3347,22 @@ def read_versioned_db(
         )
     t = manifest["tables"][table]
     keep = _skipping_keep(spark, t, prune, pk_in)
-    paths = [
+    tpaths = [
         os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
         for b, gen in sorted(t["buckets"].items())
         if b in keep
     ]
-    if not paths:
+    if not tpaths:
         # zero buckets is a legitimate EMPTY table (empty-frame init,
-        # or a DELETE that removed every row) — typed from the
-        # recorded schema, like the single-table reader
-        schema_json = t.get("schema_json")
-        if schema_json is None:
-            raise FileNotFoundError(f"{path}/{table}: empty table")
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        empty = spark.createDataFrame(
-            [], StructType.fromJson(_json.loads(schema_json))
-        ).withColumn(
-            MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
-        )
-        df = _fill_added_columns(empty, t)
+        # a DELETE that removed every row, or skipping eliminated
+        # every bucket) — the shared typed-empty reader applies
+        df = _empty_versioned_frame(spark, os.path.join(path, table), t)
     else:
         # the table entry carries the same shape _read_maybe_merged /
         # _fill_added_columns expect (its own added_columns map), so
         # the single-table schema-evolution read path applies per table
         df = _fill_added_columns(
-            _read_maybe_merged(spark, t, *paths).withColumn(
+            _read_maybe_merged(spark, t, *tpaths).withColumn(
                 MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
             ),
             t,

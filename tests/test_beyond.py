@@ -3503,3 +3503,32 @@ def test_semantic_dedup_blas_twin_matches_hof(spark, sf_dir):
         ).collect()
     )
     assert hof == blas
+
+
+def test_semantic_dedup_rejects_non_numeric_ids(spark):
+    # the lowest-cid tiebreak needs a numeric id (numeric negation on
+    # the hof path, int64 codebook on the pandas path) — a string id
+    # would silently cast to NULL inside the argmax struct, so both
+    # impls must refuse loudly instead
+    rows = [("a", [1.0, 0.0]), ("b", [0.999, 0.01]), ("c", [-1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id: string, embedding: array<double>")
+    for impl in ("hof", "pandas"):
+        with pytest.raises(TypeError, match="must be numeric"):
+            D.semantic_dedup(
+                emb, n_centroids=2, threshold=0.999, kmeans_iters=1,
+                assign_impl=impl,
+            )
+    # int ids (not just long) stay supported on both paths
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9995, 0.001]), (2, [-1.0, 0.0])],
+        "vec_id: int, embedding: array<double>",
+    )
+    for impl in ("hof", "pandas"):
+        out = {
+            r.vec_id: r.dup
+            for r in D.semantic_dedup(
+                emb2, n_centroids=2, threshold=0.999, kmeans_iters=1,
+                assign_impl=impl,
+            ).collect()
+        }
+        assert out == {0: False, 1: True, 2: False}

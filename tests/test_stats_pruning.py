@@ -647,3 +647,20 @@ def test_db_reinit_inherits_stats_cols(spark, tmp_path):
     assert "stats_cols" not in mf["tables"]["b"]
     out = read_versioned_db(spark, path, "a", prune=[("v", 0, 999)])
     assert _read_buckets(out) == {0}
+
+
+def test_db_manifest_to_sql_rejects_unknown_prune_keys(spark, tmp_path):
+    from amaxa_spark.sources.catalog import (
+        db_manifest_to_sql,
+        write_versioned_db,
+    )
+
+    path = str(tmp_path / "db")
+    tables, pks = _db_tables(spark)
+    write_versioned_db(
+        spark, path, tables, pks, n_buckets=4, stats_cols={"a": ["v"]}
+    )
+    with pytest.raises(ValueError, match="prune keys"):
+        db_manifest_to_sql(path, prune={"A": [("v", 0, 1)]})
+    with pytest.raises(ValueError, match="prune keys"):
+        db_manifest_to_sql(path, tables=["b"], prune={"a": [("v", 0, 1)]})

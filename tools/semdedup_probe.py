@@ -12,7 +12,8 @@ candidate-pair volume (sum of per-cluster rank-pairs — what the
 equi-join actually scores) vs the dead n²/2 frontier, the max cluster
 size, and planted-dup recall (copies flagged as dup).
 
-Usage: python tools/semdedup_probe.py [n_rows] [n_centroids]
+Usage: python tools/semdedup_probe.py [n_rows] [n_centroids] [impl]
+(impl = 'pandas' default | 'hof' — the oracle-deterministic baseline)
 """
 
 from __future__ import annotations
