@@ -2992,6 +2992,7 @@ def optimize_versioned(
     max_files: int = 1,
     base_token: str | None = None,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> tuple[dict, list[int]]:
     """Small-file compaction (the Delta OPTIMIZE twin): buckets whose
     CURRENT directory holds more than ``max_files`` part files — the
@@ -3020,16 +3021,29 @@ def optimize_versioned(
     of manifest-level bucket skipping (bucket membership itself is
     pinned by the pk hash and cannot move). The manifest records
     ``clustered_by``; later merges rewrite only their affected buckets
-    unsorted, so re-run clustering after heavy merge traffic."""
+    unsorted, so re-run clustering after heavy merge traffic.
+
+    ``zorder_by`` is the MULTI-dimensional clustering twin: a linear
+    ``cluster_by`` sort makes row-group stats tight on the FIRST
+    column only — a 2-d box predicate still scans every row group for
+    the second dimension. Z-ordering sorts by the Morton interleave
+    of the columns' 16-bit range codes (global min/max scaled), so
+    row groups become tight in EVERY listed dimension at once — the
+    Delta ``ZORDER BY`` semantics on this layout. Numeric/date/
+    timestamp columns only (they cast to double for scaling; NULLs
+    sort first as code 0); measured trade-offs in SCALE_NOTES
+    §z-order."""
     import uuid
 
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     if max_files < 1:
         # 0 would make EVERY bucket a permanent candidate: each run
         # rewrites the whole table into a fresh generation forever —
         # unbounded write amplification, never idempotent
         raise ValueError(f"max_files must be >= 1, got {max_files}")
     manifest = _bucket_manifest(path, base_token)
-    if cluster_by:
+    if cluster_by or zorder_by:
         candidates = sorted(int(b) for b in manifest["buckets"])
     else:
         candidates = []
@@ -3073,17 +3087,27 @@ def optimize_versioned(
         out = out.sortWithinPartitions(
             MERGE_BUCKET_COL, *[F.col(c) for c in cluster_by]
         )
+    elif zorder_by:
+        out = out.sortWithinPartitions(
+            MERGE_BUCKET_COL, _zorder_expr(spark, out, zorder_by)
+        )
     (
         out.write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(path, gen))
     )
     ours = {str(b): gen for b in candidates}
+    if cluster_by:
+        cluster_meta = {"clustered_by": list(cluster_by)}
+    elif zorder_by:
+        cluster_meta = {
+            "clustered_by": list(zorder_by), "cluster_kind": "zorder"
+        }
+    else:
+        cluster_meta = None
     new_manifest = _commit_bucket_update(
         path, manifest, dict(manifest["buckets"]), ours, token,
-        extra_meta=(
-            {"clustered_by": list(cluster_by)} if cluster_by else None
-        ),
+        extra_meta=cluster_meta,
         our_stats=(
             _harvest_bucket_stats(spark, path, gen, manifest)
             if manifest.get("stats_cols")
@@ -3092,6 +3116,57 @@ def optimize_versioned(
     )
     _publish_manifest(path, new_manifest)
     return new_manifest, candidates
+
+
+_ZORDER_BITS = 16
+
+
+def _zorder_expr(spark: SparkSession, df: DataFrame, cols: list[str]):
+    """Morton (Z-curve) sort key over ``cols``: each column scales to
+    a 16-bit range code against its GLOBAL min/max (one bounded
+    1-row aggregate — the only driver read), and the codes' bits
+    interleave so a sort by the result is simultaneously local in
+    every dimension. NULLs take code 0 (sort first, like a NULLS
+    FIRST linear sort); a constant column contributes code 0
+    everywhere (no discrimination to encode). Numeric, date and
+    timestamp columns only — anything else cannot be range-scaled
+    without an order-changing encoding, so it raises."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (NumericType, DateType, TimestampType)):
+            raise TypeError(
+                f"zorder_by: column {c!r} has non-range-scalable type "
+                f"{dt.simpleString()} (numeric/date/timestamp only)"
+            )
+    as_d = {c: F.col(c).cast("double") for c in cols}
+    bounds = df.agg(
+        *[F.min(as_d[c]).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(as_d[c]).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    k = len(cols)
+    top = (1 << _ZORDER_BITS) - 1
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = bounds[f"__mn_{j}"], bounds[f"__mx_{j}"]
+        if mn is None or mx is None or mx == mn:
+            continue  # all-null or constant: nothing to interleave
+        scaled = (as_d[c] - F.lit(float(mn))) / F.lit(float(mx - mn))
+        code = F.coalesce(
+            F.least(
+                F.greatest(
+                    F.floor(scaled * top).cast("long"), F.lit(0)
+                ),
+                F.lit(top),
+            ),
+            F.lit(0),
+        )
+        for i in range(_ZORDER_BITS):
+            key = key + F.shiftleft(
+                F.shiftright(code, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+    return key
 
 
 def _versioned_retention(path: str, keep_last: int, gens_of):

@@ -664,3 +664,115 @@ def test_db_manifest_to_sql_rejects_unknown_prune_keys(spark, tmp_path):
         db_manifest_to_sql(path, prune={"A": [("v", 0, 1)]})
     with pytest.raises(ValueError, match="prune keys"):
         db_manifest_to_sql(path, tables=["b"], prune={"a": [("v", 0, 1)]})
+
+
+def test_optimize_zorder_multi_dim_locality(spark, tmp_path):
+    """Z-order rewrite: rows identical, metadata recorded, and parquet
+    row groups become tight in BOTH dimensions — the area covered by
+    an average row group's (x-span × y-span) must shrink by an order
+    of magnitude vs the unsorted layout (a linear cluster_by only
+    tightens the first column)."""
+    import pyarrow.parquet as pq
+
+    from amaxa_spark.sources.catalog import optimize_versioned
+
+    path = str(tmp_path / "t")
+    n = 40_000
+    df = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("k"), F.col("id")).alias("Id"),
+            F.pmod(F.xxhash64(F.concat(F.lit("x"), F.col("id"))), F.lit(10**6))
+            .cast("double").alias("x"),
+            F.pmod(F.xxhash64(F.concat(F.lit("y"), F.col("id"))), F.lit(10**6))
+            .cast("double").alias("y"),
+        )
+    )
+    hconf = spark._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 32 * 1024)
+    try:
+        write_versioned_table(df, path, "Id", 4)
+        before = _rg_area(path, "x", "y")
+        rows0 = sorted(
+            (r.Id, r.x, r.y)
+            for r in read_versioned_table(spark, path).collect()
+        )
+        mf, compacted = optimize_versioned(spark, path, zorder_by=["x", "y"])
+        assert mf["cluster_kind"] == "zorder"
+        assert mf["clustered_by"] == ["x", "y"]
+        assert sorted(compacted) == sorted(int(b) for b in mf["buckets"])
+        rows1 = sorted(
+            (r.Id, r.x, r.y)
+            for r in read_versioned_table(spark, path).collect()
+        )
+        assert rows0 == rows1
+        after = _rg_area(path, "x", "y")
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+    assert after < before / 2, (before, after)
+    # the structural claim vs a LINEAR sort: BOTH dimensions tighten
+    # (cluster_by x leaves y-spans at ~domain width)
+    sx, sy = _rg_spans(path, "x"), _rg_spans(path, "y")
+    assert sx < 0.75 and sy < 0.75, (sx, sy)
+    # non-scalable column types refuse loudly
+    with pytest.raises(TypeError, match="non-range-scalable"):
+        optimize_versioned(spark, path, zorder_by=["Id"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_versioned(
+            spark, path, cluster_by=["x"], zorder_by=["y"]
+        )
+
+
+def _rg_spans(path, c):
+    """Mean normalized single-column row-group span of the HEAD
+    generation."""
+    import pyarrow.parquet as pq
+
+    mf = _bucket_manifest(path)
+    spans = []
+    for b, gen in mf["buckets"].items():
+        bdir = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+        for fname in os.listdir(bdir):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(bdir, fname)).metadata
+            idx = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.row_group(0).num_columns)
+            }
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx[c]).statistics
+                spans.append((st.max - st.min) / 1e6)
+    return sum(spans) / len(spans)
+
+
+def _rg_area(path, cx, cy):
+    """Mean normalized (x-span × y-span) across all row groups of the
+    HEAD generation — 1.0 means every row group spans the full 2-d
+    domain (no locality), ~0 means tight boxes."""
+    import pyarrow.parquet as pq
+
+    mf = _bucket_manifest(path)
+    areas = []
+    for b, gen in mf["buckets"].items():
+        bdir = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+        for fname in os.listdir(bdir):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(bdir, fname)).metadata
+            idx = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.row_group(0).num_columns)
+            }
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                sx = rg.column(idx[cx]).statistics
+                sy = rg.column(idx[cy]).statistics
+                areas.append(
+                    (sx.max - sx.min) * (sy.max - sy.min) / 1e12
+                )
+    return sum(areas) / len(areas)
