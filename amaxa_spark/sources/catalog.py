@@ -3075,11 +3075,16 @@ def optimize_versioned(
         # the compacted rewrite (physical data loss)
         _read_maybe_merged(spark, manifest, *cur)
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
-        # each bucket's rows hash to ONE task (tasks may carry several
-        # buckets or none), and partitionBy writes one file per bucket
-        # value per task -> exactly one file per bucket directory
-        .repartition(len(candidates), F.col(MERGE_BUCKET_COL))
     )
+    if zorder_by:
+        # bounds come from the PRE-repartition frame (a projection of
+        # just the zorder columns) — aggregating after the explicit
+        # repartition would shuffle the whole table to produce 1 row
+        zkey = _zorder_expr(out, zorder_by)
+    # each bucket's rows hash to ONE task (tasks may carry several
+    # buckets or none), and partitionBy writes one file per bucket
+    # value per task -> exactly one file per bucket directory
+    out = out.repartition(len(candidates), F.col(MERGE_BUCKET_COL))
     if cluster_by:
         # bucket-first sort keeps each bucket's rows contiguous in the
         # task; the parquet writer then lays the cluster columns down
@@ -3088,9 +3093,7 @@ def optimize_versioned(
             MERGE_BUCKET_COL, *[F.col(c) for c in cluster_by]
         )
     elif zorder_by:
-        out = out.sortWithinPartitions(
-            MERGE_BUCKET_COL, _zorder_expr(spark, out, zorder_by)
-        )
+        out = out.sortWithinPartitions(MERGE_BUCKET_COL, zkey)
     (
         out.write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
@@ -3098,7 +3101,12 @@ def optimize_versioned(
     )
     ours = {str(b): gen for b in candidates}
     if cluster_by:
-        cluster_meta = {"clustered_by": list(cluster_by)}
+        # cluster_kind is stamped on BOTH branches: extra_meta merges
+        # overlay-only, so a linear rewrite after a zorder one would
+        # otherwise keep the stale 'zorder' label
+        cluster_meta = {
+            "clustered_by": list(cluster_by), "cluster_kind": "linear"
+        }
     elif zorder_by:
         cluster_meta = {
             "clustered_by": list(zorder_by), "cluster_kind": "zorder"
@@ -3118,40 +3126,77 @@ def optimize_versioned(
     return new_manifest, candidates
 
 
-_ZORDER_BITS = 16
+_ZORDER_MAX_BITS = 16
 
 
-def _zorder_expr(spark: SparkSession, df: DataFrame, cols: list[str]):
+def _zorder_expr(df: DataFrame, cols: list[str]):
     """Morton (Z-curve) sort key over ``cols``: each column scales to
-    a 16-bit range code against its GLOBAL min/max (one bounded
-    1-row aggregate — the only driver read), and the codes' bits
-    interleave so a sort by the result is simultaneously local in
-    every dimension. NULLs take code 0 (sort first, like a NULLS
-    FIRST linear sort); a constant column contributes code 0
-    everywhere (no discrimination to encode). Numeric, date and
-    timestamp columns only — anything else cannot be range-scaled
-    without an order-changing encoding, so it raises."""
-    from pyspark.sql.types import DateType, NumericType, TimestampType
+    a range code against its GLOBAL min/max (one bounded 1-row
+    aggregate over a projection of just these columns — the only
+    driver read), and the codes' bits interleave so a sort by the
+    result is simultaneously local in every dimension.
 
+    Bits per dimension = min(16, 62 // k), so the highest bit
+    position is always below the long's sign bit — Spark's
+    ``shiftleft`` wraps its shift amount mod 64, which would silently
+    scramble the key for 4+ columns at 16 bits. NULLs and non-finite
+    floats take code 0 (sort first, like a NULLS FIRST linear sort;
+    NaN/±Inf are also EXCLUDED from the min/max so one bad value
+    cannot zero a whole dimension's scaling). A constant or all-null
+    column contributes code 0 everywhere (no discrimination to
+    encode). Numeric, date and timestamp columns only — anything else
+    cannot be range-scaled without an order-changing encoding, so it
+    raises."""
+    import math
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        FloatType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    as_d = {}
     for c in cols:
         dt = df.schema[c].dataType
-        if not isinstance(dt, (NumericType, DateType, TimestampType)):
+        if isinstance(dt, DateType):
+            # date cannot cast straight to double; days-since-epoch is
+            # the order-preserving scale
+            as_d[c] = F.unix_date(F.col(c)).cast("double")
+        elif isinstance(dt, (TimestampType, TimestampNTZType)):
+            as_d[c] = F.col(c).cast("double")
+        elif isinstance(dt, (FloatType, DoubleType)):
+            raw = F.col(c).cast("double")
+            inf = F.lit(float("inf"))
+            as_d[c] = F.when(
+                F.isnan(raw) | (raw == inf) | (raw == -inf), F.lit(None)
+            ).otherwise(raw)
+        elif isinstance(dt, NumericType):
+            as_d[c] = F.col(c).cast("double")
+        else:
             raise TypeError(
                 f"zorder_by: column {c!r} has non-range-scalable type "
                 f"{dt.simpleString()} (numeric/date/timestamp only)"
             )
-    as_d = {c: F.col(c).cast("double") for c in cols}
-    bounds = df.agg(
-        *[F.min(as_d[c]).alias(f"__mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(as_d[c]).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    bounds = df.select(
+        *[as_d[c].alias(f"__z_{i}") for i, c in enumerate(cols)]
+    ).agg(
+        *[F.min(f"__z_{i}").alias(f"__mn_{i}") for i in range(len(cols))],
+        *[F.max(f"__z_{i}").alias(f"__mx_{i}") for i in range(len(cols))],
     ).collect()[0]
     k = len(cols)
-    top = (1 << _ZORDER_BITS) - 1
+    bits = min(_ZORDER_MAX_BITS, 62 // k)
+    top = (1 << bits) - 1
     key = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         mn, mx = bounds[f"__mn_{j}"], bounds[f"__mx_{j}"]
-        if mn is None or mx is None or mx == mn:
-            continue  # all-null or constant: nothing to interleave
+        if (
+            mn is None or mx is None or mx == mn
+            or not (math.isfinite(mn) and math.isfinite(mx))
+        ):
+            continue  # all-null/constant: nothing to interleave
         scaled = (as_d[c] - F.lit(float(mn))) / F.lit(float(mx - mn))
         code = F.coalesce(
             F.least(
@@ -3162,7 +3207,7 @@ def _zorder_expr(spark: SparkSession, df: DataFrame, cols: list[str]):
             ),
             F.lit(0),
         )
-        for i in range(_ZORDER_BITS):
+        for i in range(bits):
             key = key + F.shiftleft(
                 F.shiftright(code, i).bitwiseAND(F.lit(1)), i * k + j
             )

@@ -776,3 +776,59 @@ def _rg_area(path, cx, cy):
                     (sx.max - sx.min) * (sy.max - sy.min) / 1e12
                 )
     return sum(areas) / len(areas)
+
+
+def test_zorder_edge_cases(spark, tmp_path):
+    """Bit-budget, date scaling, NaN robustness, and the stale
+    cluster_kind label — the review-reproduced edges."""
+    import datetime
+
+    from amaxa_spark.sources.catalog import (
+        _zorder_expr,
+        optimize_versioned,
+    )
+
+    # 4+ columns: bits/dim shrink so no bit touches the sign position
+    df4 = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("Id"),
+        (F.col("id") % 7).cast("double").alias("a"),
+        (F.col("id") % 11).cast("double").alias("b"),
+        (F.col("id") % 13).cast("double").alias("c"),
+        (F.col("id") % 17).cast("double").alias("d"),
+        (F.col("id") % 19).cast("double").alias("e"),
+    )
+    keys = df4.select(
+        _zorder_expr(df4, ["a", "b", "c", "d", "e"]).alias("k")
+    ).agg(F.min("k"), F.max("k")).collect()[0]
+    assert 0 <= keys[0] <= keys[1] < (1 << 62)
+
+    # dates range-scale (no AnalysisException), NaN rows code first,
+    # and a NaN does NOT zero the dimension for the finite rows
+    rows = [
+        Row(Id="a", d=datetime.date(2024, 1, 1), v=1.0),
+        Row(Id="b", d=datetime.date(2024, 6, 1), v=float("nan")),
+        Row(Id="c", d=datetime.date(2024, 12, 31), v=2.0),
+    ]
+    dfd = spark.createDataFrame(rows)
+    got = dfd.select(
+        F.col("Id"), _zorder_expr(dfd, ["d", "v"]).alias("k")
+    ).collect()
+    ks = {r.Id: r.k for r in got}
+    assert ks["a"] >= 0 and ks["c"] > ks["a"]  # dates discriminate
+    # the NaN row contributes code 0 on v but its date bits remain
+    assert ks["b"] >= 0
+
+    # linear-after-zorder relabels cluster_kind
+    path = str(tmp_path / "t")
+    write_versioned_table(
+        spark.range(100).selectExpr(
+            "cast(id as string) Id", "cast(id as double) x",
+            "cast(id % 9 as double) y",
+        ),
+        path, "Id", 4,
+    )
+    mf_z, _ = optimize_versioned(spark, path, zorder_by=["x", "y"])
+    assert mf_z["cluster_kind"] == "zorder"
+    mf_l, _ = optimize_versioned(spark, path, cluster_by=["y"])
+    assert mf_l["cluster_kind"] == "linear"
+    assert mf_l["clustered_by"] == ["y"]
