@@ -3189,29 +3189,32 @@ def _zorder_expr(df: DataFrame, cols: list[str]):
     k = len(cols)
     bits = min(_ZORDER_MAX_BITS, 62 // k)
     top = (1 << bits) - 1
-    key = F.lit(0).cast("long")
+    codes = []
     for j, c in enumerate(cols):
         mn, mx = bounds[f"__mn_{j}"], bounds[f"__mx_{j}"]
         if (
             mn is None or mx is None or mx == mn
             or not (math.isfinite(mn) and math.isfinite(mx))
         ):
-            continue  # all-null/constant: nothing to interleave
+            codes.append(F.lit(0))  # all-null/constant: no bits to add
+            continue
         scaled = (as_d[c] - F.lit(float(mn))) / F.lit(float(mx - mn))
-        code = F.coalesce(
-            F.least(
-                F.greatest(
-                    F.floor(scaled * top).cast("long"), F.lit(0)
+        codes.append(
+            F.coalesce(
+                F.least(
+                    F.greatest(
+                        F.floor(scaled * top).cast("long"), F.lit(0)
+                    ),
+                    F.lit(top),
                 ),
-                F.lit(top),
-            ),
-            F.lit(0),
-        )
-        for i in range(bits):
-            key = key + F.shiftleft(
-                F.shiftright(code, i).bitwiseAND(F.lit(1)), i * k + j
+                F.lit(0),
             )
-    return key
+        )
+    # the bit interleave itself is the shared Morton helper (the
+    # standalone non-versioned twin lives in operators/layout.py)
+    from amaxa_spark.operators.layout import zorder_key
+
+    return zorder_key(codes, bits=bits)
 
 
 def _versioned_retention(path: str, keep_last: int, gens_of):
