@@ -861,6 +861,7 @@ def _present_buckets(gen_dir: str) -> list[int]:
 def write_versioned_table(
     df: DataFrame, path: str, pk: str, n_buckets: int = 64,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Initial commit of a versioned bucket table. Data lands under
     ``<path>/gen-<token>/<bucket>=N/``; the published manifest maps
@@ -874,7 +875,14 @@ def write_versioned_table(
     disjoint. A RE-init over an existing stats-enabled table inherits
     the setting unless the caller passes its own (pruning silently
     stopping on re-init would be a performance regression no test
-    catches)."""
+    catches).
+
+    ``bloom_cols`` adds per-bucket Bloom filters for EQUALITY
+    skipping on non-pk columns (``read_versioned_table(eq=...)``) —
+    the complement of range stats: min/max discriminates only for
+    bucket-correlated values, a Bloom answers point predicates on any
+    distribution. Maintained and inherited exactly like
+    ``stats_cols`` (same commit loop, same purge-then-overlay)."""
     import uuid
 
     token = uuid.uuid4().hex[:12]
@@ -883,10 +891,13 @@ def write_versioned_table(
     out.write.mode("errorifexists").partitionBy(MERGE_BUCKET_COL).parquet(
         os.path.join(path, gen)
     )
-    if stats_cols is None:
+    if stats_cols is None or bloom_cols is None:
         head0 = _commit_chain_head(path)
         if head0 is not None:
-            stats_cols = head0[1].get("stats_cols")
+            if stats_cols is None:
+                stats_cols = head0[1].get("stats_cols")
+            if bloom_cols is None:
+                bloom_cols = head0[1].get("bloom_cols")
     manifest = {
         "token": token,
         "kind": "versioned-buckets",
@@ -905,6 +916,9 @@ def write_versioned_table(
     }
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
+    if bloom_cols:
+        manifest["bloom_cols"] = list(bloom_cols)
+    if _wants_stats(manifest):
         manifest["bucket_stats"] = _harvest_bucket_stats(
             df.sparkSession, path, gen, manifest
         )
@@ -1022,6 +1036,7 @@ def read_versioned_table(
     token: str | None = None,
     prune: list[tuple] | None = None,
     pk_in: list | None = None,
+    eq: list[tuple] | None = None,
 ) -> DataFrame:
     """Open the committed snapshot (or any retained generation by
     token): each bucket reads from exactly the generation its manifest
@@ -1048,9 +1063,15 @@ def read_versioned_table(
       computed with the engine's own bucket expression, so a k-key
       lookup on a 10⁵-bucket 100 TB table reads ≤ k buckets — always
       exact, no stats needed.
+    - ``eq``: ``(col, value)`` equality conjuncts answered by the
+      per-bucket Bloom filters (``bloom_cols`` opt-in) — point
+      predicates on NON-pk columns of any distribution, where range
+      stats are blind. A ``None`` value means ``IS NULL`` (residual
+      only; blooms index non-null values). False positives read extra
+      buckets, never rows: the residual equality still applies.
     """
     manifest = _bucket_manifest(path, token)
-    keep = _skipping_keep(spark, manifest, prune, pk_in)
+    keep = _skipping_keep(spark, path, manifest, prune, pk_in, eq)
     paths = [
         os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
         for b, gen in sorted(manifest["buckets"].items())
@@ -1075,14 +1096,16 @@ def read_versioned_table(
             )
         )
         df = _fill_added_columns(df, manifest)
-    return _apply_skipping_residual(df, manifest["pk"], prune, pk_in)
+    return _apply_skipping_residual(df, manifest["pk"], prune, pk_in, eq)
 
 
 def _skipping_keep(
     spark: SparkSession,
+    root: str,
     entry: dict,
     prune: list[tuple] | None,
     pk_in: list | None,
+    eq: list[tuple] | None = None,
 ) -> set[str]:
     """Bucket ids that survive manifest-level skipping — shared by the
     single-table and db readers (a db table entry carries the same
@@ -1092,6 +1115,11 @@ def _skipping_keep(
         keep &= set(stats_prune_buckets(entry, prune))
     if pk_in is not None:
         keep &= {str(b) for b in pk_value_buckets(spark, entry, pk_in)}
+    for col, value in eq or []:
+        if value is None:
+            continue  # IS NULL: blooms only index non-null values
+        h1, h2 = _bloom_lookup_hashes(spark, entry, col, value)
+        keep &= set(bloom_prune_buckets(root, entry, col, h1, h2))
     return keep
 
 
@@ -1100,6 +1128,7 @@ def _apply_skipping_residual(
     pk: str,
     prune: list[tuple] | None,
     pk_in: list | None,
+    eq: list[tuple] | None = None,
 ) -> DataFrame:
     """Residual filters: pruning only skips provably-disjoint buckets;
     surviving buckets still hold non-matching rows — re-applying the
@@ -1114,6 +1143,12 @@ def _apply_skipping_residual(
     if pk_in is not None:
         vals = [v for v in dict.fromkeys(pk_in) if v is not None]
         df = df.where(F.col(pk).isin(vals) if vals else F.lit(False))
+    for col, value in eq or []:
+        df = df.where(
+            F.col(col).isNull()
+            if value is None
+            else F.col(col) == F.lit(value)
+        )
     return df
 
 
@@ -1222,9 +1257,19 @@ def _harvest_bucket_stats(
     aggregation job (the files are hot in the page cache right after
     the write), collecting ≤ n_buckets rows — a bounded driver read.
     ALTER-added columns are skipped: their physical NULLs read back as
-    the declared default, so physical stats would lie about them."""
+    the declared default, so physical stats would lie about them.
+
+    When the manifest also names ``bloom_cols``, the harvest
+    additionally writes one SIDECAR Bloom index file per column into
+    the generation directory (``<gen>/_bloom-<col>.json``) — NOT into
+    the manifest, whose size must stay O(buckets), not O(distinct
+    values). Sidecars inherit the generation's immutability: a bucket
+    rewrite points the manifest at a new generation whose sidecar
+    carries the new bloom, so a stale bloom is structurally
+    impossible, and vacuum reclaims sidecars with their generation."""
     cols = manifest.get("stats_cols") or []
-    if not cols:
+    bloom_cols = manifest.get("bloom_cols") or []
+    if not cols and not bloom_cols:
         return {}
     gen_dir = os.path.join(root, gen)
     try:
@@ -1258,6 +1303,190 @@ def _harvest_bucket_stats(
                 "nulls": r[f"__nl_{i}"],
             }
         out[str(r[MERGE_BUCKET_COL])] = ent
+    if bloom_cols:
+        import json as _json
+
+        for c in bloom_cols:
+            if c not in dtypes or c in added:
+                continue
+            blobs = _build_bucket_blooms(df, c)
+            # every harvested bucket gets an entry: a bucket with NO
+            # non-null value of c takes the empty marker (equality on
+            # a non-null literal correctly prunes it)
+            index = {b: blobs.get(b, _BLOOM_EMPTY) for b in out}
+            with open(
+                os.path.join(gen_dir, f"_bloom-{c}.json"), "w"
+            ) as f:
+                _json.dump(index, f)
+    return out
+
+
+def _wants_stats(entry: dict) -> bool:
+    """Does this manifest/table entry maintain per-bucket metadata
+    (min/max stats and/or Bloom filters) on bucket-rewriting commits?"""
+    return bool(entry.get("stats_cols") or entry.get("bloom_cols"))
+
+
+_BLOOM_MIN_M = 8192          # floor: 1 KiB per bucket
+_BLOOM_MAX_M = 1 << 23       # cap: 1 MiB per bucket (beyond ~800k
+                             # distinct the filter degrades honestly)
+_BLOOM_K = 6
+_BLOOM_EMPTY = {"empty": True}  # bucket with no non-null values
+
+
+def _bloom_hash_cols(c: str):
+    """The two typed hash expressions double-hashing derives the k
+    Bloom probes from — the SAME expressions on the build and the
+    lookup side, so parity holds by construction. Position i =
+    ``((h1 + i*h2) mod 2^64) mod m`` on uint64 wrap arithmetic."""
+    return (
+        F.xxhash64(F.col(c)),
+        F.xxhash64(F.col(c), F.lit(1)),
+    )
+
+
+def _build_bucket_blooms(df: DataFrame, c: str) -> dict[str, dict]:
+    """One grouped Arrow pass: per bucket, set the k double-hashed bit
+    positions of every DISTINCT non-null value of ``c`` into a Bloom
+    bitset sized for THAT bucket's cardinality (m = next power of two
+    ≥ 10 bits/distinct, floor 8 KiB, cap 1 MiB — a fixed m saturates
+    and silently stops pruning once distinct counts outgrow it, which
+    is exactly what the first probe run measured at 19.5k
+    distinct/bucket against 8 Kib). Bitsets ship zlib-compressed —
+    sparse filters compress well; a saturated one would not, but
+    adaptive sizing keeps occupancy near the optimal ~50%."""
+    import base64
+    import zlib
+
+    h1, h2 = _bloom_hash_cols(c)
+    src = df.where(F.col(c).isNotNull()).select(
+        F.col(MERGE_BUCKET_COL).alias("__mb"),
+        h1.alias("__h1"),
+        h2.alias("__h2"),
+    )
+    k = _BLOOM_K
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        hu1 = pdf["__h1"].to_numpy().astype(np.uint64)
+        hu2 = pdf["__h2"].to_numpy().astype(np.uint64)
+        # distinct (h1, h2) pairs: duplicates set identical bits
+        pairs = np.unique(np.stack([hu1, hu2], axis=1), axis=0)
+        nd = len(pairs)
+        m = _BLOOM_MIN_M
+        while m < 10 * nd and m < _BLOOM_MAX_M:
+            m *= 2
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        pu1, pu2 = pairs[:, 0], pairs[:, 1]
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                pos = ((pu1 + np.uint64(i) * pu2) % np.uint64(m)).astype(
+                    np.int64
+                )
+                np.bitwise_or.at(
+                    bits, pos // 8, (1 << (pos % 8)).astype(np.uint8)
+                )
+        return pd.DataFrame(
+            {
+                "__mb": [int(pdf["__mb"].iloc[0])],
+                "m": [m],
+                "b": [zlib.compress(bits.tobytes(), 6)],
+            }
+        )
+
+    return {
+        str(r["__mb"]): {
+            "b": base64.b64encode(r["b"]).decode("ascii"),
+            "m": int(r["m"]),
+            "k": k,
+        }
+        for r in src.groupBy("__mb")
+        .applyInPandas(build, schema="__mb int, m long, b binary")
+        .collect()
+    }
+
+
+def _bloom_lookup_hashes(
+    spark: SparkSession, manifest: dict, col: str, value
+) -> tuple[int, int]:
+    """(h1, h2) for one literal, hashed EXACTLY as the build side did:
+    the literal is cast to the manifest's recorded column type first
+    (same rendering rule as :func:`pk_value_buckets`), then run
+    through :func:`_bloom_hash_cols` in one tiny Spark job."""
+    dt = None
+    sj = manifest.get("schema_json")
+    if sj:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        fld = next(
+            (
+                f
+                for f in _json.loads(sj).get("fields", [])
+                if f.get("name") == col
+            ),
+            None,
+        )
+        if fld is not None:
+            dt = StructType.fromJson(
+                {"type": "struct", "fields": [fld]}
+            )[col].dataType
+    df = spark.createDataFrame([(value,)], [col])
+    if dt is not None:
+        df = df.select(F.col(col).cast(dt).alias(col))
+    h1, h2 = _bloom_hash_cols(col)
+    r = df.select(h1.alias("h1"), h2.alias("h2")).collect()[0]
+    return r.h1, r.h2
+
+
+def bloom_prune_buckets(
+    root: str, manifest: dict, col: str, h1: int, h2: int
+) -> list[str]:
+    """Bucket ids that MAY contain ``col = value`` given the value's
+    (h1, h2). Each bucket's bloom lives in ITS generation's sidecar
+    (``<gen>/_bloom-<col>.json`` — loaded once per distinct
+    generation, not per bucket), so a bucket is checked against
+    exactly the filter committed WITH its data. Skipped only when the
+    filter proves the value absent (all-null buckets carry the empty
+    marker and prune too); buckets whose generation has no sidecar
+    (raw commits, pre-bloom history) are conservatively read."""
+    import base64
+    import json as _json
+    import zlib
+
+    u = 1 << 64
+    hu1, hu2 = h1 % u, h2 % u
+    by_gen: dict[str, list[str]] = {}
+    for b, gen in manifest["buckets"].items():
+        by_gen.setdefault(gen, []).append(b)
+    out = []
+    for gen, bs in by_gen.items():
+        try:
+            with open(os.path.join(root, gen, f"_bloom-{col}.json")) as f:
+                index = _json.load(f)
+        except (FileNotFoundError, ValueError):
+            out.extend(bs)  # no sidecar: conservative
+            continue
+        for b in bs:
+            ent = index.get(b)
+            if ent is None:
+                out.append(b)
+                continue
+            if ent.get("empty"):
+                continue  # no non-null values: provably absent
+            bits = zlib.decompress(base64.b64decode(ent["b"]))
+            m, k = ent["m"], ent["k"]
+            hit = True
+            for i in range(k):
+                pos = ((hu1 + i * hu2) % u) % m
+                if not (bits[pos // 8] >> (pos % 8)) & 1:
+                    hit = False
+                    break
+            if hit:
+                out.append(b)
     return out
 
 
@@ -1450,6 +1679,61 @@ def _carry_bucket_stats(
     return stats
 
 
+def versioned_table_stats(path: str, token: str | None = None) -> dict:
+    """Metadata-only table aggregates — zero file opens, zero Spark
+    jobs: answer ``count(*)``, per-column global min/max and null
+    counts straight from the committed manifest's bucket stats (the
+    Iceberg/Delta "metadata query" idea on the engine's own chain).
+
+    Returns ``{"rows": int | None, "cols": {col: {"min", "max",
+    "nulls"} | None}}``. Every value is EXACT or ``None`` — never an
+    estimate: ``rows`` is the sum of per-bucket row counts and is
+    None unless EVERY live bucket carries a stats entry (a
+    raw-committer rewrite purges its bucket's entry, so coverage is
+    checkable); a column's aggregate is None if any covered bucket
+    lacks that column's stats. At 100 TB this turns a full-scan
+    ``SELECT count(*), min(ts), max(ts)`` into a manifest read."""
+    manifest = _bucket_manifest(path, token)
+    stats = manifest.get("bucket_stats") or {}
+    live = list(manifest["buckets"])
+    out: dict = {"rows": None, "cols": {}}
+    if not live:
+        out["rows"] = 0
+        return out
+    if any(b not in stats or stats[b].get("rows") is None for b in live):
+        return out
+    out["rows"] = sum(stats[b]["rows"] for b in live)
+    for c in manifest.get("stats_cols") or []:
+        ents = [stats[b]["cols"].get(c) for b in live]
+        if any(e is None for e in ents):
+            out["cols"][c] = None
+            continue
+        nulls = sum(e["nulls"] for e in ents)
+        # a bucket that is ALL null contributes no min/max; ignore it
+        # for the bounds but keep its null count
+        mins = [e["min"] for e in ents if e["min"] is not None]
+        maxs = [e["max"] for e in ents if e["max"] is not None]
+        mn = mx = None
+        if mins and maxs:
+            mn, mx = mins[0], maxs[0]
+            for v in mins[1:]:
+                cv = _stats_cmp(v, mn)
+                if cv is None:
+                    mn = None
+                    break
+                if cv < 0:
+                    mn = v
+            for v in maxs[1:]:
+                cv = _stats_cmp(v, mx)
+                if cv is None:
+                    mx = None
+                    break
+                if cv > 0:
+                    mx = v
+        out["cols"][c] = {"min": mn, "max": mx, "nulls": nulls}
+    return out
+
+
 def _db_harvest_stats(
     spark: SparkSession,
     path: str,
@@ -1464,7 +1748,7 @@ def _db_harvest_stats(
     out: dict[str, dict] = {}
     for name in ours:
         t = manifest["tables"][name]
-        if t.get("stats_cols"):
+        if _wants_stats(t):
             out[name] = _harvest_bucket_stats(
                 spark, os.path.join(path, name), gen, t
             )
@@ -2386,7 +2670,7 @@ def merge_into_versioned(
     ours = {str(b): gen for b in affected}
     our_stats = (
         _harvest_bucket_stats(spark, path, gen, manifest)
-        if manifest.get("stats_cols")
+        if _wants_stats(manifest)
         else None
     )
     new_manifest = _commit_bucket_update(
@@ -2465,7 +2749,7 @@ def delete_from_versioned(
         # simply have no harvest row — _carry_bucket_stats drops them
         our_stats=(
             _harvest_bucket_stats(spark, path, f"gen-{token}", manifest)
-            if manifest.get("stats_cols")
+            if _wants_stats(manifest)
             else None
         ),
     )
@@ -2562,7 +2846,7 @@ def apply_changes_versioned(
         path, manifest, dict(manifest["buckets"]), ours, token, extra_meta,
         our_stats=(
             _harvest_bucket_stats(spark, path, f"gen-{token}", manifest)
-            if manifest.get("stats_cols")
+            if _wants_stats(manifest)
             else None
         ),
     )
@@ -3118,7 +3402,7 @@ def optimize_versioned(
         extra_meta=cluster_meta,
         our_stats=(
             _harvest_bucket_stats(spark, path, gen, manifest)
-            if manifest.get("stats_cols")
+            if _wants_stats(manifest)
             else None
         ),
     )
@@ -3330,6 +3614,7 @@ def write_versioned_db(
     n_buckets: int | dict[str, int] = 64,
     write_options: dict[str, dict] | None = None,
     stats_cols: dict[str, list[str]] | None = None,
+    bloom_cols: dict[str, list[str]] | None = None,
 ) -> dict:
     """Initial (or full-rewrite) commit of a multi-table versioned
     database: every table's data lands under a fresh shared-token
@@ -3350,14 +3635,21 @@ def write_versioned_db(
 
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
-    if stats_cols is None:
+    if stats_cols is None or bloom_cols is None:
         head0 = _commit_chain_head(path)
         if head0 is not None:
-            stats_cols = {
-                n: t["stats_cols"]
-                for n, t in head0[1].get("tables", {}).items()
-                if t.get("stats_cols")
-            }
+            if stats_cols is None:
+                stats_cols = {
+                    n: t["stats_cols"]
+                    for n, t in head0[1].get("tables", {}).items()
+                    if t.get("stats_cols")
+                }
+            if bloom_cols is None:
+                bloom_cols = {
+                    n: t["bloom_cols"]
+                    for n, t in head0[1].get("tables", {}).items()
+                    if t.get("bloom_cols")
+                }
     entry: dict[str, dict] = {}
     for name, df in tables.items():
         nb = n_buckets[name] if isinstance(n_buckets, dict) else n_buckets
@@ -3379,8 +3671,12 @@ def write_versioned_db(
             "rows": spark.read.parquet(tdir).count(),
         }
         t_stats = (stats_cols or {}).get(name)
+        t_blooms = (bloom_cols or {}).get(name)
         if t_stats:
             entry[name]["stats_cols"] = list(t_stats)
+        if t_blooms:
+            entry[name]["bloom_cols"] = list(t_blooms)
+        if _wants_stats(entry[name]):
             entry[name]["bucket_stats"] = _harvest_bucket_stats(
                 spark, os.path.join(path, name), gen, entry[name]
             )
@@ -3452,6 +3748,7 @@ def read_versioned_db(
     token: str | None = None,
     prune: list[tuple] | None = None,
     pk_in: list | None = None,
+    eq: list[tuple] | None = None,
 ) -> DataFrame:
     """Open one table of the committed database snapshot (or any
     retained transaction by token) — a consistent cross-table
@@ -3469,7 +3766,9 @@ def read_versioned_db(
             f"(has: {sorted(manifest['tables'])})"
         )
     t = manifest["tables"][table]
-    keep = _skipping_keep(spark, t, prune, pk_in)
+    keep = _skipping_keep(
+        spark, os.path.join(path, table), t, prune, pk_in, eq
+    )
     tpaths = [
         os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
         for b, gen in sorted(t["buckets"].items())
@@ -3490,7 +3789,7 @@ def read_versioned_db(
             ),
             t,
         )
-    return _apply_skipping_residual(df, t["pk"], prune, pk_in)
+    return _apply_skipping_residual(df, t["pk"], prune, pk_in, eq)
 
 
 def alter_versioned_db_add_columns(

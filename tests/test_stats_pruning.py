@@ -832,3 +832,122 @@ def test_zorder_edge_cases(spark, tmp_path):
     mf_l, _ = optimize_versioned(spark, path, cluster_by=["y"])
     assert mf_l["cluster_kind"] == "linear"
     assert mf_l["clustered_by"] == ["y"]
+
+
+def test_bloom_equality_skipping(spark, tmp_path):
+    """Bloom bucket skipping for equality on a non-pk column: pruned
+    read == full read + WHERE, buckets actually read shrink, blooms
+    ride merges through the same commit loop, and all-null buckets
+    prune via the empty bitset."""
+    from amaxa_spark.sources.catalog import (
+        bloom_prune_buckets,
+        _bloom_lookup_hashes,
+    )
+
+    path = str(tmp_path / "t")
+    # `tag` has one distinct value per row — bucket-uncorrelated and
+    # uniform, so range stats would never discriminate; only a bloom
+    # answers `tag = 'v373'`
+    df = spark.range(400).select(
+        F.concat(F.lit("k"), F.col("id")).alias("Id"),
+        F.concat(F.lit("v"), F.col("id")).alias("tag"),
+        F.col("id").alias("v"),
+    )
+    mf = write_versioned_table(df, path, "Id", 8, bloom_cols=["tag"])
+    # blooms live in per-generation SIDECARS, not the manifest (its
+    # size must stay O(buckets))
+    gen = next(iter(mf["buckets"].values()))
+    assert os.path.exists(os.path.join(path, gen, "_bloom-tag.json"))
+    assert "blooms" not in next(iter(mf["bucket_stats"].values()))
+    got = read_versioned_table(spark, path, eq=[("tag", "v373")])
+    assert [(r.Id, r.tag) for r in got.collect()] == [("k373", "v373")]
+    full = read_versioned_table(spark, path)
+    assert len(_read_buckets(got)) < len(_read_buckets(full))
+    # a value that exists nowhere: typed-empty result, usually 0 buckets
+    miss = read_versioned_table(spark, path, eq=[("tag", "nope")])
+    assert miss.count() == 0
+    # merge refreshes ONLY the touched bucket's bloom
+    mf1 = merge_into_versioned(
+        spark, path,
+        spark.createDataFrame([Row(Id="k0", tag="rewritten")]),
+        "Id", ["tag"],
+    )
+    hit = read_versioned_table(spark, path, eq=[("tag", "rewritten")])
+    assert [r.Id for r in hit.collect()] == ["k0"]
+    assert len(_read_buckets(hit)) == 1
+    # the OLD value of the rewritten row no longer matches any row
+    gone = read_versioned_table(spark, path, eq=[("tag", "v0")])
+    assert gone.count() == 0
+    # time travel prunes with the OLD blooms and still finds v0
+    old = read_versioned_table(
+        spark, path, token=mf["token"], eq=[("tag", "v0")]
+    )
+    assert [r.Id for r in old.collect()] == ["k0"]
+    # lookup-side hashing matches build-side hashing by construction
+    h1, h2 = _bloom_lookup_hashes(spark, mf1, "tag", "v373")
+    assert str(_read_buckets(got).pop()) in bloom_prune_buckets(
+        path, mf1, "tag", h1, h2
+    )
+    # IS NULL (value None) is residual-only and exact
+    assert read_versioned_table(
+        spark, path, eq=[("tag", None)]
+    ).count() == 0
+
+
+def test_bloom_all_null_and_metadata_stats(spark, tmp_path):
+    from amaxa_spark.sources.catalog import versioned_table_stats
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("Id"),
+        F.when(F.col("id") < 0, F.concat(F.lit("x"), F.col("id")))
+        .alias("tag"),  # all null
+        F.col("id").alias("v"),
+    )
+    write_versioned_table(
+        df, path, "Id", 4, stats_cols=["v"], bloom_cols=["tag"]
+    )
+    # equality on an all-null column prunes EVERY bucket (empty bitsets)
+    got = read_versioned_table(spark, path, eq=[("tag", "x1")])
+    assert got.count() == 0 and _read_buckets(got) == set()
+    # metadata-only aggregates: exact count and v bounds, zero scans
+    st = versioned_table_stats(path)
+    assert st["rows"] == 100
+    assert st["cols"]["v"] == {"min": 0, "max": 99, "nulls": 0}
+    # a raw commit that harvests nothing purges its bucket's entry —
+    # metadata aggregates must degrade to None, never a wrong number
+    import shutil
+
+    mf = _bucket_manifest(path)
+    victim = next(iter(mf["buckets"]))
+    gen = "gen-rawstat0001"
+    src = os.path.join(path, mf["buckets"][victim],
+                       f"{MERGE_BUCKET_COL}={victim}")
+    shutil.copytree(src, os.path.join(path, gen,
+                                      f"{MERGE_BUCKET_COL}={victim}"))
+    mf2 = _commit_bucket_update(
+        path, mf, dict(mf["buckets"]), {victim: gen}, "rawstat0001"
+    )
+    _publish_manifest(path, mf2)
+    st2 = versioned_table_stats(path)
+    assert st2["rows"] is None and st2["cols"] == {}
+
+
+def test_db_bloom_twin(spark, tmp_path):
+    from amaxa_spark.sources.catalog import (
+        read_versioned_db,
+        write_versioned_db,
+    )
+
+    path = str(tmp_path / "db")
+    tables, pks = _db_tables(spark)
+    write_versioned_db(
+        spark, path, tables, pks, n_buckets=4,
+        bloom_cols={"a": ["tag"]},
+    )
+    got = read_versioned_db(spark, path, "a", eq=[("tag", "s2")])
+    want = read_versioned_db(spark, path, "a").where(F.col("tag") == "s2")
+    assert sorted(r.Id for r in got.collect()) == sorted(
+        r.Id for r in want.collect()
+    )
+    assert _read_buckets(got) <= _read_buckets(want)
