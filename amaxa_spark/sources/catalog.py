@@ -1096,7 +1096,7 @@ def read_versioned_table(
             )
         )
         df = _fill_added_columns(df, manifest)
-    return _apply_skipping_residual(df, manifest["pk"], prune, pk_in, eq)
+    return _apply_skipping_residual(df, manifest, prune, pk_in, eq)
 
 
 def _skipping_keep(
@@ -1118,6 +1118,10 @@ def _skipping_keep(
     for col, value in eq or []:
         if value is None:
             continue  # IS NULL: blooms only index non-null values
+        if col not in (entry.get("bloom_cols") or []):
+            continue  # no blooms for this column: nothing to consult
+        if not keep:
+            break  # already empty: skip the per-conjunct hash job
         h1, h2 = _bloom_lookup_hashes(spark, entry, col, value)
         keep &= set(bloom_prune_buckets(root, entry, col, h1, h2))
     return keep
@@ -1125,14 +1129,20 @@ def _skipping_keep(
 
 def _apply_skipping_residual(
     df: DataFrame,
-    pk: str,
+    entry: dict,
     prune: list[tuple] | None,
     pk_in: list | None,
     eq: list[tuple] | None = None,
 ) -> DataFrame:
     """Residual filters: pruning only skips provably-disjoint buckets;
     surviving buckets still hold non-matching rows — re-applying the
-    predicate makes the pruned read EXACTLY the unpruned read + WHERE."""
+    predicate makes the pruned read EXACTLY the unpruned read + WHERE.
+
+    eq literals are cast to the RECORDED column type before the
+    comparison — the bloom lookup hashed the cast rendering, and an
+    uncast residual would let Spark promote the COLUMN instead (a
+    numeric literal against a string column makes '05' = 5 true,
+    matching rows the bloom legitimately pruned)."""
     if prune:
         for col, lo, hi in prune:
             df = df.where(F.col(col).isNotNull())
@@ -1142,13 +1152,16 @@ def _apply_skipping_residual(
                 df = df.where(F.col(col) <= F.lit(hi))
     if pk_in is not None:
         vals = [v for v in dict.fromkeys(pk_in) if v is not None]
-        df = df.where(F.col(pk).isin(vals) if vals else F.lit(False))
-    for col, value in eq or []:
         df = df.where(
-            F.col(col).isNull()
-            if value is None
-            else F.col(col) == F.lit(value)
+            F.col(entry["pk"]).isin(vals) if vals else F.lit(False)
         )
+    for col, value in eq or []:
+        if value is None:
+            df = df.where(F.col(col).isNull())
+            continue
+        dt = _recorded_col_type(entry, col)
+        lit = F.lit(value).cast(dt) if dt is not None else F.lit(value)
+        df = df.where(F.col(col) == lit)
     return df
 
 
@@ -1315,7 +1328,7 @@ def _harvest_bucket_stats(
             # a non-null literal correctly prunes it)
             index = {b: blobs.get(b, _BLOOM_EMPTY) for b in out}
             with open(
-                os.path.join(gen_dir, f"_bloom-{c}.json"), "w"
+                os.path.join(gen_dir, _bloom_sidecar_name(c)), "w"
             ) as f:
                 _json.dump(index, f)
     return out
@@ -1334,6 +1347,42 @@ _BLOOM_K = 6
 _BLOOM_EMPTY = {"empty": True}  # bucket with no non-null values
 
 
+def _recorded_col_type(entry: dict, col: str):
+    """The DataType the manifest's recorded schema declares for
+    ``col`` (None for pre-format manifests or unknown columns) — the
+    single source for literal rendering/casting in pk_value_buckets,
+    bloom lookups, and eq residuals."""
+    sj = entry.get("schema_json")
+    if not sj:
+        return None
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    fld = next(
+        (
+            f
+            for f in _json.loads(sj).get("fields", [])
+            if f.get("name") == col
+        ),
+        None,
+    )
+    if fld is None:
+        return None
+    return StructType.fromJson({"type": "struct", "fields": [fld]})[
+        col
+    ].dataType
+
+
+def _bloom_sidecar_name(col: str) -> str:
+    """Sidecar filename for a column, percent-encoded so separators
+    or dots in legal Spark column names cannot escape the generation
+    directory (symmetric on build and lookup)."""
+    from urllib.parse import quote
+
+    return f"_bloom-{quote(col, safe='')}.json"
+
+
 def _bloom_hash_cols(c: str):
     """The two typed hash expressions double-hashing derives the k
     Bloom probes from — the SAME expressions on the build and the
@@ -1349,7 +1398,7 @@ def _build_bucket_blooms(df: DataFrame, c: str) -> dict[str, dict]:
     """One grouped Arrow pass: per bucket, set the k double-hashed bit
     positions of every DISTINCT non-null value of ``c`` into a Bloom
     bitset sized for THAT bucket's cardinality (m = next power of two
-    ≥ 10 bits/distinct, floor 8 KiB, cap 1 MiB — a fixed m saturates
+    ≥ 10 bits/distinct, floor 1 KiB, cap 1 MiB — a fixed m saturates
     and silently stops pruning once distinct counts outgrow it, which
     is exactly what the first probe run measured at 19.5k
     distinct/bucket against 8 Kib). Bitsets ship zlib-compressed —
@@ -1359,10 +1408,17 @@ def _build_bucket_blooms(df: DataFrame, c: str) -> dict[str, dict]:
     import zlib
 
     h1, h2 = _bloom_hash_cols(c)
-    src = df.where(F.col(c).isNotNull()).select(
-        F.col(MERGE_BUCKET_COL).alias("__mb"),
-        h1.alias("__h1"),
-        h2.alias("__h2"),
+    src = (
+        df.where(F.col(c).isNotNull())
+        .select(
+            F.col(MERGE_BUCKET_COL).alias("__mb"),
+            h1.alias("__h1"),
+            h2.alias("__h2"),
+        )
+        # distributed dedup BEFORE the grouped Arrow pass: the pandas
+        # group must be bounded by the bucket's DISTINCT count, not
+        # its row count (a billion-row bucket would OOM one executor)
+        .distinct()
     )
     k = _BLOOM_K
 
@@ -1415,25 +1471,7 @@ def _bloom_lookup_hashes(
     the literal is cast to the manifest's recorded column type first
     (same rendering rule as :func:`pk_value_buckets`), then run
     through :func:`_bloom_hash_cols` in one tiny Spark job."""
-    dt = None
-    sj = manifest.get("schema_json")
-    if sj:
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        fld = next(
-            (
-                f
-                for f in _json.loads(sj).get("fields", [])
-                if f.get("name") == col
-            ),
-            None,
-        )
-        if fld is not None:
-            dt = StructType.fromJson(
-                {"type": "struct", "fields": [fld]}
-            )[col].dataType
+    dt = _recorded_col_type(manifest, col)
     df = spark.createDataFrame([(value,)], [col])
     if dt is not None:
         df = df.select(F.col(col).cast(dt).alias(col))
@@ -1465,7 +1503,9 @@ def bloom_prune_buckets(
     out = []
     for gen, bs in by_gen.items():
         try:
-            with open(os.path.join(root, gen, f"_bloom-{col}.json")) as f:
+            with open(
+                os.path.join(root, gen, _bloom_sidecar_name(col))
+            ) as f:
                 index = _json.load(f)
         except (FileNotFoundError, ValueError):
             out.extend(bs)  # no sidecar: conservative
@@ -1615,25 +1655,7 @@ def pk_value_buckets(
     vals = [v for v in dict.fromkeys(values) if v is not None]
     if not vals:
         return []
-    pk_dt = None
-    sj = manifest.get("schema_json")
-    if sj:
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        fld = next(
-            (
-                f
-                for f in _json.loads(sj).get("fields", [])
-                if f.get("name") == pk
-            ),
-            None,
-        )
-        if fld is not None:
-            pk_dt = StructType.fromJson(
-                {"type": "struct", "fields": [fld]}
-            )[pk].dataType
+    pk_dt = _recorded_col_type(manifest, pk)
     if (
         (pk_dt is None or pk_dt.typeName() == "string")
         and all(isinstance(v, str) for v in vals)
@@ -1696,7 +1718,10 @@ def versioned_table_stats(path: str, token: str | None = None) -> dict:
     manifest = _bucket_manifest(path, token)
     stats = manifest.get("bucket_stats") or {}
     live = list(manifest["buckets"])
-    out: dict = {"rows": None, "cols": {}}
+    out: dict = {
+        "rows": None,
+        "cols": {c: None for c in manifest.get("stats_cols") or []},
+    }
     if not live:
         out["rows"] = 0
         return out
@@ -3789,7 +3814,7 @@ def read_versioned_db(
             ),
             t,
         )
-    return _apply_skipping_residual(df, t["pk"], prune, pk_in, eq)
+    return _apply_skipping_residual(df, t, prune, pk_in, eq)
 
 
 def alter_versioned_db_add_columns(

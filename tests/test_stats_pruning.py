@@ -930,7 +930,7 @@ def test_bloom_all_null_and_metadata_stats(spark, tmp_path):
     )
     _publish_manifest(path, mf2)
     st2 = versioned_table_stats(path)
-    assert st2["rows"] is None and st2["cols"] == {}
+    assert st2["rows"] is None and st2["cols"] == {"v": None}
 
 
 def test_db_bloom_twin(spark, tmp_path):
@@ -951,3 +951,23 @@ def test_db_bloom_twin(spark, tmp_path):
         r.Id for r in want.collect()
     )
     assert _read_buckets(got) <= _read_buckets(want)
+
+
+def test_eq_residual_casts_to_recorded_type(spark, tmp_path):
+    """A type-coerced equality must not drop rows: the bloom hashed
+    the CAST literal, so the residual must compare under the COLUMN
+    type too — an uncast numeric literal against a string column
+    would let Spark promote the column ('05' = 5 true) and return
+    rows the bloom pruned, or vice versa."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(Id="a", tag="05"), Row(Id="b", tag="5"), Row(Id="c", tag="6")]
+    )
+    write_versioned_table(df, path, "Id", 2, bloom_cols=["tag"])
+    # int literal 5 casts to string '5': exactly the 'b' row, and the
+    # pruned read equals the full read with the SAME typed predicate
+    got = read_versioned_table(spark, path, eq=[("tag", 5)])
+    assert [r.Id for r in got.collect()] == ["b"]
+    # eq on a column WITHOUT blooms: no hash job needed, still exact
+    got2 = read_versioned_table(spark, path, eq=[("Id", "c")])
+    assert [r.tag for r in got2.collect()] == ["6"]
