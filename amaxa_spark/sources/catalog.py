@@ -1120,11 +1120,53 @@ def _skipping_keep(
             continue  # IS NULL: blooms only index non-null values
         if col not in (entry.get("bloom_cols") or []):
             continue  # no blooms for this column: nothing to consult
+        if col in (entry.get("added_columns") or {}):
+            continue  # harvest never blooms ALTER-added columns
+        dt = _recorded_col_type(entry, col)
+        if dt is None or not _eq_bloom_sound(dt, value):
+            # unknown column/pre-format manifest, or a CROSS-FAMILY
+            # literal: under Spark promotion the COLUMN may be cast
+            # ('05' = 5 is true on a string column), which no finite
+            # bloom can answer — read everything, residual stays exact
+            continue
         if not keep:
             break  # already empty: skip the per-conjunct hash job
         h1, h2 = _bloom_lookup_hashes(spark, entry, col, value)
         keep &= set(bloom_prune_buckets(root, entry, col, h1, h2))
     return keep
+
+
+def _eq_bloom_sound(dt, value) -> bool:
+    """Is bloom pruning with the cast-rendered hash SOUND for this
+    (column type, literal) pair under Spark's native promotion
+    semantics? Within one type family, any row the promoted equality
+    matches also equals CAST(value AS coltype) (lossy literals can
+    only add false-positive buckets, never hide matches); across
+    families the promotion may rewrite the COLUMN side, so pruning is
+    unsound and the caller skips it."""
+    import datetime
+    import decimal
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dt, StringType):
+        return isinstance(value, str)
+    if isinstance(dt, BooleanType):
+        return isinstance(value, bool)
+    if isinstance(dt, NumericType):
+        return isinstance(
+            value, (int, float, decimal.Decimal)
+        ) and not isinstance(value, bool)
+    if isinstance(dt, (DateType, TimestampType, TimestampNTZType)):
+        return isinstance(value, (datetime.date, datetime.datetime))
+    return False
 
 
 def _apply_skipping_residual(
@@ -1138,11 +1180,17 @@ def _apply_skipping_residual(
     surviving buckets still hold non-matching rows — re-applying the
     predicate makes the pruned read EXACTLY the unpruned read + WHERE.
 
-    eq literals are cast to the RECORDED column type before the
-    comparison — the bloom lookup hashed the cast rendering, and an
-    uncast residual would let Spark promote the COLUMN instead (a
-    numeric literal against a string column makes '05' = 5 true,
-    matching rows the bloom legitimately pruned)."""
+    eq residuals use Spark's NATIVE comparison semantics (uncast
+    literal, type promotion and all): the result of a pruned read is
+    defined as the full read + ``.where(col == lit(value))``, exactly
+    what a user would write. Bloom pruning is applied only when the
+    literal's type family matches the column's (see _skipping_keep) —
+    there the cast-rendered hash is provably sound under promotion;
+    cross-family predicates (a numeric literal on a string column
+    promotes the COLUMN, so '05' = 5 is true and no finite bloom can
+    enumerate the matching strings) skip pruning entirely and stay
+    exact through the residual. An unconditional cast here was a
+    reproduced regression: lit(5.7) cast to int matched v=5."""
     if prune:
         for col, lo, hi in prune:
             df = df.where(F.col(col).isNotNull())
@@ -1156,12 +1204,11 @@ def _apply_skipping_residual(
             F.col(entry["pk"]).isin(vals) if vals else F.lit(False)
         )
     for col, value in eq or []:
-        if value is None:
-            df = df.where(F.col(col).isNull())
-            continue
-        dt = _recorded_col_type(entry, col)
-        lit = F.lit(value).cast(dt) if dt is not None else F.lit(value)
-        df = df.where(F.col(col) == lit)
+        df = df.where(
+            F.col(col).isNull()
+            if value is None
+            else F.col(col) == F.lit(value)
+        )
     return df
 
 
@@ -1426,16 +1473,14 @@ def _build_bucket_blooms(df: DataFrame, c: str) -> dict[str, dict]:
         import numpy as np
         import pandas as pd
 
-        hu1 = pdf["__h1"].to_numpy().astype(np.uint64)
-        hu2 = pdf["__h2"].to_numpy().astype(np.uint64)
-        # distinct (h1, h2) pairs: duplicates set identical bits
-        pairs = np.unique(np.stack([hu1, hu2], axis=1), axis=0)
-        nd = len(pairs)
+        # rows arrive pre-deduplicated by the distributed .distinct()
+        pu1 = pdf["__h1"].to_numpy().astype(np.uint64)
+        pu2 = pdf["__h2"].to_numpy().astype(np.uint64)
+        nd = len(pu1)
         m = _BLOOM_MIN_M
         while m < 10 * nd and m < _BLOOM_MAX_M:
             m *= 2
         bits = np.zeros(m // 8, dtype=np.uint8)
-        pu1, pu2 = pairs[:, 0], pairs[:, 1]
         with np.errstate(over="ignore"):
             for i in range(k):
                 pos = ((pu1 + np.uint64(i) * pu2) % np.uint64(m)).astype(

@@ -953,21 +953,40 @@ def test_db_bloom_twin(spark, tmp_path):
     assert _read_buckets(got) <= _read_buckets(want)
 
 
-def test_eq_residual_casts_to_recorded_type(spark, tmp_path):
-    """A type-coerced equality must not drop rows: the bloom hashed
-    the CAST literal, so the residual must compare under the COLUMN
-    type too — an uncast numeric literal against a string column
-    would let Spark promote the column ('05' = 5 true) and return
-    rows the bloom pruned, or vice versa."""
+def test_eq_native_semantics_and_family_gate(spark, tmp_path):
+    """eq is DEFINED as full read + .where(col == lit(value)) under
+    Spark's native promotion semantics. Cross-family literals (int on
+    a string column: Spark promotes the COLUMN, so '05' = 5 is true)
+    skip bloom pruning — a finite bloom cannot enumerate the matching
+    strings — but stay exact through the residual; a lossy same-family
+    literal (5.7 on an int column) must match nothing, never the
+    truncated value."""
     path = str(tmp_path / "t")
     df = spark.createDataFrame(
-        [Row(Id="a", tag="05"), Row(Id="b", tag="5"), Row(Id="c", tag="6")]
+        [Row(Id="a", tag="05", v=5), Row(Id="b", tag="5", v=6),
+         Row(Id="c", tag="6", v=7)]
     )
-    write_versioned_table(df, path, "Id", 2, bloom_cols=["tag"])
-    # int literal 5 casts to string '5': exactly the 'b' row, and the
-    # pruned read equals the full read with the SAME typed predicate
+    write_versioned_table(df, path, "Id", 2, bloom_cols=["tag", "v"])
+    # cross-family: native promotion matches BOTH '05' and '5'
     got = read_versioned_table(spark, path, eq=[("tag", 5)])
-    assert [r.Id for r in got.collect()] == ["b"]
+    want = read_versioned_table(spark, path).where(F.col("tag") == 5)
+    assert sorted(r.Id for r in got.collect()) == sorted(
+        r.Id for r in want.collect()
+    ) == ["a", "b"]
+    # same-family string literal: bloom prunes, exact
+    got_s = read_versioned_table(spark, path, eq=[("tag", "5")])
+    assert [r.Id for r in got_s.collect()] == ["b"]
+    # lossy same-family numeric literal matches NOTHING (an
+    # unconditional cast-to-int residual wrongly matched v=5 here)
+    assert read_versioned_table(
+        spark, path, eq=[("v", 5.7)]
+    ).count() == 0
+    # lossless numeric widening matches exactly
+    assert [
+        r.Id for r in read_versioned_table(
+            spark, path, eq=[("v", 5.0)]
+        ).collect()
+    ] == ["a"]
     # eq on a column WITHOUT blooms: no hash job needed, still exact
     got2 = read_versioned_table(spark, path, eq=[("Id", "c")])
     assert [r.tag for r in got2.collect()] == ["6"]
