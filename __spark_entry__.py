@@ -1173,6 +1173,57 @@ def q_versioned_prune_scan(spark, sf_dir):
     return rng.unionByName(pt)
 
 
+_VBLOOM_SEED_KEY = 42
+
+
+def q_versioned_bloom_lookup(spark, sf_dir):
+    """Bloom equality skipping end-to-end, driver-judged: customer
+    lands once as a bloom-indexed versioned table (c_name — a
+    high-cardinality, bucket-uncorrelated string where min/max stats
+    are provably blind), then a point lookup by the name of a fixed
+    customer key runs through the eq path. The oracle is the plain
+    correlated WHERE over the raw parquet, so a green row proves
+    bloom pruning never drops a matching row
+    (catalog.py read_versioned_table / _build_bucket_blooms)."""
+    import hashlib
+    import tempfile
+
+    from amaxa_spark.sources.catalog import (
+        read_versioned_table,
+        write_versioned_table,
+        _commit_chain_head,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), "amaxa_gate_versioned",
+        f"customer-bloom-{tag}",
+    )
+    if _commit_chain_head(root) is None:
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        write_versioned_table(
+            _read(spark, sf_dir, "customer"),
+            root,
+            "c_custkey",
+            n_buckets=32,
+            bloom_cols=["c_name"],
+        )
+    # the probe value: a fixed customer's name (bounded 1-row read)
+    name = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") == _VBLOOM_SEED_KEY)
+        .select("c_name")
+        .head()[0]
+    )
+    return read_versioned_table(
+        spark, root, eq=[("c_name", name)]
+    ).select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 4).alias("bal"),
+    )
+
+
 def _knn_frames(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     left = emb.where(F.col("vec_id") % _KNN_LEFT_MOD == 0).select(
@@ -3038,6 +3089,7 @@ QUERY_ORDER = [
     # plan), the header-only image metadata path, and the real
     # compressed-video (MJPEG/AVI) path ---
     "semantic_dedup", "dsir_weights", "versioned_prune_scan",
+    "versioned_bloom_lookup",
     "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
     "image_gif_stats", "audio_spectral", "video_gif_frames",
     "graph_pagerank", "bpe_merges", "bpe_tokenize",
@@ -3110,22 +3162,23 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("semantic_dedup") == 0  # r8 batch-3 first
 assert QUERY_ORDER.index("dsir_weights") == 1
 assert QUERY_ORDER.index("versioned_prune_scan") == 2
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 3  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 4  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 5
-assert QUERY_ORDER.index("image_gif_stats") == 6
-assert QUERY_ORDER.index("audio_spectral") == 7
-assert QUERY_ORDER.index("video_gif_frames") == 8
-assert QUERY_ORDER.index("graph_pagerank") == 9
-assert QUERY_ORDER.index("bpe_merges") == 10
-assert QUERY_ORDER.index("bpe_tokenize") == 11
-assert QUERY_ORDER.index("dedup_containment") == 12  # r7 additions follow
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 3
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 4  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 5  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 6
+assert QUERY_ORDER.index("image_gif_stats") == 7
+assert QUERY_ORDER.index("audio_spectral") == 8
+assert QUERY_ORDER.index("video_gif_frames") == 9
+assert QUERY_ORDER.index("graph_pagerank") == 10
+assert QUERY_ORDER.index("bpe_merges") == 11
+assert QUERY_ORDER.index("bpe_tokenize") == 12
+assert QUERY_ORDER.index("dedup_containment") == 13  # r7 additions follow
 assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
 assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 64  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 114  # r1-4 core last
-assert len(QUERY_ORDER) == 164 and len(set(QUERY_ORDER)) == 164
+assert QUERY_ORDER.index("image_png_stats") < 51  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 65  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 115  # r1-4 core last
+assert len(QUERY_ORDER) == 165 and len(set(QUERY_ORDER)) == 165
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3254,6 +3307,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "versioned_prune_scan": q_versioned_prune_scan,
+        "versioned_bloom_lookup": q_versioned_bloom_lookup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -4723,6 +4777,12 @@ def _oracle_sql_raw() -> dict[str, str]:
             "FROM t2 JOIN vocab USING (token) CROSS JOIN total GROUP BY doc_id"
         ),
         "semantic_dedup": _semdedup_oracle_sql(),
+        "versioned_bloom_lookup": (
+            "SELECT c_custkey AS ckey, c_name AS name, "
+            "round(c_acctbal, 4) AS bal FROM customer "
+            "WHERE c_name = (SELECT c_name FROM customer "
+            f"WHERE c_custkey = {_VBLOOM_SEED_KEY})"
+        ),
         "versioned_prune_scan": (
             "SELECT 'range' AS src, o_orderkey AS okey, "
             "round(o_totalprice, 4) AS price FROM orders "
