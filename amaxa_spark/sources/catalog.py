@@ -2479,19 +2479,45 @@ def _prune_where_sql(prune: list[tuple]) -> str:
     return " AND ".join(parts)
 
 
+def _eq_where_sql(eq: list[tuple]) -> str:
+    """Render eq conjuncts for an external scan. Emission is
+    restricted to SAME-TYPE-FAMILY literals (checked by the caller):
+    cross-family promotion rules differ between engines (DuckDB
+    errors casting non-numeric varchars; Spark yields NULL), so only
+    the family-safe cases are allowed to leave the engine."""
+    parts = []
+    for col, value in eq:
+        ident = _sql_ident(col)
+        if value is None:
+            parts.append(f"{ident} IS NULL")
+        else:
+            parts.append(f"{ident} = {_sql_literal(value)}")
+    return " AND ".join(parts)
+
+
 def _table_manifest_sql(
-    root: str, manifest: dict, prune: list[tuple] | None = None
+    root: str,
+    manifest: dict,
+    prune: list[tuple] | None = None,
+    eq: list[tuple] | None = None,
+    eq_keep: set[str] | None = None,
 ) -> str:
     """The per-table body of :func:`manifest_to_sql`: one SELECT over
     exactly this manifest's parquet files, with ALTER-added columns
     reconstructed the way :func:`_fill_added_columns` does it. With
-    ``prune``, stats-disjoint buckets drop out of the emitted file
+    ``prune``/``eq``, skipped buckets drop out of the emitted file
     list (the external engine never even opens them) and the residual
-    WHERE rides inside the query."""
+    WHERE rides inside the query (``eq_keep`` is the bloom-surviving
+    bucket set the caller computed — bloom hashing needs a live Spark
+    session, which this renderer deliberately does not)."""
     import json as _json
 
-    if prune:
-        keep = set(stats_prune_buckets(manifest, prune))
+    if prune or eq:
+        keep = set(manifest["buckets"])
+        if prune:
+            keep &= set(stats_prune_buckets(manifest, prune))
+        if eq_keep is not None:
+            keep &= eq_keep
         pruned = {
             b: g for b, g in manifest["buckets"].items() if b in keep
         }
@@ -2505,7 +2531,12 @@ def _table_manifest_sql(
         # appended directly to the inner SELECT, DuckDB would bind the
         # raw read_parquet column and drop every row whose value IS
         # the default
-        return f"SELECT * FROM ({inner}) WHERE {_prune_where_sql(prune)}"
+        conds = []
+        if prune:
+            conds.append(_prune_where_sql(prune))
+        if eq:
+            conds.append(_eq_where_sql(eq))
+        return f"SELECT * FROM ({inner}) WHERE {' AND '.join(conds)}"
 
     added = manifest.get("added_columns", {})
     schema_cols: list[str] = []
@@ -2590,6 +2621,8 @@ def manifest_to_sql(
     path: str,
     token: str | None = None,
     prune: list[tuple] | None = None,
+    eq: list[tuple] | None = None,
+    spark: SparkSession | None = None,
 ) -> str:
     """LIVE external-engine scan of a versioned table — no export, no
     copy: emit one SQL query (DuckDB dialect) that reads exactly the
@@ -2613,10 +2646,48 @@ def manifest_to_sql(
     :func:`read_versioned_table` — the manifest's bucket stats shrink
     the emitted file list, so the EXTERNAL engine gets the same data
     skipping the native reader has (bounds limited to
-    int/float/str/bool literals)."""
+    int/float/str/bool literals).
+
+    ``eq`` gives the external scan the Bloom skipping too — it needs
+    a live ``spark`` session (lookup literals hash through the same
+    typed expressions as the build), and is restricted to
+    SAME-TYPE-FAMILY literals: cross-family promotion semantics
+    differ between engines (DuckDB errors casting non-numeric
+    varchars where Spark yields NULL), so those raise instead of
+    silently diverging."""
+    manifest = _bucket_manifest(path, token)
+    eq_keep = _external_eq_keep(spark, path, manifest, eq)
     return _table_manifest_sql(
-        path, _bucket_manifest(path, token), prune=prune
+        path, manifest, prune=prune, eq=eq, eq_keep=eq_keep
     )
+
+
+def _external_eq_keep(
+    spark: SparkSession | None,
+    root: str,
+    entry: dict,
+    eq: list[tuple] | None,
+) -> set[str] | None:
+    """Bloom-surviving bucket set for an external eq emission, with
+    the family/type validation the renderer cannot do itself."""
+    if not eq:
+        return None
+    for col, value in eq:
+        if value is None:
+            continue
+        dt = _recorded_col_type(entry, col)
+        if dt is None or not _eq_bloom_sound(dt, value):
+            raise ValueError(
+                f"external eq on {col!r}: literal {value!r} is not in "
+                "the column's type family (or the column is unknown) — "
+                "cross-engine promotion semantics diverge; filter in "
+                "the consuming engine instead"
+            )
+    if spark is None:
+        # no session: emission stays correct through the residual,
+        # just without the bucket shrink
+        return set(entry["buckets"])
+    return _skipping_keep(spark, root, entry, None, None, eq)
 
 
 def db_manifest_to_sql(
@@ -2624,6 +2695,8 @@ def db_manifest_to_sql(
     tables: list[str] | None = None,
     token: str | None = None,
     prune: dict[str, list[tuple]] | None = None,
+    eq: dict[str, list[tuple]] | None = None,
+    spark: SparkSession | None = None,
 ) -> dict[str, str]:
     """The db twin of :func:`manifest_to_sql`: one SQL query per
     requested table, all resolved from ONE transaction manifest — a
@@ -2644,13 +2717,13 @@ def db_manifest_to_sql(
                 f"{path}: no table {name!r} in this snapshot "
                 f"(has: {sorted(manifest['tables'])})"
             )
-    unknown = set(prune or {}) - set(names)
+    unknown = (set(prune or {}) | set(eq or {})) - set(names)
     if unknown:
         # a typo'd prune key must fail loudly — silently emitting
         # UNfiltered SQL while the caller believes the predicate was
         # applied is a semantics change, not an optimization
         raise ValueError(
-            f"{path}: prune keys {sorted(unknown)} match no emitted "
+            f"{path}: prune/eq keys {sorted(unknown)} match no emitted "
             f"table (emitting: {names})"
         )
     return {
@@ -2658,6 +2731,13 @@ def db_manifest_to_sql(
             os.path.join(path, name),
             manifest["tables"][name],
             prune=(prune or {}).get(name),
+            eq=(eq or {}).get(name),
+            eq_keep=_external_eq_keep(
+                spark,
+                os.path.join(path, name),
+                manifest["tables"][name],
+                (eq or {}).get(name),
+            ),
         )
         for name in names
     }

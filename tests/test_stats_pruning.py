@@ -660,9 +660,9 @@ def test_db_manifest_to_sql_rejects_unknown_prune_keys(spark, tmp_path):
     write_versioned_db(
         spark, path, tables, pks, n_buckets=4, stats_cols={"a": ["v"]}
     )
-    with pytest.raises(ValueError, match="prune keys"):
+    with pytest.raises(ValueError, match="prune/eq keys"):
         db_manifest_to_sql(path, prune={"A": [("v", 0, 1)]})
-    with pytest.raises(ValueError, match="prune keys"):
+    with pytest.raises(ValueError, match="prune/eq keys"):
         db_manifest_to_sql(path, tables=["b"], prune={"a": [("v", 0, 1)]})
 
 
@@ -990,3 +990,30 @@ def test_eq_native_semantics_and_family_gate(spark, tmp_path):
     # eq on a column WITHOUT blooms: no hash job needed, still exact
     got2 = read_versioned_table(spark, path, eq=[("Id", "c")])
     assert [r.tag for r in got2.collect()] == ["6"]
+
+
+def test_manifest_to_sql_eq_bloom_matches_native(spark, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    from amaxa_spark.sources.catalog import manifest_to_sql
+
+    path = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.concat(F.lit("k"), F.col("id")).alias("Id"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+        F.col("id").alias("v"),
+    )
+    write_versioned_table(df, path, "Id", 8, bloom_cols=["name"])
+    sql = manifest_to_sql(path, eq=[("name", "n123")], spark=spark)
+    # the bloom shrinks the emitted file list below the full emission
+    assert sql.count(".parquet") < manifest_to_sql(path).count(".parquet")
+    got = duckdb.sql(sql).df()
+    native = read_versioned_table(
+        spark, path, eq=[("name", "n123")]
+    ).drop(MERGE_BUCKET_COL).toPandas()
+    assert list(got["Id"]) == list(native["Id"]) == ["k123"]
+    # without a session the emission stays exact, just unshrunk
+    sql2 = manifest_to_sql(path, eq=[("name", "n123")])
+    assert list(duckdb.sql(sql2).df()["Id"]) == ["k123"]
+    # cross-family literals refuse to leave the engine
+    with pytest.raises(ValueError, match="type family"):
+        manifest_to_sql(path, eq=[("name", 5)], spark=spark)
