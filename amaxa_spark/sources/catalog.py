@@ -2669,19 +2669,48 @@ def _external_eq_keep(
     eq: list[tuple] | None,
 ) -> set[str] | None:
     """Bloom-surviving bucket set for an external eq emission, with
-    the family/type validation the renderer cannot do itself."""
+    ALL the validation the renderer cannot do itself, done UPFRONT
+    (before any Spark work): the column must exist (recorded schema
+    or an ALTER-added column — the renderer projects those as
+    coalesce aliases, so the residual binds them exactly), the
+    literal must be in the column's type family (cross-engine
+    promotion semantics diverge), and the literal must be a type
+    :func:`_sql_literal` can render exactly — finite int/float, str,
+    bool, or None (dates/timestamps/decimals are family-sound
+    NATIVELY but have no engine-neutral SQL rendering here; NaN/Inf
+    would emit as quoted strings an integer column cannot bind)."""
     if not eq:
         return None
+    import math
+
+    added = entry.get("added_columns") or {}
     for col, value in eq:
-        if value is None:
-            continue
         dt = _recorded_col_type(entry, col)
-        if dt is None or not _eq_bloom_sound(dt, value):
+        if dt is None and col in added:
+            from pyspark.sql.types import _parse_datatype_string
+
+            dt = _parse_datatype_string(added[col]["type"])
+        if dt is None:
+            raise ValueError(
+                f"external eq on {col!r}: unknown column (not in the "
+                "recorded schema or ALTER-added columns)"
+            )
+        if value is None:
+            continue  # IS NULL: renders for any existing column
+        if not isinstance(value, (bool, int, float, str)) or (
+            isinstance(value, float) and not math.isfinite(value)
+        ):
+            raise ValueError(
+                f"external eq on {col!r}: literal {value!r} has no "
+                "engine-neutral SQL rendering (finite int/float, str, "
+                "bool only) — filter in the consuming engine instead"
+            )
+        if not _eq_bloom_sound(dt, value):
             raise ValueError(
                 f"external eq on {col!r}: literal {value!r} is not in "
-                "the column's type family (or the column is unknown) — "
-                "cross-engine promotion semantics diverge; filter in "
-                "the consuming engine instead"
+                "the column's type family — cross-engine promotion "
+                "semantics diverge; filter in the consuming engine "
+                "instead"
             )
     if spark is None:
         # no session: emission stays correct through the residual,

@@ -1017,3 +1017,56 @@ def test_manifest_to_sql_eq_bloom_matches_native(spark, tmp_path):
     # cross-family literals refuse to leave the engine
     with pytest.raises(ValueError, match="type family"):
         manifest_to_sql(path, eq=[("name", 5)], spark=spark)
+
+
+def test_external_eq_validation_edges(spark, tmp_path):
+    """Upfront validation of external eq emissions: ALTER-added
+    columns are emittable (the renderer projects them), typo'd
+    columns fail loudly even for IS NULL probes, and family-sound
+    but non-renderable literals (dates, NaN) are rejected BEFORE any
+    Spark work with a clear message."""
+    import datetime
+
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_add_columns,
+        manifest_to_sql,
+        merge_into_versioned,
+    )
+
+    duckdb = pytest.importorskip("duckdb")
+    path = str(tmp_path / "t")
+    df = spark.range(40).select(
+        F.concat(F.lit("k"), F.col("id")).alias("Id"),
+        F.col("id").alias("v"),
+    )
+    write_versioned_table(df, path, "Id", 4)
+    alter_versioned_add_columns(path, {"flag": ("string", "x")}, spark=spark)
+    merge_into_versioned(
+        spark, path, spark.createDataFrame([Row(Id="k3", flag="y")]),
+        "Id", ["flag"],
+    )
+    # eq on the ALTER-added column: exact against the native read
+    sql = manifest_to_sql(path, eq=[("flag", "y")], spark=spark)
+    got = sorted(duckdb.sql(sql).df()["Id"])
+    want = sorted(
+        r.Id for r in read_versioned_table(
+            spark, path, eq=[("flag", "y")]
+        ).collect()
+    )
+    assert got == want == ["k3"]
+    # default-valued rows survive the projected residual
+    sql_x = manifest_to_sql(path, eq=[("flag", "x")], spark=spark)
+    assert len(duckdb.sql(sql_x).df()) == 39
+    # typo'd column fails loudly even as an IS NULL probe
+    with pytest.raises(ValueError, match="unknown column"):
+        manifest_to_sql(path, eq=[("naem", None)])
+    # family-sound but non-renderable literals are rejected upfront
+    with pytest.raises(ValueError, match="no.*rendering|rendering"):
+        manifest_to_sql(path, eq=[("v", float("nan"))], spark=spark)
+    path2 = str(tmp_path / "t2")
+    write_versioned_table(
+        df.withColumn("d", F.lit(datetime.date(2024, 1, 1))),
+        path2, "Id", 2,
+    )
+    with pytest.raises(ValueError, match="rendering"):
+        manifest_to_sql(path2, eq=[("d", datetime.date(2024, 1, 1))])
