@@ -1218,6 +1218,48 @@ def q_versioned_bloom_lookup(spark, sf_dir):
     )
 
 
+_VUPD_LO = 400_000.0
+
+
+def q_versioned_update_scan(spark, sf_dir):
+    """UPDATE — the third DML verb on the versioned layout — judged
+    end-to-end: orders lands once as a stats-enabled versioned table,
+    then ONE idempotent UPDATE (applied at cache-build time, marked in
+    the manifest so re-runs never re-commit) sets clerk/priority on
+    rows matching a three-part predicate (stats range + equality +
+    free-form where — the range and equality also DRIVE bucket
+    skipping, so only buckets that can hold matches are rewritten:
+    catalog.py update_versioned/_update_table_body). The oracle
+    replays the predicate as CASE WHEN over the raw parquet, so a
+    green row proves UPDATE ≡ SELECT-with-CASE on an independent
+    engine."""
+    from amaxa_spark.sources.catalog import (
+        read_versioned_table,
+        update_versioned,
+        _bucket_manifest,
+    )
+
+    root = _cached_versioned(
+        spark, sf_dir, "orders-upd", "orders", "o_orderkey",
+        n_buckets=32, stats_cols=["o_totalprice"],
+    )
+    if not _bucket_manifest(root).get("gate_update"):
+        update_versioned(
+            spark, root,
+            {"o_orderpriority": F.lit("X-UPDATED"), "o_custkey": F.lit(-1)},
+            where="o_orderkey % 2 = 0",
+            prune=[("o_totalprice", _VUPD_LO, None)],
+            eq=[("o_orderstatus", "F")],
+            extra_meta={"gate_update": True},
+        )
+    return read_versioned_table(spark, root).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+
+
 def _knn_frames(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     left = emb.where(F.col("vec_id") % _KNN_LEFT_MOD == 0).select(
@@ -3078,10 +3120,11 @@ QUERY_ORDER = [
     # round invariant from the round-6 rotation); the rest of the
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
-    # --- round-8 changes first (judged in their birth round): the
-    # reworked bounded-probe exact baseline (was the last all-pairs
-    # plan), the header-only image metadata path, and the real
-    # compressed-video (MJPEG/AVI) path ---
+    # --- round-9 additions first (judged in their birth round) ---
+    "versioned_update_scan",
+    # --- round-8 changes: the reworked bounded-probe exact baseline
+    # (was the last all-pairs plan), the header-only image metadata
+    # path, and the real compressed-video (MJPEG/AVI) path ---
     "semantic_dedup", "dsir_weights", "versioned_prune_scan",
     "versioned_bloom_lookup",
     "dedup_embedding_cosine", "image_header_meta", "video_mjpeg_frames",
@@ -3153,26 +3196,27 @@ QUERY_ORDER = [
 # judged-window invariants: round-8 changes lead the driver's
 # first-50 window (judged in their birth round), and the full surface
 # is intact
-assert QUERY_ORDER.index("semantic_dedup") == 0  # r8 batch-3 first
-assert QUERY_ORDER.index("dsir_weights") == 1
-assert QUERY_ORDER.index("versioned_prune_scan") == 2
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 3
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 4  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 5  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 6
-assert QUERY_ORDER.index("image_gif_stats") == 7
-assert QUERY_ORDER.index("audio_spectral") == 8
-assert QUERY_ORDER.index("video_gif_frames") == 9
-assert QUERY_ORDER.index("graph_pagerank") == 10
-assert QUERY_ORDER.index("bpe_merges") == 11
-assert QUERY_ORDER.index("bpe_tokenize") == 12
-assert QUERY_ORDER.index("dedup_containment") == 13  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 50
-assert QUERY_ORDER.index("tfidf_keywords") < 50  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 50  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 65  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 115  # r1-4 core last
-assert len(QUERY_ORDER) == 165 and len(set(QUERY_ORDER)) == 165
+assert QUERY_ORDER.index("versioned_update_scan") == 0  # r9 first
+assert QUERY_ORDER.index("semantic_dedup") == 1  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 2
+assert QUERY_ORDER.index("versioned_prune_scan") == 3
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 4
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 5  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 6  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 7
+assert QUERY_ORDER.index("image_gif_stats") == 8
+assert QUERY_ORDER.index("audio_spectral") == 9
+assert QUERY_ORDER.index("video_gif_frames") == 10
+assert QUERY_ORDER.index("graph_pagerank") == 11
+assert QUERY_ORDER.index("bpe_merges") == 12
+assert QUERY_ORDER.index("bpe_tokenize") == 13
+assert QUERY_ORDER.index("dedup_containment") == 14  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 51
+assert QUERY_ORDER.index("tfidf_keywords") < 51  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 51  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 66  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 116  # r1-4 core last
+assert len(QUERY_ORDER) == 166 and len(set(QUERY_ORDER)) == 166
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3302,6 +3346,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "versioned_prune_scan": q_versioned_prune_scan,
         "versioned_bloom_lookup": q_versioned_bloom_lookup,
+        "versioned_update_scan": q_versioned_update_scan,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -4785,6 +4830,16 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT 'point' AS src, o_orderkey AS okey, "
             "round(o_totalprice, 4) AS price FROM orders "
             f"WHERE o_orderkey IN {_VPRUNE_KEYS}"
+        ),
+        "versioned_update_scan": (
+            "SELECT o_orderkey AS okey, "
+            f"CASE WHEN o_totalprice >= {_VUPD_LO} "
+            "AND o_orderstatus = 'F' AND o_orderkey % 2 = 0 "
+            "THEN 'X-UPDATED' ELSE o_orderpriority END AS prio, "
+            f"CAST(CASE WHEN o_totalprice >= {_VUPD_LO} "
+            "AND o_orderstatus = 'F' AND o_orderkey % 2 = 0 "
+            "THEN -1 ELSE o_custkey END AS BIGINT) AS ckey, "
+            "round(o_totalprice, 4) AS price FROM orders"
         ),
         "dsir_weights": (
             f"WITH toks AS (SELECT doc_id, ({_DSIR_TARGET}) AS tgt, "

@@ -1117,7 +1117,17 @@ def _skipping_keep(
         keep &= {str(b) for b in pk_value_buckets(spark, entry, pk_in)}
     for col, value in eq or []:
         if value is None:
-            continue  # IS NULL: blooms only index non-null values
+            # IS NULL: blooms only index non-null values, but range
+            # stats carry the null COUNT — a bucket with zero nulls
+            # in this column provably holds no matching row
+            keep -= _zero_null_buckets(entry, col)
+            continue
+        # an equality is the degenerate range [v, v] — consult the
+        # min/max stats first (free: no sidecar IO), under exactly
+        # the conservative cross-interpretation rules range pruning
+        # uses; the Bloom tier below then narrows further for
+        # columns that index it
+        keep &= set(stats_prune_buckets(entry, [(col, value, value)]))
         if col not in (entry.get("bloom_cols") or []):
             continue  # no blooms for this column: nothing to consult
         if col in (entry.get("added_columns") or {}):
@@ -1572,6 +1582,23 @@ def bloom_prune_buckets(
                     break
             if hit:
                 out.append(b)
+    return out
+
+
+def _zero_null_buckets(entry: dict, col: str) -> set[str]:
+    """Buckets PROVEN to contain no NULL in ``col`` by the committed
+    null counts — the set an ``IS NULL`` equality conjunct can skip.
+    ALTER-added columns never qualify (their physical NULLs read back
+    as the declared default, so the harvest records no stats and the
+    conservative empty set applies)."""
+    stats = entry.get("bucket_stats") or {}
+    if col in (entry.get("added_columns") or {}):
+        return set()
+    out = set()
+    for b in entry["buckets"]:
+        cs = ((stats.get(b) or {}).get("cols") or {}).get(col)
+        if cs is not None and cs.get("nulls") == 0:
+            out.add(b)
     return out
 
 
@@ -2989,6 +3016,153 @@ def _delete_keys_from_table(
     return {str(b): (gen if b in present else None) for b in affected}
 
 
+def _update_predicate(prune, eq, where):
+    """The UPDATE match predicate as ONE Column: the AND of the
+    skipping conjuncts (identical semantics to
+    :func:`_apply_skipping_residual`, so pruning on them is sound by
+    construction — they ARE part of the predicate, not hints that
+    could drift from it) and the free-form ``where``. Rows where the
+    predicate is NULL do not match, exactly like SQL UPDATE."""
+    pred = None
+
+    def conj(p, c):
+        return c if p is None else (p & c)
+
+    for col, lo, hi in prune or []:
+        pred = conj(pred, F.col(col).isNotNull())
+        if lo is not None:
+            pred = conj(pred, F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = conj(pred, F.col(col) <= F.lit(hi))
+    for col, value in eq or []:
+        pred = conj(
+            pred,
+            F.col(col).isNull() if value is None else F.col(col) == F.lit(value),
+        )
+    if where is not None:
+        pred = conj(pred, F.expr(where) if isinstance(where, str) else where)
+    return F.lit(True) if pred is None else pred
+
+
+def _update_table_body(
+    spark: SparkSession,
+    root: str,
+    t: dict,
+    set_exprs: dict,
+    where,
+    prune,
+    eq,
+    gen: str,
+) -> dict | None:
+    """Per-table UPDATE body shared by both layouts: rewrites the
+    buckets that CONTAIN a matching row (non-matching rows in those
+    buckets are carried unchanged) under ``<root>/<gen>`` and returns
+    the ours bucket map, or ``None`` when nothing matched (nothing
+    written). Bucket targeting is two-tier: manifest-level skipping
+    first (stats ranges, Bloom equalities — buckets PROVEN free of
+    matches are never opened), then an exact contains-a-match
+    refinement so a candidate bucket whose rows all miss is not
+    identity-rewritten (no wasted IO, no phantom change-feed entry)."""
+    pk, n_buckets = t["pk"], t["n_buckets"]
+    bad = {pk, MERGE_BUCKET_COL} & set(set_exprs)
+    if bad:
+        raise ValueError(
+            f"UPDATE cannot set {sorted(bad)}: the key determines the "
+            "row's bucket (delete + insert to re-key)"
+        )
+    keep = _skipping_keep(spark, root, t, prune, None, eq)
+    cur_paths = [
+        os.path.join(root, g, f"{MERGE_BUCKET_COL}={b}")
+        for b, g in sorted(t["buckets"].items())
+        if b in keep
+    ]
+    if not cur_paths:
+        return None
+    table = _fill_added_columns(_read_maybe_merged(spark, t, *cur_paths), t)
+    unknown = sorted(set(set_exprs) - set(table.columns))
+    if unknown:
+        raise ValueError(
+            f"UPDATE set column(s) {unknown} do not exist "
+            f"(table has: {sorted(table.columns)})"
+        )
+    pred = _update_predicate(prune, eq, where)
+    affected = sorted(
+        r.b
+        for r in table.where(pred)
+        .select(_bucket_expr(pk, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return None
+    out = table.where(_bucket_expr(pk, n_buckets).isin(affected))
+    for c, e in set_exprs.items():
+        expr = F.expr(e) if isinstance(e, str) else e
+        # cast to the column's declared type (SQL UPDATE's implicit
+        # assignment cast) so a literal cannot silently widen the
+        # physical schema of the rewritten buckets
+        out = out.withColumn(
+            c, F.when(pred, expr.cast(table.schema[c].dataType)).otherwise(F.col(c))
+        )
+    (
+        out.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        .write.mode("errorifexists")
+        .partitionBy(MERGE_BUCKET_COL)
+        .parquet(os.path.join(root, gen))
+    )
+    return {str(b): gen for b in affected}
+
+
+def update_versioned(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    where=None,
+    prune: list[tuple] | None = None,
+    eq: list[tuple] | None = None,
+    base_token: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Atomic SQL UPDATE on the versioned layout — the third DML verb
+    next to MERGE and DELETE: rows matching the predicate get each
+    ``set_exprs`` column replaced by its expression (a Column or SQL
+    string, self-references like ``price * 1.1`` welcome); every
+    other row and every untouched bucket stays byte-identical.
+
+    The predicate is the AND of three optional parts: ``prune``
+    range conjuncts and ``eq`` equality conjuncts (BOTH also drive
+    manifest-level bucket skipping — stats and Blooms prove buckets
+    match-free without opening them, so a selective UPDATE on a
+    100 TB table rewrites only the buckets that can hold matches)
+    plus a free-form ``where``. All three omitted = full-table
+    update. The key column cannot be set (it determines the bucket).
+
+    Concurrency and ``extra_meta`` follow the MERGE rules: same CAS
+    commit chain, disjoint-bucket rebase, ``ConcurrentMergeError``
+    on overlap. Matching nothing commits metadata only (or returns
+    the head unchanged)."""
+    import uuid
+
+    manifest = _bucket_manifest(path, base_token)
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    ours = _update_table_body(
+        spark, path, manifest, set_exprs, where, prune, eq, gen
+    )
+    if ours is None:
+        return _commit_meta_only(path, manifest, extra_meta)
+    new_manifest = _commit_bucket_update(
+        path, manifest, dict(manifest["buckets"]), ours, token, extra_meta,
+        our_stats=(
+            _harvest_bucket_stats(spark, path, gen, manifest)
+            if _wants_stats(manifest)
+            else None
+        ),
+    )
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
 def apply_changes_versioned(
     spark: SparkSession,
     path: str,
@@ -3250,6 +3424,70 @@ def delete_from_versioned_db(
         t = manifest["tables"][name]
         table_ours = _delete_keys_from_table(
             spark, os.path.join(path, name), t, keys_df, gen
+        )
+        if table_ours is not None:
+            ours[name] = table_ours
+    if not ours:
+        return _commit_db_meta_only(path, manifest, extra_meta)
+    new_manifest = _commit_db_update(
+        path, manifest, ours, token, extra_meta,
+        our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
+    )
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def update_versioned_db(
+    spark: SparkSession,
+    path: str,
+    updates: dict[str, dict],
+    base_token: str | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Transactional UPDATE across tables — the db twin of
+    :func:`update_versioned`: every named table's matched buckets are
+    rewritten under ONE shared-token generation and a single chain
+    commit publishes them together (a fact reprice and its dim's
+    flag flip become visible atomically). ``updates`` maps table name
+    to a spec dict with ``set`` (column → expression) and any of the
+    single-table predicate parts ``where`` / ``prune`` / ``eq``.
+    Per-table semantics (two-tier bucket targeting, assignment casts,
+    key column protected) match the single-table UPDATE; concurrency
+    follows the transactional MERGE rules."""
+    import uuid
+
+    manifest = _db_manifest(path, base_token)
+    for name, spec in updates.items():
+        if name not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {name!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+        if not isinstance(spec, dict) or "set" not in spec:
+            raise ValueError(
+                f"{path}: update spec for {name!r} must be a dict "
+                "with a 'set' mapping"
+            )
+        unknown = set(spec) - {"set", "where", "prune", "eq"}
+        if unknown:
+            raise ValueError(
+                f"{path}: unknown update spec key(s) {sorted(unknown)} "
+                f"for {name!r} (allowed: set, where, prune, eq)"
+            )
+    token = uuid.uuid4().hex[:12]
+    gen = f"gen-{token}"
+    ours: dict[str, dict] = {}
+    for name, spec in updates.items():
+        t = manifest["tables"][name]
+        table_ours = _update_table_body(
+            spark,
+            os.path.join(path, name),
+            t,
+            spec["set"],
+            spec.get("where"),
+            spec.get("prune"),
+            spec.get("eq"),
+            gen,
         )
         if table_ours is not None:
             ours[name] = table_ours
