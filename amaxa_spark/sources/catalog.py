@@ -721,6 +721,13 @@ class ConcurrentMergeError(RuntimeError):
     merge's snapshot was read; re-run the merge from the new head."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A data-writing commit (init, MERGE, UPDATE, CDC-apply) produced
+    rows that violate a table CHECK constraint — the commit is refused
+    and nothing is published (the written generation is an invisible
+    orphan that :func:`vacuum_versioned` reclaims)."""
+
+
 class StaleStreamBatch(RuntimeError):
     """A commit tried to record a stream batch marker at or below the
     marker already committed for that stream — the batch was already
@@ -862,6 +869,7 @@ def write_versioned_table(
     df: DataFrame, path: str, pk: str, n_buckets: int = 64,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> dict:
     """Initial commit of a versioned bucket table. Data lands under
     ``<path>/gen-<token>/<bucket>=N/``; the published manifest maps
@@ -891,13 +899,26 @@ def write_versioned_table(
     out.write.mode("errorifexists").partitionBy(MERGE_BUCKET_COL).parquet(
         os.path.join(path, gen)
     )
-    if stats_cols is None or bloom_cols is None:
+    if stats_cols is None or bloom_cols is None or constraints is None:
         head0 = _commit_chain_head(path)
         if head0 is not None:
             if stats_cols is None:
                 stats_cols = head0[1].get("stats_cols")
             if bloom_cols is None:
                 bloom_cols = head0[1].get("bloom_cols")
+            if constraints is None:
+                # a re-init INHERITS the table's CHECK constraints
+                # (enforcement silently stopping on re-init would be a
+                # correctness regression) unless the caller passes its
+                # own ({} disables explicitly)
+                constraints = head0[1].get("constraints")
+    if constraints:
+        # the new baseline must satisfy the constraints it will carry
+        _check_constraints_frame(
+            df.sparkSession.read.parquet(os.path.join(path, gen)),
+            constraints,
+            path,
+        )
     manifest = {
         "token": token,
         "kind": "versioned-buckets",
@@ -918,6 +939,8 @@ def write_versioned_table(
         manifest["stats_cols"] = list(stats_cols)
     if bloom_cols:
         manifest["bloom_cols"] = list(bloom_cols)
+    if constraints:
+        manifest["constraints"] = dict(constraints)
     if _wants_stats(manifest):
         manifest["bucket_stats"] = _harvest_bucket_stats(
             df.sparkSession, path, gen, manifest
@@ -1882,6 +1905,170 @@ def _footer_columns(*bucket_dirs: str) -> set[str]:
         "(damaged table: registered buckets without data files) — pass "
         "spark= or repair the table"
     )
+
+
+def _violation_predicate(expr: str):
+    """Rows VIOLATE a CHECK constraint only when it evaluates to
+    FALSE — NULL (unknown) passes, exactly SQL's CHECK semantics. A
+    NOT NULL column is therefore the constraint ``col IS NOT NULL``
+    (which is FALSE, not NULL, on a null value)."""
+    return ~F.coalesce(F.expr(expr), F.lit(True))
+
+
+def _bounded_repr(rows, limit: int = 400) -> str:
+    s = repr([r.asDict(recursive=False) for r in rows])
+    return s if len(s) <= limit else s[: limit - 3] + "..."
+
+
+def _check_constraints_frame(df: DataFrame, constraints: dict, context: str) -> None:
+    """Raise :class:`ConstraintViolationError` when any row of ``df``
+    violates any CHECK constraint. ONE aggregation pass counts
+    violations for every constraint together (adding a constraint
+    never adds a scan); only on failure does a second bounded job
+    fetch sample rows for the first failing constraint."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    counts = df.agg(
+        *[
+            F.sum(_violation_predicate(constraints[n]).cast("long")).alias(
+                f"__c{i}"
+            )
+            for i, n in enumerate(names)
+        ]
+    ).collect()[0]
+    failing = [
+        (n, counts[f"__c{i}"])
+        for i, n in enumerate(names)
+        if (counts[f"__c{i}"] or 0) > 0
+    ]
+    if not failing:
+        return
+    name, cnt = failing[0]
+    sample = df.where(_violation_predicate(constraints[name])).limit(3).collect()
+    more = (
+        f"; {len(failing) - 1} more failing: {[n for n, _ in failing[1:]]}"
+        if len(failing) > 1
+        else ""
+    )
+    raise ConstraintViolationError(
+        f"{context}: CHECK constraint {name!r} ({constraints[name]}) "
+        f"violated by {cnt} row(s), e.g. {_bounded_repr(sample)}{more}"
+    )
+
+
+def _enforce_constraints(
+    spark: SparkSession, root: str, entry: dict, gen: str
+) -> None:
+    """Validate ONE freshly written generation against the table's
+    CHECK constraints before its commit is claimed — the write-side
+    enforcement choke point shared by init, MERGE, UPDATE, and
+    CDC-apply on both layouts. Only the rows being committed are
+    checked (untouched buckets were validated when written, and
+    ALTER ADD CONSTRAINT validates the whole table once): cost tracks
+    change volume, not table size. DELETE and OPTIMIZE skip it — they
+    only remove or re-arrange rows that already passed."""
+    cons = entry.get("constraints")
+    if not cons:
+        return
+    gen_dir = os.path.join(root, gen)
+    try:
+        if not _present_buckets(gen_dir):
+            return
+    except FileNotFoundError:
+        return
+    df = _fill_added_columns(_read_maybe_merged(spark, entry, gen_dir), entry)
+    _check_constraints_frame(df, cons, root)
+
+
+def alter_versioned_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> dict:
+    """Add a named CHECK constraint (a SQL boolean expression over the
+    table's columns) as a METADATA-ONLY chain commit — after first
+    validating every EXISTING row against it (Delta's ADD CONSTRAINT
+    contract: you cannot constrain a table into an already-violated
+    state). From this commit on, every data-writing commit (init,
+    MERGE, UPDATE, CDC-apply — including the streaming upsert sink,
+    which rides MERGE) validates the rows it is about to publish and
+    refuses the whole commit on any violation
+    (:class:`ConstraintViolationError`), so committed data can never
+    regress the invariant. SQL CHECK semantics: NULL passes, FALSE
+    violates — ``col IS NOT NULL`` is exactly a NOT NULL column.
+
+    The existing-data validation re-runs inside the claim loop
+    whenever a lost race reveals a head whose bucket map changed —
+    a concurrent merge may have committed rows the first validation
+    never saw."""
+    import uuid
+
+    if not isinstance(expr, str) or not expr.strip():
+        raise ValueError("constraint expression must be a non-empty SQL string")
+    token = uuid.uuid4().hex[:12]
+    validated: dict | None = None
+    while True:
+        manifest = _bucket_manifest(path)
+        cons = dict(manifest.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"{path}: constraint {name!r} already exists ({cons[name]})"
+            )
+        if validated != manifest["buckets"]:
+            _check_constraints_frame(
+                read_versioned_table(spark, path, token=manifest["token"]),
+                {name: expr},
+                path,
+            )
+            validated = dict(manifest["buckets"])
+        new_manifest = {
+            **{k: v for k, v in manifest.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+            "constraints": {**cons, name: expr},
+        }
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def alter_versioned_drop_constraint(path: str, name: str) -> dict:
+    """Drop a named CHECK constraint — metadata-only chain commit;
+    raises if the constraint does not exist (a silent no-op would hide
+    typos from operators disabling enforcement on purpose)."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    while True:
+        manifest = _bucket_manifest(path)
+        cons = dict(manifest.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"{path}: no constraint {name!r} "
+                f"(has: {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+        new_manifest = {
+            **{
+                k: v
+                for k, v in manifest.items()
+                if k not in ("committed_at", "constraints")
+            },
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+        }
+        if cons:
+            new_manifest["constraints"] = cons
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
 
 
 def _alter_collision_columns(
@@ -2874,6 +3061,7 @@ def merge_into_versioned(
         .parquet(os.path.join(path, gen))
     )
     ours = {str(b): gen for b in affected}
+    _enforce_constraints(spark, path, manifest, gen)
     our_stats = (
         _harvest_bucket_stats(spark, path, gen, manifest)
         if _wants_stats(manifest)
@@ -3151,6 +3339,7 @@ def update_versioned(
     )
     if ours is None:
         return _commit_meta_only(path, manifest, extra_meta)
+    _enforce_constraints(spark, path, manifest, gen)
     new_manifest = _commit_bucket_update(
         path, manifest, dict(manifest["buckets"]), ours, token, extra_meta,
         our_stats=(
@@ -3195,6 +3384,7 @@ def apply_changes_versioned(
     )
     if ours is None:
         return _commit_meta_only(path, manifest, extra_meta)
+    _enforce_constraints(spark, path, manifest, f"gen-{token}")
     new_manifest = _commit_bucket_update(
         path, manifest, dict(manifest["buckets"]), ours, token, extra_meta,
         our_stats=(
@@ -3493,6 +3683,10 @@ def update_versioned_db(
             ours[name] = table_ours
     if not ours:
         return _commit_db_meta_only(path, manifest, extra_meta)
+    for name in ours:
+        _enforce_constraints(
+            spark, os.path.join(path, name), manifest["tables"][name], gen
+        )
     new_manifest = _commit_db_update(
         path, manifest, ours, token, extra_meta,
         our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
@@ -3536,6 +3730,10 @@ def apply_changes_versioned_db(
             ours[name] = table_ours
     if not ours:
         return _commit_db_meta_only(path, manifest, extra_meta)
+    for name in ours:
+        _enforce_constraints(
+            spark, os.path.join(path, name), manifest["tables"][name], gen
+        )
     new_manifest = _commit_db_update(
         path, manifest, ours, token, extra_meta,
         our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
@@ -4032,6 +4230,7 @@ def write_versioned_db(
     write_options: dict[str, dict] | None = None,
     stats_cols: dict[str, list[str]] | None = None,
     bloom_cols: dict[str, list[str]] | None = None,
+    constraints: dict[str, dict[str, str]] | None = None,
 ) -> dict:
     """Initial (or full-rewrite) commit of a multi-table versioned
     database: every table's data lands under a fresh shared-token
@@ -4052,7 +4251,7 @@ def write_versioned_db(
 
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
-    if stats_cols is None or bloom_cols is None:
+    if stats_cols is None or bloom_cols is None or constraints is None:
         head0 = _commit_chain_head(path)
         if head0 is not None:
             if stats_cols is None:
@@ -4066,6 +4265,14 @@ def write_versioned_db(
                     n: t["bloom_cols"]
                     for n, t in head0[1].get("tables", {}).items()
                     if t.get("bloom_cols")
+                }
+            if constraints is None:
+                # re-init inherits each table's CHECK constraints —
+                # same no-silent-regression rule as stats/blooms
+                constraints = {
+                    n: t["constraints"]
+                    for n, t in head0[1].get("tables", {}).items()
+                    if t.get("constraints")
                 }
     entry: dict[str, dict] = {}
     for name, df in tables.items():
@@ -4089,10 +4296,17 @@ def write_versioned_db(
         }
         t_stats = (stats_cols or {}).get(name)
         t_blooms = (bloom_cols or {}).get(name)
+        t_cons = (constraints or {}).get(name)
         if t_stats:
             entry[name]["stats_cols"] = list(t_stats)
         if t_blooms:
             entry[name]["bloom_cols"] = list(t_blooms)
+        if t_cons:
+            entry[name]["constraints"] = dict(t_cons)
+            # the new baseline must satisfy the constraints it carries
+            _check_constraints_frame(
+                spark.read.parquet(tdir), t_cons, os.path.join(path, name)
+            )
         if _wants_stats(entry[name]):
             entry[name]["bucket_stats"] = _harvest_bucket_stats(
                 spark, os.path.join(path, name), gen, entry[name]
@@ -4266,6 +4480,102 @@ def alter_versioned_db_add_columns(
     return new_manifest
 
 
+def alter_versioned_db_add_constraint(
+    spark: SparkSession, path: str, table: str, name: str, expr: str
+) -> dict:
+    """Add a CHECK constraint to ONE table of the transactional
+    layout — the db twin of :func:`alter_versioned_add_constraint`,
+    identical semantics: existing rows validate first (re-validated
+    inside the claim loop whenever a lost race reveals new data for
+    this table), then a metadata-only transaction records it; every
+    later data-writing transaction validates this table's written
+    rows before committing."""
+    import uuid
+
+    if not isinstance(expr, str) or not expr.strip():
+        raise ValueError("constraint expression must be a non-empty SQL string")
+    token = uuid.uuid4().hex[:12]
+    validated: dict | None = None
+    while True:
+        manifest = _db_manifest(path)
+        if table not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {table!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+        t = manifest["tables"][table]
+        cons = dict(t.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"{path}/{table}: constraint {name!r} already exists "
+                f"({cons[name]})"
+            )
+        if validated != t["buckets"]:
+            _check_constraints_frame(
+                read_versioned_db(
+                    spark, path, table, token=manifest["token"]
+                ),
+                {name: expr},
+                os.path.join(path, table),
+            )
+            validated = dict(t["buckets"])
+        new_manifest = {
+            **{k: v for k, v in manifest.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+            "tables": {
+                **manifest["tables"],
+                table: {**t, "constraints": {**cons, name: expr}},
+            },
+        }
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def alter_versioned_db_drop_constraint(path: str, table: str, name: str) -> dict:
+    """Drop a CHECK constraint from one table — metadata-only
+    transaction; raises if the table or constraint does not exist."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    while True:
+        manifest = _db_manifest(path)
+        if table not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {table!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+        t = manifest["tables"][table]
+        cons = dict(t.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"{path}/{table}: no constraint {name!r} "
+                f"(has: {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+        new_t = {k: v for k, v in t.items() if k != "constraints"}
+        if cons:
+            new_t["constraints"] = cons
+        new_manifest = {
+            **{k: v for k, v in manifest.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+            "tables": {**manifest["tables"], table: new_t},
+        }
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
 def merge_into_versioned_db(
     spark: SparkSession,
     path: str,
@@ -4348,6 +4658,10 @@ def merge_into_versioned_db(
         ours[name] = {str(b): gen for b in affected}
     if not ours:
         return _commit_db_meta_only(path, manifest, extra_meta)
+    for name in ours:
+        _enforce_constraints(
+            spark, os.path.join(path, name), manifest["tables"][name], gen
+        )
     new_manifest = _commit_db_update(
         path, manifest, ours, token, extra_meta,
         our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
