@@ -1260,6 +1260,42 @@ def q_versioned_update_scan(spark, sf_dir):
     )
 
 
+_VFS_LO, _VFS_HI = 80_000.0, 120_000.0
+
+
+def q_versioned_file_prune(spark, sf_dir):
+    """FILE-tier data skipping end-to-end: orders lands once with
+    file_stats=True and is range-split by OPTIMIZE
+    (cluster_by=o_totalprice, files_per_bucket=4 — idempotence marker:
+    the manifest's clustered_by stamp), so every pk-hash bucket holds
+    4 sorted price-disjoint files. A narrow price range then reads
+    only the files whose sidecar stats can match — the tier below
+    bucket skipping (catalog.py _pruned_bucket_paths /
+    _harvest_bucket_stats file branch). Oracle: the plain WHERE over
+    raw parquet, proving pruned ≡ full + predicate on an independent
+    engine."""
+    from amaxa_spark.sources.catalog import (
+        optimize_versioned,
+        read_versioned_table,
+        _bucket_manifest,
+    )
+
+    root = _cached_versioned(
+        spark, sf_dir, "orders-fsplit", "orders", "o_orderkey",
+        n_buckets=16, stats_cols=["o_totalprice"], file_stats=True,
+    )
+    if not _bucket_manifest(root).get("clustered_by"):
+        optimize_versioned(
+            spark, root, cluster_by=["o_totalprice"], files_per_bucket=4
+        )
+    return read_versioned_table(
+        spark, root, prune=[("o_totalprice", _VFS_LO, _VFS_HI)]
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+
+
 def _knn_frames(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     left = emb.where(F.col("vec_id") % _KNN_LEFT_MOD == 0).select(
@@ -3121,7 +3157,7 @@ QUERY_ORDER = [
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
     # --- round-9 additions first (judged in their birth round) ---
-    "versioned_update_scan",
+    "versioned_update_scan", "versioned_file_prune",
     # --- round-8 changes: the reworked bounded-probe exact baseline
     # (was the last all-pairs plan), the header-only image metadata
     # path, and the real compressed-video (MJPEG/AVI) path ---
@@ -3197,26 +3233,27 @@ QUERY_ORDER = [
 # first-50 window (judged in their birth round), and the full surface
 # is intact
 assert QUERY_ORDER.index("versioned_update_scan") == 0  # r9 first
-assert QUERY_ORDER.index("semantic_dedup") == 1  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 2
-assert QUERY_ORDER.index("versioned_prune_scan") == 3
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 4
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 5  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 6  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 7
-assert QUERY_ORDER.index("image_gif_stats") == 8
-assert QUERY_ORDER.index("audio_spectral") == 9
-assert QUERY_ORDER.index("video_gif_frames") == 10
-assert QUERY_ORDER.index("graph_pagerank") == 11
-assert QUERY_ORDER.index("bpe_merges") == 12
-assert QUERY_ORDER.index("bpe_tokenize") == 13
-assert QUERY_ORDER.index("dedup_containment") == 14  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 51
-assert QUERY_ORDER.index("tfidf_keywords") < 51  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 51  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 66  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 116  # r1-4 core last
-assert len(QUERY_ORDER) == 166 and len(set(QUERY_ORDER)) == 166
+assert QUERY_ORDER.index("versioned_file_prune") == 1
+assert QUERY_ORDER.index("semantic_dedup") == 2  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 3
+assert QUERY_ORDER.index("versioned_prune_scan") == 4
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 5
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 6  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 7  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 8
+assert QUERY_ORDER.index("image_gif_stats") == 9
+assert QUERY_ORDER.index("audio_spectral") == 10
+assert QUERY_ORDER.index("video_gif_frames") == 11
+assert QUERY_ORDER.index("graph_pagerank") == 12
+assert QUERY_ORDER.index("bpe_merges") == 13
+assert QUERY_ORDER.index("bpe_tokenize") == 14
+assert QUERY_ORDER.index("dedup_containment") == 15  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 52
+assert QUERY_ORDER.index("tfidf_keywords") < 52  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 52  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 67  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 117  # r1-4 core last
+assert len(QUERY_ORDER) == 167 and len(set(QUERY_ORDER)) == 167
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3347,6 +3384,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_prune_scan": q_versioned_prune_scan,
         "versioned_bloom_lookup": q_versioned_bloom_lookup,
         "versioned_update_scan": q_versioned_update_scan,
+        "versioned_file_prune": q_versioned_file_prune,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -4830,6 +4868,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT 'point' AS src, o_orderkey AS okey, "
             "round(o_totalprice, 4) AS price FROM orders "
             f"WHERE o_orderkey IN {_VPRUNE_KEYS}"
+        ),
+        "versioned_file_prune": (
+            "SELECT o_orderkey AS okey, round(o_totalprice, 4) AS price "
+            f"FROM orders WHERE o_totalprice >= {_VFS_LO} "
+            f"AND o_totalprice <= {_VFS_HI}"
         ),
         "versioned_update_scan": (
             "SELECT o_orderkey AS okey, "

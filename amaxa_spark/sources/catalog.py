@@ -870,6 +870,7 @@ def write_versioned_table(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     constraints: dict[str, str] | None = None,
+    file_stats: bool | None = None,
 ) -> dict:
     """Initial commit of a versioned bucket table. Data lands under
     ``<path>/gen-<token>/<bucket>=N/``; the published manifest maps
@@ -899,7 +900,12 @@ def write_versioned_table(
     out.write.mode("errorifexists").partitionBy(MERGE_BUCKET_COL).parquet(
         os.path.join(path, gen)
     )
-    if stats_cols is None or bloom_cols is None or constraints is None:
+    if (
+        stats_cols is None
+        or bloom_cols is None
+        or constraints is None
+        or file_stats is None
+    ):
         head0 = _commit_chain_head(path)
         if head0 is not None:
             if stats_cols is None:
@@ -912,6 +918,13 @@ def write_versioned_table(
                 # correctness regression) unless the caller passes its
                 # own ({} disables explicitly)
                 constraints = head0[1].get("constraints")
+            if file_stats is None:
+                file_stats = head0[1].get("file_stats")
+    if file_stats and not stats_cols:
+        raise ValueError(
+            "file_stats=True requires stats_cols (the fine tier "
+            "describes the same columns as the bucket tier)"
+        )
     if constraints:
         # the new baseline must satisfy the constraints it will carry
         _check_constraints_frame(
@@ -941,6 +954,8 @@ def write_versioned_table(
         manifest["bloom_cols"] = list(bloom_cols)
     if constraints:
         manifest["constraints"] = dict(constraints)
+    if file_stats:
+        manifest["file_stats"] = True
     if _wants_stats(manifest):
         manifest["bucket_stats"] = _harvest_bucket_stats(
             df.sparkSession, path, gen, manifest
@@ -1095,11 +1110,7 @@ def read_versioned_table(
     """
     manifest = _bucket_manifest(path, token)
     keep = _skipping_keep(spark, path, manifest, prune, pk_in, eq)
-    paths = [
-        os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
-        for b, gen in sorted(manifest["buckets"].items())
-        if b in keep
-    ]
+    paths = _pruned_bucket_paths(path, manifest, keep, prune, eq)
     if not paths:
         df = _empty_versioned_frame(spark, path, manifest)
     else:
@@ -1386,8 +1397,8 @@ def _harvest_bucket_stats(
             F.max(F.col(c)).alias(f"__mx_{i}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{i}"),
         ]
-    out: dict[str, dict] = {}
-    for r in df.groupBy(MERGE_BUCKET_COL).agg(*aggs).collect():
+
+    def entry_of(r) -> dict:
         ent = {"rows": r["__rows"], "cols": {}}
         for i, c in enumerate(use):
             ent["cols"][c] = {
@@ -1395,7 +1406,52 @@ def _harvest_bucket_stats(
                 "max": _stats_value(r[f"__mx_{i}"]),
                 "nulls": r[f"__nl_{i}"],
             }
-        out[str(r[MERGE_BUCKET_COL])] = ent
+        return ent
+
+    out: dict[str, dict] = {}
+    if manifest.get("file_stats") and use:
+        # FINE tier opted in: ONE job grouped by (bucket, file) yields
+        # both tiers — per-file entries land in the generation's
+        # sidecar (immutable + vacuumed with it, like blooms), and the
+        # bucket entries derive from them in the driver (min of mins,
+        # max of maxes, sums). Driver cost is O(files), bounded by the
+        # write parallelism per commit.
+        per_file: dict[str, dict[str, dict]] = {}
+        rows = (
+            df.groupBy(
+                MERGE_BUCKET_COL, F.input_file_name().alias("__file")
+            )
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            b = str(r[MERGE_BUCKET_COL])
+            fname = os.path.basename(r["__file"])
+            per_file.setdefault(b, {})[fname] = entry_of(r)
+        for b, files in per_file.items():
+            ents = list(files.values())
+            merged = {
+                "rows": sum(e["rows"] for e in ents),
+                "cols": {},
+            }
+            for c in use:
+                mns = [e["cols"][c]["min"] for e in ents
+                       if e["cols"][c]["min"] is not None]
+                mxs = [e["cols"][c]["max"] for e in ents
+                       if e["cols"][c]["max"] is not None]
+                merged["cols"][c] = {
+                    "min": min(mns) if mns else None,
+                    "max": max(mxs) if mxs else None,
+                    "nulls": sum(e["cols"][c]["nulls"] for e in ents),
+                }
+            out[b] = merged
+        import json as _json
+
+        with open(os.path.join(gen_dir, _FILESTATS_SIDECAR), "w") as f:
+            _json.dump(per_file, f)
+    else:
+        for r in df.groupBy(MERGE_BUCKET_COL).agg(*aggs).collect():
+            out[str(r[MERGE_BUCKET_COL])] = entry_of(r)
     if bloom_cols:
         import json as _json
 
@@ -1419,6 +1475,8 @@ def _wants_stats(entry: dict) -> bool:
     (min/max stats and/or Bloom filters) on bucket-rewriting commits?"""
     return bool(entry.get("stats_cols") or entry.get("bloom_cols"))
 
+
+_FILESTATS_SIDECAR = "_filestats.json"
 
 _BLOOM_MIN_M = 8192          # floor: 1 KiB per bucket
 _BLOOM_MAX_M = 1 << 23       # cap: 1 MiB per bucket (beyond ~800k
@@ -1608,6 +1666,92 @@ def bloom_prune_buckets(
     return out
 
 
+def _file_tier_conjuncts(
+    entry: dict, prune: list[tuple] | None, eq: list[tuple] | None
+) -> tuple[list[tuple], list[str]]:
+    """The predicate parts the FILE tier can evaluate from min/max/
+    null-count stats alone: every range conjunct, every same-family
+    equality as the degenerate range [v, v], plus IS NULL columns
+    (a file with zero nulls is disjoint). Cross-family equalities are
+    excluded exactly as the bucket tier excludes them."""
+    conjs = list(prune or [])
+    null_cols: list[str] = []
+    for col, value in eq or []:
+        if value is None:
+            null_cols.append(col)
+        else:
+            conjs.append((col, value, value))
+    return conjs, null_cols
+
+
+def _pruned_bucket_paths(
+    root: str,
+    entry: dict,
+    keep: set[str],
+    prune: list[tuple] | None,
+    eq: list[tuple] | None,
+) -> list[str]:
+    """Concrete scan paths for the surviving buckets. Without the
+    ``file_stats`` opt-in (or without a predicate) each bucket
+    contributes its directory; with it, each bucket contributes only
+    the FILES whose sidecar stats cannot refute the predicate — the
+    fine tier under the manifest's coarse tier. A generation without
+    a sidecar (written before the opt-in) conservatively reads whole
+    directories; a file missing from its sidecar is conservatively
+    read."""
+    survivors = [
+        (b, gen)
+        for b, gen in sorted(entry["buckets"].items())
+        if b in keep
+    ]
+    if not (entry.get("file_stats") and (prune or eq)):
+        return [
+            os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+            for b, gen in survivors
+        ]
+    import json as _json
+
+    conjs, null_cols = _file_tier_conjuncts(entry, prune, eq)
+    added = set(entry.get("added_columns", {}))
+    sidecars: dict[str, dict | None] = {}
+    paths: list[str] = []
+    for b, gen in survivors:
+        bdir = os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+        if gen not in sidecars:
+            try:
+                with open(os.path.join(root, gen, _FILESTATS_SIDECAR)) as f:
+                    sidecars[gen] = _json.load(f)
+            except (FileNotFoundError, ValueError):
+                sidecars[gen] = None
+        sc = sidecars[gen]
+        files = (sc or {}).get(b)
+        if not files:
+            paths.append(bdir)  # pre-opt-in generation: whole dir
+            continue
+        present = {
+            f
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        }
+        if present - set(files):
+            # a data file the sidecar does not describe: the fine
+            # tier cannot speak for this bucket — read it whole
+            paths.append(bdir)
+            continue
+        for fname in sorted(present):
+            ent = files[fname]
+            if not _stats_keep_entry(ent, conjs, added):
+                continue
+            if null_cols and any(
+                c not in added
+                and (ent.get("cols") or {}).get(c, {}).get("nulls") == 0
+                for c in null_cols
+            ):
+                continue
+            paths.append(os.path.join(bdir, fname))
+    return paths
+
+
 def _zero_null_buckets(entry: dict, col: str) -> set[str]:
     """Buckets PROVEN to contain no NULL in ``col`` by the committed
     null counts — the set an ``IS NULL`` equality conjunct can skip.
@@ -1625,6 +1769,34 @@ def _zero_null_buckets(entry: dict, col: str) -> set[str]:
     return out
 
 
+def _stats_keep_entry(ent: dict, prune: list[tuple], added: set) -> bool:
+    """May the rows summarized by one stats entry (a bucket's or a
+    single file's) hold a match for every ``(col, lo, hi)`` conjunct?
+    Conservative in every inconclusive case — missing stats, unknown
+    column, incomparable bound — so a False is always a PROOF of
+    disjointness. Shared by the bucket tier (manifest stats) and the
+    file tier (generation sidecar stats)."""
+    cols = ent.get("cols") or {}
+    nrows = ent.get("rows")
+    for col, lo, hi in prune:
+        cs = None if col in added else cols.get(col)
+        if cs is None:
+            continue
+        if nrows is not None and cs.get("nulls") == nrows:
+            return False  # all-null: no non-null value can match
+        mn, mx = cs.get("min"), cs.get("max")
+        lo_e, hi_e = _stats_value(lo), _stats_value(hi)
+        if lo_e is not None and mx is not None:
+            c = _stats_cmp(mx, lo_e)
+            if c is not None and c < 0:
+                return False
+        if hi_e is not None and mn is not None:
+            c = _stats_cmp(mn, hi_e)
+            if c is not None and c > 0:
+                return False
+    return True
+
+
 def stats_prune_buckets(manifest: dict, prune: list[tuple]) -> list[str]:
     """Bucket ids that MAY hold a row satisfying every ``(col, lo,
     hi)`` conjunct (``None`` bound = unbounded; every conjunct implies
@@ -1633,34 +1805,11 @@ def stats_prune_buckets(manifest: dict, prune: list[tuple]) -> list[str]:
     only ever skip buckets PROVEN disjoint from the predicate."""
     stats = manifest.get("bucket_stats") or {}
     added = set(manifest.get("added_columns", {}))
-    out = []
-    for b in manifest["buckets"]:
-        ent = stats.get(b) or {}
-        cols = ent.get("cols") or {}
-        nrows = ent.get("rows")
-        keep = True
-        for col, lo, hi in prune:
-            cs = None if col in added else cols.get(col)
-            if cs is None:
-                continue
-            if nrows is not None and cs.get("nulls") == nrows:
-                keep = False  # all-null: no non-null value can match
-                break
-            mn, mx = cs.get("min"), cs.get("max")
-            lo_e, hi_e = _stats_value(lo), _stats_value(hi)
-            if lo_e is not None and mx is not None:
-                c = _stats_cmp(mx, lo_e)
-                if c is not None and c < 0:
-                    keep = False
-                    break
-            if hi_e is not None and mn is not None:
-                c = _stats_cmp(mn, hi_e)
-                if c is not None and c > 0:
-                    keep = False
-                    break
-        if keep:
-            out.append(b)
-    return out
+    return [
+        b
+        for b in manifest["buckets"]
+        if _stats_keep_entry(stats.get(b) or {}, prune, added)
+    ]
 
 
 _XXH_P1 = 0x9E3779B185EBCA87
@@ -3892,6 +4041,7 @@ def optimize_versioned(
     base_token: str | None = None,
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    files_per_bucket: int = 1,
 ) -> tuple[dict, list[int]]:
     """Small-file compaction (the Delta OPTIMIZE twin): buckets whose
     CURRENT directory holds more than ``max_files`` part files — the
@@ -3936,6 +4086,16 @@ def optimize_versioned(
 
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if files_per_bucket < 1:
+        raise ValueError(
+            f"files_per_bucket must be >= 1, got {files_per_bucket}"
+        )
+    if files_per_bucket > 1 and not (cluster_by or zorder_by):
+        raise ValueError(
+            "files_per_bucket > 1 requires cluster_by or zorder_by: "
+            "splitting an unsorted bucket multiplies file count "
+            "without making any file's stats selective"
+        )
     if max_files < 1:
         # 0 would make EVERY bucket a permanent candidate: each run
         # rewrites the whole table into a fresh generation forever —
@@ -3980,19 +4140,38 @@ def optimize_versioned(
         # just the zorder columns) — aggregating after the explicit
         # repartition would shuffle the whole table to produce 1 row
         zkey = _zorder_expr(out, zorder_by)
-    # each bucket's rows hash to ONE task (tasks may carry several
-    # buckets or none), and partitionBy writes one file per bucket
-    # value per task -> exactly one file per bucket directory
-    out = out.repartition(len(candidates), F.col(MERGE_BUCKET_COL))
-    if cluster_by:
-        # bucket-first sort keeps each bucket's rows contiguous in the
-        # task; the parquet writer then lays the cluster columns down
-        # monotonically within every file → tight row-group stats
-        out = out.sortWithinPartitions(
-            MERGE_BUCKET_COL, *[F.col(c) for c in cluster_by]
+    if files_per_bucket > 1:
+        # RANGE-split clustering: partition boundaries follow (bucket,
+        # sort key), so each task holds one bucket's contiguous key
+        # subrange and partitionBy writes it as one file — a bucket
+        # becomes ~files_per_bucket SORTED files with DISJOINT key
+        # ranges, exactly the layout that makes per-file min/max
+        # sidecar stats (file_stats=True) selective inside a bucket.
+        # A boundary task can straddle two buckets; each then gets one
+        # extra small file — bounded by the task count, not data.
+        keys = (
+            [F.col(c) for c in cluster_by] if cluster_by else [zkey]
         )
-    elif zorder_by:
-        out = out.sortWithinPartitions(MERGE_BUCKET_COL, zkey)
+        out = out.repartitionByRange(
+            len(candidates) * files_per_bucket,
+            F.col(MERGE_BUCKET_COL),
+            *keys,
+        ).sortWithinPartitions(MERGE_BUCKET_COL, *keys)
+    else:
+        # each bucket's rows hash to ONE task (tasks may carry several
+        # buckets or none), and partitionBy writes one file per bucket
+        # value per task -> exactly one file per bucket directory
+        out = out.repartition(len(candidates), F.col(MERGE_BUCKET_COL))
+        if cluster_by:
+            # bucket-first sort keeps each bucket's rows contiguous in
+            # the task; the parquet writer then lays the cluster
+            # columns down monotonically within every file → tight
+            # row-group stats
+            out = out.sortWithinPartitions(
+                MERGE_BUCKET_COL, *[F.col(c) for c in cluster_by]
+            )
+        elif zorder_by:
+            out = out.sortWithinPartitions(MERGE_BUCKET_COL, zkey)
     (
         out.write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
@@ -4231,6 +4410,7 @@ def write_versioned_db(
     stats_cols: dict[str, list[str]] | None = None,
     bloom_cols: dict[str, list[str]] | None = None,
     constraints: dict[str, dict[str, str]] | None = None,
+    file_stats: dict[str, bool] | None = None,
 ) -> dict:
     """Initial (or full-rewrite) commit of a multi-table versioned
     database: every table's data lands under a fresh shared-token
@@ -4251,7 +4431,12 @@ def write_versioned_db(
 
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
-    if stats_cols is None or bloom_cols is None or constraints is None:
+    if (
+        stats_cols is None
+        or bloom_cols is None
+        or constraints is None
+        or file_stats is None
+    ):
         head0 = _commit_chain_head(path)
         if head0 is not None:
             if stats_cols is None:
@@ -4265,6 +4450,12 @@ def write_versioned_db(
                     n: t["bloom_cols"]
                     for n, t in head0[1].get("tables", {}).items()
                     if t.get("bloom_cols")
+                }
+            if file_stats is None:
+                file_stats = {
+                    n: True
+                    for n, t in head0[1].get("tables", {}).items()
+                    if t.get("file_stats")
                 }
             if constraints is None:
                 # re-init inherits each table's CHECK constraints —
@@ -4301,6 +4492,12 @@ def write_versioned_db(
             entry[name]["stats_cols"] = list(t_stats)
         if t_blooms:
             entry[name]["bloom_cols"] = list(t_blooms)
+        if (file_stats or {}).get(name):
+            if not t_stats:
+                raise ValueError(
+                    f"{name}: file_stats requires stats_cols"
+                )
+            entry[name]["file_stats"] = True
         if t_cons:
             entry[name]["constraints"] = dict(t_cons)
             # the new baseline must satisfy the constraints it carries
@@ -4400,11 +4597,9 @@ def read_versioned_db(
     keep = _skipping_keep(
         spark, os.path.join(path, table), t, prune, pk_in, eq
     )
-    tpaths = [
-        os.path.join(path, table, gen, f"{MERGE_BUCKET_COL}={b}")
-        for b, gen in sorted(t["buckets"].items())
-        if b in keep
-    ]
+    tpaths = _pruned_bucket_paths(
+        os.path.join(path, table), t, keep, prune, eq
+    )
     if not tpaths:
         # zero buckets is a legitimate EMPTY table (empty-frame init,
         # a DELETE that removed every row, or skipping eliminated
