@@ -2864,6 +2864,7 @@ def _table_manifest_sql(
     prune: list[tuple] | None = None,
     eq: list[tuple] | None = None,
     eq_keep: set[str] | None = None,
+    _scan_paths: list[str] | None = None,
 ) -> str:
     """The per-table body of :func:`manifest_to_sql`: one SELECT over
     exactly this manifest's parquet files, with ALTER-added columns
@@ -2872,7 +2873,10 @@ def _table_manifest_sql(
     list (the external engine never even opens them) and the residual
     WHERE rides inside the query (``eq_keep`` is the bloom-surviving
     bucket set the caller computed — bloom hashing needs a live Spark
-    session, which this renderer deliberately does not)."""
+    session, which this renderer deliberately does not). Tables with
+    ``file_stats`` additionally shrink the emitted list to the FILES
+    whose sidecar stats can match — the external engine gets the fine
+    tier too."""
     import json as _json
 
     if prune or eq:
@@ -2884,8 +2888,21 @@ def _table_manifest_sql(
         pruned = {
             b: g for b, g in manifest["buckets"].items() if b in keep
         }
+        scan_paths = None
+        if pruned and manifest.get("file_stats"):
+            scan_paths = _pruned_bucket_paths(
+                root, {**manifest, "buckets": pruned}, set(pruned),
+                prune, eq,
+            )
+            if not scan_paths:
+                # the file tier refuted every file of every surviving
+                # bucket: emit the typed-empty SELECT (only possible
+                # when the recorded schema exists; pre-format
+                # manifests never carry file_stats)
+                pruned = {}
+                scan_paths = None
         inner = _table_manifest_sql(
-            root, {**manifest, "buckets": pruned}
+            root, {**manifest, "buckets": pruned}, _scan_paths=scan_paths
         )
         if not pruned:
             return inner  # typed-empty branch already carries WHERE 1=0
@@ -2930,14 +2947,32 @@ def _table_manifest_sql(
 
     files: list[str] = []
     gen_leaf: dict[str, str] = {}
-    for b, gen in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0])):
-        leaf = os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
-        gen_leaf.setdefault(gen, leaf)
-        files.extend(
-            os.path.join(leaf, f)
-            for f in sorted(os.listdir(leaf))
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
+    if _scan_paths is not None:
+        # file-tier-pruned scan set: entries are either whole bucket
+        # dirs (conservative fallback) or individual parquet files
+        for p in _scan_paths:
+            if p.endswith(".parquet"):
+                leaf = os.path.dirname(p)
+                files.append(p)
+            else:
+                leaf = p
+                files.extend(
+                    os.path.join(leaf, f)
+                    for f in sorted(os.listdir(leaf))
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+            gen_leaf.setdefault(os.path.basename(os.path.dirname(leaf)), leaf)
+    else:
+        for b, gen in sorted(
+            manifest["buckets"].items(), key=lambda kv: int(kv[0])
+        ):
+            leaf = os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+            gen_leaf.setdefault(gen, leaf)
+            files.extend(
+                os.path.join(leaf, f)
+                for f in sorted(os.listdir(leaf))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
     # the physical union across generations: one footer per generation
     # is representative (a generation is one write, one frame schema) —
     # this also catches columns a re-init materialized physically after

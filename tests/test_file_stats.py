@@ -191,6 +191,38 @@ def test_reinit_inherits_file_stats_flag(spark, tmp_path):
     assert os.path.exists(os.path.join(root, gen, _FILESTATS_SIDECAR))
 
 
+def test_external_sql_emission_carries_file_tier(spark, tmp_path):
+    import duckdb
+
+    from amaxa_spark.sources.catalog import manifest_to_sql, optimize_versioned
+
+    root = str(tmp_path / "t")
+    df = spark.range(8000).select(
+        F.col("id").alias("k"),
+        (F.abs(F.xxhash64("id")) % 10000).cast("double").alias("v"),
+    )
+    write_versioned_table(
+        df.repartition(8), root, "k", n_buckets=4,
+        stats_cols=["v"], file_stats=True,
+    )
+    optimize_versioned(spark, root, cluster_by=["v"], files_per_bucket=4)
+    prune = [("v", 100.0, 300.0)]
+    sql = manifest_to_sql(root, prune=prune)
+    assert sql.count(".parquet") < manifest_to_sql(root).count(".parquet")
+    got = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    exp = sorted(
+        tuple(r)
+        for r in read_versioned_table(spark, root, prune=prune)
+        .select("k", "v")
+        .collect()
+    )
+    assert got == exp
+    # the file tier refuting every file still yields a typed-empty scan
+    assert duckdb.sql(
+        manifest_to_sql(root, prune=[("v", 10**9, 10**9)])
+    ).fetchall() == []
+
+
 def test_db_layout_file_stats(spark, tmp_path):
     db = str(tmp_path / "db")
     df = _frame(spark, 600)
