@@ -998,3 +998,138 @@ def dsir_weights(
             (F.sum(F.col("__k") * F.col("__lp")) / 1e6).alias("weight"),
         )
     )
+
+
+def nb_classify(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained AND applied
+    in one declarative plan — the fastText-quality-classifier shape
+    (label docs by a trusted source, score the rest) without shipping
+    a model: per-(label, token) Laplace-smoothed conditionals
+    ``ln((k + α) / (tokens_label + α·V))`` plus document-frequency
+    priors, scored as ``prior + Σ k_t · lnP(t|label)`` and argmaxed.
+
+    Cross-engine determinism is the dsir_weights contract: every
+    log-probability rounds to integer MICRO-NATS before any sum, so
+    per-document totals are exact integer arithmetic and the argmax
+    (score desc, label desc on ties — a max over (score, label)
+    structs) is reproducible bit-for-bit on any engine. Tokens
+    outside the training vocabulary are dropped (standard NB
+    practice); documents with zero in-vocabulary tokens drop from the
+    output (they have no evidence to score).
+
+    Output: (id, n_tokens, label_pred, score_unats).
+
+    Scale shape: the training corpus tokenizes ONCE into the
+    (label, token) count exchange; the model frame is |V|·|labels|
+    rows (labels are few — AQE broadcasts it); scoring joins the
+    score corpus's (doc, token) counts against it on token and
+    re-aggregates per (doc, label) — partial-aggregated, no window
+    over documents, no Python anywhere."""
+    spark = train.sparkSession
+    cls_tok = (
+        train.select(
+            F.col(label_col).alias("__lbl"),
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("__lbl", "token")
+        .agg(F.count("*").alias("__k"))
+    )
+    # the label dimension is BOUNDED (a handful of classes) — collect
+    # it like a k-means codebook, so the dense (vocab × labels) model
+    # builds by EXPLODING a literal label array instead of a
+    # table×table cross join (the plan-hygiene lint rightly refuses
+    # nested-loop crosses; a label explosion is a projection)
+    lab_rows = (
+        train.where(F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).alias("__lbl"))
+        .agg(F.count("*").alias("__docs"))
+        .join(
+            cls_tok.groupBy("__lbl").agg(
+                F.sum("__k").cast("double").alias("__tc")
+            ),
+            "__lbl",
+            "left",
+        )
+        .collect()
+    )
+    if not lab_rows:
+        raise ValueError("nb_classify: no non-null labels in the training frame")
+    docs_total = float(sum(r["__docs"] for r in lab_rows))
+    priors = spark.createDataFrame(
+        [
+            (
+                r["__lbl"],
+                int(round(__import__("math").log(r["__docs"] / docs_total) * 1e6)),
+                float(r["__tc"] or 0.0),
+            )
+            for r in lab_rows
+        ],
+        "__lbl string, __prior long, __tc double",
+    )
+    label_array = F.array(*[F.lit(r["__lbl"]) for r in lab_rows])
+    vocab = cls_tok.select("token").distinct()
+    vsize = vocab.agg(F.count("*").cast("double").alias("__v"))
+    # the dense model: every (vocab token, label) pair, absent counts
+    # smoothed to alpha — an inner join to the sparse counts alone
+    # would silently skip the smoothing mass and break NB semantics
+    model = (
+        vocab.withColumn("__lbl", F.explode(label_array))
+        .join(cls_tok, ["__lbl", "token"], "left")
+        .join(F.broadcast(priors.select("__lbl", "__tc")), "__lbl")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "__lbl",
+            "token",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__k"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__tc") + F.lit(alpha) * F.col("__v"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__lp"),
+        )
+    )
+    doc_tok = (
+        score.select(
+            F.col(id_col),
+            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("__k"))
+    )
+    per_label = (
+        doc_tok.join(model, "token")
+        .groupBy(id_col, "__lbl")
+        .agg(
+            F.sum("__k").alias("__n"),
+            F.sum(F.col("__k") * F.col("__lp")).alias("__s"),
+        )
+        .join(F.broadcast(priors.select("__lbl", "__prior")), "__lbl")
+        .select(
+            F.col(id_col),
+            F.col("__lbl"),
+            F.col("__n"),
+            (F.col("__s") + F.col("__prior")).alias("__score"),
+        )
+    )
+    best = per_label.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__score"), F.col("__lbl"))).alias("__best"),
+        F.max("__n").alias("n_tokens"),  # __n is label-independent
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("__best.__lbl").alias("label_pred"),
+        F.col("__best.__score").alias("score_unats"),
+    )

@@ -1,0 +1,102 @@
+"""Round-9 operator semantics: Naive Bayes classification and scalar
+embedding quantization — planted-truth cases the oracle hash-match
+cannot express (does the classifier actually classify; do codes
+reconstruct)."""
+
+from pyspark.sql import functions as F
+
+from amaxa_spark.operators.similarity import quantize_embeddings
+from amaxa_spark.operators.text import nb_classify
+
+
+def test_nb_classify_learns_planted_vocabulary(spark):
+    rows = []
+    for i in range(20):
+        rows.append((f"en{i}", "the cat sat on the mat", "en"))
+        rows.append((f"fr{i}", "le chat est sur le tapis", "fr"))
+    train = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    score = spark.createDataFrame(
+        [
+            ("q1", "the dog sat on the cat", None),
+            ("q2", "le chien est dans le chat", None),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    got = {
+        r.doc_id: r.label_pred
+        for r in nb_classify(
+            train, score, "text", "doc_id", "lang"
+        ).collect()
+    }
+    assert got == {"q1": "en", "q2": "fr"}
+
+
+def test_nb_classify_scores_are_integer_micronats(spark):
+    train = spark.createDataFrame(
+        [("a", "x x y", "A"), ("b", "y z z", "B")],
+        "doc_id string, text string, lang string",
+    )
+    out = nb_classify(train, train, "text", "doc_id", "lang").collect()
+    assert {r.doc_id for r in out} == {"a", "b"}
+    for r in out:
+        assert isinstance(r.score_unats, int)
+        assert r.score_unats < 0  # log-probabilities
+        assert r.n_tokens == 3
+
+
+def test_nb_classify_drops_docs_with_no_invocab_tokens(spark):
+    train = spark.createDataFrame(
+        [("a", "alpha beta", "A"), ("b", "gamma delta", "B")],
+        "doc_id string, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [("q", "zeta eta", None), ("r", "alpha zeta", None)],
+        "doc_id string, text string, lang string",
+    )
+    out = nb_classify(train, score, "text", "doc_id", "lang").collect()
+    assert [r.doc_id for r in out] == ["r"]  # q has zero known tokens
+    assert out[0].n_tokens == 1  # zeta dropped, alpha kept
+
+
+def test_quantize_embeddings_exact_small_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, 5.0]),
+            (2, [1.0, 20.0, 5.0]),
+            (3, [2.0, 30.0, 5.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in quantize_embeddings(df, "embedding", "vec_id").collect()
+    }
+    # dim0 spans [0,2]: codes 0, 128 (round(0.5*255)=128), 255
+    # dim1 spans [10,30]: codes 0, 128, 255
+    # dim2 constant: span 0 -> code 0, exact reconstruction
+    assert out[1].code_sum == 0 and out[3].code_sum == 510
+    assert out[2].code_sum == 256
+    assert out[1].n_dims == 3
+    assert out[1].err2_pico == 0 and out[3].err2_pico == 0  # endpoints exact
+    assert out[2].err2_pico > 0  # midpoint 128/255 != 0.5 exactly
+    assert out[2].code_min == 0 and out[2].code_max == 128
+
+
+def test_quantize_reconstruction_error_is_bounded(spark):
+    # random-ish vectors: per-dim error must be <= (span/255/2)^2 per
+    # term (the quantizer's half-step bound)
+    df = spark.range(50).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(
+            *[
+                (F.sin(F.col("id") * (i + 1)) * 3.0).alias(f"d{i}")
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    out = quantize_embeddings(df, "embedding", "vec_id").collect()
+    # span <= 6.0 per dim -> half-step 6/255/2 ~ 0.01176; 8 dims
+    bound_pico = int(8 * (0.012**2) * 1e12) + 1
+    for r in out:
+        assert 0 <= r.err2_pico <= bound_pico
+        assert 0 <= r.code_min <= r.code_max <= 255
