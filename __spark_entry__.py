@@ -1245,6 +1245,47 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """Top-k cosine over int8-QUANTIZED vectors (similarity.
+    quantized_cosine_topk): per-dim scalar codes reconstruct and rank
+    — the memory-bound ANN configuration; ranking error IS the
+    quantization error. Same contract as ann_cosine_topk (sim round
+    6, neighbor-id ties); the oracle replays the quantize+reconstruct
+    in SQL with an indexed list lambda."""
+    return SIM.quantized_cosine_topk(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=list(_ANN_QUERY_IDS),
+        k=_ANN_K,
+    )
+
+
+_ANN_QUANT_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM
+  (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+  GROUP BY pos),
+dims AS (SELECT list(mn ORDER BY pos) AS mns,
+  list(mx - mn ORDER BY pos) AS spans FROM st),
+r AS (SELECT vec_id, list_transform(v, (x, i) ->
+  CASE WHEN spans[i] = 0 THEN mns[i]
+  ELSE mns[i] + CAST(least(255, greatest(0,
+    CAST(round((x - mns[i]) / spans[i] * 255) AS INT))) AS DOUBLE)
+    / 255 * spans[i] END) AS rv
+  FROM e CROSS JOIN dims),
+q AS (SELECT vec_id AS query_id, rv AS qr FROM r
+  WHERE vec_id IN ({', '.join(str(i) for i in _ANN_QUERY_IDS)})),
+scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+  round(list_dot_product(q.qr, r.rv) /
+    (sqrt(list_dot_product(q.qr, q.qr)) *
+     sqrt(list_dot_product(r.rv, r.rv))), 6) AS sim
+  FROM q JOIN r ON r.vec_id != q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+  ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+SELECT query_id, neighbor_id, sim, rank FROM ranked
+WHERE rank <= {_ANN_K}
+"""
+
+
 _VUPD_LO = 400_000.0
 
 
@@ -3185,7 +3226,7 @@ QUERY_ORDER = [
     # prior driver CORRECTNESS row.
     # --- round-9 additions first (judged in their birth round) ---
     "versioned_update_scan", "versioned_file_prune",
-    "nb_classify", "embedding_quantize",
+    "nb_classify", "embedding_quantize", "ann_quantized_topk",
     # --- round-8 changes: the reworked bounded-probe exact baseline
     # (was the last all-pairs plan), the header-only image metadata
     # path, and the real compressed-video (MJPEG/AVI) path ---
@@ -3264,26 +3305,27 @@ assert QUERY_ORDER.index("versioned_update_scan") == 0  # r9 first
 assert QUERY_ORDER.index("versioned_file_prune") == 1
 assert QUERY_ORDER.index("nb_classify") == 2
 assert QUERY_ORDER.index("embedding_quantize") == 3
-assert QUERY_ORDER.index("semantic_dedup") == 4  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 5
-assert QUERY_ORDER.index("versioned_prune_scan") == 6
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 7
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 8  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 9  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 10
-assert QUERY_ORDER.index("image_gif_stats") == 11
-assert QUERY_ORDER.index("audio_spectral") == 12
-assert QUERY_ORDER.index("video_gif_frames") == 13
-assert QUERY_ORDER.index("graph_pagerank") == 14
-assert QUERY_ORDER.index("bpe_merges") == 15
-assert QUERY_ORDER.index("bpe_tokenize") == 16
-assert QUERY_ORDER.index("dedup_containment") == 17  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 54
-assert QUERY_ORDER.index("tfidf_keywords") < 54  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 54  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 69  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 119  # r1-4 core last
-assert len(QUERY_ORDER) == 169 and len(set(QUERY_ORDER)) == 169
+assert QUERY_ORDER.index("ann_quantized_topk") == 4
+assert QUERY_ORDER.index("semantic_dedup") == 5  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 6
+assert QUERY_ORDER.index("versioned_prune_scan") == 7
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 8
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 9  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 10  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 11
+assert QUERY_ORDER.index("image_gif_stats") == 12
+assert QUERY_ORDER.index("audio_spectral") == 13
+assert QUERY_ORDER.index("video_gif_frames") == 14
+assert QUERY_ORDER.index("graph_pagerank") == 15
+assert QUERY_ORDER.index("bpe_merges") == 16
+assert QUERY_ORDER.index("bpe_tokenize") == 17
+assert QUERY_ORDER.index("dedup_containment") == 18  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 55
+assert QUERY_ORDER.index("tfidf_keywords") < 55  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 55  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 70  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 120  # r1-4 core last
+assert len(QUERY_ORDER) == 170 and len(set(QUERY_ORDER)) == 170
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3417,6 +3459,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_file_prune": q_versioned_file_prune,
         "nb_classify": q_nb_classify,
         "embedding_quantize": q_embedding_quantize,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -4906,6 +4949,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             f"FROM orders WHERE o_totalprice >= {_VFS_LO} "
             f"AND o_totalprice <= {_VFS_HI}"
         ),
+        "ann_quantized_topk": _ANN_QUANT_ORACLE,
         "nb_classify": (
             f"WITH toks AS (SELECT doc_id, lang, "
             f"unnest(string_split({_NORM_TEXT}, ' ')) AS token "

@@ -51,6 +51,7 @@ _BOUNDED_BROADCAST_OK = {
     # vector — the documented N×k exact path whose scale twins are the
     # LSH/IVF queries (similarity.py:37-152)
     "ann_cosine_topk": "fixed query-vector set (k rows)",
+    "ann_quantized_topk": "fixed query-vector set (k rows)",
     "ann_lsh_recall": "fixed query-vector set (k rows)",
     "rerank_ann": "fixed query-vector set (k rows)",
     "knn_join_exact": "query TABLE bounded to 5 rows in the gate query",

@@ -5,7 +5,11 @@ reconstruct)."""
 
 from pyspark.sql import functions as F
 
-from amaxa_spark.operators.similarity import quantize_embeddings
+from amaxa_spark.operators.similarity import (
+    cosine_topk,
+    quantize_embeddings,
+    quantized_cosine_topk,
+)
 from amaxa_spark.operators.text import nb_classify
 
 
@@ -80,6 +84,25 @@ def test_quantize_embeddings_exact_small_case(spark):
     assert out[1].err2_pico == 0 and out[3].err2_pico == 0  # endpoints exact
     assert out[2].err2_pico > 0  # midpoint 128/255 != 0.5 exactly
     assert out[2].code_min == 0 and out[2].code_max == 128
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=10)
+    quant = quantized_cosine_topk(emb, qids, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(e & q) / len(e)
+    # int8 codes at dim=64: ranking error is the quantization error
+    # only — recall@10 must stay high
+    assert recall >= 0.8, recall
+    # and similarities must agree to quantization precision
+    ex = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    for r in quant.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in ex:
+            assert abs(r.sim - ex[key]) < 0.01
 
 
 def test_quantize_reconstruction_error_is_bounded(spark):
