@@ -1177,6 +1177,35 @@ def _skipping_keep(
             break  # already empty: skip the per-conjunct hash job
         h1, h2 = _bloom_lookup_hashes(spark, entry, col, value)
         keep &= set(bloom_prune_buckets(root, entry, col, h1, h2))
+    # COMPOSITE bloom keys: consulted when the eq conjuncts cover
+    # every component with a sound non-null literal — the case where
+    # each per-column filter passes but the COMBINATION is absent
+    if eq and keep:
+        eq_map: dict = {}
+        for col, value in eq:
+            if value is not None:
+                eq_map.setdefault(col, value)
+        added = entry.get("added_columns") or {}
+        for key in entry.get("bloom_cols") or []:
+            parts = _bloom_key_cols(key)
+            if len(parts) < 2 or not all(p in eq_map for p in parts):
+                continue
+            if any(p in added for p in parts):
+                continue
+            sound = True
+            for p in parts:
+                dt = _recorded_col_type(entry, p)
+                if dt is None or not _eq_bloom_sound(dt, eq_map[p]):
+                    sound = False
+                    break
+            if not sound:
+                continue
+            if not keep:
+                break
+            h1, h2 = _bloom_lookup_hashes(
+                spark, entry, parts, [eq_map[p] for p in parts]
+            )
+            keep &= set(bloom_prune_buckets(root, entry, parts, h1, h2))
     return keep
 
 
@@ -1456,7 +1485,8 @@ def _harvest_bucket_stats(
         import json as _json
 
         for c in bloom_cols:
-            if c not in dtypes or c in added:
+            parts = _bloom_key_cols(c)
+            if any(p not in dtypes or p in added for p in parts):
                 continue
             blobs = _build_bucket_blooms(df, c)
             # every harvested bucket gets an entry: a bucket with NO
@@ -1512,23 +1542,38 @@ def _recorded_col_type(entry: dict, col: str):
     ].dataType
 
 
-def _bloom_sidecar_name(col: str) -> str:
-    """Sidecar filename for a column, percent-encoded so separators
-    or dots in legal Spark column names cannot escape the generation
-    directory (symmetric on build and lookup)."""
+def _bloom_key_cols(entry) -> list[str]:
+    """Normalize one ``bloom_cols`` entry: a string is a single-column
+    key, a list/tuple is a COMPOSITE key (indexed over the tuple of
+    values — the multi-column point-predicate case where per-column
+    blooms each pass but the combination is absent)."""
+    return [entry] if isinstance(entry, str) else list(entry)
+
+
+def _bloom_sidecar_name(cols) -> str:
+    """Sidecar filename for a bloom key (single column or composite),
+    percent-encoded per component so separators, commas, or dots in
+    legal Spark column names cannot escape the generation directory
+    or collide between keys (symmetric on build and lookup). A
+    single-column key keeps the historical ``_bloom-<col>.json`` name
+    — existing sidecars stay readable."""
     from urllib.parse import quote
 
-    return f"_bloom-{quote(col, safe='')}.json"
+    parts = _bloom_key_cols(cols)
+    return "_bloom-" + ",".join(quote(c, safe="") for c in parts) + ".json"
 
 
-def _bloom_hash_cols(c: str):
+def _bloom_hash_cols(cols):
     """The two typed hash expressions double-hashing derives the k
     Bloom probes from — the SAME expressions on the build and the
     lookup side, so parity holds by construction. Position i =
-    ``((h1 + i*h2) mod 2^64) mod m`` on uint64 wrap arithmetic."""
+    ``((h1 + i*h2) mod 2^64) mod m`` on uint64 wrap arithmetic.
+    Composite keys hash every component into ONE xxhash64 (tuple
+    identity, order-significant as declared)."""
+    parts = [F.col(c) for c in _bloom_key_cols(cols)]
     return (
-        F.xxhash64(F.col(c)),
-        F.xxhash64(F.col(c), F.lit(1)),
+        F.xxhash64(*parts),
+        F.xxhash64(*parts, F.lit(1)),
     )
 
 
@@ -1546,8 +1591,13 @@ def _build_bucket_blooms(df: DataFrame, c: str) -> dict[str, dict]:
     import zlib
 
     h1, h2 = _bloom_hash_cols(c)
+    nonnull = F.lit(True)
+    for part in _bloom_key_cols(c):
+        # only fully non-null keys index: a composite equality with
+        # all-non-null literals never matches a row with any NULL part
+        nonnull = nonnull & F.col(part).isNotNull()
     src = (
-        df.where(F.col(c).isNotNull())
+        df.where(nonnull)
         .select(
             F.col(MERGE_BUCKET_COL).alias("__mb"),
             h1.alias("__h1"),
@@ -1601,17 +1651,24 @@ def _build_bucket_blooms(df: DataFrame, c: str) -> dict[str, dict]:
 
 
 def _bloom_lookup_hashes(
-    spark: SparkSession, manifest: dict, col: str, value
+    spark: SparkSession, manifest: dict, cols, values
 ) -> tuple[int, int]:
-    """(h1, h2) for one literal, hashed EXACTLY as the build side did:
-    the literal is cast to the manifest's recorded column type first
-    (same rendering rule as :func:`pk_value_buckets`), then run
-    through :func:`_bloom_hash_cols` in one tiny Spark job."""
-    dt = _recorded_col_type(manifest, col)
-    df = spark.createDataFrame([(value,)], [col])
-    if dt is not None:
-        df = df.select(F.col(col).cast(dt).alias(col))
-    h1, h2 = _bloom_hash_cols(col)
+    """(h1, h2) for one literal (or composite literal tuple), hashed
+    EXACTLY as the build side did: each literal is cast to the
+    manifest's recorded column type first (same rendering rule as
+    :func:`pk_value_buckets`), then run through
+    :func:`_bloom_hash_cols` in one tiny Spark job."""
+    parts = _bloom_key_cols(cols)
+    vals = values if isinstance(values, (list, tuple)) else [values]
+    df = spark.createDataFrame([tuple(vals)], parts)
+    casts = []
+    for c in parts:
+        dt = _recorded_col_type(manifest, c)
+        casts.append(
+            F.col(c).cast(dt).alias(c) if dt is not None else F.col(c)
+        )
+    df = df.select(*casts)
+    h1, h2 = _bloom_hash_cols(cols)
     r = df.select(h1.alias("h1"), h2.alias("h2")).collect()[0]
     return r.h1, r.h2
 
