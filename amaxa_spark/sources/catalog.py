@@ -3310,7 +3310,7 @@ def merge_into_versioned(
     )
     new_manifest = _commit_bucket_update(
         path, manifest, base_buckets, ours, token, extra_meta,
-        our_stats=our_stats,
+        our_stats=our_stats, adds_rows=True,
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -3588,6 +3588,7 @@ def update_versioned(
             if _wants_stats(manifest)
             else None
         ),
+        adds_rows=True,
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -3633,6 +3634,7 @@ def apply_changes_versioned(
             if _wants_stats(manifest)
             else None
         ),
+        adds_rows=True,
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -3931,6 +3933,7 @@ def update_versioned_db(
     new_manifest = _commit_db_update(
         path, manifest, ours, token, extra_meta,
         our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
+        adds_rows=True,
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -3978,6 +3981,7 @@ def apply_changes_versioned_db(
     new_manifest = _commit_db_update(
         path, manifest, ours, token, extra_meta,
         our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
+        adds_rows=True,
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -4070,12 +4074,26 @@ def _commit_bucket_update(
     token: str,
     extra_meta: dict | None = None,
     our_stats: dict | None = None,
+    adds_rows: bool = False,
 ) -> dict:
-    """The single-table CAS commit loop shared by MERGE, OPTIMIZE,
-    DELETE, and CDC-apply: claim the next seq; on a lost race, rebase
-    when every bucket we rewrote is untouched since our snapshot,
-    raise :class:`ConcurrentMergeError` when any was rewritten (our
-    files came from stale inputs).
+    """The single-table CAS commit loop shared by MERGE, UPDATE,
+    OPTIMIZE, DELETE, and CDC-apply: claim the next seq; on a lost
+    race, rebase when every bucket we rewrote is untouched since our
+    snapshot, raise :class:`ConcurrentMergeError` when any was
+    rewritten (our files came from stale inputs).
+
+    CONSTRAINT-CHANGE conflicts are detected on the same rebase path:
+    a data writer validated its rows against its SNAPSHOT's CHECK
+    constraints — if the head it is rebasing onto carries a DIFFERENT
+    constraint set (a concurrent ADD CONSTRAINT), those rows were
+    never checked against it, so the commit raises instead of
+    publishing potentially-violating data (the optimistic window
+    Delta leaves open; re-run against the new head to close it).
+    Dropped/relaxed constraints conflict too — cheaper than proving
+    set-wise implication, and an ALTER racing a write is rare. Only
+    ROW-INTRODUCING writers opt in (``adds_rows=True``: MERGE,
+    UPDATE, CDC-apply); DELETE and OPTIMIZE only remove or re-arrange
+    rows that already passed, so they rebase freely.
 
     An ``ours`` value of ``None`` DROPS that bucket from the manifest
     (a delete emptied it, :func:`_live_buckets`) — still a touched
@@ -4119,6 +4137,15 @@ def _commit_bucket_update(
                     f"{path}: bucket(s) {sorted(ours)} were rewritten by "
                     f"commit(s) up to seq {head_seq} after this write's "
                     "snapshot; re-run against the new head"
+                )
+            if adds_rows and ours and head.get("constraints") != base_manifest.get(
+                "constraints"
+            ):
+                raise ConcurrentMergeError(
+                    f"{path}: the CHECK constraint set changed (seq up to "
+                    f"{head_seq}) after this write validated its rows "
+                    "against its snapshot's constraints; re-run against "
+                    "the new head"
                 )
             # rebase onto the head's metadata too — it may carry newer
             # ALTER commits than our snapshot
@@ -4952,6 +4979,7 @@ def merge_into_versioned_db(
     new_manifest = _commit_db_update(
         path, manifest, ours, token, extra_meta,
         our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
+        adds_rows=True,
     )
     _publish_manifest(path, new_manifest)
     return new_manifest
@@ -4964,6 +4992,7 @@ def _commit_db_update(
     token: str,
     extra_meta: dict | None = None,
     our_stats: dict[str, dict] | None = None,
+    adds_rows: bool = False,
 ) -> dict:
     """The database-level CAS commit loop shared by transactional
     MERGE and OPTIMIZE: claim the next seq; on a lost race, rebase
@@ -5038,6 +5067,18 @@ def _commit_db_update(
                         f"conflicts on table {name!r} bucket(s) "
                         f"{sorted(buckets)} (commits up to seq {head_seq}); "
                         "re-run against the new head"
+                    )
+                if adds_rows and ht.get("constraints") != base_manifest[
+                    "tables"
+                ][name].get("constraints"):
+                    # same constraint-change conflict rule as the
+                    # single-table loop: this transaction's rows were
+                    # validated against the snapshot's constraints only
+                    raise ConcurrentMergeError(
+                        f"{path}: table {name!r}'s CHECK constraint set "
+                        f"changed (commits up to seq {head_seq}) after "
+                        "this transaction validated its rows; re-run "
+                        "against the new head"
                     )
             seq = head_seq + 1
             new_manifest = stamped(head, seq)
