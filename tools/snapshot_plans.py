@@ -232,6 +232,35 @@ SHOW = [
         "<=256-row bucket-ratio table broadcast back, exact "
         "integer-micro-nat per-doc sum",
     ),
+    (
+        "versioned_update_scan",
+        "UPDATE read-back: scan lists only the committed bucket "
+        "files (two-tier targeting happened at write time), pruned "
+        "ReadSchema, no residual recompute",
+    ),
+    (
+        "versioned_file_prune",
+        "file-tier skipping: the scan's file list is sidecar-pruned "
+        "at plan time (range-split sorted files), residual range "
+        "filter pushed to parquet",
+    ),
+    (
+        "nb_classify",
+        "Naive Bayes: ONE (label,token) count exchange reused by "
+        "vocab/model; label dim exploded from a literal (no cross "
+        "join); token equi-join, per-(doc,label) partial agg",
+    ),
+    (
+        "embedding_quantize",
+        "scalar quantization: posexplode projection, dim-row stats "
+        "broadcast back, integer-picounit error agg — no driver "
+        "collect, no Python",
+    ),
+    (
+        "ann_quantized_topk",
+        "quantized ANN: dim stats as literals, reconstruct in the "
+        "scan projection, fixed query set broadcast, window top-k",
+    ),
 ]
 
 KEY_LINES = (
