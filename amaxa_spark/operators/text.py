@@ -1041,6 +1041,13 @@ def nb_classify(
         .where(F.col("token") != "")
         .groupBy("__lbl", "token")
         .agg(F.count("*").alias("__k"))
+        # materialize the MODEL-SIZED aggregate (|vocab|·|labels|
+        # sparse rows, not the corpus): three consumers read it — the
+        # label-stats collect, the dense-model build, and the vocab —
+        # and without the checkpoint each would re-tokenize the whole
+        # training corpus (measured 3x tokenize = 70s at sf1-shape;
+        # 1x = ~25s)
+        .localCheckpoint()
     )
     # the label dimension is BOUNDED (a handful of classes) — collect
     # it like a k-means codebook, so the dense (vocab × labels) model
