@@ -1030,18 +1030,26 @@ def _bucket_manifest(path: str, token: str | None = None) -> dict:
 
 
 def _fill_added_columns(df: DataFrame, manifest: dict) -> DataFrame:
-    """Reader-side schema evolution: columns added by metadata-only
-    ALTER commits materialize at read time — absent entirely (no file
-    written since the alter) they appear as the default; present in
-    some generations but null in pre-alter files they coalesce to the
-    default. Parquet files are never rewritten for an ALTER."""
+    """Reader-side schema evolution, BOTH directions: columns added by
+    metadata-only ALTER commits materialize at read time — absent
+    entirely (no file written since the alter) they appear as the
+    default; present in some generations but null in pre-alter files
+    they coalesce to the default. Columns DROPPED by metadata-only
+    ALTER are projected OUT — the physical bytes stay in old
+    generations (time travel by pre-drop token still shows them), and
+    every bucket a later merge rewrites sheds them physically (the
+    same incremental-rewrite deal as ADD's deferred backfill).
+    Parquet files are never rewritten for an ALTER."""
     for col, spec in manifest.get("added_columns", {}).items():
         default = F.lit(spec.get("default")).cast(spec["type"])
         if col not in df.columns:
             df = df.withColumn(col, default)
         elif spec.get("default") is not None:
             df = df.withColumn(col, F.coalesce(F.col(col), default))
-    return df
+    dropped = [
+        c for c in manifest.get("dropped_columns", []) if c in df.columns
+    ]
+    return df.drop(*dropped) if dropped else df
 
 
 def _empty_versioned_frame(
@@ -1287,7 +1295,10 @@ def _apply_skipping_residual(
 
 def _read_maybe_merged(spark: SparkSession, manifest: dict, *paths) -> DataFrame:
     reader = spark.read
-    if manifest.get("added_columns"):
+    if manifest.get("added_columns") or manifest.get("dropped_columns"):
+        # either ALTER direction makes generations differ in columns:
+        # added columns appear only in post-alter rewrites, dropped
+        # columns disappear from them — the union schema needs both
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*paths)
 
@@ -2277,6 +2288,208 @@ def alter_versioned_drop_constraint(path: str, name: str) -> dict:
     return new_manifest
 
 
+def _constraint_references(constraints: dict, col: str) -> list[str]:
+    """Constraint names whose expression mentions ``col`` as a bare
+    or quoted identifier — a conservative TEXT check (no SQL parse),
+    so a false positive merely blocks a drop the operator can redo
+    after dropping the constraint; a false negative cannot happen for
+    a syntactically valid reference."""
+    pat = re.compile(
+        r"(?<![A-Za-z0-9_])" + re.escape(col) + r"(?![A-Za-z0-9_])"
+    )
+    return sorted(
+        name
+        for name, expr in (constraints or {}).items()
+        if pat.search(expr) or f"`{col}`" in expr
+    )
+
+
+def _strip_dropped_metadata(m: dict, cols: set[str]) -> None:
+    """Remove every per-column artifact of the dropped columns from a
+    manifest/table entry IN PLACE: skipping stats columns, bloom keys
+    (a composite key dies with any component), per-bucket stats
+    entries, and added-column specs. Generation sidecars are NOT
+    touched — they are immutable and only ever consulted for columns
+    a query names, which a dropped column no longer can be."""
+    if m.get("stats_cols"):
+        kept = [c for c in m["stats_cols"] if c not in cols]
+        if kept:
+            m["stats_cols"] = kept
+        else:
+            m.pop("stats_cols", None)
+    if m.get("bloom_cols"):
+        kept_b = [
+            e
+            for e in m["bloom_cols"]
+            if not (set(_bloom_key_cols(e)) & cols)
+        ]
+        if kept_b:
+            m["bloom_cols"] = kept_b
+        else:
+            m.pop("bloom_cols", None)
+    for ent in (m.get("bucket_stats") or {}).values():
+        for c in cols:
+            (ent.get("cols") or {}).pop(c, None)
+    for c in cols:
+        (m.get("added_columns") or {}).pop(c, None)
+    if "added_columns" in m and not m["added_columns"]:
+        m.pop("added_columns")
+
+
+def _validate_drop_columns(
+    entry: dict, root: str, columns: list[str], spark
+) -> None:
+    """Shared DROP COLUMN validation: reserved/key columns refused,
+    the column must exist (recorded schema, ALTER-added, or physical
+    footer), must not already be dropped, and must not be referenced
+    by a CHECK constraint (drop the constraint first — a constraint
+    silently evaluating against a vanished column would either error
+    every commit or, worse, pass vacuously)."""
+    import json as _json
+
+    known: set[str] = set(entry.get("columns") or [])
+    sj = entry.get("schema_json")
+    if sj:
+        known |= {f["name"] for f in _json.loads(sj)["fields"]}
+    known |= set(entry.get("added_columns") or {})
+    already = set(entry.get("dropped_columns") or [])
+    physical: set[str] | None = None
+    for col in columns:
+        if col == entry["pk"]:
+            raise ValueError(f"{root}: cannot drop the key column {col!r}")
+        if col == MERGE_BUCKET_COL:
+            raise ValueError(
+                f"{root}: {col!r} is the reserved bucket column"
+            )
+        if col in already:
+            raise ValueError(f"{root}: column {col!r} is already dropped")
+        if col not in known:
+            if physical is None:
+                physical = _alter_collision_columns(
+                    spark, root, entry, repair="write_versioned_table"
+                )
+            if col not in physical:
+                raise ValueError(
+                    f"{root}: no column {col!r} to drop "
+                    f"(known: {sorted((known | (physical or set())) - {MERGE_BUCKET_COL})})"
+                )
+        refs = _constraint_references(entry.get("constraints"), col)
+        if refs:
+            raise ValueError(
+                f"{root}: column {col!r} is referenced by CHECK "
+                f"constraint(s) {refs}; drop them first"
+            )
+
+
+def alter_versioned_drop_columns(
+    path: str, columns: list[str], spark: SparkSession | None = None
+) -> dict:
+    """Metadata-only ALTER DROP COLUMN (Delta's drop-without-rewrite):
+    one chain commit records the names under ``dropped_columns`` —
+    zero parquet rewrites. Readers project the columns out from this
+    commit on; pre-drop tokens time-travel WITH them (the bytes are
+    still there); every bucket a later merge/UPDATE/CDC rewrite
+    touches sheds them physically — the symmetric twin of ADD's
+    incremental backfill. Per-column artifacts (skipping stats, bloom
+    keys — a composite key dies with any component — and ALTER-added
+    specs) are stripped in the same commit.
+
+    Re-using a dropped name later is refused by ADD COLUMN's physical
+    collision check as long as any old generation still carries the
+    bytes (resurrected stale values would be silent corruption); a
+    full-rewrite re-init resets the drop list and frees the name.
+
+    The key column cannot drop (it pins the bucket layout), and a
+    column referenced by a CHECK constraint must lose the constraint
+    first."""
+    import uuid
+
+    if not columns:
+        raise ValueError("no columns to drop")
+    token = uuid.uuid4().hex[:12]
+    while True:
+        manifest = _bucket_manifest(path)
+        _validate_drop_columns(manifest, path, columns, spark)
+        new_manifest = {
+            **{k: v for k, v in manifest.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+            "dropped_columns": sorted(
+                set(manifest.get("dropped_columns") or []) | set(columns)
+            ),
+        }
+        # deep-copy the stats map before stripping: the head manifest
+        # dict may be cached upstream
+        if new_manifest.get("bucket_stats"):
+            new_manifest["bucket_stats"] = {
+                b: {**e, "cols": dict(e.get("cols") or {})}
+                for b, e in new_manifest["bucket_stats"].items()
+            }
+        if new_manifest.get("added_columns"):
+            new_manifest["added_columns"] = dict(new_manifest["added_columns"])
+        _strip_dropped_metadata(new_manifest, set(columns))
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def alter_versioned_db_drop_columns(
+    path: str,
+    table: str,
+    columns: list[str],
+    spark: SparkSession | None = None,
+) -> dict:
+    """DROP COLUMN for one table of the transactional layout — the db
+    twin of :func:`alter_versioned_drop_columns`, identical semantics;
+    other tables are untouched and the ALTER is one transaction on
+    the shared chain."""
+    import uuid
+
+    if not columns:
+        raise ValueError("no columns to drop")
+    token = uuid.uuid4().hex[:12]
+    while True:
+        manifest = _db_manifest(path)
+        if table not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {table!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+        t = manifest["tables"][table]
+        _validate_drop_columns(t, os.path.join(path, table), columns, spark)
+        new_t = {
+            **t,
+            "dropped_columns": sorted(
+                set(t.get("dropped_columns") or []) | set(columns)
+            ),
+        }
+        if new_t.get("bucket_stats"):
+            new_t["bucket_stats"] = {
+                b: {**e, "cols": dict(e.get("cols") or {})}
+                for b, e in new_t["bucket_stats"].items()
+            }
+        if new_t.get("added_columns"):
+            new_t["added_columns"] = dict(new_t["added_columns"])
+        _strip_dropped_metadata(new_t, set(columns))
+        new_manifest = {
+            **{k: v for k, v in manifest.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+            "tables": {**manifest["tables"], table: new_t},
+        }
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
 def _alter_collision_columns(
     spark: SparkSession | None,
     root: str,
@@ -2327,12 +2540,16 @@ def _merged_added_columns(
     columns: dict[str, tuple[str, object]],
     existing: dict,
     physical: set[str],
+    dropped: set[str] | None = None,
 ) -> dict:
     """Per-attempt ALTER validation shared by both layouts: reject
     redefinitions (old defaults are physically baked into merge-touched
-    buckets), the reserved bucket column, and collisions with physical
+    buckets), the reserved bucket column, collisions with physical
     columns (their genuine NULLs would become the default on every
-    read). Returns the merged added-columns map."""
+    read), and DROPPED names (old generations may still carry bytes a
+    re-add would resurrect or, once shed, the reader's drop projection
+    would swallow the new column — re-init to free a name). Returns
+    the merged added-columns map."""
     added = dict(existing)
     for col, (dtype, default) in columns.items():
         if col in added:
@@ -2344,6 +2561,11 @@ def _merged_added_columns(
             raise ValueError(
                 f"column name {col!r} is reserved for the bucket "
                 "partition column"
+            )
+        if col in (dropped or set()):
+            raise ValueError(
+                f"column {col!r} was dropped; a full-rewrite re-init "
+                "is required to re-use the name"
             )
         if col in physical - {MERGE_BUCKET_COL}:
             raise ValueError(
@@ -2407,7 +2629,8 @@ def alter_versioned_add_columns(
             spark, path, manifest, repair="write_versioned_table"
         )
         added = _merged_added_columns(
-            columns, manifest.get("added_columns", {}), physical
+            columns, manifest.get("added_columns", {}), physical,
+            dropped=set(manifest.get("dropped_columns") or []),
         )
         new_manifest = {
             **{k: v for k, v in manifest.items() if k != "committed_at"},
@@ -2675,7 +2898,9 @@ def _export_table_entry(src_root: str, meta: dict, out_dir: str, materialize) ->
     zero-copy."""
     if not meta["buckets"]:
         return {"mode": "empty", "files": []}
-    if meta.get("added_columns"):
+    if meta.get("added_columns") or meta.get("dropped_columns"):
+        # metadata-only schema evolution (either direction) means the
+        # raw files are NOT the logical table — materialize instead
         materialize().write.mode("append").parquet(out_dir)
         files = sorted(
             f for f in os.listdir(out_dir)
@@ -2721,14 +2946,15 @@ def export_snapshot(
     # materialize, so it exports as "empty" regardless of ALTERs.
     if (
         manifest["buckets"]
-        and manifest.get("added_columns")
+        and (manifest.get("added_columns") or manifest.get("dropped_columns"))
         and spark is None
     ):
         raise ValueError(
             f"{path}: table has metadata-only ALTER columns "
-            f"({sorted(manifest['added_columns'])}); pass spark= so "
-            "the export can materialize them (a raw file export "
-            "would silently drop these columns)"
+            f"(added: {sorted(manifest.get('added_columns') or {})}, "
+            f"dropped: {sorted(manifest.get('dropped_columns') or [])}); "
+            "pass spark= so the export can materialize the logical "
+            "schema (a raw file export would mis-represent it)"
         )
     os.makedirs(out, exist_ok=False)
     entry = _export_table_entry(
@@ -2783,10 +3009,15 @@ def export_db_snapshot(
                 f"(has: {sorted(manifest['tables'])})"
             )
         t = manifest["tables"][name]
-        if t["buckets"] and t.get("added_columns") and spark is None:
+        if (
+            t["buckets"]
+            and (t.get("added_columns") or t.get("dropped_columns"))
+            and spark is None
+        ):
             raise ValueError(
                 f"{path}/{name}: table has metadata-only ALTER "
-                f"columns ({sorted(t['added_columns'])}); "
+                f"columns (added: {sorted(t.get('added_columns') or {})}, "
+                f"dropped: {sorted(t.get('dropped_columns') or [])}); "
                 "pass spark= so the export can materialize them"
             )
     os.makedirs(out, exist_ok=False)
@@ -2976,13 +3207,16 @@ def _table_manifest_sql(
         return f"SELECT * FROM ({inner}) WHERE {' AND '.join(conds)}"
 
     added = manifest.get("added_columns", {})
+    dropped = set(manifest.get("dropped_columns") or [])
     schema_cols: list[str] = []
     sj = manifest.get("schema_json")
     if sj is not None:
         schema_cols = [f["name"] for f in _json.loads(sj)["fields"]]
     elif manifest.get("columns"):
         schema_cols = list(manifest["columns"])
-    schema_cols = [c for c in schema_cols if c != MERGE_BUCKET_COL]
+    schema_cols = [
+        c for c in schema_cols if c != MERGE_BUCKET_COL and c not in dropped
+    ]
 
     if not manifest["buckets"]:
         # typed-empty read of a zero-bucket snapshot (same contract as
@@ -3039,6 +3273,7 @@ def _table_manifest_sql(
     for leaf in gen_leaf.values():
         physical |= _footer_columns(leaf)
     physical -= {MERGE_BUCKET_COL}
+    physical -= dropped  # projected out, exactly like the live reader
 
     base = [c for c in schema_cols if c in physical] + sorted(
         physical - set(schema_cols) - set(added)
@@ -4774,7 +5009,8 @@ def alter_versioned_db_add_columns(
             repair="write_versioned_db (at the database root)",
         )
         added = _merged_added_columns(
-            columns, t.get("added_columns", {}), physical
+            columns, t.get("added_columns", {}), physical,
+            dropped=set(t.get("dropped_columns") or []),
         )
         new_manifest = {
             **{k: v for k, v in manifest.items() if k != "committed_at"},
