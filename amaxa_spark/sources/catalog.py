@@ -4649,6 +4649,169 @@ def _zorder_expr(df: DataFrame, cols: list[str]):
     return zorder_key(codes, bits=bits)
 
 
+def restore_versioned(path: str, token: str) -> dict:
+    """RESTORE — roll the table back to any retained snapshot as a
+    METADATA-ONLY commit (Delta's RESTORE): the new head re-publishes
+    the old token's bucket map, schema metadata, stats, and
+    constraints under a fresh seq — zero data movement, and the
+    rolled-back-over commits stay time-travelable (a restore is an
+    ordinary commit on the chain, not history surgery). Exactly-once
+    STREAM MARKERS are the one thing carried from the CURRENT head
+    instead: regressing them would make a live stream replay batches
+    onto the restored baseline.
+
+    Raises if any generation the old snapshot references was already
+    vacuumed (the restore would publish dangling buckets) — restores
+    reach exactly as far back as the retention policy keeps."""
+    import uuid
+
+    try:
+        target = _bucket_manifest(path, token)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{path}: unknown snapshot {token!r} (never committed, or "
+            "its history record was vacuumed — only retained snapshots "
+            "restore)"
+        ) from None
+    missing = sorted(
+        {
+            gen
+            for b, gen in target["buckets"].items()
+            if not os.path.isdir(
+                os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
+            )
+        }
+    )
+    if missing:
+        raise ValueError(
+            f"{path}: cannot restore to {token!r}: generation(s) "
+            f"{missing} were vacuumed; only retained snapshots restore"
+        )
+    new_token = uuid.uuid4().hex[:12]
+    while True:
+        head = _bucket_manifest(path)
+        new_manifest = {
+            **{
+                k: v
+                for k, v in target.items()
+                if k not in ("committed_at", "streams")
+            },
+            "token": new_token,
+            "seq": int(head.get("seq", 0)) + 1,
+        }
+        if head.get("streams"):
+            new_manifest["streams"] = dict(head["streams"])
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def restore_versioned_db(path: str, token: str) -> dict:
+    """The db twin of :func:`restore_versioned`: ONE metadata-only
+    commit rolls every table back to the same retained transaction —
+    the cross-table-consistent rollback (per-table restores taken
+    separately could tear a fact from its dims)."""
+    import uuid
+
+    try:
+        target = _db_manifest(path, token)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{path}: unknown snapshot {token!r} (never committed, or "
+            "its history record was vacuumed — only retained snapshots "
+            "restore)"
+        ) from None
+    missing = sorted(
+        f"{name}/{gen}"
+        for name, t in target["tables"].items()
+        for b, gen in t["buckets"].items()
+        if not os.path.isdir(
+            os.path.join(path, name, gen, f"{MERGE_BUCKET_COL}={b}")
+        )
+    )
+    if missing:
+        raise ValueError(
+            f"{path}: cannot restore to {token!r}: generation(s) "
+            f"{missing} were vacuumed; only retained snapshots restore"
+        )
+    new_token = uuid.uuid4().hex[:12]
+    while True:
+        head = _db_manifest(path)
+        new_manifest = {
+            **{
+                k: v
+                for k, v in target.items()
+                if k not in ("committed_at", "streams")
+            },
+            "token": new_token,
+            "seq": int(head.get("seq", 0)) + 1,
+        }
+        if head.get("streams"):
+            new_manifest["streams"] = dict(head["streams"])
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def clone_versioned(src: str, dst: str, token: str | None = None) -> dict:
+    """SHALLOW CLONE — publish an independent table at ``dst`` whose
+    initial state is ``src``'s snapshot (head, or any retained token),
+    sharing every data byte via hard links: O(files) metadata work
+    regardless of table size, the dev/test-branch primitive (clone
+    prod, run destructive experiments, throw away). The clone has its
+    OWN commit chain from seq 0 — merges/deletes/ALTERs on either side
+    never touch the other, and a vacuum on either side only unlinks
+    its own directory entries (shared inodes survive until both sides
+    drop them; on an object store the links map to server-side
+    copies). Bloom and file-stats sidecars link too, so skipping works
+    on the clone from the first read. Stream markers do NOT carry: the
+    clone is a new table — a checkpointed stream pointed at it must
+    replay, not silently skip."""
+    import uuid
+
+    manifest = _bucket_manifest(src, token)
+    os.makedirs(dst, exist_ok=False)
+    for b, gen in sorted(manifest["buckets"].items()):
+        sdir = os.path.join(src, gen, f"{MERGE_BUCKET_COL}={b}")
+        ddir = os.path.join(dst, gen, f"{MERGE_BUCKET_COL}={b}")
+        os.makedirs(ddir, exist_ok=True)
+        for f in os.listdir(sdir):
+            if f.endswith(".parquet") and not f.startswith("."):
+                os.link(os.path.join(sdir, f), os.path.join(ddir, f))
+        # generation-level sidecars (blooms, file stats) ride along so
+        # the clone prunes from its first read
+        sgen = os.path.join(src, gen)
+        dgen = os.path.join(dst, gen)
+        for f in os.listdir(sgen):
+            full = os.path.join(sgen, f)
+            if (
+                os.path.isfile(full)
+                and f.startswith(("_bloom-", "_filestats"))
+                and not os.path.exists(os.path.join(dgen, f))
+            ):
+                os.link(full, os.path.join(dgen, f))
+    new_manifest = {
+        **{
+            k: v
+            for k, v in manifest.items()
+            if k not in ("committed_at", "streams")
+        },
+        "token": uuid.uuid4().hex[:12],
+        "seq": 0,
+    }
+    _claim_commit(dst, 0, new_manifest)
+    _publish_manifest(dst, new_manifest)
+    return new_manifest
+
+
 def _versioned_retention(path: str, keep_last: int, gens_of):
     """Shared retention computation for both versioned layouts:
     ``(retained tokens, live generation ids, chain head)``.
