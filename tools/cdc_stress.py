@@ -47,6 +47,7 @@ def worker(path: str, wid: int, n_ops: int, outdir: str) -> None:
         apply_changes_versioned,
         delete_from_versioned,
         merge_into_versioned,
+        update_versioned,
     )
 
     spark = get_spark(f"cdc_stress_w{wid}", cpus=4)
@@ -55,9 +56,25 @@ def worker(path: str, wid: int, n_ops: int, outdir: str) -> None:
     model = {base + k: f"init{base + k}" for k in range(KEYS_PER_WORKER)}
     retries = 0
     for i in range(n_ops):
-        kind = i % 3
+        kind = i % 4
         lo = base + (i * 7) % (KEYS_PER_WORKER - 10)
         keys = list(range(lo, lo + 10))
+        if kind == 3:  # UPDATE the slice in place (round-9 verb)
+            from pyspark.sql import functions as F
+
+            while True:
+                try:
+                    update_versioned(
+                        spark, path, {"v": F.lit(f"w{wid}u{i}")},
+                        where=f"pk >= {lo} AND pk < {lo + 10}",
+                    )
+                    break
+                except ConcurrentMergeError:
+                    retries += 1
+            for k in keys:
+                if k in model:
+                    model[k] = f"w{wid}u{i}"
+            continue
         if kind == 0:  # MERGE upsert: 8 updates + 2 brand-new keys
             new = [base + KEYS_PER_WORKER + (i * 2) % 40,
                    base + KEYS_PER_WORKER + (i * 2 + 1) % 40]
