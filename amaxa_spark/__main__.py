@@ -115,12 +115,108 @@ def _sql_mode(argv: list[str]) -> int:
     return 0
 
 
+def _table_mode(argv: list[str]) -> int:
+    """`python -m amaxa_spark table VERB ...` — operational commands
+    for the versioned layouts. Metadata-only verbs (history, stats,
+    restore, clone, vacuum) run with NO Spark session; optimize
+    starts one."""
+    import json
+
+    sp = argparse.ArgumentParser(prog="amaxa_spark table")
+    sub = sp.add_subparsers(dest="verb", required=True)
+
+    h = sub.add_parser("history", help="chain-ordered commit log")
+    h.add_argument("path")
+
+    st = sub.add_parser(
+        "stats", help="metadata-only count/min/max/nulls (zero scans)"
+    )
+    st.add_argument("path")
+    st.add_argument("--token")
+
+    r = sub.add_parser(
+        "restore", help="metadata-only rollback to a retained token"
+    )
+    r.add_argument("path")
+    r.add_argument("token")
+    r.add_argument("--db", action="store_true")
+
+    c = sub.add_parser(
+        "clone", help="hard-link shallow clone with its own chain"
+    )
+    c.add_argument("src")
+    c.add_argument("dst")
+    c.add_argument("--token")
+
+    o = sub.add_parser("optimize", help="compaction / clustering rewrite")
+    o.add_argument("path")
+    o.add_argument("--max-files", type=int, default=1)
+    o.add_argument("--cluster-by", help="comma-separated sort columns")
+    o.add_argument("--zorder-by", help="comma-separated Z-order columns")
+    o.add_argument("--files-per-bucket", type=int, default=1)
+    o.add_argument("--db", action="store_true")
+
+    v = sub.add_parser("vacuum", help="reclaim unreferenced generations")
+    v.add_argument("path")
+    v.add_argument("--keep-last", type=int, default=1)
+    v.add_argument("--min-age-s", type=float, default=0.0)
+    v.add_argument("--db", action="store_true")
+
+    args = sp.parse_args(argv)
+    from amaxa_spark.sources import catalog as C
+
+    if args.verb == "history":
+        for row in C.history_versioned(args.path):
+            print(json.dumps(row, sort_keys=True))
+    elif args.verb == "stats":
+        print(json.dumps(
+            C.versioned_table_stats(args.path, args.token),
+            indent=1, sort_keys=True,
+        ))
+    elif args.verb == "restore":
+        m = (C.restore_versioned_db if args.db else C.restore_versioned)(
+            args.path, args.token
+        )
+        print(f"restored to {args.token}: new head seq {m['seq']} "
+              f"token {m['token']}")
+    elif args.verb == "clone":
+        m = C.clone_versioned(args.src, args.dst, token=args.token)
+        print(f"cloned -> {args.dst} (token {m['token']})")
+    elif args.verb == "optimize":
+        from amaxa_spark.session import get_spark
+
+        spark = get_spark("amaxa-table-optimize")
+        cluster = args.cluster_by.split(",") if args.cluster_by else None
+        zorder = args.zorder_by.split(",") if args.zorder_by else None
+        if args.db:
+            if cluster or zorder or args.files_per_bucket != 1:
+                sp.error("--db optimize supports --max-files only")
+            _, compacted = C.optimize_versioned_db(
+                spark, args.path, max_files=args.max_files
+            )
+        else:
+            _, compacted = C.optimize_versioned(
+                spark, args.path, max_files=args.max_files,
+                cluster_by=cluster, zorder_by=zorder,
+                files_per_bucket=args.files_per_bucket,
+            )
+        print(f"rewrote {len(compacted)} bucket(s)")
+    elif args.verb == "vacuum":
+        removed = (
+            C.vacuum_versioned_db if args.db else C.vacuum_versioned
+        )(args.path, keep_last=args.keep_last, min_age_s=args.min_age_s)
+        print(f"removed {len(removed)} generation dir(s)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "sql":
         # the sql mode shares nothing with the operation modes (no
         # data-dir/registry/out, no Spark) — parse it separately
         return _sql_mode(argv[1:])
+    if argv and argv[0] == "table":
+        return _table_mode(argv[1:])
     p = argparse.ArgumentParser(prog="amaxa_spark")
     p.add_argument(
         "mode", choices=["extract", "load", "check", "profile", "curate"]

@@ -4649,6 +4649,50 @@ def _zorder_expr(df: DataFrame, cols: list[str]):
     return zorder_key(codes, bits=bits)
 
 
+def history_versioned(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: the chain-ordered commit log of a versioned
+    table or database — one summary row per commit (seq, token,
+    committed_at where the history record survives retention, live
+    bucket/table counts, and which metadata the commit carries). Reads
+    only the chain and history JSON — no Spark, no data files."""
+    import json
+
+    cdir = os.path.join(path, COMMITS_DIR)
+    out = []
+    for fname in sorted(
+        (f for f in os.listdir(cdir) if f.endswith(".json")),
+        key=lambda n: int(n.split(".")[0]),
+    ):
+        with open(os.path.join(cdir, fname)) as f:
+            m = json.load(f)
+        row = {
+            "seq": m.get("seq"),
+            "token": m.get("token"),
+            "kind": m.get("kind"),
+        }
+        hist = os.path.join(path, HISTORY_DIR, f"{m.get('token')}.json")
+        try:
+            with open(hist) as f:
+                row["committed_at"] = json.load(f).get("committed_at")
+        except (FileNotFoundError, ValueError):
+            row["committed_at"] = None  # vacuumed history record
+        if m.get("kind") == "versioned-db":
+            row["tables"] = {
+                n: len(t.get("buckets", {}))
+                for n, t in m.get("tables", {}).items()
+            }
+        else:
+            row["n_buckets_live"] = len(m.get("buckets", {}))
+        for key in ("added_columns", "dropped_columns", "constraints",
+                    "clustered_by", "streams"):
+            if m.get(key):
+                row[key] = sorted(m[key]) if not isinstance(
+                    m[key], str
+                ) else m[key]
+        out.append(row)
+    return out
+
+
 def restore_versioned(path: str, token: str) -> dict:
     """RESTORE — roll the table back to any retained snapshot as a
     METADATA-ONLY commit (Delta's RESTORE): the new head re-publishes

@@ -149,3 +149,27 @@ def test_clone_by_token_and_fresh_target_required(spark, tmp_path):
     assert _vals(spark, dst)[5] == 5.0  # pre-update snapshot
     with pytest.raises(FileExistsError):
         clone_versioned(src, dst)
+
+
+def test_table_cli_verbs(spark, tmp_path, capsys):
+    from amaxa_spark.__main__ import main
+
+    root = str(tmp_path / "t")
+    write_versioned_table(
+        _frame(spark, 40), root, "k", n_buckets=2, stats_cols=["v"]
+    )
+    t0 = _bucket_manifest(root)["token"]
+    update_versioned(spark, root, {"v": F.lit(0.0)}, where="k < 5")
+    assert main(["table", "history", root]) == 0
+    out = capsys.readouterr().out
+    assert out.count('"seq"') == 2
+    assert main(["table", "stats", root]) == 0
+    assert '"rows"' in capsys.readouterr().out
+    assert main(["table", "restore", root, t0]) == 0
+    capsys.readouterr()
+    assert _vals(spark, root)[1] == 1.0
+    dst = str(tmp_path / "c")
+    assert main(["table", "clone", root, dst, "--token", t0]) == 0
+    capsys.readouterr()
+    assert _vals(spark, dst)[2] == 2.0
+    assert main(["table", "vacuum", root, "--keep-last", "3"]) == 0
