@@ -1286,6 +1286,53 @@ WHERE rank <= {_ANN_K}
 """
 
 
+_DHASH_T = 6
+
+
+def q_image_near_dups(spark, sf_dir):
+    """Perceptual image near-dup detection end-to-end over the REAL
+    codec path: planted BMP pairs (ids 2e/2e+1 share content; the odd
+    id perturbs ONE pixel) decode, difference-hash to 56 bits
+    (multimodal.dhash_images: 9×7 nearest-neighbor grid, integer
+    luma, row-adjacent comparisons), then pair by banded Hamming
+    search (dedup.hamming_near_dups: 4×14-bit band buckets,
+    bit_count-verified — byte hashing can never see these pairs).
+    The oracle replays synthesis, hash, banding, and verify
+    closed-form in SQL."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    imgs = MM.synthesize_bmp_pairs(docs, "doc_id", "image")
+    hashes = MM.dhash_images(imgs, "image", "doc_id")
+    return D.hamming_near_dups(
+        hashes, "doc_id", "dhash", max_hamming=_DHASH_T
+    )
+
+
+_IMAGE_NEAR_DUP_ORACLE = f"""
+WITH p AS (SELECT doc_id AS d, doc_id // 2 AS e FROM documents),
+gx AS (SELECT range AS dx, (range * 12) // 9 AS sx FROM range(0, 9)),
+gy AS (SELECT range AS dy, (range * 10) // 7 AS sy FROM range(0, 7)),
+g AS (SELECT d, dy, dx,
+  (299 * (((e * (sx + 1) * (sy + 2) + 5 * sx * sx + 3 * sy * sy)
+     + CASE WHEN d % 2 = 1 AND sx = 0 AND sy = 0 THEN 40 ELSE 0 END) % 256)
+   + 587 * ((e * (sx + 2) * (sy + 1) + 3 * sx * sx + 7 * sy * sy) % 256)
+   + 114 * ((e * (sx + 3) * (sy + 3) + 2 * sx * sx + 2 * sy * sy) % 256))
+   // 1000 AS gray
+  FROM p, gx, gy),
+h AS (SELECT a.d,
+  CAST(sum(CASE WHEN a.gray > b.gray
+       THEN CAST(1 AS BIGINT) << (a.dy * 8 + a.dx) ELSE 0 END)
+  AS BIGINT) AS hash
+  FROM g a JOIN g b ON a.d = b.d AND a.dy = b.dy AND b.dx = a.dx + 1
+  GROUP BY a.d),
+bands AS (SELECT d, hash, range AS bi,
+  (hash >> CAST(14 * range AS INT)) & 16383 AS bv FROM h, range(0, 4)),
+cand AS (SELECT DISTINCT a.d AS id_a, b.d AS id_b, a.hash AS ha, b.hash AS hb
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.d < b.d)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_DHASH_T}
+"""
+
+
 _VUPD_LO = 400_000.0
 
 
@@ -3227,6 +3274,7 @@ QUERY_ORDER = [
     # --- round-9 additions first (judged in their birth round) ---
     "versioned_update_scan", "versioned_file_prune",
     "nb_classify", "embedding_quantize", "ann_quantized_topk",
+    "image_near_dups",
     # --- round-8 changes: the reworked bounded-probe exact baseline
     # (was the last all-pairs plan), the header-only image metadata
     # path, and the real compressed-video (MJPEG/AVI) path ---
@@ -3306,26 +3354,27 @@ assert QUERY_ORDER.index("versioned_file_prune") == 1
 assert QUERY_ORDER.index("nb_classify") == 2
 assert QUERY_ORDER.index("embedding_quantize") == 3
 assert QUERY_ORDER.index("ann_quantized_topk") == 4
-assert QUERY_ORDER.index("semantic_dedup") == 5  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 6
-assert QUERY_ORDER.index("versioned_prune_scan") == 7
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 8
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 9  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 10  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 11
-assert QUERY_ORDER.index("image_gif_stats") == 12
-assert QUERY_ORDER.index("audio_spectral") == 13
-assert QUERY_ORDER.index("video_gif_frames") == 14
-assert QUERY_ORDER.index("graph_pagerank") == 15
-assert QUERY_ORDER.index("bpe_merges") == 16
-assert QUERY_ORDER.index("bpe_tokenize") == 17
-assert QUERY_ORDER.index("dedup_containment") == 18  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 55
-assert QUERY_ORDER.index("tfidf_keywords") < 55  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 55  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 70  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 120  # r1-4 core last
-assert len(QUERY_ORDER) == 170 and len(set(QUERY_ORDER)) == 170
+assert QUERY_ORDER.index("image_near_dups") == 5
+assert QUERY_ORDER.index("semantic_dedup") == 6  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 7
+assert QUERY_ORDER.index("versioned_prune_scan") == 8
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 9
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 10  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 11  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 12
+assert QUERY_ORDER.index("image_gif_stats") == 13
+assert QUERY_ORDER.index("audio_spectral") == 14
+assert QUERY_ORDER.index("video_gif_frames") == 15
+assert QUERY_ORDER.index("graph_pagerank") == 16
+assert QUERY_ORDER.index("bpe_merges") == 17
+assert QUERY_ORDER.index("bpe_tokenize") == 18
+assert QUERY_ORDER.index("dedup_containment") == 19  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 56
+assert QUERY_ORDER.index("tfidf_keywords") < 56  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 56  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 71  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 121  # r1-4 core last
+assert len(QUERY_ORDER) == 171 and len(set(QUERY_ORDER)) == 171
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3460,6 +3509,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "image_near_dups": q_image_near_dups,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -4950,6 +5000,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             f"AND o_totalprice <= {_VFS_HI}"
         ),
         "ann_quantized_topk": _ANN_QUANT_ORACLE,
+        "image_near_dups": _IMAGE_NEAR_DUP_ORACLE,
         "nb_classify": (
             f"WITH toks AS (SELECT doc_id, lang, "
             f"unnest(string_split({_NORM_TEXT}, ' ')) AS token "

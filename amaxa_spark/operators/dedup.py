@@ -1273,3 +1273,62 @@ def semantic_dedup(
             F.coalesce(F.col("__dup"), F.lit(False)).alias("dup"),
         )
     )
+
+
+def hamming_near_dups(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 6,
+    bands: int = 4,
+    band_bits: int = 14,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over a compact binary
+    sketch (perceptual image dhash, simhash, ...): the 100 TB-shaped
+    plan is band-bucket candidate generation — the hash splits into
+    ``bands`` fixed windows of ``band_bits`` bits; only pairs sharing
+    at least one full band ever meet (equi-join on (band index, band
+    value), ids-only through the explosion, cross-band dedup) — then
+    an exact ``bit_count(xor)`` verify. By pigeonhole the candidate
+    pass is LOSSLESS for distances < ``bands`` and a standard
+    LSH-style recall trade beyond; tune bands upward for larger
+    radii. Null hashes never pair (no evidence). Output:
+    (id_a, id_b, hamming), id_a < id_b."""
+    mask = (1 << band_bits) - 1
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    banded = h.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.shiftright(F.col("__h"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bv"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("__b"),
+    ).select("__id", "__h", F.col("__b.bi").alias("__bi"), F.col("__b.bv").alias("__bv"))
+    left = banded.select(
+        F.col("__bi"), F.col("__bv"),
+        F.col("__id").alias("id_a"), F.col("__h").alias("__ha"),
+    )
+    right = banded.select(
+        F.col("__bi"), F.col("__bv"),
+        F.col("__id").alias("id_b"), F.col("__h").alias("__hb"),
+    )
+    cand = (
+        left.join(right, ["__bi", "__bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()  # cross-band dedup BEFORE the verify
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

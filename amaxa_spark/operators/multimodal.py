@@ -2523,3 +2523,117 @@ def gif_frame_stats(
         "n_frames int, frame_idx int, delay_cs int, sum_r long, "
         "sum_g long, sum_b long, px00_r int",
     )
+
+
+def synthesize_bmp_pairs(
+    df: DataFrame, id_col: str, out_col: str = "image"
+) -> DataFrame:
+    """Deterministic NEAR-DUPLICATE image pairs for the perceptual-
+    hash gate: ids ``2e`` and ``2e+1`` share one closed-form 12×10
+    BMP keyed on ``e = d // 2``, and the ODD id perturbs pixel
+    (0, 0)'s red channel by +40 (mod 256) — a change confined to ONE
+    cell of any downsampled grid, so the pair's difference hash
+    differs in at most one bit. The channel formulas are
+    MULTIPLICATIVELY mixed in (e, x, y) — ``r = (e(x+1)(y+2) + 5x² +
+    3y²) % 256`` etc. — so adjacent-pixel luma comparisons flip
+    pseudo-randomly with e and UNRELATED images hash ~uniformly (a
+    linear gradient would give every image the same dhash and a
+    quadratic all-pairs output). Closed-form in the id, so oracles
+    replay hashes and pairs exactly."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for did in pdf[id_col]:
+                d = int(did)
+                e = d // 2
+                w, h = 12, 10
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r = (e * (x + 1) * (y + 2) + 5 * x * x + 3 * y * y) % 256
+                g = (e * (x + 2) * (y + 1) + 3 * x * x + 7 * y * y) % 256
+                b = (e * (x + 3) * (y + 3) + 2 * x * x + 2 * y * y) % 256
+                if d % 2 == 1:
+                    r = r.copy()
+                    r[0, 0] = (r[0, 0] + 40) % 256
+                px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                outs.append(encode_bmp(px))
+            out = pdf.copy()
+            out[out_col] = outs
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, BinaryType())]
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
+_DHASH_GRID_W = 9   # 8 horizontal comparisons per row
+_DHASH_GRID_H = 7   # 7 rows -> 56 bits, exactly a non-negative long
+
+
+def dhash_bits(pixels) -> int:
+    """56-bit difference hash of an (h, w, 3) uint8 RGB array:
+    nearest-neighbor downsample to a 9×7 grid (``src = (dst ·
+    src_dim) // dst_dim`` — the codec family's exact integer
+    mapping), integer luma ``(299r + 587g + 114b) // 1000``, then bit
+    ``y*8 + x`` is set when ``gray[y][x] > gray[y][x+1]``. 56 bits
+    (not 64) keeps the value positive in a signed long — the same
+    choice as dedup.simhash."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    sy = (np.arange(_DHASH_GRID_H) * h) // _DHASH_GRID_H
+    sx = (np.arange(_DHASH_GRID_W) * w) // _DHASH_GRID_W
+    p = pixels.astype(np.int64)
+    gray = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+    grid = gray[np.ix_(sy, sx)]
+    bits = grid[:, :-1] > grid[:, 1:]
+    out = 0
+    for yy in range(_DHASH_GRID_H):
+        for xx in range(_DHASH_GRID_W - 1):
+            if bits[yy, xx]:
+                out |= 1 << (yy * 8 + xx)
+    return out
+
+
+def dhash_images(
+    df: DataFrame, img_col: str, id_col: str, out_col: str = "dhash"
+) -> DataFrame:
+    """Perceptual difference hash per image payload over the REAL
+    decode path (BMP/PNG — the pixel-returning codecs): one
+    Arrow-batched mapInPandas projection, no shuffle; undecodable or
+    null payloads hash to null (row-level data problems, never
+    executor exceptions). The output feeds
+    :func:`dedup.hamming_near_dups` — visually-near-identical images
+    (re-encodes, tiny edits) land within a few bits of each other,
+    which byte-level hashing can never see."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[img_col]:
+                val = None
+                if payload is not None:
+                    raw = bytes(payload)
+                    meta = None
+                    if raw[:2] == _BMP_MAGIC:
+                        meta = decode_bmp(raw)
+                    elif raw[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+                        meta = decode_png(raw)
+                    if meta is not None:
+                        val = dhash_bits(meta["pixels"])
+                hashes.append(val)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: pd.array(hashes, dtype="Int64")}
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [StructField(id_col, id_type), StructField(out_col, LongType())]
+    )
+    return df.mapInPandas(gen, schema=schema)

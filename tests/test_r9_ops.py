@@ -123,3 +123,34 @@ def test_quantize_reconstruction_error_is_bounded(spark):
     for r in out:
         assert 0 <= r.err2_pico <= bound_pico
         assert 0 <= r.code_min <= r.code_max <= 255
+
+
+def test_dhash_pairs_and_hamming_near_dups(spark):
+    from amaxa_spark.operators.dedup import hamming_near_dups
+    from amaxa_spark.operators.multimodal import (
+        dhash_images,
+        synthesize_bmp_pairs,
+    )
+
+    ids = spark.range(40).select(F.col("id").cast("long").alias("doc_id"))
+    imgs = synthesize_bmp_pairs(ids, "doc_id", "image")
+    hashes = dhash_images(imgs, "image", "doc_id")
+    hvals = {r.doc_id: r.dhash for r in hashes.collect()}
+    assert all(v is not None and 0 <= v < (1 << 56) for v in hvals.values())
+    # planted pairs within 1 bit; unrelated pairs far apart
+    assert bin(hvals[0] ^ hvals[1]).count("1") <= 1
+    assert bin(hvals[0] ^ hvals[2]).count("1") > 6
+    pairs = hamming_near_dups(hashes, "doc_id", "dhash", max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(2 * e, 2 * e + 1) for e in range(20)}
+
+
+def test_dhash_null_and_undecodable_payloads(spark):
+    from amaxa_spark.operators.multimodal import dhash_images
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b"not an image"), (3, b"BM" + b"\x00" * 10)],
+        "doc_id long, image binary",
+    )
+    out = {r.doc_id: r.dhash for r in dhash_images(df, "image", "doc_id").collect()}
+    assert out == {1: None, 2: None, 3: None}
