@@ -5532,61 +5532,121 @@ def optimize_versioned_db(
     path: str,
     max_files: int = 1,
     base_token: str | None = None,
+    cluster_by: dict[str, list[str]] | None = None,
+    zorder_by: dict[str, list[str]] | None = None,
+    files_per_bucket: int | dict[str, int] = 1,
 ) -> tuple[dict, list[str]]:
     """Small-file compaction for the transactional layout — the db
-    twin of :func:`optimize_versioned`: every table's fragmented
-    buckets (more than ``max_files`` part files) rewrite
-    one-file-per-bucket under ONE shared-token generation and commit
-    as ONE transaction. Returns ``(manifest, ["table/bucket", ...])``;
-    concurrency follows the transactional MERGE rules."""
+    twin of :func:`optimize_versioned`, at FULL parity: per-table
+    ``cluster_by`` / ``zorder_by`` turn a table's run into a
+    clustering rewrite (every live bucket, rows sorted), and
+    ``files_per_bucket`` range-splits its buckets into k sorted
+    key-disjoint files (the layout the file-stats tier needs) — while
+    plain tables still compact by the ``max_files`` fragmentation
+    rule. Everything rewrites under ONE shared-token generation and
+    commits as ONE transaction; per-table clustering labels land in a
+    db-level ``clustering`` map. Returns ``(manifest,
+    ["table/bucket", ...])``; concurrency follows the transactional
+    MERGE rules."""
     import uuid
 
     if max_files < 1:
         raise ValueError(f"max_files must be >= 1, got {max_files}")
+    cluster_by = cluster_by or {}
+    zorder_by = zorder_by or {}
+    both = set(cluster_by) & set(zorder_by)
+    if both:
+        raise ValueError(
+            f"cluster_by and zorder_by are mutually exclusive per "
+            f"table (both given for {sorted(both)})"
+        )
     manifest = _db_manifest(path, base_token)
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
     ours: dict[str, dict[str, str]] = {}
     compacted: list[str] = []
+    clustering: dict[str, dict] = {}
     for name, t in manifest["tables"].items():
-        candidates = []
-        for b, g in t["buckets"].items():
-            bdir = os.path.join(path, name, g, f"{MERGE_BUCKET_COL}={b}")
-            try:
-                n_files = sum(
-                    1 for f in os.listdir(bdir)
-                    if f.endswith(".parquet") and not f.startswith(".")
-                )
-            except FileNotFoundError:
-                continue
-            if n_files > max_files:
-                candidates.append(int(b))
+        t_cluster = cluster_by.get(name)
+        t_zorder = zorder_by.get(name)
+        fpb = (
+            files_per_bucket.get(name, 1)
+            if isinstance(files_per_bucket, dict)
+            else files_per_bucket
+        )
+        if fpb < 1:
+            raise ValueError(f"{name}: files_per_bucket must be >= 1")
+        if fpb > 1 and not (t_cluster or t_zorder):
+            raise ValueError(
+                f"{name}: files_per_bucket > 1 requires cluster_by or "
+                "zorder_by (splitting an unsorted bucket multiplies "
+                "files without making any file's stats selective)"
+            )
+        if t_cluster or t_zorder:
+            candidates = sorted(int(b) for b in t["buckets"])
+        else:
+            candidates = []
+            for b, g in t["buckets"].items():
+                bdir = os.path.join(path, name, g, f"{MERGE_BUCKET_COL}={b}")
+                try:
+                    n_files = sum(
+                        1 for f in os.listdir(bdir)
+                        if f.endswith(".parquet") and not f.startswith(".")
+                    )
+                except FileNotFoundError:
+                    continue
+                if n_files > max_files:
+                    candidates.append(int(b))
+            candidates.sort()
         if not candidates:
             continue
-        candidates.sort()
         cur = [
             os.path.join(path, name, t["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
             for b in candidates
         ]
         pk, nb = t["pk"], t["n_buckets"]
+        # merged-schema read: candidate buckets can span pre- and
+        # post-ALTER generations — without the union schema, a
+        # column present only in newer files would be silently
+        # DROPPED from the compacted rewrite (physical data loss)
+        out = _fill_added_columns(
+            _read_maybe_merged(spark, t, *cur), t
+        ).withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
+        if t_zorder:
+            zkey = _zorder_expr(out, t_zorder)
+        if fpb > 1:
+            keys = (
+                [F.col(c) for c in t_cluster] if t_cluster else [zkey]
+            )
+            out = out.repartitionByRange(
+                len(candidates) * fpb, F.col(MERGE_BUCKET_COL), *keys
+            ).sortWithinPartitions(MERGE_BUCKET_COL, *keys)
+        else:
+            out = out.repartition(
+                len(candidates), F.col(MERGE_BUCKET_COL)
+            )
+            if t_cluster:
+                out = out.sortWithinPartitions(
+                    MERGE_BUCKET_COL, *[F.col(c) for c in t_cluster]
+                )
+            elif t_zorder:
+                out = out.sortWithinPartitions(MERGE_BUCKET_COL, zkey)
         (
-            # merged-schema read: candidate buckets can span pre- and
-            # post-ALTER generations — without the union schema, a
-            # column present only in newer files would be silently
-            # DROPPED from the compacted rewrite (physical data loss)
-            _read_maybe_merged(spark, t, *cur)
-            .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
-            .repartition(len(candidates), F.col(MERGE_BUCKET_COL))
-            .write.mode("errorifexists")
+            out.write.mode("errorifexists")
             .partitionBy(MERGE_BUCKET_COL)
             .parquet(os.path.join(path, name, gen))
         )
         ours[name] = {str(b): gen for b in candidates}
         compacted.extend(f"{name}/{b}" for b in candidates)
+        if t_cluster:
+            clustering[name] = {"by": list(t_cluster), "kind": "linear"}
+        elif t_zorder:
+            clustering[name] = {"by": list(t_zorder), "kind": "zorder"}
     if not ours:
         return manifest, []
     new_manifest = _commit_db_update(
         path, manifest, ours, token,
+        extra_meta={"clustering": clustering} if clustering else None,
         our_stats=_db_harvest_stats(spark, path, gen, manifest, ours),
     )
     _publish_manifest(path, new_manifest)

@@ -244,3 +244,41 @@ def test_db_layout_file_stats(spark, tmp_path):
             spark, str(tmp_path / "db2"), {"a": df}, {"a": "k"},
             n_buckets=2, file_stats={"a": True},
         )
+
+
+def test_db_optimize_parity_cluster_and_split(spark, tmp_path):
+    from amaxa_spark.sources.catalog import optimize_versioned_db, _db_manifest
+
+    db = str(tmp_path / "db")
+    df = _frame(spark, n=2000)
+    write_versioned_db(
+        spark, db,
+        {"a": df.repartition(4), "b": df.repartition(4)},
+        {"a": "k", "b": "k"}, n_buckets=2,
+        stats_cols={"a": ["v"]}, file_stats={"a": True},
+    )
+    m, compacted = optimize_versioned_db(
+        spark, db,
+        cluster_by={"a": ["v"]},
+        files_per_bucket={"a": 4},
+    )
+    # a: every bucket rewritten, range-split; b: untouched (no
+    # fragmentation beyond max_files=1? b HAS >1 file per bucket from
+    # repartition(4) -> it compacts under the max_files rule)
+    assert any(c.startswith("a/") for c in compacted)
+    assert m["clustering"]["a"] == {"by": ["v"], "kind": "linear"}
+    gen = next(iter(m["tables"]["a"]["buckets"].values()))
+    sc = json.load(
+        open(os.path.join(db, "a", gen, _FILESTATS_SIDECAR))
+    )
+    assert all(len(files) >= 3 for files in sc.values())
+    # file-tier pruning now selective on the db table
+    prune = [("v", 100.0, 140.0)]
+    got = read_versioned_db(spark, db, "a", prune=prune).count()
+    assert got == df.where("v between 100.0 and 140.0").count()
+    with pytest.raises(ValueError, match="files_per_bucket > 1 requires"):
+        optimize_versioned_db(spark, db, files_per_bucket=3)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_versioned_db(
+            spark, db, cluster_by={"a": ["v"]}, zorder_by={"a": ["v"]}
+        )
