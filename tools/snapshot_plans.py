@@ -261,6 +261,12 @@ SHOW = [
         "quantized ANN: dim stats as literals, reconstruct in the "
         "scan projection, fixed query set broadcast, window top-k",
     ),
+    (
+        "image_near_dups",
+        "perceptual image dedup: synth+decode+dhash in back-to-back "
+        "mapInPandas, band-bucket equi-join candidates (ids only), "
+        "bit_count verify — no all-pairs frontier",
+    ),
 ]
 
 KEY_LINES = (
