@@ -1286,7 +1286,7 @@ WHERE rank <= {_ANN_K}
 """
 
 
-_DHASH_T = 6
+_DHASH_T = 3  # < bands=4: the band pass is pigeonhole-complete
 
 
 def q_image_near_dups(spark, sf_dir):

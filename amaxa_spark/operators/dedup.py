@@ -1279,9 +1279,10 @@ def hamming_near_dups(
     hashes: DataFrame,
     id_col: str,
     hash_col: str,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     bands: int = 4,
     band_bits: int = 14,
+    allow_lossy: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by Hamming distance over a compact binary
     sketch (perceptual image dhash, simhash, ...): the 100 TB-shaped
@@ -1290,10 +1291,20 @@ def hamming_near_dups(
     at least one full band ever meet (equi-join on (band index, band
     value), ids-only through the explosion, cross-band dedup) — then
     an exact ``bit_count(xor)`` verify. By pigeonhole the candidate
-    pass is LOSSLESS for distances < ``bands`` and a standard
-    LSH-style recall trade beyond; tune bands upward for larger
-    radii. Null hashes never pair (no evidence). Output:
-    (id_a, id_b, hamming), id_a < id_b."""
+    pass is LOSSLESS iff ``max_hamming < bands`` — the default
+    (3 < 4) holds it, and a larger radius REQUIRES either more bands
+    (narrower windows: more candidate collisions, the price of
+    completeness) or an explicit ``allow_lossy=True`` opt-in to the
+    LSH-style recall trade; a silently lossy '<= k' search that reads
+    as exact was a reported review finding. Null hashes never pair
+    (no evidence). Output: (id_a, id_b, hamming), id_a < id_b."""
+    if max_hamming >= bands and not allow_lossy:
+        raise ValueError(
+            f"max_hamming={max_hamming} with bands={bands} is not "
+            "pigeonhole-complete (a pair can differ in every band and "
+            "never become a candidate): raise bands above max_hamming "
+            "or pass allow_lossy=True for LSH-style recall"
+        )
     mask = (1 << band_bits) - 1
     h = hashes.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")

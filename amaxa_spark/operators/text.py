@@ -1070,6 +1070,15 @@ def nb_classify(
     if not lab_rows:
         raise ValueError("nb_classify: no non-null labels in the training frame")
     docs_total = float(sum(r["__docs"] for r in lab_rows))
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # the label column keeps ITS OWN type (int class ids are as
+    # legitimate as language strings)
     priors = spark.createDataFrame(
         [
             (
@@ -1079,7 +1088,13 @@ def nb_classify(
             )
             for r in lab_rows
         ],
-        "__lbl string, __prior long, __tc double",
+        StructType(
+            [
+                StructField("__lbl", train.schema[label_col].dataType),
+                StructField("__prior", LongType()),
+                StructField("__tc", DoubleType()),
+            ]
+        ),
     )
     label_array = F.array(*[F.lit(r["__lbl"]) for r in lab_rows])
     vocab = cls_tok.select("token").distinct()

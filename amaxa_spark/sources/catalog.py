@@ -1165,11 +1165,15 @@ def _skipping_keep(
             keep -= _zero_null_buckets(entry, col)
             continue
         # an equality is the degenerate range [v, v] — consult the
-        # min/max stats first (free: no sidecar IO), under exactly
-        # the conservative cross-interpretation rules range pruning
-        # uses; the Bloom tier below then narrows further for
-        # columns that index it
-        keep &= set(stats_prune_buckets(entry, [(col, value, value)]))
+        # min/max stats first (free: no sidecar IO) — but ONLY under
+        # the same type-family gate the Bloom tier applies: a
+        # cross-family literal's residual may cast the LITERAL (a
+        # non-canonical '2024-7-1' string on a date column promotes
+        # to DATE and matches), while the stats comparison would see
+        # two plain strings that lexicographically 'prove' absence —
+        # silent data loss without the gate
+        if _eq_stats_sound(entry, col, value):
+            keep &= set(stats_prune_buckets(entry, [(col, value, value)]))
         if col not in (entry.get("bloom_cols") or []):
             continue  # no blooms for this column: nothing to consult
         if col in (entry.get("added_columns") or {}):
@@ -1734,20 +1738,34 @@ def bloom_prune_buckets(
     return out
 
 
+def _eq_stats_sound(entry: dict, col: str, value) -> bool:
+    """May an equality literal be treated as the degenerate range
+    [v, v] against min/max stats? Requires a RECORDED column type in
+    the SAME family as the literal (the Bloom tier's gate): across
+    families Spark's promotion may rewrite the literal into the
+    column's domain (a lenient date-string cast), making a
+    lexicographic stats 'proof' of absence wrong. Unknown columns and
+    pre-format manifests are conservatively unprunable."""
+    dt = _recorded_col_type(entry, col)
+    return dt is not None and _eq_bloom_sound(dt, value)
+
+
 def _file_tier_conjuncts(
     entry: dict, prune: list[tuple] | None, eq: list[tuple] | None
 ) -> tuple[list[tuple], list[str]]:
     """The predicate parts the FILE tier can evaluate from min/max/
-    null-count stats alone: every range conjunct, every same-family
-    equality as the degenerate range [v, v], plus IS NULL columns
-    (a file with zero nulls is disjoint). Cross-family equalities are
-    excluded exactly as the bucket tier excludes them."""
+    null-count stats alone: every range conjunct, every SAME-FAMILY
+    equality as the degenerate range [v, v] (the
+    :func:`_eq_stats_sound` gate, identical to the bucket tier), plus
+    IS NULL columns (a file with zero nulls is disjoint).
+    Cross-family equalities are excluded — their residual may cast
+    the literal into the column's domain."""
     conjs = list(prune or [])
     null_cols: list[str] = []
     for col, value in eq or []:
         if value is None:
             null_cols.append(col)
-        else:
+        elif _eq_stats_sound(entry, col, value):
             conjs.append((col, value, value))
     return conjs, null_cols
 
@@ -2317,6 +2335,11 @@ def _strip_dropped_metadata(m: dict, cols: set[str]) -> None:
             m["stats_cols"] = kept
         else:
             m.pop("stats_cols", None)
+            # the fine tier rides on stats_cols: leaving the flag
+            # orphaned would make a later parameterless re-init
+            # inherit file_stats=True with no stats columns and fail
+            # its own validation after writing the new generation
+            m.pop("file_stats", None)
     if m.get("bloom_cols"):
         kept_b = [
             e
@@ -3759,15 +3782,28 @@ def _update_table_body(
     )
     if not affected:
         return None
-    out = table.where(_bucket_expr(pk, n_buckets).isin(affected))
-    for c, e in set_exprs.items():
-        expr = F.expr(e) if isinstance(e, str) else e
-        # cast to the column's declared type (SQL UPDATE's implicit
-        # assignment cast) so a literal cannot silently widen the
-        # physical schema of the rewritten buckets
-        out = out.withColumn(
-            c, F.when(pred, expr.cast(table.schema[c].dataType)).otherwise(F.col(c))
-        )
+    # ONE select evaluates the predicate AND every SET expression
+    # against the PRE-update row (SQL UPDATE semantics): sequential
+    # withColumn would let a later expression — or the predicate
+    # itself — re-resolve against an already-updated column, so
+    # {"a": "b", "b": "a"} would fail to swap and a predicate on a
+    # SET column would mis-select for every column after the first
+    cols = []
+    for c in table.columns:
+        if c in set_exprs:
+            e = set_exprs[c]
+            expr = F.expr(e) if isinstance(e, str) else e
+            # cast to the column's declared type (SQL UPDATE's
+            # implicit assignment cast) so a literal cannot silently
+            # widen the physical schema of the rewritten buckets
+            cols.append(
+                F.when(pred, expr.cast(table.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    out = table.where(_bucket_expr(pk, n_buckets).isin(affected)).select(*cols)
     (
         out.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
         .write.mode("errorifexists")
@@ -5561,6 +5597,18 @@ def optimize_versioned_db(
             f"table (both given for {sorted(both)})"
         )
     manifest = _db_manifest(path, base_token)
+    unknown = (
+        (set(cluster_by) | set(zorder_by))
+        | (set(files_per_bucket) if isinstance(files_per_bucket, dict) else set())
+    ) - set(manifest["tables"])
+    if unknown:
+        # a typo'd table key must fail loudly — silently degrading to
+        # plain compaction would let the caller believe the table was
+        # clustered (same rule as db_manifest_to_sql's prune/eq keys)
+        raise ValueError(
+            f"{path}: no table(s) {sorted(unknown)} in this snapshot "
+            f"(has: {sorted(manifest['tables'])})"
+        )
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
     ours: dict[str, dict[str, str]] = {}

@@ -140,7 +140,7 @@ def test_dhash_pairs_and_hamming_near_dups(spark):
     # planted pairs within 1 bit; unrelated pairs far apart
     assert bin(hvals[0] ^ hvals[1]).count("1") <= 1
     assert bin(hvals[0] ^ hvals[2]).count("1") > 6
-    pairs = hamming_near_dups(hashes, "doc_id", "dhash", max_hamming=6)
+    pairs = hamming_near_dups(hashes, "doc_id", "dhash", max_hamming=3)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(2 * e, 2 * e + 1) for e in range(20)}
 
@@ -154,3 +154,18 @@ def test_dhash_null_and_undecodable_payloads(spark):
     )
     out = {r.doc_id: r.dhash for r in dhash_images(df, "image", "doc_id").collect()}
     assert out == {1: None, 2: None, 3: None}
+
+
+def test_hamming_near_dups_lossy_guard(spark):
+    from amaxa_spark.operators.dedup import hamming_near_dups
+    import pytest
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "id long, h long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dups(df, "id", "h", max_hamming=6, bands=4)
+    # explicit opt-in allows the LSH-style trade
+    hamming_near_dups(
+        df, "id", "h", max_hamming=6, bands=4, allow_lossy=True
+    ).collect()
+    # and more bands restore completeness for the larger radius
+    hamming_near_dups(df, "id", "h", max_hamming=6, bands=7, band_bits=8).collect()

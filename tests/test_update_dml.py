@@ -268,3 +268,59 @@ def test_update_then_delete_compose_on_chain(spark, tmp_path):
     assert 6 not in got and 7 not in got
     assert got[13] == (0.0,)  # g = 6
     assert got[14] == (14.0,)
+
+
+def test_update_set_columns_see_pre_update_values(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _frame(spark, n=60)
+    write_versioned_table(df, root, "k", n_buckets=4)
+    # swap two columns: both expressions must read the ORIGINAL row
+    update_versioned(
+        spark, root, {"g": "v", "v": "g"}, where="k < 10"
+    )
+    got = _as_map(read_versioned_table(spark, root), "g", "v")
+    assert got[3] == (3.0, 3 % 7 * 1.0)  # g <- old v, v <- old g
+    assert got[20] == (20 % 7, 20.0)  # untouched
+
+
+def test_update_predicate_on_set_column_applies_to_all_sets(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark, n=60), root, "k", n_buckets=4)
+    # predicate references a SET column: every other SET expression
+    # must still fire on exactly the matched rows
+    update_versioned(
+        spark, root,
+        {"g": F.lit(99), "s": F.lit("hit")},
+        where="g = 3",
+    )
+    got = _as_map(read_versioned_table(spark, root), "g", "s")
+    assert got[3] == (99, "hit")
+    assert got[10] == (99, "hit")
+    assert got[4] == (4 % 7, "s4")
+
+
+def test_eq_stats_tier_is_family_gated(spark, tmp_path):
+    import datetime
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, datetime.date(2024, 7, 1 + i % 28)) for i in range(200)],
+        "k long, d date",
+    )
+    write_versioned_table(df, root, "k", n_buckets=4, stats_cols=["d"])
+    # a NON-CANONICAL date string: Spark's residual casts it to DATE
+    # and matches; a lexicographic stats compare would wrongly prove
+    # absence — the family gate must keep every bucket
+    got = read_versioned_table(spark, root, eq=[("d", "2024-7-1")])
+    assert got.count() == df.where("d = '2024-7-1'").count() > 0
+    # in-family (a real date literal) still prunes exactly
+    got2 = read_versioned_table(
+        spark, root, eq=[("d", datetime.date(2024, 7, 2))]
+    )
+    assert got2.count() == df.where("d = DATE '2024-07-02'").count() > 0
+    assert (
+        read_versioned_table(
+            spark, root, eq=[("d", datetime.date(2030, 1, 1))]
+        ).count()
+        == 0
+    )
