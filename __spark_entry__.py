@@ -1308,14 +1308,15 @@ def q_image_near_dups(spark, sf_dir):
 
 
 _IMAGE_NEAR_DUP_ORACLE = f"""
-WITH p AS (SELECT doc_id AS d, doc_id // 2 AS e FROM documents),
+WITH p AS (SELECT doc_id AS d,
+  (doc_id // 2) * 2654435761 + 101 AS e FROM documents),
 gx AS (SELECT range AS dx, (range * 12) // 9 AS sx FROM range(0, 9)),
 gy AS (SELECT range AS dy, (range * 10) // 7 AS sy FROM range(0, 7)),
 g AS (SELECT d, dy, dx,
-  (299 * (((e * (sx + 1) * (sy + 2) + 5 * sx * sx + 3 * sy * sy)
+  (299 * (((e // (1 + sx + 12 * sy))
      + CASE WHEN d % 2 = 1 AND sx = 0 AND sy = 0 THEN 40 ELSE 0 END) % 256)
-   + 587 * ((e * (sx + 2) * (sy + 1) + 3 * sx * sx + 7 * sy * sy) % 256)
-   + 114 * ((e * (sx + 3) * (sy + 3) + 2 * sx * sx + 2 * sy * sy) % 256))
+   + 587 * ((e // (7 + 2 * sx + 5 * sy)) % 256)
+   + 114 * ((e // (13 + 3 * sx + sy)) % 256))
    // 1000 AS gray
   FROM p, gx, gy),
 h AS (SELECT a.d,

@@ -2534,12 +2534,18 @@ def synthesize_bmp_pairs(
     (0, 0)'s red channel by +40 (mod 256) — a change confined to ONE
     cell of any downsampled grid, so the pair's difference hash
     differs in at most one bit. The channel formulas are
-    MULTIPLICATIVELY mixed in (e, x, y) — ``r = (e(x+1)(y+2) + 5x² +
-    3y²) % 256`` etc. — so adjacent-pixel luma comparisons flip
-    pseudo-randomly with e and UNRELATED images hash ~uniformly (a
-    linear gradient would give every image the same dhash and a
-    quadratic all-pairs output). Closed-form in the id, so oracles
-    replay hashes and pairs exactly."""
+    built by INTEGER DIVISION of a per-image scramble by a per-pixel
+    divisor — ``r = (e·2654435761 + 101) // (1 + x + 12y) % 256``
+    etc. The division is load-bearing: any formula of the shape
+    ``f(e)·g(x,y) mod 256`` depends on ``f(e) mod 256`` ONLY, so the
+    whole image space collapses to 256 distinct images and at 50k
+    docs every one repeats ~100 times — the 'near-dup' output
+    explodes to millions of genuine-but-degenerate pairs (reproduced,
+    along with the all-identical-dhash failure of a plain linear
+    gradient). Quotients by 72 different divisors escape the modular
+    structure, so distinct e give distinct images and unrelated
+    dhashes are ~uniform. Closed-form in the id, so oracles replay
+    hashes and pairs exactly."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2547,13 +2553,13 @@ def synthesize_bmp_pairs(
             outs = []
             for did in pdf[id_col]:
                 d = int(did)
-                e = d // 2
+                base = (d // 2) * 2654435761 + 101
                 w, h = 12, 10
                 x = np.arange(w, dtype=np.int64)
                 y = np.arange(h, dtype=np.int64)[:, None]
-                r = (e * (x + 1) * (y + 2) + 5 * x * x + 3 * y * y) % 256
-                g = (e * (x + 2) * (y + 1) + 3 * x * x + 7 * y * y) % 256
-                b = (e * (x + 3) * (y + 3) + 2 * x * x + 2 * y * y) % 256
+                r = (base // (1 + x + 12 * y)) % 256
+                g = (base // (7 + 2 * x + 5 * y)) % 256
+                b = (base // (13 + 3 * x + y)) % 256
                 if d % 2 == 1:
                     r = r.copy()
                     r[0, 0] = (r[0, 0] + 40) % 256
