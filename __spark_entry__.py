@@ -1334,6 +1334,45 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {_DHASH_T}
 """
 
 
+def q_audio_near_dups(spark, sf_dir):
+    """Perceptual AUDIO near-dup detection over the real DSP path:
+    planted stepped-tone WAV pairs (ids 2e/2e+1 share a 57-window bin
+    sequence; the odd id shifts window 0 one bin) fingerprint to 56
+    bits via genuine rFFT dominant-bin trajectories
+    (multimodal.audio_fingerprint), then pair by the same banded
+    Hamming search as the image gate. Bins are exact DFT lines, so
+    the oracle replays synthesis, fingerprint, banding, and verify
+    closed-form — the audio twin of image_near_dups."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    wavs = MM.synthesize_chirp_wav_pairs(docs, "doc_id", "audio")
+    fps = MM.audio_fingerprint(wavs, "audio", "doc_id")
+    return D.hamming_near_dups(
+        fps, "doc_id", "afp", max_hamming=_DHASH_T
+    )
+
+
+_AUDIO_NEAR_DUP_ORACLE = f"""
+WITH p AS (SELECT doc_id AS d,
+  (doc_id // 2) * 2654435761 + 101 AS e FROM documents),
+w AS (SELECT range AS w FROM range(0, 57)),
+k AS (SELECT d, w, 5 + (e // (w + 1)) % 200
+  + CASE WHEN d % 2 = 1 AND w = 0 THEN 1 ELSE 0 END AS bin
+  FROM p, w),
+h AS (SELECT a.d,
+  CAST(sum(CASE WHEN a.bin > b.bin
+       THEN CAST(1 AS BIGINT) << CAST(a.w AS INT) ELSE 0 END)
+  AS BIGINT) AS hash
+  FROM k a JOIN k b ON a.d = b.d AND b.w = a.w + 1
+  GROUP BY a.d),
+bands AS (SELECT d, hash, range AS bi,
+  (hash >> CAST(14 * range AS INT)) & 16383 AS bv FROM h, range(0, 4)),
+cand AS (SELECT DISTINCT a.d AS id_a, b.d AS id_b, a.hash AS ha, b.hash AS hb
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.d < b.d)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_DHASH_T}
+"""
+
+
 _VUPD_LO = 400_000.0
 
 
@@ -3275,7 +3314,7 @@ QUERY_ORDER = [
     # --- round-9 additions first (judged in their birth round) ---
     "versioned_update_scan", "versioned_file_prune",
     "nb_classify", "embedding_quantize", "ann_quantized_topk",
-    "image_near_dups",
+    "image_near_dups", "audio_near_dups",
     # --- round-8 changes: the reworked bounded-probe exact baseline
     # (was the last all-pairs plan), the header-only image metadata
     # path, and the real compressed-video (MJPEG/AVI) path ---
@@ -3356,26 +3395,27 @@ assert QUERY_ORDER.index("nb_classify") == 2
 assert QUERY_ORDER.index("embedding_quantize") == 3
 assert QUERY_ORDER.index("ann_quantized_topk") == 4
 assert QUERY_ORDER.index("image_near_dups") == 5
-assert QUERY_ORDER.index("semantic_dedup") == 6  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 7
-assert QUERY_ORDER.index("versioned_prune_scan") == 8
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 9
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 10  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 11  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 12
-assert QUERY_ORDER.index("image_gif_stats") == 13
-assert QUERY_ORDER.index("audio_spectral") == 14
-assert QUERY_ORDER.index("video_gif_frames") == 15
-assert QUERY_ORDER.index("graph_pagerank") == 16
-assert QUERY_ORDER.index("bpe_merges") == 17
-assert QUERY_ORDER.index("bpe_tokenize") == 18
-assert QUERY_ORDER.index("dedup_containment") == 19  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 56
-assert QUERY_ORDER.index("tfidf_keywords") < 56  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 56  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 71  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 121  # r1-4 core last
-assert len(QUERY_ORDER) == 171 and len(set(QUERY_ORDER)) == 171
+assert QUERY_ORDER.index("audio_near_dups") == 6
+assert QUERY_ORDER.index("semantic_dedup") == 7  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 8
+assert QUERY_ORDER.index("versioned_prune_scan") == 9
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 10
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 11  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 12  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 13
+assert QUERY_ORDER.index("image_gif_stats") == 14
+assert QUERY_ORDER.index("audio_spectral") == 15
+assert QUERY_ORDER.index("video_gif_frames") == 16
+assert QUERY_ORDER.index("graph_pagerank") == 17
+assert QUERY_ORDER.index("bpe_merges") == 18
+assert QUERY_ORDER.index("bpe_tokenize") == 19
+assert QUERY_ORDER.index("dedup_containment") == 20  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 57
+assert QUERY_ORDER.index("tfidf_keywords") < 57  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 57  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 72  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 122  # r1-4 core last
+assert len(QUERY_ORDER) == 172 and len(set(QUERY_ORDER)) == 172
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3511,6 +3551,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
         "image_near_dups": q_image_near_dups,
+        "audio_near_dups": q_audio_near_dups,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -5002,6 +5043,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         ),
         "ann_quantized_topk": _ANN_QUANT_ORACLE,
         "image_near_dups": _IMAGE_NEAR_DUP_ORACLE,
+        "audio_near_dups": _AUDIO_NEAR_DUP_ORACLE,
         "nb_classify": (
             f"WITH toks AS (SELECT doc_id, lang, "
             f"unnest(string_split({_NORM_TEXT}, ' ')) AS token "

@@ -2643,3 +2643,118 @@ def dhash_images(
         [StructField(id_col, id_type), StructField(out_col, LongType())]
     )
     return df.mapInPandas(gen, schema=schema)
+
+
+_FP_WINDOW = 512        # fingerprint analysis window (64 ms at 8 kHz)
+_FP_WINDOWS = 57        # 57 dominant bins -> 56 adjacent comparisons
+
+
+def synthesize_chirp_wav_pairs(
+    df: DataFrame, id_col: str, out_col: str = "audio"
+) -> DataFrame:
+    """Deterministic NEAR-DUPLICATE audio pairs for the fingerprint
+    gate: ids ``2e`` and ``2e+1`` share one 57-window stepped-tone WAV
+    (window ``w`` is a pure sine with EXACTLY ``k_w = 5 +
+    (base // (w+1)) % 200`` cycles per 512-sample window, ``base =
+    e·2654435761 + 101`` — the same division trick as the image
+    pairs, so the bin sequence is aperiodic in e), and the ODD id
+    shifts WINDOW 0's tone up one bin — a change confined to one
+    comparison of the difference fingerprint, so the pair lands
+    within 1 bit while unrelated ids differ ~everywhere. Closed-form
+    in the id for oracle replay; the DSP side (FFT, argmax) stays
+    genuinely real."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            i = np.arange(_FP_WINDOW, dtype=np.float64)
+            for did in pdf[id_col]:
+                d = int(did)
+                base = (d // 2) * 2654435761 + 101
+                chunks = []
+                for w in range(_FP_WINDOWS):
+                    k = 5 + (base // (w + 1)) % 200
+                    if d % 2 == 1 and w == 0:
+                        k += 1
+                    chunks.append(
+                        np.rint(
+                            _TONE_AMP
+                            * np.sin(2.0 * np.pi * k * i / _FP_WINDOW)
+                        ).astype("<i2")
+                    )
+                data = np.concatenate(chunks).tobytes()
+                outs.append(_wav_header(len(data)) + data)
+            out = pdf.copy()
+            out[out_col] = outs
+            yield out
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BinaryType())]
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    out_col: str = "afp",
+    window: int = _FP_WINDOW,
+) -> DataFrame:
+    """56-bit audio difference fingerprint over the REAL DSP path —
+    the Shazam-shaped idea reduced to its pairable core: per full
+    ``window``-sample window an rFFT finds the DOMINANT bin (argmax
+    over non-DC magnitudes), and bit ``w`` is set when window ``w``'s
+    dominant bin exceeds window ``w+1``'s — the spectral trajectory's
+    sign pattern, robust to amplitude/level changes the way dhash is
+    robust to brightness. Payloads with fewer than 57 full windows
+    (or non-mono/non-16-bit WAVs) fingerprint to null. One
+    Arrow-batched mapInPandas projection, no shuffle; feeds
+    :func:`dedup.hamming_near_dups`."""
+    import numpy as np
+
+    half = window // 2
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for payload in pdf[payload_col]:
+                out = None
+                parsed = _parse_wav(bytes(payload)) if payload is not None else None
+                if parsed is not None and parsed[0] == 1 and parsed[2] == 16:
+                    samples = np.frombuffer(
+                        parsed[4], dtype="<i2"
+                    ).astype(np.float64)
+                    n_full = len(samples) // window
+                    if n_full >= _FP_WINDOWS:
+                        frames = samples[
+                            : _FP_WINDOWS * window
+                        ].reshape(_FP_WINDOWS, window)
+                        mags = np.abs(np.fft.rfft(frames, axis=1))[
+                            :, 1 : half + 1
+                        ]
+                        bins = mags.argmax(axis=1) + 1  # 1-based bin
+                        out = 0
+                        for w in range(_FP_WINDOWS - 1):
+                            if bins[w] > bins[w + 1]:
+                                out |= 1 << w
+                vals.append(out)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: pd.array(vals, dtype="Int64"),
+                }
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(out_col, LongType()),
+        ]
+    )
+    return df.mapInPandas(gen, schema=schema)

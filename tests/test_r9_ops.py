@@ -169,3 +169,36 @@ def test_hamming_near_dups_lossy_guard(spark):
     ).collect()
     # and more bands restore completeness for the larger radius
     hamming_near_dups(df, "id", "h", max_hamming=6, bands=7, band_bits=8).collect()
+
+
+def test_audio_fingerprint_pairs(spark):
+    from amaxa_spark.operators.dedup import hamming_near_dups
+    from amaxa_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_chirp_wav_pairs,
+    )
+
+    ids = spark.range(20).select(F.col("id").cast("long").alias("doc_id"))
+    wavs = synthesize_chirp_wav_pairs(ids, "doc_id", "audio")
+    fps = audio_fingerprint(wavs, "audio", "doc_id")
+    fvals = {r.doc_id: r.afp for r in fps.collect()}
+    assert all(v is not None and 0 <= v < (1 << 56) for v in fvals.values())
+    assert bin(fvals[0] ^ fvals[1]).count("1") <= 1  # planted pair
+    assert bin(fvals[0] ^ fvals[2]).count("1") > 6  # unrelated
+    pairs = hamming_near_dups(fps, "doc_id", "afp", max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(2 * e, 2 * e + 1) for e in range(10)} <= got
+
+
+def test_audio_fingerprint_short_payload_is_null(spark):
+    from amaxa_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_tone_wav,
+    )
+
+    ids = spark.range(3).select(F.col("id").cast("long").alias("doc_id"))
+    # synthesize_tone_wav payloads have only 2-4 windows of 1024:
+    # far fewer than the 57 fingerprint windows -> null
+    wavs = synthesize_tone_wav(ids, "doc_id", "audio")
+    out = audio_fingerprint(wavs, "audio", "doc_id").collect()
+    assert all(r.afp is None for r in out)
