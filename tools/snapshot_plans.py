@@ -267,6 +267,11 @@ SHOW = [
         "mapInPandas, band-bucket equi-join candidates (ids only), "
         "bit_count verify — no all-pairs frontier",
     ),
+    (
+        "audio_near_dups",
+        "perceptual audio dedup: synth+rFFT fingerprint in "
+        "mapInPandas, same banded Hamming plan as the image gate",
+    ),
 ]
 
 KEY_LINES = (
