@@ -4685,6 +4685,41 @@ def _zorder_expr(df: DataFrame, cols: list[str]):
     return zorder_key(codes, bits=bits)
 
 
+def rebucket_versioned(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int,
+    base_token: str | None = None,
+) -> dict:
+    """PARTITION EVOLUTION: change the table's bucket count in one
+    chain commit — the layout knob every hash-bucketed design needs
+    once data outgrows (or never filled) its original n_buckets. A
+    full rewrite by construction (every row's bucket is a pure
+    pk-hash mod n_buckets, so changing n moves ~all rows), expressed
+    as a re-init FROM THE TABLE'S OWN SNAPSHOT: the logical rows
+    (ALTER-added columns materialized, dropped columns shed), the
+    skipping/constraint configuration, and the commit chain all carry
+    over; stream markers survive like any re-init. Old snapshots
+    keep time-traveling with the OLD bucket count — a manifest pins
+    its own n_buckets, so readers never mix layouts.
+
+    At 100 TB this is the capacity-planning escape hatch: going from
+    256 to 4096 buckets re-shards one bucket's gigabytes into
+    executor-sized units without any external tooling."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    manifest = _bucket_manifest(path, base_token)
+    df = read_versioned_table(spark, path, token=manifest["token"]).drop(
+        MERGE_BUCKET_COL
+    )
+    return write_versioned_table(
+        df, path, manifest["pk"], n_buckets=n_buckets,
+        # None = inherit the head's configuration (stats/blooms/
+        # constraints/file_stats) through write_versioned_table's
+        # own re-init inheritance rules
+    )
+
+
 def history_versioned(path: str) -> list[dict]:
     """DESCRIBE HISTORY: the chain-ordered commit log of a versioned
     table or database — one summary row per commit (seq, token,

@@ -474,20 +474,51 @@ def merge_stream_writer(
     checkpoint_dir: str | None = None,
     stream_id: str | None = None,
     not_matched: str = "insert",
+    optimize_every: int | None = None,
+    optimize_max_files: int = 4,
 ):
     """Wire a streaming DataFrame to the versioned table: returns the
     ``DataStreamWriter`` (caller starts/stops it). Each micro-batch
     commits atomically through the chain; pass ``stream_id`` for
     exactly-once replay protection. Unmatched keys insert by default
-    (``not_matched="ignore"`` for update-only)."""
+    (``not_matched="ignore"`` for update-only).
+
+    ``optimize_every=N`` turns on AUTO-COMPACTION: after every Nth
+    micro-batch the sink runs
+    :func:`catalog.optimize_versioned(max_files=optimize_max_files)`
+    — the steady-state companion of bucket-scoped streaming MERGE,
+    which otherwise accumulates one small file per task per touched
+    bucket per batch until scans drown in open/footer costs. The
+    compaction is its OWN commit (data durability never waits on it);
+    it only rewrites buckets fragmented past ``optimize_max_files``;
+    and a concurrent-writer conflict (merge racing the compaction)
+    aborts the compaction attempt silently — the next trigger retries.
+    Replayed (skipped) batches do not trigger it."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        upsert_batch(
+        from amaxa_spark.sources.catalog import (
+            ConcurrentMergeError,
+            optimize_versioned,
+        )
+
+        applied = upsert_batch(
             batch.sparkSession, path, batch, pk, set_cols,
             order_col, tiebreak_col,
             stream_id=stream_id, batch_id=batch_id,
             not_matched=not_matched,
         )
+        if (
+            optimize_every
+            and applied is not None
+            and batch_id % optimize_every == optimize_every - 1
+        ):
+            try:
+                optimize_versioned(
+                    batch.sparkSession, path,
+                    max_files=optimize_max_files,
+                )
+            except ConcurrentMergeError:
+                pass  # another writer moved the bucket: retry next Nth
 
     w = stream.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint_dir is not None:

@@ -2752,3 +2752,63 @@ def test_matview_rebuild_null_semantics_and_vacuumed_base(spark, tmp_path):
            read_aggregate_view(spark, view).collect()}
     assert got == {1: (2, 10.0), 4: (2, 4.0)}
     assert "matview:grp" in _bucket_manifest(view).get("streams", {})
+
+
+def test_streaming_auto_optimize(spark, tmp_path):
+    """optimize_every=N: the sink compacts fragmented buckets after
+    every Nth APPLIED micro-batch — its own commit, data-equivalent,
+    file counts bounded again."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.sources.catalog import (
+        read_versioned_table,
+        write_versioned_table,
+        _bucket_manifest,
+    )
+    from amaxa_spark.streaming.merge_stream import merge_stream_writer
+
+    path = str(tmp_path / "vt_auto")
+    base = spark.range(200).select(
+        F.col("id").alias("pk"), F.lit("old").alias("val"),
+        F.lit(0).alias("ver"),
+    )
+    write_versioned_table(base.repartition(8), path, pk="pk", n_buckets=2)
+
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        spark.range(200).select(
+            F.col("id").alias("pk"),
+            F.lit(f"b{i}").alias("val"),
+            F.lit(i + 1).cast("long").alias("ver"),
+        ).repartition(8).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("pk long, val string, ver long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        merge_stream_writer(
+            stream, path, "pk", ["val", "ver"], order_col="ver",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            optimize_every=2, optimize_max_files=1,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.pk: r.ver for r in read_versioned_table(spark, path).collect()}
+    assert len(got) == 200 and max(got.values()) == 3  # data intact
+    m = _bucket_manifest(path)
+    # the compaction ran: every live bucket holds few files despite
+    # 1 init + 3 merge writes at parallelism 8 (>= 4 files otherwise)
+    worst = max(
+        len(_glob.glob(os.path.join(path, g, f"__mb={b}", "*.parquet")))
+        for b, g in m["buckets"].items()
+    )
+    assert worst <= 2, worst

@@ -173,3 +173,36 @@ def test_table_cli_verbs(spark, tmp_path, capsys):
     capsys.readouterr()
     assert _vals(spark, dst)[2] == 2.0
     assert main(["table", "vacuum", root, "--keep-last", "3"]) == 0
+
+
+def test_rebucket_versioned(spark, tmp_path):
+    from amaxa_spark.sources.catalog import (
+        merge_into_versioned,
+        rebucket_versioned,
+        read_versioned_table as rvt,
+    )
+
+    root = str(tmp_path / "t")
+    write_versioned_table(
+        _frame(spark, 200), root, "k", n_buckets=2, stats_cols=["v"],
+        constraints={"v_nonneg": "v >= 0"},
+    )
+    t0 = _bucket_manifest(root)["token"]
+    m = rebucket_versioned(spark, root, 16)
+    assert m["n_buckets"] == 16 and len(m["buckets"]) > 2
+    # rows identical, configuration inherited
+    assert _vals(spark, root) == _vals(spark, root, token=t0)
+    assert m["stats_cols"] == ["v"]
+    assert m["constraints"] == {"v_nonneg": "v >= 0"}
+    # old snapshot still reads with the OLD layout
+    assert len(_bucket_manifest(root, t0)["buckets"]) <= 2
+    # merges keep working against the new layout (and stats prune)
+    merge_into_versioned(
+        spark, root,
+        spark.createDataFrame([(5, 70.0, 9999.0)], "k long, g double, v double").select("k", "v"),
+        "k", ["v"],
+    )
+    got = rvt(spark, root, prune=[("v", 9000.0, None)]).collect()
+    assert [r.k for r in got] == [5]
+    with pytest.raises(ValueError, match="n_buckets"):
+        rebucket_versioned(spark, root, 0)
