@@ -1075,3 +1075,220 @@ def quantized_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def _pq_segments(vec_col, dim: int, m: int):
+    """m contiguous sub-vector slices of an array column (dim % m must
+    be 0): [(seg_idx, slice_col), ...]."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} segments")
+    seg = dim // m
+    return [
+        (s, F.slice(vec_col, s * seg + 1, seg)) for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    train_mod: int | None = None,
+):
+    """PRODUCT QUANTIZATION (Jégou et al., the memory tier below
+    scalar int8): the vector splits into ``m`` contiguous segments;
+    a deterministic per-segment L2 k-means (lowest-id seeds, argmin
+    distance rounded to 6 decimals with cid ties, per-component means
+    rounded to 6) learns ``k`` sub-centroids per segment, and every
+    vector encodes as ``m`` small codes — ``m·log2(k)`` bits instead
+    of ``dim·32`` (64 float32 dims → 8 nibbles: a 64x compression).
+    Returns ``(codes, codebooks)`` DataFrames: ``codes`` =
+    (id, seg, code); ``codebooks`` = (seg, cid, __cv sub-vector).
+
+    Scale shape: ALL segments train in the SAME Lloyd loop — one
+    (id, seg, sub-vector) explosion per iteration, assignment as a
+    broadcast join against the m·k-row codebook collapsed by max_by
+    partial aggregation, means as (seg, cid, pos) partial averages;
+    the shuffle carries each sub-vector once per iteration and the
+    codebook stays m·k rows. ``train_mod`` trains on the
+    deterministic id-modulus sliver exactly like kmeans_codebook."""
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("__id"), vecd.alias("__v"))
+    segs = base.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("seg"), sl.alias("__sv"))
+                for s, sl in _pq_segments(F.col("__v"), dim, m)
+            ])
+        ).alias("__s"),
+    ).select("__id", F.col("__s.seg").alias("seg"), F.col("__s.__sv").alias("__sv"))
+    train = segs if train_mod is None else segs.where(
+        F.col("__id") % train_mod == 0
+    )
+    cent = (
+        segs.where(F.col("__id") < k)  # lowest-id seeds, per segment
+        .select(F.col("seg"), F.col("__id").cast("int").alias("cid"),
+                F.col("__sv").alias("__cv"))
+        .localCheckpoint(eager=True)
+    )
+    if not cent.take(1):
+        raise ValueError("pq_encode: no vectors to seed from")
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(frame, cb):
+        d = F.round(l2(F.col("__sv"), F.col("__cv")), 6)
+        return (
+            frame.join(F.broadcast(cb), "seg")
+            .select(
+                "__id", "seg", "__sv",
+                d.alias("__d"), F.col("cid"),
+            )
+            .groupBy("__id", "seg", "__sv")
+            # argmin distance, ties by LOWEST cid: min over a
+            # (distance, cid) struct — deterministic on any engine
+            .agg(F.min(F.struct(F.col("__d"), F.col("cid"))).alias("__b"))
+            .select("__id", "seg", "__sv", F.col("__b.cid").alias("cid"))
+        )
+
+    for _ in range(iters):
+        a = assign(train, cent)
+        means = (
+            a.select("seg", "cid", F.posexplode("__sv").alias("pos", "val"))
+            .groupBy("seg", "cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mval"))
+            .groupBy("seg", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("__new")
+            )
+        )
+        cent = (
+            cent.join(means, ["seg", "cid"], "left")
+            .select(
+                "seg", "cid",
+                F.coalesce(F.col("__new"), F.col("__cv")).alias("__cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    codes = assign(segs, cent).select(
+        F.col("__id").alias(id_col), "seg", F.col("cid").alias("code")
+    )
+    return codes, cent
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    query_ids: list,
+    dim: int,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    oversample: int = 1,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: vectors are
+    L2-NORMALIZED first so cosine = inner product, and the inner
+    product DECOMPOSES over segments — each query precomputes one
+    ``m·k`` lookup table of sub-products against the codebooks, and a
+    corpus vector scores as m table lookups (never touching its
+    floats again). This is the RAM-resident search tier: codes are
+    ~64x smaller than the vectors, so a 100 TB corpus's index fits a
+    modest cluster's memory.
+
+    ``oversample > 1`` adds the standard PQ second stage: ADC ranks
+    ``k_top · oversample`` candidates per query, then EXACT cosine
+    re-ranks just those — the float vectors are touched only for the
+    candidate sliver, and recall climbs toward the exact path while
+    the scan stays code-resident (measured floors in the tests).
+
+    Same output contract as :func:`cosine_topk` (query_id,
+    neighbor_id, sim, rank): sim is the ADC approximation of cosine
+    (or the EXACT cosine when re-ranked), rounded to 6, ties by
+    neighbor id."""
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = _norm(F.col("__raw"))
+    base = emb.select(F.col(id_col).alias("__id"), vecd.alias("__raw")).select(
+        "__id",
+        F.transform(
+            F.col("__raw"), lambda x: x / nrm
+        ).alias("__v"),
+    )
+    codes, cb = pq_encode(
+        base.select(F.col("__id").alias(id_col), F.col("__v")),
+        "__v", id_col, dim=dim, m=m, k=k, iters=iters,
+    )
+    q = base.where(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    # the ADC tables: per (query, seg, cid) one sub-inner-product
+    qsegs = q.select(
+        "query_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("seg"), sl.alias("__qs"))
+                for s, sl in _pq_segments(F.col("__qv"), dim, m)
+            ])
+        ).alias("__s"),
+    ).select("query_id", F.col("__s.seg").alias("seg"), F.col("__s.__qs").alias("__qs"))
+    table = qsegs.join(F.broadcast(cb), "seg").select(
+        "query_id", "seg", F.col("cid").alias("code"),
+        _dot(F.col("__qs"), F.col("__cv")).alias("__t"),
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["seg", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("__t"), 6).alias("sim"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    if oversample <= 1:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_top)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the candidate sliver only: vectors are unit
+    # norm already, so the inner product IS the cosine
+    exact = (
+        cand.join(
+            q.select("query_id", "__qv"), "query_id"
+        )
+        .join(
+            base.select(
+                F.col("__id").alias("neighbor_id"),
+                F.col("__v").alias("__nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("__qv"), F.col("__nv")), 6).alias("sim"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

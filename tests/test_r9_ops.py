@@ -202,3 +202,50 @@ def test_audio_fingerprint_short_payload_is_null(spark):
     wavs = synthesize_tone_wav(ids, "doc_id", "audio")
     out = audio_fingerprint(wavs, "audio", "doc_id").collect()
     assert all(r.afp is None for r in out)
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from amaxa_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    codes, cb = pq_encode(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    assert codes.count() == 500 * 8
+    assert cb.count() == 8 * 16
+    rows = {(r.vec_id, r.seg): r.code for r in codes.collect()}
+    assert all(0 <= c < 500 for c in rows.values())  # cids are seed ids
+    # deterministic: a second train reproduces the codes exactly
+    codes2, _ = pq_encode(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    assert rows == {(r.vec_id, r.seg): r.code for r in codes2.collect()}
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(emb, "embedding", "vec_id", dim=64, m=7)
+
+
+def test_pq_adc_recall_and_rerank(spark):
+    from amaxa_spark.operators.similarity import pq_topk_adc
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    e = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, qids, k=10).collect()
+    }
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk_adc(emb, qids, dim=64, k_top=10).collect()
+    }
+    # 8 segments x 16 codes, no rerank: the honest code-only floor
+    assert len(e & raw) / len(e) >= 0.3
+    rr = pq_topk_adc(emb, qids, dim=64, k_top=10, oversample=8)
+    rset = {(r.query_id, r.neighbor_id) for r in rr.collect()}
+    # exact rerank of an 8x candidate sliver recovers most of top-10
+    assert len(e & rset) / len(e) >= 0.75
+    # reranked sims are EXACT cosines for true hits
+    ex = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in cosine_topk(emb, qids, k=10).collect()
+    }
+    for r in rr.collect():
+        if (r.query_id, r.neighbor_id) in ex:
+            assert abs(r.sim - ex[(r.query_id, r.neighbor_id)]) < 2e-6
