@@ -1234,6 +1234,73 @@ def q_nb_classify(spark, sf_dir):
     )
 
 
+def q_nb_classify_bigram(spark, sf_dir):
+    """The extended NB model: adjacent-pair BIGRAM features next to
+    the unigrams (word order enters the model, fastText-style) and
+    per-class WEIGHT CALIBRATION (Rennie et al. 2003 §4.4 — each
+    class's log-conditional vector divides by its own exact-integer
+    L1 mass, correcting the long-class bias). The micro-nat contract
+    survives both: bigram counts are integers like any token's, and
+    the calibrated weight round(lp·1e8/l1) is one IEEE754 division of
+    exactly-representable integers. The oracle replays feature
+    construction, model algebra, and calibration in SQL."""
+    docs = _read(spark, sf_dir, "documents")
+    return TXT.nb_classify(
+        docs, docs, "text", "doc_id", "lang", alpha=_NB_ALPHA,
+        ngram=2, weight_norm=True,
+    )
+
+
+def _nb_bigram_oracle_sql() -> str:
+    # built lazily: _NORM_TEXT is defined further down the module
+    return (
+    f"WITH tl AS (SELECT doc_id, lang, "
+    f"list_filter(string_split({_NORM_TEXT}, ' '), t -> t != '') AS ts "
+    "FROM documents), "
+    "feats AS (SELECT doc_id, lang, unnest(ts || CASE WHEN len(ts) >= 2 "
+    "THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) "
+    "ELSE []::VARCHAR[] END) AS token FROM tl), "
+    "cls_tok AS (SELECT lang AS lbl, token, count(*) AS k "
+    "FROM feats GROUP BY 1, 2), "
+    "labels AS (SELECT lang AS lbl, count(*) AS docs FROM documents "
+    "WHERE lang IS NOT NULL GROUP BY 1), "
+    "priors AS (SELECT lbl, CAST(round(ln(docs / "
+    "(SELECT CAST(sum(docs) AS DOUBLE) FROM labels)) * 1e6) "
+    "AS BIGINT) AS prior FROM labels), "
+    "vocab AS (SELECT DISTINCT token FROM cls_tok), "
+    "vsize AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab), "
+    "tok_c AS (SELECT lbl, CAST(sum(k) AS DOUBLE) AS tc "
+    "FROM cls_tok WHERE lbl IS NOT NULL GROUP BY 1), "
+    "model AS (SELECT l.lbl, vo.token, CAST(round(ln("
+    f"(coalesce(ct.k, 0) + {_NB_ALPHA}) / (tok_c.tc + {_NB_ALPHA} * vsize.v)"
+    ") * 1e6) AS BIGINT) AS lp "
+    "FROM vocab vo CROSS JOIN (SELECT lbl FROM labels) l "
+    "LEFT JOIN cls_tok ct ON ct.lbl = l.lbl AND ct.token = vo.token "
+    "JOIN tok_c ON tok_c.lbl = l.lbl CROSS JOIN vsize), "
+    # per-class calibration: exact-integer L1 mass, one IEEE754
+    # division — byte-identical to the Spark side
+    "nrm AS (SELECT lbl, CAST(sum(abs(lp)) AS BIGINT) AS l1 "
+    "FROM model GROUP BY lbl), "
+    "modeln AS (SELECT m.lbl, m.token, "
+    "CAST(round(CAST(m.lp AS DOUBLE) * 1e8 / "
+    "CAST(greatest(n.l1, 1) AS DOUBLE)) AS BIGINT) AS lp "
+    "FROM model m JOIN nrm n ON n.lbl = m.lbl), "
+    "doc_tok AS (SELECT doc_id, token, count(*) AS k FROM feats "
+    "GROUP BY 1, 2), "
+    "per_label AS (SELECT d.doc_id, m.lbl, "
+    "CAST(sum(d.k) AS BIGINT) AS n, "
+    "CAST(sum(d.k * m.lp) AS BIGINT) AS s "
+    "FROM doc_tok d JOIN modeln m USING (token) GROUP BY 1, 2), "
+    "scored AS (SELECT doc_id, lbl, n, s + prior AS score "
+    "FROM per_label JOIN priors USING (lbl)), "
+    "best AS (SELECT doc_id, n AS n_tokens, lbl AS label_pred, "
+    "score AS score_unats, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, lbl DESC) AS rn FROM scored) "
+    "SELECT doc_id, n_tokens, label_pred, score_unats "
+    "FROM best WHERE rn = 1"
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Per-dimension int8 scalar quantization of the embeddings table
     (similarity.quantize_embeddings): global per-dim min/max learned
@@ -1284,6 +1351,153 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, sim, rank FROM ranked
 WHERE rank <= {_ANN_K}
 """
+
+
+# PQ/ADC gate params — shared by the Spark queries and the DuckDB
+# oracle builder (single source of truth, like the IVF/SemDeDup
+# constants above). dim=_EMB_DIM splits into _PQ_M segments of
+# dim/m components with _PQ_K sub-centroids each.
+_PQ_M = 8
+_PQ_K = 16
+_PQ_ITERS = 3
+_PQ_OVERSAMPLE = 3
+
+
+def _pq_oracle_sql(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    dim: int = _EMB_DIM,
+    k_top: int = _ANN_K,
+    oversample: int = 1,
+) -> str:
+    """DuckDB twin of similarity.pq_topk_adc: L2-normalize, slice each
+    vector into m segments, replay the SAME deterministic per-segment
+    Lloyd loop (lowest-id seeds numbered 0..k-1, argmin of
+    round(L2², 6) with cid ties, per-component means rounded to 6,
+    empty cells keep the previous centroid — all m segments in ONE
+    shared CTE chain, mirroring the operator's single loop), encode
+    codes with the final codebook, build the per-query m·k ADC
+    sub-product table, and score corpus vectors as the rounded sum of
+    m table lookups. ``oversample > 1`` adds the exact-cosine re-rank
+    of the ADC candidate sliver — the operator's second stage."""
+    seg_len = dim // m
+    assert seg_len * m == dim
+    # squared-L2 between two list columns, rounded like the operator
+    l2 = (
+        "round(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+    )
+    ctes = [
+        # normalized vectors: cosine = inner product downstream
+        "base AS (SELECT vec_id, "
+        "[x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+        "FOR x IN embedding::DOUBLE[]] AS v FROM embeddings)",
+        f"segs AS (SELECT vec_id, r.seg, "
+        f"list_slice(v, r.seg * {seg_len} + 1, (r.seg + 1) * {seg_len}) AS sv "
+        f"FROM base, range(0, {m}) r(seg))",
+        # k genuinely-lowest ids, numbered 0..k-1 by id order — the
+        # operator's seed rule (similarity.pq_encode)
+        "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid "
+        f"FROM (SELECT vec_id FROM base ORDER BY vec_id LIMIT {k}))",
+        "cent0 AS (SELECT s.seg, d.cid, s.sv AS cv "
+        "FROM segs s JOIN seeds d USING (vec_id))",
+    ]
+    for i in range(1, iters + 1):
+        prev, d = f"cent{i-1}", l2.format(a="s.sv", b="c.cv")
+        ctes.append(
+            f"a{i} AS (SELECT seg, cid, sv FROM (SELECT s.seg, c.cid, s.sv, "
+            f"row_number() OVER (PARTITION BY s.vec_id, s.seg "
+            f"ORDER BY {d} ASC, c.cid ASC) AS rn "
+            f"FROM segs s JOIN {prev} c ON s.seg = c.seg) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT seg, cid, pos, round(avg(val), 6) AS mval FROM "
+            f"(SELECT seg, cid, generate_subscripts(sv, 1) AS pos, "
+            f"unnest(sv) AS val FROM a{i}) GROUP BY seg, cid, pos)"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT seg, cid, array_agg(mval ORDER BY pos) AS cv "
+            f"FROM m{i} GROUP BY seg, cid)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT c.seg, c.cid, coalesce(n.cv, c.cv) AS cv "
+            f"FROM {prev} c LEFT JOIN n{i} n ON n.seg = c.seg AND n.cid = c.cid)"
+        )
+    cent, d = f"cent{iters}", l2.format(a="s.sv", b="c.cv")
+    ctes += [
+        f"codes AS (SELECT vec_id, seg, cid AS code FROM "
+        f"(SELECT s.vec_id, s.seg, c.cid, "
+        f"row_number() OVER (PARTITION BY s.vec_id, s.seg "
+        f"ORDER BY {d} ASC, c.cid ASC) AS rn "
+        f"FROM segs s JOIN {cent} c ON s.seg = c.seg) WHERE rn = 1)",
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM base "
+        f"WHERE vec_id IN ({_ann_ids_sql()}))",
+        f"qsegs AS (SELECT query_id, r.seg, "
+        f"list_slice(qv, r.seg * {seg_len} + 1, (r.seg + 1) * {seg_len}) AS qs "
+        f"FROM q, range(0, {m}) r(seg))",
+        f"tab AS (SELECT s.query_id, s.seg, c.cid AS code, "
+        f"list_dot_product(s.qs, c.cv) AS t "
+        f"FROM qsegs s JOIN {cent} c ON s.seg = c.seg)",
+        "scored AS (SELECT t.query_id, k.vec_id AS neighbor_id, "
+        "round(sum(t.t), 6) AS sim FROM codes k "
+        "JOIN tab t ON t.seg = k.seg AND t.code = k.code "
+        "WHERE t.query_id != k.vec_id GROUP BY t.query_id, k.vec_id)",
+    ]
+    rank_over = ("row_number() OVER (PARTITION BY query_id "
+                 "ORDER BY sim DESC, neighbor_id ASC) AS rank")
+    if oversample <= 1:
+        return (
+            "WITH " + ", ".join(ctes) +
+            f" SELECT query_id, neighbor_id, sim, rank FROM "
+            f"(SELECT *, {rank_over} FROM scored) WHERE rank <= {k_top}"
+        )
+    ctes += [
+        f"cand AS (SELECT query_id, neighbor_id FROM "
+        f"(SELECT *, {rank_over} FROM scored) "
+        f"WHERE rank <= {k_top * oversample})",
+        "exact AS (SELECT c.query_id, c.neighbor_id, "
+        "round(list_dot_product(q.qv, b.v), 6) AS sim FROM cand c "
+        "JOIN q USING (query_id) JOIN base b ON c.neighbor_id = b.vec_id)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT query_id, neighbor_id, sim, rank FROM "
+        f"(SELECT *, {rank_over} FROM exact) WHERE rank <= {k_top}"
+    )
+
+
+def q_pq_topk_adc(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): vectors
+    compress to m per-segment codes against a deterministic Lloyd
+    codebook, each query precomputes one m·k sub-product lookup
+    table, and a corpus vector scores as m table lookups without ever
+    touching its floats — the RAM-resident search tier (~64x smaller
+    index). The oracle replays the m-segment Lloyd chain and the ADC
+    table join in DuckDB CTEs (_pq_oracle_sql)."""
+    return SIM.pq_topk_adc(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=list(_ANN_QUERY_IDS),
+        dim=_EMB_DIM,
+        k_top=_ANN_K,
+        m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS,
+    )
+
+
+def q_pq_topk_rerank(spark, sf_dir):
+    """The PQ second stage: ADC ranks k·oversample candidates per
+    query, then EXACT cosine re-ranks just that sliver — float
+    vectors are touched only for the candidates, recall climbs toward
+    the exact path while the scan stays code-resident. Oracle replays
+    both stages (_pq_oracle_sql with oversample > 1)."""
+    return SIM.pq_topk_adc(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=list(_ANN_QUERY_IDS),
+        dim=_EMB_DIM,
+        k_top=_ANN_K,
+        m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS,
+        oversample=_PQ_OVERSAMPLE,
+    )
 
 
 _DHASH_T = 3  # < bands=4: the band pass is pigeonhole-complete
@@ -3311,7 +3525,9 @@ QUERY_ORDER = [
     # round invariant from the round-6 rotation); the rest of the
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
-    # --- round-9 additions first (judged in their birth round) ---
+    # --- round-10 additions first (judged in their birth round) ---
+    "pq_topk_adc", "pq_topk_rerank", "nb_classify_bigram",
+    # --- round-9 additions ---
     "versioned_update_scan", "versioned_file_prune",
     "nb_classify", "embedding_quantize", "ann_quantized_topk",
     "image_near_dups", "audio_near_dups",
@@ -3389,33 +3605,36 @@ QUERY_ORDER = [
 # judged-window invariants: round-8 changes lead the driver's
 # first-50 window (judged in their birth round), and the full surface
 # is intact
-assert QUERY_ORDER.index("versioned_update_scan") == 0  # r9 first
-assert QUERY_ORDER.index("versioned_file_prune") == 1
-assert QUERY_ORDER.index("nb_classify") == 2
-assert QUERY_ORDER.index("embedding_quantize") == 3
-assert QUERY_ORDER.index("ann_quantized_topk") == 4
-assert QUERY_ORDER.index("image_near_dups") == 5
-assert QUERY_ORDER.index("audio_near_dups") == 6
-assert QUERY_ORDER.index("semantic_dedup") == 7  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 8
-assert QUERY_ORDER.index("versioned_prune_scan") == 9
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 10
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 11  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 12  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 13
-assert QUERY_ORDER.index("image_gif_stats") == 14
-assert QUERY_ORDER.index("audio_spectral") == 15
-assert QUERY_ORDER.index("video_gif_frames") == 16
-assert QUERY_ORDER.index("graph_pagerank") == 17
-assert QUERY_ORDER.index("bpe_merges") == 18
-assert QUERY_ORDER.index("bpe_tokenize") == 19
-assert QUERY_ORDER.index("dedup_containment") == 20  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 57
-assert QUERY_ORDER.index("tfidf_keywords") < 57  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 57  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 72  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 122  # r1-4 core last
-assert len(QUERY_ORDER) == 172 and len(set(QUERY_ORDER)) == 172
+assert QUERY_ORDER.index("pq_topk_adc") == 0  # r10 first
+assert QUERY_ORDER.index("pq_topk_rerank") == 1
+assert QUERY_ORDER.index("nb_classify_bigram") == 2
+assert QUERY_ORDER.index("versioned_update_scan") == 3  # r9 follows
+assert QUERY_ORDER.index("versioned_file_prune") == 4
+assert QUERY_ORDER.index("nb_classify") == 5
+assert QUERY_ORDER.index("embedding_quantize") == 6
+assert QUERY_ORDER.index("ann_quantized_topk") == 7
+assert QUERY_ORDER.index("image_near_dups") == 8
+assert QUERY_ORDER.index("audio_near_dups") == 9
+assert QUERY_ORDER.index("semantic_dedup") == 10  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 11
+assert QUERY_ORDER.index("versioned_prune_scan") == 12
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 13
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 14  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 15  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 16
+assert QUERY_ORDER.index("image_gif_stats") == 17
+assert QUERY_ORDER.index("audio_spectral") == 18
+assert QUERY_ORDER.index("video_gif_frames") == 19
+assert QUERY_ORDER.index("graph_pagerank") == 20
+assert QUERY_ORDER.index("bpe_merges") == 21
+assert QUERY_ORDER.index("bpe_tokenize") == 22
+assert QUERY_ORDER.index("dedup_containment") == 23  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 60
+assert QUERY_ORDER.index("tfidf_keywords") < 60  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 60  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 75  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 125  # r1-4 core last
+assert len(QUERY_ORDER) == 175 and len(set(QUERY_ORDER)) == 175
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3552,6 +3771,9 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "image_near_dups": q_image_near_dups,
         "audio_near_dups": q_audio_near_dups,
+        "pq_topk_adc": q_pq_topk_adc,
+        "pq_topk_rerank": q_pq_topk_rerank,
+        "nb_classify_bigram": q_nb_classify_bigram,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -5042,6 +5264,9 @@ def _oracle_sql_raw() -> dict[str, str]:
             f"AND o_totalprice <= {_VFS_HI}"
         ),
         "ann_quantized_topk": _ANN_QUANT_ORACLE,
+        "pq_topk_adc": _pq_oracle_sql(),
+        "pq_topk_rerank": _pq_oracle_sql(oversample=_PQ_OVERSAMPLE),
+        "nb_classify_bigram": _nb_bigram_oracle_sql(),
         "image_near_dups": _IMAGE_NEAR_DUP_ORACLE,
         "audio_near_dups": _AUDIO_NEAR_DUP_ORACLE,
         "nb_classify": (

@@ -133,6 +133,10 @@ def _table_mode(argv: list[str]) -> int:
     )
     st.add_argument("path")
     st.add_argument("--token")
+    st.add_argument(
+        "--db", action="store_true",
+        help="path is a versioned-db root: one stats block per table",
+    )
 
     r = sub.add_parser(
         "restore", help="metadata-only rollback to a retained token"
@@ -151,9 +155,21 @@ def _table_mode(argv: list[str]) -> int:
     o = sub.add_parser("optimize", help="compaction / clustering rewrite")
     o.add_argument("path")
     o.add_argument("--max-files", type=int, default=1)
-    o.add_argument("--cluster-by", help="comma-separated sort columns")
-    o.add_argument("--zorder-by", help="comma-separated Z-order columns")
-    o.add_argument("--files-per-bucket", type=int, default=1)
+    o.add_argument(
+        "--cluster-by", action="append",
+        help="comma-separated sort columns; with --db use TABLE:c1,c2 "
+        "(repeatable, one per table)",
+    )
+    o.add_argument(
+        "--zorder-by", action="append",
+        help="comma-separated Z-order columns; with --db use "
+        "TABLE:c1,c2 (repeatable, one per table)",
+    )
+    o.add_argument(
+        "--files-per-bucket", type=int, default=1,
+        help="range-split each rewritten bucket into k sorted "
+        "key-disjoint files (applies per table with --db)",
+    )
     o.add_argument("--db", action="store_true")
 
     v = sub.add_parser("vacuum", help="reclaim unreferenced generations")
@@ -169,10 +185,17 @@ def _table_mode(argv: list[str]) -> int:
         for row in C.history_versioned(args.path):
             print(json.dumps(row, sort_keys=True))
     elif args.verb == "stats":
-        print(json.dumps(
-            C.versioned_table_stats(args.path, args.token),
-            indent=1, sort_keys=True,
-        ))
+        fn = C.versioned_db_stats if args.db else C.versioned_table_stats
+        try:
+            out = fn(args.path, args.token)
+        except (KeyError, ValueError) as e:
+            # a db root passed without --db (or vice versa) must say
+            # so, not die on the manifest's shape
+            sp.error(
+                f"{args.path}: {e} — for a versioned-db root pass "
+                "--db; for a single table omit it"
+            )
+        print(json.dumps(out, indent=1, sort_keys=True))
     elif args.verb == "restore":
         m = (C.restore_versioned_db if args.db else C.restore_versioned)(
             args.path, args.token
@@ -186,18 +209,39 @@ def _table_mode(argv: list[str]) -> int:
         from amaxa_spark.session import get_spark
 
         spark = get_spark("amaxa-table-optimize")
-        cluster = args.cluster_by.split(",") if args.cluster_by else None
-        zorder = args.zorder_by.split(",") if args.zorder_by else None
+
+        def per_table(vals, flag):
+            # --db form: TABLE:c1,c2 (repeatable) -> {table: [cols]}
+            out = {}
+            for v in vals or []:
+                name, sep, cols = v.partition(":")
+                if not sep or not name or not cols:
+                    sp.error(f"{flag} with --db takes TABLE:c1,c2 "
+                             f"(got {v!r})")
+                out[name] = cols.split(",")
+            return out or None
+
+        def single(vals, flag):
+            # table form: one comma-separated list
+            if not vals:
+                return None
+            if len(vals) > 1 or ":" in vals[0]:
+                sp.error(f"{flag} without --db takes ONE "
+                         "comma-separated column list")
+            return vals[0].split(",")
+
         if args.db:
-            if cluster or zorder or args.files_per_bucket != 1:
-                sp.error("--db optimize supports --max-files only")
             _, compacted = C.optimize_versioned_db(
-                spark, args.path, max_files=args.max_files
+                spark, args.path, max_files=args.max_files,
+                cluster_by=per_table(args.cluster_by, "--cluster-by"),
+                zorder_by=per_table(args.zorder_by, "--zorder-by"),
+                files_per_bucket=args.files_per_bucket,
             )
         else:
             _, compacted = C.optimize_versioned(
                 spark, args.path, max_files=args.max_files,
-                cluster_by=cluster, zorder_by=zorder,
+                cluster_by=single(args.cluster_by, "--cluster-by"),
+                zorder_by=single(args.zorder_by, "--zorder-by"),
                 files_per_bucket=args.files_per_bucket,
             )
         print(f"rewrote {len(compacted)} bucket(s)")

@@ -1129,10 +1129,22 @@ def pq_encode(
     train = segs if train_mod is None else segs.where(
         F.col("__id") % train_mod == 0
     )
+    # seeds = the k GENUINELY lowest ids (orderBy + limit, not an
+    # `__id < k` guess that degrades on sparse or offset id spaces),
+    # numbered 0..k-1 by id order so codes are dense regardless of
+    # the id domain; on dense 0-based ids this is byte-identical to
+    # the old behavior. The window runs on <= k rows post-limit.
+    seed_ids = (
+        base.select("__id").orderBy("__id").limit(k)
+        .select(
+            "__id",
+            (F.row_number().over(Window.orderBy("__id")) - 1)
+            .cast("int").alias("cid"),
+        )
+    )
     cent = (
-        segs.where(F.col("__id") < k)  # lowest-id seeds, per segment
-        .select(F.col("seg"), F.col("__id").cast("int").alias("cid"),
-                F.col("__sv").alias("__cv"))
+        segs.join(F.broadcast(seed_ids), "__id")
+        .select("seg", "cid", F.col("__sv").alias("__cv"))
         .localCheckpoint(eager=True)
     )
     if not cent.take(1):

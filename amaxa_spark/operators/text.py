@@ -1000,6 +1000,27 @@ def dsir_weights(
     )
 
 
+def _nb_features(text_col, ngram: int):
+    """The NB feature array for one document: whitespace unigrams,
+    plus adjacent-pair bigrams when ``ngram >= 2`` (joined by a
+    single space — tokens are split ON spaces, so the joiner cannot
+    collide with any unigram). Empty tokens are filtered before
+    pairing so bigrams never span a collapsed gap."""
+    toks = F.filter(F.split(_norm(text_col), " "), lambda t: t != "")
+    if ngram <= 1:
+        return toks
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
 def nb_classify(
     train: DataFrame,
     score: DataFrame,
@@ -1007,6 +1028,8 @@ def nb_classify(
     id_col: str,
     label_col: str,
     alpha: float = 1.0,
+    ngram: int = 1,
+    weight_norm: bool = False,
 ) -> DataFrame:
     """Multinomial Naive Bayes text classifier, trained AND applied
     in one declarative plan — the fastText-quality-classifier shape
@@ -1026,6 +1049,19 @@ def nb_classify(
 
     Output: (id, n_tokens, label_pred, score_unats).
 
+    ``ngram=2`` adds adjacent-pair bigram features next to the
+    unigrams (the fastText recipe — word order enters the model
+    while the plan shape is unchanged: the feature exchange just
+    carries ~2x the rows). ``weight_norm=True`` applies per-class
+    weight calibration (Rennie et al. 2003 §4.4, "weight
+    normalization"): each class's log-conditional vector divides by
+    its own L1 mass, correcting the bias toward classes whose
+    training text is simply longer. The integer contract survives
+    exactly: the L1 mass is an EXACT integer sum of micro-nats, and
+    the normalized weight ``round(lp·1e8 / l1)`` is one IEEE754
+    division of two exactly-representable integers — bit-identical
+    on any engine.
+
     Scale shape: the training corpus tokenizes ONCE into the
     (label, token) count exchange; the model frame is |V|·|labels|
     rows (labels are few — AQE broadcasts it); scoring joins the
@@ -1036,9 +1072,8 @@ def nb_classify(
     cls_tok = (
         train.select(
             F.col(label_col).alias("__lbl"),
-            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+            F.explode(_nb_features(F.col(text_col), ngram)).alias("token"),
         )
-        .where(F.col("token") != "")
         .groupBy("__lbl", "token")
         .agg(F.count("*").alias("__k"))
         # materialize the MODEL-SIZED aggregate (|vocab|·|labels|
@@ -1121,12 +1156,32 @@ def nb_classify(
             .alias("__lp"),
         )
     )
+    if weight_norm:
+        # per-class L1 calibration in EXACT integer space: l1 is an
+        # integer sum of |micro-nats| over the dense model (order-
+        # independent), and lp·1e8 stays under 2^53, so the single
+        # double division rounds identically on any engine. The
+        # model feeds two consumers now (the l1 agg and the rescale
+        # join) — materialize it once, it is |V|·|labels| rows.
+        model = model.localCheckpoint(eager=True)
+        l1 = model.groupBy("__lbl").agg(
+            F.sum(F.abs(F.col("__lp"))).alias("__l1")
+        )
+        model = model.join(F.broadcast(l1), "__lbl").select(
+            "__lbl",
+            "token",
+            F.round(
+                F.col("__lp").cast("double") * 1e8
+                / F.greatest(F.col("__l1"), F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("__lp"),
+        )
     doc_tok = (
         score.select(
             F.col(id_col),
-            F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+            F.explode(_nb_features(F.col(text_col), ngram)).alias("token"),
         )
-        .where(F.col("token") != "")
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("__k"))
     )

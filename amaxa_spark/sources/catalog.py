@@ -871,6 +871,7 @@ def write_versioned_table(
     bloom_cols: list[str] | None = None,
     constraints: dict[str, str] | None = None,
     file_stats: bool | None = None,
+    _expect_head_seq: int | None = None,
 ) -> dict:
     """Initial commit of a versioned bucket table. Data lands under
     ``<path>/gen-<token>/<bucket>=N/``; the published manifest maps
@@ -974,6 +975,24 @@ def write_versioned_table(
     # committed while we raced is never regressed.
     while True:
         head = _commit_chain_head(path)
+        if _expect_head_seq is not None and (
+            head is None or head[0] != _expect_head_seq
+        ):
+            # SNAPSHOT-DERIVED re-init (rebucket_versioned): the new
+            # baseline was computed FROM the table's own rows, so a
+            # commit that landed after that snapshot would be silently
+            # superseded — its rows absent from the rewrite — if the
+            # claim proceeded. Unlike a caller-supplied full rewrite
+            # (where last-write-wins IS the semantics), losing the
+            # race here loses data: refuse, like every other
+            # stale-input rewrite verb. The written generation is an
+            # invisible orphan that vacuum_versioned reclaims.
+            raise ConcurrentMergeError(
+                f"{path}: head advanced to seq "
+                f"{'<none>' if head is None else head[0]} after this "
+                f"snapshot-derived rewrite read seq {_expect_head_seq}; "
+                "re-run against the new head"
+            )
         manifest["seq"] = 0 if head is None else head[0] + 1
         # rebuild carried-over state from THIS head (a retry may see a
         # different head than the last attempt did)
@@ -1050,6 +1069,28 @@ def _fill_added_columns(df: DataFrame, manifest: dict) -> DataFrame:
         c for c in manifest.get("dropped_columns", []) if c in df.columns
     ]
     return df.drop(*dropped) if dropped else df
+
+
+def _manifest_logical_columns(manifest: dict) -> set | None:
+    """The table's logical column set from manifest metadata alone —
+    recorded init schema plus ALTER-added minus ALTER-dropped — or
+    ``None`` for a pre-format manifest that recorded no schema (those
+    callers must consult a parquet footer or an opened read instead).
+    No Spark, no file IO: usable before bucket pruning decides
+    whether any file will be opened at all."""
+    import json
+
+    sj = manifest.get("schema_json")
+    if sj is not None:
+        cols = {f["name"] for f in json.loads(sj)["fields"]}
+    elif manifest.get("columns"):
+        cols = set(manifest["columns"])
+    else:
+        return None
+    cols.update(manifest.get("added_columns", {}))
+    cols -= set(manifest.get("dropped_columns") or [])
+    cols.discard(MERGE_BUCKET_COL)
+    return cols
 
 
 def _empty_versioned_frame(
@@ -2045,7 +2086,24 @@ def versioned_table_stats(path: str, token: str | None = None) -> dict:
     checkable); a column's aggregate is None if any covered bucket
     lacks that column's stats. At 100 TB this turns a full-scan
     ``SELECT count(*), min(ts), max(ts)`` into a manifest read."""
-    manifest = _bucket_manifest(path, token)
+    return _table_stats_from_manifest(_bucket_manifest(path, token))
+
+
+def versioned_db_stats(
+    path: str, token: str | None = None
+) -> dict[str, dict]:
+    """Metadata-only aggregates for EVERY table of a versioned
+    database — the db twin of :func:`versioned_table_stats`: one
+    manifest read answers count/min/max/nulls per table, same
+    exact-or-None contract per entry."""
+    m = _db_manifest(path, token)
+    return {
+        name: _table_stats_from_manifest(t)
+        for name, t in sorted(m.get("tables", {}).items())
+    }
+
+
+def _table_stats_from_manifest(manifest: dict) -> dict:
     stats = manifest.get("bucket_stats") or {}
     live = list(manifest["buckets"])
     out: dict = {
@@ -3757,6 +3815,20 @@ def _update_table_body(
             f"UPDATE cannot set {sorted(bad)}: the key determines the "
             "row's bucket (delete + insert to re-key)"
         )
+    # validate SET columns against the LOGICAL schema BEFORE bucket
+    # pruning: if skipping eliminates every candidate (or the
+    # predicate matches nothing), a typo'd SET column must still
+    # raise — a silent metadata-only "success" would tell the caller
+    # the update applied. Pre-format manifests without recorded
+    # schema fall through to the post-read check below.
+    logical = _manifest_logical_columns(t)
+    if logical is not None:
+        unknown = sorted(set(set_exprs) - logical)
+        if unknown:
+            raise ValueError(
+                f"UPDATE set column(s) {unknown} do not exist "
+                f"(table has: {sorted(logical)})"
+            )
     keep = _skipping_keep(spark, root, t, prune, None, eq)
     cur_paths = [
         os.path.join(root, g, f"{MERGE_BUCKET_COL}={b}")
@@ -4708,6 +4780,13 @@ def rebucket_versioned(
     executor-sized units without any external tooling."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # capture the CURRENT head seq with the snapshot: the rewrite's
+    # rows come from this snapshot, so a commit landing between here
+    # and the re-init claim must fail the rebucket (its rows would
+    # silently vanish from the rebucketed table otherwise) — the same
+    # stale-input rule every other rewrite verb enforces.
+    head = _commit_chain_head(path)
+    expect_seq = None if head is None else head[0]
     manifest = _bucket_manifest(path, base_token)
     df = read_versioned_table(spark, path, token=manifest["token"]).drop(
         MERGE_BUCKET_COL
@@ -4717,6 +4796,7 @@ def rebucket_versioned(
         # None = inherit the head's configuration (stats/blooms/
         # constraints/file_stats) through write_versioned_table's
         # own re-init inheritance rules
+        _expect_head_seq=expect_seq,
     )
 
 
@@ -4889,30 +4969,54 @@ def clone_versioned(src: str, dst: str, token: str | None = None) -> dict:
     copies). Bloom and file-stats sidecars link too, so skipping works
     on the clone from the first read. Stream markers do NOT carry: the
     clone is a new table — a checkpointed stream pointed at it must
-    replay, not silently skip."""
+    replay, not silently skip.
+
+    Hard links need ``dst`` on the same filesystem as ``src``; a
+    cross-filesystem clone (EXDEV) falls back to ``shutil.copy2`` per
+    file — still correct, no longer zero-copy. Any failure mid-clone
+    removes the partially-built ``dst`` tree before re-raising, so a
+    retry to the same path is not blocked by the
+    ``makedirs(exist_ok=False)`` guard."""
+    import shutil
     import uuid
+
+    def _link_or_copy(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            # EXDEV (cross-device), or a store that lacks hard links:
+            # degrade to a real copy — correctness over zero-copy
+            shutil.copy2(s, d)
 
     manifest = _bucket_manifest(src, token)
     os.makedirs(dst, exist_ok=False)
-    for b, gen in sorted(manifest["buckets"].items()):
-        sdir = os.path.join(src, gen, f"{MERGE_BUCKET_COL}={b}")
-        ddir = os.path.join(dst, gen, f"{MERGE_BUCKET_COL}={b}")
-        os.makedirs(ddir, exist_ok=True)
-        for f in os.listdir(sdir):
-            if f.endswith(".parquet") and not f.startswith("."):
-                os.link(os.path.join(sdir, f), os.path.join(ddir, f))
-        # generation-level sidecars (blooms, file stats) ride along so
-        # the clone prunes from its first read
-        sgen = os.path.join(src, gen)
-        dgen = os.path.join(dst, gen)
-        for f in os.listdir(sgen):
-            full = os.path.join(sgen, f)
-            if (
-                os.path.isfile(full)
-                and f.startswith(("_bloom-", "_filestats"))
-                and not os.path.exists(os.path.join(dgen, f))
-            ):
-                os.link(full, os.path.join(dgen, f))
+    try:
+        for b, gen in sorted(manifest["buckets"].items()):
+            sdir = os.path.join(src, gen, f"{MERGE_BUCKET_COL}={b}")
+            ddir = os.path.join(dst, gen, f"{MERGE_BUCKET_COL}={b}")
+            os.makedirs(ddir, exist_ok=True)
+            for f in os.listdir(sdir):
+                if f.endswith(".parquet") and not f.startswith("."):
+                    _link_or_copy(
+                        os.path.join(sdir, f), os.path.join(ddir, f)
+                    )
+            # generation-level sidecars (blooms, file stats) ride
+            # along so the clone prunes from its first read
+            sgen = os.path.join(src, gen)
+            dgen = os.path.join(dst, gen)
+            for f in os.listdir(sgen):
+                full = os.path.join(sgen, f)
+                if (
+                    os.path.isfile(full)
+                    and f.startswith(("_bloom-", "_filestats"))
+                    and not os.path.exists(os.path.join(dgen, f))
+                ):
+                    _link_or_copy(full, os.path.join(dgen, f))
+    except BaseException:
+        # unwind the partial tree: nothing was published yet, so the
+        # only trace of the failed clone must not block a retry
+        shutil.rmtree(dst, ignore_errors=True)
+        raise
     new_manifest = {
         **{
             k: v

@@ -1,0 +1,410 @@
+"""Round-10 hardening: rebucket concurrency detection, clone
+cross-filesystem fallback + partial-tree cleanup, UPDATE SET-column
+validation ahead of bucket pruning, db-layout metadata stats, and
+PQ seeding on sparse id spaces."""
+
+import errno
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amaxa_spark.sources import catalog as C
+from amaxa_spark.sources.catalog import (
+    ConcurrentMergeError,
+    clone_versioned,
+    read_versioned_table,
+    rebucket_versioned,
+    update_versioned,
+    versioned_db_stats,
+    write_versioned_db,
+    write_versioned_table,
+)
+
+
+def _frame(spark, n=60):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+
+
+def _vals(spark, root, **kw):
+    return {
+        r.k: r.v for r in read_versioned_table(spark, root, **kw).collect()
+    }
+
+
+# ---------------------------------------------------------------- rebucket
+
+
+def test_rebucket_refuses_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between rebucket's snapshot read and its
+    re-init claim must raise — its rows would silently vanish from
+    the rebucketed table otherwise (the stale-input rule every other
+    rewrite verb enforces)."""
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=4)
+    orig = C.read_versioned_table
+
+    def racing(spark_, path, **kw):
+        df = orig(spark_, path, **kw)
+        # a writer sneaks in AFTER the snapshot, BEFORE the claim
+        update_versioned(spark_, path, {"v": F.lit(777.0)}, where="k = 1")
+        return df
+
+    monkeypatch.setattr(C, "read_versioned_table", racing)
+    with pytest.raises(ConcurrentMergeError, match="head advanced"):
+        rebucket_versioned(spark, root, 8)
+    monkeypatch.undo()
+    # the racing update survived; a clean retry succeeds and keeps it
+    assert _vals(spark, root)[1] == 777.0
+    m = rebucket_versioned(spark, root, 8)
+    assert m["n_buckets"] == 8
+    assert _vals(spark, root)[1] == 777.0
+
+
+def test_rebucket_clean_path_still_works(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=4)
+    before = _vals(spark, root)
+    m = rebucket_versioned(spark, root, 16)
+    assert m["n_buckets"] == 16
+    assert _vals(spark, root) == before
+
+
+# ------------------------------------------------------------------- clone
+
+
+def test_clone_falls_back_to_copy_on_exdev(spark, tmp_path, monkeypatch):
+    """Cross-filesystem clone (os.link -> EXDEV) degrades to a real
+    copy — same rows, independent chain, no zero-copy requirement."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned_table(_frame(spark), src, "k", n_buckets=4)
+    real_link = os.link
+
+    def no_data_link(a, b, **kw):
+        # EXDEV only for the clone's data/sidecar links — the commit
+        # machinery's own link-based claims are not part of the test
+        base = os.path.basename(str(a))
+        if base.endswith(".parquet") or base.startswith(
+            ("_bloom-", "_filestats")
+        ):
+            raise OSError(errno.EXDEV, "Invalid cross-device link")
+        return real_link(a, b, **kw)
+
+    monkeypatch.setattr(os, "link", no_data_link)
+    clone_versioned(src, dst)
+    monkeypatch.undo()
+    assert _vals(spark, dst) == _vals(spark, src)
+
+
+def test_clone_failure_removes_partial_tree(spark, tmp_path, monkeypatch):
+    """If BOTH link and copy fail mid-clone, the partially-built dst
+    is removed so a retry to the same path is not blocked by the
+    exist_ok=False guard."""
+    import shutil
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_versioned_table(_frame(spark), src, "k", n_buckets=4)
+    real_link = os.link
+
+    def no_data_link(a, b, **kw):
+        base = os.path.basename(str(a))
+        if base.endswith(".parquet") or base.startswith(
+            ("_bloom-", "_filestats")
+        ):
+            raise OSError(errno.EXDEV, "Invalid cross-device link")
+        return real_link(a, b, **kw)
+
+    def no_copy(a, b):
+        raise OSError(errno.ENOSPC, "No space left on device")
+
+    monkeypatch.setattr(os, "link", no_data_link)
+    monkeypatch.setattr(shutil, "copy2", no_copy)
+    with pytest.raises(OSError):
+        clone_versioned(src, dst)
+    monkeypatch.undo()
+    assert not os.path.exists(dst)
+    # the retry is not blocked
+    clone_versioned(src, dst)
+    assert _vals(spark, dst) == _vals(spark, src)
+
+
+# ------------------------------------------------------------------ UPDATE
+
+
+def test_update_unknown_set_column_raises_even_when_pruned(spark, tmp_path):
+    """A typo'd SET column must raise even when bucket skipping
+    eliminates every candidate — a silent metadata-only commit would
+    tell the caller the update applied."""
+    root = str(tmp_path / "t")
+    write_versioned_table(
+        _frame(spark), root, "k", n_buckets=4, stats_cols=["g"]
+    )
+    # prune range far outside g's [0, 4]: zero candidate buckets
+    with pytest.raises(ValueError, match="do not exist"):
+        update_versioned(
+            spark, root, {"vv_typo": F.lit(1.0)}, prune=[("g", 100, 200)]
+        )
+    # same no-match predicate with a REAL column stays a quiet
+    # metadata-only commit (nothing matched, nothing written)
+    before = _vals(spark, root)
+    update_versioned(
+        spark, root, {"v": F.lit(1.0)}, prune=[("g", 100, 200)]
+    )
+    assert _vals(spark, root) == before
+
+
+def test_update_unknown_set_column_raises_on_no_match_where(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=4)
+    with pytest.raises(ValueError, match="do not exist"):
+        update_versioned(spark, root, {"nope": F.lit(0)}, where="k < 0")
+
+
+# ---------------------------------------------------------------- db stats
+
+
+def test_versioned_db_stats(spark, tmp_path):
+    db = str(tmp_path / "db")
+    a = _frame(spark, 40)
+    b = _frame(spark, 25)
+    write_versioned_db(
+        spark, db, {"a": a, "b": b}, {"a": "k", "b": "k"},
+        n_buckets=2, stats_cols={"a": ["g", "v"], "b": ["g"]},
+    )
+    got = versioned_db_stats(db)
+    assert set(got) == {"a", "b"}
+    assert got["a"]["rows"] == 40 and got["b"]["rows"] == 25
+    assert got["a"]["cols"]["v"] == {"min": 0.0, "max": 39.0, "nulls": 0}
+    assert got["a"]["cols"]["g"]["max"] == 4
+    # table layout passed to the db reader fails loudly, not KeyError
+    t = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), t, "k", n_buckets=2)
+    with pytest.raises(ValueError, match="not a versioned database"):
+        versioned_db_stats(t)
+
+
+def test_table_cli_db_stats_and_optimize(spark, tmp_path, capsys):
+    import json
+
+    from amaxa_spark.__main__ import main
+    from amaxa_spark.sources.catalog import read_versioned_db
+
+    db = str(tmp_path / "db")
+    write_versioned_db(
+        spark, db, {"a": _frame(spark, 30)}, {"a": "k"},
+        n_buckets=2, stats_cols={"a": ["v"]},
+    )
+    assert main(["table", "stats", db, "--db"]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["a"]["rows"] == 30
+    # a db root WITHOUT --db fails with a pointer, not a KeyError
+    with pytest.raises(SystemExit):
+        main(["table", "stats", db])
+    assert "--db" in capsys.readouterr().err
+    # db optimize now accepts per-table clustering + range-split
+    assert main([
+        "table", "optimize", db, "--db",
+        "--cluster-by", "a:v", "--files-per-bucket", "2",
+    ]) == 0
+    assert "rewrote" in capsys.readouterr().out
+    rows = {r.k: r.v for r in read_versioned_db(spark, db, "a").collect()}
+    assert rows == {float(i): float(i) for i in range(30)} or len(rows) == 30
+    # malformed per-table spec errors clearly
+    with pytest.raises(SystemExit):
+        main(["table", "optimize", db, "--db", "--cluster-by", "v"])
+    assert "TABLE:c1,c2" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------- NB extensions
+
+
+def test_nb_bigram_features_capture_word_order(spark):
+    """'man bites dog' vs 'dog bites man': identical unigram bags —
+    only the bigram features separate the classes."""
+    from amaxa_spark.operators.text import nb_classify
+
+    rows = []
+    for i in range(15):
+        rows.append((f"a{i}", "man bites dog", "news"))
+        rows.append((f"b{i}", "dog bites man", "boring"))
+    train = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string"
+    )
+    score = spark.createDataFrame(
+        [("q1", "man bites dog", None), ("q2", "dog bites man", None)],
+        "doc_id string, text string, lang string",
+    )
+    # unigram model cannot separate them (same bag) — ties resolve to
+    # the same label for both
+    uni = {
+        r.doc_id: r.label_pred
+        for r in nb_classify(train, score, "text", "doc_id", "lang").collect()
+    }
+    assert uni["q1"] == uni["q2"]
+    # bigram model separates on word order
+    bi = {
+        r.doc_id: r.label_pred
+        for r in nb_classify(
+            train, score, "text", "doc_id", "lang", ngram=2
+        ).collect()
+    }
+    assert bi == {"q1": "news", "q2": "boring"}
+
+
+def test_nb_bigram_n_tokens_counts_features(spark):
+    from amaxa_spark.operators.text import nb_classify
+
+    train = spark.createDataFrame(
+        [("a", "x y z", "A"), ("b", "z w", "B")],
+        "doc_id string, text string, lang string",
+    )
+    out = {
+        r.doc_id: r
+        for r in nb_classify(
+            train, train, "text", "doc_id", "lang", ngram=2
+        ).collect()
+    }
+    # 3 unigrams + 2 bigrams for doc a; 2 + 1 for doc b
+    assert out["a"].n_tokens == 5 and out["b"].n_tokens == 3
+
+
+def test_nb_weight_norm_integer_scores_and_predictions(spark):
+    from amaxa_spark.operators.text import nb_classify
+
+    rows = []
+    for i in range(10):
+        rows.append((f"en{i}", "the cat sat on the mat", "en"))
+        rows.append((f"fr{i}", "le chat est sur le tapis", "fr"))
+    train = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string"
+    )
+    score = spark.createDataFrame(
+        [("q1", "the cat sat", None), ("q2", "le chat est", None)],
+        "doc_id string, text string, lang string",
+    )
+    got = {
+        r.doc_id: r
+        for r in nb_classify(
+            train, score, "text", "doc_id", "lang",
+            ngram=2, weight_norm=True,
+        ).collect()
+    }
+    assert got["q1"].label_pred == "en" and got["q2"].label_pred == "fr"
+    for r in got.values():
+        assert isinstance(r.score_unats, int)
+
+
+def test_nb_weight_norm_corrects_long_class_bias(spark):
+    """One class trains on much longer documents: unnormalized NB
+    drags ambiguous docs toward the verbose class (its conditionals
+    carry more mass); L1 calibration removes the length artifact so
+    the shared-token evidence decides."""
+    from amaxa_spark.operators.text import nb_classify
+
+    long_text = " ".join(["verbose filler"] * 30) + " shared token"
+    rows = []
+    for i in range(10):
+        rows.append((f"v{i}", long_text, "verbose"))
+        rows.append((f"t{i}", "terse shared token", "terse"))
+    train = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string"
+    )
+    score = spark.createDataFrame(
+        [("q", "terse shared", None)],
+        "doc_id string, text string, lang string",
+    )
+    norm = nb_classify(
+        train, score, "text", "doc_id", "lang", weight_norm=True
+    ).collect()
+    assert norm[0].label_pred == "terse"
+
+
+# ------------------------------------------- lossy banding recall contract
+
+
+def test_hamming_lossy_banding_recall_contract(spark):
+    """The allow_lossy=True path (radius >= bands) gets the same
+    pinned-recall treatment as LSH ANN: exact precision always (the
+    bit_count verify), full recall inside the pigeonhole radius
+    (< bands differing bits), a measured >= 0.60 recall floor on a
+    seeded corpus at radius 6 > bands 4, and every miss explained by
+    the banding (all four bands touched) — lossiness is exactly
+    band-structured, never a bug elsewhere in the plan."""
+    import random
+
+    from amaxa_spark.operators.dedup import hamming_near_dups
+
+    BANDS, BAND_BITS, RADIUS = 4, 14, 6
+    WIDTH = BANDS * BAND_BITS
+    rng = random.Random(20260815)
+    rows, truth = [], {}
+    nid = 0
+    for d in range(1, RADIUS + 1):
+        for _ in range(20):  # 20 planted pairs per distance
+            base = rng.getrandbits(WIDTH)
+            flipped = base
+            for pos in rng.sample(range(WIDTH), d):
+                flipped ^= 1 << pos
+            rows += [(nid, base), (nid + 1, flipped)]
+            truth[(nid, nid + 1)] = d
+            nid += 2
+    # background hashes: uniform, essentially never within 6 bits
+    for _ in range(80):
+        rows.append((nid, rng.getrandbits(WIDTH)))
+        nid += 1
+    df = spark.createDataFrame(rows, "img_id long, h long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_dups(
+            df, "img_id", "h", max_hamming=RADIUS,
+            bands=BANDS, band_bits=BAND_BITS, allow_lossy=True,
+        ).collect()
+    }
+    hams = {i: h for i, h in rows}
+    # exact precision: every reported pair truly within the radius,
+    # with the true distance
+    for (a, b), ham in got.items():
+        assert bin(hams[a] ^ hams[b]).count("1") == ham <= RADIUS
+    # full recall inside the pigeonhole radius (d < bands)
+    close = {p for p, d in truth.items() if d < BANDS}
+    assert close <= set(got)
+    # pinned overall recall floor at radius 6 > bands 4
+    recall = len(set(truth) & set(got)) / len(truth)
+    assert recall >= 0.60, f"lossy-band recall {recall:.3f} < 0.60"
+    # every miss is band-structured: all four bands differ
+    mask = (1 << BAND_BITS) - 1
+    for a, b in set(truth) - set(got):
+        x = hams[a] ^ hams[b]
+        assert all(
+            (x >> (i * BAND_BITS)) & mask for i in range(BANDS)
+        ), "missed pair shares an identical band — not a banding miss"
+
+
+# ------------------------------------------------------------- PQ seeding
+
+
+def test_pq_encode_sparse_id_space(spark):
+    """Seeds come from the k genuinely lowest ids — sparse/offset id
+    spaces get the full k centroids per segment, numbered 0..k-1."""
+    from amaxa_spark.operators.similarity import pq_encode
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(1000 + 7 * i), [float(x) for x in rng.normal(size=8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, cb = pq_encode(emb, "embedding", "vec_id", dim=8, m=2, k=4)
+    cbl = cb.collect()
+    # full codebook despite ids starting at 1000: m*k entries, cids 0..3
+    assert len(cbl) == 2 * 4
+    assert sorted({r.cid for r in cbl}) == [0, 1, 2, 3]
+    cl = codes.collect()
+    assert len(cl) == 40 * 2
+    assert all(0 <= r.code <= 3 for r in cl)

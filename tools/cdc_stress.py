@@ -132,6 +132,34 @@ def worker(path: str, wid: int, n_ops: int, outdir: str) -> None:
     spark.stop()
 
 
+def rebucket_worker(path: str, attempts: int, outdir: str) -> None:
+    """PARTITION EVOLUTION under chaos: keep trying to rebucket the
+    contended table (16 <-> 24) while the DML workers commit. Every
+    attempt either lands cleanly (the chain was quiet across the
+    whole snapshot-read + rewrite window) or raises
+    ConcurrentMergeError (round-10 conflict detection) — it must
+    never silently drop a racing commit, which the driver's final
+    state check would catch as missing rows."""
+    os.environ.setdefault("AMAXA_SPARK_DRIVER_MEM", "4g")
+    from amaxa_spark.session import get_spark
+    from amaxa_spark.sources.catalog import (
+        ConcurrentMergeError,
+        rebucket_versioned,
+    )
+
+    spark = get_spark("cdc_stress_rebucket", cpus=4)
+    landed, conflicts = 0, 0
+    for i in range(attempts):
+        try:
+            rebucket_versioned(spark, path, 24 if i % 2 == 0 else 16)
+            landed += 1
+        except ConcurrentMergeError:
+            conflicts += 1
+    with open(os.path.join(outdir, "rebucket.json"), "w") as f:
+        json.dump({"landed": landed, "conflicts": conflicts}, f)
+    spark.stop()
+
+
 def main() -> None:
     n_procs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 12
@@ -165,6 +193,12 @@ def main() -> None:
         ctx.Process(target=worker, args=(path, w, n_ops, tmp))
         for w in range(n_procs)
     ]
+    # one extra process races PARTITION EVOLUTION against the DML —
+    # a successful rebucket must carry every committed row; a losing
+    # one must raise, never silently supersede (round-10 detection)
+    procs.append(
+        ctx.Process(target=rebucket_worker, args=(path, 6, tmp))
+    )
     t0 = time.time()
     for p in procs:
         p.start()
@@ -173,6 +207,17 @@ def main() -> None:
     wall = time.time() - t0
     dead = [p.pid for p in procs if p.exitcode != 0]
     assert not dead, f"worker process(es) died: {dead}"
+
+    with open(os.path.join(tmp, "rebucket.json")) as f:
+        rb = json.load(f)
+
+    # a guaranteed-quiet final rebucket: post-evolution reads must
+    # equal the pre-evolution state exactly (checked below via the
+    # same expected-union and replica-CDF asserts)
+    from amaxa_spark.sources.catalog import rebucket_versioned
+
+    final_m = rebucket_versioned(spark, path, 32)
+    assert final_m["n_buckets"] == 32
 
     # --- chain integrity ---
     seqs = sorted(
@@ -223,8 +268,12 @@ def main() -> None:
         "procs": n_procs, "ops_per_proc": n_ops,
         "commits": n_commits, "wall_s": round(wall, 1),
         "rebase_retries": retries,
+        "rebuckets_landed": rb["landed"],
+        "rebucket_conflicts": rb["conflicts"],
+        "final_n_buckets": final_m["n_buckets"],
         "final_rows": len(got),
         "chain_dense": True, "state_exact": True, "replica_equal": True,
+        "post_rebucket_read_equal": True,
     }))
     spark.stop()
 
