@@ -1484,6 +1484,66 @@ def q_pq_topk_adc(spark, sf_dir):
     )
 
 
+_BIN_OVERSAMPLE = 4
+
+
+def _binary_code_sql(col: str, dim: int) -> str:
+    """DuckDB twin of similarity.binary_code_expr: the same 64-term
+    literal-bit CASE chain (bit 63 as the two's-complement negative,
+    spelled -(2^63-1)-1 so the literal parses as BIGINT)."""
+    terms = []
+    for i in range(dim):
+        v = 1 << i
+        lit = "(-9223372036854775807 - 1)" if v >= (1 << 63) else str(v)
+        terms.append(f"CASE WHEN {col}[{i + 1}] > 0 THEN {lit} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _binary_topk_oracle_sql(
+    dim: int = _EMB_DIM, k: int = _ANN_K, oversample: int = _BIN_OVERSAMPLE
+) -> str:
+    code = _binary_code_sql("v", dim)
+    return (
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"coded AS (SELECT vec_id, v, CAST({code} AS BIGINT) AS c FROM base), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, c AS qc FROM coded "
+        f"WHERE vec_id IN ({_ann_ids_sql()})), "
+        "ham AS (SELECT q.query_id, b.vec_id AS neighbor_id, "
+        "bit_count(xor(b.c, q.qc)) AS hm "
+        "FROM coded b JOIN q ON b.vec_id != q.query_id), "
+        "cand AS (SELECT query_id, neighbor_id FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY hm ASC, neighbor_id ASC) AS r FROM ham) "
+        f"WHERE r <= {k * oversample}), "
+        "exact AS (SELECT c.query_id, c.neighbor_id, "
+        "round(list_dot_product(q.qv, b.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(b.v, b.v))), 6) AS sim "
+        "FROM cand c JOIN q USING (query_id) "
+        "JOIN base b ON c.neighbor_id = b.vec_id) "
+        "SELECT query_id, neighbor_id, sim, rank FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, neighbor_id ASC) AS rank FROM exact) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def q_ann_binary_topk(spark, sf_dir):
+    """Binary-quantized ANN (sign-bit codes + Hamming candidate scan
+    + exact re-rank): the memory tier BELOW PQ — 8 bytes per vector,
+    xor+popcount per candidate, floats touched only for the
+    k·oversample sliver. Deterministic end to end (hamming ties by
+    id, exact cosine rounded 6), so the oracle replays the identical
+    code chain, Hamming ranking, and re-rank in SQL."""
+    return SIM.binary_cosine_topk(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=list(_ANN_QUERY_IDS),
+        dim=_EMB_DIM,
+        k=_ANN_K,
+        oversample=_BIN_OVERSAMPLE,
+    )
+
+
 def q_pq_topk_rerank(spark, sf_dir):
     """The PQ second stage: ADC ranks k·oversample candidates per
     query, then EXACT cosine re-ranks just that sliver — float
@@ -3527,6 +3587,7 @@ QUERY_ORDER = [
     # prior driver CORRECTNESS row.
     # --- round-10 additions first (judged in their birth round) ---
     "pq_topk_adc", "pq_topk_rerank", "nb_classify_bigram",
+    "ann_binary_topk",
     # --- round-9 additions ---
     "versioned_update_scan", "versioned_file_prune",
     "nb_classify", "embedding_quantize", "ann_quantized_topk",
@@ -3608,33 +3669,34 @@ QUERY_ORDER = [
 assert QUERY_ORDER.index("pq_topk_adc") == 0  # r10 first
 assert QUERY_ORDER.index("pq_topk_rerank") == 1
 assert QUERY_ORDER.index("nb_classify_bigram") == 2
-assert QUERY_ORDER.index("versioned_update_scan") == 3  # r9 follows
-assert QUERY_ORDER.index("versioned_file_prune") == 4
-assert QUERY_ORDER.index("nb_classify") == 5
-assert QUERY_ORDER.index("embedding_quantize") == 6
-assert QUERY_ORDER.index("ann_quantized_topk") == 7
-assert QUERY_ORDER.index("image_near_dups") == 8
-assert QUERY_ORDER.index("audio_near_dups") == 9
-assert QUERY_ORDER.index("semantic_dedup") == 10  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 11
-assert QUERY_ORDER.index("versioned_prune_scan") == 12
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 13
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 14  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 15  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 16
-assert QUERY_ORDER.index("image_gif_stats") == 17
-assert QUERY_ORDER.index("audio_spectral") == 18
-assert QUERY_ORDER.index("video_gif_frames") == 19
-assert QUERY_ORDER.index("graph_pagerank") == 20
-assert QUERY_ORDER.index("bpe_merges") == 21
-assert QUERY_ORDER.index("bpe_tokenize") == 22
-assert QUERY_ORDER.index("dedup_containment") == 23  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 60
-assert QUERY_ORDER.index("tfidf_keywords") < 60  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 60  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 75  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 125  # r1-4 core last
-assert len(QUERY_ORDER) == 175 and len(set(QUERY_ORDER)) == 175
+assert QUERY_ORDER.index("ann_binary_topk") == 3
+assert QUERY_ORDER.index("versioned_update_scan") == 4  # r9 follows
+assert QUERY_ORDER.index("versioned_file_prune") == 5
+assert QUERY_ORDER.index("nb_classify") == 6
+assert QUERY_ORDER.index("embedding_quantize") == 7
+assert QUERY_ORDER.index("ann_quantized_topk") == 8
+assert QUERY_ORDER.index("image_near_dups") == 9
+assert QUERY_ORDER.index("audio_near_dups") == 10
+assert QUERY_ORDER.index("semantic_dedup") == 11  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 12
+assert QUERY_ORDER.index("versioned_prune_scan") == 13
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 14
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 15  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 16  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 17
+assert QUERY_ORDER.index("image_gif_stats") == 18
+assert QUERY_ORDER.index("audio_spectral") == 19
+assert QUERY_ORDER.index("video_gif_frames") == 20
+assert QUERY_ORDER.index("graph_pagerank") == 21
+assert QUERY_ORDER.index("bpe_merges") == 22
+assert QUERY_ORDER.index("bpe_tokenize") == 23
+assert QUERY_ORDER.index("dedup_containment") == 24  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 61
+assert QUERY_ORDER.index("tfidf_keywords") < 61  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 61  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 76  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 126  # r1-4 core last
+assert len(QUERY_ORDER) == 176 and len(set(QUERY_ORDER)) == 176
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3774,6 +3836,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_adc": q_pq_topk_adc,
         "pq_topk_rerank": q_pq_topk_rerank,
         "nb_classify_bigram": q_nb_classify_bigram,
+        "ann_binary_topk": q_ann_binary_topk,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "line_dedup": q_line_dedup,
         "strip_spans": q_strip_spans,
@@ -5267,6 +5330,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pq_topk_adc": _pq_oracle_sql(),
         "pq_topk_rerank": _pq_oracle_sql(oversample=_PQ_OVERSAMPLE),
         "nb_classify_bigram": _nb_bigram_oracle_sql(),
+        "ann_binary_topk": _binary_topk_oracle_sql(),
         "image_near_dups": _IMAGE_NEAR_DUP_ORACLE,
         "audio_near_dups": _AUDIO_NEAR_DUP_ORACLE,
         "nb_classify": (

@@ -118,8 +118,8 @@ def _sql_mode(argv: list[str]) -> int:
 def _table_mode(argv: list[str]) -> int:
     """`python -m amaxa_spark table VERB ...` — operational commands
     for the versioned layouts. Metadata-only verbs (history, stats,
-    restore, clone, vacuum) run with NO Spark session; optimize
-    starts one."""
+    restore, clone, vacuum) run with NO Spark session; optimize and
+    rebucket start one."""
     import json
 
     sp = argparse.ArgumentParser(prog="amaxa_spark table")
@@ -171,6 +171,12 @@ def _table_mode(argv: list[str]) -> int:
         "key-disjoint files (applies per table with --db)",
     )
     o.add_argument("--db", action="store_true")
+
+    rb = sub.add_parser(
+        "rebucket", help="partition evolution: change the bucket count"
+    )
+    rb.add_argument("path")
+    rb.add_argument("n_buckets", type=int)
 
     v = sub.add_parser("vacuum", help="reclaim unreferenced generations")
     v.add_argument("path")
@@ -245,6 +251,13 @@ def _table_mode(argv: list[str]) -> int:
                 files_per_bucket=args.files_per_bucket,
             )
         print(f"rewrote {len(compacted)} bucket(s)")
+    elif args.verb == "rebucket":
+        from amaxa_spark.session import get_spark
+
+        spark = get_spark("amaxa-table-rebucket")
+        m = C.rebucket_versioned(spark, args.path, args.n_buckets)
+        print(f"rebucketed to {m['n_buckets']} buckets "
+              f"(seq {m['seq']} token {m['token']})")
     elif args.verb == "vacuum":
         removed = (
             C.vacuum_versioned_db if args.db else C.vacuum_versioned

@@ -1304,3 +1304,106 @@ def pq_topk_adc(
         .where(F.col("rank") <= k_top)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def binary_code_expr(vec_col, dim: int):
+    """The SIGN-BIT code of an embedding as ONE 64-bit long: bit d is
+    set iff component d is strictly positive. Built as a chain of 64
+    literal-bit CASE terms — pure Column arithmetic, whole-stage
+    codegen, and trivially replayable in any SQL engine (bit 63's
+    literal is negative two's-complement; partial sums stay in-range
+    because each term is a distinct bit). Sign is scale-invariant, so
+    no normalization is needed for the code itself."""
+    if not 1 <= dim <= 64:
+        raise ValueError(f"binary code packs into one long: dim {dim} > 64")
+    # two's-complement literal for bit i (bit 63 is the sign bit)
+    def bit(i: int) -> int:
+        v = 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    code = F.lit(0).cast("long")
+    for i in range(dim):
+        code = code + F.when(
+            F.element_at(vec_col, i + 1) > 0, F.lit(bit(i)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return code
+
+
+def binary_cosine_topk(
+    emb: DataFrame,
+    query_ids: list,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 4,
+) -> DataFrame:
+    """Binary-quantized ANN — the memory tier BELOW PQ: each vector
+    compresses to its 64 sign bits (8 bytes: 32x smaller than
+    float32, 4x smaller than int8), Hamming distance over the codes
+    ranks candidates (sign concordance is a monotone proxy for the
+    angle — the classic sign-random-projection bound, here with the
+    IDENTITY projection since the corpus dims are already spread),
+    and exact cosine re-ranks only the ``k·oversample`` sliver per
+    query. At 100 TB the code tier is ~8 GB per 10⁹ vectors — RAM-
+    resident on a single executor, scanned with two ALU ops per
+    candidate (xor + popcount, whole-stage codegen) — while the float
+    vectors are touched only for the re-rank sliver.
+
+    Deterministic contract: candidate rank by (hamming asc, id asc),
+    final (query_id, neighbor_id, sim, rank) with sim = EXACT cosine
+    rounded to 6 and ties by neighbor id — same shape as
+    :func:`cosine_topk`, so oracles replay it exactly."""
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("__id"), vecd.alias("__v")).select(
+        "__id", "__v", binary_code_expr(F.col("__v"), dim).alias("__c")
+    )
+    q = base.where(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__c").alias("__qc"),
+    )
+    # code scan: broadcast the bounded query side, xor+popcount per
+    # corpus code — no shuffle of the corpus, no float access
+    ham = (
+        base.join(F.broadcast(q), F.col("__id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            F.bit_count(F.col("__c").bitwiseXOR(F.col("__qc"))).alias("__ham"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__ham").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        ham.withColumn("__r", F.row_number().over(wc))
+        .where(F.col("__r") <= k * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        cand.join(q.select("query_id", "__qv"), "query_id")
+        .join(
+            base.select(
+                F.col("__id").alias("neighbor_id"), F.col("__v").alias("__nv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__qv"), F.col("__nv"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__nv"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -373,6 +373,42 @@ def list_generations(out_dir: str) -> list[dict]:
     )
 
 
+def token_as_of(path: str, ts) -> str:
+    """TIMESTAMP AS OF resolution (Delta's idea on this chain): the
+    token of the snapshot that was live at ``ts`` — the HIGHEST-SEQ
+    retained commit whose ``committed_at`` is at or before ``ts``.
+    ``ts`` may be an epoch float, a ``datetime``, or an ISO-8601
+    string (naive forms are UTC — the engine pins the session TZ).
+
+    Two honest limits, both inherent to wall-clock travel: commits
+    whose advisory history record was vacuumed resolve only by token,
+    not by time (they are skipped here); and concurrent writers'
+    clocks can disagree with commit order, in which case the
+    SEQ order wins — ``as of`` never returns a snapshot that a
+    lower-seq commit superseded before ``ts`` on the chain itself."""
+    if isinstance(ts, str):
+        import datetime as _dt
+
+        d = _dt.datetime.fromisoformat(ts)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        ts = d.timestamp()
+    elif hasattr(ts, "timestamp"):
+        import datetime as _dt
+
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts = ts.timestamp()
+    ts = float(ts)
+    for g in list_generations(path):  # newest first by seq
+        if g["committed_at"] and g["committed_at"] <= ts:
+            return g["token"]
+    raise ValueError(
+        f"{path}: no retained snapshot committed at or before {ts} "
+        "(the table may be younger, or the window was vacuumed)"
+    )
+
+
 def vacuum_extract(out_dir: str, keep_last: int = 1) -> list[str]:
     """Delete data not referenced by the ``keep_last`` newest
     committed generations (the current manifest is always retained):
@@ -1124,6 +1160,7 @@ def read_versioned_table(
     prune: list[tuple] | None = None,
     pk_in: list | None = None,
     eq: list[tuple] | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Open the committed snapshot (or any retained generation by
     token): each bucket reads from exactly the generation its manifest
@@ -1157,6 +1194,12 @@ def read_versioned_table(
       only; blooms index non-null values). False positives read extra
       buckets, never rows: the residual equality still applies.
     """
+    if as_of is not None:
+        # TIMESTAMP AS OF: resolve to the snapshot live at that time
+        # (token_as_of), then read exactly like a token read
+        if token is not None:
+            raise ValueError("pass token OR as_of, not both")
+        token = token_as_of(path, as_of)
     manifest = _bucket_manifest(path, token)
     keep = _skipping_keep(spark, path, manifest, prune, pk_in, eq)
     paths = _pruned_bucket_paths(path, manifest, keep, prune, eq)
@@ -5313,9 +5356,11 @@ def read_versioned_db(
     prune: list[tuple] | None = None,
     pk_in: list | None = None,
     eq: list[tuple] | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Open one table of the committed database snapshot (or any
-    retained transaction by token) — a consistent cross-table
+    retained transaction by token, or ``as_of`` a wall-clock time —
+    :func:`token_as_of` semantics) — a consistent cross-table
     point-in-time view: every table read through the same token came
     from the same transaction.
 
@@ -5323,6 +5368,10 @@ def read_versioned_db(
     parameters, applied against THIS table's manifest entry (stats
     opt-in via ``write_versioned_db(stats_cols=...)``); both are
     exact — the predicate is re-applied to the surviving rows."""
+    if as_of is not None:
+        if token is not None:
+            raise ValueError("pass token OR as_of, not both")
+        token = token_as_of(path, as_of)
     manifest = _db_manifest(path, token)
     if table not in manifest["tables"]:
         raise ValueError(

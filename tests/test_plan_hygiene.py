@@ -54,6 +54,10 @@ _BOUNDED_BROADCAST_OK = {
     "ann_quantized_topk": "fixed query-vector set (k rows)",
     "ann_lsh_recall": "fixed query-vector set (k rows)",
     "rerank_ann": "fixed query-vector set (k rows)",
+    # binary-code Hamming scan: broadcast side is the fixed query set
+    # (|_ANN_QUERY_IDS| rows of 8-byte codes at ANY corpus scale); the
+    # corpus side streams through xor+popcount with no shuffle
+    "ann_binary_topk": "fixed query-code set broadcast (3 rows)",
     "knn_join_exact": "query TABLE bounded to 5 rows in the gate query",
     # IVF: broadcast side is the K-centroid codebook (K=const)
     "ann_ivf_topk": "K-centroid codebook",

@@ -164,6 +164,53 @@ def test_update_unknown_set_column_raises_on_no_match_where(spark, tmp_path):
         update_versioned(spark, root, {"nope": F.lit(0)}, where="k < 0")
 
 
+# ----------------------------------------------------------- as-of travel
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    import datetime
+    import time as _time
+
+    from amaxa_spark.sources.catalog import token_as_of
+
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=4)
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    update_versioned(spark, root, {"v": F.lit(0.0)}, where="k = 1")
+    # epoch float: resolves to the pre-update snapshot
+    assert _vals(spark, root, as_of=t_mid)[1] == 1.0
+    # now (post-update): the head
+    assert _vals(spark, root, as_of=_time.time())[1] == 0.0
+    # datetime and ISO forms resolve identically
+    dt = datetime.datetime.fromtimestamp(t_mid, tz=datetime.timezone.utc)
+    assert _vals(spark, root, as_of=dt)[1] == 1.0
+    assert _vals(spark, root, as_of=dt.isoformat())[1] == 1.0
+    # before the table existed: a clear error
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        token_as_of(root, t_mid - 1000)
+    # token and as_of are mutually exclusive
+    with pytest.raises(ValueError, match="not both"):
+        read_versioned_table(spark, root, token="x", as_of=t_mid)
+    # db-layout parity
+    from amaxa_spark.sources.catalog import (
+        read_versioned_db,
+        update_versioned_db,
+    )
+
+    db = str(tmp_path / "db")
+    write_versioned_db(spark, db, {"a": _frame(spark)}, {"a": "k"},
+                       n_buckets=2)
+    _time.sleep(0.05)
+    t_db = _time.time()
+    _time.sleep(0.05)
+    update_versioned_db(spark, db, {"a": {"set": {"v": "v + 100"}}})
+    pre = {r.k: r.v for r in read_versioned_db(
+        spark, db, "a", as_of=t_db).collect()}
+    assert pre[1] == 1.0
+
+
 # ---------------------------------------------------------------- db stats
 
 
@@ -382,6 +429,75 @@ def test_hamming_lossy_banding_recall_contract(spark):
         assert all(
             (x >> (i * BAND_BITS)) & mask for i in range(BANDS)
         ), "missed pair shares an identical band — not a banding miss"
+
+
+# ------------------------------------------------------------ binary ANN
+
+
+def test_binary_cosine_topk_recall_vs_exact(spark):
+    """Sign-bit codes + Hamming candidates + exact re-rank: on a
+    seeded corpus the top-1 neighbor matches the exact search for
+    most queries (pinned floor), every returned sim is the EXACT
+    cosine (re-rank guarantees it), and codes pack into one long."""
+    import numpy as np
+
+    from amaxa_spark.operators.similarity import (
+        binary_cosine_topk,
+        cosine_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=64)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = list(range(8))
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in cosine_topk(emb, query_ids=qids, k=3).collect()
+    }
+    binr = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in binary_cosine_topk(
+            emb, query_ids=qids, dim=64, k=3, oversample=8
+        ).collect()
+    }
+    # exactness of reported sims: any neighbor both sides return for
+    # the same query carries the same rounded cosine
+    exact_by_pair = {
+        (q, n): s for (q, _), (n, s) in exact.items()
+    }
+    for (q, _), (n, s) in binr.items():
+        if (q, n) in exact_by_pair:
+            assert s == exact_by_pair[(q, n)]
+    # pinned top-1 recall floor on iid gaussian vectors
+    hits = sum(
+        1 for q in qids if binr[(q, 1)][0] == exact[(q, 1)][0]
+    )
+    assert hits >= 5, f"binary top-1 recall {hits}/8 < 5/8"
+
+
+def test_binary_code_expr_bit63_and_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from amaxa_spark.operators.similarity import binary_code_expr
+
+    # vector positive ONLY in dim 63 -> code = min long (sign bit)
+    v_hi = [0.0] * 63 + [1.0]
+    v_lo = [1.0] + [0.0] * 63
+    df = spark.createDataFrame(
+        [(1, v_hi), (2, v_lo)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id",
+            binary_code_expr(F.col("embedding"), 64).alias("c"),
+        ).collect()
+    }
+    assert got[1] == -(1 << 63) and got[2] == 1
+    with pytest.raises(ValueError, match="dim 65 > 64"):
+        binary_code_expr(F.col("embedding"), 65)
 
 
 # ------------------------------------------------------------- PQ seeding
