@@ -272,6 +272,24 @@ SHOW = [
         "perceptual audio dedup: synth+rFFT fingerprint in "
         "mapInPandas, same banded Hamming plan as the image gate",
     ),
+    (
+        "pq_topk_adc",
+        "product quantization + ADC: one Lloyd loop trains all m "
+        "segments (codebook broadcast each iteration), ADC table "
+        "broadcast to the codes join, no float access in the scan",
+    ),
+    (
+        "nb_classify_bigram",
+        "NB with bigram features + L1 calibration: same single "
+        "feature exchange, integer l1 agg joined broadcast back onto "
+        "the model before scoring",
+    ),
+    (
+        "ann_binary_topk",
+        "binary ANN: 64-literal-bit sign code in the scan projection "
+        "(whole-stage codegen), fixed query codes broadcast, "
+        "xor+popcount Hamming, exact re-rank on the candidate sliver",
+    ),
 ]
 
 KEY_LINES = (
