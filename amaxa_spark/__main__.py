@@ -93,6 +93,11 @@ def _sql_mode(argv: list[str]) -> int:
     sp.add_argument("path", help="versioned table (or --db database) root")
     sp.add_argument("--token", help="time-travel to this snapshot token")
     sp.add_argument(
+        "--as-of", dest="as_of",
+        help="time-travel to the snapshot live at this time "
+        "(epoch seconds or ISO-8601; resolved via token_as_of)",
+    )
+    sp.add_argument(
         "--db", action="store_true",
         help="path is a versioned-db root; emit one query per table "
         "(prefixed by `-- table: NAME`), all from ONE transaction",
@@ -102,16 +107,27 @@ def _sql_mode(argv: list[str]) -> int:
         help="--db: restrict to these tables (repeatable)",
     )
     args = sp.parse_args(argv)
+    token = args.token
+    if args.as_of is not None:
+        if token is not None:
+            sp.error("pass --token OR --as-of, not both")
+        from amaxa_spark.sources.catalog import token_as_of
+
+        try:
+            ts = float(args.as_of)
+        except ValueError:
+            ts = args.as_of  # ISO-8601 string: token_as_of parses it
+        token = token_as_of(args.path, ts)
     if args.db:
         for name, sql in db_manifest_to_sql(
-            args.path, args.table, args.token
+            args.path, args.table, token
         ).items():
             print(f"-- table: {name}")
             print(f"{sql};")
     else:
         if args.table:
             sp.error("--table requires --db")
-        print(manifest_to_sql(args.path, args.token))
+        print(manifest_to_sql(args.path, token))
     return 0
 
 
@@ -183,6 +199,11 @@ def _table_mode(argv: list[str]) -> int:
     v.add_argument("--keep-last", type=int, default=1)
     v.add_argument("--min-age-s", type=float, default=0.0)
     v.add_argument("--db", action="store_true")
+    v.add_argument(
+        "--dry-run", action="store_true",
+        help="list the generation dirs that would be removed; "
+        "delete nothing",
+    )
 
     args = sp.parse_args(argv)
     from amaxa_spark.sources import catalog as C
@@ -261,8 +282,14 @@ def _table_mode(argv: list[str]) -> int:
     elif args.verb == "vacuum":
         removed = (
             C.vacuum_versioned_db if args.db else C.vacuum_versioned
-        )(args.path, keep_last=args.keep_last, min_age_s=args.min_age_s)
-        print(f"removed {len(removed)} generation dir(s)")
+        )(args.path, keep_last=args.keep_last, min_age_s=args.min_age_s,
+          dry_run=args.dry_run)
+        if args.dry_run:
+            for r in removed:
+                print(r)
+            print(f"would remove {len(removed)} generation dir(s)")
+        else:
+            print(f"removed {len(removed)} generation dir(s)")
     return 0
 
 

@@ -5130,12 +5130,17 @@ def _old_enough(full: str, now: float, min_age_s: float) -> bool:
 
 
 def vacuum_versioned(
-    path: str, keep_last: int = 1, min_age_s: float = 0.0
+    path: str, keep_last: int = 1, min_age_s: float = 0.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Reclaim generation directories referenced by NO retained
     manifest (crashed merges, aged-out snapshots). Keeps the
     ``keep_last`` newest generations plus the current one; prunes
     aged history records with their data. Returns removed paths.
+
+    ``dry_run=True`` returns the directories that WOULD be removed
+    and deletes nothing — history records included (the operator's
+    pre-flight for an irreversible cleanup).
 
     Concurrency contract: the chain head is always protected (see
     :func:`_versioned_retention`), and ``min_age_s`` is the guard for
@@ -5159,9 +5164,11 @@ def vacuum_versioned(
         full = os.path.join(path, entry)
         if not _old_enough(full, now, min_age_s):
             continue  # young enough to be an in-flight writer's
-        shutil.rmtree(full)
+        if not dry_run:
+            shutil.rmtree(full)
         removed.append(entry)
-    _prune_history(path, retained)
+    if not dry_run:
+        _prune_history(path, retained)
     return removed
 
 
@@ -5890,16 +5897,18 @@ def optimize_versioned_db(
 
 
 def vacuum_versioned_db(
-    path: str, keep_last: int = 1, min_age_s: float = 0.0
+    path: str, keep_last: int = 1, min_age_s: float = 0.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Reclaim per-table generation directories referenced by NO
     retained transaction; same retention contract as
     :func:`vacuum_versioned` (chain head always protected, history is
     advisory, ``min_age_s`` guards live writers, commit files are
-    never deleted). Table directories are discovered ON DISK, so
-    generations of a table that no retained transaction mentions any
-    more (dropped by a full rewrite, or a pre-claim crash of a brand
-    new table) are reclaimed too, not leaked."""
+    never deleted; ``dry_run=True`` lists without deleting). Table
+    directories are discovered ON DISK, so generations of a table
+    that no retained transaction mentions any more (dropped by a full
+    rewrite, or a pre-claim crash of a brand new table) are reclaimed
+    too, not leaked."""
     import shutil
     import time
 
@@ -5924,7 +5933,9 @@ def vacuum_versioned_db(
             full = os.path.join(tdir, entry)
             if not _old_enough(full, now, min_age_s):
                 continue
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             removed.append(f"{name}/{entry}")
-    _prune_history(path, retained)
+    if not dry_run:
+        _prune_history(path, retained)
     return removed
