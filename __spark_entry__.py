@@ -1689,6 +1689,53 @@ def q_versioned_update_scan(spark, sf_dir):
     )
 
 
+_VREN_UP_LO = 150_000.0
+_VREN_RD_LO, _VREN_RD_HI = 50_000.0, 200_000.0
+
+
+def q_versioned_rename_scan(spark, sf_dir):
+    """RENAME COLUMN via Delta-style column mapping, judged
+    end-to-end: orders lands once as a stats-enabled versioned table,
+    TWO metadata-only renames land (o_totalprice→price — rewriting
+    the stats_cols/bucket_stats keys — and o_orderpriority→prio),
+    then ONE idempotent UPDATE addresses the renamed columns by their
+    NEW names (its prune conjunct drives bucket skipping through the
+    renamed stats), and the final read range-prunes on the new name.
+    Parquet files keep the ORIGINAL physical names throughout
+    (catalog.py _column_map/_to_logical/_to_physical,
+    alter_versioned_rename_column). The oracle replays predicate +
+    CASE over the RAW parquet with its original names, so a green row
+    proves rename ≡ pure relabeling on an independent engine."""
+    from amaxa_spark.sources.catalog import (
+        alter_versioned_rename_column,
+        read_versioned_table,
+        update_versioned,
+        _bucket_manifest,
+    )
+
+    root = _cached_versioned(
+        spark, sf_dir, "orders-ren", "orders", "o_orderkey",
+        n_buckets=32, stats_cols=["o_totalprice"],
+    )
+    if not _bucket_manifest(root).get("column_map"):
+        alter_versioned_rename_column(root, "o_totalprice", "price", spark)
+        alter_versioned_rename_column(root, "o_orderpriority", "prio", spark)
+    if not _bucket_manifest(root).get("gate_rename_upd"):
+        update_versioned(
+            spark, root, {"prio": F.lit("R-UPDATED")},
+            where="o_orderkey % 3 = 0",
+            prune=[("price", _VREN_UP_LO, None)],
+            extra_meta={"gate_rename_upd": True},
+        )
+    return read_versioned_table(
+        spark, root, prune=[("price", _VREN_RD_LO, _VREN_RD_HI)]
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.round("price", 4).alias("price"),
+        F.col("prio").alias("prio"),
+    )
+
+
 _VFS_LO, _VFS_HI = 80_000.0, 120_000.0
 
 
@@ -3586,6 +3633,7 @@ QUERY_ORDER = [
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
     # --- round-10 additions first (judged in their birth round) ---
+    "versioned_rename_scan",
     "pq_topk_adc", "pq_topk_rerank", "nb_classify_bigram",
     "ann_binary_topk",
     # --- round-9 additions ---
@@ -3666,37 +3714,38 @@ QUERY_ORDER = [
 # judged-window invariants: round-8 changes lead the driver's
 # first-50 window (judged in their birth round), and the full surface
 # is intact
-assert QUERY_ORDER.index("pq_topk_adc") == 0  # r10 first
-assert QUERY_ORDER.index("pq_topk_rerank") == 1
-assert QUERY_ORDER.index("nb_classify_bigram") == 2
-assert QUERY_ORDER.index("ann_binary_topk") == 3
-assert QUERY_ORDER.index("versioned_update_scan") == 4  # r9 follows
-assert QUERY_ORDER.index("versioned_file_prune") == 5
-assert QUERY_ORDER.index("nb_classify") == 6
-assert QUERY_ORDER.index("embedding_quantize") == 7
-assert QUERY_ORDER.index("ann_quantized_topk") == 8
-assert QUERY_ORDER.index("image_near_dups") == 9
-assert QUERY_ORDER.index("audio_near_dups") == 10
-assert QUERY_ORDER.index("semantic_dedup") == 11  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 12
-assert QUERY_ORDER.index("versioned_prune_scan") == 13
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 14
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 15  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 16  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 17
-assert QUERY_ORDER.index("image_gif_stats") == 18
-assert QUERY_ORDER.index("audio_spectral") == 19
-assert QUERY_ORDER.index("video_gif_frames") == 20
-assert QUERY_ORDER.index("graph_pagerank") == 21
-assert QUERY_ORDER.index("bpe_merges") == 22
-assert QUERY_ORDER.index("bpe_tokenize") == 23
-assert QUERY_ORDER.index("dedup_containment") == 24  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 61
-assert QUERY_ORDER.index("tfidf_keywords") < 61  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 61  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 76  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 126  # r1-4 core last
-assert len(QUERY_ORDER) == 176 and len(set(QUERY_ORDER)) == 176
+assert QUERY_ORDER.index("versioned_rename_scan") == 0  # r10 first
+assert QUERY_ORDER.index("pq_topk_adc") == 1
+assert QUERY_ORDER.index("pq_topk_rerank") == 2
+assert QUERY_ORDER.index("nb_classify_bigram") == 3
+assert QUERY_ORDER.index("ann_binary_topk") == 4
+assert QUERY_ORDER.index("versioned_update_scan") == 5  # r9 follows
+assert QUERY_ORDER.index("versioned_file_prune") == 6
+assert QUERY_ORDER.index("nb_classify") == 7
+assert QUERY_ORDER.index("embedding_quantize") == 8
+assert QUERY_ORDER.index("ann_quantized_topk") == 9
+assert QUERY_ORDER.index("image_near_dups") == 10
+assert QUERY_ORDER.index("audio_near_dups") == 11
+assert QUERY_ORDER.index("semantic_dedup") == 12  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 13
+assert QUERY_ORDER.index("versioned_prune_scan") == 14
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 15
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 16  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 17  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 18
+assert QUERY_ORDER.index("image_gif_stats") == 19
+assert QUERY_ORDER.index("audio_spectral") == 20
+assert QUERY_ORDER.index("video_gif_frames") == 21
+assert QUERY_ORDER.index("graph_pagerank") == 22
+assert QUERY_ORDER.index("bpe_merges") == 23
+assert QUERY_ORDER.index("bpe_tokenize") == 24
+assert QUERY_ORDER.index("dedup_containment") == 25  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 62
+assert QUERY_ORDER.index("tfidf_keywords") < 62  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 62  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 77  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 127  # r1-4 core last
+assert len(QUERY_ORDER) == 177 and len(set(QUERY_ORDER)) == 177
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3826,6 +3875,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "versioned_prune_scan": q_versioned_prune_scan,
         "versioned_bloom_lookup": q_versioned_bloom_lookup,
+        "versioned_rename_scan": q_versioned_rename_scan,
         "versioned_update_scan": q_versioned_update_scan,
         "versioned_file_prune": q_versioned_file_prune,
         "nb_classify": q_nb_classify,
@@ -5325,6 +5375,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT o_orderkey AS okey, round(o_totalprice, 4) AS price "
             f"FROM orders WHERE o_totalprice >= {_VFS_LO} "
             f"AND o_totalprice <= {_VFS_HI}"
+        ),
+        "versioned_rename_scan": (
+            "SELECT o_orderkey AS okey, round(o_totalprice, 4) AS price, "
+            f"CASE WHEN o_totalprice >= {_VREN_UP_LO} "
+            "AND o_orderkey % 3 = 0 "
+            "THEN 'R-UPDATED' ELSE o_orderpriority END AS prio "
+            f"FROM orders WHERE o_totalprice >= {_VREN_RD_LO} "
+            f"AND o_totalprice <= {_VREN_RD_HI}"
         ),
         "ann_quantized_topk": _ANN_QUANT_ORACLE,
         "pq_topk_adc": _pq_oracle_sql(),

@@ -194,6 +194,19 @@ def _table_mode(argv: list[str]) -> int:
     rb.add_argument("path")
     rb.add_argument("n_buckets", type=int)
 
+    rn = sub.add_parser(
+        "rename-column",
+        help="metadata-only RENAME COLUMN (column mapping: parquet "
+        "files keep the original physical name; zero rewrites)",
+    )
+    rn.add_argument("path")
+    rn.add_argument("old")
+    rn.add_argument("new")
+    rn.add_argument("--db", action="store_true")
+    rn.add_argument(
+        "--table", help="--db: the table to rename the column on"
+    )
+
     v = sub.add_parser("vacuum", help="reclaim unreferenced generations")
     v.add_argument("path")
     v.add_argument("--keep-last", type=int, default=1)
@@ -278,6 +291,21 @@ def _table_mode(argv: list[str]) -> int:
         spark = get_spark("amaxa-table-rebucket")
         m = C.rebucket_versioned(spark, args.path, args.n_buckets)
         print(f"rebucketed to {m['n_buckets']} buckets "
+              f"(seq {m['seq']} token {m['token']})")
+    elif args.verb == "rename-column":
+        if args.db and not args.table:
+            sp.error("--db requires --table")
+        if args.table and not args.db:
+            sp.error("--table requires --db")
+        if args.db:
+            m = C.alter_versioned_db_rename_column(
+                args.path, args.table, args.old, args.new
+            )
+        else:
+            m = C.alter_versioned_rename_column(
+                args.path, args.old, args.new
+            )
+        print(f"renamed {args.old} -> {args.new} "
               f"(seq {m['seq']} token {m['token']})")
     elif args.verb == "vacuum":
         removed = (

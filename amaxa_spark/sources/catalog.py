@@ -621,7 +621,7 @@ def _merge_target_frame(
     frame only for pre-format manifests that recorded no schema."""
     if cur_paths:
         return _fill_added_columns(
-            _read_maybe_merged(spark, meta, *cur_paths), meta
+            _read_logical(spark, meta, *cur_paths), meta
         )
     first = next(iter(sorted(meta["buckets"].items())), None)
     if first is None:
@@ -639,7 +639,7 @@ def _merge_target_frame(
             )
         return _fill_added_columns(upd.select(pk, *set_cols).limit(0), meta)
     return _fill_added_columns(
-        _read_maybe_merged(
+        _read_logical(
             spark,
             meta,
             os.path.join(root, first[1], f"{MERGE_BUCKET_COL}={first[0]}"),
@@ -1107,6 +1107,65 @@ def _fill_added_columns(df: DataFrame, manifest: dict) -> DataFrame:
     return df.drop(*dropped) if dropped else df
 
 
+def _column_map(entry: dict) -> dict:
+    """The manifest's logical→physical name map (Delta-style column
+    mapping, the machinery behind metadata-only RENAME COLUMN).
+    Parquet files always carry a column's ORIGINAL name — stable for
+    the life of the table — so generations written before and after
+    any number of renames stay schema-uniform (mergeSchema never sees
+    two names for one column) and rewrites never have to migrate old
+    files. Empty (the common case) until the first rename."""
+    return entry.get("column_map") or {}
+
+
+def _phys_name(entry: dict, col: str) -> str:
+    """The physical (parquet) name of a logical column — identity
+    unless the column was renamed."""
+    return _column_map(entry).get(col, col)
+
+
+def _to_logical(df: DataFrame, entry: dict) -> DataFrame:
+    """Physical→logical rename at the read boundary: ONE simultaneous
+    select (chained renames could collide on a swap like
+    {b: "a", a: "c"}), a no-op projection when the map is empty."""
+    cmap = _column_map(entry)
+    if not cmap:
+        return df
+    rev = {p: l for l, p in cmap.items()}
+    return df.select(
+        *[
+            df[c].alias(rev[c]) if c in rev else df[c]
+            for c in df.columns
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, entry: dict) -> DataFrame:
+    """Logical→physical rename at the write boundary — every bucket
+    rewrite (MERGE/UPDATE/DELETE/CDC) keeps writing the ORIGINAL
+    physical names so all generations of a table stay schema-uniform
+    regardless of rename history."""
+    cmap = _column_map(entry)
+    if not cmap:
+        return df
+    return df.select(
+        *[
+            df[c].alias(cmap[c]) if c in cmap else df[c]
+            for c in df.columns
+        ]
+    )
+
+
+def _read_logical(
+    spark: SparkSession, manifest: dict, *paths
+) -> DataFrame:
+    """The standard logical read of committed bucket paths:
+    merged-schema parquet scan, then physical→logical translation.
+    Everything downstream of this call — predicates, SET expressions,
+    constraints, added-column fill — speaks logical names only."""
+    return _to_logical(_read_maybe_merged(spark, manifest, *paths), manifest)
+
+
 def _manifest_logical_columns(manifest: dict) -> set | None:
     """The table's logical column set from manifest metadata alone —
     recorded init schema plus ALTER-added minus ALTER-dropped — or
@@ -1215,7 +1274,7 @@ def read_versioned_table(
         # layouts expose the SAME schema (it is a pure pk-hash expression,
         # so re-deriving is exact, no directory-name parsing needed)
         df = (
-            _read_maybe_merged(spark, manifest, *paths)
+            _read_logical(spark, manifest, *paths)
             .withColumn(
                 MERGE_BUCKET_COL,
                 _bucket_expr(manifest["pk"], manifest["n_buckets"]),
@@ -1511,30 +1570,39 @@ def _harvest_bucket_stats(
             return {}
     except FileNotFoundError:
         return {}
+    # the frame is PHYSICAL (raw generation read); stats_cols /
+    # bloom_cols are logical. Manifest-level entries key by LOGICAL
+    # names (rewritten on every RENAME commit); immutable per-file /
+    # bloom SIDECARS key by PHYSICAL names — stable for the life of
+    # the table, so sidecars written before and after a rename agree
     df = spark.read.parquet(gen_dir)
     dtypes = dict(df.dtypes)
     added = set(manifest.get("added_columns", {}))
+    pairs = [(c, _phys_name(manifest, c)) for c in cols]
     use = [
-        c for c in cols
-        if c in dtypes and c not in added and _stats_type_ok(dtypes[c])
+        (c, p) for c, p in pairs
+        if p in dtypes and c not in added and _stats_type_ok(dtypes[p])
     ]
     aggs = [F.count(F.lit(1)).alias("__rows")]
-    for i, c in enumerate(use):
+    for i, (_c, p) in enumerate(use):
         aggs += [
-            F.min(F.col(c)).alias(f"__mn_{i}"),
-            F.max(F.col(c)).alias(f"__mx_{i}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{i}"),
+            F.min(F.col(p)).alias(f"__mn_{i}"),
+            F.max(F.col(p)).alias(f"__mx_{i}"),
+            F.sum(F.col(p).isNull().cast("long")).alias(f"__nl_{i}"),
         ]
 
-    def entry_of(r) -> dict:
+    def entry_of(r, names) -> dict:
         ent = {"rows": r["__rows"], "cols": {}}
-        for i, c in enumerate(use):
+        for i, c in enumerate(names):
             ent["cols"][c] = {
                 "min": _stats_value(r[f"__mn_{i}"]),
                 "max": _stats_value(r[f"__mx_{i}"]),
                 "nulls": r[f"__nl_{i}"],
             }
         return ent
+
+    use_log = [c for c, _p in use]
+    use_phys = [p for _c, p in use]
 
     out: dict[str, dict] = {}
     if manifest.get("file_stats") and use:
@@ -1555,22 +1623,22 @@ def _harvest_bucket_stats(
         for r in rows:
             b = str(r[MERGE_BUCKET_COL])
             fname = os.path.basename(r["__file"])
-            per_file.setdefault(b, {})[fname] = entry_of(r)
+            per_file.setdefault(b, {})[fname] = entry_of(r, use_phys)
         for b, files in per_file.items():
             ents = list(files.values())
             merged = {
                 "rows": sum(e["rows"] for e in ents),
                 "cols": {},
             }
-            for c in use:
-                mns = [e["cols"][c]["min"] for e in ents
-                       if e["cols"][c]["min"] is not None]
-                mxs = [e["cols"][c]["max"] for e in ents
-                       if e["cols"][c]["max"] is not None]
+            for c, p in use:
+                mns = [e["cols"][p]["min"] for e in ents
+                       if e["cols"][p]["min"] is not None]
+                mxs = [e["cols"][p]["max"] for e in ents
+                       if e["cols"][p]["max"] is not None]
                 merged["cols"][c] = {
                     "min": min(mns) if mns else None,
                     "max": max(mxs) if mxs else None,
-                    "nulls": sum(e["cols"][c]["nulls"] for e in ents),
+                    "nulls": sum(e["cols"][p]["nulls"] for e in ents),
                 }
             out[b] = merged
         import json as _json
@@ -1579,21 +1647,28 @@ def _harvest_bucket_stats(
             _json.dump(per_file, f)
     else:
         for r in df.groupBy(MERGE_BUCKET_COL).agg(*aggs).collect():
-            out[str(r[MERGE_BUCKET_COL])] = entry_of(r)
+            out[str(r[MERGE_BUCKET_COL])] = entry_of(r, use_log)
     if bloom_cols:
         import json as _json
 
         for c in bloom_cols:
             parts = _bloom_key_cols(c)
-            if any(p not in dtypes or p in added for p in parts):
+            parts_phys = [_phys_name(manifest, x) for x in parts]
+            if any(
+                pp not in dtypes or pl in added
+                for pl, pp in zip(parts, parts_phys)
+            ):
                 continue
-            blobs = _build_bucket_blooms(df, c)
+            # build AND name the sidecar with physical columns: the
+            # hash is over VALUES, so lookup parity with the logical
+            # side holds by construction
+            blobs = _build_bucket_blooms(df, parts_phys)
             # every harvested bucket gets an entry: a bucket with NO
             # non-null value of c takes the empty marker (equality on
             # a non-null literal correctly prunes it)
             index = {b: blobs.get(b, _BLOOM_EMPTY) for b in out}
             with open(
-                os.path.join(gen_dir, _bloom_sidecar_name(c)), "w"
+                os.path.join(gen_dir, _bloom_sidecar_name(parts_phys)), "w"
             ) as f:
                 _json.dump(index, f)
     return out
@@ -1792,12 +1867,15 @@ def bloom_prune_buckets(
     by_gen: dict[str, list[str]] = {}
     for b, gen in manifest["buckets"].items():
         by_gen.setdefault(gen, []).append(b)
+    # sidecars are keyed by PHYSICAL column names (stable across
+    # renames); the caller's key is logical
+    sidecar = _bloom_sidecar_name(
+        [_phys_name(manifest, x) for x in _bloom_key_cols(col)]
+    )
     out = []
     for gen, bs in by_gen.items():
         try:
-            with open(
-                os.path.join(root, gen, _bloom_sidecar_name(col))
-            ) as f:
+            with open(os.path.join(root, gen, sidecar)) as f:
                 index = _json.load(f)
         except (FileNotFoundError, ValueError):
             out.extend(bs)  # no sidecar: conservative
@@ -1882,7 +1960,13 @@ def _pruned_bucket_paths(
     import json as _json
 
     conjs, null_cols = _file_tier_conjuncts(entry, prune, eq)
-    added = set(entry.get("added_columns", {}))
+    # file-stats sidecars key by PHYSICAL names (stable across
+    # renames); the conjuncts arrive with logical names
+    conjs = [(_phys_name(entry, c), lo, hi) for c, lo, hi in conjs]
+    null_cols = [_phys_name(entry, c) for c in null_cols]
+    added = {
+        _phys_name(entry, c) for c in entry.get("added_columns", {})
+    }
     sidecars: dict[str, dict | None] = {}
     paths: list[str] = []
     for b, gen in survivors:
@@ -2313,7 +2397,7 @@ def _enforce_constraints(
             return
     except FileNotFoundError:
         return
-    df = _fill_added_columns(_read_maybe_merged(spark, entry, gen_dir), entry)
+    df = _fill_added_columns(_read_logical(spark, entry, gen_dir), entry)
     _check_constraints_frame(df, cons, root)
 
 
@@ -2477,8 +2561,18 @@ def _validate_drop_columns(
         known |= {f["name"] for f in _json.loads(sj)["fields"]}
     known |= set(entry.get("added_columns") or {})
     already = set(entry.get("dropped_columns") or [])
+    cmap = _column_map(entry)
+    rev_phys = {p: l for l, p in cmap.items()}
     physical: set[str] | None = None
     for col in columns:
+        if col in rev_phys and col not in known:
+            # the OLD physical name of a renamed column: the footer
+            # fallback below would accept it, splitting the drop
+            # between the physical and logical namespaces
+            raise ValueError(
+                f"{root}: column {col!r} was renamed to "
+                f"{rev_phys[col]!r}; drop it by its current name"
+            )
         if col == entry["pk"]:
             raise ValueError(f"{root}: cannot drop the key column {col!r}")
         if col == MERGE_BUCKET_COL:
@@ -2599,6 +2693,194 @@ def alter_versioned_db_drop_columns(
         if new_t.get("added_columns"):
             new_t["added_columns"] = dict(new_t["added_columns"])
         _strip_dropped_metadata(new_t, set(columns))
+        new_manifest = {
+            **{k: v for k, v in manifest.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+            "tables": {**manifest["tables"], table: new_t},
+        }
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def _renamed_table_entry(
+    t: dict, root: str, old: str, new: str, spark: SparkSession | None
+) -> dict:
+    """Validate one RENAME COLUMN and build the renamed table entry —
+    shared by both layouts. The rename is METADATA-ONLY (Delta's
+    column-mapping idea, `delta/protocol` §column mapping): parquet
+    files keep the column's ORIGINAL physical name forever; the
+    manifest's ``column_map`` records logical→physical, readers
+    translate after the scan, rewrites translate back before the
+    write. All manifest-level metadata (recorded schema, stats_cols,
+    bloom_cols, bucket_stats, added_columns) is rewritten to the new
+    logical name in the SAME commit; immutable per-generation
+    sidecars stay keyed by physical name and lookups translate.
+
+    Refused: the key column (it pins the bucket layout), the reserved
+    bucket column, dropped names on either side (the reader's drop
+    projection would swallow the new name; old bytes could resurrect
+    under a re-used one), a target that collides with a live logical
+    column or with UNCLAIMED physical bytes in retained generations,
+    and a source referenced by a CHECK constraint (drop the
+    constraint first — its expression text names the old column)."""
+    import json as _json
+
+    if old == new:
+        raise ValueError(f"{root}: rename {old!r} to itself is a no-op")
+    if old == t["pk"] or new == t["pk"]:
+        raise ValueError(
+            f"{root}: cannot rename the key column {t['pk']!r} "
+            "(it pins the bucket layout; re-initialize to re-key)"
+        )
+    if MERGE_BUCKET_COL in (old, new):
+        raise ValueError(
+            f"{root}: {MERGE_BUCKET_COL!r} is the reserved bucket column"
+        )
+    dropped = set(t.get("dropped_columns") or [])
+    if old in dropped:
+        raise ValueError(f"{root}: column {old!r} is dropped")
+    if new in dropped:
+        raise ValueError(
+            f"{root}: {new!r} was dropped; a full-rewrite re-init is "
+            "required to re-use the name"
+        )
+    logical = _manifest_logical_columns(t)
+    if logical is None:
+        raise ValueError(
+            f"{root}: cannot rename — this manifest predates the "
+            "recorded-schema format; re-initialize the table "
+            "(write_versioned_table) to record its schema"
+        )
+    if old not in logical:
+        raise ValueError(
+            f"{root}: no column {old!r} to rename "
+            f"(table has: {sorted(logical)})"
+        )
+    if new in logical:
+        raise ValueError(f"{root}: column {new!r} already exists")
+    refs = _constraint_references(t.get("constraints"), old)
+    if refs:
+        raise ValueError(
+            f"{root}: column {old!r} is referenced by CHECK "
+            f"constraint(s) {refs}; drop them first"
+        )
+    # resurrection guard: physical bytes in retained generations that
+    # no live logical column claims (shed columns, historic re-inits)
+    # must not re-surface under the new name — the read-side rename
+    # would produce two columns with one name
+    coll = _alter_collision_columns(spark, root, t)
+    claimed = set(_column_map(t).values())
+    if new in (coll - logical - claimed - {MERGE_BUCKET_COL}):
+        raise ValueError(
+            f"{root}: {new!r} exists physically in retained "
+            "generations; re-initialize to free the name"
+        )
+    cmap = dict(_column_map(t))
+    phys = cmap.pop(old, old)
+    if phys != new:
+        cmap[new] = phys
+
+    def ren(c: str) -> str:
+        return new if c == old else c
+
+    out = {**t}
+    if cmap:
+        out["column_map"] = cmap
+    else:
+        out.pop("column_map", None)  # renamed back to the original
+    if t.get("columns"):
+        out["columns"] = [ren(c) for c in t["columns"]]
+    sj = t.get("schema_json")
+    if sj:
+        d = _json.loads(sj)
+        for f in d.get("fields", []):
+            if f.get("name") == old:
+                f["name"] = new
+        out["schema_json"] = _json.dumps(d)
+    if t.get("stats_cols"):
+        out["stats_cols"] = [ren(c) for c in t["stats_cols"]]
+    if t.get("bloom_cols"):
+        out["bloom_cols"] = [
+            ren(e) if isinstance(e, str) else [ren(c) for c in e]
+            for e in t["bloom_cols"]
+        ]
+    if t.get("added_columns"):
+        out["added_columns"] = {
+            ren(c): spec for c, spec in t["added_columns"].items()
+        }
+    if t.get("bucket_stats"):
+        out["bucket_stats"] = {
+            b: {
+                **e,
+                "cols": {
+                    ren(c): v for c, v in (e.get("cols") or {}).items()
+                },
+            }
+            for b, e in t["bucket_stats"].items()
+        }
+    return out
+
+
+def alter_versioned_rename_column(
+    path: str, old: str, new: str, spark: SparkSession | None = None
+) -> dict:
+    """Metadata-only ALTER RENAME COLUMN on a versioned table: one
+    chain commit, zero parquet rewrites at ANY table size — the
+    Delta-style column-mapping rename (:func:`_renamed_table_entry`
+    has the full contract). Pre-rename tokens time-travel with the
+    old name; concurrent bucket rewrites racing the rename raise
+    :class:`ConcurrentMergeError` on their rebase path."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    while True:
+        manifest = _bucket_manifest(path)
+        new_t = _renamed_table_entry(manifest, path, old, new, spark)
+        new_manifest = {
+            **{k: v for k, v in new_t.items() if k != "committed_at"},
+            "token": token,
+            "seq": int(manifest.get("seq", 0)) + 1,
+        }
+        try:
+            _claim_commit(path, new_manifest["seq"], new_manifest)
+            break
+        except FileExistsError:
+            continue
+    _publish_manifest(path, new_manifest)
+    return new_manifest
+
+
+def alter_versioned_db_rename_column(
+    path: str,
+    table: str,
+    old: str,
+    new: str,
+    spark: SparkSession | None = None,
+) -> dict:
+    """RENAME COLUMN for one table of the transactional layout — the
+    db twin of :func:`alter_versioned_rename_column`, identical
+    semantics; other tables are untouched and the ALTER is one
+    transaction on the shared chain."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    while True:
+        manifest = _db_manifest(path)
+        if table not in manifest["tables"]:
+            raise ValueError(
+                f"{path}: no table {table!r} in this snapshot "
+                f"(has: {sorted(manifest['tables'])})"
+            )
+        new_t = _renamed_table_entry(
+            manifest["tables"][table], os.path.join(path, table),
+            old, new, spark,
+        )
         new_manifest = {
             **{k: v for k, v in manifest.items() if k != "committed_at"},
             "token": token,
@@ -2842,7 +3124,18 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
         ]
         if not paths:
             return None
-        return _fill_added_columns(_read_maybe_merged(spark, meta, *paths), meta)
+        df = _fill_added_columns(_read_logical(spark, meta, *paths), meta)
+        if meta is tf and _column_map(tf) != _column_map(tt):
+            # a RENAME landed between the snapshots: express the FROM
+            # side in the TO side's logical namespace via the shared
+            # (stable) physical names, so a metadata-only rename
+            # produces NO diff rows — the bytes did not change
+            tt_rev = {p: l for l, p in _column_map(tt).items()}
+            def cur(c):
+                p = _column_map(tf).get(c, c)
+                return tt_rev.get(p, p)
+            df = df.select(*[df[c].alias(cur(c)) for c in df.columns])
+        return df
 
     df_f = side(tf, changed)
     df_t = side(tt, changed)
@@ -3397,22 +3690,39 @@ def _table_manifest_sql(
     for leaf in gen_leaf.values():
         physical |= _footer_columns(leaf)
     physical -= {MERGE_BUCKET_COL}
-    physical -= dropped  # projected out, exactly like the live reader
+    # files carry PHYSICAL names (column mapping): project each
+    # logical column from its physical twin, aliased back — the
+    # external engine sees the same post-RENAME names as the native
+    # reader. Dropped columns subtract by their physical name.
+    cmap = manifest.get("column_map") or {}
+    physical -= {cmap.get(d, d) for d in dropped}
 
-    base = [c for c in schema_cols if c in physical] + sorted(
-        physical - set(schema_cols) - set(added)
+    def _proj(c: str) -> str:
+        p = cmap.get(c, c)
+        return (
+            f"{_sql_ident(p)} AS {_sql_ident(c)}"
+            if p != c
+            else _sql_ident(c)
+        )
+
+    base = [c for c in schema_cols if cmap.get(c, c) in physical]
+    extras = sorted(
+        physical
+        - {cmap.get(c, c) for c in schema_cols}
+        - {cmap.get(a, a) for a in added}
     )
-    exprs = [_sql_ident(c) for c in base]
+    exprs = [_proj(c) for c in base] + [_sql_ident(c) for c in extras]
     for col, spec in added.items():
         default = spec.get("default")
-        if col in physical:
+        p = cmap.get(col, col)
+        if p in physical:
             if default is None:
-                exprs.append(_sql_ident(col))
+                exprs.append(_proj(col))
             else:
                 # default-on-read: physical NULLs (pre-alter files via
                 # union_by_name, or stored NULLs) read as the default
                 exprs.append(
-                    f"coalesce({_sql_ident(col)}, "
+                    f"coalesce({_sql_ident(p)}, "
                     f"CAST({_sql_literal(default)} AS "
                     f"{_duckdb_type(spec['type'])})) AS {_sql_ident(col)}"
                 )
@@ -3655,7 +3965,10 @@ def merge_into_versioned(
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
     (
-        merged.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        _to_physical(
+            merged.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)),
+            manifest,
+        )
         .write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(path, gen))
@@ -3795,7 +4108,10 @@ def _delete_keys_from_table(
         _bucket_expr(pk, n_buckets).isin(affected)
     ).join(k.select(pk), pk, "left_anti")
     (
-        remaining.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        _to_physical(
+            remaining.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)),
+            t,
+        )
         .write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(root, gen))
@@ -3880,7 +4196,7 @@ def _update_table_body(
     ]
     if not cur_paths:
         return None
-    table = _fill_added_columns(_read_maybe_merged(spark, t, *cur_paths), t)
+    table = _fill_added_columns(_read_logical(spark, t, *cur_paths), t)
     unknown = sorted(set(set_exprs) - set(table.columns))
     if unknown:
         raise ValueError(
@@ -3920,7 +4236,9 @@ def _update_table_body(
             cols.append(F.col(c))
     out = table.where(_bucket_expr(pk, n_buckets).isin(affected)).select(*cols)
     (
-        out.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        _to_physical(
+            out.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)), t
+        )
         .write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(root, gen))
@@ -4177,7 +4495,9 @@ def _apply_changes_body(
         .unionByName(upserts)
     )
     (
-        out.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+        _to_physical(
+            out.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)), t
+        )
         .write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(root, gen))
@@ -4533,6 +4853,20 @@ def _commit_bucket_update(
                     "against its snapshot's constraints; re-run against "
                     "the new head"
                 )
+            if ours and head.get("column_map") != base_manifest.get(
+                "column_map"
+            ):
+                # a concurrent RENAME changed the logical namespace:
+                # this write's files carry the right PHYSICAL names
+                # either way, but its harvested stats / evaluated
+                # expressions used the snapshot's logical names —
+                # rebasing would mix two naming generations in one
+                # manifest
+                raise ConcurrentMergeError(
+                    f"{path}: a column was renamed (seq up to {head_seq}) "
+                    "after this write's snapshot; re-run against the "
+                    "new head"
+                )
             # rebase onto the head's metadata too — it may carry newer
             # ALTER commits than our snapshot
             seq = head_seq + 1
@@ -4636,8 +4970,10 @@ def optimize_versioned(
         # merged-schema read: candidate buckets can span pre- and
         # post-ALTER generations — without the union schema, a column
         # present only in newer files would be silently DROPPED from
-        # the compacted rewrite (physical data loss)
-        _read_maybe_merged(spark, manifest, *cur)
+        # the compacted rewrite (physical data loss). Logical read so
+        # cluster_by/zorder_by take the user-facing (post-RENAME)
+        # names; the write translates back to physical.
+        _read_logical(spark, manifest, *cur)
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
     )
     if zorder_by:
@@ -4678,7 +5014,8 @@ def optimize_versioned(
         elif zorder_by:
             out = out.sortWithinPartitions(MERGE_BUCKET_COL, zkey)
     (
-        out.write.mode("errorifexists")
+        _to_physical(out, manifest)
+        .write.mode("errorifexists")
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(path, gen))
     )
@@ -5402,7 +5739,7 @@ def read_versioned_db(
         # _fill_added_columns expect (its own added_columns map), so
         # the single-table schema-evolution read path applies per table
         df = _fill_added_columns(
-            _read_maybe_merged(spark, t, *tpaths).withColumn(
+            _read_logical(spark, t, *tpaths).withColumn(
                 MERGE_BUCKET_COL, _bucket_expr(t["pk"], t["n_buckets"])
             ),
             t,
@@ -5638,7 +5975,9 @@ def merge_into_versioned_db(
                 _unmatched_inserts(table, upd, pk, set_cols[name])
             )
         (
-            merged.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
+            _to_physical(
+                merged.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb)), t
+            )
             .write.mode("errorifexists")
             .partitionBy(MERGE_BUCKET_COL)
             .parquet(os.path.join(path, name, gen))
@@ -5754,6 +6093,18 @@ def _commit_db_update(
                         "this transaction validated its rows; re-run "
                         "against the new head"
                     )
+                if ht.get("column_map") != base_manifest["tables"][
+                    name
+                ].get("column_map"):
+                    # same RENAME conflict rule as the single-table
+                    # loop: stats and expressions used the snapshot's
+                    # logical names
+                    raise ConcurrentMergeError(
+                        f"{path}: table {name!r} had a column renamed "
+                        f"(commits up to seq {head_seq}) after this "
+                        "transaction's snapshot; re-run against the "
+                        "new head"
+                    )
             seq = head_seq + 1
             new_manifest = stamped(head, seq)
 
@@ -5853,7 +6204,7 @@ def optimize_versioned_db(
         # column present only in newer files would be silently
         # DROPPED from the compacted rewrite (physical data loss)
         out = _fill_added_columns(
-            _read_maybe_merged(spark, t, *cur), t
+            _read_logical(spark, t, *cur), t
         ).withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
         if t_zorder:
             zkey = _zorder_expr(out, t_zorder)
@@ -5875,7 +6226,8 @@ def optimize_versioned_db(
             elif t_zorder:
                 out = out.sortWithinPartitions(MERGE_BUCKET_COL, zkey)
         (
-            out.write.mode("errorifexists")
+            _to_physical(out, t)
+            .write.mode("errorifexists")
             .partitionBy(MERGE_BUCKET_COL)
             .parquet(os.path.join(path, name, gen))
         )
