@@ -3315,9 +3315,14 @@ def _export_table_entry(src_root: str, meta: dict, out_dir: str, materialize) ->
     zero-copy."""
     if not meta["buckets"]:
         return {"mode": "empty", "files": []}
-    if meta.get("added_columns") or meta.get("dropped_columns"):
-        # metadata-only schema evolution (either direction) means the
-        # raw files are NOT the logical table — materialize instead
+    if (
+        meta.get("added_columns")
+        or meta.get("dropped_columns")
+        or meta.get("column_map")
+    ):
+        # metadata-only schema evolution (any direction — ADD, DROP,
+        # or RENAME's column mapping) means the raw files are NOT the
+        # logical table — materialize instead
         materialize().write.mode("append").parquet(out_dir)
         files = sorted(
             f for f in os.listdir(out_dir)
@@ -3363,13 +3368,18 @@ def export_snapshot(
     # materialize, so it exports as "empty" regardless of ALTERs.
     if (
         manifest["buckets"]
-        and (manifest.get("added_columns") or manifest.get("dropped_columns"))
+        and (
+            manifest.get("added_columns")
+            or manifest.get("dropped_columns")
+            or manifest.get("column_map")
+        )
         and spark is None
     ):
         raise ValueError(
             f"{path}: table has metadata-only ALTER columns "
             f"(added: {sorted(manifest.get('added_columns') or {})}, "
-            f"dropped: {sorted(manifest.get('dropped_columns') or [])}); "
+            f"dropped: {sorted(manifest.get('dropped_columns') or [])}, "
+            f"renamed: {sorted(manifest.get('column_map') or {})}); "
             "pass spark= so the export can materialize the logical "
             "schema (a raw file export would mis-represent it)"
         )
@@ -3428,13 +3438,18 @@ def export_db_snapshot(
         t = manifest["tables"][name]
         if (
             t["buckets"]
-            and (t.get("added_columns") or t.get("dropped_columns"))
+            and (
+                t.get("added_columns")
+                or t.get("dropped_columns")
+                or t.get("column_map")
+            )
             and spark is None
         ):
             raise ValueError(
                 f"{path}/{name}: table has metadata-only ALTER "
                 f"columns (added: {sorted(t.get('added_columns') or {})}, "
-                f"dropped: {sorted(t.get('dropped_columns') or [])}); "
+                f"dropped: {sorted(t.get('dropped_columns') or [])}, "
+                f"renamed: {sorted(t.get('column_map') or {})}); "
                 "pass spark= so the export can materialize them"
             )
     os.makedirs(out, exist_ok=False)
@@ -5214,8 +5229,8 @@ def history_versioned(path: str) -> list[dict]:
             }
         else:
             row["n_buckets_live"] = len(m.get("buckets", {}))
-        for key in ("added_columns", "dropped_columns", "constraints",
-                    "clustered_by", "streams"):
+        for key in ("added_columns", "dropped_columns", "column_map",
+                    "constraints", "clustered_by", "streams"):
             if m.get(key):
                 row[key] = sorted(m[key]) if not isinstance(
                     m[key], str

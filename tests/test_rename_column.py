@@ -302,6 +302,36 @@ def test_reinit_resets_column_map(spark, tmp_path):
     ).select("score").first()[0] == 2.0
 
 
+def test_export_materializes_renamed_table(spark, tmp_path):
+    from amaxa_spark.sources.catalog import export_snapshot
+
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark, 10), root, "k", n_buckets=2)
+    alter_versioned_rename_column(root, "v", "score", spark)
+    # a zero-copy link export would expose PHYSICAL names — refused
+    # without a session, materialized with one
+    with pytest.raises(ValueError, match="renamed"):
+        export_snapshot(root, str(tmp_path / "out0"))
+    out = str(tmp_path / "out1")
+    rec = export_snapshot(root, out, spark=spark)
+    assert rec["mode"] == "materialized"
+    con = duckdb.connect()
+    cols = {
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    got = dict(
+        con.execute(
+            f"SELECT k, score FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    assert "score" in cols and "v" not in cols
+    assert got[3] == 3.0
+
+
 def test_cli_rename_column(spark, tmp_path, capsys):
     from amaxa_spark.__main__ import main
 
