@@ -1689,6 +1689,45 @@ def q_versioned_update_scan(spark, sf_dir):
     )
 
 
+_VDV_LO, _VDV_HI = 60_000.0, 250_000.0
+
+
+def q_versioned_dv_scan(spark, sf_dir):
+    """DELETION VECTORS (merge-on-read DELETE) judged end-to-end:
+    orders lands once as a stats-enabled versioned table, then a
+    deterministic key set (o_orderkey % 97 = 0) is deleted with
+    mode="dv" — NO data file rewrites; one small pk sidecar per
+    affected bucket and the manifest's dv map (catalog.py _apply_dv /
+    _dv_delete_table_body). Replays are naturally idempotent (the
+    DV-filtered match set is empty, so the re-run commits nothing).
+    The final read range-prunes on price — stats harvested BEFORE the
+    delete stay sound because the DV anti-join applies after
+    skipping. Oracle: plain WHERE over raw parquet excluding the
+    deleted keys, proving merge-on-read ≡ copy-on-write on an
+    independent engine."""
+    from amaxa_spark.sources.catalog import (
+        delete_from_versioned,
+        read_versioned_table,
+    )
+
+    root = _cached_versioned(
+        spark, sf_dir, "orders-dv", "orders", "o_orderkey",
+        n_buckets=32, stats_cols=["o_totalprice"],
+    )
+    keys = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey")
+    )
+    delete_from_versioned(spark, root, keys, "o_orderkey", mode="dv")
+    return read_versioned_table(
+        spark, root, prune=[("o_totalprice", _VDV_LO, _VDV_HI)]
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+
+
 _VREN_UP_LO = 150_000.0
 _VREN_RD_LO, _VREN_RD_HI = 50_000.0, 200_000.0
 
@@ -3633,7 +3672,7 @@ QUERY_ORDER = [
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
     # --- round-10 additions first (judged in their birth round) ---
-    "versioned_rename_scan",
+    "versioned_dv_scan", "versioned_rename_scan",
     "pq_topk_adc", "pq_topk_rerank", "nb_classify_bigram",
     "ann_binary_topk",
     # --- round-9 additions ---
@@ -3714,38 +3753,39 @@ QUERY_ORDER = [
 # judged-window invariants: round-8 changes lead the driver's
 # first-50 window (judged in their birth round), and the full surface
 # is intact
-assert QUERY_ORDER.index("versioned_rename_scan") == 0  # r10 first
-assert QUERY_ORDER.index("pq_topk_adc") == 1
-assert QUERY_ORDER.index("pq_topk_rerank") == 2
-assert QUERY_ORDER.index("nb_classify_bigram") == 3
-assert QUERY_ORDER.index("ann_binary_topk") == 4
-assert QUERY_ORDER.index("versioned_update_scan") == 5  # r9 follows
-assert QUERY_ORDER.index("versioned_file_prune") == 6
-assert QUERY_ORDER.index("nb_classify") == 7
-assert QUERY_ORDER.index("embedding_quantize") == 8
-assert QUERY_ORDER.index("ann_quantized_topk") == 9
-assert QUERY_ORDER.index("image_near_dups") == 10
-assert QUERY_ORDER.index("audio_near_dups") == 11
-assert QUERY_ORDER.index("semantic_dedup") == 12  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 13
-assert QUERY_ORDER.index("versioned_prune_scan") == 14
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 15
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 16  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 17  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 18
-assert QUERY_ORDER.index("image_gif_stats") == 19
-assert QUERY_ORDER.index("audio_spectral") == 20
-assert QUERY_ORDER.index("video_gif_frames") == 21
-assert QUERY_ORDER.index("graph_pagerank") == 22
-assert QUERY_ORDER.index("bpe_merges") == 23
-assert QUERY_ORDER.index("bpe_tokenize") == 24
-assert QUERY_ORDER.index("dedup_containment") == 25  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 62
-assert QUERY_ORDER.index("tfidf_keywords") < 62  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 62  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 77  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 127  # r1-4 core last
-assert len(QUERY_ORDER) == 177 and len(set(QUERY_ORDER)) == 177
+assert QUERY_ORDER.index("versioned_dv_scan") == 0  # r10 first
+assert QUERY_ORDER.index("versioned_rename_scan") == 1
+assert QUERY_ORDER.index("pq_topk_adc") == 2
+assert QUERY_ORDER.index("pq_topk_rerank") == 3
+assert QUERY_ORDER.index("nb_classify_bigram") == 4
+assert QUERY_ORDER.index("ann_binary_topk") == 5
+assert QUERY_ORDER.index("versioned_update_scan") == 6  # r9 follows
+assert QUERY_ORDER.index("versioned_file_prune") == 7
+assert QUERY_ORDER.index("nb_classify") == 8
+assert QUERY_ORDER.index("embedding_quantize") == 9
+assert QUERY_ORDER.index("ann_quantized_topk") == 10
+assert QUERY_ORDER.index("image_near_dups") == 11
+assert QUERY_ORDER.index("audio_near_dups") == 12
+assert QUERY_ORDER.index("semantic_dedup") == 13  # r8 batch-3
+assert QUERY_ORDER.index("dsir_weights") == 14
+assert QUERY_ORDER.index("versioned_prune_scan") == 15
+assert QUERY_ORDER.index("versioned_bloom_lookup") == 16
+assert QUERY_ORDER.index("dedup_embedding_cosine") == 17  # r8 rework
+assert QUERY_ORDER.index("image_header_meta") == 18  # r8 batch-1/2
+assert QUERY_ORDER.index("video_mjpeg_frames") == 19
+assert QUERY_ORDER.index("image_gif_stats") == 20
+assert QUERY_ORDER.index("audio_spectral") == 21
+assert QUERY_ORDER.index("video_gif_frames") == 22
+assert QUERY_ORDER.index("graph_pagerank") == 23
+assert QUERY_ORDER.index("bpe_merges") == 24
+assert QUERY_ORDER.index("bpe_tokenize") == 25
+assert QUERY_ORDER.index("dedup_containment") == 26  # r7 additions follow
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 63
+assert QUERY_ORDER.index("tfidf_keywords") < 63  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 63  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 78  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 128  # r1-4 core last
+assert len(QUERY_ORDER) == 178 and len(set(QUERY_ORDER)) == 178
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3875,6 +3915,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "versioned_prune_scan": q_versioned_prune_scan,
         "versioned_bloom_lookup": q_versioned_bloom_lookup,
+        "versioned_dv_scan": q_versioned_dv_scan,
         "versioned_rename_scan": q_versioned_rename_scan,
         "versioned_update_scan": q_versioned_update_scan,
         "versioned_file_prune": q_versioned_file_prune,
@@ -5375,6 +5416,12 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT o_orderkey AS okey, round(o_totalprice, 4) AS price "
             f"FROM orders WHERE o_totalprice >= {_VFS_LO} "
             f"AND o_totalprice <= {_VFS_HI}"
+        ),
+        "versioned_dv_scan": (
+            "SELECT o_orderkey AS okey, round(o_totalprice, 4) AS price "
+            f"FROM orders WHERE o_totalprice >= {_VDV_LO} "
+            f"AND o_totalprice <= {_VDV_HI} "
+            "AND o_orderkey % 97 != 0"
         ),
         "versioned_rename_scan": (
             "SELECT o_orderkey AS okey, round(o_totalprice, 4) AS price, "

@@ -620,8 +620,14 @@ def _merge_target_frame(
     narrowing the table to pk + set_cols), falling back to the updates
     frame only for pre-format manifests that recorded no schema."""
     if cur_paths:
-        return _fill_added_columns(
-            _read_logical(spark, meta, *cur_paths), meta
+        # DV-filtered: a rewrite must not resurrect merge-on-read
+        # deletes (the rewritten bucket sheds its DV in the commit,
+        # so the physical shed and the metadata shed are atomic)
+        return _apply_dv(
+            spark,
+            root,
+            _fill_added_columns(_read_logical(spark, meta, *cur_paths), meta),
+            meta,
         )
     first = next(iter(sorted(meta["buckets"].items())), None)
     if first is None:
@@ -1166,6 +1172,52 @@ def _read_logical(
     return _to_logical(_read_maybe_merged(spark, manifest, *paths), manifest)
 
 
+DV_PK_COL = "__dv_pk"
+
+
+def _dv_map(entry: dict) -> dict:
+    """The manifest's deletion-vector map ``{bucket: gen}`` —
+    merge-on-read DELETE (Delta/Iceberg's deletion-vector idea on the
+    bucket layout): ``<root>/<gen>/<bucket dir>`` holds one parquet
+    file of DELETED pk values (column ``__dv_pk``, the UNION of every
+    DV commit since the bucket's last rewrite). Readers anti-join;
+    any rewrite of the bucket materializes the delete and sheds the
+    entry. Empty (the common case) until the first ``mode="dv"``
+    delete."""
+    return entry.get("dv") or {}
+
+
+def _apply_dv(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    entry: dict,
+    buckets=None,
+) -> DataFrame:
+    """Merge-on-read: anti-join the frame against the snapshot's
+    deletion vectors (restricted to ``buckets`` when the read was
+    pruned — a DV'd pk hashes to its own bucket, so DVs of unread
+    buckets cannot match anyway; skipping them keeps the file list
+    proportional to the scan). The DV side is tiny by construction
+    (deleted keys only), so AQE broadcasts the anti-join."""
+    dv = _dv_map(entry)
+    if buckets is not None:
+        dv = {b: g for b, g in dv.items() if b in buckets}
+    if not dv:
+        return df
+    pk = entry["pk"]
+    paths = [
+        os.path.join(root, g, f"{MERGE_BUCKET_COL}={b}")
+        for b, g in sorted(dv.items())
+    ]
+    dead = (
+        spark.read.parquet(*paths)
+        .select(F.col(DV_PK_COL).alias(pk))
+        .distinct()
+    )
+    return df.join(dead, pk, "left_anti")
+
+
 def _manifest_logical_columns(manifest: dict) -> set | None:
     """The table's logical column set from manifest metadata alone —
     recorded init schema plus ALTER-added minus ALTER-dropped — or
@@ -1281,6 +1333,7 @@ def read_versioned_table(
             )
         )
         df = _fill_added_columns(df, manifest)
+        df = _apply_dv(spark, path, df, manifest, keep)
     return _apply_skipping_residual(df, manifest, prune, pk_in, eq)
 
 
@@ -3111,7 +3164,11 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
         (
             b
             for b in set(tf["buckets"]) | set(tt["buckets"])
+            # a bucket's visible identity is (generation, DV entry):
+            # a merge-on-read delete changes rows without moving the
+            # generation, so DV movement alone marks it changed
             if tf["buckets"].get(b) != tt["buckets"].get(b)
+            or _dv_map(tf).get(b) != _dv_map(tt).get(b)
         ),
         key=int,
     )
@@ -3124,7 +3181,13 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
         ]
         if not paths:
             return None
-        df = _fill_added_columns(_read_logical(spark, meta, *paths), meta)
+        df = _apply_dv(
+            spark,
+            root,
+            _fill_added_columns(_read_logical(spark, meta, *paths), meta),
+            meta,
+            set(buckets),
+        )
         if meta is tf and _column_map(tf) != _column_map(tt):
             # a RENAME landed between the snapshots: express the FROM
             # side in the TO side's logical namespace via the shared
@@ -3319,10 +3382,11 @@ def _export_table_entry(src_root: str, meta: dict, out_dir: str, materialize) ->
         meta.get("added_columns")
         or meta.get("dropped_columns")
         or meta.get("column_map")
+        or meta.get("dv")
     ):
-        # metadata-only schema evolution (any direction — ADD, DROP,
-        # or RENAME's column mapping) means the raw files are NOT the
-        # logical table — materialize instead
+        # metadata-only schema evolution (ADD, DROP, RENAME's column
+        # mapping) or merge-on-read deletes mean the raw files are
+        # NOT the logical table — materialize instead
         materialize().write.mode("append").parquet(out_dir)
         files = sorted(
             f for f in os.listdir(out_dir)
@@ -3372,16 +3436,19 @@ def export_snapshot(
             manifest.get("added_columns")
             or manifest.get("dropped_columns")
             or manifest.get("column_map")
+            or manifest.get("dv")
         )
         and spark is None
     ):
         raise ValueError(
-            f"{path}: table has metadata-only ALTER columns "
+            f"{path}: table has metadata-only ALTER columns or "
+            "deletion vectors "
             f"(added: {sorted(manifest.get('added_columns') or {})}, "
             f"dropped: {sorted(manifest.get('dropped_columns') or [])}, "
-            f"renamed: {sorted(manifest.get('column_map') or {})}); "
+            f"renamed: {sorted(manifest.get('column_map') or {})}, "
+            f"dv buckets: {sorted(manifest.get('dv') or {})}); "
             "pass spark= so the export can materialize the logical "
-            "schema (a raw file export would mis-represent it)"
+            "table (a raw file export would mis-represent it)"
         )
     os.makedirs(out, exist_ok=False)
     entry = _export_table_entry(
@@ -3442,6 +3509,7 @@ def export_db_snapshot(
                 t.get("added_columns")
                 or t.get("dropped_columns")
                 or t.get("column_map")
+                or t.get("dv")
             )
             and spark is None
         ):
@@ -3449,7 +3517,8 @@ def export_db_snapshot(
                 f"{path}/{name}: table has metadata-only ALTER "
                 f"columns (added: {sorted(t.get('added_columns') or {})}, "
                 f"dropped: {sorted(t.get('dropped_columns') or [])}, "
-                f"renamed: {sorted(t.get('column_map') or {})}); "
+                f"renamed: {sorted(t.get('column_map') or {})}) or "
+                f"deletion vectors (dv buckets: {sorted(t.get('dv') or {})}); "
                 "pass spark= so the export can materialize them"
             )
     os.makedirs(out, exist_ok=False)
@@ -3747,12 +3816,34 @@ def _table_manifest_sql(
                 f"{_duckdb_type(spec['type'])}) AS {_sql_ident(col)}"
             )
     file_list = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    # merge-on-read deletes: the external engine anti-joins the same
+    # DV sidecars the native reader does (pk is never renamed, so no
+    # column-mapping translation applies here)
+    dv_clause = ""
+    dv = manifest.get("dv") or {}
+    if dv:
+        dv_files = []
+        for b, gen in sorted(dv.items()):
+            leaf = os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+            dv_files.extend(
+                os.path.join(leaf, f)
+                for f in sorted(os.listdir(leaf))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        dv_list = ", ".join(
+            "'" + f.replace("'", "''") + "'" for f in dv_files
+        )
+        dv_clause = (
+            f" WHERE {_sql_ident(manifest['pk'])} NOT IN "
+            f"(SELECT {_sql_ident(DV_PK_COL)} FROM "
+            f"read_parquet([{dv_list}], hive_partitioning=false))"
+        )
     # hive_partitioning=false: the bucket dir key is merge-layout
     # plumbing, not data (export_snapshot drops it too); union_by_name
     # reconciles pre-/post-ALTER generation schemas
     return (
         f"SELECT {', '.join(exprs)} FROM read_parquet([{file_list}], "
-        "union_by_name=true, hive_partitioning=false)"
+        f"union_by_name=true, hive_partitioning=false){dv_clause}"
     )
 
 
@@ -4039,22 +4130,34 @@ def delete_from_versioned(
     pk: str,
     base_token: str | None = None,
     extra_meta: dict | None = None,
+    mode: str = "rewrite",
 ) -> dict:
     """Atomic DELETE by key frame (the GDPR-erasure shape the
     reference's delete-capable sinks imply, re-expressed on the
-    versioned layout): only buckets CONTAINING a key to delete are
-    rewritten (anti-join) under a new generation; every other bucket
-    stays byte-identical. A bucket emptied by the delete is DROPPED
-    from the manifest — the committed state looks exactly like that
-    bucket was never written. NULL keys and keys outside the table are
-    no-ops (SQL DELETE's equality never matches NULL).
+    versioned layout), with TWO physical strategies:
 
-    Concurrency and ``extra_meta`` follow the MERGE rules (same CAS
-    commit loop, same rebase/conflict semantics). At 100 TB this is
-    the erasure path: a 10-key delete reads and rewrites only the ≤10
-    buckets those keys hash to."""
+    - ``mode="rewrite"`` (default, copy-on-write): only buckets
+      CONTAINING a key to delete are rewritten (anti-join) under a
+      new generation; every other bucket stays byte-identical. A
+      bucket emptied by the delete is DROPPED from the manifest.
+    - ``mode="dv"`` (merge-on-read, the Delta/Iceberg deletion-vector
+      idea): NO data file is written — one small parquet of deleted
+      pks per affected bucket lands as a sidecar generation and the
+      manifest's ``dv`` map points readers at it; every read
+      anti-joins, every later rewrite of the bucket MATERIALIZES the
+      delete and sheds the entry (OPTIMIZE always picks DV'd
+      buckets). Same visible semantics, different write
+      amplification: at 100 TB a 10-key rewrite-delete rewrites ≤10
+      full buckets, a DV-delete writes a few KB.
+
+    NULL keys and keys outside the table are no-ops either way (SQL
+    DELETE's equality never matches NULL). Concurrency and
+    ``extra_meta`` follow the MERGE rules (same CAS commit loop; DV
+    and rewrite commits on the same bucket conflict symmetrically)."""
     import uuid
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     manifest = _bucket_manifest(path, base_token)
     if pk != manifest["pk"]:
         raise ValueError(
@@ -4062,6 +4165,18 @@ def delete_from_versioned(
             f"({manifest['pk']!r})"
         )
     token = uuid.uuid4().hex[:12]
+    if mode == "dv":
+        ours_dv = _dv_delete_table_body(
+            spark, path, manifest, keys, f"gen-{token}"
+        )
+        if ours_dv is None:
+            return _commit_meta_only(path, manifest, extra_meta)
+        new_manifest = _commit_bucket_update(
+            path, manifest, dict(manifest["buckets"]), {}, token,
+            extra_meta, ours_dv=ours_dv,
+        )
+        _publish_manifest(path, new_manifest)
+        return new_manifest
     ours = _delete_keys_from_table(spark, path, manifest, keys, f"gen-{token}")
     if ours is None:
         return _commit_meta_only(path, manifest, extra_meta)
@@ -4133,6 +4248,72 @@ def _delete_keys_from_table(
     )
     present = set(_present_buckets(os.path.join(root, gen)))
     return {str(b): (gen if b in present else None) for b in affected}
+
+
+def _dv_delete_table_body(
+    spark: SparkSession, root: str, t: dict, keys: DataFrame, gen: str
+) -> dict | None:
+    """Per-table merge-on-read DELETE body shared by both layouts:
+    writes ONE small parquet per affected bucket under
+    ``<root>/<gen>/<bucket dir>`` holding the UNION of that bucket's
+    previously-committed DV pks and the newly matched keys (column
+    ``__dv_pk``), and returns the ours DV map ``{bucket: gen}`` — or
+    ``None`` when no key matched. No data file is read beyond the
+    candidate buckets and no data file is WRITTEN at all: at 100 TB a
+    10-key erasure costs a candidate-bucket read plus a few-KB
+    sidecar write, versus the rewrite path's full bucket rewrite.
+    The matched-keys refinement keeps DV size proportional to rows
+    actually deleted (a replayed or miss-heavy key feed does not
+    bloat the vector)."""
+    pk, n_buckets = t["pk"], t["n_buckets"]
+    k = (
+        keys.select(pk)
+        .where(F.col(pk).isNotNull())
+        .distinct()
+        .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
+    )
+    candidates = [
+        b for b in _nonnull_update_buckets(k, pk) if str(b) in t["buckets"]
+    ]
+    if not candidates:
+        return None
+    cur_paths = [
+        os.path.join(root, t["buckets"][str(b)], f"{MERGE_BUCKET_COL}={b}")
+        for b in candidates
+    ]
+    # DV-filtered target: keys already deleted by an earlier DV must
+    # not re-match (idempotent replays add nothing to the vector)
+    table = _merge_target_frame(spark, root, t, cur_paths, k, pk, [])
+    matched = table.join(k.select(pk), pk, "left_semi").select(
+        F.col(pk), _bucket_expr(pk, n_buckets).alias(MERGE_BUCKET_COL)
+    )
+    affected = sorted(
+        r[MERGE_BUCKET_COL]
+        for r in matched.select(MERGE_BUCKET_COL).distinct().collect()
+    )
+    if not affected:
+        return None
+    dv = _dv_map(t)
+    old_paths = [
+        os.path.join(root, dv[str(b)], f"{MERGE_BUCKET_COL}={b}")
+        for b in affected
+        if str(b) in dv
+    ]
+    out = matched.select(F.col(pk).alias(DV_PK_COL))
+    if old_paths:
+        out = out.unionByName(
+            spark.read.parquet(*old_paths).select(DV_PK_COL)
+        ).distinct()
+    (
+        out.withColumn(
+            MERGE_BUCKET_COL,
+            _bucket_expr(DV_PK_COL, n_buckets),
+        )
+        .write.mode("errorifexists")
+        .partitionBy(MERGE_BUCKET_COL)
+        .parquet(os.path.join(root, gen))
+    )
+    return {str(b): gen for b in affected}
 
 
 def _update_predicate(prune, eq, where):
@@ -4211,7 +4392,9 @@ def _update_table_body(
     ]
     if not cur_paths:
         return None
-    table = _fill_added_columns(_read_logical(spark, t, *cur_paths), t)
+    table = _apply_dv(
+        spark, root, _fill_added_columns(_read_logical(spark, t, *cur_paths), t), t
+    )
     unknown = sorted(set(set_exprs) - set(table.columns))
     if unknown:
         raise ValueError(
@@ -4552,18 +4735,23 @@ def delete_from_versioned_db(
     keys: dict[str, DataFrame],
     base_token: str | None = None,
     extra_meta: dict | None = None,
+    mode: str = "rewrite",
 ) -> dict:
     """Transactional DELETE across tables — the db twin of
     :func:`delete_from_versioned`: every table's matched buckets are
-    rewritten under ONE shared-token generation, then a single chain
-    commit publishes the whole erasure (all tables forget the keys
-    together or not at all — the GDPR shape for entities spanning
-    tables). Each table's key column comes from its own manifest
-    entry; per-table semantics (anti-join rewrite, emptied-bucket
-    drop, NULL/absent keys as no-ops) match the single-table DELETE,
-    and concurrency follows the transactional MERGE rules."""
+    rewritten (or, with ``mode="dv"``, merge-on-read deletion-vector
+    sidecars written) under ONE shared-token generation, then a
+    single chain commit publishes the whole erasure (all tables
+    forget the keys together or not at all — the GDPR shape for
+    entities spanning tables). Each table's key column comes from its
+    own manifest entry; per-table semantics (anti-join rewrite /
+    DV union, emptied-bucket drop, NULL/absent keys as no-ops) match
+    the single-table DELETE, and concurrency follows the
+    transactional MERGE rules."""
     import uuid
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     manifest = _db_manifest(path, base_token)
     for name in keys:
         if name not in manifest["tables"]:
@@ -4573,6 +4761,22 @@ def delete_from_versioned_db(
             )
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
+    if mode == "dv":
+        ours_dv: dict[str, dict] = {}
+        for name, keys_df in keys.items():
+            t = manifest["tables"][name]
+            t_dv = _dv_delete_table_body(
+                spark, os.path.join(path, name), t, keys_df, gen
+            )
+            if t_dv is not None:
+                ours_dv[name] = t_dv
+        if not ours_dv:
+            return _commit_db_meta_only(path, manifest, extra_meta)
+        new_manifest = _commit_db_update(
+            path, manifest, {}, token, extra_meta, ours_dv=ours_dv
+        )
+        _publish_manifest(path, new_manifest)
+        return new_manifest
     ours: dict[str, dict] = {}
     for name, keys_df in keys.items():
         t = manifest["tables"][name]
@@ -4796,12 +5000,24 @@ def _commit_bucket_update(
     extra_meta: dict | None = None,
     our_stats: dict | None = None,
     adds_rows: bool = False,
+    ours_dv: dict | None = None,
 ) -> dict:
     """The single-table CAS commit loop shared by MERGE, UPDATE,
-    OPTIMIZE, DELETE, and CDC-apply: claim the next seq; on a lost
-    race, rebase when every bucket we rewrote is untouched since our
-    snapshot, raise :class:`ConcurrentMergeError` when any was
-    rewritten (our files came from stale inputs).
+    OPTIMIZE, DELETE (both modes), and CDC-apply: claim the next seq;
+    on a lost race, rebase when every bucket we rewrote is untouched
+    since our snapshot, raise :class:`ConcurrentMergeError` when any
+    was rewritten (our files came from stale inputs).
+
+    DELETION VECTORS ride the same loop: a rewritten bucket SHEDS its
+    DV entry in the committed manifest (the rewrite read the
+    DV-filtered frame, so the physical shed and the metadata shed are
+    one atomic commit); ``ours_dv`` overlays fresh DV entries for a
+    merge-on-read delete. Both directions conflict symmetrically — a
+    rewrite racing a DV commit on the same bucket would resurrect the
+    deleted rows (its files predate the DV), and a DV commit racing a
+    rewrite may have unioned a superseded DV or suppress a
+    re-inserted key — so any touched bucket whose generation OR DV
+    entry moved since the snapshot raises.
 
     CONSTRAINT-CHANGE conflicts are detected on the same rebase path:
     a data writer validated its rows against its SNAPSHOT's CHECK
@@ -4832,6 +5048,15 @@ def _commit_bucket_update(
             "seq": seq,
             "buckets": buckets,
         }
+        dv = dict(src.get("dv") or {})
+        for b in ours:
+            dv.pop(b, None)  # a rewritten bucket sheds its DV
+        if ours_dv:
+            dv.update(ours_dv)
+        if dv:
+            out["dv"] = dv
+        else:
+            out.pop("dv", None)
         if "bucket_stats" in src or our_stats:
             # purge-then-overlay runs per rebase too, against the exact
             # stats map being extended — a committer that rewrote a
@@ -4851,13 +5076,26 @@ def _commit_bucket_update(
             return new_manifest
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
+            touched = set(ours) | set(ours_dv or {})
             if any(
-                head["buckets"].get(b) != base_buckets.get(b) for b in ours
+                head["buckets"].get(b) != base_buckets.get(b)
+                for b in touched
             ):
                 raise ConcurrentMergeError(
-                    f"{path}: bucket(s) {sorted(ours)} were rewritten by "
+                    f"{path}: bucket(s) {sorted(touched)} were rewritten by "
                     f"commit(s) up to seq {head_seq} after this write's "
                     "snapshot; re-run against the new head"
+                )
+            base_dv = base_manifest.get("dv") or {}
+            if any(
+                (head.get("dv") or {}).get(b) != base_dv.get(b)
+                for b in touched
+            ):
+                raise ConcurrentMergeError(
+                    f"{path}: deletion vector(s) on bucket(s) "
+                    f"{sorted(touched)} changed (seq up to {head_seq}) "
+                    "after this write's snapshot; re-run against the "
+                    "new head"
                 )
             if adds_rows and ours and head.get("constraints") != base_manifest.get(
                 "constraints"
@@ -4960,6 +5198,7 @@ def optimize_versioned(
         candidates = sorted(int(b) for b in manifest["buckets"])
     else:
         candidates = []
+        dv = _dv_map(manifest)
         for b, gen in manifest["buckets"].items():
             bdir = os.path.join(path, gen, f"{MERGE_BUCKET_COL}={b}")
             try:
@@ -4969,7 +5208,9 @@ def optimize_versioned(
                 )
             except FileNotFoundError:
                 continue
-            if n_files > max_files:
+            # a DV'd bucket always qualifies: compaction is how
+            # merge-on-read deletes materialize back to pure files
+            if n_files > max_files or b in dv:
                 candidates.append(int(b))
     if not candidates:
         return manifest, []
@@ -4987,8 +5228,10 @@ def optimize_versioned(
         # present only in newer files would be silently DROPPED from
         # the compacted rewrite (physical data loss). Logical read so
         # cluster_by/zorder_by take the user-facing (post-RENAME)
-        # names; the write translates back to physical.
-        _read_logical(spark, manifest, *cur)
+        # names; the write translates back to physical. DV-filtered:
+        # compaction MATERIALIZES merge-on-read deletes (the commit
+        # sheds the rewritten buckets' DV entries).
+        _apply_dv(spark, path, _read_logical(spark, manifest, *cur), manifest)
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
     )
     if zorder_by:
@@ -5230,7 +5473,7 @@ def history_versioned(path: str) -> list[dict]:
         else:
             row["n_buckets_live"] = len(m.get("buckets", {}))
         for key in ("added_columns", "dropped_columns", "column_map",
-                    "constraints", "clustered_by", "streams"):
+                    "dv", "constraints", "clustered_by", "streams"):
             if m.get(key):
                 row[key] = sorted(m[key]) if not isinstance(
                     m[key], str
@@ -5506,7 +5749,11 @@ def vacuum_versioned(
     import time
 
     retained, live_gens, _head = _versioned_retention(
-        path, keep_last, lambda m: m["buckets"].values()
+        path, keep_last,
+        # DV sidecar generations are live exactly like data
+        # generations: referenced by any retained manifest's dv map
+        lambda m: list(m["buckets"].values())
+        + list((m.get("dv") or {}).values()),
     )
     now = time.time()
     removed = []
@@ -5759,6 +6006,7 @@ def read_versioned_db(
             ),
             t,
         )
+        df = _apply_dv(spark, os.path.join(path, table), df, t, keep)
     return _apply_skipping_residual(df, t, prune, pk_in, eq)
 
 
@@ -6021,9 +6269,11 @@ def _commit_db_update(
     extra_meta: dict | None = None,
     our_stats: dict[str, dict] | None = None,
     adds_rows: bool = False,
+    ours_dv: dict[str, dict] | None = None,
 ) -> dict:
     """The database-level CAS commit loop shared by transactional
-    MERGE and OPTIMIZE: claim the next seq; on a lost race, rebase
+    MERGE, OPTIMIZE, and DELETE (both modes): claim the next seq; on
+    a lost race, rebase
     when EVERY table's rewritten buckets are untouched since the
     snapshot, and raise :class:`ConcurrentMergeError` when any table
     conflicts or was dropped by an intervening full rewrite (a partial
@@ -6041,6 +6291,15 @@ def _commit_db_update(
     def stamp_table(n: str, t: dict) -> dict:
         live = _live_buckets(t["buckets"], ours.get(n, {}))
         out = {**t, "buckets": live}
+        # DV shed/overlay: same contract as the single-table loop
+        dv = dict(t.get("dv") or {})
+        for b in ours.get(n, {}):
+            dv.pop(b, None)
+        dv.update((ours_dv or {}).get(n, {}))
+        if dv:
+            out["dv"] = dv
+        else:
+            out.pop("dv", None)
         t_stats = (our_stats or {}).get(n)
         if "bucket_stats" in t or t_stats:
             # same purge-then-overlay contract as the single-table
@@ -6075,7 +6334,11 @@ def _commit_db_update(
             return new_manifest
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
-            for name, buckets in ours.items():
+            touched_tables = set(ours) | set(ours_dv or {})
+            for name in sorted(touched_tables):
+                buckets = set(ours.get(name, {})) | set(
+                    (ours_dv or {}).get(name, {})
+                )
                 ht = head["tables"].get(name)
                 if ht is None:
                     # an intervening full rewrite dropped this table —
@@ -6091,10 +6354,22 @@ def _commit_db_update(
                     for b in buckets
                 ):
                     raise ConcurrentMergeError(
-                        f"{path}: transaction touching {sorted(ours)} "
-                        f"conflicts on table {name!r} bucket(s) "
+                        f"{path}: transaction touching "
+                        f"{sorted(touched_tables)} conflicts on table "
+                        f"{name!r} bucket(s) "
                         f"{sorted(buckets)} (commits up to seq {head_seq}); "
                         "re-run against the new head"
+                    )
+                base_t_dv = base_manifest["tables"][name].get("dv") or {}
+                if any(
+                    (ht.get("dv") or {}).get(b) != base_t_dv.get(b)
+                    for b in buckets
+                ):
+                    raise ConcurrentMergeError(
+                        f"{path}: deletion vector(s) on table {name!r} "
+                        f"bucket(s) {sorted(buckets)} changed (commits "
+                        f"up to seq {head_seq}); re-run against the "
+                        "new head"
                     )
                 if adds_rows and ht.get("constraints") != base_manifest[
                     "tables"
@@ -6195,6 +6470,7 @@ def optimize_versioned_db(
             candidates = sorted(int(b) for b in t["buckets"])
         else:
             candidates = []
+            t_dv = _dv_map(t)
             for b, g in t["buckets"].items():
                 bdir = os.path.join(path, name, g, f"{MERGE_BUCKET_COL}={b}")
                 try:
@@ -6204,7 +6480,10 @@ def optimize_versioned_db(
                     )
                 except FileNotFoundError:
                     continue
-                if n_files > max_files:
+                # DV'd buckets always qualify (compaction materializes
+                # merge-on-read deletes), same rule as the single-table
+                # OPTIMIZE
+                if n_files > max_files or b in t_dv:
                     candidates.append(int(b))
             candidates.sort()
         if not candidates:
@@ -6218,8 +6497,11 @@ def optimize_versioned_db(
         # post-ALTER generations — without the union schema, a
         # column present only in newer files would be silently
         # DROPPED from the compacted rewrite (physical data loss)
-        out = _fill_added_columns(
-            _read_logical(spark, t, *cur), t
+        out = _apply_dv(
+            spark,
+            os.path.join(path, name),
+            _fill_added_columns(_read_logical(spark, t, *cur), t),
+            t,
         ).withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
         if t_zorder:
             zkey = _zorder_expr(out, t_zorder)
@@ -6285,7 +6567,8 @@ def vacuum_versioned_db(
         lambda m: (
             f"{name}/{gen}"
             for name, t in m["tables"].items()
-            for gen in t["buckets"].values()
+            for gen in list(t["buckets"].values())
+            + list((t.get("dv") or {}).values())
         ),
     )
     now = time.time()
