@@ -2285,6 +2285,16 @@ def versioned_db_stats(
 
 def _table_stats_from_manifest(manifest: dict) -> dict:
     stats = manifest.get("bucket_stats") or {}
+    if _dv_map(manifest):
+        # deletion vectors make the harvested numbers UPPER BOUNDS
+        # for their buckets (deleted rows still counted, a deleted
+        # row may have held the min/max): treat DV'd buckets as
+        # stats-less so every answer stays exact-or-None — the
+        # documented contract. A rewrite/OPTIMIZE of those buckets
+        # materializes the deletes and restores metadata answers.
+        stats = {
+            b: e for b, e in stats.items() if b not in _dv_map(manifest)
+        }
     live = list(manifest["buckets"])
     out: dict = {
         "rows": None,

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from amaxa_spark.sources.catalog import (
+    ConcurrentMergeError,
     StaleStreamBatch,
     _bucket_manifest,
     _db_manifest,
@@ -149,6 +150,7 @@ def upsert_batch(
     stream_id: str | None = None,
     batch_id: int | None = None,
     not_matched: str = "insert",
+    merge_retries: int = 0,
 ) -> dict | None:
     """Apply one micro-batch as one atomic MERGE commit; returns the
     new manifest, or None for an empty or ALREADY-COMMITTED batch.
@@ -157,6 +159,13 @@ def upsert_batch(
     (exactly-once). This is the body ``foreachBatch`` runs.
     ``not_matched="insert"`` (default) makes unmatched keys new rows;
     ``"ignore"`` drops them (update-only).
+
+    ``merge_retries``: bounded IN-PLACE retries of the merge on
+    :class:`ConcurrentMergeError` (a racing rewrite, RENAME, or DV
+    delete). Each retry re-reads the fresh head, which is exactly
+    what a stream restart would do — minus the restart — and the
+    monotonic marker still refuses stale replays. Default 0 keeps
+    the documented fail-and-restart contract.
 
     FOOTGUN (same as Delta's txnAppId/txnVersion): batch ids belong
     to a CHECKPOINT. Pointing an old ``stream_id`` at a new or
@@ -185,15 +194,21 @@ def upsert_batch(
         # keys all miss the table still advances its marker below
         # (metadata-only commit inside merge_into_versioned).
         return None
-    try:
-        return merge_into_versioned(
-            spark, path, upd, pk=pk, set_cols=set_cols, extra_meta=extra,
-            not_matched=not_matched,
-        )
-    except StaleStreamBatch:
-        # a failed-over twin committed this batch while we were
-        # writing; our generation is an invisible orphan (vacuumed)
-        return None
+    attempts = 0
+    while True:
+        try:
+            return merge_into_versioned(
+                spark, path, upd, pk=pk, set_cols=set_cols,
+                extra_meta=extra, not_matched=not_matched,
+            )
+        except StaleStreamBatch:
+            # a failed-over twin committed this batch while we were
+            # writing; our generation is an invisible orphan (vacuumed)
+            return None
+        except ConcurrentMergeError:
+            if attempts >= merge_retries:
+                raise
+            attempts += 1
 
 
 def upsert_db_batch(
@@ -206,6 +221,7 @@ def upsert_db_batch(
     stream_id: str | None = None,
     batch_id: int | None = None,
     not_matched: str = "insert",
+    merge_retries: int = 0,
 ) -> dict | None:
     """The multi-table twin of :func:`upsert_batch`: one micro-batch
     routed across SEVERAL tables of a versioned database lands as ONE
@@ -255,16 +271,23 @@ def upsert_db_batch(
         # an all-empty batch commits nothing, marker included (same
         # idle-stream contract as the single-table sink)
         return None
-    try:
-        return merge_into_versioned_db(
-            spark, path, updates,
-            set_cols={n: set_cols[n] for n in updates},
-            extra_meta=extra, not_matched=not_matched,
-        )
-    except StaleStreamBatch:
-        # a failed-over twin committed this batch while we were
-        # writing; our generations are invisible orphans (vacuumed)
-        return None
+    attempts = 0
+    while True:
+        try:
+            return merge_into_versioned_db(
+                spark, path, updates,
+                set_cols={n: set_cols[n] for n in updates},
+                extra_meta=extra, not_matched=not_matched,
+            )
+        except StaleStreamBatch:
+            # a failed-over twin committed this batch while we were
+            # writing; our generations are invisible orphans (vacuumed)
+            return None
+        except ConcurrentMergeError:
+            # same bounded in-place retry contract as upsert_batch
+            if attempts >= merge_retries:
+                raise
+            attempts += 1
 
 
 def apply_changes_batch(
@@ -476,6 +499,7 @@ def merge_stream_writer(
     not_matched: str = "insert",
     optimize_every: int | None = None,
     optimize_max_files: int = 4,
+    merge_retries: int = 0,
 ):
     """Wire a streaming DataFrame to the versioned table: returns the
     ``DataStreamWriter`` (caller starts/stops it). Each micro-batch
@@ -505,7 +529,7 @@ def merge_stream_writer(
             batch.sparkSession, path, batch, pk, set_cols,
             order_col, tiebreak_col,
             stream_id=stream_id, batch_id=batch_id,
-            not_matched=not_matched,
+            not_matched=not_matched, merge_retries=merge_retries,
         )
         if (
             optimize_every

@@ -249,6 +249,74 @@ def test_dv_composes_with_rename(spark, tmp_path):
     assert r.where("k = 7").select("score").first()[0] == 0.0
 
 
+def test_dv_metadata_stats_stay_exact_or_none(spark, tmp_path):
+    from amaxa_spark.sources.catalog import versioned_table_stats
+
+    root = str(tmp_path / "t")
+    write_versioned_table(
+        _frame(spark), root, "k", n_buckets=2, stats_cols=["v"]
+    )
+    s0 = versioned_table_stats(root)
+    assert s0["rows"] == 40
+    delete_from_versioned(spark, root, _keys(spark, 1), "k", mode="dv")
+    # harvested numbers are now upper bounds for the DV'd bucket —
+    # the metadata answer must be None, never a wrong number
+    s1 = versioned_table_stats(root)
+    assert s1["rows"] is None
+    # materializing restores exact metadata answers
+    optimize_versioned(spark, root, max_files=999)
+    s2 = versioned_table_stats(root)
+    assert s2["rows"] == 39
+
+
+def test_stream_merge_retries_bounded(spark, tmp_path, monkeypatch):
+    import amaxa_spark.streaming.merge_stream as MS
+    from amaxa_spark.sources.catalog import (
+        ConcurrentMergeError as CME,
+        merge_into_versioned as real_merge,
+    )
+    from amaxa_spark.streaming.merge_stream import upsert_batch
+
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark, 10), root, "k", n_buckets=2)
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise CME("synthetic rename/DV/rewrite race")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(MS, "merge_into_versioned", flaky)
+    batch = spark.createDataFrame([(1, 5.0, 1)], "k long, v double, seq long")
+    # default contract unchanged: no retries -> the conflict surfaces
+    with pytest.raises(CME):
+        upsert_batch(
+            spark, root, batch, "k", ["v"], "seq",
+            stream_id="s", batch_id=0,
+        )
+    # bounded in-place retry rides out the race and commits
+    calls["n"] = 0
+    m = upsert_batch(
+        spark, root, batch, "k", ["v"], "seq",
+        stream_id="s", batch_id=0, merge_retries=2,
+    )
+    assert m is not None and calls["n"] == 3
+    assert read_versioned_table(spark, root).where(
+        "k = 1"
+    ).select("v").first()[0] == 5.0
+    # exhausted retries still raise (never an infinite loop)
+    def always(*a, **kw):
+        raise CME("permanent")
+
+    monkeypatch.setattr(MS, "merge_into_versioned", always)
+    with pytest.raises(CME):
+        upsert_batch(
+            spark, root, batch, "k", ["v"], "seq",
+            stream_id="s", batch_id=1, merge_retries=2,
+        )
+
+
 def test_dv_mode_validation(spark, tmp_path):
     root = str(tmp_path / "t")
     write_versioned_table(_frame(spark, 10), root, "k", n_buckets=2)
