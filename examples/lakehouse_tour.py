@@ -58,6 +58,14 @@ def main() -> None:
         spark, root, spark.createDataFrame([(13,)], "order_id long"),
         "order_id",
     )
+    # merge-on-read twin: a DELETION VECTOR writes kilobytes of pk
+    # sidecar instead of rewriting buckets; reads anti-join, the next
+    # rewrite (or OPTIMIZE) materializes it
+    C.delete_from_versioned(
+        spark, root, spark.createDataFrame([(14,)], "order_id long"),
+        "order_id", mode="dv",
+    )
+    print("dv buckets:", sorted(C._bucket_manifest(root).get("dv", {})))
 
     # ---- a violating write refuses atomically
     try:
@@ -71,6 +79,9 @@ def main() -> None:
         root, {"status": ("string", "open")}, spark=spark
     )
     C.alter_versioned_drop_columns(root, ["region"], spark=spark)
+    # RENAME via column mapping: parquet keeps the original physical
+    # name forever; this is one manifest commit at any table size
+    C.alter_versioned_rename_column(root, "status", "state", spark)
     print("columns now:", C.read_versioned_table(spark, root).columns)
 
     # ---- OPTIMIZE: range-split clustering makes the file tier selective

@@ -91,12 +91,17 @@ def worker(path: str, wid: int, n_ops: int, outdir: str) -> None:
                     retries += 1
             for k, v in rows:
                 model[k] = v
-        elif kind == 1:  # DELETE half the slice
+        elif kind == 1:  # DELETE half the slice — alternating physical
+            # strategy: copy-on-write rewrite vs merge-on-read DELETION
+            # VECTOR (round-10). Same visible semantics, so the shared
+            # expected-state model and the CDF replica replay verify
+            # both paths under cross-process contention.
             dels = keys[::2]
             kf = spark.createDataFrame([(k,) for k in dels], "pk long")
+            dmode = "dv" if (i // 4) % 2 else "rewrite"
             while True:
                 try:
-                    delete_from_versioned(spark, path, kf, pk="pk")
+                    delete_from_versioned(spark, path, kf, pk="pk", mode=dmode)
                     break
                 except ConcurrentMergeError:
                     retries += 1
