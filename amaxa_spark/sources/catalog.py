@@ -5660,6 +5660,18 @@ def clone_versioned(src: str, dst: str, token: str | None = None) -> dict:
                     and not os.path.exists(os.path.join(dgen, f))
                 ):
                     _link_or_copy(full, os.path.join(dgen, f))
+        # deletion-vector sidecar generations are part of the
+        # snapshot's read set exactly like data buckets — without
+        # them the clone would resurrect merge-on-read deletes
+        for b, gen in sorted(_dv_map(manifest).items()):
+            sdir = os.path.join(src, gen, f"{MERGE_BUCKET_COL}={b}")
+            ddir = os.path.join(dst, gen, f"{MERGE_BUCKET_COL}={b}")
+            os.makedirs(ddir, exist_ok=True)
+            for f in os.listdir(sdir):
+                if f.endswith(".parquet") and not f.startswith("."):
+                    _link_or_copy(
+                        os.path.join(sdir, f), os.path.join(ddir, f)
+                    )
     except BaseException:
         # unwind the partial tree: nothing was published yet, so the
         # only trace of the failed clone must not block a retry

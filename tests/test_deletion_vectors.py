@@ -317,6 +317,39 @@ def test_stream_merge_retries_bounded(spark, tmp_path, monkeypatch):
         )
 
 
+def test_dv_clone_and_restore(spark, tmp_path):
+    from amaxa_spark.sources.catalog import (
+        clone_versioned,
+        restore_versioned,
+    )
+
+    root = str(tmp_path / "t")
+    m0 = write_versioned_table(_frame(spark), root, "k", n_buckets=2)
+    m1 = delete_from_versioned(spark, root, _keys(spark, 3, 8), "k", mode="dv")
+    # a shallow clone must carry the DV sidecars or it would
+    # resurrect the deleted rows
+    clone = str(tmp_path / "c")
+    clone_versioned(root, clone)
+    rc = read_versioned_table(spark, clone)
+    assert rc.count() == 38 and rc.where("k IN (3, 8)").count() == 0
+    # divergence: deleting more on the clone leaves the source alone
+    delete_from_versioned(spark, clone, _keys(spark, 9), "k", mode="dv")
+    assert read_versioned_table(spark, clone).count() == 37
+    assert read_versioned_table(spark, root).count() == 38
+    # RESTORE re-publishes the DV state of the target token
+    merge_into_versioned(
+        spark, root,
+        spark.createDataFrame([(3, 0.0)], "k long, v double"),
+        "k", ["v"], not_matched="insert",
+    )
+    assert read_versioned_table(spark, root).where("k = 3").count() == 1
+    restore_versioned(root, m1["token"])
+    r = read_versioned_table(spark, root)
+    assert r.count() == 38 and r.where("k IN (3, 8)").count() == 0
+    restore_versioned(root, m0["token"])
+    assert read_versioned_table(spark, root).count() == 40
+
+
 def test_dv_mode_validation(spark, tmp_path):
     root = str(tmp_path / "t")
     write_versioned_table(_frame(spark, 10), root, "k", n_buckets=2)
