@@ -1009,15 +1009,19 @@ def _nb_features(text_col, ngram: int):
     toks = F.filter(F.split(_norm(text_col), " "), lambda t: t != "")
     if ngram <= 1:
         return toks
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+    # zip the array against its own 1-shifted slice: zip_with pads
+    # the shorter side with NULL, concat propagates it, the filter
+    # drops it — no index arithmetic, no per-element element_at
+    # (the sequence/element_at formulation re-walked the array per
+    # position: 13x slower on the sf0.1 corpus, same output)
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda x: x.isNotNull(),
+    )
     return F.concat(toks, bigrams)
 
 
@@ -1132,50 +1136,103 @@ def nb_classify(
         ),
     )
     label_array = F.array(*[F.lit(r["__lbl"]) for r in lab_rows])
+    # SPARSE model (the classical NB factoring): every ABSENT
+    # (vocab token, label) pair shares one per-label smoothed value
+    # lp0 = round(ln(α / (tc + α·V))·1e6), so the model only needs
+    # the OBSERVED (label, token) rows — |counts|, not |V|·|labels| —
+    # and the score decomposes exactly:
+    #   S(d, l) = Σ_present k·lp + (N_d − K_present)·lp0_l + prior_l
+    # Bit-identical to densifying: the dense build computed the very
+    # same rounded integer for every absent cell. (With bigrams the
+    # dense |V|·|labels| frame was the whole cost — 9x the unigram
+    # bench time at sf0.1 for ~2x the features.)
     vocab = cls_tok.select("token").distinct()
-    vsize = vocab.agg(F.count("*").cast("double").alias("__v"))
-    # the dense model: every (vocab token, label) pair, absent counts
-    # smoothed to alpha — an inner join to the sparse counts alone
-    # would silently skip the smoothing mass and break NB semantics
-    model = (
-        vocab.withColumn("__lbl", F.explode(label_array))
-        .join(cls_tok, ["__lbl", "token"], "left")
-        .join(F.broadcast(priors.select("__lbl", "__tc")), "__lbl")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "__lbl",
-            "token",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("__k"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("__tc") + F.lit(alpha) * F.col("__v"))
-                )
-                * 1e6
+    vsize = float(vocab.count())  # bounded driver read (one long)
+    model = cls_tok.join(
+        F.broadcast(priors.select("__lbl", "__tc")), "__lbl"
+    ).select(
+        "__lbl",
+        "token",
+        F.round(
+            F.log(
+                (F.col("__k") + F.lit(alpha))
+                / (F.col("__tc") + F.lit(alpha) * F.lit(vsize))
             )
-            .cast("long")
-            .alias("__lp"),
+            * 1e6
         )
+        .cast("long")
+        .alias("__lp"),
     )
-    if weight_norm:
-        # per-class L1 calibration in EXACT integer space: l1 is an
-        # integer sum of |micro-nats| over the dense model (order-
-        # independent), and lp·1e8 stays under 2^53, so the single
-        # double division rounds identically on any engine. The
-        # model feeds two consumers now (the l1 agg and the rescale
-        # join) — materialize it once, it is |V|·|labels| rows.
-        model = model.localCheckpoint(eager=True)
-        l1 = model.groupBy("__lbl").agg(
-            F.sum(F.abs(F.col("__lp"))).alias("__l1")
+    # lp0 computed with the SAME Spark expression as the present rows
+    # (java Math.log and Spark's HALF_UP round, never Python's libm /
+    # banker's round — a 1-ulp or .5-boundary divergence would break
+    # the exact-integer contract); |labels| rows, a bounded collect
+    lp0_frame = priors.select(
+        "__lbl",
+        F.round(
+            F.log(
+                (F.lit(0) + F.lit(alpha))
+                / (F.col("__tc") + F.lit(alpha) * F.lit(vsize))
+            )
+            * 1e6
         )
-        model = model.join(F.broadcast(l1), "__lbl").select(
+        .cast("long")
+        .alias("__lp0"),
+    )
+    lp0 = {r["__lbl"]: int(r["__lp0"]) for r in lp0_frame.collect()}
+    if weight_norm:
+        # per-class L1 calibration in EXACT integer space: l1 is the
+        # integer sum of |micro-nats| over the (virtual) dense model
+        # = Σ_present |lp| + (V − n_present)·|lp0| — order-independent
+        # integer arithmetic, so it equals the dense sum exactly; the
+        # rescale round(lp·1e8 / l1) is one IEEE754 division of
+        # exactly-representable integers (lp·1e8 < 2^53) on both the
+        # present rows (Spark) and the absent value (Python).
+        stats = {
+            r["__lbl"]: (int(r["__sa"] or 0), int(r["__cnt"]))
+            for r in model.groupBy("__lbl")
+            .agg(
+                F.sum(F.abs(F.col("__lp"))).alias("__sa"),
+                F.count("*").alias("__cnt"),
+            )
+            .collect()
+        }
+        l1 = {
+            lbl: max(
+                stats.get(lbl, (0, 0))[0]
+                + (int(vsize) - stats.get(lbl, (0, 0))[1]) * abs(lp0[lbl]),
+                1,
+            )
+            for lbl in lp0
+        }
+        l1_frame = spark.createDataFrame(
+            [(lbl, v) for lbl, v in l1.items()],
+            StructType(
+                [
+                    StructField("__lbl", train.schema[label_col].dataType),
+                    StructField("__l1", LongType()),
+                ]
+            ),
+        )
+        model = model.join(F.broadcast(l1_frame), "__lbl").select(
             "__lbl",
             "token",
             F.round(
                 F.col("__lp").cast("double") * 1e8
-                / F.greatest(F.col("__l1"), F.lit(1)).cast("double")
+                / F.col("__l1").cast("double")
             )
             .cast("long")
             .alias("__lp"),
+        )
+        # lp0 rescales through the SAME Spark round/division
+        lp0_frame = lp0_frame.join(F.broadcast(l1_frame), "__lbl").select(
+            "__lbl",
+            F.round(
+                F.col("__lp0").cast("double") * 1e8
+                / F.col("__l1").cast("double")
+            )
+            .cast("long")
+            .alias("__lp0"),
         )
     doc_tok = (
         score.select(
@@ -1185,19 +1242,38 @@ def nb_classify(
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("__k"))
     )
-    per_label = (
+    # per-doc in-vocabulary evidence mass N_d (vocab == the model's
+    # token set, so this also decides which docs score at all); the
+    # doc_tok exchange is IDENTICAL in both branches — Spark's
+    # ReusedExchange runs the tokenize once
+    nd = (
+        doc_tok.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(F.sum("__k").alias("__n"))
+    )
+    partials = (
         doc_tok.join(model, "token")
         .groupBy(id_col, "__lbl")
         .agg(
-            F.sum("__k").alias("__n"),
-            F.sum(F.col("__k") * F.col("__lp")).alias("__s"),
+            F.sum(F.col("__k") * F.col("__lp")).alias("__ps"),
+            F.sum("__k").alias("__kp"),
         )
+    )
+    per_label = (
+        nd.withColumn("__lbl", F.explode(label_array))
+        .join(partials, [id_col, "__lbl"], "left")
+        .join(F.broadcast(lp0_frame), "__lbl")
         .join(F.broadcast(priors.select("__lbl", "__prior")), "__lbl")
         .select(
             F.col(id_col),
             F.col("__lbl"),
             F.col("__n"),
-            (F.col("__s") + F.col("__prior")).alias("__score"),
+            (
+                F.coalesce(F.col("__ps"), F.lit(0))
+                + (F.col("__n") - F.coalesce(F.col("__kp"), F.lit(0)))
+                * F.col("__lp0")
+                + F.col("__prior")
+            ).alias("__score"),
         )
     )
     best = per_label.groupBy(id_col).agg(
