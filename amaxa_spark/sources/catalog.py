@@ -2285,6 +2285,11 @@ def versioned_db_stats(
 
 def _table_stats_from_manifest(manifest: dict) -> dict:
     stats = manifest.get("bucket_stats") or {}
+    dv_note: dict = (
+        {"dv_buckets": sorted(_dv_map(manifest), key=int)}
+        if _dv_map(manifest)
+        else {}
+    )
     if _dv_map(manifest):
         # deletion vectors make the harvested numbers UPPER BOUNDS
         # for their buckets (deleted rows still counted, a deleted
@@ -2299,6 +2304,9 @@ def _table_stats_from_manifest(manifest: dict) -> dict:
     out: dict = {
         "rows": None,
         "cols": {c: None for c in manifest.get("stats_cols") or []},
+        # operator visibility: which buckets carry merge-on-read
+        # deletes (their metadata answers are suppressed above)
+        **dv_note,
     }
     if not live:
         out["rows"] = 0

@@ -263,6 +263,7 @@ def test_dv_metadata_stats_stay_exact_or_none(spark, tmp_path):
     # the metadata answer must be None, never a wrong number
     s1 = versioned_table_stats(root)
     assert s1["rows"] is None
+    assert s1["dv_buckets"]  # operator visibility: which buckets
     # materializing restores exact metadata answers
     optimize_versioned(spark, root, max_files=999)
     s2 = versioned_table_stats(root)
