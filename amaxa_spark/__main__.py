@@ -113,10 +113,20 @@ def _sql_mode(argv: list[str]) -> int:
             sp.error("pass --token OR --as-of, not both")
         from amaxa_spark.sources.catalog import token_as_of
 
+        # ISO-8601 first: a digit-only date like '20260815' parses as
+        # float too, and treating it as epoch seconds (~1970) would
+        # silently resolve the wrong snapshot. Only a string ISO
+        # parsing rejects is tried as an epoch-seconds float.
+        from datetime import datetime
+
         try:
-            ts = float(args.as_of)
-        except ValueError:
+            datetime.fromisoformat(args.as_of)
             ts = args.as_of  # ISO-8601 string: token_as_of parses it
+        except ValueError:
+            try:
+                ts = float(args.as_of)
+            except ValueError:
+                ts = args.as_of  # let token_as_of raise its error
         token = token_as_of(args.path, ts)
     if args.db:
         for name, sql in db_manifest_to_sql(

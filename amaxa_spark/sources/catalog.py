@@ -3851,10 +3851,15 @@ def _table_manifest_sql(
         dv_list = ", ".join(
             "'" + f.replace("'", "''") + "'" for f in dv_files
         )
+        # NOT EXISTS, not NOT IN: NOT IN over a non-empty subquery is
+        # NULL (filtered) for NULL-pk rows, but the native reader's
+        # left_anti join KEEPS NULL-pk rows — NOT EXISTS with an
+        # equality correlate matches left_anti exactly.
         dv_clause = (
-            f" WHERE {_sql_ident(manifest['pk'])} NOT IN "
-            f"(SELECT {_sql_ident(DV_PK_COL)} FROM "
-            f"read_parquet([{dv_list}], hive_partitioning=false))"
+            f" WHERE NOT EXISTS (SELECT 1 FROM "
+            f"read_parquet([{dv_list}], hive_partitioning=false) __dv "
+            f"WHERE __dv.{_sql_ident(DV_PK_COL)} = "
+            f"{_sql_ident(manifest['pk'])})"
         )
     # hive_partitioning=false: the bucket dir key is merge-layout
     # plumbing, not data (export_snapshot drops it too); union_by_name
@@ -4097,7 +4102,15 @@ def merge_into_versioned(
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(path, gen))
     )
-    ours = {str(b): gen for b in affected}
+    # Deletion vectors break the "affected bucket has >=1 logical row"
+    # invariant: a mode='dv' delete can empty a bucket logically, and a
+    # not_matched='ignore' merge touching it writes NO partition dir for
+    # it — mapping it to `gen` anyway would commit a dangling pointer
+    # (and shed the DV), making every subsequent read PATH_NOT_FOUND.
+    # Mirror _delete_keys_from_table: absent-from-gen buckets map to
+    # None, which _live_buckets drops from the manifest.
+    present = set(_present_buckets(os.path.join(path, gen)))
+    ours = {str(b): (gen if b in present else None) for b in affected}
     _enforce_constraints(spark, path, manifest, gen)
     our_stats = (
         _harvest_bucket_stats(spark, path, gen, manifest)
@@ -6275,7 +6288,12 @@ def merge_into_versioned_db(
             .partitionBy(MERGE_BUCKET_COL)
             .parquet(os.path.join(path, name, gen))
         )
-        ours[name] = {str(b): gen for b in affected}
+        # Same DV-emptied-bucket hole as the single-table merge: a
+        # bucket with zero logical rows after a not_matched='ignore'
+        # merge writes no partition dir — None-drop it from the
+        # manifest instead of committing a dangling pointer.
+        present = set(_present_buckets(os.path.join(path, name, gen)))
+        ours[name] = {str(b): (gen if b in present else None) for b in affected}
     if not ours:
         return _commit_db_meta_only(path, manifest, extra_meta)
     for name in ours:
