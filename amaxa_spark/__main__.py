@@ -217,6 +217,23 @@ def _table_mode(argv: list[str]) -> int:
         "--table", help="--db: the table to rename the column on"
     )
 
+    cc = sub.add_parser(
+        "compact-chain",
+        help="fold the commit-chain prefix into a checkpoint commit "
+        "and delete the folded files (bounds chain metadata; "
+        "time travel by token is untouched)",
+    )
+    cc.add_argument("path")
+    cc.add_argument(
+        "--keep-last", type=int, default=None,
+        help="commits to keep above the fold (default CHECKPOINT_EVERY)",
+    )
+    cc.add_argument("--min-age-s", type=float, default=0.0)
+    cc.add_argument(
+        "--dry-run", action="store_true",
+        help="report the fold point and file count; delete nothing",
+    )
+
     v = sub.add_parser("vacuum", help="reclaim unreferenced generations")
     v.add_argument("path")
     v.add_argument("--keep-last", type=int, default=1)
@@ -295,6 +312,25 @@ def _table_mode(argv: list[str]) -> int:
                 files_per_bucket=args.files_per_bucket,
             )
         print(f"rewrote {len(compacted)} bucket(s)")
+    elif args.verb == "compact-chain":
+        res = C.compact_commit_chain(
+            args.path,
+            keep_last=(
+                C.CHECKPOINT_EVERY
+                if args.keep_last is None
+                else args.keep_last
+            ),
+            min_age_s=args.min_age_s,
+            dry_run=args.dry_run,
+        )
+        if res["folded_at"] is None:
+            print(f"nothing to fold (floor {res['floor']})")
+        else:
+            print(
+                f"{'would fold' if args.dry_run else 'folded'} at seq "
+                f"{res['folded_at']}: {res['removed']} commit file(s) "
+                f"{'to remove' if args.dry_run else 'removed'}"
+            )
     elif args.verb == "rebucket":
         from amaxa_spark.session import get_spark
 

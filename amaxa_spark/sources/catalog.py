@@ -822,8 +822,8 @@ def _commit_chain_head(path: str):
         seq = max(seqs)
     while os.path.exists(_commit_path(path, seq + 1)):
         seq += 1
-    with open(_commit_path(path, seq)) as f:
-        return seq, json.load(f)
+    # commits may be deltas against their parent — reconstruct
+    return seq, _read_commit_full(path, seq)
 
 
 def _write_head_hint(path: str, seq: int) -> None:
@@ -845,6 +845,277 @@ def _write_head_hint(path: str, seq: int) -> None:
             pass
 
 
+# ---------------------------------------------------------------------------
+# Delta commits + checkpoint folding — bounding the chain at 100 TB
+#
+# A naive chain stores the FULL manifest in every commit: at ~10^5
+# buckets (a 100 TB table) that is megabytes of JSON per commit, one
+# commit per streaming micro-batch, forever. Two mechanisms bound it
+# (Delta Lake's log + checkpoint design, re-expressed on this chain):
+#
+# 1. DELTA COMMITS — a commit whose parent (seq-1) manifest is in hand
+#    stores only PATCHES of the O(#buckets) maps (buckets /
+#    bucket_stats / dv; per-table for the db layout) against that
+#    parent, plus every small field verbatim. Every CHECKPOINT_EVERY-th
+#    seq is written FULL (a checkpoint), so head reconstruction replays
+#    at most CHECKPOINT_EVERY-1 small patches over one full read.
+#    Encoding is verified by decode-roundtrip at claim time and falls
+#    back to a full commit on any mismatch — a wrong reconstruction is
+#    structurally impossible, the worst case is a bigger file.
+#
+# 2. CHECKPOINT FOLDING (:func:`compact_commit_chain`) — an admin/
+#    vacuum-time compaction that materializes the full manifest at a
+#    fold point F, atomically replaces ``F.json`` with it (readers see
+#    the delta or the full doc — both reconstruct identically), records
+#    F in the ``FLOOR`` file, then deletes every commit below F. The
+#    seq-hole hazard (a stale writer os.link-ing into a deleted seq and
+#    believing it committed) is closed by the FLOOR protocol: FLOOR is
+#    durably advanced BEFORE any deletion, so "a hole exists at seq"
+#    implies "FLOOR > seq"; every claim re-reads FLOOR AFTER its link
+#    and retracts the claim if it landed below it (one tiny read per
+#    commit — no directory listing).
+#
+# Time travel by token is untouched: it resolves through the advisory
+# history records, which vacuum prunes independently.
+# ---------------------------------------------------------------------------
+
+CHECKPOINT_EVERY = int(os.environ.get("AMAXA_CHECKPOINT_EVERY", "32"))
+
+_DELTA_BASE = "__delta_base__"
+_PATCH = "__patch__"
+_PATCHABLE = ("buckets", "bucket_stats", "dv")
+_FLOOR_FILE = "FLOOR"
+
+
+def _diff_map(new: dict, old: dict) -> dict:
+    """Minimal overlay patch: changed/added keys carry the new value,
+    keys absent from ``new`` carry None (= drop). Values are never
+    legitimately None in the patchable maps (buckets/dv hold gen ids,
+    bucket_stats entries are dicts), so None is a safe tombstone."""
+    patch = {k: v for k, v in new.items() if old.get(k) != v}
+    patch.update({k: None for k in old if k not in new})
+    return patch
+
+
+def _apply_map_patch(old: dict, patch: dict) -> dict:
+    merged = {**old, **patch}
+    return {k: v for k, v in merged.items() if v is not None}
+
+
+def _encode_entry(new: dict, old) -> dict:
+    """One manifest (or db table entry) with its big maps replaced by
+    patches against ``old``. Key-presence mirrors ``new`` exactly: a
+    key absent from ``new`` is absent from the encoding, so decoding
+    never resurrects a map the new manifest dropped."""
+    if not isinstance(old, dict):
+        return new
+    out = {}
+    for k, v in new.items():
+        if k in _PATCHABLE and isinstance(v, dict):
+            base = old.get(k)
+            out[k] = {
+                _PATCH: _diff_map(v, base if isinstance(base, dict) else {})
+            }
+        else:
+            out[k] = v
+    return out
+
+
+def _decode_entry(doc: dict, old) -> dict:
+    old = old if isinstance(old, dict) else {}
+    out = {}
+    for k, v in doc.items():
+        if k in _PATCHABLE and isinstance(v, dict) and _PATCH in v:
+            base = old.get(k)
+            out[k] = _apply_map_patch(
+                base if isinstance(base, dict) else {}, v[_PATCH]
+            )
+        else:
+            out[k] = v
+    return out
+
+
+def _encode_delta_commit(manifest: dict, parent: dict) -> dict:
+    if manifest.get("kind") == "versioned-db":
+        ptables = parent.get("tables") or {}
+        doc = {k: v for k, v in manifest.items() if k != "tables"}
+        doc["tables"] = {
+            name: _encode_entry(t, ptables.get(name))
+            for name, t in manifest["tables"].items()
+        }
+    else:
+        doc = _encode_entry(manifest, parent)
+    doc[_DELTA_BASE] = int(parent["seq"])
+    return doc
+
+
+def _decode_delta_commit(doc: dict, parent: dict) -> dict:
+    if doc.get("kind") == "versioned-db":
+        ptables = parent.get("tables") or {}
+        out = {
+            k: v for k, v in doc.items() if k not in ("tables", _DELTA_BASE)
+        }
+        out["tables"] = {
+            name: _decode_entry(t, ptables.get(name))
+            for name, t in doc["tables"].items()
+        }
+        return out
+    return _decode_entry(
+        {k: v for k, v in doc.items() if k != _DELTA_BASE}, parent
+    )
+
+
+def _read_commit_doc(path: str, seq: int) -> dict:
+    import json
+
+    with open(_commit_path(path, seq)) as f:
+        return json.load(f)
+
+
+def _read_commit_full(path: str, seq: int) -> dict:
+    """The FULL manifest at chain seq ``seq``: walk delta bases back
+    to the nearest full doc (≤ CHECKPOINT_EVERY-1 hops by the
+    checkpoint cadence), then replay patches forward. A concurrent
+    :func:`compact_commit_chain` can delete a commit file mid-walk —
+    but only after folding its content into a full doc at a higher
+    seq, so re-resolving from ``seq`` terminates on that full doc."""
+    last_err = None
+    for _attempt in range(5):
+        try:
+            deltas = []
+            doc = _read_commit_doc(path, seq)
+            while _DELTA_BASE in doc:
+                deltas.append(doc)
+                doc = _read_commit_doc(path, doc[_DELTA_BASE])
+            for d in reversed(deltas):
+                doc = _decode_delta_commit(d, doc)
+            return doc
+        except FileNotFoundError as e:
+            last_err = e
+    raise last_err
+
+
+def _chain_floor(path: str) -> int | None:
+    """Lowest seq guaranteed to exist on the chain (commits below it
+    were folded away), or None if no compaction ever ran."""
+    try:
+        with open(os.path.join(path, COMMITS_DIR, _FLOOR_FILE)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def compact_commit_chain(
+    path: str,
+    keep_last: int = CHECKPOINT_EVERY,
+    min_age_s: float = 0.0,
+    dry_run: bool = False,
+) -> dict:
+    """Fold the dense prefix of the CAS commit chain into a checkpoint
+    commit and delete the folded files — the bounded-metadata
+    companion of :func:`vacuum_versioned` (which this never touches:
+    data generations and advisory history have their own retention).
+
+    Protocol (each step durable before the next):
+
+    1. Pick the fold point ``F = head_seq - keep_last`` (skip if the
+       chain is shorter, already folded past F, or ``F.json`` is
+       younger than ``min_age_s``).
+    2. Materialize the full manifest at F and atomically REPLACE
+       ``F.json`` with it. Content-equivalent: any reader replaying
+       through F reconstructs the same manifest from the delta or the
+       full doc, so this is safe against live readers.
+    3. Advance the ``FLOOR`` file to F (atomic replace, monotonic —
+       guarded by the compaction lock).
+    4. Delete every ``<seq>.json`` with seq < F.
+
+    Seq-hole safety: a stale writer that os.link's into a deleted seq
+    would silently lose its commit (head resolution never looks below
+    the head). Step 3 before step 4 gives the invariant "hole at seq
+    ⟹ FLOOR > seq"; :func:`_claim_commit` re-reads FLOOR after every
+    successful link and retracts claims below it, converting the lost
+    update into the ordinary rebase path.
+
+    Concurrent compactions serialize on ``.compact.lock`` (O_EXCL
+    create); a crashed compactor's lock must be removed manually
+    (``force_lock=True`` is deliberately absent — folding is an admin
+    operation). Returns ``{"folded_at", "removed", "floor"}``."""
+    import json
+    import time
+
+    cdir = os.path.join(path, COMMITS_DIR)
+    head = _commit_chain_head(path)
+    out = {"folded_at": None, "removed": 0, "floor": _chain_floor(path)}
+    if head is None:
+        return out
+    head_seq, _ = head
+    fold = head_seq - int(keep_last)
+    floor = _chain_floor(path) or 0
+    if fold <= floor or fold <= 0:
+        return out
+    try:
+        if time.time() - os.path.getmtime(_commit_path(path, fold)) < min_age_s:
+            return out
+    except FileNotFoundError:
+        pass  # fold point already folded by a racing compactor
+    if dry_run:
+        victims = [
+            s for s in _chain_seqs(cdir) if floor <= s < fold
+        ]
+        return {"folded_at": fold, "removed": len(victims), "floor": fold}
+    lock = os.path.join(cdir, ".compact.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        raise RuntimeError(
+            f"{path}: another chain compaction holds {lock} (remove it "
+            "manually if its owner crashed)"
+        )
+    try:
+        floor = _chain_floor(path) or 0  # re-read under the lock
+        if fold <= floor:
+            return {"folded_at": None, "removed": 0, "floor": floor}
+        # 2. materialize the checkpoint — atomic replace, equivalent
+        # content, so concurrent readers and head probes are unharmed
+        full = _read_commit_full(path, fold)
+        tmp = os.path.join(cdir, f".fold-{fold}")
+        with open(tmp, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+        os.replace(tmp, _commit_path(path, fold))
+        # 3. durably advance the floor BEFORE any deletion
+        tmp = os.path.join(cdir, f".floor-{fold}")
+        with open(tmp, "w") as f:
+            f.write(str(fold))
+        os.replace(tmp, os.path.join(cdir, _FLOOR_FILE))
+        # 4. the fold: delete the folded prefix
+        removed = 0
+        for s in _chain_seqs(cdir):
+            if s < fold:
+                try:
+                    os.remove(_commit_path(path, s))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        return {"folded_at": fold, "removed": removed, "floor": fold}
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _chain_seqs(cdir: str) -> list[int]:
+    try:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(cdir)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+    except FileNotFoundError:
+        return []
+
+
 def _claim_next_commit(path: str, manifest: dict) -> tuple[int, int]:
     """Claim the NEXT chain seq unconditionally, retrying lost races:
     the read-head / set-seq / claim / retry loop shared by full-rewrite
@@ -859,30 +1130,71 @@ def _claim_next_commit(path: str, manifest: dict) -> tuple[int, int]:
         head = _commit_chain_head(path)
         manifest["seq"] = 0 if head is None else head[0] + 1
         try:
-            _claim_commit(path, manifest["seq"], manifest)
+            _claim_commit(
+                path, manifest["seq"], manifest,
+                parent=None if head is None else head[1],
+            )
             return manifest["seq"], retries
         except FileExistsError:
             retries += 1
 
 
-def _claim_commit(path: str, seq: int, manifest: dict) -> None:
-    """Atomically claim commit ``seq``: write the full manifest to a
+def _claim_commit(
+    path: str, seq: int, manifest: dict, parent: dict | None = None
+) -> None:
+    """Atomically claim commit ``seq``: write the commit doc to a
     temp file, then hard-link it to the chain name — the link either
     materializes the complete file under ``<seq>.json`` or raises
     ``FileExistsError`` because another writer got there first. No
-    reader can observe a partially-written commit."""
+    reader can observe a partially-written commit.
+
+    ``parent`` is the manifest this commit extends (the caller's
+    snapshot or rebased head). When it is exactly seq-1, the doc is
+    written as a DELTA — patches of the O(#buckets) maps instead of
+    the full manifest — verified by decode-roundtrip before use and
+    skipped on every CHECKPOINT_EVERY-th seq so reconstruction stays
+    O(1 full + CHECKPOINT_EVERY patches). Without ``parent`` the full
+    manifest is written (always correct, just bigger).
+
+    After a successful link the claim re-reads the compaction FLOOR
+    and retracts itself if it landed below it (the seq was folded
+    away — linking into the hole would be a silently lost update);
+    the raised FileExistsError sends the caller down its ordinary
+    rebase path, which reads the true head."""
     import json
     import uuid
 
+    doc = manifest
+    if (
+        parent is not None
+        and seq > 0
+        and CHECKPOINT_EVERY > 1
+        and seq % CHECKPOINT_EVERY != 0
+        and int(parent.get("seq", -2)) == seq - 1
+        and parent.get("kind") == manifest.get("kind")
+    ):
+        cand = _encode_delta_commit(manifest, parent)
+        if _decode_delta_commit(cand, parent) == manifest:
+            doc = cand
     cdir = os.path.join(path, COMMITS_DIR)
     os.makedirs(cdir, exist_ok=True)
     tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex[:12]}")
     with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+        json.dump(doc, f, indent=1, sort_keys=True)
     try:
         os.link(tmp, _commit_path(path, seq))
     finally:
         os.remove(tmp)
+    floor = _chain_floor(path)
+    if floor is not None and seq < floor:
+        try:
+            os.remove(_commit_path(path, seq))
+        except OSError:
+            pass
+        raise FileExistsError(
+            f"{path}: commit seq {seq} is below the chain compaction "
+            f"floor {floor} — the snapshot it extends was folded away"
+        )
     _write_head_hint(path, seq)
 
 
@@ -1061,7 +1373,10 @@ def write_versioned_table(
             if carried:
                 manifest["added_columns"] = carried
         try:
-            _claim_commit(path, manifest["seq"], manifest)
+            _claim_commit(
+                path, manifest["seq"], manifest,
+                parent=None if head is None else head[1],
+            )
             break
         except FileExistsError:
             continue
@@ -2518,7 +2833,7 @@ def alter_versioned_add_constraint(
             "constraints": {**cons, name: expr},
         }
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -2554,7 +2869,7 @@ def alter_versioned_drop_constraint(path: str, name: str) -> dict:
         if cons:
             new_manifest["constraints"] = cons
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -2718,7 +3033,7 @@ def alter_versioned_drop_columns(
             new_manifest["added_columns"] = dict(new_manifest["added_columns"])
         _strip_dropped_metadata(new_manifest, set(columns))
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -2771,7 +3086,7 @@ def alter_versioned_db_drop_columns(
             "tables": {**manifest["tables"], table: new_t},
         }
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -2919,7 +3234,7 @@ def alter_versioned_rename_column(
             "seq": int(manifest.get("seq", 0)) + 1,
         }
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -2959,7 +3274,7 @@ def alter_versioned_db_rename_column(
             "tables": {**manifest["tables"], table: new_t},
         }
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -3116,7 +3431,7 @@ def alter_versioned_add_columns(
             "added_columns": added,
         }
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -5100,10 +5415,11 @@ def _commit_bucket_update(
         return out
 
     seq = int(base_manifest.get("seq", 0)) + 1
+    parent = base_manifest
     new_manifest = stamped(base_manifest, seq, _live_buckets(base_buckets, ours))
     while True:
         try:
-            _claim_commit(path, seq, new_manifest)
+            _claim_commit(path, seq, new_manifest, parent=parent)
             return new_manifest
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
@@ -5154,6 +5470,7 @@ def _commit_bucket_update(
             # rebase onto the head's metadata too — it may carry newer
             # ALTER commits than our snapshot
             seq = head_seq + 1
+            parent = head
             new_manifest = stamped(head, seq, _live_buckets(head["buckets"], ours))
 
 
@@ -5479,12 +5796,19 @@ def history_versioned(path: str) -> list[dict]:
 
     cdir = os.path.join(path, COMMITS_DIR)
     out = []
-    for fname in sorted(
-        (f for f in os.listdir(cdir) if f.endswith(".json")),
-        key=lambda n: int(n.split(".")[0]),
-    ):
-        with open(os.path.join(cdir, fname)) as f:
-            m = json.load(f)
+    full = None  # rolling reconstruction across delta commits
+    for seq_n in _chain_seqs(cdir):
+        m = _read_commit_doc(path, seq_n)
+        if _DELTA_BASE in m:
+            # one forward replay over the whole listing — the lowest
+            # retained commit is always full (seq 0, a checkpoint, or
+            # a compaction fold point)
+            m = (
+                _decode_delta_commit(m, full)
+                if full is not None and full.get("seq") == m[_DELTA_BASE]
+                else _read_commit_full(path, seq_n)
+            )
+        full = m
         row = {
             "seq": m.get("seq"),
             "token": m.get("token"),
@@ -5566,7 +5890,7 @@ def restore_versioned(path: str, token: str) -> dict:
         if head.get("streams"):
             new_manifest["streams"] = dict(head["streams"])
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=head)
             break
         except FileExistsError:
             continue
@@ -5617,7 +5941,7 @@ def restore_versioned_db(path: str, token: str) -> dict:
         if head.get("streams"):
             new_manifest["streams"] = dict(head["streams"])
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=head)
             break
         except FileExistsError:
             continue
@@ -5745,14 +6069,13 @@ def _versioned_retention(path: str, keep_last: int, gens_of):
 
 def _prune_history(path: str, retained: set[str]) -> None:
     """Delete advisory history records for unretained tokens. The CAS
-    COMMIT CHAIN is deliberately NOT pruned: deleting commit files
+    COMMIT CHAIN is NOT pruned here: naively deleting commit files
     below the head would open seq holes that a slow stale writer could
     claim into — its transaction would link successfully yet never
-    become the head (a silent lost update). The chain is the permanent
-    transaction log (~300 bytes per commit — a commit per second for a
-    year is ~9 GB of metadata next to the data it versions; offline
-    compaction can fold a dense prefix into a checkpoint commit if
-    that ever matters)."""
+    become the head (a silent lost update). Chain pruning is
+    :func:`compact_commit_chain`'s job, which closes that hazard with
+    the FLOOR protocol (floor advanced durably before any deletion;
+    every claim re-checks the floor after its link)."""
     hist_dir = os.path.join(path, HISTORY_DIR)
     for entry in os.listdir(hist_dir):
         tok = entry[: -len(".json")] if entry.endswith(".json") else None
@@ -5973,7 +6296,10 @@ def write_versioned_db(
                 if carried:
                     t["added_columns"] = carried
         try:
-            _claim_commit(path, manifest["seq"], manifest)
+            _claim_commit(
+                path, manifest["seq"], manifest,
+                parent=None if head is None else head[1],
+            )
             break
         except FileExistsError:
             continue
@@ -6103,7 +6429,7 @@ def alter_versioned_db_add_columns(
             },
         }
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -6160,7 +6486,7 @@ def alter_versioned_db_add_constraint(
             },
         }
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -6199,7 +6525,7 @@ def alter_versioned_db_drop_constraint(path: str, table: str, name: str) -> dict
             "tables": {**manifest["tables"], table: new_t},
         }
         try:
-            _claim_commit(path, new_manifest["seq"], new_manifest)
+            _claim_commit(path, new_manifest["seq"], new_manifest, parent=manifest)
             break
         except FileExistsError:
             continue
@@ -6375,10 +6701,11 @@ def _commit_db_update(
         return out
 
     seq = int(base_manifest.get("seq", 0)) + 1
+    parent = base_manifest
     new_manifest = stamped(base_manifest, seq)
     while True:
         try:
-            _claim_commit(path, seq, new_manifest)
+            _claim_commit(path, seq, new_manifest, parent=parent)
             return new_manifest
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
@@ -6444,6 +6771,7 @@ def _commit_db_update(
                         "new head"
                     )
             seq = head_seq + 1
+            parent = head
             new_manifest = stamped(head, seq)
 
 

@@ -1,0 +1,257 @@
+"""Delta commits + checkpoint folding of the CAS commit chain.
+
+The round-10 scale seam: every commit stored the FULL manifest
+(O(#buckets) JSON per commit) and the chain was never pruned —
+unbounded file count at streaming cadence. Now commits whose parent is
+in hand store only patches of the big maps (buckets / bucket_stats /
+dv), every CHECKPOINT_EVERY-th seq is a full checkpoint, and
+``compact_commit_chain`` folds the dense prefix into a checkpoint
+commit under the FLOOR protocol (floor advanced durably before any
+deletion; claims re-check the floor after linking, so a stale writer
+can never silently commit into a hole)."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from amaxa_spark.sources import catalog as C
+from amaxa_spark.sources.catalog import (
+    ConcurrentMergeError,
+    alter_versioned_rename_column,
+    compact_commit_chain,
+    delete_from_versioned,
+    delete_from_versioned_db,
+    history_versioned,
+    list_generations,
+    merge_into_versioned,
+    merge_into_versioned_db,
+    optimize_versioned,
+    read_versioned_db,
+    read_versioned_table,
+    restore_versioned,
+    token_as_of,
+    vacuum_versioned,
+    write_versioned_db,
+    write_versioned_table,
+)
+
+
+def _frame(spark, n=60):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+
+
+def _upd(spark, *ks):
+    return spark.createDataFrame(
+        [(k, -1.0 * k) for k in ks], "k long, v double"
+    )
+
+
+def _keys(spark, *ks):
+    return spark.createDataFrame([(k,) for k in ks], "k long")
+
+
+def _mirror(root):
+    with open(os.path.join(root, "_MANIFEST.json")) as f:
+        m = json.load(f)
+    m.pop("committed_at", None)
+    return m
+
+
+def _chain_files(root):
+    return sorted(
+        int(f[:-5])
+        for f in os.listdir(os.path.join(root, C.COMMITS_DIR))
+        if f.endswith(".json")
+    )
+
+
+def test_head_reconstruction_matches_published_mirror(spark, tmp_path):
+    """The mirror is the full manifest written at publish time; the
+    chain head must reconstruct it exactly through any mix of delta
+    commits — merges, DV deletes, OPTIMIZE, rename, restore."""
+    root = str(tmp_path / "t")
+    write_versioned_table(
+        _frame(spark), root, "k", n_buckets=8, stats_cols=["k", "v"]
+    )
+    for i in range(4):
+        merge_into_versioned(spark, root, _upd(spark, i, i + 30), "k", ["v"])
+        assert C._commit_chain_head(root)[1] == _mirror(root)
+    delete_from_versioned(spark, root, _keys(spark, 2, 3), "k", mode="dv")
+    assert C._commit_chain_head(root)[1] == _mirror(root)
+    optimize_versioned(spark, root)
+    assert C._commit_chain_head(root)[1] == _mirror(root)
+    alter_versioned_rename_column(root, "v", "val", spark=spark)
+    assert C._commit_chain_head(root)[1] == _mirror(root)
+    tok0 = list_generations(root)[-1]["token"]
+    restore_versioned(root, tok0)
+    assert C._commit_chain_head(root)[1] == _mirror(root)
+
+
+def test_db_head_reconstruction_matches_mirror(spark, tmp_path):
+    db = str(tmp_path / "db")
+    write_versioned_db(
+        spark, db, {"a": _frame(spark, 40), "b": _frame(spark, 20)},
+        {"a": "k", "b": "k"}, n_buckets={"a": 4, "b": 2},
+    )
+    for i in range(3):
+        merge_into_versioned_db(
+            spark, db, {"a": _upd(spark, i), "b": _upd(spark, i)},
+            {"a": ["v"], "b": ["v"]},
+        )
+        assert C._commit_chain_head(db)[1] == _mirror(db)
+    delete_from_versioned_db(spark, db, {"a": _keys(spark, 5)}, mode="dv")
+    assert C._commit_chain_head(db)[1] == _mirror(db)
+
+
+def test_delta_commits_are_written_and_checkpoints_are_full(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(C, "CHECKPOINT_EVERY", 4)
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=4)
+    for i in range(9):
+        merge_into_versioned(spark, root, _upd(spark, i), "k", ["v"])
+    for seq in _chain_files(root):
+        doc = C._read_commit_doc(root, seq)
+        if seq % 4 == 0:
+            assert C._DELTA_BASE not in doc, f"seq {seq} should be full"
+        else:
+            assert doc[C._DELTA_BASE] == seq - 1, f"seq {seq} should be delta"
+    # a delta commit is strictly smaller than the manifest it encodes
+    full = C._read_commit_full(root, 9)
+    assert os.path.getsize(C._commit_path(root, 9)) < len(
+        json.dumps(full, sort_keys=True)
+    )
+
+
+def test_fold_preserves_reads_time_travel_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=4)
+    tokens = []
+    for i in range(10):
+        m = merge_into_versioned(spark, root, _upd(spark, i), "k", ["v"])
+        tokens.append(m["token"])
+    before = {
+        t: read_versioned_table(spark, root, token=t).orderBy("k").collect()
+        for t in tokens
+    }
+    head_before = C._commit_chain_head(root)
+    res = compact_commit_chain(root, keep_last=3)
+    assert res["folded_at"] == head_before[0] - 3
+    assert res["floor"] == res["folded_at"]
+    assert min(_chain_files(root)) == res["folded_at"]
+    # the fold point was materialized full
+    assert C._DELTA_BASE not in C._read_commit_doc(root, res["folded_at"])
+    # head identical, reads identical, ALL retained tokens identical
+    assert C._commit_chain_head(root) == head_before
+    for t, rows in before.items():
+        assert (
+            read_versioned_table(spark, root, token=t).orderBy("k").collect()
+            == rows
+        )
+    # history replays from the fold point without error
+    hist = history_versioned(root)
+    assert [r["seq"] for r in hist] == _chain_files(root)
+    # chain keeps working: more commits, another fold
+    for i in range(4):
+        merge_into_versioned(spark, root, _upd(spark, i + 20), "k", ["v"])
+    res2 = compact_commit_chain(root, keep_last=2)
+    assert res2["floor"] > res["floor"]
+    assert read_versioned_table(spark, root).count() == 60
+
+
+def test_fold_is_idempotent_and_dry_run_deletes_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=2)
+    for i in range(6):
+        merge_into_versioned(spark, root, _upd(spark, i), "k", ["v"])
+    plan = compact_commit_chain(root, keep_last=2, dry_run=True)
+    assert plan["folded_at"] == 4 and plan["removed"] == 4
+    assert min(_chain_files(root)) == 0  # nothing deleted
+    res = compact_commit_chain(root, keep_last=2)
+    assert res == {"folded_at": 4, "removed": 4, "floor": 4}
+    again = compact_commit_chain(root, keep_last=2)
+    assert again["folded_at"] is None and again["floor"] == 4
+
+
+def test_stale_claim_below_floor_is_retracted(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=2)
+    for i in range(8):
+        merge_into_versioned(spark, root, _upd(spark, i), "k", ["v"])
+    head = C._commit_chain_head(root)[1]
+    compact_commit_chain(root, keep_last=2)
+    stale = {**head, "seq": 3, "token": "stale0000000"}
+    with pytest.raises(FileExistsError):
+        C._claim_commit(root, 3, stale)
+    # the retracted claim left no file behind — the hole stays a hole
+    assert not os.path.exists(C._commit_path(root, 3))
+    # and head resolution is unaffected
+    assert C._commit_chain_head(root)[1] == head
+
+
+def test_fold_races_live_writers(spark, tmp_path):
+    """Writers merging concurrently with a fold must all land (or
+    raise the documented ConcurrentMergeError), with the final state
+    equal to the serial application of the surviving merges."""
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=4)
+    for i in range(6):
+        merge_into_versioned(spark, root, _upd(spark, i), "k", ["v"])
+    errors = []
+
+    def writer(k):
+        try:
+            merge_into_versioned(spark, root, _upd(spark, k), "k", ["v"])
+        except ConcurrentMergeError:
+            pass
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def folder():
+        try:
+            compact_commit_chain(root, keep_last=1)
+        except RuntimeError:
+            pass  # lock contention from a racing fold is documented
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(10 + j,)) for j in range(4)
+    ] + [threading.Thread(target=folder) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    # chain is intact and readable; mirror may lag under races, so
+    # assert chain-internal consistency instead
+    head_seq, head = C._commit_chain_head(root)
+    assert head["seq"] == head_seq
+    assert read_versioned_table(spark, root).count() == 60
+    hist = history_versioned(root)
+    assert hist[-1]["seq"] == head_seq
+
+
+def test_vacuum_and_token_as_of_unaffected_by_fold(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_versioned_table(_frame(spark), root, "k", n_buckets=2)
+    for i in range(6):
+        merge_into_versioned(spark, root, _upd(spark, i), "k", ["v"])
+    import time
+
+    ts = time.time()
+    compact_commit_chain(root, keep_last=2)
+    # wall-clock travel resolves through advisory history, not the
+    # folded chain
+    tok = token_as_of(root, ts)
+    assert read_versioned_table(spark, root, token=tok).count() == 60
+    # vacuum still prunes data generations independently
+    removed = vacuum_versioned(root, keep_last=1)
+    assert isinstance(removed, list)
+    assert read_versioned_table(spark, root).count() == 60

@@ -165,6 +165,32 @@ def rebucket_worker(path: str, attempts: int, outdir: str) -> None:
     spark.stop()
 
 
+def fold_worker(path: str, attempts: int, outdir: str) -> None:
+    """CHAIN COMPACTION under chaos: repeatedly fold the commit-chain
+    prefix into a checkpoint while the DML workers commit. Every fold
+    must preserve the head exactly (the driver's state check would
+    catch a torn manifest) and must never let a racing claim vanish
+    into a deleted seq — the FLOOR protocol retracts such claims onto
+    the ordinary rebase path, so the final expected-union assert
+    doubles as the lost-update detector. No SparkSession needed:
+    folding is pure chain metadata."""
+    from amaxa_spark.sources.catalog import compact_commit_chain
+
+    folds, skips = 0, 0
+    for _ in range(attempts):
+        try:
+            res = compact_commit_chain(path, keep_last=4)
+            folds += 1 if res["folded_at"] is not None else 0
+            skips += 1 if res["folded_at"] is None else 0
+        except RuntimeError:
+            skips += 1  # lock contention
+        # the writer JVMs take tens of seconds to start — pace the
+        # attempts across the whole chaos window, not just its head
+        time.sleep(3.0)
+    with open(os.path.join(outdir, "fold.json"), "w") as f:
+        json.dump({"folds": folds, "skips": skips}, f)
+
+
 def main() -> None:
     n_procs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     n_ops = int(sys.argv[2]) if len(sys.argv) > 2 else 12
@@ -204,6 +230,12 @@ def main() -> None:
     procs.append(
         ctx.Process(target=rebucket_worker, args=(path, 6, tmp))
     )
+    # and one keeps folding the chain prefix into checkpoint commits
+    # while everyone writes — reads, rebases, and the final CDF replay
+    # must be unaffected (the FLOOR protocol's live-fire test)
+    procs.append(
+        ctx.Process(target=fold_worker, args=(path, 20, tmp))
+    )
     t0 = time.time()
     for p in procs:
         p.start()
@@ -224,13 +256,19 @@ def main() -> None:
     final_m = rebucket_versioned(spark, path, 32)
     assert final_m["n_buckets"] == 32
 
-    # --- chain integrity ---
+    # --- chain integrity (floor-aware: folding deletes the prefix
+    # below FLOOR; above it the chain must stay dense) ---
+    from amaxa_spark.sources.catalog import _chain_floor
+
     seqs = sorted(
         int(f[: -len(".json")])
         for f in os.listdir(os.path.join(path, COMMITS_DIR))
         if f.endswith(".json")
     )
-    assert seqs == list(range(len(seqs))), f"chain has holes: {seqs[:10]}..."
+    floor = _chain_floor(path) or 0
+    assert seqs == list(range(floor, floor + len(seqs))), (
+        f"chain has holes above floor {floor}: {seqs[:10]}..."
+    )
     head = read_versioned_table(spark, path)
     from amaxa_spark.sources.catalog import _bucket_manifest
 
@@ -268,10 +306,15 @@ def main() -> None:
     )
     assert have == want, "replica diverged from source after CDF apply"
 
-    n_commits = len(seqs) - 1  # minus the init commit
+    with open(os.path.join(tmp, "fold.json")) as f:
+        fold = json.load(f)
+
+    n_commits = seqs[-1]  # head seq == total commits after the init
     print(json.dumps({
         "procs": n_procs, "ops_per_proc": n_ops,
         "commits": n_commits, "wall_s": round(wall, 1),
+        "chain_files": len(seqs), "chain_floor": floor,
+        "folds_landed": fold["folds"],
         "rebase_retries": retries,
         "rebuckets_landed": rb["landed"],
         "rebucket_conflicts": rb["conflicts"],
