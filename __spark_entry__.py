@@ -1728,6 +1728,71 @@ def q_versioned_dv_scan(spark, sf_dir):
     )
 
 
+_VUDV_LO = 100_000.0
+_VUDV_RD_LO, _VUDV_RD_HI = 60_000.0, 250_000.0
+
+
+def q_versioned_update_dv_scan(spark, sf_dir):
+    """MERGE-ON-READ UPDATE (deletion vector + update overlay) judged
+    end-to-end: orders lands once as a stats-enabled versioned table,
+    then TWO idempotent ``mode="dv"`` UPDATEs land (the second
+    re-updates a subset of the first's keys, exercising the
+    overlay-carry union into one file per bucket) and ONE ``mode="dv"``
+    DELETE whose keys include patched rows (exercising the
+    overlay-shrink path) — ZERO data files rewritten throughout
+    (catalog.py _dv_update_table_body / _apply_dv: read =
+    (base \\ DV) ∪ patch). The final read range-prunes on price:
+    overlaid buckets are pruning-exempt (their base stats describe
+    superseded values), everything else skips normally. The oracle
+    replays both updates as nested CASE WHEN and the delete as a
+    WHERE over the raw parquet, proving merge-on-read UPDATE ≡
+    copy-on-write on an independent engine."""
+    from amaxa_spark.sources.catalog import (
+        delete_from_versioned,
+        read_versioned_table,
+        update_versioned,
+        _bucket_manifest,
+    )
+
+    root = _cached_versioned(
+        spark, sf_dir, "orders-udv", "orders", "o_orderkey",
+        n_buckets=32, stats_cols=["o_totalprice"],
+    )
+    if not _bucket_manifest(root).get("gate_update_dv"):
+        update_versioned(
+            spark, root,
+            {"o_orderpriority": F.lit("DV-UPDATED"), "o_custkey": F.lit(-7)},
+            where="o_orderkey % 5 = 0 AND o_orderstatus = 'O'",
+            prune=[("o_totalprice", _VUDV_LO, None)],
+            mode="dv",
+        )
+        # the second update RE-UPDATES a subset of the first's keys
+        # (every %15 'O' key is a %5 key), so its overlay rows must
+        # supersede rows already living in the patch files
+        update_versioned(
+            spark, root,
+            {"o_orderpriority": F.lit("DV2")},
+            where="o_orderkey % 15 = 0",
+            prune=[("o_totalprice", _VUDV_LO, None)],
+            mode="dv",
+            extra_meta={"gate_update_dv": True},
+        )
+    keys = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 85 == 0)
+        .select("o_orderkey")
+    )
+    delete_from_versioned(spark, root, keys, "o_orderkey", mode="dv")
+    return read_versioned_table(
+        spark, root, prune=[("o_totalprice", _VUDV_RD_LO, _VUDV_RD_HI)]
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+
+
 _VREN_UP_LO = 150_000.0
 _VREN_RD_LO, _VREN_RD_HI = 50_000.0, 200_000.0
 
@@ -3671,7 +3736,9 @@ QUERY_ORDER = [
     # round invariant from the round-6 rotation); the rest of the
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
-    # --- round-10 additions first (judged in their birth round) ---
+    # --- round-11 additions first (judged in their birth round) ---
+    "versioned_update_dv_scan",
+    # --- round-10 additions ---
     "versioned_dv_scan", "versioned_rename_scan",
     "pq_topk_adc", "pq_topk_rerank", "nb_classify_bigram",
     "ann_binary_topk",
@@ -3753,39 +3820,29 @@ QUERY_ORDER = [
 # judged-window invariants: round-8 changes lead the driver's
 # first-50 window (judged in their birth round), and the full surface
 # is intact
-assert QUERY_ORDER.index("versioned_dv_scan") == 0  # r10 first
-assert QUERY_ORDER.index("versioned_rename_scan") == 1
-assert QUERY_ORDER.index("pq_topk_adc") == 2
-assert QUERY_ORDER.index("pq_topk_rerank") == 3
-assert QUERY_ORDER.index("nb_classify_bigram") == 4
-assert QUERY_ORDER.index("ann_binary_topk") == 5
-assert QUERY_ORDER.index("versioned_update_scan") == 6  # r9 follows
-assert QUERY_ORDER.index("versioned_file_prune") == 7
-assert QUERY_ORDER.index("nb_classify") == 8
-assert QUERY_ORDER.index("embedding_quantize") == 9
-assert QUERY_ORDER.index("ann_quantized_topk") == 10
-assert QUERY_ORDER.index("image_near_dups") == 11
-assert QUERY_ORDER.index("audio_near_dups") == 12
-assert QUERY_ORDER.index("semantic_dedup") == 13  # r8 batch-3
-assert QUERY_ORDER.index("dsir_weights") == 14
-assert QUERY_ORDER.index("versioned_prune_scan") == 15
-assert QUERY_ORDER.index("versioned_bloom_lookup") == 16
-assert QUERY_ORDER.index("dedup_embedding_cosine") == 17  # r8 rework
-assert QUERY_ORDER.index("image_header_meta") == 18  # r8 batch-1/2
-assert QUERY_ORDER.index("video_mjpeg_frames") == 19
-assert QUERY_ORDER.index("image_gif_stats") == 20
-assert QUERY_ORDER.index("audio_spectral") == 21
-assert QUERY_ORDER.index("video_gif_frames") == 22
-assert QUERY_ORDER.index("graph_pagerank") == 23
-assert QUERY_ORDER.index("bpe_merges") == 24
-assert QUERY_ORDER.index("bpe_tokenize") == 25
-assert QUERY_ORDER.index("dedup_containment") == 26  # r7 additions follow
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 63
-assert QUERY_ORDER.index("tfidf_keywords") < 63  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 63  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 78  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 128  # r1-4 core last
-assert len(QUERY_ORDER) == 178 and len(set(QUERY_ORDER)) == 178
+# judged-window invariant, stated as the exact front block so
+# every round's additions provably lead the driver's first-50 window
+assert QUERY_ORDER[:27] == [
+    "versioned_update_dv_scan",                       # r11 first
+    "versioned_dv_scan", "versioned_rename_scan",     # r10
+    "pq_topk_adc", "pq_topk_rerank", "nb_classify_bigram",
+    "ann_binary_topk",
+    "versioned_update_scan", "versioned_file_prune",  # r9
+    "nb_classify", "embedding_quantize", "ann_quantized_topk",
+    "image_near_dups", "audio_near_dups",
+    "semantic_dedup", "dsir_weights", "versioned_prune_scan",  # r8
+    "versioned_bloom_lookup", "dedup_embedding_cosine",
+    "image_header_meta", "video_mjpeg_frames", "image_gif_stats",
+    "audio_spectral", "video_gif_frames", "graph_pagerank",
+    "bpe_merges", "bpe_tokenize",
+]
+assert QUERY_ORDER.index("dedup_containment") == 27  # r7 follows
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 64
+assert QUERY_ORDER.index("tfidf_keywords") < 64  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 64  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 79  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 129  # r1-4 core last
+assert len(QUERY_ORDER) == 179 and len(set(QUERY_ORDER)) == 179
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3915,6 +3972,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "versioned_prune_scan": q_versioned_prune_scan,
         "versioned_bloom_lookup": q_versioned_bloom_lookup,
+        "versioned_update_dv_scan": q_versioned_update_dv_scan,
         "versioned_dv_scan": q_versioned_dv_scan,
         "versioned_rename_scan": q_versioned_rename_scan,
         "versioned_update_scan": q_versioned_update_scan,
@@ -5416,6 +5474,21 @@ def _oracle_sql_raw() -> dict[str, str]:
             "SELECT o_orderkey AS okey, round(o_totalprice, 4) AS price "
             f"FROM orders WHERE o_totalprice >= {_VFS_LO} "
             f"AND o_totalprice <= {_VFS_HI}"
+        ),
+        "versioned_update_dv_scan": (
+            "SELECT o_orderkey AS okey, "
+            f"CASE WHEN o_totalprice >= {_VUDV_LO} "
+            "AND o_orderkey % 15 = 0 THEN 'DV2' "
+            f"WHEN o_totalprice >= {_VUDV_LO} "
+            "AND o_orderkey % 5 = 0 AND o_orderstatus = 'O' "
+            "THEN 'DV-UPDATED' ELSE o_orderpriority END AS prio, "
+            f"CAST(CASE WHEN o_totalprice >= {_VUDV_LO} "
+            "AND o_orderkey % 5 = 0 AND o_orderstatus = 'O' "
+            "THEN -7 ELSE o_custkey END AS BIGINT) AS ckey, "
+            "round(o_totalprice, 4) AS price "
+            f"FROM orders WHERE o_totalprice >= {_VUDV_RD_LO} "
+            f"AND o_totalprice <= {_VUDV_RD_HI} "
+            "AND o_orderkey % 85 != 0"
         ),
         "versioned_dv_scan": (
             "SELECT o_orderkey AS okey, round(o_totalprice, 4) AS price "

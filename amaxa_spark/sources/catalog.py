@@ -622,12 +622,15 @@ def _merge_target_frame(
     if cur_paths:
         # DV-filtered: a rewrite must not resurrect merge-on-read
         # deletes (the rewritten bucket sheds its DV in the commit,
-        # so the physical shed and the metadata shed are atomic)
+        # so the physical shed and the metadata shed are atomic).
+        # Restricted to the paths' own buckets so UPDATE overlay rows
+        # of buckets this rewrite does NOT touch cannot leak in.
         return _apply_dv(
             spark,
             root,
             _fill_added_columns(_read_logical(spark, meta, *cur_paths), meta),
             meta,
+            buckets={p.rsplit("=", 1)[1] for p in cur_paths},
         )
     first = next(iter(sorted(meta["buckets"].items())), None)
     if first is None:
@@ -1502,6 +1505,19 @@ def _dv_map(entry: dict) -> dict:
     return entry.get("dv") or {}
 
 
+def _patch_map(entry: dict) -> dict:
+    """The manifest's merge-on-read UPDATE overlay ``{bucket: gen}``:
+    ``<root>/<gen>/<bucket dir>`` holds the CURRENT full rows of the
+    bucket's pks whose base version was superseded without a rewrite
+    (``update_versioned(mode="dv")``). The read contract is
+    ``(base \\ DV) ∪ patch``: every patched pk is also in the bucket's
+    DV (the update kills the base version and overlays the new one),
+    so the anti-join and the union compose without double-counting.
+    Any rewrite of the bucket materializes the overlay and sheds the
+    entry atomically with its DV, exactly like DELETE's vector."""
+    return entry.get("patch") or {}
+
+
 def _apply_dv(
     spark: SparkSession,
     root: str,
@@ -1513,24 +1529,49 @@ def _apply_dv(
     deletion vectors (restricted to ``buckets`` when the read was
     pruned — a DV'd pk hashes to its own bucket, so DVs of unread
     buckets cannot match anyway; skipping them keeps the file list
-    proportional to the scan). The DV side is tiny by construction
-    (deleted keys only), so AQE broadcasts the anti-join."""
+    proportional to the scan), then union the UPDATE overlay rows of
+    the same buckets (:func:`_patch_map` — the anti-join killed their
+    superseded base versions, the union restores the current ones).
+    The DV side is tiny by construction (deleted keys only), so AQE
+    broadcasts the anti-join; patch rows are proportional to rows
+    updated since the last rewrite.
+
+    ``buckets=None`` means the frame spans EVERY manifest bucket —
+    writer-side callers reading a subset MUST pass their bucket set,
+    or another bucket's overlay rows would leak into their frame."""
     dv = _dv_map(entry)
+    patch = _patch_map(entry)
     if buckets is not None:
+        buckets = {str(b) for b in buckets}
         dv = {b: g for b, g in dv.items() if b in buckets}
-    if not dv:
-        return df
+        patch = {b: g for b, g in patch.items() if b in buckets}
     pk = entry["pk"]
-    paths = [
-        os.path.join(root, g, f"{MERGE_BUCKET_COL}={b}")
-        for b, g in sorted(dv.items())
-    ]
-    dead = (
-        spark.read.parquet(*paths)
-        .select(F.col(DV_PK_COL).alias(pk))
-        .distinct()
-    )
-    return df.join(dead, pk, "left_anti")
+    if dv:
+        paths = [
+            os.path.join(root, g, f"{MERGE_BUCKET_COL}={b}")
+            for b, g in sorted(dv.items())
+        ]
+        dead = (
+            spark.read.parquet(*paths)
+            .select(F.col(DV_PK_COL).alias(pk))
+            .distinct()
+        )
+        df = df.join(dead, pk, "left_anti")
+    if patch:
+        pdirs = [
+            os.path.join(root, g, f"{MERGE_BUCKET_COL}={b}")
+            for b, g in sorted(patch.items())
+        ]
+        prows = _fill_added_columns(
+            _read_logical(spark, entry, *pdirs), entry
+        )
+        if MERGE_BUCKET_COL in df.columns:
+            prows = prows.withColumn(
+                MERGE_BUCKET_COL,
+                _bucket_expr(entry["pk"], entry["n_buckets"]),
+            )
+        df = df.unionByName(prows.select(*df.columns))
+    return df
 
 
 def _manifest_logical_columns(manifest: dict) -> set | None:
@@ -1664,10 +1705,15 @@ def _skipping_keep(
     single-table and db readers (a db table entry carries the same
     pk/n_buckets/buckets/schema_json/bucket_stats shape)."""
     keep = set(entry["buckets"])
+    pk_keep = (
+        {str(b) for b in pk_value_buckets(spark, entry, pk_in)}
+        if pk_in is not None
+        else None
+    )
     if prune:
         keep &= set(stats_prune_buckets(entry, prune))
-    if pk_in is not None:
-        keep &= {str(b) for b in pk_value_buckets(spark, entry, pk_in)}
+    if pk_keep is not None:
+        keep &= pk_keep
     for col, value in eq or []:
         if value is None:
             # IS NULL: blooms only index non-null values, but range
@@ -1729,6 +1775,16 @@ def _skipping_keep(
                 spark, entry, parts, [eq_map[p] for p in parts]
             )
             keep &= set(bloom_prune_buckets(root, entry, parts, h1, h2))
+    if prune or eq:
+        # UPDATE-overlaid buckets are exempt from stats/bloom pruning:
+        # their base generation's stats and blooms describe superseded
+        # values, so a prune could hide a patched row. pk_in pruning
+        # stays exact (an overlay never moves a pk's hash bucket), and
+        # the residual predicate keeps the extra reads row-exact.
+        patched = set(_patch_map(entry)) & set(entry["buckets"])
+        if pk_keep is not None:
+            patched &= pk_keep
+        keep |= patched
     return keep
 
 
@@ -2325,6 +2381,19 @@ def _pruned_bucket_paths(
             os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
             for b, gen in survivors
         ]
+    # UPDATE-overlaid buckets skip the file tier exactly like the
+    # manifest tier: their base files' sidecar stats describe
+    # superseded values — pruning on them could hide a patched row's
+    # base sibling and, worse, drop the bucket from the scan set the
+    # overlay union keys off. Whole-directory reads keep them exact.
+    patched = set(_patch_map(entry))
+    file_tier = [(b, g) for b, g in survivors if b not in patched]
+    whole = [
+        os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+        for b, gen in survivors
+        if b in patched
+    ]
+    survivors = file_tier
     import json as _json
 
     conjs, null_cols = _file_tier_conjuncts(entry, prune, eq)
@@ -2371,7 +2440,7 @@ def _pruned_bucket_paths(
             ):
                 continue
             paths.append(os.path.join(bdir, fname))
-    return paths
+    return paths + whole
 
 
 def _zero_null_buckets(entry: dict, col: str) -> set[str]:
@@ -3497,11 +3566,13 @@ def _diff_snapshot_tables(spark: SparkSession, root: str, tf: dict, tt: dict):
         (
             b
             for b in set(tf["buckets"]) | set(tt["buckets"])
-            # a bucket's visible identity is (generation, DV entry):
-            # a merge-on-read delete changes rows without moving the
-            # generation, so DV movement alone marks it changed
+            # a bucket's visible identity is (generation, DV entry,
+            # UPDATE overlay entry): merge-on-read deletes and updates
+            # change rows without moving the generation, so sidecar
+            # movement alone marks it changed
             if tf["buckets"].get(b) != tt["buckets"].get(b)
             or _dv_map(tf).get(b) != _dv_map(tt).get(b)
+            or _patch_map(tf).get(b) != _patch_map(tt).get(b)
         ),
         key=int,
     )
@@ -4007,6 +4078,10 @@ def _table_manifest_sql(
             keep &= set(stats_prune_buckets(manifest, prune))
         if eq_keep is not None:
             keep &= eq_keep
+        # UPDATE-overlaid buckets are exempt from stats/bloom pruning
+        # (base stats and blooms describe superseded values) — same
+        # rule as the native reader's _skipping_keep
+        keep |= set(_patch_map(manifest)) & set(manifest["buckets"])
         pruned = {
             b: g for b, g in manifest["buckets"].items() if b in keep
         }
@@ -4072,6 +4147,7 @@ def _table_manifest_sql(
 
     files: list[str] = []
     gen_leaf: dict[str, str] = {}
+    scanned: set[str] = set()  # bucket ids in the emitted scan set
     if _scan_paths is not None:
         # file-tier-pruned scan set: entries are either whole bucket
         # dirs (conservative fallback) or individual parquet files
@@ -4087,12 +4163,14 @@ def _table_manifest_sql(
                     if f.endswith(".parquet") and not f.startswith((".", "_"))
                 )
             gen_leaf.setdefault(os.path.basename(os.path.dirname(leaf)), leaf)
+            scanned.add(os.path.basename(leaf).rsplit("=", 1)[1])
     else:
         for b, gen in sorted(
             manifest["buckets"].items(), key=lambda kv: int(kv[0])
         ):
             leaf = os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
             gen_leaf.setdefault(gen, leaf)
+            scanned.add(b)
             files.extend(
                 os.path.join(leaf, f)
                 for f in sorted(os.listdir(leaf))
@@ -4179,10 +4257,35 @@ def _table_manifest_sql(
     # hive_partitioning=false: the bucket dir key is merge-layout
     # plumbing, not data (export_snapshot drops it too); union_by_name
     # reconciles pre-/post-ALTER generation schemas
-    return (
+    sql = (
         f"SELECT {', '.join(exprs)} FROM read_parquet([{file_list}], "
         f"union_by_name=true, hive_partitioning=false){dv_clause}"
     )
+    # merge-on-read UPDATE overlays: the DV above killed the
+    # superseded base versions; the overlay files carry the current
+    # ones — union them with the SAME projection, no DV clause
+    # (read contract: (base \ DV) ∪ patch, _apply_dv's twin)
+    patch = manifest.get("patch") or {}
+    patch_files = []
+    for b, gen in sorted(patch.items()):
+        if b not in scanned:
+            continue
+        leaf = os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+        patch_files.extend(
+            os.path.join(leaf, f)
+            for f in sorted(os.listdir(leaf))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    if patch_files:
+        patch_list = ", ".join(
+            "'" + f.replace("'", "''") + "'" for f in patch_files
+        )
+        sql = (
+            f"{sql} UNION ALL SELECT {', '.join(exprs)} FROM "
+            f"read_parquet([{patch_list}], union_by_name=true, "
+            f"hive_partitioning=false)"
+        )
+    return sql
 
 
 def manifest_to_sql(
@@ -4512,14 +4615,15 @@ def delete_from_versioned(
         )
     token = uuid.uuid4().hex[:12]
     if mode == "dv":
-        ours_dv = _dv_delete_table_body(
+        res = _dv_delete_table_body(
             spark, path, manifest, keys, f"gen-{token}"
         )
-        if ours_dv is None:
+        if res is None:
             return _commit_meta_only(path, manifest, extra_meta)
+        ours_dv, ours_patch = res
         new_manifest = _commit_bucket_update(
             path, manifest, dict(manifest["buckets"]), {}, token,
-            extra_meta, ours_dv=ours_dv,
+            extra_meta, ours_dv=ours_dv, ours_patch=ours_patch or None,
         )
         _publish_manifest(path, new_manifest)
         return new_manifest
@@ -4659,7 +4763,200 @@ def _dv_delete_table_body(
         .partitionBy(MERGE_BUCKET_COL)
         .parquet(os.path.join(root, gen))
     )
-    return {str(b): gen for b in affected}
+    # a deleted key living in a bucket's UPDATE overlay must leave it:
+    # the DV only kills BASE versions, so the overlay file of every
+    # affected patched bucket is rewritten minus the deleted keys
+    # (dropped entirely when emptied)
+    ours_patch: dict = {}
+    patch = _patch_map(t)
+    patched_aff = [b for b in affected if str(b) in patch]
+    if patched_aff:
+        import uuid as _uuid
+
+        patch_gen = f"gen-{_uuid.uuid4().hex[:12]}"
+        prior = _fill_added_columns(
+            _read_logical(
+                spark,
+                t,
+                *[
+                    os.path.join(
+                        root, patch[str(b)], f"{MERGE_BUCKET_COL}={b}"
+                    )
+                    for b in patched_aff
+                ],
+            ),
+            t,
+        )
+        remaining = prior.join(k.select(pk), pk, "left_anti")
+        (
+            _to_physical(
+                remaining.withColumn(
+                    MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)
+                ),
+                t,
+            )
+            .write.mode("errorifexists")
+            .partitionBy(MERGE_BUCKET_COL)
+            .parquet(os.path.join(root, patch_gen))
+        )
+        present = set(_present_buckets(os.path.join(root, patch_gen)))
+        ours_patch = {
+            str(b): (patch_gen if b in present else None)
+            for b in patched_aff
+        }
+    return {str(b): gen for b in affected}, ours_patch
+
+
+def _dv_update_table_body(
+    spark: SparkSession,
+    root: str,
+    t: dict,
+    set_exprs: dict,
+    where,
+    prune,
+    eq,
+    gen: str,
+) -> tuple[dict, dict] | None:
+    """Per-table merge-on-read UPDATE body shared by both layouts
+    (``update_versioned(mode="dv")``): instead of rewriting whole
+    buckets for a few matched rows, write per affected bucket (a) a
+    DV sidecar adding the matched pks (union of the bucket's prior
+    DV — the base versions are dead) and (b) an UPDATE OVERLAY file
+    under ``<root>/<gen>/<bucket dir>`` holding the NEW row versions
+    plus the bucket's carried-over prior overlay rows, then return
+    ``(ours_dv, ours_patch)`` maps — or ``None`` when nothing
+    matched. Readers compose ``(base \\ DV) ∪ patch``
+    (:func:`_apply_dv`); any rewrite materializes and sheds both.
+
+    At 100 TB this is the UPDATE twin of the DV DELETE: a 100-row
+    reprice costs a candidate-bucket read plus KB-scale sidecars,
+    versus the rewrite path's full bucket rewrites. Write cost is
+    proportional to rows updated since the bucket's last rewrite
+    (prior overlay rows carry forward into one file per bucket), so
+    long-lived merge-on-read buckets want OPTIMIZE, which always
+    selects DV'd buckets.
+
+    NULL-pk rows cannot be DV-updated (a NULL key anti-joins nothing,
+    so the superseded base version would survive next to its
+    replacement) — matching one raises; use the rewrite mode."""
+    pk, n_buckets = t["pk"], t["n_buckets"]
+    bad = {pk, MERGE_BUCKET_COL} & set(set_exprs)
+    if bad:
+        raise ValueError(
+            f"UPDATE cannot set {sorted(bad)}: the key determines the "
+            "row's bucket (delete + insert to re-key)"
+        )
+    logical = _manifest_logical_columns(t)
+    if logical is not None:
+        unknown = sorted(set(set_exprs) - logical)
+        if unknown:
+            raise ValueError(
+                f"UPDATE set column(s) {unknown} do not exist "
+                f"(table has: {sorted(logical)})"
+            )
+    keep = _skipping_keep(spark, root, t, prune, None, eq)
+    cur_paths = [
+        os.path.join(root, g, f"{MERGE_BUCKET_COL}={b}")
+        for b, g in sorted(t["buckets"].items())
+        if b in keep
+    ]
+    if not cur_paths:
+        return None
+    table = _apply_dv(
+        spark, root,
+        _fill_added_columns(_read_logical(spark, t, *cur_paths), t), t,
+        buckets=keep,
+    )
+    unknown = sorted(set(set_exprs) - set(table.columns))
+    if unknown:
+        raise ValueError(
+            f"UPDATE set column(s) {unknown} do not exist "
+            f"(table has: {sorted(table.columns)})"
+        )
+    pred = _update_predicate(prune, eq, where)
+    matched = table.where(pred)
+    if matched.where(F.col(pk).isNull()).limit(1).collect():
+        raise ValueError(
+            f"{root}: UPDATE mode='dv' matched a NULL-{pk} row — a "
+            "NULL key cannot be deletion-vectored (its superseded "
+            "version would survive); use mode='rewrite'"
+        )
+    affected = sorted(
+        r.b
+        for r in matched.select(
+            _bucket_expr(pk, n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return None
+    # the SET select evaluates every expression against the PRE-update
+    # row with the column's declared type enforced — identical
+    # assignment-cast semantics to the rewrite body
+    cols = []
+    for c in table.columns:
+        if c in set_exprs:
+            e = set_exprs[c]
+            expr = F.expr(e) if isinstance(e, str) else e
+            cols.append(expr.cast(table.schema[c].dataType).alias(c))
+        else:
+            cols.append(F.col(c))
+    updated = matched.select(*cols)
+    # carry forward the affected buckets' prior overlay rows that did
+    # NOT match (one overlay file per bucket — same union-into-one
+    # shape as the DV sidecar, so reads never chain overlay files)
+    patch = _patch_map(t)
+    prior_dirs = [
+        os.path.join(root, patch[str(b)], f"{MERGE_BUCKET_COL}={b}")
+        for b in affected
+        if str(b) in patch
+    ]
+    new_patch = updated
+    if prior_dirs:
+        carry = _fill_added_columns(
+            _read_logical(spark, t, *prior_dirs), t
+        ).join(matched.select(pk).distinct(), pk, "left_anti")
+        new_patch = new_patch.unionByName(carry.select(*new_patch.columns))
+    (
+        _to_physical(
+            new_patch.withColumn(
+                MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)
+            ),
+            t,
+        )
+        .write.mode("errorifexists")
+        .partitionBy(MERGE_BUCKET_COL)
+        .parquet(os.path.join(root, gen))
+    )
+    # DV union: matched pks (base versions now dead; pks matched via
+    # a prior overlay are already in the vector — union dedups) plus
+    # the affected buckets' existing vectors
+    import uuid as _uuid
+
+    dv_gen = f"gen-{_uuid.uuid4().hex[:12]}"
+    dvm = _dv_map(t)
+    out = matched.select(F.col(pk).alias(DV_PK_COL))
+    old_paths = [
+        os.path.join(root, dvm[str(b)], f"{MERGE_BUCKET_COL}={b}")
+        for b in affected
+        if str(b) in dvm
+    ]
+    if old_paths:
+        out = out.unionByName(
+            spark.read.parquet(*old_paths).select(DV_PK_COL)
+        )
+    (
+        out.distinct()
+        .withColumn(MERGE_BUCKET_COL, _bucket_expr(DV_PK_COL, n_buckets))
+        .write.mode("errorifexists")
+        .partitionBy(MERGE_BUCKET_COL)
+        .parquet(os.path.join(root, dv_gen))
+    )
+    return (
+        {str(b): dv_gen for b in affected},
+        {str(b): gen for b in affected},
+    )
 
 
 def _update_predicate(prune, eq, where):
@@ -4739,7 +5036,9 @@ def _update_table_body(
     if not cur_paths:
         return None
     table = _apply_dv(
-        spark, root, _fill_added_columns(_read_logical(spark, t, *cur_paths), t), t
+        spark, root,
+        _fill_added_columns(_read_logical(spark, t, *cur_paths), t), t,
+        buckets=keep,
     )
     unknown = sorted(set(set_exprs) - set(table.columns))
     if unknown:
@@ -4799,6 +5098,7 @@ def update_versioned(
     eq: list[tuple] | None = None,
     base_token: str | None = None,
     extra_meta: dict | None = None,
+    mode: str = "rewrite",
 ) -> dict:
     """Atomic SQL UPDATE on the versioned layout — the third DML verb
     next to MERGE and DELETE: rows matching the predicate get each
@@ -4817,12 +5117,38 @@ def update_versioned(
     Concurrency and ``extra_meta`` follow the MERGE rules: same CAS
     commit chain, disjoint-bucket rebase, ``ConcurrentMergeError``
     on overlap. Matching nothing commits metadata only (or returns
-    the head unchanged)."""
+    the head unchanged).
+
+    ``mode="dv"`` switches to MERGE-ON-READ: instead of rewriting
+    whole buckets, matched pks join the buckets' deletion vectors
+    (killing the base versions) and the new row versions land in an
+    UPDATE OVERLAY sidecar — KB-scale writes for a few-row UPDATE on
+    a 100 TB table (:func:`_dv_update_table_body`); OPTIMIZE
+    materializes both back to pure files."""
     import uuid
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     manifest = _bucket_manifest(path, base_token)
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
+    if mode == "dv":
+        res = _dv_update_table_body(
+            spark, path, manifest, set_exprs, where, prune, eq, gen
+        )
+        if res is None:
+            return _commit_meta_only(path, manifest, extra_meta)
+        ours_dv, ours_patch = res
+        # the overlay generation holds every NEW row version — the
+        # same write-side CHECK enforcement as a rewrite commit
+        _enforce_constraints(spark, path, manifest, gen)
+        new_manifest = _commit_bucket_update(
+            path, manifest, dict(manifest["buckets"]), {}, token,
+            extra_meta, adds_rows=True, ours_dv=ours_dv,
+            ours_patch=ours_patch,
+        )
+        _publish_manifest(path, new_manifest)
+        return new_manifest
     ours = _update_table_body(
         spark, path, manifest, set_exprs, where, prune, eq, gen
     )
@@ -5109,17 +5435,21 @@ def delete_from_versioned_db(
     gen = f"gen-{token}"
     if mode == "dv":
         ours_dv: dict[str, dict] = {}
+        ours_patch: dict[str, dict] = {}
         for name, keys_df in keys.items():
             t = manifest["tables"][name]
-            t_dv = _dv_delete_table_body(
+            res = _dv_delete_table_body(
                 spark, os.path.join(path, name), t, keys_df, gen
             )
-            if t_dv is not None:
-                ours_dv[name] = t_dv
+            if res is not None:
+                ours_dv[name] = res[0]
+                if res[1]:
+                    ours_patch[name] = res[1]
         if not ours_dv:
             return _commit_db_meta_only(path, manifest, extra_meta)
         new_manifest = _commit_db_update(
-            path, manifest, {}, token, extra_meta, ours_dv=ours_dv
+            path, manifest, {}, token, extra_meta, ours_dv=ours_dv,
+            ours_patch=ours_patch or None,
         )
         _publish_manifest(path, new_manifest)
         return new_manifest
@@ -5147,6 +5477,7 @@ def update_versioned_db(
     updates: dict[str, dict],
     base_token: str | None = None,
     extra_meta: dict | None = None,
+    mode: str = "rewrite",
 ) -> dict:
     """Transactional UPDATE across tables — the db twin of
     :func:`update_versioned`: every named table's matched buckets are
@@ -5157,8 +5488,13 @@ def update_versioned_db(
     single-table predicate parts ``where`` / ``prune`` / ``eq``.
     Per-table semantics (two-tier bucket targeting, assignment casts,
     key column protected) match the single-table UPDATE; concurrency
-    follows the transactional MERGE rules."""
+    follows the transactional MERGE rules. ``mode="dv"`` applies the
+    merge-on-read path (DV + UPDATE overlay sidecars, no bucket
+    rewrites) to every named table, all under one transaction."""
     import uuid
+
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
 
     manifest = _db_manifest(path, base_token)
     for name, spec in updates.items():
@@ -5180,6 +5516,31 @@ def update_versioned_db(
             )
     token = uuid.uuid4().hex[:12]
     gen = f"gen-{token}"
+    if mode == "dv":
+        ours_dv: dict[str, dict] = {}
+        ours_patch: dict[str, dict] = {}
+        for name, spec in updates.items():
+            t = manifest["tables"][name]
+            res = _dv_update_table_body(
+                spark, os.path.join(path, name), t, spec["set"],
+                spec.get("where"), spec.get("prune"), spec.get("eq"),
+                gen,
+            )
+            if res is not None:
+                ours_dv[name], ours_patch[name] = res
+        if not ours_dv:
+            return _commit_db_meta_only(path, manifest, extra_meta)
+        for name in ours_patch:
+            _enforce_constraints(
+                spark, os.path.join(path, name),
+                manifest["tables"][name], gen,
+            )
+        new_manifest = _commit_db_update(
+            path, manifest, {}, token, extra_meta, adds_rows=True,
+            ours_dv=ours_dv, ours_patch=ours_patch,
+        )
+        _publish_manifest(path, new_manifest)
+        return new_manifest
     ours: dict[str, dict] = {}
     for name, spec in updates.items():
         t = manifest["tables"][name]
@@ -5347,6 +5708,7 @@ def _commit_bucket_update(
     our_stats: dict | None = None,
     adds_rows: bool = False,
     ours_dv: dict | None = None,
+    ours_patch: dict | None = None,
 ) -> dict:
     """The single-table CAS commit loop shared by MERGE, UPDATE,
     OPTIMIZE, DELETE (both modes), and CDC-apply: claim the next seq;
@@ -5395,21 +5757,34 @@ def _commit_bucket_update(
             "buckets": buckets,
         }
         dv = dict(src.get("dv") or {})
+        patch = dict(src.get("patch") or {})
         for b in ours:
             dv.pop(b, None)  # a rewritten bucket sheds its DV
+            patch.pop(b, None)  # ...and its UPDATE overlay
         if ours_dv:
             dv.update(ours_dv)
+        if ours_patch:
+            # a None patch entry DROPS the bucket's overlay (a DV
+            # delete erased its last patched row)
+            patch.update(ours_patch)
+            patch = {b: g for b, g in patch.items() if g is not None}
         if dv:
             out["dv"] = dv
         else:
             out.pop("dv", None)
+        if patch:
+            out["patch"] = patch
+        else:
+            out.pop("patch", None)
         if "bucket_stats" in src or our_stats:
             # purge-then-overlay runs per rebase too, against the exact
             # stats map being extended — a committer that rewrote a
             # bucket but harvested nothing leaves NO stats for it
-            # (conservative read), never the superseded entry
+            # (conservative read), never the superseded entry. Buckets
+            # gaining an UPDATE overlay purge too: their base stats
+            # describe superseded values and would prune live rows.
             out["bucket_stats"] = _carry_bucket_stats(
-                src, ours, our_stats, buckets
+                src, set(ours) | set(ours_patch or {}), our_stats, buckets
             )
         _apply_extra_meta(out, extra_meta)
         return out
@@ -5423,7 +5798,7 @@ def _commit_bucket_update(
             return new_manifest
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
-            touched = set(ours) | set(ours_dv or {})
+            touched = set(ours) | set(ours_dv or {}) | set(ours_patch or {})
             if any(
                 head["buckets"].get(b) != base_buckets.get(b)
                 for b in touched
@@ -5440,6 +5815,17 @@ def _commit_bucket_update(
             ):
                 raise ConcurrentMergeError(
                     f"{path}: deletion vector(s) on bucket(s) "
+                    f"{sorted(touched)} changed (seq up to {head_seq}) "
+                    "after this write's snapshot; re-run against the "
+                    "new head"
+                )
+            base_patch = base_manifest.get("patch") or {}
+            if any(
+                (head.get("patch") or {}).get(b) != base_patch.get(b)
+                for b in touched
+            ):
+                raise ConcurrentMergeError(
+                    f"{path}: UPDATE overlay(s) on bucket(s) "
                     f"{sorted(touched)} changed (seq up to {head_seq}) "
                     "after this write's snapshot; re-run against the "
                     "new head"
@@ -5556,9 +5942,10 @@ def optimize_versioned(
                 )
             except FileNotFoundError:
                 continue
-            # a DV'd bucket always qualifies: compaction is how
-            # merge-on-read deletes materialize back to pure files
-            if n_files > max_files or b in dv:
+            # a DV'd or UPDATE-overlaid bucket always qualifies:
+            # compaction is how merge-on-read deletes and updates
+            # materialize back to pure files
+            if n_files > max_files or b in dv or b in _patch_map(manifest):
                 candidates.append(int(b))
     if not candidates:
         return manifest, []
@@ -5579,7 +5966,10 @@ def optimize_versioned(
         # names; the write translates back to physical. DV-filtered:
         # compaction MATERIALIZES merge-on-read deletes (the commit
         # sheds the rewritten buckets' DV entries).
-        _apply_dv(spark, path, _read_logical(spark, manifest, *cur), manifest)
+        _apply_dv(
+            spark, path, _read_logical(spark, manifest, *cur), manifest,
+            buckets={str(b) for b in candidates},
+        )
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
     )
     if zorder_by:
@@ -6005,18 +6395,20 @@ def clone_versioned(src: str, dst: str, token: str | None = None) -> dict:
                     and not os.path.exists(os.path.join(dgen, f))
                 ):
                     _link_or_copy(full, os.path.join(dgen, f))
-        # deletion-vector sidecar generations are part of the
-        # snapshot's read set exactly like data buckets — without
-        # them the clone would resurrect merge-on-read deletes
-        for b, gen in sorted(_dv_map(manifest).items()):
-            sdir = os.path.join(src, gen, f"{MERGE_BUCKET_COL}={b}")
-            ddir = os.path.join(dst, gen, f"{MERGE_BUCKET_COL}={b}")
-            os.makedirs(ddir, exist_ok=True)
-            for f in os.listdir(sdir):
-                if f.endswith(".parquet") and not f.startswith("."):
-                    _link_or_copy(
-                        os.path.join(sdir, f), os.path.join(ddir, f)
-                    )
+        # deletion-vector and UPDATE-overlay sidecar generations are
+        # part of the snapshot's read set exactly like data buckets —
+        # without them the clone would resurrect merge-on-read
+        # deletes or lose merge-on-read updates
+        for sidecar in (_dv_map(manifest), _patch_map(manifest)):
+            for b, gen in sorted(sidecar.items()):
+                sdir = os.path.join(src, gen, f"{MERGE_BUCKET_COL}={b}")
+                ddir = os.path.join(dst, gen, f"{MERGE_BUCKET_COL}={b}")
+                os.makedirs(ddir, exist_ok=True)
+                for f in os.listdir(sdir):
+                    if f.endswith(".parquet") and not f.startswith("."):
+                        _link_or_copy(
+                            os.path.join(sdir, f), os.path.join(ddir, f)
+                        )
     except BaseException:
         # unwind the partial tree: nothing was published yet, so the
         # only trace of the failed clone must not block a retry
@@ -6116,10 +6508,11 @@ def vacuum_versioned(
 
     retained, live_gens, _head = _versioned_retention(
         path, keep_last,
-        # DV sidecar generations are live exactly like data
-        # generations: referenced by any retained manifest's dv map
+        # DV and UPDATE-overlay sidecar generations are live exactly
+        # like data generations: referenced by any retained manifest
         lambda m: list(m["buckets"].values())
-        + list((m.get("dv") or {}).values()),
+        + list((m.get("dv") or {}).values())
+        + list((m.get("patch") or {}).values()),
     )
     now = time.time()
     removed = []
@@ -6644,6 +7037,7 @@ def _commit_db_update(
     our_stats: dict[str, dict] | None = None,
     adds_rows: bool = False,
     ours_dv: dict[str, dict] | None = None,
+    ours_patch: dict[str, dict] | None = None,
 ) -> dict:
     """The database-level CAS commit loop shared by transactional
     MERGE, OPTIMIZE, and DELETE (both modes): claim the next seq; on
@@ -6665,22 +7059,36 @@ def _commit_db_update(
     def stamp_table(n: str, t: dict) -> dict:
         live = _live_buckets(t["buckets"], ours.get(n, {}))
         out = {**t, "buckets": live}
-        # DV shed/overlay: same contract as the single-table loop
+        # DV + UPDATE-overlay shed/overlay: same contract as the
+        # single-table loop
         dv = dict(t.get("dv") or {})
+        patch = dict(t.get("patch") or {})
         for b in ours.get(n, {}):
             dv.pop(b, None)
+            patch.pop(b, None)
         dv.update((ours_dv or {}).get(n, {}))
+        patch.update((ours_patch or {}).get(n, {}))
+        patch = {b: g for b, g in patch.items() if g is not None}
         if dv:
             out["dv"] = dv
         else:
             out.pop("dv", None)
+        if patch:
+            out["patch"] = patch
+        else:
+            out.pop("patch", None)
         t_stats = (our_stats or {}).get(n)
         if "bucket_stats" in t or t_stats:
             # same purge-then-overlay contract as the single-table
             # loop, per table and per rebase: a rewritten bucket with
-            # no fresh harvest keeps NO stats (conservative read)
+            # no fresh harvest keeps NO stats (conservative read);
+            # overlay-gaining buckets purge too (base stats describe
+            # superseded values)
             out["bucket_stats"] = _carry_bucket_stats(
-                t, ours.get(n, {}), t_stats, live
+                t,
+                set(ours.get(n, {})) | set((ours_patch or {}).get(n, {})),
+                t_stats,
+                live,
             )
         return out
 
@@ -6709,10 +7117,14 @@ def _commit_db_update(
             return new_manifest
         except FileExistsError:
             head_seq, head = _commit_chain_head(path)
-            touched_tables = set(ours) | set(ours_dv or {})
+            touched_tables = (
+                set(ours) | set(ours_dv or {}) | set(ours_patch or {})
+            )
             for name in sorted(touched_tables):
-                buckets = set(ours.get(name, {})) | set(
-                    (ours_dv or {}).get(name, {})
+                buckets = (
+                    set(ours.get(name, {}))
+                    | set((ours_dv or {}).get(name, {}))
+                    | set((ours_patch or {}).get(name, {}))
                 )
                 ht = head["tables"].get(name)
                 if ht is None:
@@ -6742,6 +7154,19 @@ def _commit_db_update(
                 ):
                     raise ConcurrentMergeError(
                         f"{path}: deletion vector(s) on table {name!r} "
+                        f"bucket(s) {sorted(buckets)} changed (commits "
+                        f"up to seq {head_seq}); re-run against the "
+                        "new head"
+                    )
+                base_t_patch = (
+                    base_manifest["tables"][name].get("patch") or {}
+                )
+                if any(
+                    (ht.get("patch") or {}).get(b) != base_t_patch.get(b)
+                    for b in buckets
+                ):
+                    raise ConcurrentMergeError(
+                        f"{path}: UPDATE overlay(s) on table {name!r} "
                         f"bucket(s) {sorted(buckets)} changed (commits "
                         f"up to seq {head_seq}); re-run against the "
                         "new head"
@@ -6856,10 +7281,10 @@ def optimize_versioned_db(
                     )
                 except FileNotFoundError:
                     continue
-                # DV'd buckets always qualify (compaction materializes
-                # merge-on-read deletes), same rule as the single-table
-                # OPTIMIZE
-                if n_files > max_files or b in t_dv:
+                # DV'd / UPDATE-overlaid buckets always qualify
+                # (compaction materializes merge-on-read deletes and
+                # updates), same rule as the single-table OPTIMIZE
+                if n_files > max_files or b in t_dv or b in _patch_map(t):
                     candidates.append(int(b))
             candidates.sort()
         if not candidates:
@@ -6878,6 +7303,7 @@ def optimize_versioned_db(
             os.path.join(path, name),
             _fill_added_columns(_read_logical(spark, t, *cur), t),
             t,
+            buckets={str(b) for b in candidates},
         ).withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, nb))
         if t_zorder:
             zkey = _zorder_expr(out, t_zorder)
@@ -6945,6 +7371,7 @@ def vacuum_versioned_db(
             for name, t in m["tables"].items()
             for gen in list(t["buckets"].values())
             + list((t.get("dv") or {}).values())
+            + list((t.get("patch") or {}).values())
         ),
     )
     now = time.time()

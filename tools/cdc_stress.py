@@ -59,14 +59,19 @@ def worker(path: str, wid: int, n_ops: int, outdir: str) -> None:
         kind = i % 4
         lo = base + (i * 7) % (KEYS_PER_WORKER - 10)
         keys = list(range(lo, lo + 10))
-        if kind == 3:  # UPDATE the slice in place (round-9 verb)
+        if kind == 3:  # UPDATE the slice in place (round-9 verb) —
+            # alternating copy-on-write rewrite vs merge-on-read
+            # DV + UPDATE overlay (round-11): same visible semantics,
+            # so the shared model verifies both paths under contention
             from pyspark.sql import functions as F
 
+            umode = "dv" if (i // 4) % 2 else "rewrite"
             while True:
                 try:
                     update_versioned(
                         spark, path, {"v": F.lit(f"w{wid}u{i}")},
                         where=f"pk >= {lo} AND pk < {lo + 10}",
+                        mode=umode,
                     )
                     break
                 except ConcurrentMergeError:
