@@ -196,6 +196,11 @@ def _table_mode(argv: list[str]) -> int:
         help="range-split each rewritten bucket into k sorted "
         "key-disjoint files (applies per table with --db)",
     )
+    o.add_argument(
+        "--min-dv-frac", type=float, default=0.0,
+        help="materialize merge-on-read (DV/overlay) buckets only "
+        "when invalidated-fraction >= this (footer metadata only)",
+    )
     o.add_argument("--db", action="store_true")
 
     rb = sub.add_parser(
@@ -303,6 +308,7 @@ def _table_mode(argv: list[str]) -> int:
                 cluster_by=per_table(args.cluster_by, "--cluster-by"),
                 zorder_by=per_table(args.zorder_by, "--zorder-by"),
                 files_per_bucket=args.files_per_bucket,
+                min_dv_frac=args.min_dv_frac,
             )
         else:
             _, compacted = C.optimize_versioned(
@@ -310,6 +316,7 @@ def _table_mode(argv: list[str]) -> int:
                 cluster_by=single(args.cluster_by, "--cluster-by"),
                 zorder_by=single(args.zorder_by, "--zorder-by"),
                 files_per_bucket=args.files_per_bucket,
+                min_dv_frac=args.min_dv_frac,
             )
         print(f"rewrote {len(compacted)} bucket(s)")
     elif args.verb == "compact-chain":

@@ -5860,6 +5860,42 @@ def _commit_bucket_update(
             new_manifest = stamped(head, seq, _live_buckets(head["buckets"], ours))
 
 
+def _mor_fraction(root: str, entry: dict, b: str) -> float | None:
+    """Merge-on-read invalidation fraction of bucket ``b``: (DV pks +
+    UPDATE overlay rows) / physical base rows, read from parquet
+    FOOTER metadata only (pyarrow num_rows — no Spark job, no data
+    pages). ``None`` when any footer is unreadable — callers treat
+    that as "materialize" (conservative)."""
+    import pyarrow.parquet as pq
+
+    def rows_in(gen: str) -> int | None:
+        leaf = os.path.join(root, gen, f"{MERGE_BUCKET_COL}={b}")
+        total = 0
+        try:
+            names = [
+                f for f in os.listdir(leaf)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            for f in names:
+                total += pq.ParquetFile(os.path.join(leaf, f)).metadata.num_rows
+        except (OSError, ValueError):
+            return None
+        return total
+
+    side = 0
+    for m in (_dv_map(entry), _patch_map(entry)):
+        gen = m.get(b)
+        if gen is not None:
+            n = rows_in(gen)
+            if n is None:
+                return None
+            side += n
+    base = rows_in(entry["buckets"][b]) if b in entry["buckets"] else 0
+    if base is None or not base:
+        return None
+    return side / base
+
+
 def optimize_versioned(
     spark: SparkSession,
     path: str,
@@ -5868,6 +5904,7 @@ def optimize_versioned(
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     files_per_bucket: int = 1,
+    min_dv_frac: float = 0.0,
 ) -> tuple[dict, list[int]]:
     """Small-file compaction (the Delta OPTIMIZE twin): buckets whose
     CURRENT directory holds more than ``max_files`` part files — the
@@ -5882,6 +5919,13 @@ def optimize_versioned(
     Returns ``(manifest, compacted_bucket_ids)``; concurrency follows
     the MERGE rules (a concurrent merge to a bucket being compacted
     conflicts — re-run; compaction of untouched buckets rebases).
+
+    ``min_dv_frac`` gates merge-on-read materialization: DV'd or
+    UPDATE-overlaid buckets qualify only when (vector pks + overlay
+    rows) / base rows ≥ the threshold — footer-metadata arithmetic,
+    no scan — so steady-state merge-on-read tables are not rewritten
+    for sub-percent vectors. 0.0 (default) keeps the always-qualify
+    behavior.
 
     At 100 TB: compaction is the steady-state companion of
     bucket-scoped MERGE — run it on the buckets the merge traffic
@@ -5942,11 +5986,22 @@ def optimize_versioned(
                 )
             except FileNotFoundError:
                 continue
-            # a DV'd or UPDATE-overlaid bucket always qualifies:
-            # compaction is how merge-on-read deletes and updates
-            # materialize back to pure files
-            if n_files > max_files or b in dv or b in _patch_map(manifest):
+            # a DV'd or UPDATE-overlaid bucket qualifies: compaction
+            # is how merge-on-read deletes and updates materialize
+            # back to pure files. min_dv_frac > 0 adds a deleted/
+            # updated-fraction floor (footer-metadata only) so a
+            # long-lived merge-on-read table is not rewritten for a
+            # 0.1% vector; an unreadable footer materializes
+            # conservatively.
+            if n_files > max_files:
                 candidates.append(int(b))
+            elif b in dv or b in _patch_map(manifest):
+                if min_dv_frac <= 0.0:
+                    candidates.append(int(b))
+                else:
+                    frac = _mor_fraction(path, manifest, b)
+                    if frac is None or frac >= min_dv_frac:
+                        candidates.append(int(b))
     if not candidates:
         return manifest, []
     candidates.sort()
@@ -7208,9 +7263,11 @@ def optimize_versioned_db(
     cluster_by: dict[str, list[str]] | None = None,
     zorder_by: dict[str, list[str]] | None = None,
     files_per_bucket: int | dict[str, int] = 1,
+    min_dv_frac: float = 0.0,
 ) -> tuple[dict, list[str]]:
     """Small-file compaction for the transactional layout — the db
-    twin of :func:`optimize_versioned`, at FULL parity: per-table
+    twin of :func:`optimize_versioned` (including its ``min_dv_frac``
+    merge-on-read materialization floor), at FULL parity: per-table
     ``cluster_by`` / ``zorder_by`` turn a table's run into a
     clustering rewrite (every live bucket, rows sorted), and
     ``files_per_bucket`` range-splits its buckets into k sorted
@@ -7281,11 +7338,20 @@ def optimize_versioned_db(
                     )
                 except FileNotFoundError:
                     continue
-                # DV'd / UPDATE-overlaid buckets always qualify
-                # (compaction materializes merge-on-read deletes and
-                # updates), same rule as the single-table OPTIMIZE
-                if n_files > max_files or b in t_dv or b in _patch_map(t):
+                # DV'd / UPDATE-overlaid buckets qualify under the
+                # same min_dv_frac materialization floor as the
+                # single-table OPTIMIZE
+                if n_files > max_files:
                     candidates.append(int(b))
+                elif b in t_dv or b in _patch_map(t):
+                    if min_dv_frac <= 0.0:
+                        candidates.append(int(b))
+                    else:
+                        frac = _mor_fraction(
+                            os.path.join(path, name), t, b
+                        )
+                        if frac is None or frac >= min_dv_frac:
+                            candidates.append(int(b))
             candidates.sort()
         if not candidates:
             continue

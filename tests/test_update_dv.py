@@ -232,6 +232,50 @@ def test_vacuum_restore_clone_carry_overlays(spark, tmp_path):
     assert read_versioned_table(spark, dst).count() == 80
 
 
+def test_optimize_min_dv_frac_threshold(spark, tmp_path):
+    """OPTIMIZE's merge-on-read materialization floor: a bucket with
+    a sub-threshold vector is left alone (no rewrite, entry kept); a
+    bucket above it materializes — decided from parquet footer
+    metadata only."""
+    root = str(tmp_path / "t")
+    # one bucket, one file, 100 rows; DV away 2 rows => 2% invalidated
+    # (coalesced so the max_files fragmentation rule stays quiet and
+    # the threshold is the only thing deciding)
+    write_versioned_table(
+        _frame(spark, 100).coalesce(1), root, "k", n_buckets=1
+    )
+    delete_from_versioned(
+        spark, root, spark.createDataFrame([(1,), (2,)], "k long"),
+        "k", mode="dv",
+    )
+    files_before = _data_files(root)
+    m, compacted = optimize_versioned(spark, root, min_dv_frac=0.10)
+    assert compacted == [] and m.get("dv")  # below floor: untouched
+    assert _data_files(root) == files_before  # zero bytes rewritten
+    # push past the floor (12% dead) — now it materializes
+    delete_from_versioned(
+        spark, root,
+        spark.createDataFrame([(k,) for k in range(3, 13)], "k long"),
+        "k", mode="dv",
+    )
+    m, compacted = optimize_versioned(spark, root, min_dv_frac=0.10)
+    assert compacted == [0] and not m.get("dv")
+    assert read_versioned_table(spark, root).count() == 88
+    # overlays count toward the fraction too
+    update_versioned(
+        spark, root, {"v": "v*2"}, where="k >= 50 AND k < 70", mode="dv"
+    )
+    m, compacted = optimize_versioned(spark, root, min_dv_frac=0.10)
+    assert compacted == [0] and not m.get("patch") and not m.get("dv")
+    # default threshold 0.0 keeps always-materialize semantics
+    delete_from_versioned(
+        spark, root, spark.createDataFrame([(99,)], "k long"),
+        "k", mode="dv",
+    )
+    m, compacted = optimize_versioned(spark, root)
+    assert compacted == [0] and not m.get("dv")
+
+
 def test_db_layout_dv_update(spark, tmp_path):
     db = str(tmp_path / "db")
     write_versioned_db(
