@@ -846,15 +846,24 @@ _ANN_COSINE_TOPK_SQL = (
 )
 
 
-def _kmeans_cte_sql(n_centroids: int, iters: int) -> list[str]:
-    """The unrolled deterministic-k-means CTE chain shared by the IVF
-    and SemDeDup oracles: seed = lowest-id vectors, assignment by
-    round(cosine, 6) with cid tiebreak, update = element-wise mean
+def _kmeans_cte_sql(
+    n_centroids: int, iters: int, base_sql: str | None = None
+) -> list[str]:
+    """The unrolled deterministic-k-means CTE chain shared by the IVF,
+    SemDeDup, and IVF-PQ oracles: seed = lowest-id vectors, assignment
+    by round(cosine, 6) with cid tiebreak, update = element-wise mean
     rounded per component to 6 decimals (so both engines enter the
     next round from byte-identical codebooks), empty cells keep their
-    previous centroid. Returns [base, cent0, ..., cent{iters}]."""
+    previous centroid. Returns [base, cent0, ..., cent{iters}].
+    ``base_sql`` overrides the base CTE body (e.g. L2-normalized
+    vectors for the IVF-PQ composition)."""
     ctes = [
-        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "base AS ("
+        + (
+            base_sql
+            or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        )
+        + ")",
         # lowest-id seeds (ORDER BY + LIMIT, matching the operator —
         # identical to `vec_id < K` on dense 0-based ids, correct on
         # sparse id spaces too)
@@ -1464,6 +1473,171 @@ def _pq_oracle_sql(
         "WITH " + ", ".join(ctes) +
         f" SELECT query_id, neighbor_id, sim, rank FROM "
         f"(SELECT *, {rank_over} FROM exact) WHERE rank <= {k_top}"
+    )
+
+
+# IVF-PQ gate params (the FAISS IVFADC composition: coarse cells +
+# PQ'd residuals + ADC + exact re-rank)
+_IVFPQ_CENTROIDS = 16
+_IVFPQ_NPROBE = 4
+_IVFPQ_COARSE_ITERS = 2
+_IVFPQ_PQ_ITERS = 2
+_IVFPQ_OVERSAMPLE = 3
+
+
+def _ivfpq_oracle_sql(
+    n_centroids: int = _IVFPQ_CENTROIDS,
+    nprobe: int = _IVFPQ_NPROBE,
+    coarse_iters: int = _IVFPQ_COARSE_ITERS,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    pq_iters: int = _IVFPQ_PQ_ITERS,
+    dim: int = _EMB_DIM,
+    k_top: int = _ANN_K,
+    oversample: int = _IVFPQ_OVERSAMPLE,
+) -> str:
+    """DuckDB twin of similarity.ivfpq_cosine_topk — the _ivf_oracle
+    and _pq_oracle CTE chains COMPOSED: L2-normalize, coarse Lloyd
+    chain (cosine/6-dec/cid-tie) on the normalized corpus, assign,
+    per-component-rounded residuals, the m-segment residual Lloyd
+    chain (argmin L2²/6-dec/cid-tie, lowest-id seeds), per-query ADC
+    table, candidate score = coarse inner product + Σ residual
+    lookups (rounded once), then the exact-cosine re-rank of the
+    oversampled sliver."""
+    seg_len = dim // m
+    assert seg_len * m == dim
+    # coarse chain on the NORMALIZED corpus (cosine = inner product
+    # downstream, and the residual geometry matches the operator)
+    ctes = _kmeans_cte_sql(
+        n_centroids, coarse_iters,
+        base_sql=(
+            "SELECT vec_id, "
+            "[x / sqrt(list_dot_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[])) FOR x IN embedding::DOUBLE[]] AS v "
+            "FROM embeddings"
+        ),
+    )
+    cent = f"cent{coarse_iters}"
+    ctes += [
+        f"simc AS (SELECT b.vec_id, c.cid, "
+        f"round(list_cosine_similarity(b.v, c.cv), 6) AS s "
+        f"FROM base b, {cent} c)",
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) "
+        "AS rn FROM simc) WHERE rn = 1)",
+        f"resid AS (SELECT a.vec_id, a.cid, "
+        f"list_transform(list_zip(b.v, c.cv), "
+        f"x -> round(x[1] - x[2], 6)) AS rv "
+        f"FROM assign a JOIN base b USING (vec_id) "
+        f"JOIN {cent} c USING (cid))",
+        f"segs AS (SELECT vec_id, r.seg, "
+        f"list_slice(rv, r.seg * {seg_len} + 1, (r.seg + 1) * {seg_len}) "
+        f"AS sv FROM resid, range(0, {m}) r(seg))",
+        "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS cid FROM (SELECT vec_id FROM resid ORDER BY vec_id LIMIT {k}))",
+        "pcent0 AS (SELECT s.seg, d.cid, s.sv AS cv "
+        "FROM segs s JOIN seeds d USING (vec_id))",
+    ]
+    l2 = (
+        "round(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+    )
+    for i in range(1, pq_iters + 1):
+        prev, d = f"pcent{i-1}", l2.format(a="s.sv", b="c.cv")
+        ctes.append(
+            f"pa{i} AS (SELECT seg, cid, sv FROM (SELECT s.seg, c.cid, s.sv, "
+            f"row_number() OVER (PARTITION BY s.vec_id, s.seg "
+            f"ORDER BY {d} ASC, c.cid ASC) AS rn "
+            f"FROM segs s JOIN {prev} c ON s.seg = c.seg) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"pm{i} AS (SELECT seg, cid, pos, round(avg(val), 6) AS mval FROM "
+            f"(SELECT seg, cid, generate_subscripts(sv, 1) AS pos, "
+            f"unnest(sv) AS val FROM pa{i}) GROUP BY seg, cid, pos)"
+        )
+        ctes.append(
+            f"pn{i} AS (SELECT seg, cid, array_agg(mval ORDER BY pos) AS cv "
+            f"FROM pm{i} GROUP BY seg, cid)"
+        )
+        ctes.append(
+            f"pcent{i} AS (SELECT c.seg, c.cid, coalesce(n.cv, c.cv) AS cv "
+            f"FROM {prev} c LEFT JOIN pn{i} n ON n.seg = c.seg AND n.cid = c.cid)"
+        )
+    pcent, d = f"pcent{pq_iters}", l2.format(a="s.sv", b="c.cv")
+    ctes += [
+        f"codes AS (SELECT vec_id, seg, cid AS code FROM "
+        f"(SELECT s.vec_id, s.seg, c.cid, "
+        f"row_number() OVER (PARTITION BY s.vec_id, s.seg "
+        f"ORDER BY {d} ASC, c.cid ASC) AS rn "
+        f"FROM segs s JOIN {pcent} c ON s.seg = c.seg) WHERE rn = 1)",
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM base "
+        f"WHERE vec_id IN ({_ann_ids_sql()}))",
+        f"probe AS (SELECT query_id, cid, qc FROM (SELECT q.query_id, c.cid, "
+        f"round(list_cosine_similarity(q.qv, c.cv), 6) AS s, "
+        f"list_dot_product(q.qv, c.cv) AS qc, "
+        f"row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, "
+        f"c.cid ASC) AS rn FROM q, {cent} c) WHERE rn <= {nprobe})",
+        f"qsegs AS (SELECT query_id, r.seg, "
+        f"list_slice(qv, r.seg * {seg_len} + 1, (r.seg + 1) * {seg_len}) "
+        f"AS qs FROM q, range(0, {m}) r(seg))",
+        f"tab AS (SELECT s.query_id, s.seg, c.cid AS code, "
+        f"list_dot_product(s.qs, c.cv) AS t "
+        f"FROM qsegs s JOIN {pcent} c ON s.seg = c.seg)",
+        "scored AS (SELECT p.query_id, r2.vec_id AS neighbor_id, "
+        "round(p.qc + sum(t.t), 6) AS sim "
+        "FROM probe p JOIN resid r2 ON r2.cid = p.cid "
+        "JOIN codes k2 ON k2.vec_id = r2.vec_id "
+        "JOIN tab t ON t.query_id = p.query_id AND t.seg = k2.seg "
+        "AND t.code = k2.code "
+        "WHERE r2.vec_id != p.query_id "
+        "GROUP BY p.query_id, r2.vec_id, p.qc)",
+    ]
+    rank_over = ("row_number() OVER (PARTITION BY query_id "
+                 "ORDER BY sim DESC, neighbor_id ASC) AS rank")
+    if oversample <= 1:
+        return (
+            "WITH " + ", ".join(ctes) +
+            f" SELECT query_id, neighbor_id, sim, rank FROM "
+            f"(SELECT *, {rank_over} FROM scored) WHERE rank <= {k_top}"
+        )
+    ctes += [
+        f"cand AS (SELECT query_id, neighbor_id FROM "
+        f"(SELECT *, {rank_over} FROM scored) "
+        f"WHERE rank <= {k_top * oversample})",
+        "exact AS (SELECT c.query_id, c.neighbor_id, "
+        "round(list_dot_product(q.qv, b.v), 6) AS sim FROM cand c "
+        "JOIN q USING (query_id) JOIN base b ON c.neighbor_id = b.vec_id)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT query_id, neighbor_id, sim, rank FROM "
+        f"(SELECT *, {rank_over} FROM exact) WHERE rank <= {k_top}"
+    )
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ — the FAISS IVFADC composition (Jégou et al., TPAMI
+    2011 §IV) of the two index tiers this surface already gates
+    separately: a coarse inverted file bounds each query's scan to
+    nprobe cells, PQ'd RESIDUALS (vector minus cell centroid) make
+    that scan code-resident, ADC scores candidates as coarse inner
+    product + m table lookups, and the exact re-rank touches floats
+    only for the k·oversample sliver. The billion-vector index shape.
+    The oracle composes the IVF and PQ Lloyd CTE chains end-to-end
+    (_ivfpq_oracle_sql)."""
+    return SIM.ivfpq_cosine_topk(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=list(_ANN_QUERY_IDS),
+        dim=_EMB_DIM,
+        k_top=_ANN_K,
+        n_centroids=_IVFPQ_CENTROIDS,
+        nprobe=_IVFPQ_NPROBE,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        m=_PQ_M,
+        k=_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+        oversample=_IVFPQ_OVERSAMPLE,
     )
 
 
@@ -3737,7 +3911,7 @@ QUERY_ORDER = [
     # window keeps the round-6 composition, all of which also have a
     # prior driver CORRECTNESS row.
     # --- round-11 additions first (judged in their birth round) ---
-    "versioned_update_dv_scan",
+    "versioned_update_dv_scan", "ann_ivfpq_topk",
     # --- round-10 additions ---
     "versioned_dv_scan", "versioned_rename_scan",
     "pq_topk_adc", "pq_topk_rerank", "nb_classify_bigram",
@@ -3822,8 +3996,8 @@ QUERY_ORDER = [
 # is intact
 # judged-window invariant, stated as the exact front block so
 # every round's additions provably lead the driver's first-50 window
-assert QUERY_ORDER[:27] == [
-    "versioned_update_dv_scan",                       # r11 first
+assert QUERY_ORDER[:28] == [
+    "versioned_update_dv_scan", "ann_ivfpq_topk",     # r11 first
     "versioned_dv_scan", "versioned_rename_scan",     # r10
     "pq_topk_adc", "pq_topk_rerank", "nb_classify_bigram",
     "ann_binary_topk",
@@ -3836,13 +4010,13 @@ assert QUERY_ORDER[:27] == [
     "audio_spectral", "video_gif_frames", "graph_pagerank",
     "bpe_merges", "bpe_tokenize",
 ]
-assert QUERY_ORDER.index("dedup_containment") == 27  # r7 follows
-assert QUERY_ORDER.index("image_jpeg_roundtrip") < 64
-assert QUERY_ORDER.index("tfidf_keywords") < 64  # r5 additions block
-assert QUERY_ORDER.index("image_png_stats") < 64  # r6 additions block
-assert QUERY_ORDER.index("weighted_linkage") == 79  # r5 window follows
-assert QUERY_ORDER.index("scan_project") == 129  # r1-4 core last
-assert len(QUERY_ORDER) == 179 and len(set(QUERY_ORDER)) == 179
+assert QUERY_ORDER.index("dedup_containment") == 28  # r7 follows
+assert QUERY_ORDER.index("image_jpeg_roundtrip") < 65
+assert QUERY_ORDER.index("tfidf_keywords") < 65  # r5 additions block
+assert QUERY_ORDER.index("image_png_stats") < 65  # r6 additions block
+assert QUERY_ORDER.index("weighted_linkage") == 80  # r5 window follows
+assert QUERY_ORDER.index("scan_project") == 130  # r1-4 core last
+assert len(QUERY_ORDER) == 180 and len(set(QUERY_ORDER)) == 180
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3973,6 +4147,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_prune_scan": q_versioned_prune_scan,
         "versioned_bloom_lookup": q_versioned_bloom_lookup,
         "versioned_update_dv_scan": q_versioned_update_dv_scan,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "versioned_dv_scan": q_versioned_dv_scan,
         "versioned_rename_scan": q_versioned_rename_scan,
         "versioned_update_scan": q_versioned_update_scan,
@@ -5505,6 +5680,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             f"AND o_totalprice <= {_VREN_RD_HI}"
         ),
         "ann_quantized_topk": _ANN_QUANT_ORACLE,
+        "ann_ivfpq_topk": _ivfpq_oracle_sql(),
         "pq_topk_adc": _pq_oracle_sql(),
         "pq_topk_rerank": _pq_oracle_sql(oversample=_PQ_OVERSAMPLE),
         "nb_classify_bigram": _nb_bigram_oracle_sql(),

@@ -1407,3 +1407,194 @@ def binary_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivfpq_cosine_topk(
+    emb: DataFrame,
+    query_ids: list,
+    dim: int,
+    k_top: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 8,
+    k: int = 16,
+    pq_iters: int = 2,
+    oversample: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mod: int | None = None,
+    coarse_codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (the FAISS ``IVFADC`` index shape, Jégou et al. §IV):
+    the billion-vector tier that composes the two indexes this module
+    already has — a COARSE inverted file so each query scans only its
+    ``nprobe`` nearest cells, and PRODUCT-QUANTIZED **residuals**
+    (vector minus its cell centroid) so the scan inside a cell touches
+    ``m`` one-byte-ish codes instead of the floats.
+
+    Pipeline (every step the deterministic twin of its standalone
+    operator, so one DuckDB CTE chain replays the whole composition):
+
+    1. L2-normalize (cosine = inner product downstream).
+    2. Coarse codebook: :func:`kmeans_codebook` on the normalized
+       corpus (rounded-cosine assignment, cid ties).
+    3. Residual encode: ``r = round(v - centroid(cell), 6)`` per
+       component; :func:`pq_encode` learns ONE shared m-segment
+       codebook over all residuals (the shared-codebook IVFADC
+       variant — per-cell codebooks multiply training cost K-fold for
+       marginal recall at these dims).
+    4. Query: probe the ``nprobe`` cells of highest rounded cosine;
+       build the per-query ``m·k`` ADC table of sub-inner-products
+       against the residual codebooks; a candidate in cell c scores
+       ``round(q·centroid_c + Σ_seg table[seg, code], 6)`` — the
+       inner product decomposed as coarse term + residual lookups,
+       never touching the candidate's floats.
+    5. ``oversample > 1``: exact-cosine re-rank of the candidate
+       sliver, floats touched only for ``k_top·oversample`` rows per
+       query.
+
+    At 100 TB: the corpus's search-time footprint is codes
+    (``m·log2(k)`` bits/vector) + one cid each — RAM-resident on a
+    modest cluster; a query reads ``nprobe/K`` of the codes and the
+    float vectors only for its re-rank sliver. Training runs on the
+    ``train_mod`` sliver and amortizes over the corpus scan exactly
+    like the standalone IVF/PQ paths.
+
+    Same output contract as :func:`cosine_topk`:
+    (query_id, neighbor_id, sim, rank)."""
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    raw = emb.select(F.col(id_col).alias("__id"), vecd.alias("__raw"))
+    nrm = _norm(F.col("__raw"))
+    base = raw.select(
+        "__id", F.transform(F.col("__raw"), lambda x: x / nrm).alias("__v")
+    )
+    # coarse_codebook is the amortization seam (same contract as
+    # ivf_cosine_topk's `codebook`): pass a previously trained
+    # (cid, __cv) frame over the NORMALIZED corpus and the coarse
+    # Lloyd training is skipped — per-query-batch cost drops to
+    # assignment + probe. The gate prices the train-included case.
+    cent = (
+        coarse_codebook
+        if coarse_codebook is not None
+        else kmeans_codebook(
+            base, n_centroids, iters=coarse_iters, id_col="__id",
+            train_mod=train_mod,
+        )
+    ).select("cid", "__cv")
+    assign = assign_cells(base, cent, "__id")  # (__id, __v, cid)
+    # materialize the residuals ONCE: the PQ Lloyd loop and the final
+    # encode each run several actions over this frame, and without the
+    # checkpoint every one would re-execute the coarse training +
+    # assignment lineage. The index-build path inherently scans the
+    # residuals multiple times (train, then encode), so this is the
+    # minimal materialization, amortized over every query batch.
+    resid = (
+        assign.join(F.broadcast(cent), "cid")
+        .select(
+            "__id",
+            "cid",
+            F.zip_with(
+                F.col("__v"), F.col("__cv"), lambda x, y: F.round(x - y, 6)
+            ).alias("__r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    codes, cb = pq_encode(
+        resid.select(F.col("__id").alias(id_col), F.col("__r")),
+        "__r", id_col, dim=dim, m=m, k=k, iters=pq_iters,
+        train_mod=train_mod,
+    )
+    q = base.where(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    # probe the nprobe best cells; carry the coarse inner-product term
+    probe = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "__qv",
+            "cid",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                6,
+            ).alias("__sim_c"),
+            _dot(F.col("__qv"), F.col("__cv")).alias("__qc"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__sim_c").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "cid", "__qc")
+    )
+    # per-query ADC table over the SHARED residual codebook
+    qsegs = q.select(
+        "query_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("seg"), sl.alias("__qs"))
+                for s, sl in _pq_segments(F.col("__qv"), dim, m)
+            ])
+        ).alias("__s"),
+    ).select(
+        "query_id", F.col("__s.seg").alias("seg"), F.col("__s.__qs").alias("__qs")
+    )
+    table = qsegs.join(F.broadcast(cb), "seg").select(
+        "query_id", "seg", F.col("cid").alias("code"),
+        _dot(F.col("__qs"), F.col("__cv")).alias("__t"),
+    )
+    # candidates = codes of vectors living in the probed cells; score
+    # = coarse term + m residual lookups (grouped sum), rounded once
+    cell_of = resid.select(F.col("__id").alias(id_col), "cid")
+    cand_codes = codes.join(cell_of, id_col)
+    scored = (
+        probe.select("query_id", "cid", "__qc")
+        .join(cand_codes, "cid")
+        .join(
+            F.broadcast(table),
+            ["query_id", "seg", "code"],
+        )
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"), "__qc")
+        .agg(F.round(F.col("__qc") + F.sum("__t"), 6).alias("sim"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    if oversample <= 1:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_top)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top * oversample)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        cand.join(q.select("query_id", "__qv"), "query_id")
+        .join(
+            base.select(
+                F.col("__id").alias("neighbor_id"), F.col("__v").alias("__nv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("__qv"), F.col("__nv")), 6).alias("sim"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
