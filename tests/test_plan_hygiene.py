@@ -62,6 +62,9 @@ _BOUNDED_BROADCAST_OK = {
     # IVF: broadcast side is the K-centroid codebook (K=const)
     "ann_ivf_topk": "K-centroid codebook",
     "ann_ivf_topk_pandas": "K-centroid codebook",
+    # IVF-PQ composes the same probe: the query set nested-loop-joins
+    # the K-centroid coarse codebook (K=const rows at any scale)
+    "ann_ivfpq_topk": "K-centroid coarse codebook",
     # SemDeDup: the same K-row codebook broadcast, once per Lloyd
     # iteration + once for the final assignment; the within-cluster
     # pairing itself is an equi-join on cid (never nested-loop)
