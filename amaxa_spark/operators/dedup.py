@@ -1207,8 +1207,10 @@ def semantic_dedup(
     the same shuffle. Pairs carry ids + rounded sims, never text.
     """
     from amaxa_spark.operators.similarity import (
+        _cb_literal,
         _dot,
         _norm,
+        _rows_of,
         assign_cells,
         kmeans_codebook,
     )
@@ -1221,16 +1223,54 @@ def semantic_dedup(
         base, n_centroids, kmeans_iters, id_col=id_col,
         assign_impl=assign_impl,
     )
-    assign = assign_cells(base, cent, id_col, impl=assign_impl)
-    cos_c = F.round(
-        _dot(F.col("__v"), F.col("__cv"))
-        / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
-        6,
-    )
+    if assign_impl == "hof":
+        # assignment carries its own-centroid sim out of the argmax
+        # struct directly — the max's __s IS cos(v, centroid(cid)),
+        # the identical rounded expression the old plan recomputed
+        # through a broadcast join after assignment
+        rows = _rows_of(cent)
+        vn = _norm(F.col("__v"))
+        scored = F.transform(
+            _cb_literal(rows),
+            lambda s: F.struct(
+                F.round(_dot(F.col("__v"), s["__cv"]) / (F.col("__vn") * s["__cn"]), 6)
+                .alias("__s"),
+                (-s["cid"]).alias("__nc"),
+                s["cid"].alias("cid"),
+            ),
+        )
+        assigned = (
+            base.select(id_col, "__v", vn.alias("__vn"))
+            .select(
+                id_col, "__v", "__vn", F.array_max(scored).alias("__b")
+            )
+            .select(
+                id_col,
+                "__v",
+                "__vn",
+                F.col("__b.cid").alias("cid"),
+                F.col("__b.__s").alias("__s"),
+            )
+        )
+    else:
+        assign = assign_cells(base, cent, id_col, impl=assign_impl)
+        cos_c = F.round(
+            _dot(F.col("__v"), F.col("__cv"))
+            / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
+            6,
+        )
+        assigned = assign.join(F.broadcast(cent), "cid").select(
+            id_col, "__v", _norm(F.col("__v")).alias("__vn"),
+            "cid", cos_c.alias("__s"),
+        )
+    # checkpoint BEFORE the within-cluster self-join: both sides read
+    # the materialized (id, cid, __v, __vn, __s, __rn) rows instead of
+    # re-deriving the assignment lineage twice (the self-join scans
+    # this frame twice either way — the materialization is the
+    # minimal one). __vn rides along so the pair cosine pays one dot,
+    # not a dot plus two re-derived norms (same values, hoisted).
     ranked = (
-        assign.join(F.broadcast(cent), "cid")
-        .select(id_col, "cid", "__v", cos_c.alias("__s"))
-        .withColumn(
+        assigned.withColumn(
             "__rn",
             F.row_number().over(
                 Window.partitionBy("cid").orderBy(
@@ -1238,22 +1278,25 @@ def semantic_dedup(
                 )
             ),
         )
+        .localCheckpoint(eager=True)
     )
     a = ranked.select(
         F.col("cid"),
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),
+        F.col("__vn").alias("__na"),
         F.col("__rn").alias("__rna"),
     )
     b = ranked.select(
         F.col("cid"),
         F.col(id_col).alias("__idb"),
         F.col("__v").alias("__vb"),
+        F.col("__vn").alias("__nb"),
         F.col("__rn").alias("__rnb"),
     )
     cos_ab = F.round(
         _dot(F.col("__va"), F.col("__vb"))
-        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        / (F.col("__na") * F.col("__nb")),
         6,
     )
     dups = (

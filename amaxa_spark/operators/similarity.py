@@ -151,6 +151,257 @@ def cosine_topk_pandas(
     )
 
 
+def _scale_out(df: DataFrame) -> DataFrame:
+    """Spread a small input across idle cores before per-row-heavy
+    evaluation (interpreted HOF dot products): when the plan yields
+    fewer partitions than defaultParallelism (a small file / single
+    row group), round-robin repartition so the work parallelizes;
+    otherwise NO-OP — at scale the scan already has ≥ p splits and no
+    shuffle is added. Scale-adaptive by plan inspection (guide §2:
+    derive partitioning from the input, never a local-mode
+    constant)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
+def _fold_norm(cv: list[float]) -> float:
+    """Driver-side twin of :func:`_norm`: the identical left fold over
+    the identical doubles (Python float IS IEEE754 double, both folds
+    accumulate left-to-right), so the value is byte-identical to the
+    JVM expression it replaces."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _sql_double(x: float) -> str:
+    """Exact double literal for a SQL expression string: ``repr`` is
+    the shortest round-trip decimal and the D-suffix literal parses to
+    the nearest (= identical) double — ONE plan node per value (a
+    CAST('…' AS DOUBLE) form doubles the node count and every
+    optimizer pass walks it)."""
+    return f"{x!r}D"
+
+
+def _round6_halfup(x: float) -> float:
+    """Byte-identical driver twin of ``F.round(col, 6)`` on doubles:
+    Spark rounds the SHORTEST-REPR decimal of the double
+    (BigDecimal.valueOf → Double.toString) HALF_UP at scale 6;
+    Python's ``repr`` produces the same shortest round-trip string,
+    and Decimal.quantize(HALF_UP) the same decimal, so the re-encoded
+    double is identical."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not math.isfinite(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _collect_group_means(df: DataFrame, key_cols: list, vec_col: str) -> dict:
+    """ONE-JOB grouped per-component means for a Lloyd iteration:
+    a mapInPandas pass emits per-partition (keys, component sums,
+    count) partials — no shuffle, no second AQE stage job (each job
+    costs ~0.5 s of scheduling on the bench host, and an aggregate is
+    two of them) — the driver merges partitions in order and rounds
+    half-up at 1e-6 (:func:`_round6_halfup`, the byte-identical twin
+    of ``F.round(F.avg(...), 6)`` modulo summation-order last-ulps,
+    which the rounding absorbs exactly as it already does between the
+    JVM and the DuckDB oracle). Partial volume is bounded by
+    keys × dim × partitions, never the corpus. Returns
+    {key_tuple: [rounded means]}."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        sums: dict = {}
+        cnts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = list(zip(*(pdf[k].to_numpy() for k in key_cols)))
+            vecs = pdf[vec_col].to_numpy()
+            uniq = {}
+            for i, kt in enumerate(keys):
+                uniq.setdefault(kt, []).append(i)
+            for kt, idxs in uniq.items():
+                M = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in idxs])
+                acc = sums.get(kt)
+                if acc is None:
+                    acc = np.zeros(M.shape[1], dtype=np.float64)
+                    sums[kt] = acc
+                    cnts[kt] = 0
+                # sequential accumulation in row order (np.add.at is
+                # unbuffered/in-order), matching the JVM's running sum
+                for row in M:
+                    np.add(acc, row, out=acc)
+                cnts[kt] += len(idxs)
+        if not sums:
+            # yield nothing for an empty task: an empty pandas frame
+            # types "__s" float64, which Arrow cannot convert to
+            # list<double>
+            return
+        out_keys = sorted(sums.keys())
+        yield pd.DataFrame(
+            {
+                **{
+                    k: [kt[j] for kt in out_keys]
+                    for j, k in enumerate(key_cols)
+                },
+                "__s": [sums[kt].tolist() for kt in out_keys],
+                "__n": [cnts[kt] for kt in out_keys],
+            }
+        )
+
+    import pandas as pd  # noqa: F401  (used inside partials)
+
+    key_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in key_cols
+    )
+    parts = df.select(*key_cols, vec_col).mapInPandas(
+        partials, schema=f"{key_schema}, __s array<double>, __n long"
+    ).collect()
+    totals: dict = {}
+    counts: dict = {}
+    for r in parts:
+        kt = tuple(r[k] for k in key_cols)
+        s = totals.get(kt)
+        if s is None:
+            totals[kt] = list(r["__s"])
+            counts[kt] = int(r["__n"])
+        else:
+            totals[kt] = [a + b for a, b in zip(s, r["__s"])]
+            counts[kt] += int(r["__n"])
+    return {
+        kt: [_round6_halfup(s / counts[kt]) for s in totals[kt]]
+        for kt in totals
+    }
+
+
+def _rows_of(cent: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-held (cid, __cv) rows of a codebook frame, sorted by
+    cid. BOUNDED by construction (K or m·k rows — a constant, never
+    the corpus; the pandas assignment path has always collected it).
+    Frames produced by :func:`kmeans_codebook` carry their rows along
+    (``_amaxa_cb_rows``) so internal consumers skip the collect."""
+    rows = getattr(cent, "_amaxa_cb_rows", None)
+    if rows is not None:
+        return rows
+    return sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in cent.select("cid", "__cv").collect()
+    )
+
+
+def _cb_literal(rows: list[tuple[int, list[float]]], cid_suffix: str = "L"):
+    """The codebook as ONE literal ``array<struct<cid,__cv,__cn>>``
+    expression, built as a single ``F.expr`` string (element-wise
+    ``F.lit``/``F.struct`` costs thousands of py4j round trips —
+    measured 1.3-3 s of driver time per assignment at K=16·d=64 —
+    and a broadcast join of the same K rows pays a measured
+    ~0.4-0.7 s of broadcast-exchange machinery per job; the parsed
+    literal costs ~5 ms and keeps the whole assignment NARROW).
+    Centroid norms are precomputed with the byte-identical driver
+    fold (:func:`_fold_norm`)."""
+    entries = ", ".join(
+        "named_struct('cid', {cid}{sfx}, '__cv', array({cv}), '__cn', {cn})"
+        .format(
+            cid=cid,
+            sfx=cid_suffix,
+            cv=", ".join(_sql_double(x) for x in cv),
+            cn=_sql_double(_fold_norm(cv)),
+        )
+        for cid, cv in rows
+    )
+    return F.expr(f"array({entries})")
+
+
+def _nearest_cid_cos(vec, vec_norm, cb_arr):
+    """Rounded-cosine argmax against a codebook array column, ties to
+    the LOWEST cid — the same contract as the old broadcast-join +
+    max_by plan, evaluated as ONE narrow expression per row:
+    array_max over (sim, -cid) structs is the identical lexicographic
+    comparison max_by used. The cosine itself is the same
+    ``aggregate``/``zip_with`` fold, so every rounded value is
+    byte-identical."""
+    scored = F.transform(
+        cb_arr,
+        lambda s: F.struct(
+            F.round(_dot(vec, s["__cv"]) / (vec_norm * s["__cn"]), 6)
+            .alias("__s"),
+            (-s["cid"]).alias("__nc"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    return F.array_max(scored)["cid"]
+
+
+def _pq_cb_literal(rows_by_seg):
+    """The m·k product-quantization codebook as one literal
+    ``array<array<array<double>>>`` (seg → code → sub-centroid),
+    positions = code+1: sub-centroid ids are dense 0..k-1 by the seed
+    rule (asserted). Same single-``F.expr``-string rationale as
+    :func:`_cb_literal`."""
+    for seg_rows in rows_by_seg:
+        assert [c for c, _ in seg_rows] == list(range(len(seg_rows))), (
+            "pq codebook cids must be dense 0..k-1"
+        )
+    segs_sql = ", ".join(
+        "array({})".format(
+            ", ".join(
+                "array({})".format(", ".join(_sql_double(x) for x in cv))
+                for _cid, cv in seg_rows
+            )
+        )
+        for seg_rows in rows_by_seg
+    )
+    return F.expr(f"array({segs_sql})")
+
+
+def _probe_cells_expr(cb_lit, qv, nprobe: int):
+    """The ``nprobe`` best cell ids for a query vector as one narrow
+    expression: rounded cosine against every literal centroid, sorted
+    (sim DESC, cid ASC) by an ascending array_sort over exact
+    (-sim, cid) structs, sliced to ``nprobe`` — the same selection the
+    old broadcast-join + window row_number plan made."""
+    qn = _norm(qv)
+    scored = F.transform(
+        cb_lit,
+        lambda s: F.struct(
+            (-F.round(_dot(qv, s["__cv"]) / (qn * s["__cn"]), 6)).alias("__k"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def _assign_rows_hof(base: DataFrame, rows, id_col: str) -> DataFrame:
+    """The hof assignment against a driver-held codebook: one narrow
+    literal-argmax projection (see :func:`assign_cells` for the
+    contract)."""
+    cb_lit = _cb_literal(rows)
+    return (
+        base
+        .select(id_col, "__v", _norm(F.col("__v")).alias("__vn"))
+        .select(
+            id_col,
+            "__v",
+            _nearest_cid_cos(F.col("__v"), F.col("__vn"), cb_lit).alias("cid"),
+        )
+    )
+
+
 def assign_cells(
     base: DataFrame,
     cent: DataFrame,
@@ -199,36 +450,25 @@ def assign_cells(
             "hash or zip non-numeric ids to a surrogate first"
         )
     if impl == "hof":
-        sim_c = F.round(
-            _dot(F.col("__v"), F.col("__cv"))
-            / (_norm(F.col("__v")) * _norm(F.col("__cv"))),
-            6,
-        )
-        return (
-            base.join(F.broadcast(cent))
-            .select(id_col, "__v", "cid", sim_c.alias("__sim_c"))
-            .groupBy(id_col)
-            # argmax: max sim, ties to the LOWEST cid (hence -cid in
-            # the ordering struct) — identical to the oracle's
-            # row_number ... ORDER BY s DESC, cid ASC ... rn = 1
-            .agg(
-                F.max_by(
-                    F.struct("cid", "__v"),
-                    F.struct(F.col("__sim_c"), (-F.col("cid")).alias("__nc")),
-                ).alias("__b")
-            )
-            .select(
-                id_col,
-                F.col("__b.__v").alias("__v"),
-                F.col("__b.cid").alias("cid"),
-            )
-        )
+        # argmax: max sim, ties to the LOWEST cid — identical to the
+        # oracle's row_number ... ORDER BY s DESC, cid ASC ... rn = 1.
+        # The codebook rides along as a LITERAL array (bounded, see
+        # _cb_literal), so assignment is one narrow per-row argmax:
+        # no join, no per-vector shuffle, no argmax aggregate (the
+        # old plan sort-aggregated every vector because the vector
+        # array sat in the grouping key). The vector's own norm is
+        # hoisted to one evaluation per row (same expression → same
+        # value; the old plan recomputed it per centroid pair).
+        rows = _rows_of(cent)
+        if not rows:
+            raise ValueError("empty codebook")
+        return _assign_rows_hof(base, rows, id_col)
     if impl != "pandas":
         raise ValueError(f"unknown assign impl {impl!r}")
 
     import numpy as np
 
-    cent_rows = sorted(cent.select("cid", "__cv").collect(), key=lambda r: r[0])
+    cent_rows = _rows_of(cent)
     if not cent_rows:
         raise ValueError("empty codebook")
     cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
@@ -301,43 +541,67 @@ def kmeans_codebook(
     rounded-argmax contract, so the trained codebook is identical
     modulo last-ulp rounding edges.
     """
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(base.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"kmeans_codebook: id column {id_col!r} must be numeric "
+            f"(got {base.schema[id_col].dataType.simpleString()}) — "
+            "hash or zip non-numeric ids to a surrogate first"
+        )
     train = base if train_mod is None else base.where(
         F.col(id_col) % train_mod == 0
     )
-    cent = (
-        base.orderBy(F.col(id_col).asc())
+    if iters > 0:
+        # materialize the training frame ONCE, spread across cores
+        # (MLlib caches its k-means input for the same reason): the
+        # loop scans it `iters` times, and without this every
+        # iteration re-derives the scan lineage on however few
+        # partitions the small input file yields. Lazy checkpoint —
+        # the first iteration's job materializes it, no dedicated job.
+        train = _scale_out(train).localCheckpoint(eager=False)
+    spark = base.sparkSession
+    cur = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in base.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col("__v").alias("__cv"))
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    if not cent.take(1):
+    if not cur:
         # fail loudly like the pandas assign path — an empty codebook
         # would otherwise return silently empty results downstream
         raise ValueError("kmeans_codebook: no vectors to seed from")
+
+    def cent_df(rows):
+        df = spark.createDataFrame(
+            [(cid, cv) for cid, cv in rows], "cid long, __cv array<double>"
+        )
+        # carry the driver-held rows so downstream assignment /
+        # literal builders skip re-collecting the local relation
+        df._amaxa_cb_rows = rows
+        return df
+
+    # The codebook lives on the DRIVER between iterations (K×dim
+    # doubles — bounded, the FAISS shape): one Lloyd iteration is ONE
+    # job — narrow literal-argmax assignment (see assign_cells) feeding
+    # the per-(cid,pos) partial-average shuffle whose K×dim result
+    # collects straight back. The old plan paid, per iteration, a
+    # codebook broadcast exchange, a per-vector argmax shuffle, a
+    # second tiny shuffle, a K-row join and an eager localCheckpoint.
     for _ in range(iters):
-        assign = assign_cells(train, cent, id_col, impl=assign_impl).select(
-            "cid", "__v"
-        )
-        means = (
-            assign.select("cid", F.posexplode("__v").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("__new")
-            )
-        )
-        cent = (
-            cent.join(means, "cid", "left")
-            .select(
-                "cid", F.coalesce(F.col("__new"), F.col("__cv")).alias("__cv")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cent
+        assign = (
+            _assign_rows_hof(train, cur, id_col)
+            if assign_impl == "hof"
+            else assign_cells(train, cent_df(cur), id_col, impl=assign_impl)
+        ).select("cid", "__v")
+        means = _collect_group_means(assign, ["cid"], "__v")
+        # a centroid whose cell empties keeps its previous value
+        cur = [
+            (cid, means.get((cid,), cv))
+            for cid, cv in cur
+        ]
+    return cent_df(cur)
 
 
 def ivf_cosine_topk(
@@ -383,35 +647,33 @@ def ivf_cosine_topk(
             base, n_centroids, iters=kmeans_iters, id_col=id_col,
             train_mod=train_mod, assign_impl=assign_impl,
         )
-    ).select("cid", "__cv")
-    # corpus→cell assignment (see assign_cells: hof = broadcast join +
-    # max_by argmax, one shuffled row per vector; pandas = one GEMM
+    )
+    rows = _rows_of(cent)
+    # corpus→cell assignment (see assign_cells: hof = narrow
+    # literal-codebook argmax, no join/shuffle; pandas = one GEMM
     # per Arrow batch — the index-build scale path)
-    assign = assign_cells(base, cent, id_col, impl=assign_impl)
+    assign = (
+        _assign_rows_hof(base, rows, id_col)
+        if assign_impl == "hof"
+        else assign_cells(base, cent, id_col, impl=assign_impl)
+    )
+    # per-query nprobe best cells as ONE narrow expression: rounded
+    # cosine per centroid (literal codebook again), sorted by
+    # (sim DESC, cid ASC) via ascending (-sim, cid) struct sort —
+    # identical selection to the old BNLJ + per-query window
+    # row_number ≤ nprobe plan, minus the broadcast exchange and the
+    # window shuffle (negation of the ROUNDED sim is exact)
     probe = (
         assign.where(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"))
-        .join(F.broadcast(cent))
         .select(
             "query_id",
             "__qv",
-            "cid",
-            F.round(
-                _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
-                6,
-            ).alias("__sim_c"),
+            _probe_cells_expr(
+                _cb_literal(rows), F.col("__qv"), nprobe
+            ).alias("__pc"),
         )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("__sim_c").desc(), F.col("cid").asc()
-                )
-            ),
-        )
-        .where(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "cid")
+        .select("query_id", "__qv", F.explode("__pc").alias("cid"))
     )
     cand = (
         probe.join(assign, "cid")
@@ -1129,26 +1391,37 @@ def pq_encode(
     train = segs if train_mod is None else segs.where(
         F.col("__id") % train_mod == 0
     )
+    if iters > 0:
+        # materialize + spread the training segments once for the
+        # Lloyd loop (see kmeans_codebook); when training on the full
+        # corpus the final encode reuses the same materialization
+        train = _scale_out(train).localCheckpoint(eager=False)
+        if train_mod is None:
+            segs = train
     # seeds = the k GENUINELY lowest ids (orderBy + limit, not an
     # `__id < k` guess that degrades on sparse or offset id spaces),
     # numbered 0..k-1 by id order so codes are dense regardless of
     # the id domain; on dense 0-based ids this is byte-identical to
-    # the old behavior. The window runs on <= k rows post-limit.
-    seed_ids = (
-        base.select("__id").orderBy("__id").limit(k)
-        .select(
-            "__id",
-            (F.row_number().over(Window.orderBy("__id")) - 1)
-            .cast("int").alias("cid"),
-        )
+    # the old behavior. Seed sub-vectors are sliced driver-side from
+    # the k collected seed vectors (k full vectors — bounded), the
+    # same values F.slice produced.
+    seed_rows = (
+        base.select("__id", "__v").orderBy("__id").limit(k).collect()
     )
-    cent = (
-        segs.join(F.broadcast(seed_ids), "__id")
-        .select("seg", "cid", F.col("__sv").alias("__cv"))
-        .localCheckpoint(eager=True)
-    )
-    if not cent.take(1):
+    if not seed_rows:
         raise ValueError("pq_encode: no vectors to seed from")
+    seg_len = dim // m
+    # cur[seg] = sorted list of (cid, sub-centroid); the m·k codebook
+    # lives on the DRIVER between Lloyd iterations (m·k·(dim/m) =
+    # k·dim doubles — bounded), exactly like kmeans_codebook
+    cur: list[list[tuple[int, list[float]]]] = [
+        [
+            (ci, [float(x) for x in r["__v"][s * seg_len : (s + 1) * seg_len]])
+            for ci, r in enumerate(seed_rows)
+        ]
+        for s in range(m)
+    ]
+    spark = base.sparkSession
 
     def l2(a, b):
         return F.aggregate(
@@ -1157,46 +1430,49 @@ def pq_encode(
             lambda acc, v: acc + v,
         )
 
-    def assign(frame, cb):
-        d = F.round(l2(F.col("__sv"), F.col("__cv")), 6)
-        return (
-            frame.join(F.broadcast(cb), "seg")
-            .select(
-                "__id", "seg", "__sv",
-                d.alias("__d"), F.col("cid"),
-            )
-            .groupBy("__id", "seg", "__sv")
-            # argmin distance, ties by LOWEST cid: min over a
-            # (distance, cid) struct — deterministic on any engine
-            .agg(F.min(F.struct(F.col("__d"), F.col("cid"))).alias("__b"))
-            .select("__id", "seg", "__sv", F.col("__b.cid").alias("cid"))
+    def assign(frame, rows_by_seg):
+        # narrow per-row argmin against the LITERAL m·k codebook (no
+        # join, no per-vector shuffle): the row's segment selects its
+        # k-entry codebook via element_at, argmin distance with ties
+        # by LOWEST cid = array_min over (distance, cid) structs —
+        # the identical lexicographic comparison the old groupBy/min
+        # aggregate used (which also SORT-aggregated every
+        # sub-vector, the array being part of its grouping key). The
+        # transform index IS the cid: sub-centroid ids are dense
+        # 0..k-1 by the seed rule.
+        cb_row = F.element_at(_pq_cb_literal(rows_by_seg), F.col("seg") + 1)
+        scored = F.transform(
+            cb_row,
+            lambda x, i: F.struct(
+                F.round(l2(F.col("__sv"), x), 6).alias("__d"),
+                i.alias("cid"),
+            ),
+        )
+        return frame.select(
+            "__id", "seg", "__sv", F.array_min(scored)["cid"].alias("cid")
         )
 
     for _ in range(iters):
-        a = assign(train, cent)
-        means = (
-            a.select("seg", "cid", F.posexplode("__sv").alias("pos", "val"))
-            .groupBy("seg", "cid", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("mval"))
-            .groupBy("seg", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
-                    lambda s: s["mval"],
-                ).alias("__new")
-            )
-        )
-        cent = (
-            cent.join(means, ["seg", "cid"], "left")
-            .select(
-                "seg", "cid",
-                F.coalesce(F.col("__new"), F.col("__cv")).alias("__cv"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    codes = assign(segs, cent).select(
+        a = assign(train, cur).select("seg", "cid", "__sv")
+        means = _collect_group_means(a, ["seg", "cid"], "__sv")
+        # a sub-centroid whose cell empties keeps its previous value
+        cur = [
+            [
+                (cid, means.get((s, cid), cv))
+                for cid, cv in seg_rows
+            ]
+            for s, seg_rows in enumerate(cur)
+        ]
+    codes = assign(segs, cur).select(
         F.col("__id").alias(id_col), "seg", F.col("cid").alias("code")
     )
+    cent = spark.createDataFrame(
+        [(s, cid, cv) for s, seg_rows in enumerate(cur) for cid, cv in seg_rows],
+        "seg int, cid int, __cv array<double>",
+    )
+    # carry the driver-held per-seg rows so ADC consumers can build
+    # literal lookup tables without re-collecting the local relation
+    cent._amaxa_pq_rows = cur
     return codes, cent
 
 
@@ -1246,24 +1522,45 @@ def pq_topk_adc(
     q = base.where(F.col("__id").isin(query_ids)).select(
         F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
     )
-    # the ADC tables: per (query, seg, cid) one sub-inner-product
-    qsegs = q.select(
-        "query_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(s).alias("seg"), sl.alias("__qs"))
-                for s, sl in _pq_segments(F.col("__qv"), dim, m)
-            ])
-        ).alias("__s"),
-    ).select("query_id", F.col("__s.seg").alias("seg"), F.col("__s.__qs").alias("__qs"))
-    table = qsegs.join(F.broadcast(cb), "seg").select(
-        "query_id", "seg", F.col("cid").alias("code"),
-        _dot(F.col("__qs"), F.col("__cv")).alias("__t"),
+    # the ADC scan, fully narrow: the BOUNDED query set (|query_ids|
+    # normalized vectors — the same collect bound the gates already
+    # accept) rides along as a literal, and each (corpus code ×
+    # query) sub-product is computed in place — F.slice of the query
+    # segment (the identical slice qsegs produced) dotted with the
+    # literal pq codebook entry (position = code+1, dense by the seed
+    # rule). Replaces the old per-query table frame and BOTH of its
+    # broadcast joins; only (query, neighbor) partial sums reach the
+    # exchange.
+    seg_len = dim // m
+    q_lit = F.expr(
+        "array({})".format(
+            ", ".join(
+                "named_struct('query_id', {qid}L, '__qv', array({qv}))".format(
+                    qid=int(r["query_id"]),
+                    qv=", ".join(_sql_double(float(x)) for x in r["__qv"]),
+                )
+                for r in q.collect()
+            )
+        )
+    )
+    pq_lit = _pq_cb_literal(cb._amaxa_pq_rows)
+    adc_t = _dot(
+        F.slice(F.col("__qv"), F.col("seg") * seg_len + 1, seg_len),
+        F.element_at(
+            F.element_at(pq_lit, F.col("seg") + 1), F.col("code") + 1
+        ),
     )
     scored = (
-        codes.join(F.broadcast(table), ["seg", "code"])
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.round(F.sum("__t"), 6).alias("sim"))
+        codes.select(F.col(id_col), "seg", "code", F.explode(q_lit).alias("__q"))
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            "seg",
+            "code",
+            F.col("__q.__qv").alias("__qv"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum(adc_t), 6).alias("sim"))
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1481,22 +1778,39 @@ def ivfpq_cosine_topk(
             base, n_centroids, iters=coarse_iters, id_col="__id",
             train_mod=train_mod,
         )
-    ).select("cid", "__cv")
-    assign = assign_cells(base, cent, "__id")  # (__id, __v, cid)
+    )
+    rows = _rows_of(cent)
+    cb_lit = _cb_literal(rows)
+    assign = _assign_rows_hof(base, rows, "__id")  # (__id, __v, cid)
     # materialize the residuals ONCE: the PQ Lloyd loop and the final
     # encode each run several actions over this frame, and without the
     # checkpoint every one would re-execute the coarse training +
     # assignment lineage. The index-build path inherently scans the
     # residuals multiple times (train, then encode), so this is the
-    # minimal materialization, amortized over every query batch.
+    # minimal materialization, amortized over every query batch. The
+    # centroid to subtract comes from a literal cid→centroid map, so
+    # the whole residual build is one narrow projection over the scan
+    # (the old plan paid a broadcast join here).
+    cid_map = F.expr(
+        "map({})".format(
+            ", ".join(
+                "{}L, array({})".format(
+                    cid, ", ".join(_sql_double(x) for x in cv)
+                )
+                for cid, cv in rows
+            )
+        )
+    )
     resid = (
-        assign.join(F.broadcast(cent), "cid")
-        .select(
-            "__id",
-            "cid",
-            F.zip_with(
-                F.col("__v"), F.col("__cv"), lambda x, y: F.round(x - y, 6)
-            ).alias("__r"),
+        _scale_out(
+            assign.select(
+                "__id",
+                "cid",
+                F.zip_with(
+                    F.col("__v"), F.element_at(cid_map, F.col("cid")),
+                    lambda x, y: F.round(x - y, 6),
+                ).alias("__r"),
+            )
         )
         .localCheckpoint(eager=True)
     )
@@ -1505,62 +1819,67 @@ def ivfpq_cosine_topk(
         "__r", id_col, dim=dim, m=m, k=k, iters=pq_iters,
         train_mod=train_mod,
     )
+    pq_lit = _pq_cb_literal(cb._amaxa_pq_rows)
+    seg_len = dim // m
     q = base.where(F.col("__id").isin(query_ids)).select(
         F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
     )
-    # probe the nprobe best cells; carry the coarse inner-product term
+    # probe the nprobe best cells as ONE narrow expression (see
+    # _probe_cells_expr), carrying the coarse inner-product term in
+    # the sorted struct — replaces the old BNLJ + per-query window
+    qn = _norm(F.col("__qv"))
+    probe_scored = F.transform(
+        cb_lit,
+        lambda s: F.struct(
+            (-F.round(_dot(F.col("__qv"), s["__cv"]) / (qn * s["__cn"]), 6))
+            .alias("__k"),
+            s["cid"].alias("cid"),
+            _dot(F.col("__qv"), s["__cv"]).alias("__qc"),
+        ),
+    )
     probe = (
-        q.join(F.broadcast(cent))
+        q.select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.slice(F.array_sort(probe_scored), 1, nprobe)
+            ).alias("__p"),
+        )
         .select(
             "query_id",
             "__qv",
-            "cid",
-            F.round(
-                _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
-                6,
-            ).alias("__sim_c"),
-            _dot(F.col("__qv"), F.col("__cv")).alias("__qc"),
+            F.col("__p.cid").alias("cid"),
+            F.col("__p.__qc").alias("__qc"),
         )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("__sim_c").desc(), F.col("cid").asc()
-                )
-            ),
-        )
-        .where(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "cid", "__qc")
-    )
-    # per-query ADC table over the SHARED residual codebook
-    qsegs = q.select(
-        "query_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(s).alias("seg"), sl.alias("__qs"))
-                for s, sl in _pq_segments(F.col("__qv"), dim, m)
-            ])
-        ).alias("__s"),
-    ).select(
-        "query_id", F.col("__s.seg").alias("seg"), F.col("__s.__qs").alias("__qs")
-    )
-    table = qsegs.join(F.broadcast(cb), "seg").select(
-        "query_id", "seg", F.col("cid").alias("code"),
-        _dot(F.col("__qs"), F.col("__cv")).alias("__t"),
     )
     # candidates = codes of vectors living in the probed cells; score
-    # = coarse term + m residual lookups (grouped sum), rounded once
+    # = coarse term + m residual lookups (grouped sum), rounded once.
+    # The per-(query, seg, code) ADC sub-product is computed IN PLACE
+    # from the query vector carried on the probe row (F.slice of the
+    # segment — the identical slice qsegs produced) against the
+    # literal pq codebook (position = code+1, dense by the seed
+    # rule) — no per-query table frame, no broadcast join; only the
+    # (query, neighbor) partial sums reach the exchange.
     cell_of = resid.select(F.col("__id").alias(id_col), "cid")
     cand_codes = codes.join(cell_of, id_col)
+    qs_seg = F.slice(
+        F.col("__qv"), F.col("seg") * seg_len + 1, seg_len
+    )
+    adc_t = _dot(
+        qs_seg,
+        F.element_at(
+            F.element_at(pq_lit, F.col("seg") + 1), F.col("code") + 1
+        ),
+    )
     scored = (
-        probe.select("query_id", "cid", "__qc")
-        .join(cand_codes, "cid")
-        .join(
-            F.broadcast(table),
-            ["query_id", "seg", "code"],
+        probe.join(cand_codes, "cid")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "__qc",
+            adc_t.alias("__t"),
         )
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"), "__qc")
+        .groupBy("query_id", "neighbor_id", "__qc")
         .agg(F.round(F.col("__qc") + F.sum("__t"), 6).alias("sim"))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "sim")

@@ -59,16 +59,9 @@ _BOUNDED_BROADCAST_OK = {
     # corpus side streams through xor+popcount with no shuffle
     "ann_binary_topk": "fixed query-code set broadcast (3 rows)",
     "knn_join_exact": "query TABLE bounded to 5 rows in the gate query",
-    # IVF: broadcast side is the K-centroid codebook (K=const)
-    "ann_ivf_topk": "K-centroid codebook",
-    "ann_ivf_topk_pandas": "K-centroid codebook",
-    # IVF-PQ composes the same probe: the query set nested-loop-joins
-    # the K-centroid coarse codebook (K=const rows at any scale)
-    "ann_ivfpq_topk": "K-centroid coarse codebook",
-    # SemDeDup: the same K-row codebook broadcast, once per Lloyd
-    # iteration + once for the final assignment; the within-cluster
-    # pairing itself is an equi-join on cid (never nested-loop)
-    "semantic_dedup": "K-centroid codebook",
+    # (round 11: the IVF / IVF-PQ / SemDeDup codebook broadcasts are
+    # gone — assignment and probing run as narrow literal-codebook
+    # expressions, so those queries no longer build any BNLJ)
     # exact-verify baseline bounded to a FIXED probe set: broadcast
     # side is exactly _EMB_PROBE_N=50 vectors at any corpus scale
     # (dedup.embedding_cosine_verify); the bucketed sibling
