@@ -69,6 +69,44 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def _pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    stop_shingles: DataFrame | None,
+):
+    """Shared skeleton of the shingle near-dup pair ops: per-pair
+    intersection counts plus per-doc shingle-set sizes.
+
+    Returns ``(inter, sizes)``: ``inter`` = (id_a, id_b, __inter) with
+    id_a < id_b; ``sizes`` = (id, __size) BEFORE capping.
+
+    Round-11 note: two "narrow" redesigns were tried and both measured
+    SLOWER at sf0.1 than this shuffle shape, so it stays: (a) per-doc
+    ``array_distinct`` + ``F.size`` instead of the global distinct +
+    count aggregate (interpreted HOF array_distinct over ~300-gram
+    arrays is quadratic per row and runs on the scan's few partitions
+    — 10-100x worse than the codegen'd shuffle dedup); (b) pairing by
+    groupBy(shingle) + posting-list-combination explode instead of the
+    inverted-index self-join (interpreted flatten/transform/struct
+    HOFs lose ~6x to the whole-stage-codegen'd hash join on equal
+    pair volume)."""
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
+    sh = _capped(sh, max_doc_freq, stop_shingles)
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return inter, sizes
+
+
 def hot_shingles(
     df: DataFrame,
     text_col: str,
@@ -141,16 +179,8 @@ def ngram_jaccard_pairs(
     shingle-frequency aggregation once, not per consumer; when given
     it takes precedence over ``max_doc_freq``.
     """
-    sh = word_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
-    sh = _capped(sh, max_doc_freq, stop_shingles)
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+    inter, sizes = _pair_intersections(
+        df, text_col, id_col, n, max_doc_freq, stop_shingles
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size").alias("__sa"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size").alias("__sb"))
@@ -201,16 +231,8 @@ def containment_pairs(
     passes it precomputed (:func:`hot_shingles`, amortized across
     consumers) and takes precedence.
     """
-    sh = word_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__size"))
-    sh = _capped(sh, max_doc_freq, stop_shingles)
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+    inter, sizes = _pair_intersections(
+        df, text_col, id_col, n, max_doc_freq, stop_shingles
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__size").alias("__sa"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__size").alias("__sb"))
@@ -726,13 +748,54 @@ def cluster_duplicates(
     of a pairwise dedup op, so its input tracks the number of real
     duplicate pairs, not the corpus.
     """
-    # hash-partitioned by src ONCE: with the label side broadcast,
-    # the per-round neighbor-min aggregate inherits this partitioning
-    # through the map-side join, so a round runs with no shuffle at all
-    edges = (
+    # materialize the pair list once: the size gate below and either
+    # resolution path read it, and without the checkpoint each action
+    # would re-run the (expensive) pairwise-dedup lineage
+    pairs_ck = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    # BOUNDED pair graphs resolve on the DRIVER: union-find over the
+    # collected edges labels every component by its minimum id — the
+    # exact integer semantics of the distributed min-label loop, with
+    # 2 cheap jobs instead of 3 + 2 per propagation round. The gate is
+    # the same 2M bound the loop already used to decide label
+    # broadcasts; above it (a 100 TB corpus with a billion-pair dup
+    # graph) the distributed loop below takes over unchanged.
+    if pairs_ck.count() <= 2_000_000:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs_ck.collect():
+            s, d = row["src"], row["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rd] = rs
+        label: dict = {}
+        for node in parent:
+            r = find(node)
+            if r not in label or node < label[r]:
+                label[r] = node
+        id_type = pairs_ck.schema["src"].dataType.simpleString()
+        return pairs_ck.sparkSession.createDataFrame(
+            [(n, label[find(n)]) for n in sorted(parent)],
+            f"id {id_type}, cluster_id {id_type}",
+        )
+    edges = (
+        pairs_ck
         .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+            pairs_ck.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
         )
         .distinct()
         .repartition(F.col("src"))
