@@ -27,6 +27,19 @@ from pyspark.sql import functions as F
 _MAGIC = b"FAKEIMG1"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small input across idle cores before the per-row
+    Python codec work: synthesis/decyphering gates read a tiny
+    projection (doc ids) that arrives as ONE scan partition at bench
+    scale, serializing every mapInPandas codec pass onto a single
+    Python worker. Round-robin repartition to defaultParallelism ONLY
+    when the plan yields fewer partitions (no-op at scale — guide
+    §2.5 input skew / §4 keep every core's Python worker busy)."""
+    from amaxa_spark.operators.similarity import _scale_out
+
+    return _scale_out(df)
+
+
 def synthesize_payload(df: DataFrame, src_col: str, out_col: str = "payload") -> DataFrame:
     """Build a deterministic binary payload column from a source
     column (test stand-in for real image/audio bytes)."""
@@ -450,7 +463,7 @@ def synthesize_bmp(df: DataFrame, id_col: str, out_col: str = "image") -> DataFr
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def decode_bmp(payload: bytes):
@@ -688,7 +701,7 @@ def synthesize_png(df: DataFrame, id_col: str, out_col: str = "image") -> DataFr
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def image_stats(
@@ -796,7 +809,7 @@ def synthesize_y4m(df: DataFrame, id_col: str, out_col: str = "video") -> DataFr
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def demux_y4m(payload: bytes):
@@ -981,7 +994,7 @@ def synthesize_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> DataFr
     # fresh StructType — StructType.add mutates the receiver, which
     # would corrupt df's own resolved schema
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def _wav_header(data_len: int, n_ch: int = 1, rate: int = _WAV_RATE, bits: int = 16) -> bytes:
@@ -1646,7 +1659,7 @@ def synthesize_jpeg(df: DataFrame, id_col: str, out_col: str = "image") -> DataF
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def jpeg_fidelity_stats(
@@ -1815,7 +1828,7 @@ def synthesize_avi_mjpeg(
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def demux_avi_mjpeg(payload: bytes):
@@ -2309,7 +2322,7 @@ def synthesize_gif(df: DataFrame, id_col: str, out_col: str = "image") -> DataFr
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 # Audio spectral analysis: real FFT features over PCM payloads — the
@@ -2354,7 +2367,7 @@ def synthesize_tone_wav(df: DataFrame, id_col: str, out_col: str = "audio") -> D
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def audio_spectral(
@@ -2466,7 +2479,7 @@ def synthesize_gif_anim(df: DataFrame, id_col: str, out_col: str = "video") -> D
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     schema = StructType(list(df.schema.fields) + [StructField(out_col, BinaryType())])
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def gif_frame_stats(
@@ -2574,7 +2587,7 @@ def synthesize_bmp_pairs(
     schema = StructType(
         df.schema.fields + [StructField(out_col, BinaryType())]
     )
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 _DHASH_GRID_W = 9   # 8 horizontal comparisons per row
@@ -2642,7 +2655,7 @@ def dhash_images(
     schema = StructType(
         [StructField(id_col, id_type), StructField(out_col, LongType())]
     )
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 _FP_WINDOW = 512        # fingerprint analysis window (64 ms at 8 kHz)
@@ -2694,7 +2707,7 @@ def synthesize_chirp_wav_pairs(
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, BinaryType())]
     )
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
 
 
 def audio_fingerprint(
@@ -2757,4 +2770,4 @@ def audio_fingerprint(
             StructField(out_col, LongType()),
         ]
     )
-    return df.mapInPandas(gen, schema=schema)
+    return _spread(df).mapInPandas(gen, schema=schema)
