@@ -615,8 +615,12 @@ def embedding_cosine_verify(
             )
         )
 
+    from amaxa_spark.operators.similarity import _scale_out
+
     p = _normed(probe, "id_a", "__va")
-    c = _normed(emb, "id_b", "__vb")
+    # spread the corpus side: the per-pair dots otherwise run on the
+    # scan's few partitions (no-op at scale)
+    c = _scale_out(_normed(emb, "id_b", "__vb"))
     sim = _dot(F.col("__va"), F.col("__vb"))
     return (
         F.broadcast(p)
@@ -660,7 +664,12 @@ def embedding_cosine_dups(
     by id afterwards — so the wide embedding column is never
     replicated per band through the shuffle.
     """
-    from amaxa_spark.operators.similarity import _dot, _norm, lsh_code
+    from amaxa_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _scale_out,
+        lsh_code,
+    )
 
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # pre-normalize once per vector: the pairwise similarity is then a
@@ -668,8 +677,11 @@ def embedding_cosine_dups(
     # recomputing both norms per pair. The norm is materialized as its
     # own column first; dividing inside a single transform over the
     # norm expression would re-evaluate the aggregate per element.
+    # Spread first: normalization + LSH coding are per-row HOF work
+    # that otherwise runs on the scan's few partitions (no-op at
+    # scale).
     base = (
-        emb.select(F.col(id_col), vecd.alias("__vr"))
+        _scale_out(emb.select(F.col(id_col), vecd.alias("__vr")))
         .withColumn("__n", F.sqrt(_dot(F.col("__vr"), F.col("__vr"))))
         .select(
             F.col(id_col),

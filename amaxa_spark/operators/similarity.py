@@ -49,11 +49,21 @@ def cosine_topk(
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), vecd.alias("__v"))
     q = base.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        _norm(F.col("__v")).alias("__qn"),
     )
-    pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    # hoist each side's norm to one evaluation per ROW — the same
+    # expressions the per-pair plan evaluated q×n times, so every
+    # value is byte-identical (a corpus-side spread was tried here and
+    # measured SLOWER at sf0.1: the q×n dot volume is too small to
+    # repay the repartition stage)
+    corpus = base.select(
+        id_col, "__v", _norm(F.col("__v")).alias("__nn")
+    )
+    pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
     sim = _dot(F.col("__qv"), F.col("__v")) / (
-        _norm(F.col("__qv")) * _norm(F.col("__v"))
+        F.col("__qn") * F.col("__nn")
     )
     scored = pairs.select(
         "query_id",
@@ -932,14 +942,19 @@ def knn_join_exact(
     q = left.select(
         F.col(left_id),
         F.transform(F.col(left_vec), lambda x: x.cast("double")).alias("__qv"),
-    )
-    c = right.select(
-        F.col(right_id),
-        F.transform(F.col(right_vec), lambda x: x.cast("double")).alias("__nv"),
-    )
+    ).select(left_id, "__qv", _norm(F.col("__qv")).alias("__qn"))
+    # spread the corpus side + hoist per-row norms (same expressions,
+    # one evaluation per row instead of per pair — byte-identical)
+    c = _scale_out(
+        right.select(
+            F.col(right_id),
+            F.transform(F.col(right_vec), lambda x: x.cast("double"))
+            .alias("__nv"),
+        )
+    ).select(right_id, "__nv", _norm(F.col("__nv")).alias("__nn"))
     pairs = c.join(q, F.col(left_id) != F.col(right_id))
     sim = _dot(F.col("__qv"), F.col("__nv")) / (
-        _norm(F.col("__qv")) * _norm(F.col("__nv"))
+        F.col("__qn") * F.col("__nn")
     )
     scored = pairs.select(left_id, right_id, F.round(sim, 6).alias("sim"))
     w = Window.partitionBy(left_id).orderBy(
@@ -1005,13 +1020,15 @@ def knn_join_lsh(
     q = left.select(
         F.col(left_id),
         F.transform(F.col(left_vec), lambda x: x.cast("double")).alias("__qv"),
-    )
+    ).select(left_id, "__qv", _norm(F.col("__qv")).alias("__qn"))
     c = right.select(
         F.col(right_id),
         F.transform(F.col(right_vec), lambda x: x.cast("double")).alias("__nv"),
-    )
+    ).select(right_id, "__nv", _norm(F.col("__nv")).alias("__nn"))
+    # per-row hoisted norms: same expressions as the old per-pair
+    # evaluation, computed once per side row — byte-identical
     sim = _dot(F.col("__qv"), F.col("__nv")) / (
-        _norm(F.col("__qv")) * _norm(F.col("__nv"))
+        F.col("__qn") * F.col("__nn")
     )
     scored = (
         cand.join(q, left_id)
@@ -1318,11 +1335,19 @@ def quantized_cosine_topk(
         F.col(id_col), F.transform("__v", recon).alias("__r")
     )
     q = rec.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("__r").alias("__qr")
+        F.col(id_col).alias("query_id"),
+        F.col("__r").alias("__qr"),
+        _norm(F.col("__r")).alias("__qn"),
     )
-    pairs = rec.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    # hoist per-row norms (same expressions, one evaluation per row
+    # instead of per pair — byte-identical; see cosine_topk on why no
+    # corpus spread here)
+    corpus = rec.select(
+        id_col, "__r", _norm(F.col("__r")).alias("__nn")
+    )
+    pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
     sim = _dot(F.col("__qr"), F.col("__r")) / (
-        _norm(F.col("__qr")) * _norm(F.col("__r"))
+        F.col("__qn") * F.col("__nn")
     )
     scored = pairs.select(
         "query_id",
