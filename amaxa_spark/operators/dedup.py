@@ -1039,8 +1039,14 @@ def repeated_ngram_spans(
     the hot-shingle cap story from :func:`ngram_jaccard_pairs` applies
     unchanged if the corpus has mega-frequent boilerplate.
     """
+    from amaxa_spark.operators.similarity import _scale_out
+
     words = F.split(normalize_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), words.alias("__w"))
+    # adaptive spread: tokenize runs in both the distinct and the
+    # semi-join branches, on the scan's few partitions otherwise
+    base = _scale_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), words.alias("__w")
+    )
     grams = F.expr(
         f"CASE WHEN size(__w) >= {n} THEN "
         f"transform(sequence(1, size(__w) - {n - 1}), "
@@ -1141,7 +1147,9 @@ def strip_repeated_spans(
                 F.col(text_col), F.lit(r"\s*\S+\s*"), 0
             ).alias("__r")
         )
-    base = df.select(*base_cols)
+    from amaxa_spark.operators.similarity import _scale_out
+
+    base = _scale_out(df).select(*base_cols)
     grams = F.expr(
         f"CASE WHEN size(__w) >= {n} THEN "
         f"transform(sequence(1, size(__w) - {n - 1}), "
