@@ -31,15 +31,6 @@ def _sql_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
-def _spread(df):
-    """Adaptive spread before tokenize-heavy projections: documents
-    arrive as one scan partition at bench scale, serializing the
-    split/explode work; no-op at scale (similarity._scale_out)."""
-    from amaxa_spark.operators.similarity import _scale_out
-
-    return _scale_out(df)
-
-
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: count tokens hitting each language's
     stopword list; argmax with ties broken en > de > fr; 'und'
@@ -592,8 +583,7 @@ def unigram_prob_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     No Python anywhere.
     """
     doc_tok = (
-        _spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(
+        df.select(
             F.col(id_col),
             F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
         )
@@ -652,9 +642,7 @@ def bigram_prob_score(
     toks = F.filter(
         F.split(_norm(F.col(text_col)), " "), lambda t: t != ""
     )
-    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), toks.alias("__toks")
-    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
     pair_len = F.greatest(F.size("__toks") - 1, F.lit(0))
     pairs = (
         base.select(
@@ -959,8 +947,7 @@ def dsir_weights(
         .cast("long") % n_buckets
     ).alias("__b")
     toks = (
-        _spread(df)
-        .select(
+        df.select(
             F.col(id_col),
             target_pred.alias("__tgt"),
             F.explode(F.split(_norm(F.col(text_col)), " ")).alias("__t"),
@@ -1087,8 +1074,7 @@ def nb_classify(
     over documents, no Python anywhere."""
     spark = train.sparkSession
     cls_tok = (
-        _spread(train.select(F.col(label_col), F.col(text_col)))
-        .select(
+        train.select(
             F.col(label_col).alias("__lbl"),
             F.explode(_nb_features(F.col(text_col), ngram)).alias("token"),
         )
@@ -1249,8 +1235,7 @@ def nb_classify(
             .alias("__lp0"),
         )
     doc_tok = (
-        _spread(score.select(F.col(id_col), F.col(text_col)))
-        .select(
+        score.select(
             F.col(id_col),
             F.explode(_nb_features(F.col(text_col), ngram)).alias("token"),
         )
