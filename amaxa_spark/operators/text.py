@@ -1092,23 +1092,47 @@ def nb_classify(
     # it like a k-means codebook, so the dense (vocab × labels) model
     # builds by EXPLODING a literal label array instead of a
     # table×table cross join (the plan-hygiene lint rightly refuses
-    # nested-loop crosses; a label explosion is a projection)
-    lab_rows = (
+    # nested-loop crosses; a label explosion is a projection).
+    # ONE tagged-union collect evaluates all three bounded driver
+    # scalars — per-label doc counts, per-label token mass, vocab
+    # size — in a single job (they were three separate driver
+    # actions; per-action overhead, not data, dominates model setup)
+    lbl_t = train.schema[label_col].dataType
+    stat_rows = (
         train.where(F.col(label_col).isNotNull())
         .groupBy(F.col(label_col).alias("__lbl"))
-        .agg(F.count("*").alias("__docs"))
-        .join(
-            cls_tok.groupBy("__lbl").agg(
-                F.sum("__k").cast("double").alias("__tc")
-            ),
-            "__lbl",
-            "left",
+        .agg(F.count("*").alias("__val"))
+        .select(F.lit("docs").alias("__kind"), "__lbl", "__val")
+        .unionByName(
+            cls_tok.groupBy("__lbl")
+            .agg(F.sum("__k").alias("__val"))
+            .select(F.lit("tc").alias("__kind"), "__lbl", "__val")
+        )
+        .unionByName(
+            cls_tok.agg(F.count_distinct(F.col("token")).alias("__val"))
+            .select(
+                F.lit("vocab").alias("__kind"),
+                F.lit(None).cast(lbl_t).alias("__lbl"),
+                "__val",
+            )
         )
         .collect()
     )
+    tc_map = {
+        r["__lbl"]: r["__val"] for r in stat_rows if r["__kind"] == "tc"
+    }
+    lab_rows = [
+        {"__lbl": r["__lbl"], "__docs": r["__val"],
+         "__tc": tc_map.get(r["__lbl"])}
+        for r in stat_rows
+        if r["__kind"] == "docs"
+    ]
     if not lab_rows:
         raise ValueError("nb_classify: no non-null labels in the training frame")
     docs_total = float(sum(r["__docs"] for r in lab_rows))
+    vsize = float(
+        next(r["__val"] for r in stat_rows if r["__kind"] == "vocab")
+    )
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -1147,7 +1171,6 @@ def nb_classify(
     # dense |V|·|labels| frame was the whole cost — 9x the unigram
     # bench time at sf0.1 for ~2x the features.)
     vocab = cls_tok.select("token").distinct()
-    vsize = float(vocab.count())  # bounded driver read (one long)
     model = cls_tok.join(
         F.broadcast(priors.select("__lbl", "__tc")), "__lbl"
     ).select(
