@@ -1067,245 +1067,202 @@ def nb_classify(
     on any engine.
 
     Scale shape: the training corpus tokenizes ONCE into the
-    (label, token) count exchange; the model frame is |V|·|labels|
-    rows (labels are few — AQE broadcasts it); scoring joins the
-    score corpus's (doc, token) counts against it on token and
-    re-aggregates per (doc, label) — partial-aggregated, no window
-    over documents, no Python anywhere."""
-    spark = train.sparkSession
-    cls_tok = (
-        train.select(
-            F.col(label_col).alias("__lbl"),
-            F.explode(_nb_features(F.col(text_col), ngram)).alias("token"),
+    (label, token) count exchange — and when ``score is train`` (the
+    self-classification gate shape) the SAME tokenize pass feeds the
+    scoring side too, via a checkpointed (doc, label, token) count
+    frame both aggregates re-aggregate from. The model is pivoted to
+    ONE ROW PER TOKEN with |labels| weight columns (labels are a
+    bounded handful — the collected-codebook contract), so scoring is
+    a single token join + one per-doc aggregation: no vocab semi-join,
+    no per-(doc, label) explode, no window over documents, no Python
+    anywhere."""
+    if score is train:
+        # one tokenize for BOTH the model and the scoring side: the
+        # (doc, label, token) counts are the finest aggregate either
+        # needs; each side re-aggregates from the checkpoint (exact
+        # integer re-sums) instead of re-exploding the corpus
+        tok3 = (
+            train.select(
+                F.col(id_col),
+                F.col(label_col).alias("__lbl"),
+                F.explode(_nb_features(F.col(text_col), ngram)).alias(
+                    "token"
+                ),
+            )
+            .groupBy(id_col, "__lbl", "token")
+            .agg(F.count("*").alias("__k"))
+            .localCheckpoint()
         )
-        .groupBy("__lbl", "token")
-        .agg(F.count("*").alias("__k"))
-        # materialize the MODEL-SIZED aggregate (|vocab|·|labels|
-        # sparse rows, not the corpus): three consumers read it — the
-        # label-stats collect, the dense-model build, and the vocab —
-        # and without the checkpoint each would re-tokenize the whole
-        # training corpus (measured 3x tokenize = 70s at sf1-shape;
-        # 1x = ~25s)
-        .localCheckpoint()
-    )
+        cls_tok = tok3.groupBy("__lbl", "token").agg(
+            F.sum("__k").alias("__k")
+        )
+        doc_tok = tok3.groupBy(id_col, "token").agg(
+            F.sum("__k").alias("__k")
+        )
+    else:
+        cls_tok = (
+            train.select(
+                F.col(label_col).alias("__lbl"),
+                F.explode(_nb_features(F.col(text_col), ngram)).alias(
+                    "token"
+                ),
+            )
+            .groupBy("__lbl", "token")
+            .agg(F.count("*").alias("__k"))
+            # materialize the MODEL-SIZED aggregate (|vocab|·|labels|
+            # sparse rows, not the corpus): the label-stats collect
+            # and the pivoted model both read it — without the
+            # checkpoint each would re-tokenize the whole training
+            # corpus (measured 3x tokenize = 70s at sf1-shape)
+            .localCheckpoint()
+        )
+        doc_tok = (
+            score.select(
+                F.col(id_col),
+                F.explode(_nb_features(F.col(text_col), ngram)).alias(
+                    "token"
+                ),
+            )
+            .groupBy(id_col, "token")
+            .agg(F.count("*").alias("__k"))
+        )
     # the label dimension is BOUNDED (a handful of classes) — collect
-    # it like a k-means codebook, so the dense (vocab × labels) model
-    # builds by EXPLODING a literal label array instead of a
-    # table×table cross join (the plan-hygiene lint rightly refuses
-    # nested-loop crosses; a label explosion is a projection).
-    # ONE tagged-union collect evaluates all three bounded driver
-    # scalars — per-label doc counts, per-label token mass, vocab
-    # size — in a single job (they were three separate driver
-    # actions; per-action overhead, not data, dominates model setup)
-    lbl_t = train.schema[label_col].dataType
-    stat_rows = (
+    # it like a k-means codebook so the model pivots into literal
+    # per-label columns. Only the per-label DOC counts are collected
+    # (the priors round through Python's round, a contract the gate
+    # hashes pinned); per-label token mass and vocabulary size stay
+    # IN-PLAN as a 1-row broadcast derived from the pivot itself —
+    # they were a second checkpoint-scanning job with a
+    # count_distinct exchange chain.
+    lab_rows = (
         train.where(F.col(label_col).isNotNull())
         .groupBy(F.col(label_col).alias("__lbl"))
-        .agg(F.count("*").alias("__val"))
-        .select(F.lit("docs").alias("__kind"), "__lbl", "__val")
-        .unionByName(
-            cls_tok.groupBy("__lbl")
-            .agg(F.sum("__k").alias("__val"))
-            .select(F.lit("tc").alias("__kind"), "__lbl", "__val")
-        )
-        .unionByName(
-            cls_tok.agg(F.count_distinct(F.col("token")).alias("__val"))
-            .select(
-                F.lit("vocab").alias("__kind"),
-                F.lit(None).cast(lbl_t).alias("__lbl"),
-                "__val",
-            )
-        )
+        .agg(F.count("*").alias("__docs"))
         .collect()
     )
-    tc_map = {
-        r["__lbl"]: r["__val"] for r in stat_rows if r["__kind"] == "tc"
-    }
-    lab_rows = [
-        {"__lbl": r["__lbl"], "__docs": r["__val"],
-         "__tc": tc_map.get(r["__lbl"])}
-        for r in stat_rows
-        if r["__kind"] == "docs"
-    ]
     if not lab_rows:
         raise ValueError("nb_classify: no non-null labels in the training frame")
     docs_total = float(sum(r["__docs"] for r in lab_rows))
-    vsize = float(
-        next(r["__val"] for r in stat_rows if r["__kind"] == "vocab")
-    )
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    import math as _math
 
-    # the label column keeps ITS OWN type (int class ids are as
-    # legitimate as language strings)
-    priors = spark.createDataFrame(
-        [
-            (
-                r["__lbl"],
-                int(round(__import__("math").log(r["__docs"] / docs_total) * 1e6)),
-                float(r["__tc"] or 0.0),
-            )
-            for r in lab_rows
+    lbl_vals = [r["__lbl"] for r in lab_rows]
+    priors = {
+        r["__lbl"]: int(round(_math.log(r["__docs"] / docs_total) * 1e6))
+        for r in lab_rows
+    }
+    # PIVOTED sparse model: one row per VOCAB token with |labels|
+    # weight columns — the classical NB factoring where every ABSENT
+    # (token, label) cell shares the per-label smoothed value
+    # lp0 = round(ln(α / (tc + α·V))·1e6). The pivot groups the
+    # observed (label, token) counts by token (null-labeled training
+    # rows keep their tokens in the vocabulary with all cells absent,
+    # exactly like the old vocab ∪ model split), and EVERY cell —
+    # present or absent — evaluates through the IDENTICAL Spark
+    # expression (java Math.log + HALF_UP round; a Python-libm
+    # divergence of 1 ulp would break the exact-integer contract).
+    tokp_k = cls_tok.groupBy("token").agg(
+        *[
+            F.max(
+                F.when(F.col("__lbl") == F.lit(lbl), F.col("__k"))
+            ).alias(f"__k{i}")
+            for i, lbl in enumerate(lbl_vals)
+        ]
+    )
+    # per-label token mass tc_i and vocab size V from ONE 1-row
+    # aggregate over the pivot (each (label, token) count occupies
+    # exactly one cell, so Σ cells ≡ the old groupBy(label) mass, and
+    # count(*) ≡ the old count_distinct(token)); exact integer sums
+    # cast to double = the exact float(int) literals they replace
+    stats_row = tokp_k.agg(
+        F.count(F.lit(1)).cast("double").alias("__V"),
+        *[
+            F.sum(F.coalesce(F.col(f"__k{i}"), F.lit(0)))
+            .cast("double")
+            .alias(f"__tc{i}")
+            for i in range(len(lbl_vals))
         ],
-        StructType(
-            [
-                StructField("__lbl", train.schema[label_col].dataType),
-                StructField("__prior", LongType()),
-                StructField("__tc", DoubleType()),
-            ]
-        ),
     )
-    label_array = F.array(*[F.lit(r["__lbl"]) for r in lab_rows])
-    # SPARSE model (the classical NB factoring): every ABSENT
-    # (vocab token, label) pair shares one per-label smoothed value
-    # lp0 = round(ln(α / (tc + α·V))·1e6), so the model only needs
-    # the OBSERVED (label, token) rows — |counts|, not |V|·|labels| —
-    # and the score decomposes exactly:
-    #   S(d, l) = Σ_present k·lp + (N_d − K_present)·lp0_l + prior_l
-    # Bit-identical to densifying: the dense build computed the very
-    # same rounded integer for every absent cell. (With bigrams the
-    # dense |V|·|labels| frame was the whole cost — 9x the unigram
-    # bench time at sf0.1 for ~2x the features.)
-    vocab = cls_tok.select("token").distinct()
-    model = cls_tok.join(
-        F.broadcast(priors.select("__lbl", "__tc")), "__lbl"
-    ).select(
-        "__lbl",
-        "token",
+    w_cols = [
         F.round(
             F.log(
-                (F.col("__k") + F.lit(alpha))
-                / (F.col("__tc") + F.lit(alpha) * F.lit(vsize))
+                (F.coalesce(F.col(f"__k{i}"), F.lit(0)) + F.lit(alpha))
+                / (F.col(f"__tc{i}") + F.lit(alpha) * F.col("__V"))
             )
             * 1e6
         )
         .cast("long")
-        .alias("__lp"),
+        .alias(f"__w{i}")
+        for i in range(len(lbl_vals))
+    ]
+    tokp = tokp_k.crossJoin(F.broadcast(stats_row)).select(
+        "token", *w_cols
     )
-    # lp0 computed with the SAME Spark expression as the present rows
-    # (java Math.log and Spark's HALF_UP round, never Python's libm /
-    # banker's round — a 1-ulp or .5-boundary divergence would break
-    # the exact-integer contract); |labels| rows, a bounded collect
-    lp0_frame = priors.select(
-        "__lbl",
-        F.round(
-            F.log(
-                (F.lit(0) + F.lit(alpha))
-                / (F.col("__tc") + F.lit(alpha) * F.lit(vsize))
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias("__lp0"),
-    )
-    lp0 = {r["__lbl"]: int(r["__lp0"]) for r in lp0_frame.collect()}
     if weight_norm:
         # per-class L1 calibration in EXACT integer space: l1 is the
-        # integer sum of |micro-nats| over the (virtual) dense model
-        # = Σ_present |lp| + (V − n_present)·|lp0| — order-independent
-        # integer arithmetic, so it equals the dense sum exactly; the
-        # rescale round(lp·1e8 / l1) is one IEEE754 division of
-        # exactly-representable integers (lp·1e8 < 2^53) on both the
-        # present rows (Spark) and the absent value (Python).
-        stats = {
-            r["__lbl"]: (int(r["__sa"] or 0), int(r["__cnt"]))
-            for r in model.groupBy("__lbl")
-            .agg(
-                F.sum(F.abs(F.col("__lp"))).alias("__sa"),
-                F.count("*").alias("__cnt"),
-            )
-            .collect()
-        }
-        l1 = {
-            lbl: max(
-                stats.get(lbl, (0, 0))[0]
-                + (int(vsize) - stats.get(lbl, (0, 0))[1]) * abs(lp0[lbl]),
-                1,
-            )
-            for lbl in lp0
-        }
-        l1_frame = spark.createDataFrame(
-            [(lbl, v) for lbl, v in l1.items()],
-            StructType(
-                [
-                    StructField("__lbl", train.schema[label_col].dataType),
-                    StructField("__l1", LongType()),
-                ]
-            ),
+        # integer |micro-nat| sum over the (virtual) dense model —
+        # the pivoted frame IS that dense model, one cell per
+        # (vocab token, label), so a plain integer sum equals the old
+        # Σ_present |lp| + (V − n_present)·|lp0| bit-for-bit. The
+        # 1-row aggregate broadcasts back in-plan (no driver collect);
+        # the rescale round(lp·1e8 / l1) is one IEEE754 division of
+        # exactly-representable integers (lp·1e8 < 2^53) per cell.
+        l1row = tokp.agg(
+            *[
+                F.greatest(
+                    F.sum(F.abs(F.col(f"__w{i}"))), F.lit(1).cast("long")
+                ).alias(f"__l1_{i}")
+                for i in range(len(lbl_vals))
+            ]
         )
-        model = model.join(F.broadcast(l1_frame), "__lbl").select(
-            "__lbl",
+        tokp = tokp.crossJoin(F.broadcast(l1row)).select(
             "token",
-            F.round(
-                F.col("__lp").cast("double") * 1e8
-                / F.col("__l1").cast("double")
-            )
-            .cast("long")
-            .alias("__lp"),
+            *[
+                F.round(
+                    F.col(f"__w{i}").cast("double") * 1e8
+                    / F.col(f"__l1_{i}").cast("double")
+                )
+                .cast("long")
+                .alias(f"__w{i}")
+                for i in range(len(lbl_vals))
+            ],
         )
-        # lp0 rescales through the SAME Spark round/division
-        lp0_frame = lp0_frame.join(F.broadcast(l1_frame), "__lbl").select(
-            "__lbl",
-            F.round(
-                F.col("__lp0").cast("double") * 1e8
-                / F.col("__l1").cast("double")
-            )
-            .cast("long")
-            .alias("__lp0"),
-        )
-    doc_tok = (
-        score.select(
-            F.col(id_col),
-            F.explode(_nb_features(F.col(text_col), ngram)).alias("token"),
-        )
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("__k"))
-    )
-    # per-doc in-vocabulary evidence mass N_d (vocab == the model's
-    # token set, so this also decides which docs score at all); the
-    # doc_tok exchange is IDENTICAL in both branches — Spark's
-    # ReusedExchange runs the tokenize once
-    nd = (
-        doc_tok.join(vocab, "token")
+    # scoring: ONE token join + ONE per-doc aggregation. The inner
+    # join keeps exactly the in-vocabulary tokens (so zero-evidence
+    # docs drop, as before); Σ k·w_i over a doc's vocab tokens equals
+    # the old ps + (N_d − K_present)·lp0 decomposition exactly —
+    # order-independent integer arithmetic either way.
+    lbl_t = train.schema[label_col].dataType
+    scored = (
+        doc_tok.join(tokp, "token")
         .groupBy(id_col)
-        .agg(F.sum("__k").alias("__n"))
-    )
-    partials = (
-        doc_tok.join(model, "token")
-        .groupBy(id_col, "__lbl")
         .agg(
-            F.sum(F.col("__k") * F.col("__lp")).alias("__ps"),
-            F.sum("__k").alias("__kp"),
+            F.sum("__k").alias("n_tokens"),
+            *[
+                F.sum(F.col("__k") * F.col(f"__w{i}")).alias(f"__s{i}")
+                for i in range(len(lbl_vals))
+            ],
         )
     )
-    per_label = (
-        nd.withColumn("__lbl", F.explode(label_array))
-        .join(partials, [id_col, "__lbl"], "left")
-        .join(F.broadcast(lp0_frame), "__lbl")
-        .join(F.broadcast(priors.select("__lbl", "__prior")), "__lbl")
-        .select(
-            F.col(id_col),
-            F.col("__lbl"),
-            F.col("__n"),
-            (
-                F.coalesce(F.col("__ps"), F.lit(0))
-                + (F.col("__n") - F.coalesce(F.col("__kp"), F.lit(0)))
-                * F.col("__lp0")
-                + F.col("__prior")
-            ).alias("__score"),
+    # argmax over the bounded label set: array_max over
+    # (score, label) structs — the same lexicographic
+    # (score desc, label desc on ties) comparison the old
+    # groupBy-max-struct performed across exploded rows
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (F.col(f"__s{i}") + F.lit(priors[lbl])).alias(
+                        "__score"
+                    ),
+                    F.lit(lbl).cast(lbl_t).alias("__lbl"),
+                )
+                for i, lbl in enumerate(lbl_vals)
+            ]
         )
     )
-    best = per_label.groupBy(id_col).agg(
-        F.max(F.struct(F.col("__score"), F.col("__lbl"))).alias("__best"),
-        F.max("__n").alias("n_tokens"),  # __n is label-independent
-    )
-    return best.select(
+    return scored.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.col("__best.__lbl").alias("label_pred"),
-        F.col("__best.__score").alias("score_unats"),
+        best["__lbl"].alias("label_pred"),
+        best["__score"].alias("score_unats"),
     )
