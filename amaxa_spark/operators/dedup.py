@@ -360,11 +360,17 @@ def weighted_linkage(
     joins. ``fields`` is a handful, so the score is one fused column
     expression.
     """
+    from amaxa_spark.operators.similarity import _scale_out
+
     is_array = dict(df.dtypes).get(block_col, "").startswith("array")
     key = (
         F.explode(F.col(block_col)) if is_array else F.col(block_col)
     ).alias("__bk")
-    keys = df.select(F.col(id_col).alias("__id"), key)
+    # the candidate self-join broadcasts one side, so per-block pair
+    # generation runs on the probe side's partitions — spread a
+    # single-partition scan across idle cores (adaptive no-op at
+    # scale); the slim (id, key) rows make the spread cheap
+    keys = _scale_out(df.select(F.col(id_col).alias("__id"), key))
     cand = (
         keys.select(F.col("__id").alias("id_a"), "__bk")
         .join(
@@ -867,6 +873,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 56) -> DataFr
     words = F.split(normalize_text(F.col(text_col)), " ")
     tok = df.select(F.col(id_col), F.explode(words).alias("__tok"))
     counted = tok.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__n"))
+    # the 56-way bit explosion below is the heavy stage and runs
+    # POST-shuffle, where AQE coalesces a tiny corpus to one
+    # partition; when the scan is narrower than the core count,
+    # re-key the counted tokens by id across all cores (an explicit
+    # repartition AQE won't coalesce). Adaptive: at scale the scan
+    # already splits and no exchange is added.
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        counted = counted.repartition(p, F.col(id_col))
     h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 14), 16, 10).cast("long")
     counted = counted.withColumn("__h", h)
     # the bits-per-token row explosion looks expensive but is the
@@ -918,10 +934,18 @@ def fuzzy_pairs(
     per-block cost at cap² — the safety valve when the block
     function degenerates on real data.
     """
-    blocked = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.expr(block_expr.format(c=text_col)).alias("_blk"),
+    from amaxa_spark.operators.similarity import _scale_out
+
+    # the block self-join broadcasts one side, so the per-block n²
+    # probe (and the levenshtein verify in the same stage) runs on
+    # the PROBE side's partitions — spread a single-partition scan
+    # across idle cores first (adaptive no-op at scale)
+    blocked = _scale_out(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.expr(block_expr.format(c=text_col)).alias("_blk"),
+        )
     )
     if max_block_size is not None:
         blocked = _drop_mega_buckets(blocked, ["_blk"], max_block_size)

@@ -242,6 +242,13 @@ def correlation_matrix(
     """
     for c in cols:
         df = df.where(F.col(c).isNotNull())
+    # project to the k numeric columns, then spread a single-partition
+    # scan across idle cores (adaptive no-op at scale): the k(k+3)/2
+    # decimal partial sums are the whole cost and are exact /
+    # order-independent, so parallel partials are bit-identical
+    from amaxa_spark.operators.similarity import _scale_out
+
+    df = _scale_out(df.select(*cols))
     # 18,6: products are decimal(37,12) (inside both engines' 38-digit
     # cap) and their sums stay exact for ~1e26 of integer headroom
     dec = f"decimal(18,{scale})"
