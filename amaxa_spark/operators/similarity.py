@@ -1150,7 +1150,14 @@ def lsh_code(vec_col, dim: int, bits: int, band: int):
     bit_cols = []
     for b in range(bits):
         plane = _hyperplane(dim, band * bits + b)
-        plane_arr = F.array(*[F.lit(w) for w in plane])
+        # ONE parsed expression for the literal plane: element-wise
+        # F.lit costs dim py4j round trips per plane (bits × bands
+        # planes made driver-side plan BUILDING the dominant cost);
+        # the D-suffix shortest-repr literals parse to the identical
+        # doubles
+        plane_arr = F.expr(
+            "array({})".format(", ".join(_sql_double(w) for w in plane))
+        )
         dot = F.aggregate(
             F.zip_with(vec_col, plane_arr, lambda x, w: x.cast("double") * w),
             F.lit(0.0).cast("double"),
@@ -1173,35 +1180,44 @@ def lsh_cosine_topk(
     """ANN top-k: sign-LSH banding for candidates, exact cosine
     re-rank within buckets. Same output shape as :func:`cosine_topk`
     (a candidate set miss can yield <k rows per query — that is the
-    approximation)."""
+    approximation).
+
+    Scale shape: the band explosion and the cross-band candidate
+    dedup carry only (query_id, neighbor_id, bucket) — the wide
+    embeddings never ride the candidate exchange; vectors rehydrate
+    AFTER the distinct (the :func:`knn_join_lsh` pattern) with
+    per-row hoisted norms — the identical expressions evaluated once
+    per side row instead of once per pair, byte-identical sims."""
     codes = emb.select(
         F.col(id_col),
-        F.col(vec_col),
         F.explode(
             F.array(*[lsh_code(F.col(vec_col), dim, bits, b) for b in range(bands)])
         ).alias("bucket"),
     )
-    q = codes.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv_raw"),
-        "bucket",
+    qcodes = codes.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "bucket"
     )
     cand = (
-        codes.join(F.broadcast(q), "bucket")
+        codes.join(F.broadcast(qcodes), "bucket")
         .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("__qv_raw"),
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__nv_raw"),
-        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
     )
-    qv = F.transform(F.col("__qv_raw"), lambda x: x.cast("double"))
-    nv = F.transform(F.col("__nv_raw"), lambda x: x.cast("double"))
-    sim = _dot(qv, nv) / (_norm(qv) * _norm(nv))
-    scored = cand.select(
-        "query_id", "neighbor_id", F.round(sim, 6).alias("sim")
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    ).select("query_id", "__qv", _norm(F.col("__qv")).alias("__qn"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__nv"),
+    ).select("neighbor_id", "__nv", _norm(F.col("__nv")).alias("__nn"))
+    sim = _dot(F.col("__qv"), F.col("__nv")) / (
+        F.col("__qn") * F.col("__nn")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
