@@ -53,7 +53,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The slim (id, text) projection spreads across idle cores before
+    the normalize/split/slice-gram explode (adaptive `_scale_out`
+    no-op at scale): a single-partition corpus scan otherwise runs
+    the whole tokenize single-core for every consumer of the pairs
+    pipeline (alternating A/B at sf0.1: median 4.2s → 2.1s over the
+    jaccard pairs query)."""
+    from amaxa_spark.operators.similarity import _scale_out
+
     words = F.split(normalize_text(F.col(text_col)), " ")
     # guard: sequence(1, 0) would generate a DESCENDING sequence
     grams = F.expr(
@@ -63,7 +72,8 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         f"ELSE array() END"
     )
     return (
-        df.select(F.col(id_col), words.alias("__w"))
+        _scale_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), words.alias("__w"))
         .select(id_col, F.explode(grams).alias("shingle"))
         .distinct()
     )
