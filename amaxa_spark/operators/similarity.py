@@ -170,6 +170,11 @@ def _scale_out(df: DataFrame) -> DataFrame:
     shuffle is added. Scale-adaptive by plan inspection (guide §2:
     derive partitioning from the input, never a local-mode
     constant)."""
+    if df.isStreaming:
+        # streaming frames have no static partitioning to inspect
+        # (`.rdd` raises); micro-batch parallelism is the source's
+        # concern — pass through untouched
+        return df
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     if df.rdd.getNumPartitions() < p:
