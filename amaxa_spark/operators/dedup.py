@@ -317,19 +317,26 @@ def benchmark_contamination(
     semi-join on the shingle key, so cost is linear in corpus shingle
     volume, never pairwise.
     """
+    # ONE pass over the corpus shingles: the old totals/hits split ran
+    # the whole tokenize+explode lineage TWICE (once per aggregation
+    # branch) and re-joined the two 1-row-per-doc aggregates. A
+    # left_outer against the (unique-keyed) bench shingle set with a
+    # hit marker folds both counts into a single groupBy — the exact
+    # shape contamination_stream already uses, so stream ≡ batch by
+    # construction. Join multiplicity is 1 (bench_sh is distinct), so
+    # count(*) ≡ the old totals and Σ marker ≡ the old semi-join count.
     sh = word_shingles(docs, text_col, id_col, n)
     bench_sh = word_shingles(bench, text_col, id_col, n).select("shingle").distinct()
-    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_shingles"))
-    hits = (
-        sh.join(bench_sh, "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("hit_shingles"))
+    scored = sh.join(
+        bench_sh.withColumn("__hit", F.lit(1)), "shingle", "left_outer"
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit_shingles"),
     )
     overlap = F.round(F.col("hit_shingles") / F.col("total_shingles"), 6)
     return (
-        totals.join(hits, id_col, "left_outer")
-        .withColumn("hit_shingles", F.coalesce("hit_shingles", F.lit(0)))
-        .withColumn("overlap", overlap)
+        agg.withColumn("overlap", overlap)
         .withColumn("contaminated", F.col("overlap") >= threshold)
         .select(id_col, "total_shingles", "hit_shingles", "overlap", "contaminated")
     )
@@ -779,9 +786,11 @@ def cluster_duplicates(
     # materialize the pair list once: the size gate below and either
     # resolution path read it, and without the checkpoint each action
     # would re-run the (expensive) pairwise-dedup lineage
-    pairs_ck = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .localCheckpoint(eager=True)
+    from amaxa_spark.operators.graph import observed_checkpoint
+
+    pairs_ck, _pm = observed_checkpoint(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        F.count(F.lit(1)).alias("n"),
     )
     # BOUNDED pair graphs resolve on the DRIVER: union-find over the
     # collected edges labels every component by its minimum id — the
@@ -790,7 +799,7 @@ def cluster_duplicates(
     # the same 2M bound the loop already used to decide label
     # broadcasts; above it (a 100 TB corpus with a billion-pair dup
     # graph) the distributed loop below takes over unchanged.
-    if pairs_ck.count() <= 2_000_000:
+    if int(_pm["n"]) <= 2_000_000:
         parent: dict = {}
 
         def find(x):
@@ -829,17 +838,17 @@ def cluster_duplicates(
         .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
-    labels = (
+    labels, _lm = observed_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .select("node", F.col("node").alias("label")),
+        F.count(F.lit(1)).alias("n"),
     )
     # label/neighbor-min frames are bounded by the number of nodes
     # that appear in a duplicate pair — usually tiny relative to the
-    # corpus. Broadcast them while that holds (counted once on the
-    # checkpointed frame); huge pair graphs fall back to shuffle joins.
-    bcast = labels.count() <= 2_000_000
+    # corpus. Broadcast them while that holds (observed free on the
+    # checkpoint job); huge pair graphs fall back to shuffle joins.
+    bcast = int(_lm["n"]) <= 2_000_000
     for _ in range(max_rounds):
         lab = F.broadcast(labels) if bcast else labels
         neighbor_min = (
@@ -849,7 +858,7 @@ def cluster_duplicates(
         )
         if bcast:
             neighbor_min = F.broadcast(neighbor_min)
-        updated = (
+        updated, _um = observed_checkpoint(
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
@@ -859,12 +868,11 @@ def cluster_duplicates(
                 (
                     F.col("nmin").isNotNull() & (F.col("nmin") < F.col("label"))
                 ).alias("__moved"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            F.count_if(F.col("__moved")).alias("moved"),
         )
-        changed = updated.where(F.col("__moved")).limit(1).count()
         labels = updated.drop("__moved")
-        if changed == 0:
+        if int(_um["moved"]) == 0:
             break
     return labels.select(
         F.col("node").alias("id"), F.col("label").alias("cluster_id")

@@ -224,8 +224,12 @@ class ExtractOperation:
         # are filtered here (once), not per round. Partition count is
         # sized to the adjacency volume: per-task overhead ×
         # partitions × rounds is the loop's fixed cost.
-        edges = t.select(pk, *self_cols).localCheckpoint(eager=True)
-        n_edges = edges.count()
+        from amaxa_spark.operators.graph import observed_checkpoint
+
+        edges, _em = observed_checkpoint(
+            t.select(pk, *self_cols), F.count(F.lit(1)).alias("n")
+        )
+        n_edges = int(_em["n"])
         # pk is unique by definition — no distinct; a semi-join build
         # side tolerates duplicates anyway
         pks = edges.select(F.col(pk).alias("__p"))
@@ -283,6 +287,10 @@ class ExtractOperation:
                 members = ptr.join(
                     seed_roots, ptr["ptr"] == seed_roots["__r"], "left_semi"
                 ).select(F.col("node").alias(_ID))
+                # plain count, not limit(1).count(): executeTake runs
+                # 2 incremental jobs when the result is empty (the
+                # normal case) — one full count of the semi-join is
+                # one job
                 non_root_ptrs = (
                     ptr.select(F.col("ptr").alias("node"))
                     .join(
@@ -290,12 +298,47 @@ class ExtractOperation:
                         "node",
                         "left_semi",
                     )
-                    .limit(1)
                     .count()
                 )
                 if non_root_ptrs == 0:
                     return members
                 ids = members
+
+        elif (
+            len(self_cols) == 1
+            and not up_cols  # every self-lookup field is per-field
+            # trace-none: the closure is DOWNWARD-ONLY (descendants of
+            # the seeds), which is exactly the ancestor-or-self-is-a-
+            # seed predicate — pointer doubling with a seed-hit flag
+            # answers it in O(log depth) rounds vs O(depth) BFS rounds
+            and n_edges <= _DOUBLING_MAX_EDGES
+        ):
+            from amaxa_spark.operators.graph import pointer_seed_hits
+
+            c = self_cols[0]
+            resolved = (
+                edges.select(F.col(pk).alias("node"), F.col(c).alias("parent"))
+                .join(pks, F.col("parent") == F.col("__p"), "left_outer")
+                .select(
+                    "node",
+                    F.when(F.col("__p").isNotNull(), F.col("parent")).alias(
+                        "parent"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            hits, converged = pointer_seed_hits(
+                resolved, ids.select(F.col(_ID).alias("node"))
+            )
+            members = hits.where(F.col("hit")).select(
+                F.col("node").alias(_ID)
+            )
+            if converged:
+                return members
+            # cycle / depth overflow: the hit set is a subset of the
+            # closure containing every seed — the BFS below completes
+            # it (same fallback contract as the root-match accelerator)
+            ids = members
 
         directions = []
         for c in self_cols:
@@ -326,9 +369,9 @@ class ExtractOperation:
         # anything adjacent to older ones was found in an earlier round
         import time as _time
 
-        known = ids.localCheckpoint(eager=True)
+        known, _fm = observed_checkpoint(ids, F.count(F.lit(1)).alias("n"))
         frontier = known
-        frontier_n = frontier.count()
+        frontier_n = int(_fm["n"])
         round_no, t_round = 0, _time.time()
         while True:
             # broadcast hint only while the frontier is genuinely small
@@ -348,10 +391,11 @@ class ExtractOperation:
                 .select(F.col("dst").alias(_ID))
                 .distinct()
             )
-            frontier = (
-                neighbors.join(known, _ID, "left_anti").localCheckpoint(eager=True)
+            frontier, _fm = observed_checkpoint(
+                neighbors.join(known, _ID, "left_anti"),
+                F.count(F.lit(1)).alias("n"),
             )
-            frontier_n = frontier.count()
+            frontier_n = int(_fm["n"])
             round_no += 1
             # per-round telemetry (A4 progress): frontier size is the
             # round's working set, wall is what scale probes chart

@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 _BROADCAST_HOP_MAX = 2_000_000
 
 
+def observed_checkpoint(df: DataFrame, *metrics) -> tuple[DataFrame, dict]:
+    """Eager ``localCheckpoint`` with an ``Observation`` attached:
+    bounded per-round scalars (row counts, moved-flags) ride the
+    checkpoint's materialization job instead of paying a separate
+    action, so a fixpoint round costs ONE job for
+    materialize+converge-test instead of two — while keeping the
+    EAGER checkpoint whose finalized AQE plan the loops need (fusing
+    via a lazy checkpoint + count measured slower; see
+    OPTIMIZATION_r11.md "Negative results"). Returns
+    ``(checkpointed_df, metrics_dict)``; the metrics fire exactly
+    once (the CollectMetrics node is not part of the truncated
+    lineage, so downstream reuse never re-reports)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, *metrics).localCheckpoint(eager=True)
+    return out, obs.get
+
+
 def pointer_roots(
     nodes: DataFrame, max_rounds: int = 40
 ) -> tuple[DataFrame, bool]:
@@ -28,26 +47,26 @@ def pointer_roots(
     ``(ptr_frame(node, ptr), converged)``; when ``converged`` is
     False (a parent cycle, or depth > 2^max_rounds) the pointers are
     NOT roots and callers must fall back to BFS."""
-    ptr = (
-        nodes.select("node", F.coalesce("parent", "node").alias("ptr"))
-        .localCheckpoint(eager=True)
-    )
     # the hop side is the whole pointer frame: broadcasting it makes
     # each doubling round a map-only stage (no per-round shuffle of
     # ptr), which measurably halves round latency. Gated by row count
-    # — counted once on the checkpointed frame, so it's nearly free —
-    # because above ~2M rows the per-round broadcast build/ship cost
-    # overtakes the shuffle it saves.
-    bcast = ptr.count() <= _BROADCAST_HOP_MAX
+    # — observed on the checkpoint job, so it's free — because above
+    # ~2M rows the per-round broadcast build/ship cost overtakes the
+    # shuffle it saves.
+    ptr, m = observed_checkpoint(
+        nodes.select("node", F.coalesce("parent", "node").alias("ptr")),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bcast = int(m["n"]) <= _BROADCAST_HOP_MAX
     converged = False
     for _ in range(max_rounds):
         hop = ptr.select(F.col("node").alias("__n2"), F.col("ptr").alias("__p2"))
         if bcast:
             hop = F.broadcast(hop)
         # carry a per-row moved flag through the doubling join so
-        # convergence is a scan of the checkpointed result, not a
-        # second join against the previous round
-        doubled = (
+        # convergence is an observed metric of the checkpoint job, not
+        # a second action against the previous round
+        doubled, m = observed_checkpoint(
             ptr.join(hop, ptr["ptr"] == hop["__n2"], "left_outer")
             .select(
                 "node",
@@ -55,15 +74,96 @@ def pointer_roots(
                 (F.col("__p2").isNotNull() & (F.col("__p2") != F.col("ptr"))).alias(
                     "__moved"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            F.count_if(F.col("__moved")).alias("moved"),
         )
-        changed = doubled.where(F.col("__moved")).limit(1).count()
         ptr = doubled.drop("__moved")
-        if changed == 0:
+        if int(m["moved"]) == 0:
             converged = True
             break
     return ptr, converged
+
+
+def pointer_seed_hits(
+    nodes: DataFrame, seeds: DataFrame, max_rounds: int = 40
+) -> tuple[DataFrame, bool]:
+    """Pointer-doubling with a seed-hit flag over a (node, parent)
+    frame whose parent values are null or known-existing node ids:
+    returns ``(hits(node, hit), converged)`` where ``hit`` is true iff
+    some ancestor-or-self of ``node`` (along real parent edges) lies
+    in ``seeds`` (a one-column ``node`` frame). That predicate IS the
+    downward closure of the seeds — "n descends from a seed" ≡ "a seed
+    is an ancestor-or-self of n" — computed in O(log depth) doubling
+    rounds instead of O(depth) BFS rounds.
+
+    Invariant (same doubling argument as :func:`pointer_roots`): after
+    round k, ``ptr`` is the ancestor at distance 2^k (clamped at the
+    root's self-loop) and ``hit`` covers seed membership over
+    ancestors at distance [0, 2^k). The update
+    ``hit' = hit OR hit[ptr]`` extends coverage to [0, 2^{k+1})
+    because ``ptr``'s own window starts exactly where this node's
+    ends. On convergence (no pointer moved) the covered window spans
+    every chain: a tail of length t needs 2^k ≥ t to stabilize, and a
+    cycle of length L stabilizes only when L divides 2^k (so 2^k ≥ L
+    and the window wraps the whole cycle) — either way ``hit`` is the
+    exact ancestor-or-self predicate, cycles included. A cycle whose
+    length is NOT a power of two never stabilizes; rounds are bounded
+    by ceil(log2(n)) + 2 (depth ≤ n always, so an acyclic input
+    converges strictly inside the bound) and on a bound-exit every
+    true ``hit`` still follows real parent edges: the hit set is a
+    SUBSET of the downward closure and a SUPERSET of the seeds, and
+    callers fall back to BFS seeded with it, which completes the
+    closure honestly."""
+    st, m = observed_checkpoint(
+        nodes.join(
+            seeds.select(
+                F.col("node").alias("__s"), F.lit(True).alias("__h0")
+            ),
+            F.col("node") == F.col("__s"),
+            "left_outer",
+        )
+        .select(
+            "node",
+            F.coalesce("parent", "node").alias("ptr"),
+            F.coalesce("__h0", F.lit(False)).alias("hit"),
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = int(m["n"])
+    bcast = n <= _BROADCAST_HOP_MAX
+    # depth ≤ n, so an acyclic input converges within ceil(log2 n)+1
+    # rounds; only a non-power-of-two cycle can still be moving past
+    # that — stop burning rounds on it and let the caller's BFS
+    # fallback finish
+    max_rounds = min(max_rounds, max(2, (max(n, 2) - 1).bit_length() + 2))
+    converged = False
+    for _ in range(max_rounds):
+        hop = st.select(
+            F.col("node").alias("__n2"),
+            F.col("ptr").alias("__p2"),
+            F.col("hit").alias("__h2"),
+        )
+        if bcast:
+            hop = F.broadcast(hop)
+        doubled, m = observed_checkpoint(
+            st.join(hop, st["ptr"] == hop["__n2"], "left_outer")
+            .select(
+                "node",
+                F.coalesce("__p2", "ptr").alias("ptr"),
+                (F.col("hit") | F.coalesce("__h2", F.lit(False))).alias(
+                    "hit"
+                ),
+                (F.col("__p2").isNotNull() & (F.col("__p2") != F.col("ptr"))).alias(
+                    "__moved"
+                ),
+            ),
+            F.count_if(F.col("__moved")).alias("moved"),
+        )
+        st = doubled.drop("__moved")
+        if int(m["moved"]) == 0:
+            converged = True
+            break
+    return st.select("node", "hit"), converged
 
 
 def hierarchy_roots(
@@ -132,20 +232,32 @@ def pagerank(
         e.select(F.col("e_src").alias("node"))
         .union(e.select(F.col("e_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n = nodes.count()  # bounded driver scalar: ONE number
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("__odeg"))
+    # ONE materialized node frame carrying the dangling flag: a node
+    # is dangling iff it has no outdegree row, so the old
+    # distinct + left_anti + third checkpoint collapses into this
+    # left join — and each iteration's dangling mass becomes a FILTER
+    # over the ranks frame instead of a join against a separate
+    # dangling frame (same rank values summed; the summation-order
+    # ulp shift is absorbed by the caller's terminal rounding exactly
+    # like the Spark-vs-DuckDB order difference always was)
+    nodeinfo, m = observed_checkpoint(
+        nodes.join(
+            outdeg.select(F.col("e_src").alias("node"), "__odeg"),
+            "node",
+            "left_outer",
+        ).select("node", F.col("__odeg").isNull().alias("__dang")),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = int(m["n"])  # bounded driver scalar: ONE number
+    if n == 0:
+        return nodeinfo.select("node", F.lit(0.0).alias("rank"))
     # pre-join outdeg once: the per-iteration join then carries
     # (src, dst, odeg) and needs no second lookup
     edeg = e.join(outdeg, "e_src").localCheckpoint(eager=True)
-    dangling = nodes.join(
-        e.select(F.col("e_src").alias("node")).distinct(), "node", "left_anti"
-    ).localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodeinfo.select("node", F.lit(1.0 / n).alias("rank"), "__dang")
     for _ in range(iterations):
         contribs = (
             edeg.join(ranks, edeg["e_src"] == ranks["node"])
@@ -156,11 +268,11 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__contrib"))
         )
-        dmass = dangling.join(ranks, "node").agg(
+        dmass = ranks.where(F.col("__dang")).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(dmass))
+            nodeinfo.crossJoin(F.broadcast(dmass))
             .join(contribs, "node", "left_outer")
             .select(
                 "node",
@@ -172,7 +284,8 @@ def pagerank(
                         + F.col("__dm") / F.lit(float(n))
                     )
                 ).alias("rank"),
+                "__dang",
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")

@@ -91,6 +91,61 @@ def test_hierarchy_roots_pointer_doubling(spark):
     assert sizes == {"1": 4, "10": 2, "20": 1, "30": 1}
 
 
+def test_pointer_seed_hits_downward_closure(spark):
+    from amaxa_spark.operators.graph import pointer_seed_hits
+
+    # deep chain + branch + separate tree + dangling parent
+    rows = [
+        ("1", None), ("2", "1"), ("3", "2"), ("4", "3"), ("5", "4"),
+        ("6", "2"),
+        ("10", None), ("11", "10"),
+        ("30", "999"),  # dangling parent -> chain start
+        ("31", "30"),
+    ]
+    nodes = spark.createDataFrame(rows, "node: string, parent: string")
+    # dangling parents resolve to null first (callers' contract)
+    pks = nodes.select(F.col("node").alias("__p"))
+    resolved = (
+        nodes.join(pks, F.col("parent") == F.col("__p"), "left_outer")
+        .select(
+            "node",
+            F.when(F.col("__p").isNotNull(), F.col("parent")).alias("parent"),
+        )
+    )
+    seeds = spark.createDataFrame([("2",), ("30",)], "node: string")
+    hits, converged = pointer_seed_hits(resolved, seeds)
+    assert converged
+    got = {r.node for r in hits.where("hit").collect()}
+    # descendants-or-self of 2 and of 30
+    assert got == {"2", "3", "4", "5", "6", "30", "31"}
+
+    # a power-of-two cycle stabilizes under doubling with EXACT hits
+    # (the covered window wraps the whole cycle on convergence)
+    cyc2 = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a"), ("d", "c")],
+        "node: string, parent: string",
+    )
+    seeds2 = spark.createDataFrame([("a",)], "node: string")
+    hits2, converged2 = pointer_seed_hits(cyc2, seeds2)
+    assert converged2
+    assert {r.node for r in hits2.where("hit").collect()} == {
+        "a", "b", "c", "d",
+    }
+
+    # a 3-cycle never stabilizes: rounds stop at the log2(n) bound,
+    # and the partial hit set stays a subset of the closure
+    # containing every seed (the caller's BFS fallback contract)
+    cyc3 = spark.createDataFrame(
+        [("a", "c"), ("b", "a"), ("c", "b"), ("d", "c")],
+        "node: string, parent: string",
+    )
+    seeds3 = spark.createDataFrame([("a",)], "node: string")
+    hits3, converged3 = pointer_seed_hits(cyc3, seeds3)
+    assert not converged3
+    got3 = {r.node for r in hits3.where("hit").collect()}
+    assert "a" in got3 and got3 <= {"a", "b", "c", "d"}
+
+
 def test_canon_stream_order_independent_and_sensitive():
     # the --stream comparator must be a pure multiset hash: invariant
     # under row order, sensitive to any value change, and aligned with
