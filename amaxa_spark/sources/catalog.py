@@ -606,6 +606,26 @@ def _nonnull_update_buckets(upd: DataFrame, pk: str) -> list:
     )
 
 
+def _ckpt_with_buckets(df: DataFrame, *extra) -> tuple[DataFrame, dict]:
+    """Eagerly materialize a ``__mb``-bucketed frame with its distinct
+    non-null bucket set (plus any ``extra`` aggregates) observed on
+    the SAME job: the old shape paid one action for the bucket
+    ``distinct().collect()`` and then re-executed the frame's whole
+    lineage in every later consumer (the matched-keys probe, the DV
+    union write, the overlay anti-join). The bucket set is bounded by
+    ``n_buckets``, so the observed ``collect_set`` is a bounded
+    driver scalar. Returns ``(checkpointed_df, metrics)`` where
+    ``metrics['buckets']`` is the sorted non-null bucket list."""
+    from amaxa_spark.operators.graph import observed_checkpoint
+
+    out, m = observed_checkpoint(
+        df, F.collect_set(F.col(MERGE_BUCKET_COL)).alias("__bs"), *extra
+    )
+    m = dict(m)
+    m["buckets"] = sorted(b for b in m.pop("__bs") if b is not None)
+    return out, m
+
+
 def _merge_target_frame(
     spark, root: str, meta: dict, cur_paths: list[str], upd, pk, set_cols
 ):
@@ -4653,15 +4673,15 @@ def _delete_keys_from_table(
     buckets), or ``None`` when no key matched (nothing written)."""
     pk, n_buckets = t["pk"], t["n_buckets"]
     base_buckets = t["buckets"]
-    k = (
+    # fused materialize + bucket set (see _ckpt_with_buckets): the
+    # affected probe and the rewrite anti-join reuse the checkpoint
+    k, km = _ckpt_with_buckets(
         keys.select(pk)
         .where(F.col(pk).isNotNull())
         .distinct()
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
     )
-    candidates = [
-        b for b in _nonnull_update_buckets(k, pk) if str(b) in base_buckets
-    ]
+    candidates = [b for b in km["buckets"] if str(b) in base_buckets]
     if not candidates:
         return None
     cur_paths = [
@@ -4716,15 +4736,17 @@ def _dv_delete_table_body(
     actually deleted (a replayed or miss-heavy key feed does not
     bloat the vector)."""
     pk, n_buckets = t["pk"], t["n_buckets"]
-    k = (
+    # ONE job materializes the key frame and yields its bucket set
+    # (the old distinct-collect action, fused); every later consumer
+    # (matched probe, DV write, overlay anti-join) reads the
+    # checkpoint instead of re-running the caller's key lineage
+    k, km = _ckpt_with_buckets(
         keys.select(pk)
         .where(F.col(pk).isNotNull())
         .distinct()
         .withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets))
     )
-    candidates = [
-        b for b in _nonnull_update_buckets(k, pk) if str(b) in t["buckets"]
-    ]
+    candidates = [b for b in km["buckets"] if str(b) in t["buckets"]]
     if not candidates:
         return None
     cur_paths = [
@@ -4732,15 +4754,18 @@ def _dv_delete_table_body(
         for b in candidates
     ]
     # DV-filtered target: keys already deleted by an earlier DV must
-    # not re-match (idempotent replays add nothing to the vector)
+    # not re-match (idempotent replays add nothing to the vector).
+    # The matched sliver materializes with its affected-bucket set on
+    # the same job (replays stop here after exactly TWO jobs total);
+    # the DV union write below reads the checkpoint, not the
+    # candidate-bucket scan again.
     table = _merge_target_frame(spark, root, t, cur_paths, k, pk, [])
-    matched = table.join(k.select(pk), pk, "left_semi").select(
-        F.col(pk), _bucket_expr(pk, n_buckets).alias(MERGE_BUCKET_COL)
+    matched, mm = _ckpt_with_buckets(
+        table.join(k.select(pk), pk, "left_semi").select(
+            F.col(pk), _bucket_expr(pk, n_buckets).alias(MERGE_BUCKET_COL)
+        )
     )
-    affected = sorted(
-        r[MERGE_BUCKET_COL]
-        for r in matched.select(MERGE_BUCKET_COL).distinct().collect()
-    )
+    affected = mm["buckets"]
     if not affected:
         return None
     dv = _dv_map(t)
@@ -4874,21 +4899,25 @@ def _dv_update_table_body(
             f"(table has: {sorted(table.columns)})"
         )
     pred = _update_predicate(prune, eq, where)
-    matched = table.where(pred)
-    if matched.where(F.col(pk).isNull()).limit(1).collect():
+    # ONE job materializes the matched sliver with BOTH driver
+    # scalars observed on it (the null-pk guard and the affected
+    # bucket set — previously two actions, each re-running the
+    # DV-composed candidate read); the SET projection and the
+    # overlay carry anti-join below reuse the checkpoint
+    matched, mm = _ckpt_with_buckets(
+        table.where(pred).withColumn(
+            MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)
+        ),
+        F.count_if(F.col(pk).isNull()).alias("__nulls"),
+    )
+    matched = matched.drop(MERGE_BUCKET_COL)
+    if int(mm["__nulls"]):
         raise ValueError(
             f"{root}: UPDATE mode='dv' matched a NULL-{pk} row — a "
             "NULL key cannot be deletion-vectored (its superseded "
             "version would survive); use mode='rewrite'"
         )
-    affected = sorted(
-        r.b
-        for r in matched.select(
-            _bucket_expr(pk, n_buckets).alias("b")
-        )
-        .distinct()
-        .collect()
-    )
+    affected = mm["buckets"]
     if not affected:
         return None
     # the SET select evaluates every expression against the PRE-update
