@@ -1405,6 +1405,7 @@ def pq_encode(
     k: int = 16,
     iters: int = 3,
     train_mod: int | None = None,
+    carry_cols: list[str] | None = None,
 ):
     """PRODUCT QUANTIZATION (Jégou et al., the memory tier below
     scalar int8): the vector splits into ``m`` contiguous segments;
@@ -1422,9 +1423,18 @@ def pq_encode(
     partial aggregation, means as (seg, cid, pos) partial averages;
     the shuffle carries each sub-vector once per iteration and the
     codebook stays m·k rows. ``train_mod`` trains on the
-    deterministic id-modulus sliver exactly like kmeans_codebook."""
+    deterministic id-modulus sliver exactly like kmeans_codebook.
+
+    ``carry_cols``: extra ``emb`` columns carried untouched onto the
+    returned ``codes`` rows. This is how a caller that already has
+    per-vector metadata (e.g. IVF-PQ's coarse cell id) avoids a
+    whole-corpus join back onto the code table — the narrow passenger
+    rides the existing explode/assign projections for free."""
+    carry = list(carry_cols or [])
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("__id"), vecd.alias("__v"))
+    base = emb.select(
+        F.col(id_col).alias("__id"), vecd.alias("__v"), *carry
+    )
     segs = base.select(
         "__id",
         F.explode(
@@ -1433,7 +1443,13 @@ def pq_encode(
                 for s, sl in _pq_segments(F.col("__v"), dim, m)
             ])
         ).alias("__s"),
-    ).select("__id", F.col("__s.seg").alias("seg"), F.col("__s.__sv").alias("__sv"))
+        *carry,
+    ).select(
+        "__id",
+        F.col("__s.seg").alias("seg"),
+        F.col("__s.__sv").alias("__sv"),
+        *carry,
+    )
     train = segs if train_mod is None else segs.where(
         F.col("__id") % train_mod == 0
     )
@@ -1494,13 +1510,18 @@ def pq_encode(
                 i.alias("cid"),
             ),
         )
+        # the argmin lands under an INTERNAL alias (__pqc, not cid) so
+        # a carry column named `cid` — IVF-PQ's natural passenger —
+        # cannot collide with it
         return frame.select(
-            "__id", "seg", "__sv", F.array_min(scored)["cid"].alias("cid")
+            "__id", "seg", "__sv",
+            F.array_min(scored)["cid"].alias("__pqc"),
+            *carry,
         )
 
     for _ in range(iters):
-        a = assign(train, cur).select("seg", "cid", "__sv")
-        means = _collect_group_means(a, ["seg", "cid"], "__sv")
+        a = assign(train, cur).select("seg", "__pqc", "__sv")
+        means = _collect_group_means(a, ["seg", "__pqc"], "__sv")
         # a sub-centroid whose cell empties keeps its previous value
         cur = [
             [
@@ -1510,7 +1531,8 @@ def pq_encode(
             for s, seg_rows in enumerate(cur)
         ]
     codes = assign(segs, cur).select(
-        F.col("__id").alias(id_col), "seg", F.col("cid").alias("code")
+        F.col("__id").alias(id_col), "seg", F.col("__pqc").alias("code"),
+        *carry,
     )
     cent = spark.createDataFrame(
         [(s, cid, cv) for s, seg_rows in enumerate(cur) for cid, cv in seg_rows],
@@ -1858,12 +1880,23 @@ def ivfpq_cosine_topk(
                 ).alias("__r"),
             )
         )
-        .localCheckpoint(eager=True)
+        # lazy: pq_encode's seed collect (TakeOrderedAndProject, a
+        # full pass over every partition) is the first action over
+        # this frame — it materializes the checkpoint on its own job,
+        # so a dedicated eager-materialization job would be pure
+        # overhead. One-shot checkpoint, not a fixpoint round, so the
+        # eager-for-AQE rule of the closure loops does not apply.
+        .localCheckpoint(eager=False)
     )
+    # cid rides pq_encode's explode/assign projections (carry_cols):
+    # the codes come back already labeled with their coarse cell, so
+    # the old whole-corpus `codes ⋈ (id→cid)` re-attachment join —
+    # a full shuffle of the code table at scale — is gone outright
+    # (guide §2.4; §8's "move the metadata with the row" rule).
     codes, cb = pq_encode(
-        resid.select(F.col("__id").alias(id_col), F.col("__r")),
+        resid.select(F.col("__id").alias(id_col), F.col("__r"), "cid"),
         "__r", id_col, dim=dim, m=m, k=k, iters=pq_iters,
-        train_mod=train_mod,
+        train_mod=train_mod, carry_cols=["cid"],
     )
     pq_lit = _pq_cb_literal(cb._amaxa_pq_rows)
     seg_len = dim // m
@@ -1906,8 +1939,7 @@ def ivfpq_cosine_topk(
     # literal pq codebook (position = code+1, dense by the seed
     # rule) — no per-query table frame, no broadcast join; only the
     # (query, neighbor) partial sums reach the exchange.
-    cell_of = resid.select(F.col("__id").alias(id_col), "cid")
-    cand_codes = codes.join(cell_of, id_col)
+    cand_codes = codes  # (id, seg, code, cid) — cell id carried through
     qs_seg = F.slice(
         F.col("__qv"), F.col("seg") * seg_len + 1, seg_len
     )

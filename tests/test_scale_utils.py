@@ -174,3 +174,25 @@ def test_canon_stream_order_independent_and_sensitive():
         cc.canon_stream(iter(tiny), ["v"])[2]
         == cc.canon_stream(iter(same), ["v"])[2]
     )
+
+
+def test_pq_encode_carry_cols_rides_codes(spark):
+    """carry_cols passengers land on the code rows untouched and the
+    codes themselves are identical to the no-carry call — the IVF-PQ
+    path relies on this to drop the codes⋈(id→cid) re-attachment
+    join (an all-corpus shuffle of the code table at scale)."""
+    from amaxa_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    tagged = emb.withColumn("cell", F.pmod(F.col("vec_id"), F.lit(7)))
+    codes, _ = pq_encode(
+        tagged, "embedding", "vec_id", dim=64, m=8, k=16,
+        carry_cols=["cell"],
+    )
+    assert set(codes.columns) == {"vec_id", "seg", "code", "cell"}
+    rows = codes.collect()
+    assert all(r.cell == r.vec_id % 7 for r in rows)
+    plain, _ = pq_encode(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    assert {(r.vec_id, r.seg): r.code for r in rows} == {
+        (r.vec_id, r.seg): r.code for r in plain.collect()
+    }
