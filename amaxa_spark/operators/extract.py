@@ -109,6 +109,10 @@ class ExtractOperation:
         # per-table accumulated state (all single-column ID frames)
         self.extracted_ids: dict[str, DataFrame] = {}
         self.required_ids: dict[str, DataFrame] = {}
+        # |required_ids[table]| — observed for free on the frame's
+        # eager checkpoint job (_add_required), consumed by the fused
+        # missing-dependency check in _resolve_required
+        self.required_counts: dict[str, int] = {}
         self.results: dict[str, DataFrame] = {}
         self.errors: list[str] = []
 
@@ -167,22 +171,63 @@ class ExtractOperation:
 
     # ---- dependency resolution (J2) ----------------------------------
 
-    def _resolve_required(self, step: ExtractStepPlan, ids: DataFrame) -> DataFrame:
+    def _resolve_required(
+        self, step: ExtractStepPlan, ids: DataFrame
+    ):
+        """Returns ``(ids', check)``. The missing-dependency count no
+        longer pays its own action when the step's ID frame is about
+        to be eagerly checkpointed anyway (every consumed step): both
+        `found` (anti-join probe) and the returned union semi-join
+        scan the FULL target table, so the dedicated ``missing.count``
+        was one whole extra table pass per dependency-resolving step
+        at scale. Instead |found| rides the checkpoint job as an
+        Observation below the union (``found`` is distinct and ⊆ req,
+        so n_missing = |req| − |found| exactly; |req| was observed for
+        free on _add_required's checkpoint), and ``check`` — run by
+        run() right after the checkpoint materializes, still
+        fail-stop before any later step — raises the IDENTICAL error,
+        deriving the 5-row sample only on the (rare) error path."""
         req = self.required_ids.pop(step.table, None)
         if req is None:
-            return ids
+            return ids, None
+        n_req = self.required_counts.pop(step.table, None)
         t = self.catalog[step.table]
         pk = self.registry[step.table].pk
         found = _id_frame(t.join(req, t[pk] == req[_ID], "left_semi"), pk)
-        missing = req.join(found, _ID, "left_anti")
-        n_missing = missing.count()
-        if n_missing:
+
+        def _raise(n_missing: int) -> None:
+            missing = req.join(found, _ID, "left_anti")
             sample = [r[_ID] for r in missing.limit(5).collect()]
             raise ExtractError(
                 f"{step.table}: {n_missing} required dependency IDs could not "
                 f"be resolved (sample: {sample})"
             )
-        return ids.unionByName(found).distinct()
+
+        if n_req is None or not self._has_consumers(step):
+            # no checkpoint job to ride (terminal step) — keep the
+            # dedicated action; the fail-stop contract needs the
+            # check to fire during run() regardless
+            missing = req.join(found, _ID, "left_anti")
+            n_missing = missing.count()
+            if n_missing:
+                _raise(n_missing)
+            return ids.unionByName(found).distinct(), None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = ids.unionByName(
+            found.observe(obs, F.count(F.lit(1)).alias("n"))
+        ).distinct()
+
+        def check() -> None:
+            # obs.get blocks until a job has executed the observed
+            # node — guaranteed: run() eagerly checkpoints this
+            # step's ID frame (has_consumers was True)
+            n_missing = n_req - int(obs.get["n"])
+            if n_missing:
+                _raise(n_missing)
+
+        return out, check
 
     # ---- self-lookup transitive closure (J3) -------------------------
 
@@ -438,9 +483,17 @@ class ExtractOperation:
                 self._add_required(targets[0], vals)
 
     def _add_required(self, table: str, ids: DataFrame) -> None:
+        from amaxa_spark.operators.graph import observed_checkpoint
+
         cur = self.required_ids.get(table)
         merged = ids if cur is None else cur.unionByName(ids).distinct()
-        self.required_ids[table] = merged.localCheckpoint(eager=True)
+        # the frame's row count rides its checkpoint job (free) so
+        # _resolve_required's missing check needs no action of its own
+        ck, m = observed_checkpoint(
+            merged, F.count(F.lit(1)).alias("n")
+        )
+        self.required_ids[table] = ck
+        self.required_counts[table] = int(m["n"])
 
     # ---- outside references (J6) -------------------------------------
 
@@ -553,12 +606,17 @@ class ExtractOperation:
         for step in self.steps:
             log.info("extract step %s scope=%s", step.table, step.scope)
             ids = self._base_ids(step)
-            ids = self._resolve_required(step, ids)
+            ids, check_required = self._resolve_required(step, ids)
             ids = self._self_closure(step, ids)
             # terminal ID frames (no downstream consumer) stay lazy —
             # they are read exactly once by the final row semi-join
             if self._has_consumers(step):
                 ids = ids.localCheckpoint(eager=True)
+            if check_required is not None:
+                # fires the fused missing-dependency check now that a
+                # job has executed the observed node (the eager
+                # checkpoint above, or a closure-round materialization)
+                check_required()
             self.extracted_ids[step.table] = ids
 
             t = self.catalog[step.table]

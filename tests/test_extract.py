@@ -260,3 +260,40 @@ def test_per_field_self_lookup_behavior_parses_from_config(spark):
     )
     assert steps[0].self_behavior_for("ParentId") is SelfLookupBehavior.TRACE_NONE
     assert steps[0].self_behavior_for("Other") is SelfLookupBehavior.TRACE_ALL
+
+
+def test_missing_dependency_error_fused_check(spark):
+    """The missing-dependency check rides the step's eager-checkpoint
+    job as an Observation (no dedicated count action) — the error
+    string and fail-stop timing must be identical to the old
+    dedicated-action path."""
+    child = spark.createDataFrame(
+        [("c1", "p1"), ("c2", "pX"), ("c3", None)],
+        "Id: string, ParentRef: string",
+    )
+    parent = spark.createDataFrame([("p1",), ("p2",)], "Id: string")
+    cat = TableCatalog(spark, "/tmp/none")
+    cat.register("Child", child)
+    cat.register("Parent", parent)
+    reg = SchemaRegistry([
+        TableMeta("Child", lookups={"ParentRef": ["Parent"]}),
+        TableMeta("Parent"),
+    ])
+    steps = [
+        ExtractStepPlan("Child", ExtractScope.ALL_RECORDS),
+        ExtractStepPlan("Parent", ExtractScope.DESCENDENTS),
+    ]
+    with pytest.raises(
+        ExtractError,
+        match=r"Parent: 1 required dependency IDs could not be "
+              r"resolved \(sample: \['pX'\]\)",
+    ):
+        ExtractOperation(spark, cat, reg, steps).run()
+
+    # happy path through the same fused check: drop the dangling row
+    ok_child = child.where("Id <> 'c2'")
+    cat2 = TableCatalog(spark, "/tmp/none")
+    cat2.register("Child", ok_child)
+    cat2.register("Parent", parent)
+    res = ExtractOperation(spark, cat2, reg, steps).run()
+    assert {r.Id for r in res["Parent"].collect()} == {"p1"}
