@@ -52,7 +52,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, spread: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     The slim (id, text) projection spreads across idle cores before
@@ -60,7 +62,13 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     no-op at scale): a single-partition corpus scan otherwise runs
     the whole tokenize single-core for every consumer of the pairs
     pipeline (alternating A/B at sf0.1: median 4.2s → 2.1s over the
-    jaccard pairs query)."""
+    jaccard pairs query).
+
+    ``spread=False`` lets a caller that KNOWS the frame is small at
+    every scale (benchmark sets in contamination detection — the
+    operator's contract says bench ≪ corpus) skip the round-robin
+    exchange: for such a side the shuffle costs more than the
+    single-partition tokenize it parallelizes."""
     from amaxa_spark.operators.similarity import _scale_out
 
     words = F.split(normalize_text(F.col(text_col)), " ")
@@ -71,9 +79,11 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         f"i -> concat_ws(' ', slice(__w, i, {n}))) "
         f"ELSE array() END"
     )
+    slim = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        slim = _scale_out(slim)
     return (
-        _scale_out(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), words.alias("__w"))
+        slim.select(F.col(id_col), words.alias("__w"))
         .select(id_col, F.explode(grams).alias("shingle"))
         .distinct()
     )
@@ -326,7 +336,13 @@ def benchmark_contamination(
     # construction. Join multiplicity is 1 (bench_sh is distinct), so
     # count(*) ≡ the old totals and Σ marker ≡ the old semi-join count.
     sh = word_shingles(docs, text_col, id_col, n)
-    bench_sh = word_shingles(bench, text_col, id_col, n).select("shingle").distinct()
+    # bench ≪ corpus by this operator's contract — the spread exchange
+    # on the bench side costs more than the tokenize it parallelizes
+    bench_sh = (
+        word_shingles(bench, text_col, id_col, n, spread=False)
+        .select("shingle")
+        .distinct()
+    )
     scored = sh.join(
         bench_sh.withColumn("__hit", F.lit(1)), "shingle", "left_outer"
     )

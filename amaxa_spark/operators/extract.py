@@ -118,13 +118,24 @@ class ExtractOperation:
 
     # ---- scope selection (S1-S4) -------------------------------------
 
-    def _base_ids(self, step: ExtractStepPlan) -> DataFrame:
+    def _base_ids(self, step: ExtractStepPlan):
+        """Returns ``(ids, check)``. For SELECTED_IDS steps with a
+        downstream consumer the all-IDs-exist count rides the step's
+        eager ID-frame checkpoint as an Observation (the family-12
+        pattern of _resolve_required): the dedicated ``found.count()``
+        re-ran the isin filter / broadcast semi-join — one whole extra
+        table pass per step at scale. ``check`` (run by run() right
+        after the checkpoint materializes, before check_required to
+        preserve error precedence) raises the IDENTICAL error string.
+        Terminal steps keep the dedicated action — no checkpoint job
+        to ride, and the fail-stop contract needs the check to fire
+        during run() regardless."""
         t = self.catalog[step.table]
         pk = self.registry[step.table].pk
         if step.scope is ExtractScope.ALL_RECORDS:
-            return _id_frame(t, pk)
+            return _id_frame(t, pk), None
         if step.scope is ExtractScope.QUERY:
-            return _id_frame(t.filter(F.expr(step.where)), pk)
+            return _id_frame(t.filter(F.expr(step.where)), pk), None
         if step.scope is ExtractScope.SELECTED_IDS:
             ids = list(step.ids or [])
             if len(ids) <= _ISIN_THRESHOLD:
@@ -136,14 +147,37 @@ class ExtractOperation:
                     .select(F.col(pk).alias(_ID))
                     .distinct()
                 )
-            # explicit IDs are *required*: all must exist (S3/J2 error)
-            n_found, n_asked = found.count(), len(set(ids))
-            if n_found != n_asked:
+            # explicit IDs are *required*: all must exist (S3/J2 error).
+            # `found` is distinct (pk unique / explicit distinct), so
+            # its row count IS n_found exactly.
+            n_asked = len(set(ids))
+
+            def _raise(n_found: int) -> None:
                 raise ExtractError(
                     f"{step.table}: {n_asked - n_found} of {n_asked} "
                     "requested IDs do not exist"
                 )
-            return found
+
+            if not self._has_consumers(step):
+                n_found = found.count()
+                if n_found != n_asked:
+                    _raise(n_found)
+                return found, None
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = found.observe(obs, F.count(F.lit(1)).alias("n"))
+
+            def check() -> None:
+                # obs.get blocks until a job has executed the observed
+                # node — guaranteed: run() eagerly checkpoints this
+                # step's ID frame (has_consumers was True), and any
+                # earlier closure-round materialization fires it sooner
+                n_found = int(obs.get["n"])
+                if n_found != n_asked:
+                    _raise(n_found)
+
+            return out, check
         if step.scope is ExtractScope.DESCENDENTS:
             cls = self.classification[step.table]
             meta = self.registry[step.table]
@@ -165,8 +199,8 @@ class ExtractOperation:
             out = _union_ids(branches)
             if out is None:
                 # a DESCENDENTS step with no populated parents extracts nothing
-                return _id_frame(t.limit(0), pk)
-            return out
+                return _id_frame(t.limit(0), pk), None
+            return out, None
         raise ExtractError(f"unknown scope {step.scope}")
 
     # ---- dependency resolution (J2) ----------------------------------
@@ -605,13 +639,18 @@ class ExtractOperation:
         self._validate()
         for step in self.steps:
             log.info("extract step %s scope=%s", step.table, step.scope)
-            ids = self._base_ids(step)
+            ids, check_ids = self._base_ids(step)
             ids, check_required = self._resolve_required(step, ids)
             ids = self._self_closure(step, ids)
             # terminal ID frames (no downstream consumer) stay lazy —
             # they are read exactly once by the final row semi-join
             if self._has_consumers(step):
                 ids = ids.localCheckpoint(eager=True)
+            if check_ids is not None:
+                # fused SELECTED_IDS existence check — fired FIRST to
+                # preserve the original error precedence (base-ids
+                # errors raised before dependency-resolution errors)
+                check_ids()
             if check_required is not None:
                 # fires the fused missing-dependency check now that a
                 # job has executed the observed node (the eager

@@ -396,8 +396,13 @@ class LoadOperation:
         written = insert_df.withColumn(pk, new_id)
 
         merged_map = step_map if prior is None else prior.unionByName(step_map)
-        self.result.id_map[table] = merged_map.localCheckpoint(eager=True)
-        self._map_counts.pop(table, None)  # recount lazily on next use
+        # the map's row count rides its checkpoint job (free) — the
+        # broadcast-gate count in _map_count needs no action of its own
+        from amaxa_spark.operators.graph import observed_checkpoint
+
+        ck, m = observed_checkpoint(merged_map, F.count(F.lit(1)).alias("n"))
+        self.result.id_map[table] = ck
+        self._map_counts[table] = int(m["n"])
         self.result.written[table] = written.localCheckpoint(eager=True)
         if errors:
             err = errors[0]

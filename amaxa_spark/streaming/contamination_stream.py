@@ -46,8 +46,12 @@ def contamination_stream(
     (id, total_shingles, hit_shingles, overlap, contaminated), each
     doc's row emitted in the micro-batch it arrives in (and upserted
     if shingles ever straddle batches)."""
+    # bench ≪ corpus by the contamination contract — skip the spread
+    # exchange on the static side (same gate as the batch twin)
     bench_sh = (
-        word_shingles(bench, text_col, id_col, n).select("shingle").distinct()
+        word_shingles(bench, text_col, id_col, n, spread=False)
+        .select("shingle")
+        .distinct()
     )
     sh = word_shingles(docs_stream, text_col, id_col, n)
     scored = sh.join(

@@ -297,3 +297,35 @@ def test_missing_dependency_error_fused_check(spark):
     cat2.register("Parent", parent)
     res = ExtractOperation(spark, cat2, reg, steps).run()
     assert {r.Id for r in res["Parent"].collect()} == {"p1"}
+
+
+def test_selected_ids_existence_fused_check(spark, sf_dir):
+    """A CONSUMED SELECTED_IDS step rides its all-IDs-exist check on
+    the step's eager-checkpoint job as an Observation (no dedicated
+    count action) — error string and fail-stop timing identical to the
+    dedicated-action path (which terminal steps keep, covered by
+    test_selected_ids_and_missing)."""
+    bad = [
+        ExtractStepPlan("customer", ExtractScope.SELECTED_IDS, ids=[1, 10**9]),
+        ExtractStepPlan("orders", ExtractScope.DESCENDENTS),
+    ]
+    with pytest.raises(
+        ExtractError, match=r"customer: 1 of 2 requested IDs do not exist"
+    ):
+        run_extract(spark, sf_dir, bad)
+
+    # happy path: the fused check passes and the consumer step sees
+    # the checkpointed ID frame
+    ok = [
+        ExtractStepPlan("customer", ExtractScope.SELECTED_IDS, ids=[1, 2]),
+        ExtractStepPlan("orders", ExtractScope.DESCENDENTS),
+    ]
+    res = run_extract(spark, sf_dir, ok)
+    assert {r.c_custkey for r in res["customer"].collect()} == {1, 2}
+    cat = tpch_catalog(spark, sf_dir)
+    expected_o = {
+        r.o_orderkey
+        for r in cat["orders"].where(F.col("o_custkey").isin([1, 2])).collect()
+    }
+    got_o = {r.o_orderkey for r in res["orders"].select("o_orderkey").collect()}
+    assert got_o == expected_o
