@@ -195,6 +195,16 @@ def _fold_norm(cv: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of :func:`_dot`: the identical left fold
+    (``acc = (acc + a_i·b_i)`` in element order) over IEEE754 doubles,
+    byte-identical to the JVM ``aggregate``/``zip_with`` expression."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def _sql_double(x: float) -> str:
     """Exact double literal for a SQL expression string: ``repr`` is
     the shortest round-trip decimal and the D-suffix literal parses to
@@ -202,6 +212,15 @@ def _sql_double(x: float) -> str:
     CAST('…' AS DOUBLE) form doubles the node count and every
     optimizer pass walks it)."""
     return f"{x!r}D"
+
+
+# above this many input partitions, _collect_group_means re-aggregates
+# its per-partition partials in-plan before the collect (two-level
+# merge): 64 × keys × dim doubles is still a trivial driver read, while
+# a 100 TB scan's 10⁵-10⁶ partitions would put GBs of Row objects on
+# the driver. Below the bound no exchange is added (the bench-scale
+# path is byte-unchanged).
+_PARTIAL_MERGE_MAX_PARTS = 64
 
 
 def _round6_halfup(x: float) -> float:
@@ -230,9 +249,11 @@ def _collect_group_means(df: DataFrame, key_cols: list, vec_col: str) -> dict:
     half-up at 1e-6 (:func:`_round6_halfup`, the byte-identical twin
     of ``F.round(F.avg(...), 6)`` modulo summation-order last-ulps,
     which the rounding absorbs exactly as it already does between the
-    JVM and the DuckDB oracle). Partial volume is bounded by
-    keys × dim × partitions, never the corpus. Returns
-    {key_tuple: [rounded means]}."""
+    JVM and the DuckDB oracle). Collected partial volume is bounded by
+    keys × dim × min(partitions, _PARTIAL_MERGE_MAX_PARTS) — above the
+    bound an in-plan re-aggregation (same accumulation, keyed by group)
+    caps the collect at keys × dim regardless of the scan's partition
+    count. Returns {key_tuple: [rounded means]}."""
     import numpy as np
 
     def partials(batches):
@@ -282,9 +303,61 @@ def _collect_group_means(df: DataFrame, key_cols: list, vec_col: str) -> dict:
     key_schema = ", ".join(
         f"{k} {df.schema[k].dataType.simpleString()}" for k in key_cols
     )
-    parts = df.select(*key_cols, vec_col).mapInPandas(
-        partials, schema=f"{key_schema}, __s array<double>, __n long"
-    ).collect()
+    part_schema = f"{key_schema}, __s array<double>, __n long"
+    parts_df = df.select(*key_cols, vec_col).mapInPandas(
+        partials, schema=part_schema
+    )
+    # TWO-LEVEL MERGE above _PARTIAL_MERGE_MAX_PARTS input partitions:
+    # the collected partial volume is keys × dim × PARTITIONS rows —
+    # a few MB at ≤64 partitions (bounded driver read, no extra
+    # exchange at bench scale), but GBs of Row objects at a 100 TB
+    # scan's 10⁵-10⁶ partitions (guide §5: the driver does no data
+    # work). Re-keying the partials by group and running the same
+    # accumulation once more bounds the collect at keys × dim rows
+    # regardless of partition count; the tiny keys×dim×P exchange is
+    # noise next to the corpus pass that produced the partials.
+    # Cross-partition merge ORDER changes under the re-key — absorbed
+    # by the terminal round-6 exactly as the JVM-vs-oracle summation
+    # order always was (re-verified vs the oracle at 3 SFs).
+    if parts_df.rdd.getNumPartitions() > _PARTIAL_MERGE_MAX_PARTS:
+
+        def merge_partials(batches):
+            import pandas as pd
+
+            sums: dict = {}
+            cnts: dict = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keys = list(zip(*(pdf[k].to_numpy() for k in key_cols)))
+                svals = pdf["__s"].to_numpy()
+                nvals = pdf["__n"].to_numpy()
+                for i, kt in enumerate(keys):
+                    acc = sums.get(kt)
+                    if acc is None:
+                        sums[kt] = [float(x) for x in svals[i]]
+                        cnts[kt] = int(nvals[i])
+                    else:
+                        sums[kt] = [a + b for a, b in zip(acc, svals[i])]
+                        cnts[kt] += int(nvals[i])
+            if not sums:
+                return
+            out_keys = sorted(sums.keys())
+            yield pd.DataFrame(
+                {
+                    **{
+                        k: [kt[j] for kt in out_keys]
+                        for j, k in enumerate(key_cols)
+                    },
+                    "__s": [sums[kt] for kt in out_keys],
+                    "__n": [cnts[kt] for kt in out_keys],
+                }
+            )
+
+        parts_df = parts_df.repartition(
+            *[F.col(k) for k in key_cols]
+        ).mapInPandas(merge_partials, schema=part_schema)
+    parts = parts_df.collect()
     totals: dict = {}
     counts: dict = {}
     for r in parts:
@@ -314,6 +387,29 @@ def _rows_of(cent: DataFrame) -> list[tuple[int, list[float]]]:
     return sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in cent.select("cid", "__cv").collect()
+    )
+
+
+def _local_q_frame(base: DataFrame, id_field: str, q_rows) -> DataFrame:
+    """The bounded query set as a LOCAL (query_id, __qv) relation,
+    rebuilt from rows a fused driver collect already holds: the
+    collected doubles round-trip exactly, so downstream expressions
+    see byte-identical values while the probe / re-rank plan stops
+    re-deriving the corpus scan + normalize lineage for a handful of
+    rows. ``query_id`` keeps the id column's REAL type (the output
+    schema gate compares types)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", base.schema[id_field].dataType, True),
+            StructField("__qv", ArrayType(DoubleType()), True),
+        ]
+    )
+    return base.sparkSession.createDataFrame(
+        [(i, list(v)) for i, v in q_rows], schema
     )
 
 
@@ -529,6 +625,7 @@ def kmeans_codebook(
     id_col: str = "vec_id",
     train_mod: int | None = None,
     assign_impl: str = "hof",
+    seed_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Deterministic k-means codebook as DataFrame aggregations.
 
@@ -576,13 +673,24 @@ def kmeans_codebook(
         # the first iteration's job materializes it, no dedicated job.
         train = _scale_out(train).localCheckpoint(eager=False)
     spark = base.sparkSession
-    cur = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in base.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col("__v").alias("__cv"))
-        .collect()
-    )
+    # `seed_rows` is the collect-fusion seam: a caller that already
+    # holds the n_centroids lowest-id (id, vector) rows (e.g. IVF-PQ,
+    # whose ONE TakeOrdered job serves coarse seeds, PQ residual seeds
+    # and the bounded query set) passes them in and the dedicated seed
+    # job is skipped — the values are the identical collected doubles,
+    # so the trained codebook is byte-identical.
+    if seed_rows is not None:
+        cur = sorted(
+            (int(i), [float(x) for x in v]) for i, v in seed_rows
+        )[:n_centroids]
+    else:
+        cur = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in base.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col("__v").alias("__cv"))
+            .collect()
+        )
     if not cur:
         # fail loudly like the pandas assign path — an empty codebook
         # would otherwise return silently empty results downstream
@@ -655,14 +763,44 @@ def ivf_cosine_topk(
     """
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), vecd.alias("__v"))
-    cent = (
-        codebook
-        if codebook is not None
-        else kmeans_codebook(
+    qsrc = None
+    if codebook is not None:
+        cent = codebook
+    else:
+        # ONE TakeOrdered job serves the k-means seeds AND the bounded
+        # query vectors (guide §2.4 fewer actions): the limit subtree
+        # yields the n_centroids lowest ids, the filter subtree the
+        # queries — the identical doubles the dedicated seed collect
+        # and the in-plan probe filter produced. The probe then reads
+        # a LOCAL relation instead of re-deriving the assignment
+        # lineage (on the pandas impl that lineage is an OPAQUE
+        # mapInPandas the isin filter cannot push below — the probe
+        # side re-ran the whole GEMM pass for 3 rows).
+        tagged = (
+            base.orderBy(F.col(id_col).asc()).limit(n_centroids)
+            .withColumn("__src", F.lit(0))
+            .unionByName(
+                base.where(F.col(id_col).isin(query_ids))
+                .withColumn("__src", F.lit(1))
+            )
+        )
+        collected = tagged.collect()
+        seed_rows = sorted(
+            (int(r[id_col]), [float(x) for x in r["__v"]])
+            for r in collected
+            if r["__src"] == 0
+        )
+        q_rows = sorted(
+            (r[id_col], [float(x) for x in r["__v"]])
+            for r in collected
+            if r["__src"] == 1
+        )
+        cent = kmeans_codebook(
             base, n_centroids, iters=kmeans_iters, id_col=id_col,
             train_mod=train_mod, assign_impl=assign_impl,
+            seed_rows=seed_rows,
         )
-    )
+        qsrc = _local_q_frame(base, id_col, q_rows)
     rows = _rows_of(cent)
     # corpus→cell assignment (see assign_cells: hof = narrow
     # literal-codebook argmax, no join/shuffle; pandas = one GEMM
@@ -679,8 +817,14 @@ def ivf_cosine_topk(
     # row_number ≤ nprobe plan, minus the broadcast exchange and the
     # window shuffle (negation of the ROUNDED sim is exact)
     probe = (
-        assign.where(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"))
+        (
+            qsrc
+            if qsrc is not None
+            else assign.where(F.col(id_col).isin(query_ids)).select(
+                F.col(id_col).alias("query_id"),
+                F.col("__v").alias("__qv"),
+            )
+        )
         .select(
             "query_id",
             "__qv",
@@ -1406,6 +1550,7 @@ def pq_encode(
     iters: int = 3,
     train_mod: int | None = None,
     carry_cols: list[str] | None = None,
+    seed_vecs: list[tuple[int, list[float]]] | None = None,
 ):
     """PRODUCT QUANTIZATION (Jégou et al., the memory tier below
     scalar int8): the vector splits into ``m`` contiguous segments;
@@ -1466,11 +1611,22 @@ def pq_encode(
     # the id domain; on dense 0-based ids this is byte-identical to
     # the old behavior. Seed sub-vectors are sliced driver-side from
     # the k collected seed vectors (k full vectors — bounded), the
-    # same values F.slice produced.
-    seed_rows = (
-        base.select("__id", "__v").orderBy("__id").limit(k).collect()
-    )
-    if not seed_rows:
+    # same values F.slice produced. `seed_vecs` is the collect-fusion
+    # seam: a caller already holding the k lowest-id (id, vector)
+    # rows of THIS frame passes them in and the dedicated TakeOrdered
+    # job (a full pass over every partition) is skipped.
+    if seed_vecs is not None:
+        seed_pairs = sorted(
+            ((int(i), [float(x) for x in v]) for i, v in seed_vecs),
+        )[:k]
+        seed_full = [v for _i, v in seed_pairs]
+    else:
+        seed_full = [
+            [float(x) for x in r["__v"]]
+            for r in base.select("__id", "__v")
+            .orderBy("__id").limit(k).collect()
+        ]
+    if not seed_full:
         raise ValueError("pq_encode: no vectors to seed from")
     seg_len = dim // m
     # cur[seg] = sorted list of (cid, sub-centroid); the m·k codebook
@@ -1478,8 +1634,8 @@ def pq_encode(
     # k·dim doubles — bounded), exactly like kmeans_codebook
     cur: list[list[tuple[int, list[float]]]] = [
         [
-            (ci, [float(x) for x in r["__v"][s * seg_len : (s + 1) * seg_len]])
-            for ci, r in enumerate(seed_rows)
+            (ci, v[s * seg_len : (s + 1) * seg_len])
+            for ci, v in enumerate(seed_full)
         ]
         for s in range(m)
     ]
@@ -1583,12 +1739,36 @@ def pq_topk_adc(
             F.col("__raw"), lambda x: x / nrm
         ).alias("__v"),
     )
+    # ONE TakeOrdered job serves the PQ seed vectors AND the bounded
+    # query set (guide §2.4 fewer actions): the old shape paid a
+    # dedicated full-pass seed collect inside pq_encode plus a second
+    # full-pass `q.collect()` for the ADC literal. The tagged union is
+    # one action whose limit subtree yields the k lowest ids and whose
+    # filter subtree yields the queries — identical JVM-normalized
+    # doubles either way.
+    tagged = (
+        base.orderBy("__id").limit(k)
+        .withColumn("__src", F.lit(0))
+        .unionByName(
+            base.where(F.col("__id").isin(query_ids))
+            .withColumn("__src", F.lit(1))
+        )
+    )
+    collected = tagged.collect()
+    seed_vecs = sorted(
+        (int(r["__id"]), [float(x) for x in r["__v"]])
+        for r in collected
+        if r["__src"] == 0
+    )
+    q_rows = sorted(
+        (r["__id"], [float(x) for x in r["__v"]])
+        for r in collected
+        if r["__src"] == 1
+    )
     codes, cb = pq_encode(
         base.select(F.col("__id").alias(id_col), F.col("__v")),
         "__v", id_col, dim=dim, m=m, k=k, iters=iters,
-    )
-    q = base.where(F.col("__id").isin(query_ids)).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
+        seed_vecs=seed_vecs,
     )
     # the ADC scan, fully narrow: the BOUNDED query set (|query_ids|
     # normalized vectors — the same collect bound the gates already
@@ -1604,10 +1784,10 @@ def pq_topk_adc(
         "array({})".format(
             ", ".join(
                 "named_struct('query_id', {qid}L, '__qv', array({qv}))".format(
-                    qid=int(r["query_id"]),
-                    qv=", ".join(_sql_double(float(x)) for x in r["__qv"]),
+                    qid=int(qid),
+                    qv=", ".join(_sql_double(float(x)) for x in qv),
                 )
-                for r in q.collect()
+                for qid, qv in q_rows
             )
         )
     )
@@ -1646,10 +1826,13 @@ def pq_topk_adc(
         .select("query_id", "neighbor_id")
     )
     # exact re-rank of the candidate sliver only: vectors are unit
-    # norm already, so the inner product IS the cosine
+    # norm already, so the inner product IS the cosine. The query side
+    # rehydrates from the fused collect as a LOCAL relation — only the
+    # corpus side re-reads storage, once, after the top-N cut (the
+    # lsh rehydrate-after-distinct pattern).
     exact = (
         cand.join(
-            q.select("query_id", "__qv"), "query_id"
+            _local_q_frame(base, "__id", q_rows), "query_id"
         )
         .join(
             base.select(
@@ -1834,6 +2017,35 @@ def ivfpq_cosine_topk(
     base = raw.select(
         "__id", F.transform(F.col("__raw"), lambda x: x / nrm).alias("__v")
     )
+    # ONE TakeOrdered job serves the coarse k-means seeds, the PQ
+    # residual seeds AND the bounded query vectors (guide §2.4 fewer
+    # actions / §1.2 algorithm first): the old shape paid a dedicated
+    # full-pass seed collect per Lloyd training (coarse + PQ) plus an
+    # in-plan corpus scan for the query side of the probe and the
+    # re-rank. The tagged union is one action whose limit subtree
+    # yields the max(n_centroids, k) lowest ids and whose filter
+    # subtree yields the queries — all values are the identical
+    # JVM-normalized doubles the per-step collects produced.
+    n_seed = max(n_centroids, k)
+    tagged = (
+        base.orderBy("__id").limit(n_seed)
+        .withColumn("__src", F.lit(0))
+        .unionByName(
+            base.where(F.col("__id").isin(query_ids))
+            .withColumn("__src", F.lit(1))
+        )
+    )
+    collected = tagged.collect()
+    seed_rows_all = sorted(
+        (int(r["__id"]), [float(x) for x in r["__v"]])
+        for r in collected
+        if r["__src"] == 0
+    )
+    q_rows = sorted(
+        (r["__id"], [float(x) for x in r["__v"]])
+        for r in collected
+        if r["__src"] == 1
+    )
     # coarse_codebook is the amortization seam (same contract as
     # ivf_cosine_topk's `codebook`): pass a previously trained
     # (cid, __cv) frame over the NORMALIZED corpus and the coarse
@@ -1844,7 +2056,7 @@ def ivfpq_cosine_topk(
         if coarse_codebook is not None
         else kmeans_codebook(
             base, n_centroids, iters=coarse_iters, id_col="__id",
-            train_mod=train_mod,
+            train_mod=train_mod, seed_rows=seed_rows_all,
         )
     )
     rows = _rows_of(cent)
@@ -1888,6 +2100,28 @@ def ivfpq_cosine_topk(
         # eager-for-AQE rule of the closure loops does not apply.
         .localCheckpoint(eager=False)
     )
+    # PQ seeds = the k lowest-id RESIDUAL vectors, computed on the
+    # DRIVER from the fused seed collect with the byte-identical
+    # driver twins (_fold_dot/_fold_norm/_round6_halfup): the
+    # assignment is the same rounded-cosine argmax (ties to the
+    # LOWEST cid — rows iterate ascending, strict `>` keeps the
+    # first) the JVM argmax evaluates, and the residual the same
+    # round(x − y, 6) per component — so pq_encode's dedicated
+    # TakeOrdered seed job (a full pass over the residual frame) is
+    # gone, and the residual checkpoint materializes on the first
+    # Lloyd means job instead.
+    cn_rows = [(cid, cv, _fold_norm(cv)) for cid, cv in rows]
+
+    def _seed_resid(v: list[float]) -> list[float]:
+        vn = _fold_norm(v)
+        best_s, best_cv = None, None
+        for _cid, cv, cn in cn_rows:
+            s = _round6_halfup(_fold_dot(v, cv) / (vn * cn))
+            if best_s is None or s > best_s:
+                best_s, best_cv = s, cv
+        return [_round6_halfup(x - y) for x, y in zip(v, best_cv)]
+
+    seed_resids = [(i, _seed_resid(v)) for i, v in seed_rows_all[:k]]
     # cid rides pq_encode's explode/assign projections (carry_cols):
     # the codes come back already labeled with their coarse cell, so
     # the old whole-corpus `codes ⋈ (id→cid)` re-attachment join —
@@ -1896,13 +2130,15 @@ def ivfpq_cosine_topk(
     codes, cb = pq_encode(
         resid.select(F.col("__id").alias(id_col), F.col("__r"), "cid"),
         "__r", id_col, dim=dim, m=m, k=k, iters=pq_iters,
-        train_mod=train_mod, carry_cols=["cid"],
+        train_mod=train_mod, carry_cols=["cid"], seed_vecs=seed_resids,
     )
     pq_lit = _pq_cb_literal(cb._amaxa_pq_rows)
     seg_len = dim // m
-    q = base.where(F.col("__id").isin(query_ids)).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("__qv")
-    )
+    # the bounded query set rehydrates from the fused collect as a
+    # LOCAL relation — the probe and the exact re-rank no longer
+    # re-derive the corpus scan + normalize lineage for 3 rows (the
+    # values are the identical collected doubles)
+    q = _local_q_frame(base, "__id", q_rows)
     # probe the nprobe best cells as ONE narrow expression (see
     # _probe_cells_expr), carrying the coarse inner-product term in
     # the sorted struct — replaces the old BNLJ + per-query window

@@ -196,3 +196,69 @@ def test_pq_encode_carry_cols_rides_codes(spark):
     assert {(r.vec_id, r.seg): r.code for r in rows} == {
         (r.vec_id, r.seg): r.code for r in plain.collect()
     }
+
+
+def test_collect_group_means_two_level_merge_matches_direct(spark):
+    """Above _PARTIAL_MERGE_MAX_PARTS input partitions the grouped
+    partials re-aggregate in-plan before the collect (driver volume
+    bounded by keys x dim regardless of partition count); the merged
+    means must equal the direct-collect means. Values are small
+    integers so every partial sum is exact regardless of merge order
+    - the equality is strict, not rounding-absorbed."""
+    from amaxa_spark.operators import similarity as sim
+
+    rows = [(i, i % 5, [float(i % 7), float(i % 3), 1.0]) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "id long, cid long, __v array<double>"
+    )
+    direct = sim._collect_group_means(
+        df.coalesce(2), ["cid"], "__v"
+    )
+    assert df.repartition(100).rdd.getNumPartitions() > sim._PARTIAL_MERGE_MAX_PARTS
+    merged = sim._collect_group_means(
+        df.repartition(100), ["cid"], "__v"
+    )
+    assert merged == direct
+    assert set(merged) == {(c,) for c in range(5)}
+
+
+def test_pq_encode_seed_vecs_matches_inline_collect(spark):
+    """The collect-fusion seam: passing the k lowest-id vectors as
+    seed_vecs must reproduce the exact codebooks and codes of the
+    inline TakeOrdered seed collect (byte-identical doubles)."""
+    from amaxa_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+    codes_a, cb_a = pq_encode(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    codes_b, cb_b = pq_encode(
+        emb, "embedding", "vec_id", dim=64, m=8, k=16, seed_vecs=seeds
+    )
+    assert cb_a._amaxa_pq_rows == cb_b._amaxa_pq_rows
+    assert {(r.vec_id, r.seg): r.code for r in codes_a.collect()} == {
+        (r.vec_id, r.seg): r.code for r in codes_b.collect()
+    }
+
+
+def test_kmeans_seed_rows_matches_inline_collect(spark):
+    """Same seam for the coarse codebook: driver-provided seed rows
+    reproduce the inline-collected codebook exactly."""
+    from amaxa_spark.operators.similarity import kmeans_codebook, _rows_of
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["__v"]])
+        for r in base.orderBy("vec_id").limit(16).collect()
+    ]
+    a = _rows_of(kmeans_codebook(base, 16, iters=2, id_col="vec_id"))
+    b = _rows_of(
+        kmeans_codebook(base, 16, iters=2, id_col="vec_id", seed_rows=seeds)
+    )
+    assert a == b
