@@ -240,7 +240,12 @@ def _round6_halfup(x: float) -> float:
     )
 
 
-def _collect_group_means(df: DataFrame, key_cols: list, vec_col: str) -> dict:
+def _collect_group_means(
+    df: DataFrame,
+    key_cols: list,
+    vec_col: str,
+    n_parts: int | None = None,
+) -> dict:
     """ONE-JOB grouped per-component means for a Lloyd iteration:
     a mapInPandas pass emits per-partition (keys, component sums,
     count) partials — no shuffle, no second AQE stage job (each job
@@ -319,7 +324,14 @@ def _collect_group_means(df: DataFrame, key_cols: list, vec_col: str) -> dict:
     # Cross-partition merge ORDER changes under the re-key — absorbed
     # by the terminal round-6 exactly as the JVM-vs-oracle summation
     # order always was (re-verified vs the oracle at 3 SFs).
-    if parts_df.rdd.getNumPartitions() > _PARTIAL_MERGE_MAX_PARTS:
+    # ``n_parts`` lets the Lloyd loops pass the training frame's
+    # partition count ONCE per training: `.rdd` here would re-run
+    # full physical planning of the literal-codebook argmax (K×dim
+    # double literals) on every iteration — measured seconds of
+    # driver time per training.
+    if n_parts is None:
+        n_parts = parts_df.rdd.getNumPartitions()
+    if n_parts > _PARTIAL_MERGE_MAX_PARTS:
 
         def merge_partials(batches):
             import pandas as pd
@@ -712,13 +724,20 @@ def kmeans_codebook(
     # collects straight back. The old plan paid, per iteration, a
     # codebook broadcast exchange, a per-vector argmax shuffle, a
     # second tiny shuffle, a K-row join and an eager localCheckpoint.
+    # the training frame's partition count, computed ONCE (cheap plan:
+    # scan + optional repartition) and passed to every iteration's
+    # means pass — see _collect_group_means on why it must not be
+    # re-derived from the literal-heavy assignment plan
+    train_parts = train.rdd.getNumPartitions() if iters > 0 else 0
     for _ in range(iters):
         assign = (
             _assign_rows_hof(train, cur, id_col)
             if assign_impl == "hof"
             else assign_cells(train, cent_df(cur), id_col, impl=assign_impl)
         ).select("cid", "__v")
-        means = _collect_group_means(assign, ["cid"], "__v")
+        means = _collect_group_means(
+            assign, ["cid"], "__v", n_parts=train_parts
+        )
         # a centroid whose cell empties keeps its previous value
         cur = [
             (cid, means.get((cid,), cv))
@@ -1675,9 +1694,14 @@ def pq_encode(
             *carry,
         )
 
+    # see kmeans_codebook: the training frame's partition count is
+    # computed once, never re-derived from the literal-heavy plan
+    train_parts = train.rdd.getNumPartitions() if iters > 0 else 0
     for _ in range(iters):
         a = assign(train, cur).select("seg", "__pqc", "__sv")
-        means = _collect_group_means(a, ["seg", "__pqc"], "__sv")
+        means = _collect_group_means(
+            a, ["seg", "__pqc"], "__sv", n_parts=train_parts
+        )
         # a sub-centroid whose cell empties keeps its previous value
         cur = [
             [
