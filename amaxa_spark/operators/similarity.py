@@ -743,7 +743,16 @@ def kmeans_codebook(
             (cid, means.get((cid,), cv))
             for cid, cv in cur
         ]
-    return cent_df(cur)
+    out = cent_df(cur)
+    # expose the materialized training frame: when it IS the whole
+    # corpus (train_mod None) a composing index build (IVF-PQ's
+    # residual encode) can read the checkpointed rows instead of
+    # re-deriving the corpus scan + normalize lineage — one fewer
+    # full corpus pass at scale. Row VALUES are identical; only the
+    # (already arbitrary) partitioning differs.
+    if iters > 0 and train_mod is None:
+        out._amaxa_train_ckpt = train
+    return out
 
 
 def ivf_cosine_topk(
@@ -2085,7 +2094,16 @@ def ivfpq_cosine_topk(
     )
     rows = _rows_of(cent)
     cb_lit = _cb_literal(rows)
-    assign = _assign_rows_hof(base, rows, "__id")  # (__id, __v, cid)
+    # the residual encode reads the coarse training's MATERIALIZED
+    # spread checkpoint when it holds the whole corpus (train_mod
+    # None): same rows, already normalized and partitioned across
+    # cores — one fewer full corpus scan + normalize at scale, and
+    # the residual checkpoint below needs no repartition (so its
+    # creation triggers no AQE stage job)
+    enc_src = getattr(cent, "_amaxa_train_ckpt", None)
+    if enc_src is None:
+        enc_src = base
+    assign = _assign_rows_hof(enc_src, rows, "__id")  # (__id, __v, cid)
     # materialize the residuals ONCE: the PQ Lloyd loop and the final
     # encode each run several actions over this frame, and without the
     # checkpoint every one would re-execute the coarse training +
