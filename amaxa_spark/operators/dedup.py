@@ -784,20 +784,31 @@ def cluster_duplicates(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 40,
+    driver_max_pairs: int = 2_000_000,
 ) -> DataFrame:
     """Resolve pairwise near-dup matches into clusters: connected
     components over the pair graph, labeling every member with the
     minimum id in its component (the canonical representative — rows
     where ``id != cluster_id`` are the drop set).
 
-    Min-label propagation: each round every node takes the minimum of
-    its own label and its neighbors' labels; terminates when no label
-    changes (≤ component diameter rounds — near-dup clusters are
-    almost always shallow). Each round is one join of the label frame
-    against the symmetrized edge list + one min-aggregate, with
-    ``localCheckpoint`` truncating lineage. This runs on the OUTPUT
-    of a pairwise dedup op, so its input tracks the number of real
-    duplicate pairs, not the corpus.
+    Min-label propagation WITH label pointer-doubling: each round
+    every node takes ``min(own label, neighbors' labels,
+    label[label])`` — the last term treats the current label as a
+    pointer into the previous round's label frame (HashMin + pointer
+    jumping), so label information hops 2^r nodes after r rounds and
+    the loop converges in O(log diameter) rounds instead of
+    O(diameter). The fixpoint is unchanged — labels decrease
+    monotonically within the component and stabilize exactly at the
+    component minimum (at a fixpoint every edge carries equal labels
+    and the label value is a node labeling itself, which only the
+    minimum can) — so results are identical to plain min-label
+    propagation; only the round count differs. Terminates when no
+    label changes. Each round is two joins of the narrow label frame
+    (edge min + label jump) + the observed checkpoint. This runs on
+    the OUTPUT of a pairwise dedup op, so its input tracks the number
+    of real duplicate pairs, not the corpus; ``driver_max_pairs``
+    bounds the union-find fast path below (tests pass 0 to force the
+    distributed loop).
     """
     # materialize the pair list once: the size gate below and either
     # resolution path read it, and without the checkpoint each action
@@ -815,7 +826,7 @@ def cluster_duplicates(
     # the same 2M bound the loop already used to decide label
     # broadcasts; above it (a 100 TB corpus with a billion-pair dup
     # graph) the distributed loop below takes over unchanged.
-    if int(_pm["n"]) <= 2_000_000:
+    if int(_pm["n"]) <= driver_max_pairs:
         parent: dict = {}
 
         def find(x):
@@ -874,16 +885,39 @@ def cluster_duplicates(
         )
         if bcast:
             neighbor_min = F.broadcast(neighbor_min)
-        updated, _um = observed_checkpoint(
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+        # pointer jump: look the candidate label up in the PREVIOUS
+        # round's label frame (label[label] — every label value IS a
+        # node id of this component, so the lookup stays inside the
+        # component and below the current label). One extra join per
+        # round buys O(log diameter) total rounds — a billion-pair
+        # graph with a deep chain converges in ~30 rounds instead of
+        # diameter rounds.
+        jump = labels.select(
+            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        )
+        if bcast:
+            jump = F.broadcast(jump)
+        cand = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+            )
             .select(
                 "node",
+                F.col("label").alias("__prev"),
                 F.least(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-                (
-                    F.col("nmin").isNotNull() & (F.col("nmin") < F.col("label"))
-                ).alias("__moved"),
+                ).alias("__l1"),
+            )
+        )
+        new_label = F.least(
+            F.col("__l1"), F.coalesce(F.col("__jl"), F.col("__l1"))
+        )
+        updated, _um = observed_checkpoint(
+            cand.join(jump, cand["__l1"] == jump["__jn"], "left")
+            .select(
+                "node",
+                new_label.alias("label"),
+                (new_label < F.col("__prev")).alias("__moved"),
             ),
             F.count_if(F.col("__moved")).alias("moved"),
         )

@@ -262,3 +262,39 @@ def test_kmeans_seed_rows_matches_inline_collect(spark):
         kmeans_codebook(base, 16, iters=2, id_col="vec_id", seed_rows=seeds)
     )
     assert a == b
+
+
+def test_cluster_duplicates_distributed_label_doubling(spark):
+    """The distributed connected-components loop (above the driver
+    union-find gate) uses label pointer-doubling: a 100-node chain
+    (diameter 99) must converge within max_rounds=10 ~ log2(99)+3 -
+    plain one-hop min-label propagation would need ~99 rounds and
+    leave wrong labels at this budget. Results must equal the driver
+    union-find path exactly."""
+    from amaxa_spark.operators.dedup import cluster_duplicates
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    dist = {
+        (r.id, r.cluster_id)
+        for r in cluster_duplicates(
+            pairs, max_rounds=10, driver_max_pairs=0
+        ).collect()
+    }
+    assert dist == {(i, 0) for i in range(100)}
+    drv = {
+        (r.id, r.cluster_id) for r in cluster_duplicates(pairs).collect()
+    }
+    assert dist == drv
+    # two components + an isolated pair keep exact min-id labels
+    pairs2 = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 11), (7, 7)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in cluster_duplicates(
+            pairs2, max_rounds=8, driver_max_pairs=0
+        ).collect()
+    }
+    assert got == {(3, 3), (5, 3), (9, 3), (11, 11), (20, 11), (7, 7)}
