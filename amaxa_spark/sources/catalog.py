@@ -5295,65 +5295,85 @@ def _apply_changes_body(
 ) -> dict | None:
     pk, n_buckets = t["pk"], t["n_buckets"]
     base_buckets = t["buckets"]
-    unknown = (
-        ch.where(
-            F.col("_change_type").isNull()
-            | ~F.col("_change_type").isin(
-                "insert", "delete", "update_preimage", "update_postimage"
+    # ONE grouped validation job replaces FIVE driver actions over the
+    # persisted feed: the unknown-type probe, the duplicate-post-image
+    # probe, the post-image∧delete probe (each a limit(1).collect —
+    # 2 executeTake jobs apiece when clean, the normal case) and the
+    # two distinct-bucket collects. A per-pk aggregate carries the
+    # violation counters and min-pk/min-value samples, a per-bucket
+    # re-aggregate (bounded by n_buckets rows) carries them plus the
+    # has-upsert/has-delete flags the bucket sets need; the driver
+    # raises with the same precedence (unknown → dup → both) and the
+    # IDENTICAL message format — only the sampled value, which the old
+    # limit(1) picked arbitrarily, is now the deterministic minimum.
+    _NULLTYPE = "\x00<null>"
+    is_unknown = F.col("_change_type").isNull() | ~F.col(
+        "_change_type"
+    ).isin("insert", "delete", "update_preimage", "update_postimage")
+    is_post = F.col("_change_type").isin("insert", "update_postimage")
+    is_del = F.col("_change_type") == "delete"
+    per_pk = ch.groupBy(F.col(pk).alias("__pk")).agg(
+        F.sum(is_unknown.cast("long")).alias("__nu"),
+        F.min(
+            F.when(
+                is_unknown,
+                F.coalesce(F.col("_change_type"), F.lit(_NULLTYPE)),
             )
+        ).alias("__us"),
+        F.sum(is_post.cast("long")).alias("__np"),
+        F.sum(is_del.cast("long")).alias("__nd"),
+    )
+    summary = (
+        per_pk.groupBy(
+            _bucket_expr("__pk", n_buckets).alias("__b")
         )
-        .limit(1)
+        .agg(
+            F.sum("__nu").alias("nu"),
+            F.min("__us").alias("us"),
+            F.min(F.when(F.col("__np") > 1, F.col("__pk"))).alias("dup_pk"),
+            F.min(
+                F.when(
+                    (F.col("__np") > 0) & (F.col("__nd") > 0), F.col("__pk")
+                )
+            ).alias("both_pk"),
+            F.max((F.col("__np") > 0).cast("int")).alias("has_up"),
+            F.max((F.col("__nd") > 0).cast("int")).alias("has_del"),
+        )
         .collect()
     )
-    if unknown:
+    if sum(r["nu"] for r in summary) > 0:
+        us = min(r["us"] for r in summary if r["us"] is not None)
         raise ValueError(
-            f"unknown _change_type {unknown[0]['_change_type']!r}; a "
+            "unknown _change_type "
+            f"{(None if us == _NULLTYPE else us)!r}; a "
             "feed carries only insert / delete / update_preimage / "
             "update_postimage — silently skipping rows would diverge "
             "the replica"
         )
-    upserts = ch.where(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(*data_cols)
-    dup = (
-        upserts.groupBy(pk)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > 1)
-        .limit(1)
-        .collect()
-    )
+    dup = [r["dup_pk"] for r in summary if r["dup_pk"] is not None]
     if dup:
         raise ValueError(
             f"changes contain multiple post-image rows for pk "
-            f"{dup[0][0]!r}; a feed between two snapshots has at most "
+            f"{min(dup)!r}; a feed between two snapshots has at most "
             "one — collapse replayed feeds to latest-per-key first"
         )
-    dels = ch.where(F.col("_change_type") == "delete").select(pk)
-    both = (
-        upserts.select(pk).join(dels, pk, "left_semi").limit(1).collect()
-    )
+    both = [r["both_pk"] for r in summary if r["both_pk"] is not None]
     if both:
         raise ValueError(
             f"changes carry BOTH a post-image and a delete for pk "
-            f"{both[0][0]!r}; one snapshot pair never produces that — "
+            f"{min(both)!r}; one snapshot pair never produces that — "
             "applying them in one commit is order-ambiguous, so order "
             "and collapse the feed to each key's last action first"
         )
-    upsert_buckets = set(
-        _nonnull_update_buckets(
-            upserts.select(pk).withColumn(
-                MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)
-            ),
-            pk,
-        )
-    )
+    upserts = ch.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*data_cols)
+    dels = ch.where(F.col("_change_type") == "delete").select(pk)
+    upsert_buckets = set(r["__b"] for r in summary if r["has_up"])
     del_candidates = set(
-        b
-        for b in _nonnull_update_buckets(
-            dels.withColumn(MERGE_BUCKET_COL, _bucket_expr(pk, n_buckets)),
-            pk,
-        )
-        if str(b) in base_buckets
+        r["__b"]
+        for r in summary
+        if r["has_del"] and str(r["__b"]) in base_buckets
     )
     candidates = sorted(upsert_buckets | del_candidates)
     if not candidates:

@@ -350,28 +350,42 @@ def apply_changes_batch(
         if order_col is not None:
             # malformed rows must fail the batch even when a later
             # action for the same key would collapse them away — the
-            # signal of a broken feed producer, not a superseded row
-            bad = (
-                actions.where(
-                    F.col("_change_type").isNull()
-                    | ~F.col("_change_type").isin(
-                        "insert", "delete", "update_postimage"
+            # signal of a broken feed producer, not a superseded row.
+            # ONE aggregate carries the batch row count AND the
+            # malformed-row sample (the old shape paid a limit(1)
+            # probe — 2 executeTake jobs when clean — plus a take(1)
+            # emptiness probe per micro-batch); collapse keeps ≥1 row
+            # per key, so pre-collapse emptiness decides the
+            # post-collapse take as well.
+            _NULLTYPE = "\x00<null>"
+            bad_t = F.col("_change_type").isNull() | ~F.col(
+                "_change_type"
+            ).isin("insert", "delete", "update_postimage")
+            probe = actions.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(
+                    F.when(
+                        bad_t,
+                        F.coalesce(F.col("_change_type"), F.lit(_NULLTYPE)),
                     )
-                )
-                .limit(1)
-                .collect()
-            )
-            if bad:
+                ).alias("bad"),
+            ).collect()[0]
+            if probe["bad"] is not None:
+                bad = None if probe["bad"] == _NULLTYPE else probe["bad"]
                 raise ValueError(
-                    f"unknown _change_type {bad[0]['_change_type']!r} "
+                    f"unknown _change_type {bad!r} "
                     "in the micro-batch; refusing to collapse it away"
                 )
+            if probe["n"] == 0:
+                # empty batches commit nothing, marker included
+                # (idle-stream contract shared with upsert_batch)
+                return None
             actions = latest_per_key(actions, pk, order_col, tiebreak_col)
             if not _is_table_column(manifest, order_col, path):
                 # a producer-stamped seq is feed plumbing, not data; a
                 # natural table column (updated_at) replicates as-is
                 actions = actions.drop(order_col)
-        if not actions.take(1):
+        elif not actions.take(1):
             # empty batches commit nothing, marker included
             # (idle-stream contract shared with upsert_batch)
             return None
