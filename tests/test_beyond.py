@@ -1530,6 +1530,9 @@ def test_knn_join_exact_matches_numpy(spark, sf_dir):
     assert len(got) == (ids % 50 == 0).sum() * 3
 
 
+# fast default sibling: test_tune_nprobe_contract_sf0001 (same
+# operator, contract-level assertions at sf0.001)
+@pytest.mark.slow
 def test_tune_nprobe_meets_target_on_sf01(spark):
     """tune_nprobe returns the SMALLEST evaluated nprobe whose
     measured recall@k reaches the target on the sf0.1 fixture (the
@@ -1556,6 +1559,33 @@ def test_tune_nprobe_meets_target_on_sf01(spark):
 
     with pytest.raises(ValueError):
         tune_nprobe(emb, target_recall=1.5)
+
+
+def test_tune_nprobe_contract_sf0001(spark, sf_dir):
+    """Fast default-suite sibling of the sf0.1 tuner test: the full
+    tune_nprobe contract (minimality of the returned nprobe, curve
+    consistency, nprobe=K fallback reaching exact recall 1.0, target
+    validation) on the sf0.001 fixture."""
+    from amaxa_spark.operators.similarity import tune_nprobe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    target = 0.5
+    out = tune_nprobe(
+        emb, target_recall=target, k=3, n_queries=4, n_centroids=4,
+        candidates=(1, 2), kmeans_iters=1,
+    )
+    assert out["recall"] >= target
+    assert out["curve"][out["nprobe"]] == out["recall"]
+    for nprobe, recall in out["curve"].items():
+        if nprobe < out["nprobe"]:
+            assert recall < target
+    out2 = tune_nprobe(
+        emb, target_recall=0.999, k=3, n_queries=4, n_centroids=4,
+        candidates=(1,), kmeans_iters=1,
+    )
+    assert out2["nprobe"] == 4 and out2["recall"] == 1.0
+    with pytest.raises(ValueError):
+        tune_nprobe(emb, target_recall=-0.1)
 
 
 def test_knn_join_lsh_subset_and_recall(spark, sf_dir):
@@ -2713,6 +2743,8 @@ def test_image_header_meta_matches_decoders_and_rejects_malformed():
     assert (m["width"], m["height"]) == (90, 60)
 
 
+# fast default sibling: test_partitioning.py::test_streaming_cdc_replication
+@pytest.mark.slow
 def test_streaming_cdc_replication_end_to_end_with_failure(spark, tmp_path):
     """Streaming CDC replication end to end: a source table's change
     feed, streamed one micro-batch per source commit through
@@ -3234,6 +3266,8 @@ def test_wav_odd_data_and_gif_pixel_budget(spark):
     assert MM.image_header_meta(bytes(big2))["valid"] is True
 
 
+# fast default siblings: test_partitioning.py matview refresh/rebuild tests
+@pytest.mark.slow
 def test_matview_concurrent_refresh_losers_converge(spark, tmp_path):
     """Review-pinned race contract: a refresher whose CDC-apply loses
     the CAS race to a twin targeting the SAME source commit returns

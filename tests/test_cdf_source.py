@@ -153,6 +153,8 @@ def test_replication_survives_rename_between_polls(spark, tmp_path):
     assert got == {3: -3.0}
 
 
+# fast default sibling: test_replication_is_exactly_once_and_resumable
+@pytest.mark.slow
 def test_convergence_under_concurrent_writers(spark, tmp_path):
     """The done-criterion: a pipeline streaming src → dst converges to
     diff-equality while writers keep committing (merges, rewrite and

@@ -92,6 +92,9 @@ def test_head_reconstruction_matches_published_mirror(spark, tmp_path):
     assert C._commit_chain_head(root)[1] == _mirror(root)
 
 
+# fast default sibling: test_head_reconstruction_matches_published_mirror
+# (fs-layout twin of the same reconstruction)
+@pytest.mark.slow
 def test_db_head_reconstruction_matches_mirror(spark, tmp_path):
     db = str(tmp_path / "db")
     write_versioned_db(
@@ -108,6 +111,9 @@ def test_db_head_reconstruction_matches_mirror(spark, tmp_path):
     assert C._commit_chain_head(db)[1] == _mirror(db)
 
 
+# fast default sibling: test_head_reconstruction_matches_published_mirror
+# (reads the same delta chain end to end)
+@pytest.mark.slow
 def test_delta_commits_are_written_and_checkpoints_are_full(
     spark, tmp_path, monkeypatch
 ):
@@ -129,6 +135,9 @@ def test_delta_commits_are_written_and_checkpoints_are_full(
     )
 
 
+# fast default siblings: test_fold_is_idempotent_and_dry_run_deletes_nothing,
+# test_vacuum_and_token_as_of_unaffected_by_fold
+@pytest.mark.slow
 def test_fold_preserves_reads_time_travel_and_history(spark, tmp_path):
     root = str(tmp_path / "t")
     write_versioned_table(_frame(spark), root, "k", n_buckets=4)
@@ -195,6 +204,9 @@ def test_stale_claim_below_floor_is_retracted(spark, tmp_path):
     assert C._commit_chain_head(root)[1] == head
 
 
+# fast default siblings: test_fold_is_idempotent_and_dry_run_deletes_nothing,
+# test_stale_claim_below_floor_is_retracted
+@pytest.mark.slow
 def test_fold_races_live_writers(spark, tmp_path):
     """Writers merging concurrently with a fold must all land (or
     raise the documented ConcurrentMergeError), with the final state

@@ -1,6 +1,7 @@
 """Partition pruning, bucketed co-located joins, JSON source — the
 physical-layout levers the engine relies on at scale."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from amaxa_spark.sources.catalog import TableCatalog
@@ -858,6 +859,9 @@ def test_latest_per_key_default_tiebreak_is_deterministic(spark):
         assert got == {1: "b", 2: "x"}  # max ver, then max val
 
 
+# fast default siblings: test_streaming_cdc_replication,
+# test_streaming_auto_optimize (same merge_stream sink)
+@pytest.mark.slow
 def test_streaming_upsert_commits_one_merge_per_batch(spark, tmp_path):
     """Streaming upsert sink: each micro-batch reduces to last-write-
     wins per key and lands as ONE atomic chain commit; replaying a
@@ -1213,6 +1217,9 @@ def test_versioned_db_alter_add_column_is_metadata_only(spark, tmp_path):
     assert read_versioned_db(spark, path, "documents").count() == 100
 
 
+# fast default siblings: test_streaming_cdc_replication,
+# test_versioned_db_transactions_span_tables (db-layout commit path)
+@pytest.mark.slow
 def test_streaming_db_upsert_transactional_exactly_once(spark, tmp_path):
     """The db streaming twin: one micro-batch routed across BOTH
     tables lands as ONE transaction (single seq), replay is skipped

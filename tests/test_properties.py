@@ -2,6 +2,8 @@
 closure operator — the engine's analogue of fuzzing the reference's
 SalesforceId/transform units."""
 
+import pytest
+
 import string
 
 from hypothesis import HealthCheck, given, settings
@@ -69,6 +71,9 @@ def _python_closure(n, parents, seed):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(forests())
+# fast default siblings: test_scale_utils.py pointer-doubling tests,
+# test_extract.py closure tests (same operators, fixed fixtures)
+@pytest.mark.slow
 def test_closure_matches_bfs(spark, forest):
     from amaxa_spark.metadata import SchemaRegistry, TableMeta
     from amaxa_spark.operators.extract import ExtractOperation
@@ -382,6 +387,9 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
     assert heavy_hits / (5 * 20) > 2.5 * (light_hits / (5 * 180))
 
 
+# fast default siblings: test_load.py + test_end_to_end.py golden
+# roundtrips (same load path, fixed fixtures)
+@pytest.mark.slow
 def test_load_roundtrip_preserves_fk_structure(spark):
     """Randomized structural property of the two-phase load: for
     random self-referencing + cross-table FK graphs (with cycles and
