@@ -1181,9 +1181,7 @@ def knn_join_lsh(
         return df.select(
             F.col(id_col),
             F.explode(
-                F.array(
-                    *[lsh_code(F.col(vec_col), dim, bits, b) for b in range(bands)]
-                )
+                lsh_codes(f"`{vec_col}`", dim, bits, bands)
             ).alias("bucket"),
         )
 
@@ -1315,6 +1313,47 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
+def _lsh_band_sql(vec_sql: str, dim: int, bits: int, band: int) -> str:
+    """The SQL text of one band's sign-LSH code: per bit, the same
+    ``aggregate(zip_with(vec, plane))`` fold the Column form built —
+    identical expressions after parsing, so codes are byte-identical —
+    but rendered as TEXT so the whole band parses in ONE py4j call
+    (the Column form paid ~10 py4j round trips per fold; at
+    bits × bands = 36 folds per call site that made driver-side plan
+    BUILDING the dominant cost of the LSH queries: measured ~1.9 s of
+    ann_lsh_recall's 3.2 s before any job ran)."""
+    bit_sqls = []
+    for b in range(bits):
+        plane = ", ".join(
+            _sql_double(w) for w in _hyperplane(dim, band * bits + b)
+        )
+        bit_sqls.append(
+            "(CASE WHEN aggregate(zip_with({v}, array({p}), "
+            "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0D AS DOUBLE), "
+            "(acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END)".format(
+                v=vec_sql, p=plane
+            )
+        )
+    return "concat('{band}:', {bits})".format(
+        band=band, bits=", ".join(bit_sqls)
+    )
+
+
+def lsh_codes(vec_sql: str, dim: int, bits: int, bands: int):
+    """ALL band codes as one parsed ``array<string>`` expression —
+    one py4j round trip for the whole bits × bands construction (see
+    :func:`_lsh_band_sql`). ``vec_sql`` is the vector column's SQL
+    name/text."""
+    return F.expr(
+        "array({})".format(
+            ", ".join(
+                _lsh_band_sql(vec_sql, dim, bits, band)
+                for band in range(bands)
+            )
+        )
+    )
+
+
 def lsh_code(vec_col, dim: int, bits: int, band: int):
     """Sign-LSH code: one bit per hyperplane, concatenated to a
     string bucket key.
@@ -1323,7 +1362,12 @@ def lsh_code(vec_col, dim: int, bits: int, band: int):
     against a literal plane array — a tight JVM loop — rather than a
     ``dim``-term chained-addition expression, whose tree the optimizer
     and codegen would otherwise have to walk per bit (bits × dim terms
-    made plan compilation the dominant cost at small scale)."""
+    made plan compilation the dominant cost at small scale). A string
+    ``vec_col`` takes the one-parse SQL path (:func:`_lsh_band_sql`);
+    a Column keeps the element-wise construction for expressions that
+    have no SQL name."""
+    if isinstance(vec_col, str):
+        return F.expr(_lsh_band_sql(vec_col, dim, bits, band))
     bit_cols = []
     for b in range(bits):
         plane = _hyperplane(dim, band * bits + b)
@@ -1367,9 +1411,7 @@ def lsh_cosine_topk(
     per side row instead of once per pair, byte-identical sims."""
     codes = emb.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[lsh_code(F.col(vec_col), dim, bits, b) for b in range(bands)])
-        ).alias("bucket"),
+        F.explode(lsh_codes(f"`{vec_col}`", dim, bits, bands)).alias("bucket"),
     )
     qcodes = codes.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "bucket"
