@@ -92,9 +92,14 @@ def bnlj_violations(df) -> list[str]:
     plan = df._jdf.queryExecution().executedPlan()
     bad = []
     for node in _walk(plan):
-        header = node.toString().splitlines()[0]
-        if "BroadcastNestedLoopJoin" not in header:
+        # match the NODE NAME, not the header text: wrapper nodes
+        # (WholeStageCodegen under a non-AQE session) print their
+        # codegen'd child's header as their own first line, so a
+        # substring test would dereference the wrapper's single child
+        # with the join's build index and crash the walk
+        if node.nodeName() != "BroadcastNestedLoopJoin":
             continue
+        header = node.toString().splitlines()[0]
         build = 1 if "BuildRight" in header else 0
         side = node.children().apply(build).toString()
         if not _SCALAR_AGG.search(side):
